@@ -1,0 +1,780 @@
+"""The analytics query catalog — SURVEY.md §2's operator inventory, written
+once against the normalized events model (:mod:`..model`).
+
+Each function is a pure ``DataFrame -> DataFrame`` transform mirroring one
+reference query (reference file:line cited per function, all in
+``src/storage/duckdb_store_backup.rs`` — the complete SQL ground truth per
+SURVEY.md's code-archaeology note 1). Output column names, rounding, and
+ordering are part of the declared semantics; the DuckDB oracle twins live in
+:mod:`.oracles` and must stay in lockstep.
+
+Scale notes (100 TB posture):
+
+- Every query is a single ``groupBy`` over ≤3 keys → one shuffle, with
+  Catalyst's partial (map-side) aggregation halving shuffle volume. Group
+  cardinality is bounded by (apps × dates × executors), not by row count, so
+  result sizes stay tiny at any input scale.
+- Filters (``is_task`` etc.) sit directly on scan columns → parquet predicate
+  pushdown + column pruning; no query reads ``raw_data``.
+- The only joins (executor_summary, resource_utilization_metrics) join
+  *aggregated* sides — both post-agg inputs are small → AQE converts them to
+  broadcast joins at runtime.
+- Top-k (``ORDER BY ... LIMIT n``) plans as ``TakeOrderedAndProject`` — no
+  global sort of the full aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import (
+    count_if,
+    date_str,
+    epoch_ms,
+    floor_long,
+    r4,
+    r6,
+    safe_div,
+)
+
+#: Pinned "current time" for running-app duration (reference uses ``now()``,
+#: ``models.rs:193-197``; SURVEY §7 risk register says pin it for oracle
+#: determinism). 2025-01-01T00:00:00Z.
+PINNED_NOW_MS = 1735689600000
+
+
+def _tasks(ev: DataFrame) -> DataFrame:
+    """P1: the shared TaskEnd predicate (reference `WHERE event_type =
+    'SparkListenerTaskEnd'`, duckdb_store_backup.rs:505)."""
+    return ev.filter(F.col("is_task"))
+
+
+def time_window(
+    ev: DataFrame,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    app_id: str | None = None,
+) -> DataFrame:
+    """P4/P5: the optional-parameter predicate template
+    (duckdb_store_backup.rs:505-508). Conditionally-built filters; Catalyst
+    constant-folds what the reference does with ``(? IS NULL OR ...)``."""
+    if start_ms is not None:
+        ev = ev.filter(epoch_ms(F.col("event_ts")) >= F.lit(start_ms))
+    if end_ms is not None:
+        ev = ev.filter(epoch_ms(F.col("event_ts")) <= F.lit(end_ms))
+    if app_id is not None:
+        ev = ev.filter(F.col("app_id") == F.lit(app_id))
+    return ev
+
+
+# --------------------------------------------------------------------------
+# A1 — application listing (GET /api/v1/applications)
+# --------------------------------------------------------------------------
+def applications(ev: DataFrame, limit: int = 100) -> DataFrame:
+    """A1: per-app MIN/MAX timestamp + event count, newest-ending first.
+
+    Reference: duckdb_store_backup.rs:156-218.
+    """
+    return (
+        ev.groupBy("app_id")
+        .agg(
+            epoch_ms(F.min("event_ts")).alias("start_ms"),
+            epoch_ms(F.max("event_ts")).alias("end_ms"),
+            F.count("*").alias("event_count"),
+        )
+        .orderBy(F.desc("end_ms"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — global counters
+# --------------------------------------------------------------------------
+def count_events(ev: DataFrame) -> DataFrame:
+    """A2: COUNT(*) + MAX(id). Reference: duckdb_store_backup.rs:452-468."""
+    return ev.agg(
+        F.count("*").alias("total_events"),
+        F.max("id").alias("max_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — resource usage summary
+# --------------------------------------------------------------------------
+def resource_usage_summary(ev: DataFrame) -> DataFrame:
+    """A3: events per (app, type, day) + avg duration.
+
+    Reference: duckdb_store_backup.rs:250-284.
+    """
+    return (
+        ev.groupBy("app_id", "event_type", date_str(F.col("event_date")).alias("event_date"))
+        .agg(
+            F.count("*").alias("event_count"),
+            r4(F.avg("duration_ms")).alias("avg_duration_ms"),
+        )
+        .orderBy(F.desc("event_date"), "app_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 / J1 — executor summary (the FULL OUTER join chain)
+# --------------------------------------------------------------------------
+def executor_summary(ev: DataFrame) -> DataFrame:
+    """A4: per-executor lifecycle + task metrics via two FULL OUTER joins
+    with a COALESCE-keyed second join and COALESCE defaults.
+
+    Reference: duckdb_store_backup.rs:320-450 (joins :404-407, defaults
+    :384-402). All three sides are per-executor aggregates (tiny) → AQE
+    broadcasts them regardless of input scale.
+    """
+    added = (
+        ev.filter(F.col("is_exec_add"))
+        .groupBy(F.col("executor_id").alias("a_eid"))
+        .agg(
+            epoch_ms(F.min("event_ts")).alias("add_time_ms"),
+            F.coalesce(F.max("total_cores"), F.lit(1.0)).cast("long").alias("cores"),
+        )
+    )
+    removed = (
+        ev.filter(F.col("is_exec_remove"))
+        .groupBy(F.col("executor_id").alias("r_eid"))
+        .agg(epoch_ms(F.max("event_ts")).alias("remove_time_ms"))
+    )
+    tasks = (
+        _tasks(ev)
+        .filter(F.col("executor_id").isNotNull())
+        .groupBy(F.col("executor_id").alias("t_eid"))
+        .agg(
+            F.count("*").alias("total_tasks"),
+            count_if(F.col("is_success")).alias("completed_tasks"),
+            r4(F.sum("duration_ms")).alias("total_duration_ms"),
+            r4(F.sum("gc_ms")).alias("total_gc_ms"),
+            r4(F.sum("input_mb")).alias("total_input_mb"),
+            r4(F.sum("shuffle_read_mb")).alias("total_shuffle_read_mb"),
+            r4(F.sum("shuffle_write_mb")).alias("total_shuffle_write_mb"),
+        )
+    )
+    ar = added.join(removed, added["a_eid"] == removed["r_eid"], "full_outer")
+    joined = ar.join(
+        tasks,
+        F.coalesce(ar["a_eid"], ar["r_eid"]) == tasks["t_eid"],
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.coalesce("a_eid", "r_eid", "t_eid", F.lit("driver")).alias("executor_id"),
+            "add_time_ms",
+            "remove_time_ms",
+            F.coalesce("cores", F.lit(1)).alias("cores"),
+            F.col("r_eid").isNull().alias("is_active"),
+            F.coalesce("total_tasks", F.lit(0)).alias("total_tasks"),
+            F.coalesce("completed_tasks", F.lit(0)).alias("completed_tasks"),
+            F.coalesce("total_duration_ms", F.lit(0.0)).alias("total_duration_ms"),
+            F.coalesce("total_gc_ms", F.lit(0.0)).alias("total_gc_ms"),
+            F.coalesce("total_input_mb", F.lit(0.0)).alias("total_input_mb"),
+            F.coalesce("total_shuffle_read_mb", F.lit(0.0)).alias("total_shuffle_read_mb"),
+            F.coalesce("total_shuffle_write_mb", F.lit(0.0)).alias("total_shuffle_write_mb"),
+        )
+        .orderBy("executor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — performance trends
+# --------------------------------------------------------------------------
+def performance_trends(ev: DataFrame, limit: int = 500) -> DataFrame:
+    """A5: per (day, app) duration/failure/io trends.
+
+    Reference: duckdb_store_backup.rs:488-546.
+    """
+    return (
+        _tasks(ev)
+        .groupBy(date_str(F.col("event_date")).alias("event_date"), F.col("app_id"))
+        .agg(
+            r4(F.avg("duration_ms")).alias("avg_duration_ms"),
+            F.count("*").alias("task_count"),
+            count_if(~F.col("is_success")).alias("failed_tasks"),
+            r4(F.avg("input_mb")).alias("avg_input_mb"),
+            r4(F.avg("output_mb")).alias("avg_output_mb"),
+        )
+        .orderBy(F.desc("event_date"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — GC time trends
+# --------------------------------------------------------------------------
+def gc_time_trends(ev: DataFrame, limit: int = 500) -> DataFrame:
+    """A6: per (day, app) GC totals + host-side derived gc-per-task
+    (here an ordinary column expression). Reference:
+    duckdb_store_backup.rs:551-613 (derived :588-594).
+    """
+    gc = F.coalesce(F.col("gc_ms"), F.lit(0.0))
+    return (
+        _tasks(ev)
+        .groupBy(date_str(F.col("event_date")).alias("event_date"), F.col("app_id"))
+        .agg(
+            r4(F.sum(gc)).alias("total_gc_ms"),
+            r4(F.avg(gc)).alias("avg_gc_ms"),
+            F.count("*").alias("task_count"),
+            r4(F.sum(gc) / F.count("*")).alias("gc_ms_per_task"),
+        )
+        .orderBy(F.desc("event_date"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — CPU utilization analysis
+# --------------------------------------------------------------------------
+def cpu_utilization(ev: DataFrame, limit: int = 1000) -> DataFrame:
+    """A7: theoretical vs actual CPU per (day, app, executor), idle time via
+    saturating subtraction, High/Medium/Low rating ladder.
+
+    Reference: duckdb_store_backup.rs:617-696 (derived :658-673).
+    """
+    agg = (
+        _tasks(ev)
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.coalesce(F.col("executor_id"), F.lit("driver")).alias("executor_id"),
+        )
+        .agg(
+            F.count("*").alias("task_count"),
+            r4(F.sum("duration_ms")).alias("theoretical_cpu_ms"),
+            r4(F.sum("cpu_ms")).alias("actual_cpu_ms"),
+        )
+        .filter(F.col("task_count") > 0)
+    )
+    util = r4(safe_div(F.col("actual_cpu_ms") * 100.0, F.col("theoretical_cpu_ms")))
+    return (
+        agg.withColumn(
+            "idle_cpu_ms",
+            r4(F.greatest(F.lit(0.0), F.col("theoretical_cpu_ms") - F.col("actual_cpu_ms"))),
+        )
+        .withColumn("utilization_pct", util)
+        .withColumn(
+            "utilization_rating",
+            F.when(F.col("utilization_pct") >= 80, "High")
+            .when(F.col("utilization_pct") >= 50, "Medium")
+            .otherwise("Low"),
+        )
+        .orderBy(F.desc("event_date"), "app_id", "executor_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — memory usage analysis
+# --------------------------------------------------------------------------
+def memory_usage(ev: DataFrame, limit: int = 1000) -> DataFrame:
+    """A8: peak/max memory + spill per (day, app, executor); utilization% and
+    the Excellent/Good/Poor/Critical (util, spill) rating matrix.
+
+    Reference: duckdb_store_backup.rs:699-798 (matrix :761-773).
+    """
+    agg = (
+        _tasks(ev)
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.col("executor_id"),
+        )
+        .agg(
+            r4(F.coalesce(F.max("jvm_heap_mb"), F.lit(1024.0))).alias("max_memory_mb"),
+            r4(F.coalesce(F.max("peak_memory_mb"), F.lit(0.0))).alias("peak_memory_max_mb"),
+            r4(F.avg("peak_memory_mb")).alias("peak_memory_avg_mb"),
+            r4(F.sum(F.coalesce(F.col("mem_spill_mb"), F.lit(0.0)))).alias("mem_spilled_mb"),
+            r4(F.sum(F.coalesce(F.col("disk_spill_mb"), F.lit(0.0)))).alias("disk_spilled_mb"),
+        )
+    )
+    out = agg.withColumn(
+        "memory_utilization_pct",
+        r4(safe_div(F.col("peak_memory_max_mb") * 100.0, F.col("max_memory_mb"))),
+    ).withColumn(
+        "spill_ratio",
+        r4(
+            safe_div(
+                F.col("mem_spilled_mb") + F.col("disk_spilled_mb"),
+                F.col("peak_memory_max_mb"),
+            )
+        ),
+    )
+    return (
+        out.withColumn(
+            "memory_rating",
+            F.when(
+                (F.col("memory_utilization_pct") >= 90) | (F.col("spill_ratio") > 1.0),
+                "Critical",
+            )
+            .when(
+                (F.col("memory_utilization_pct") >= 75) | (F.col("spill_ratio") > 0.5),
+                "Poor",
+            )
+            .when(F.col("memory_utilization_pct") >= 40, "Good")
+            .otherwise("Excellent"),
+        )
+        .orderBy(F.desc("event_date"), "app_id", "executor_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — cross-application summary (single row)
+# --------------------------------------------------------------------------
+def cross_app_summary(ev: DataFrame) -> DataFrame:
+    """A9: global platform summary. Faithfully reproduces the reference's
+    quirky "active" definition — COUNT(DISTINCT CASE WHEN end-event THEN NULL
+    ELSE app_id END), which counts any app with ≥1 non-end event as active.
+
+    Reference: duckdb_store_backup.rs:801-857 (quirk :1051-1058-adjacent).
+    """
+    return ev.agg(
+        F.countDistinct("app_id").alias("total_applications"),
+        F.countDistinct(
+            F.when(F.col("is_app_end"), F.lit(None)).otherwise(F.col("app_id"))
+        ).alias("active_applications"),
+        F.count("*").alias("total_events"),
+        count_if(F.col("is_task") & F.col("is_success")).alias("successful_tasks"),
+        count_if(F.col("is_task") & ~F.col("is_success")).alias("failed_tasks"),
+        r4(F.avg(F.when(F.col("is_task"), F.col("duration_ms")))).alias(
+            "avg_task_duration_ms"
+        ),
+        r4(F.sum(F.coalesce(F.col("input_mb"), F.lit(0.0))) / 1024.0).alias(
+            "total_input_gb"
+        ),
+        F.coalesce(F.max("total_cores"), F.lit(0.0)).cast("long").alias("max_total_cores"),
+        epoch_ms(F.min("event_ts")).alias("first_event_ms"),
+        epoch_ms(F.max("event_ts")).alias("last_event_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — task distribution (fixed-domain locality pivot)
+# --------------------------------------------------------------------------
+def task_distribution(ev: DataFrame, limit: int = 500) -> DataFrame:
+    """A10: per (app, stage) task outcome + duration stats + 4-way locality
+    pivot as conditional counts (fixed domain — not ``pivot()``).
+
+    Reference: duckdb_store_backup.rs:860-930.
+    """
+    return (
+        _tasks(ev)
+        .filter(F.col("stage_id").isNotNull())
+        .groupBy("app_id", "stage_id")
+        .agg(
+            F.count("*").alias("total_tasks"),
+            count_if(F.col("is_success")).alias("successful_tasks"),
+            count_if(~F.col("is_success")).alias("failed_tasks"),
+            r4(F.avg("duration_ms")).alias("avg_duration_ms"),
+            r4(F.min("duration_ms")).alias("min_duration_ms"),
+            r4(F.max("duration_ms")).alias("max_duration_ms"),
+            count_if(F.col("locality") == "PROCESS_LOCAL").alias("process_local_tasks"),
+            count_if(F.col("locality") == "NODE_LOCAL").alias("node_local_tasks"),
+            count_if(F.col("locality") == "RACK_LOCAL").alias("rack_local_tasks"),
+            count_if(F.col("locality") == "ANY").alias("any_locality_tasks"),
+        )
+        .orderBy("app_id", "stage_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — executor utilization (collect_set + to_json)
+# --------------------------------------------------------------------------
+def executor_utilization(ev: DataFrame, limit: int = 20) -> DataFrame:
+    """A11: per (executor, host) load + distinct served apps as a sorted JSON
+    array (reference ``to_json(array_agg(DISTINCT app_id))``; sorted per
+    SURVEY §2.8's set-ordering note). Driver excluded (P6).
+
+    Reference: duckdb_store_backup.rs:933-1007.
+    """
+    return (
+        _tasks(ev)
+        .filter(F.col("executor_id").isNotNull() & (F.col("executor_id") != "driver"))
+        .groupBy("executor_id", "host")
+        .agg(
+            F.count("*").alias("total_tasks"),
+            r4(F.sum("duration_ms")).alias("total_duration_ms"),
+            F.countDistinct("app_id").alias("distinct_apps"),
+            count_if(F.col("locality").isin("PROCESS_LOCAL", "NODE_LOCAL")).alias(
+                "locality_hits"
+            ),
+            r4(F.max("peak_memory_mb")).alias("max_peak_memory_mb"),
+            F.to_json(F.sort_array(F.collect_set("app_id"))).alias("apps_served"),
+        )
+        .orderBy(F.desc("total_tasks"), "executor_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A12 / J2 / J3 — resource utilization metrics (the 20-aggregate query)
+# --------------------------------------------------------------------------
+def resource_utilization_metrics(ev: DataFrame, limit: int = 1000) -> DataFrame:
+    """A12: per (app, executor, host) full resource rollup, LEFT-joined (J2)
+    with per-app liveness where active = "no end event seen" (J3), default
+    active=true via COALESCE.
+
+    Reference: duckdb_store_backup.rs:1010-1148 (join :1090-1091, liveness
+    :1051-1058). The app_status side is a per-app aggregate → broadcast.
+    """
+    app_status = ev.groupBy(F.col("app_id").alias("s_app_id")).agg(
+        (count_if(F.col("is_app_end")) == 0).alias("s_is_active")
+    )
+    z = F.lit(0.0)
+    m = (
+        _tasks(ev)
+        .filter(F.col("executor_id").isNotNull())
+        .groupBy("app_id", "executor_id", "host")
+        .agg(
+            F.count("*").alias("total_tasks"),
+            count_if(F.col("is_success")).alias("successful_tasks"),
+            count_if(~F.col("is_success")).alias("failed_tasks"),
+            r4(F.sum("duration_ms")).alias("total_duration_ms"),
+            r4(F.avg("duration_ms")).alias("avg_duration_ms"),
+            r4(F.sum("cpu_ms")).alias("total_cpu_ms"),
+            r4(F.sum(F.coalesce(F.col("gc_ms"), z))).alias("total_gc_ms"),
+            r4(F.max(F.coalesce(F.col("peak_memory_mb"), z))).alias("max_peak_memory_mb"),
+            r4(F.max(F.coalesce(F.col("jvm_heap_mb"), F.lit(1024.0)))).alias(
+                "max_jvm_heap_mb"
+            ),
+            r4(F.sum(F.coalesce(F.col("input_mb"), z))).alias("total_input_mb"),
+            r4(F.sum(F.coalesce(F.col("output_mb"), z))).alias("total_output_mb"),
+            r4(F.sum(F.coalesce(F.col("shuffle_read_mb"), z))).alias("total_shuffle_read_mb"),
+            r4(F.sum(F.coalesce(F.col("shuffle_write_mb"), z))).alias(
+                "total_shuffle_write_mb"
+            ),
+            r4(F.sum(F.coalesce(F.col("disk_spill_mb"), z))).alias("total_disk_spill_mb"),
+            r4(F.sum(F.coalesce(F.col("mem_spill_mb"), z))).alias("total_mem_spill_mb"),
+            count_if(F.col("locality") == "PROCESS_LOCAL").alias("process_local_tasks"),
+            count_if(F.col("locality") == "NODE_LOCAL").alias("node_local_tasks"),
+            count_if(F.col("locality") == "RACK_LOCAL").alias("rack_local_tasks"),
+            count_if(F.col("locality") == "ANY").alias("any_locality_tasks"),
+            epoch_ms(F.min("event_ts")).alias("first_task_ms"),
+            epoch_ms(F.max("event_ts")).alias("last_task_ms"),
+        )
+    )
+    return (
+        m.withColumn(
+            "memory_utilization_pct",
+            r4(safe_div(F.col("max_peak_memory_mb") * 100.0, F.col("max_jvm_heap_mb"))),
+        )
+        .join(app_status, m["app_id"] == app_status["s_app_id"], "left")
+        .withColumn("is_active", F.coalesce(F.col("s_is_active"), F.lit(True)))
+        .drop("s_app_id", "s_is_active")
+        .orderBy("app_id", "executor_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A13 — top resource consumers (resource hogs)
+# --------------------------------------------------------------------------
+def top_resource_consumers(ev: DataFrame, limit: int = 10) -> DataFrame:
+    """A13: top-k apps by peak memory, with efficiency score + cost estimate
+    + recommendation CASE ladders.
+
+    Reference: duckdb_store_backup.rs:1155-1239 (ladders :1186-1196).
+    """
+    z = F.lit(0.0)
+    agg = (
+        _tasks(ev)
+        .groupBy("app_id")
+        .agg(
+            r4(F.avg(F.coalesce(F.col("peak_memory_mb"), z))).alias("avg_peak_memory_mb"),
+            r4(F.max(F.coalesce(F.col("peak_memory_mb"), z))).alias("max_peak_memory_mb"),
+            r4(F.sum(F.coalesce(F.col("cpu_ms"), z)) / 1000.0).alias("total_cpu_s"),
+            r4(F.sum(F.coalesce(F.col("disk_spill_mb"), z))).alias("total_disk_spill_mb"),
+            F.count("*").alias("task_count"),
+            epoch_ms(F.max("event_ts")).alias("last_seen_ms"),
+        )
+        .filter(F.col("max_peak_memory_mb") > 0)
+    )
+    return (
+        agg.withColumn(
+            "efficiency_score",
+            F.when(
+                F.col("max_peak_memory_mb") > 1.5 * F.col("avg_peak_memory_mb"), 60.0
+            )
+            .when(F.col("max_peak_memory_mb") > 1.2 * F.col("avg_peak_memory_mb"), 75.0)
+            .otherwise(85.0),
+        )
+        .withColumn("estimated_cost", r6(F.col("max_peak_memory_mb") * 0.001))
+        .withColumn(
+            "recommendation",
+            F.when(
+                F.col("max_peak_memory_mb") > 4000, "Reduce executor memory allocation"
+            )
+            .when(F.col("max_peak_memory_mb") > 2000, "Consider memory tuning")
+            .otherwise("Memory allocation appears optimal"),
+        )
+        .orderBy(F.desc("max_peak_memory_mb"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 — efficiency analysis
+# --------------------------------------------------------------------------
+def efficiency_analysis(ev: DataFrame, limit: int = 10) -> DataFrame:
+    """A14: per-app CPU/memory efficiency with Over/Under/WellTuned category,
+    recommended resources, potential savings, and risk ladder; HAVING
+    count>5.
+
+    Reference: duckdb_store_backup.rs:1242-1360.
+    """
+    z = F.lit(0.0)
+    agg = (
+        _tasks(ev)
+        .groupBy("app_id")
+        .agg(
+            r4(F.avg(F.coalesce(F.col("peak_memory_mb"), z))).alias("avg_peak_memory_mb"),
+            r4(F.max(F.coalesce(F.col("peak_memory_mb"), z))).alias("max_peak_memory_mb"),
+            r6(F.avg(F.coalesce(F.col("cpu_ms"), z)) / 1000.0).alias("avg_cpu_s"),
+            r6(F.avg("duration_ms") / 1000.0).alias("avg_wall_s"),
+            F.count("*").alias("task_count"),
+        )
+        .filter(F.col("task_count") > 5)
+    )
+    cpu_eff = r4(safe_div(F.col("avg_cpu_s") * 100.0, F.col("avg_wall_s")))
+    return (
+        agg.withColumn("cpu_efficiency_pct", cpu_eff)
+        .withColumn(
+            "efficiency_category",
+            F.when(F.col("cpu_efficiency_pct") < 30, "OverProvisioned")
+            .when(F.col("cpu_efficiency_pct") > 90, "UnderProvisioned")
+            .otherwise("WellTuned"),
+        )
+        .withColumn(
+            "memory_efficiency_pct",
+            r4(safe_div(F.col("avg_peak_memory_mb") * 100.0, F.col("max_peak_memory_mb"))),
+        )
+        .withColumn("recommended_memory_mb", r4(F.col("max_peak_memory_mb") * 0.7))
+        .withColumn(
+            "recommended_cores",
+            F.greatest(
+                F.lit(1).cast("long"),
+                floor_long(
+                    F.coalesce(safe_div(F.col("avg_cpu_s"), F.col("avg_wall_s")), F.lit(0.0))
+                ),
+            ),
+        )
+        .withColumn(
+            "potential_savings",
+            F.when(
+                F.col("cpu_efficiency_pct") < 30, r6(F.col("max_peak_memory_mb") * 0.0005)
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "risk_level",
+            F.when(F.col("task_count") < 10, "High")
+            .when(F.col("cpu_efficiency_pct") < 20, "Low")
+            .otherwise("Medium"),
+        )
+        .orderBy(F.desc("potential_savings"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A15 — capacity usage trends
+# --------------------------------------------------------------------------
+def capacity_trends(ev: DataFrame, limit: int = 30) -> DataFrame:
+    """A15: per-day cluster capacity rollup with LEAST-capped utilization%.
+
+    Reference: duckdb_store_backup.rs:1363-1426.
+    """
+    z = F.lit(0.0)
+    agg = (
+        _tasks(ev)
+        .groupBy(date_str(F.col("event_date")).alias("event_date"))
+        .agg(
+            r4(F.sum(F.coalesce(F.col("peak_memory_mb"), z)) / 1024.0).alias(
+                "total_memory_gb"
+            ),
+            F.countDistinct("app_id").alias("active_apps"),
+            F.count("*").alias("total_tasks"),
+            r4(F.avg(F.coalesce(F.col("cpu_ms"), z)) / 1000.0).alias("avg_cpu_s"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "estimated_cores_used", r4(F.col("avg_cpu_s") * F.col("active_apps"))
+        )
+        .withColumn(
+            "avg_memory_per_app_gb",
+            r4(safe_div(F.col("total_memory_gb"), F.col("active_apps"))),
+        )
+        .withColumn(
+            "capacity_utilization_pct",
+            r4(F.least(F.lit(100.0), F.col("total_memory_gb") / 10.24)),
+        )
+        .orderBy(F.desc("event_date"))
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A16 — cost optimization opportunities
+# --------------------------------------------------------------------------
+def cost_optimization(ev: DataFrame, limit: int = 10) -> DataFrame:
+    """A16: per-app cost-optimization classification — CASE ladder over
+    (memory headroom, spill, duration), cost model, confidence by sample
+    size, and a concatenated details string; HAVING count>3; WHERE
+    any-of-three conditions.
+
+    Reference: duckdb_store_backup.rs:1429-1547.
+    """
+    z = F.lit(0.0)
+    agg = (
+        _tasks(ev)
+        .groupBy("app_id")
+        .agg(
+            r4(F.avg(F.coalesce(F.col("peak_memory_mb"), z))).alias("avg_peak_memory_mb"),
+            r4(F.max(F.coalesce(F.col("peak_memory_mb"), z))).alias("max_peak_memory_mb"),
+            r4(F.avg("duration_ms") / 1000.0).alias("avg_duration_s"),
+            F.count("*").alias("task_count"),
+            r4(F.sum(F.coalesce(F.col("disk_spill_mb"), z))).alias("total_disk_spill_mb"),
+        )
+        .filter(F.col("task_count") > 3)
+    )
+    over_prov = F.col("avg_peak_memory_mb") < 0.5 * F.col("max_peak_memory_mb")
+    spilly = F.col("total_disk_spill_mb") > 1000.0
+    slow = F.col("avg_duration_s") > 20.0
+    typed = agg.filter(over_prov | spilly | slow).withColumn(
+        "optimization_type",
+        F.when(over_prov, "ReduceMemoryAllocation")
+        .when(spilly, "OptimizePartitioning")
+        .when(slow, "ReduceExecutorCount")
+        .otherwise("EnableSpotInstances"),
+    )
+    return (
+        typed.withColumn("current_monthly_cost", r4(F.col("max_peak_memory_mb") * 0.01))
+        .withColumn(
+            "optimized_monthly_cost", r4(F.col("max_peak_memory_mb") * 0.01 * 0.7)
+        )
+        .withColumn(
+            "savings_pct",
+            F.when(F.col("optimization_type") == "ReduceMemoryAllocation", 30.0)
+            .when(F.col("optimization_type") == "OptimizePartitioning", 25.0)
+            .when(F.col("optimization_type") == "ReduceExecutorCount", 20.0)
+            .otherwise(15.0),
+        )
+        .withColumn(
+            "confidence",
+            F.when(F.col("task_count") > 50, 85.0)
+            .when(F.col("task_count") > 20, 70.0)
+            .otherwise(50.0),
+        )
+        .withColumn(
+            "difficulty",
+            F.when(F.col("optimization_type") == "ReduceMemoryAllocation", "Low")
+            .when(F.col("optimization_type") == "OptimizePartitioning", "Medium")
+            .when(F.col("optimization_type") == "ReduceExecutorCount", "Medium")
+            .otherwise("High"),
+        )
+        .withColumn(
+            "details",
+            F.concat(
+                F.lit("app="),
+                F.col("app_id"),
+                F.lit(" tasks="),
+                F.col("task_count").cast("string"),
+                F.lit(" peak_mb="),
+                floor_long(F.col("max_peak_memory_mb")).cast("string"),
+            ),
+        )
+        .orderBy(F.desc("savings_pct"), "app_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# A17 — application info fold
+# --------------------------------------------------------------------------
+def application_info(ev: DataFrame) -> DataFrame:
+    """A17: per-app lifecycle fold — start/end/last-updated timestamps,
+    completion flag, duration (pinned "now" for running apps per SURVEY §7
+    risk register).
+
+    Reference: src/storage/event_log.rs:26-93, models.rs:183-212.
+    """
+    start_ms = epoch_ms(F.min(F.when(F.col("is_app_start"), F.col("event_ts"))))
+    end_ms = epoch_ms(F.max(F.when(F.col("is_app_end"), F.col("event_ts"))))
+    return (
+        ev.groupBy("app_id")
+        .agg(
+            start_ms.alias("start_ms"),
+            end_ms.alias("end_ms"),
+            epoch_ms(F.max("event_ts")).alias("last_updated_ms"),
+            (count_if(F.col("is_app_end")) > 0).alias("completed"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.when(F.col("completed"), F.col("end_ms") - F.col("start_ms")).otherwise(
+                F.lit(PINNED_NOW_MS) - F.col("start_ms")
+            ),
+        )
+        .orderBy("app_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — task duration percentiles (declared-but-unimplemented in reference)
+# --------------------------------------------------------------------------
+def task_duration_percentiles(ev: DataFrame) -> DataFrame:
+    """W1: P50/P90/P95/P99 task durations per event type. The reference
+    declares this surface (`analytics_api.rs:308`) without implementing it;
+    exact interpolated percentile here so the oracle (quantile_cont) matches.
+    At 100 TB scale swap to ``percentile_approx`` — declared divergence.
+    """
+    pct = F.expr("percentile(duration_ms, array(0.5, 0.9, 0.95, 0.99))")
+    return (
+        _tasks(ev)
+        .groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            r4(F.col("p")[0]).alias("p50_ms"),
+            r4(F.col("p")[1]).alias("p90_ms"),
+            r4(F.col("p")[2]).alias("p95_ms"),
+            r4(F.col("p")[3]).alias("p99_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# P2/P3/P6 showcase — event search with LIKE / IN / range predicates
+# --------------------------------------------------------------------------
+def event_search(ev: DataFrame, limit: int = 200) -> DataFrame:
+    """Predicate-template showcase: LIKE (P3) + IN (P2) + null/driver
+    exclusion (P6) + epoch range (P4), projected and ordered.
+
+    Reference predicate sites: duckdb_store_backup.rs:347 (LIKE), :262 (IN),
+    :380,:953 (exclusions), :505-508 (range template).
+    """
+    ts_ms = epoch_ms(F.col("event_ts"))
+    return (
+        ev.filter(
+            (F.col("event_type").like("%ck%") | F.col("event_type").like("%error%"))
+            & F.col("event_type").isin("click", "error", "purchase")
+            & F.col("executor_id").isNotNull()
+            & (F.col("executor_id") != "driver")
+            & (ts_ms >= 1704240000000)  # 2024-01-03T00:00:00Z
+            & (ts_ms <= 1704844800000)  # 2024-01-10T00:00:00Z
+        )
+        .select(
+            "id",
+            "app_id",
+            "event_type",
+            ts_ms.alias("event_ts_ms"),
+            r4(F.col("duration_ms")).alias("duration_ms"),
+        )
+        .orderBy("id")
+        .limit(limit)
+    )
