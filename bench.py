@@ -1,0 +1,100 @@
+"""Per-round benchmark: the reference's 7-query analytics suite.
+
+Mirrors the reference's own benchmark set
+(`tests/analytical_query_performance.rs:88-237` — cross-app summary,
+performance trends, efficiency analysis, executor utilization, application
+list, executor summary, resource hogs) expressed in this engine's catalog,
+run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "seven_query_suite_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Methodology notes (BASELINE.md parity):
+- The reference serves queries from a warm, fully-ingested DuckDB file; the
+  equivalent warm state here is the normalized events DataFrame persisted in
+  memory, so per-query timings measure query execution, not parquet ingest.
+- Ingest (scan→normalize→persist) is reported separately as ingest_sec and
+  events/s so the write-path baseline rows are comparable too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F  # noqa: F401  (imported for parity with catalog)
+from pyspark.storagelevel import StorageLevel
+
+from spark_history_server_rs_spark.operators import catalog
+from spark_history_server_rs_spark.session import get_spark
+from spark_history_server_rs_spark.sources.generic import load_events
+
+SUITE = {
+    "cross_app_summary": catalog.cross_app_summary,
+    "performance_trends": catalog.performance_trends,
+    "efficiency_analysis": catalog.efficiency_analysis,
+    "executor_utilization": catalog.executor_utilization,
+    "applications": catalog.applications,
+    "executor_summary": catalog.executor_summary,
+    "top_resource_consumers": catalog.top_resource_consumers,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("bench")
+
+    t0 = time.perf_counter()
+    ev = load_events(spark, sf_dir)
+    # Warm state = the normalized columns the catalog reads (raw_data excluded:
+    # no catalog query touches it — same column-pruning a real deployment gets
+    # from its parquet sink). Equivalent of the reference's ingested DuckDB file.
+    ev = ev.drop("raw_data").persist(StorageLevel.MEMORY_AND_DISK)
+    n_events = ev.count()
+    ingest_sec = time.perf_counter() - t0
+
+    # The reference's baseline is measured against a *warm* long-running
+    # server (DuckDB file open, <10 ms/query). Equivalent steady state here:
+    # first execution JIT-compiles the whole-stage-codegen for each plan
+    # (one-time per query shape per JVM); the warm run is the serving
+    # latency. Report warm as the headline, cold alongside.
+    # The VM shows bursty CPU-steal noise; min-of-2 warm runs is the standard
+    # noise-robust latency estimator.
+    cold: dict[str, float] = {}
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in SUITE.items():
+        t = time.perf_counter()
+        fn(ev).collect()
+        cold[name] = round(time.perf_counter() - t, 4)
+        warm = []
+        for _ in range(2):
+            t = time.perf_counter()
+            fn(ev).collect()
+            warm.append(time.perf_counter() - t)
+        dt = min(warm)
+        timings[name] = round(dt, 4)
+        total += dt
+
+    out = {
+        "metric": "seven_query_suite_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events": n_events,
+        "cold_queries": cold,
+        "cold_total_sec": round(sum(cold.values()), 4),
+        "ingest_sec": round(ingest_sec, 4),
+        "ingest_events_per_sec": round(n_events / ingest_sec, 1) if ingest_sec else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
