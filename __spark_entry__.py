@@ -11,9 +11,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_history_server_rs_spark.operators import catalog
+from spark_history_server_rs_spark.operators import (
+    catalog,
+    dedup,
+    multimodal,
+    similarity,
+    textprep,
+)
 from spark_history_server_rs_spark.operators.oracles import ORACLE_SQL
-from spark_history_server_rs_spark.sources.generic import load_events
+from spark_history_server_rs_spark.sources.generic import load_events, load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
     return lambda spark, sf_dir: fn(load_events(spark, sf_dir))
+
+
+def _d(fn) -> Callable[[SparkSession, str], DataFrame]:
+    return lambda spark, sf_dir: fn(load_table(spark, sf_dir, "documents"))
+
+
+def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
+    return lambda spark, sf_dir: fn(load_table(spark, sf_dir, "embeddings"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -48,8 +62,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "application_info": _q(catalog.application_info),
         "task_duration_percentiles": _q(catalog.task_duration_percentiles),
         "event_search": _q(catalog.event_search),
+        # --- training-data pipeline: text analysis ---
+        "text_token_stats": _d(textprep.token_stats),
+        "text_language_id": _d(textprep.language_id),
+        "text_quality": _d(textprep.text_quality),
+        "text_fingerprints": _d(textprep.doc_fingerprints),
+        # --- training-data pipeline: deduplication ---
+        "dedup_exact": _d(dedup.dedup_exact),
+        "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
+        "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
+        "dedup_simhash": _d(dedup.simhash_pairs),
+        "dedup_embedding_cosine": _e(dedup.embedding_cosine_dups),
+        # --- training-data pipeline: similarity search ---
+        "ann_cosine_topk": _e(similarity.ann_cosine_topk),
+        "ann_lsh_bucketed": _e(similarity.ann_lsh_bucketed),
+        "ann_ivf": _e(similarity.ann_ivf),
+        # --- training-data pipeline: multimodal plumbing ---
+        "multimodal_image_decode": _d(multimodal.image_decode),
+        "multimodal_frame_sample": _d(multimodal.frame_sample),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out.update(textprep.ORACLE_SQL_TEXT)
+    out.update(dedup.ORACLE_SQL_DEDUP)
+    out.update(similarity.ORACLE_SQL_SIMILARITY)
+    out.update(multimodal.ORACLE_SQL_MULTIMODAL)
+    return out

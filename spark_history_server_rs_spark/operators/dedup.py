@@ -1,0 +1,421 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup, over the ``documents``/``embeddings`` tables.
+
+The large-scale training-data-pipeline surface. Scale design per operator:
+
+- **exact**: one hash-groupBy on ``md5(text)`` — single shuffle, map-side
+  partial agg; the canonical 100 TB dedup primitive.
+- **n-gram Jaccard**: inverted-index self-join on shingles (pairs sharing
+  ≥1 shingle), then per-pair intersection counts. Worst case quadratic in
+  the hottest shingle's posting list — this is the *exact* baseline; the
+  scale path is MinHash below (candidates shrink to band collisions).
+- **MinHash+LSH**: shingle → ``NUM_HASHES`` signatures (min of md5 with
+  per-seed prefix — strings order like integers, no UDFs) → ``BANDS``
+  band keys → self-join on band key → verify candidates with exact
+  Jaccard. Join cardinality is bucket-bounded; at 100 TB the band join
+  shuffles only (doc_id, band_key) pairs, never text.
+- **SimHash**: 16-bit fingerprints; candidate pairs via the 4-block
+  pigeonhole join (any equal 4-bit quarter), which is *exact* for Hamming
+  radius ≤ 3 — no quadratic scan at any scale.
+- **embedding cosine**: exact all-pairs baseline at test scale; the
+  bucketed scale path lives in :mod:`.similarity` (LSH hyperplanes).
+
+All hashes are md5-based so both engines compute identical values; every
+float exits through the portable FLOOR-rounding (see
+``functions/expressions.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- shared constants -----------------------------------------------------
+SHINGLE_K = 3  # words per shingle
+NUM_HASHES = 12  # minhash signature length
+BANDS = 4  # LSH bands (NUM_HASHES / BANDS rows per band)
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4  # pigeonhole blocks → exact for radius ≤ SIMHASH_BLOCKS-1
+SIMHASH_RADIUS = 3
+COSINE_DUP_THRESHOLD = 0.4  # matched to the synthetic embeddings' similarity range
+
+_TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# Engine-shared CTE text for the distinct (doc_id, shingle) set. The window
+# trick builds word k-grams without a UDF; identical SQL in both dialects
+# except tokenization spelling.
+_SHINGLES_SPARK = f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         concat(tok, ' ', lead(tok, 1) OVER w, ' ', lead(tok, 2) OVER w) AS shingle
+  FROM (
+    SELECT doc_id, posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {{src}}
+  )
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) WHERE shingle IS NOT NULL
+"""
+
+_SHINGLES_DUCK = f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM (
+    SELECT doc_id,
+           generate_subscripts({_TOKENS_DUCK}, 1) AS pos,
+           unnest({_TOKENS_DUCK}) AS tok
+    FROM documents
+  )
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) WHERE shingle IS NOT NULL
+"""
+
+
+# ==========================================================================
+# D1 — exact dedup (hash groupBy)
+# ==========================================================================
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """D1: group documents by content hash; keeper = min doc_id. One
+    shuffle keyed on the hash (uniform by construction — md5 cannot skew)."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            (F.count("*") - 1).alias("n_duplicates"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) - 1 AS n_duplicates
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+# ==========================================================================
+# D2 — n-gram Jaccard pairs (exact, inverted-index join)
+# ==========================================================================
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common_shingles,
+       FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+        / 10000.0 >= {thr}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """D2: exact word-{k}-shingle Jaccard over candidate pairs sharing ≥1
+    shingle (inverted index join, the all-pairs-similarity baseline)."""
+    docs.createOrReplaceTempView("_dedup_docs")
+    sql = (
+        "WITH shingles AS (" + _SHINGLES_SPARK.format(src="_dedup_docs") + "),\n"
+        + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_NGRAM_JACCARD = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),\n"
+    + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
+)
+
+
+# ==========================================================================
+# D3 — MinHash + LSH (banded) with exact-Jaccard verification
+# ==========================================================================
+def _sig_cols_sql() -> list[str]:
+    # min over the shingle set of md5('<seed>|'||shingle): a string min is a
+    # valid minhash (md5 output orders uniformly); no integer conversion
+    # portability risk.
+    return [
+        f"MIN(md5('{i}|' || shingle)) AS sig{i}" for i in range(NUM_HASHES)
+    ]
+
+
+def _band_cols_sql() -> list[str]:
+    cols = []
+    for b in range(BANDS):
+        parts = " || ".join(
+            f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        cols.append(f"md5({parts}) AS band{b}")
+    return cols
+
+
+_MINHASH_TAIL = (
+    """
+sigs AS (
+  SELECT doc_id, """
+    + ", ".join(_sig_cols_sql())
+    + """
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, """
+    + ", ".join(_band_cols_sql())
+    + """
+  FROM sigs
+),
+bandkv AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM bands"
+        for b in range(BANDS)
+    )
+    + """
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkv a JOIN bandkv b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, common_shingles,
+       FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+        / 10000.0 >= {thr}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """D3: MinHash signatures ({n} hashes), {b} LSH bands; candidates =
+    band-key collisions; exact-Jaccard verify at τ={t}. The scale path for
+    D2: only band collisions are ever paired, so the shuffle carries
+    (doc_id, band_key), not document content.""".format(
+        n=NUM_HASHES, b=BANDS, t=JACCARD_THRESHOLD
+    )
+    docs.createOrReplaceTempView("_dedup_docs")
+    sql = (
+        "WITH shingles AS ("
+        + _SHINGLES_SPARK.format(src="_dedup_docs")
+        + "),\n"
+        + _MINHASH_TAIL.format(thr=JACCARD_THRESHOLD)
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_MINHASH = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),\n"
+    + _MINHASH_TAIL.format(thr=JACCARD_THRESHOLD)
+)
+
+
+# ==========================================================================
+# D4 — SimHash with pigeonhole block join
+# ==========================================================================
+def _simhash_bit_sums() -> list[str]:
+    # bit j of md5(token): hex digit j/4, bit j%4. contribution ±1 per token
+    # occurrence; identical text in both engines.
+    cols = []
+    for j in range(SIMHASH_BITS):
+        digit = f"(position(substr(h, {1 + j // 4}, 1) IN '0123456789abcdef') - 1)"
+        bit = f"(({digit} >> {j % 4}) & 1)"
+        cols.append(f"SUM(2 * {bit} - 1) AS s{j}")
+    return cols
+
+
+def _simhash_fp() -> str:
+    terms = [
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_BLOCK_WIDTH = SIMHASH_BITS // SIMHASH_BLOCKS  # 4 bits per block
+
+
+def _simhash_tail(xor_expr: str) -> str:
+    return (
+        """
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
+sums AS (
+  SELECT doc_id, """
+        + ", ".join(_simhash_bit_sums())
+        + """
+  FROM hashed GROUP BY doc_id
+),
+fps AS (SELECT doc_id, """
+        + _simhash_fp()
+        + """ AS fp FROM sums),
+blocks AS (
+"""
+        + "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, fp, {q} AS block_idx,"
+            f" (fp >> {q * _BLOCK_WIDTH}) & {(1 << _BLOCK_WIDTH) - 1} AS block_val"
+            f" FROM fps"
+            for q in range(SIMHASH_BLOCKS)
+        )
+        + f"""
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, fp_a, fp_b,
+       bit_count({xor_expr}) AS hamming
+FROM candidates
+WHERE bit_count({xor_expr}) <= {SIMHASH_RADIUS}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """D4: 16-bit SimHash near-dup pairs at Hamming radius ≤ {r}. Candidate
+    generation is the 4-block pigeonhole join (two fingerprints within
+    radius {r} < {b} blocks must agree on ≥1 block) — exact recall without
+    an all-pairs scan, the property that makes SimHash the 100 TB
+    fingerprint dedup of choice.""".format(r=SIMHASH_RADIUS, b=SIMHASH_BLOCKS)
+    docs.createOrReplaceTempView("_dedup_docs")
+    sql = (
+        "WITH tokens AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _dedup_docs)),\n"
+        + _simhash_tail("fp_a ^ fp_b")
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_SIMHASH = (
+    "WITH tokens AS (SELECT doc_id, unnest("
+    + _TOKENS_DUCK
+    + ") AS tok FROM documents),\n"
+    + _simhash_tail("xor(fp_a, fp_b)")
+)
+
+
+# ==========================================================================
+# D5 — embedding-cosine near-duplicates (exact baseline)
+# ==========================================================================
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0D, (acc, x) -> acc + x))"
+)
+
+
+def cosine_expr_spark(a: str, b: str) -> str:
+    """r6-rounded cosine similarity between two array<float> columns —
+    JVM-side higher-order functions, strict left fold (bit-identical to
+    DuckDB's ``list_dot_product`` on DOUBLE[], verified over all sf0.01
+    pairs)."""
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(v=a)
+    nb = _NORM.format(v=b)
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def cosine_expr_duck(a: str, b: str) -> str:
+    dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# Pre-normalize once per vector (one norm fold each), then a pair is a
+# single dot-product fold; the cosine is computed ONCE in a subquery (not
+# re-evaluated in WHERE). Same element order → same IEEE op sequence in
+# both engines. ~6× fewer array folds than the naive form, and the
+# repartition hint parallelizes the quadratic pair loop (the non-equi join
+# is a nested-loop whose task count follows the left side's partitions).
+_NORMED_SPARK = """
+SELECT /*+ REPARTITION(16) */ vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE) / {norm}) AS nv
+FROM {src}
+""".format(norm=_NORM.format(v="embedding"), src="{src}")
+
+_NORMED_DUCK = """
+SELECT vec_id,
+       list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))) AS nv
+FROM {src}
+"""
+
+_COS_PAIRS_TAIL = """
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FLOOR(({dot}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {thr}
+ORDER BY vec_a, vec_b
+"""
+
+
+def embedding_cosine_dups(emb: DataFrame) -> DataFrame:
+    """D5: exact all-pairs cosine near-dup at τ={t}. This is the verify
+    baseline; the bucketed scale path (random-hyperplane LSH) is
+    :func:`..operators.similarity.ann_lsh_bucketed`.""".format(
+        t=COSINE_DUP_THRESHOLD
+    )
+    emb.createOrReplaceTempView("_dedup_emb")
+    sql = (
+        "WITH normed AS ("
+        + _NORMED_SPARK.format(src="_dedup_emb")
+        + ")"
+        + _COS_PAIRS_TAIL.format(
+            dot=_DOT.format(a="a.nv", b="b.nv"), thr=COSINE_DUP_THRESHOLD
+        )
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_COSINE_DUPS = (
+    "WITH normed AS ("
+    + _NORMED_DUCK.format(src="embeddings")
+    + ")"
+    + _COS_PAIRS_TAIL.format(
+        dot="list_dot_product(a.nv, b.nv)", thr=COSINE_DUP_THRESHOLD
+    )
+)
+
+
+ORACLE_SQL_DEDUP = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_COSINE_DUPS,
+}

@@ -1,0 +1,295 @@
+"""Similarity search over the ``embeddings`` table — brute-force cosine
+top-k (exact baseline), random-hyperplane LSH buckets, and an IVF-style
+coarse-quantizer probe. All JVM-side (higher-order-function arithmetic on
+``array<float>``), no Python UDFs.
+
+Scale design:
+
+- **brute force**: queries are a tiny fixed set → broadcast them against
+  the full corpus; per-partition partial top-k then global
+  TakeOrderedAndProject. Linear scan, no shuffle of the corpus.
+- **LSH**: each vector maps to a {nb}-bit sign bucket under fixed random
+  hyperplanes; search joins query buckets to corpus buckets (equi-join →
+  hash partitioned by bucket). At 100 TB the scan is replaced by a bucket
+  lookup — 1/2^{nb} of the corpus per probe on average.
+- **IVF**: per-``label`` centroids form the coarse quantizer; queries probe
+  the NPROBE nearest cells and scan only those cells' vectors (partition
+  pruning if the corpus is written partitioned by cell id — the layout this
+  operator assumes at scale).
+
+The hyperplane matrix is generated in Python from md5 (deterministic,
+seed-free) and inlined as literals into BOTH the Spark plan and the DuckDB
+oracle, so the two engines share it by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+
+from .dedup import cosine_expr_duck, cosine_expr_spark
+
+EMBEDDING_DIM = 64
+N_QUERIES = 5  # queries = vec_id < 5
+TOP_K = 10
+N_HYPERPLANES = 4  # → 16 buckets
+NPROBE = 2  # IVF cells probed
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (h, i) is the
+    first md5 hex digit of ``"h:<h>:<i>"`` centered to [-7.5, 7.5]."""
+    planes = []
+    for h in range(N_HYPERPLANES):
+        row = []
+        for i in range(EMBEDDING_DIM):
+            digit = int(hashlib.md5(f"h:{h}:{i}".encode()).hexdigest()[0], 16)
+            row.append(digit - 7.5)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def _plane_array_sql(h: int) -> str:
+    vals = ", ".join(f"{v:.1f}" for v in HYPERPLANES[h])
+    return f"array({vals})"  # Spark spelling; DuckDB uses [..] below
+
+
+def _plane_list_duck(h: int) -> str:
+    vals = ", ".join(f"{v:.1f}" for v in HYPERPLANES[h])
+    return f"[{vals}]"
+
+
+# ==========================================================================
+# X1 — brute-force cosine top-k
+# ==========================================================================
+_TOPK_TAIL = """
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM {qsrc} q JOIN {csrc} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_cosine_topk(emb: DataFrame) -> DataFrame:
+    """X1: exact top-{k} cosine neighbors for the {nq} probe queries.
+    The query side is broadcast (tiny); ranking is a window partitioned by
+    query — each corpus partition computes its local candidates, the
+    window's sort is per-query over corpus-size rows only at test scale
+    (at 100 TB: replace final window with per-partition top-k + global
+    TakeOrdered; same semantics).""".format(k=TOP_K, nq=N_QUERIES)
+    emb.createOrReplaceTempView("_sim_emb")
+    sql = "WITH " + _TOPK_TAIL.format(
+        cos=cosine_expr_spark("q.embedding", "c.embedding"),
+        qsrc="_sim_emb",
+        csrc="_sim_emb",
+        nq=N_QUERIES,
+        k=TOP_K,
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_ANN_TOPK = "WITH " + _TOPK_TAIL.format(
+    cos=cosine_expr_duck("q.embedding", "c.embedding"),
+    qsrc="embeddings",
+    csrc="embeddings",
+    nq=N_QUERIES,
+    k=TOP_K,
+)
+
+
+# ==========================================================================
+# X2 — LSH-bucketed ANN (random hyperplanes)
+# ==========================================================================
+def _bucket_expr(vec: str, spark: bool) -> str:
+    """Sign-bit bucket id: bit h = (r6-rounded projection on plane h) > 0.
+    Rounding before the sign comparison keeps both engines' branch
+    decisions identical."""
+    bits = []
+    for h in range(N_HYPERPLANES):
+        plane = _plane_array_sql(h) if spark else _plane_list_duck(h)
+        if spark:
+            proj = (
+                f"aggregate(zip_with({vec}, {plane},"
+                " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+            )
+        else:
+            proj = f"list_dot_product(CAST({vec} AS DOUBLE[]), {plane})"
+        rounded = f"FLOOR(({proj}) * 1000000.0 + 0.5) / 1000000.0"
+        bits.append(f"(CASE WHEN {rounded} > 0 THEN {1 << h} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_LSH_TAIL = """
+bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {src}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_bucketed(emb: DataFrame) -> DataFrame:
+    """X2: ANN restricted to the query's {nb}-hyperplane sign bucket —
+    the scale path: bucket equi-join instead of full scan. Recall vs X1 is
+    measurable by diffing the two results.""".format(nb=N_HYPERPLANES)
+    emb.createOrReplaceTempView("_sim_emb")
+    sql = "WITH " + _LSH_TAIL.format(
+        bucket=_bucket_expr("embedding", spark=True),
+        cos=cosine_expr_spark("q.embedding", "c.embedding"),
+        src="_sim_emb",
+        nq=N_QUERIES,
+        k=TOP_K,
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_ANN_LSH = "WITH " + _LSH_TAIL.format(
+    bucket=_bucket_expr("embedding", spark=False),
+    cos=cosine_expr_duck("q.embedding", "c.embedding"),
+    src="embeddings",
+    nq=N_QUERIES,
+    k=TOP_K,
+)
+
+
+# ==========================================================================
+# X3 — IVF-style probe via per-label centroids
+# ==========================================================================
+# Centroid components are r6-rounded per dimension, so the (order-sensitive)
+# float average cannot produce cross-engine ulp differences downstream.
+_IVF_SPARK = """
+exploded AS (
+  SELECT label, posexplode(embedding) AS (i, x) FROM {src}
+),
+centroid_dims AS (
+  SELECT label, i,
+         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM exploded GROUP BY label, i
+),
+centroids AS (
+  SELECT label,
+         transform(array_sort(collect_list(struct(i, c))), s -> s.c) AS centroid
+  FROM centroid_dims GROUP BY label
+)
+"""
+
+_IVF_DUCK = """
+exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM {src}
+),
+centroid_dims AS (
+  SELECT label, i,
+         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM exploded GROUP BY label, i
+),
+centroids AS (
+  SELECT label, list(c ORDER BY i) AS centroid
+  FROM centroid_dims GROUP BY label
+)
+"""
+
+_IVF_TAIL = """,
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM {src} q JOIN centroids ct ON 1 = 1
+    WHERE q.vec_id < {nq}
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.label AS probed_label,
+         c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM {src} q
+  JOIN probes p ON p.query_id = q.vec_id
+  JOIN {src} c ON c.label = p.label AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, probed_label, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf(emb: DataFrame) -> DataFrame:
+    """X3: IVF probe — coarse quantizer = per-``label`` centroids, queries
+    probe the {np} nearest cells and rank only those cells' vectors.
+    At 100 TB the corpus is written partitioned by cell id, so the cell
+    join becomes partition pruning.""".format(np=NPROBE)
+    emb.createOrReplaceTempView("_sim_emb")
+    sql = (
+        "WITH "
+        + _IVF_SPARK.format(src="_sim_emb")
+        + _IVF_TAIL.format(
+            qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+            cos=cosine_expr_spark("q.embedding", "c.embedding"),
+            src="_sim_emb",
+            nq=N_QUERIES,
+            nprobe=NPROBE,
+            k=TOP_K,
+        )
+    )
+    return emb.sparkSession.sql(sql)
+
+
+def _ivf_duck_cos(a: str, b: str) -> str:
+    # centroid is DOUBLE[] already; embedding needs the cast
+    dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+
+
+ORACLE_ANN_IVF = (
+    "WITH "
+    + _IVF_DUCK.format(src="embeddings")
+    + _IVF_TAIL.format(
+        qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
+        cos=_ivf_duck_cos("q.embedding", "c.embedding"),
+        src="embeddings",
+        nq=N_QUERIES,
+        nprobe=NPROBE,
+        k=TOP_K,
+    )
+)
+
+
+ORACLE_SQL_SIMILARITY = {
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
+}

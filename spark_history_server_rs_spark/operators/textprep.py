@@ -1,0 +1,306 @@
+"""Text-analysis operators over the ``documents`` table — the text half of
+the large-scale training-data pipeline surface (language ID, quality
+scoring, token counting, winnowing fingerprints).
+
+These go beyond the reference (which has no text ops); they are first-class
+catalog entries with DuckDB oracle twins, designed Spark-first:
+
+- tokenization/statistics are single-projection, whole-stage-codegen
+  expressions over the scan — zero shuffles;
+- fingerprinting is explode → window(lead/min) → re-aggregate, one shuffle
+  on ``doc_id`` (the natural partitioning key for a 100 TB corpus);
+- no Python UDFs anywhere — everything is built-in higher-order functions
+  (``filter``/``transform``/``aggregate`` lambdas run JVM-side).
+
+Shared-semantics rule: every constant (stopword lists, weights, window
+sizes) lives here once and is formatted into both the Spark plan and the
+DuckDB oracle SQL, so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import r4
+
+# --- shared constants (single source of truth for Spark AND oracle) -------
+#: language marker vocabularies for the n-gram/stopword language-ID
+#: heuristic. Real-world stopword lists; precedence en>es>de>fr>zh on ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "ist", "das", "ein", "zu", "den"),
+    "fr": ("le", "la", "de", "et", "un", "est", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+#: English stopwords for the quality score's stopword-ratio component.
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it", "for", "on")
+
+#: BPE-ish token pattern: alpha runs, digit runs, single other symbols.
+BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: winnowing parameters: k-word shingles, window of w consecutive hashes.
+FP_SHINGLE_K = 3
+FP_WINDOW = 4
+
+# --- engine-shared SQL fragments ------------------------------------------
+_TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ==========================================================================
+# T1 — token statistics
+# ==========================================================================
+def token_stats(docs: DataFrame) -> DataFrame:
+    """T1: per-document token counts — whitespace tokens, distinct tokens,
+    BPE-ish regex tokens, exact average token length. Pure projection
+    (no shuffle; scales linearly with corpus size)."""
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_measured",
+        f"size({_TOKENS_SPARK}) AS n_tokens",
+        f"size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens",
+        f"size(regexp_extract_all(text, '{BPEISH_PATTERN}', 0)) AS n_bpeish_tokens",
+        f"""FLOOR((CAST(aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0,
+            (a, x) -> a + x) AS DOUBLE) / size({_TOKENS_SPARK})) * 10000.0 + 0.5)
+            / 10000.0 AS avg_token_len""",
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len({_TOKENS_DUCK}) AS n_tokens,
+       len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{BPEISH_PATTERN}')) AS n_bpeish_tokens,
+       FLOOR((CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS DOUBLE)
+              / len({_TOKENS_DUCK})) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# T2 — language identification (marker-vocabulary heuristic)
+# ==========================================================================
+def language_id(docs: DataFrame) -> DataFrame:
+    """T2: stopword/marker-hit language ID. One hit-count per language
+    (JVM-side lambda filters — no explode, no shuffle), argmax with the
+    fixed precedence ``LANG_ORDER``; 'und' when nothing matches."""
+    hit_cols = [
+        f"size(filter({_TOKENS_SPARK}, x -> x IN ({_in_list(ws)}))) AS {lang}_hits"
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    pred = _argmax_case("Spark")
+    return (
+        docs.selectExpr("doc_id", "lang AS actual_lang", *hit_cols)
+        .selectExpr(
+            "doc_id",
+            "actual_lang",
+            *[f"{lang}_hits" for lang in LANG_MARKERS],
+            f"{pred} AS predicted_lang",
+        )
+        .selectExpr(
+            "*",
+            "(predicted_lang = actual_lang) AS is_correct",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _argmax_case(_engine: str) -> str:
+    """CASE ladder picking the max-hit language with LANG_ORDER precedence
+    (identical SQL text in both engines)."""
+    branches = []
+    for lang in LANG_ORDER:
+        others = [o for o in LANG_ORDER if o != lang]
+        cond = " AND ".join(f"{lang}_hits >= {o}_hits" for o in others)
+        branches.append(f"WHEN {lang}_hits > 0 AND {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _oracle_language_id() -> str:
+    hit_cols = ",\n       ".join(
+        f"len(list_filter({_TOKENS_DUCK}, x -> x IN ({_in_list(ws)}))) AS {lang}_hits"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lang AS actual_lang,
+       {hit_cols}
+  FROM documents
+)
+SELECT doc_id, actual_lang, {", ".join(f"{lang}_hits" for lang in LANG_MARKERS)},
+       {_argmax_case("duck")} AS predicted_lang,
+       ({_argmax_case("duck")} = actual_lang) AS is_correct
+FROM hits
+ORDER BY doc_id
+"""
+
+
+ORACLE_LANGUAGE_ID = _oracle_language_id()
+
+
+# ==========================================================================
+# T3 — quality scoring
+# ==========================================================================
+#: score = 0.35*len_score + 0.35*diversity + 0.15*(1-punct) + 0.15*stop5.
+#: Every division goes through CAST(.. AS DOUBLE): DuckDB would otherwise
+#: run int/decimal arithmetic in exact DECIMAL (Spark uses doubles) and the
+#: two engines disagree in the 4th decimal at rounding boundaries.
+_QUALITY_EXPR = """
+FLOOR((0.35 * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)
+     + 0.35 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+     + 0.15 * (1.0 - punct_ratio)
+     + 0.15 * LEAST(CAST(1.0 AS DOUBLE), stop_ratio * 5.0)) * 10000.0 + 0.5) / 10000.0
+"""
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """T3: composite quality score from length, lexical diversity,
+    punctuation ratio, and stopword ratio; High/Medium/Low bucket computed
+    on the rounded score so both engines branch identically."""
+    stop = _in_list(QUALITY_STOPWORDS)
+    base = docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_measured",
+        f"size({_TOKENS_SPARK}) AS n_tokens",
+        f"size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens",
+        f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits",
+        "FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
+        " / length(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio",
+    ).selectExpr(
+        "*",
+        "FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio",
+    )
+    return (
+        base.selectExpr("*", f"{_QUALITY_EXPR} AS quality_score")
+        .selectExpr(
+            "*",
+            "CASE WHEN quality_score >= 0.7 THEN 'High' "
+            "WHEN quality_score >= 0.5 THEN 'Medium' ELSE 'Low' END AS quality_bucket",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_text_quality() -> str:
+    stop = _in_list(QUALITY_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_measured,
+         len({_TOKENS_DUCK}) AS n_tokens,
+         len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
+         FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio
+  FROM documents
+),
+ratio AS (
+  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+  FROM base
+),
+scored AS (
+  SELECT *, {_QUALITY_EXPR} AS quality_score FROM ratio
+)
+SELECT *,
+       CASE WHEN quality_score >= 0.7 THEN 'High'
+            WHEN quality_score >= 0.5 THEN 'Medium' ELSE 'Low' END AS quality_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_QUALITY = _oracle_text_quality()
+
+
+# ==========================================================================
+# T4 — winnowing document fingerprints
+# ==========================================================================
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """T4: winnowing fingerprints — k-word shingles, md5-prefix hashes,
+    minimum over each sliding window of ``FP_WINDOW`` hashes, distinct
+    minima per document (the classic winnowing selection).
+
+    Plan shape: posexplode → two window functions partitioned by doc_id →
+    groupBy doc_id. One shuffle on doc_id; window state is per-document,
+    so 100 TB scales by document parallelism (no global ordering).
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS_SPARK)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat(
+            F.col("tok"),
+            F.lit(" "),
+            F.lead("tok", 1).over(w),
+            F.lit(" "),
+            F.lead("tok", 2).over(w),
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    hashed = sh.select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 8).alias("h")
+    )
+    fpw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_WINDOW - 1)
+    fp = hashed.select("doc_id", F.min("h").over(fpw).alias("fp"))
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.to_json(F.sort_array(F.collect_set("fp"))).alias("fingerprints"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts({_TOKENS_DUCK}, 1) AS pos,
+         unnest({_TOKENS_DUCK}) AS tok
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+hashed AS (
+  SELECT doc_id, pos, substr(md5(shingle), 1, 8) AS h
+  FROM sh WHERE shingle IS NOT NULL
+),
+fp AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {FP_WINDOW - 1} FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(DISTINCT fp) AS n_fingerprints,
+       to_json(list_sort(list(DISTINCT fp))) AS fingerprints
+FROM fp
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE_SQL_TEXT = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_language_id": ORACLE_LANGUAGE_ID,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_fingerprints": ORACLE_DOC_FINGERPRINTS,
+}
