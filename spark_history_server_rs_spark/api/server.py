@@ -1,0 +1,204 @@
+"""REST API — the reference's HTTP surface (SURVEY.md §2.11) as a thin
+stdlib ``http.server`` layer over the query catalog.
+
+Routes (reference ``api.rs:22-56``, ``analytics_api.rs:16-32``):
+
+- ``/api/v1/applications`` (+ ``limit``/``minDate``/``maxDate`` params)
+- ``/api/v1/applications/{id}`` ; ``/{id}/executors``
+- ``/{id}/jobs|stages|storage/rdd|environment`` — stubs returning ``[]``
+  (the reference stubs these too, ``api.rs:153-159``)
+- ``/api/v1/version`` ; ``/health``
+- ``/api/v1/optimization/resource-hogs`` ; ``.../efficiency-analysis``
+- ``/api/v1/capacity/usage-trends`` ; ``.../cost-optimization``
+- deprecated ``/api/v1/analytics/*`` → 404
+  (``analytics_api_test.rs:199-206``)
+
+Design: the events DataFrame is normalized+cached once at server start
+(the warm serving state — the analog of the reference's open DuckDB file);
+each request builds a catalog DataFrame, collects ≤ ``limit`` rows, and
+serializes. Query params follow P4/P5/P9: optional date-range/app filters,
+dates accepted as epoch-millis, RFC3339, or ``YYYY-MM-DD``
+(``api.rs:239-262``).
+
+stdlib-only by design (no FastAPI/Flask in the environment); the handler
+is single-threaded per request but Spark fans each query out across all
+cores — matching the reference's one-router/many-DB-workers shape.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+
+from ..operators import catalog
+
+VERSION = {"version": "1.0.0", "engine": "pyspark"}
+
+
+def parse_date_param(v: str) -> int | None:
+    """P9: accept epoch-millis, RFC3339, or YYYY-MM-DD (api.rs:239-262)."""
+    if v is None:
+        return None
+    v = v.strip()
+    if re.fullmatch(r"-?\d+", v):
+        return int(v)
+    for fmt in ("%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(v, fmt)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable date: {v!r}")
+
+
+def _rows(df: DataFrame) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class AnalyticsHandler(BaseHTTPRequestHandler):
+    """One handler instance per request; the events DataFrame and the
+    query catalog hang off the server object."""
+
+    server_version = "spark-history-analytics/1.0"
+
+    # ---- helpers ----------------------------------------------------------
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet test runs
+        pass
+
+    def _filtered_events(self, qs: dict) -> DataFrame:
+        ev = self.server.events  # type: ignore[attr-defined]
+        start = qs.get("startDate", [None])[0] or qs.get("minDate", [None])[0]
+        end = qs.get("endDate", [None])[0] or qs.get("maxDate", [None])[0]
+        app = qs.get("appId", [None])[0]
+        return catalog.time_window(
+            ev,
+            start_ms=parse_date_param(start) if start else None,
+            end_ms=parse_date_param(end) if end else None,
+            app_id=app,
+        )
+
+    def _limit(self, qs: dict, default: int) -> int:
+        try:
+            return int(qs.get("limit", [default])[0])
+        except ValueError:
+            return default
+
+    # ---- routing ----------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        try:
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            path = url.path.rstrip("/") or "/"
+            self._route(path, qs)
+        except ValueError as ex:
+            self._send(400, {"error": str(ex)})
+        except Exception as ex:  # pragma: no cover - defensive 500
+            self._send(500, {"error": str(ex)})
+
+    def _route(self, path: str, qs: dict) -> None:
+        ev = self.server.events  # type: ignore[attr-defined]
+
+        if path == "/health":
+            return self._send(200, {"status": "healthy"})
+        if path == "/api/v1/version":
+            return self._send(200, VERSION)
+        if path.startswith("/api/v1/analytics"):
+            # deprecated endpoints must 404 (analytics_api_test.rs:199-206)
+            return self._send(404, {"error": "deprecated endpoint"})
+
+        if path == "/api/v1/applications":
+            df = catalog.applications(
+                self._filtered_events(qs), limit=self._limit(qs, 100)
+            )
+            return self._send(200, _rows(df))
+
+        m = re.fullmatch(r"/api/v1/applications/([^/]+)", path)
+        if m:
+            df = catalog.applications(
+                ev.filter(ev["app_id"] == m.group(1)), limit=1
+            )
+            rows = _rows(df)
+            if not rows:
+                return self._send(404, {"error": "unknown application"})
+            return self._send(200, rows[0])
+
+        m = re.fullmatch(r"/api/v1/applications/([^/]+)/executors", path)
+        if m:
+            df = catalog.executor_summary(ev.filter(ev["app_id"] == m.group(1)))
+            return self._send(200, _rows(df))
+
+        m = re.fullmatch(
+            r"/api/v1/applications/([^/]+)/(jobs|stages|storage/rdd|environment)",
+            path,
+        )
+        if m:
+            # reference stubs these with [] (api.rs:153-159)
+            return self._send(200, [])
+
+        if path == "/api/v1/optimization/resource-hogs":
+            df = catalog.top_resource_consumers(
+                self._filtered_events(qs), limit=self._limit(qs, 10)
+            )
+            return self._send(200, _rows(df))
+        if path == "/api/v1/optimization/efficiency-analysis":
+            df = catalog.efficiency_analysis(
+                self._filtered_events(qs), limit=self._limit(qs, 10)
+            )
+            return self._send(200, _rows(df))
+        if path == "/api/v1/capacity/usage-trends":
+            df = catalog.capacity_trends(
+                self._filtered_events(qs), limit=self._limit(qs, 30)
+            )
+            return self._send(200, _rows(df))
+        if path == "/api/v1/capacity/cost-optimization":
+            df = catalog.cost_optimization(
+                self._filtered_events(qs), limit=self._limit(qs, 10)
+            )
+            return self._send(200, _rows(df))
+
+        if path == "/":
+            # dashboard summary (dashboard.rs:55-159): four catalog calls +
+            # host-side fold over the collected (≤ limit) rows
+            hogs = _rows(catalog.top_resource_consumers(ev, limit=20))
+            eff = _rows(catalog.efficiency_analysis(ev, limit=20))
+            total_savings = round(sum(r["potential_savings"] for r in eff), 6)
+            return self._send(
+                200,
+                {
+                    "resource_hogs": hogs,
+                    "efficiency": eff,
+                    "summary": {
+                        "n_hogs": len(hogs),
+                        "n_analyzed": len(eff),
+                        "total_potential_savings": total_savings,
+                    },
+                },
+            )
+
+        self._send(404, {"error": "not found"})
+
+
+def serve(events: DataFrame, host: str = "127.0.0.1", port: int = 0):
+    """Start the API server over a normalized events DataFrame; returns the
+    live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
+    frame is cached — the warm serving state."""
+    events = events.cache()
+    events.count()  # materialize
+    httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
+    httpd.events = events  # type: ignore[attr-defined]
+    return httpd

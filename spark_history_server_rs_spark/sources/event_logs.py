@@ -1,0 +1,396 @@
+"""Spark event-log ingest: discovery → JSON-lines parse → normalized
+events DataFrame → partitioned parquet sink, with manifest-driven
+incremental re-ingest.
+
+Reference behavior re-expressed Spark-first (SURVEY.md §2.1):
+
+- S1-S3 discovery: directory/file filters (``application_*``, ``app-*``,
+  ``eventlog_v2_*`` dirs; ``events*``, ``*eventLog*``, ``*.inprogress``
+  files — reference ``hdfs_reader.rs:131-134,183-186``) become input
+  globs + ``pathGlobFilter`` — the listing itself is distributed by Spark.
+- S4/S5: HDFS/S3 access is the same ``spark.read`` against ``hdfs://`` /
+  ``s3a://`` URIs (Hadoop connector handles auth); nothing engine-side.
+- S6 parse: permissive line-at-a-time JSON; bad lines are *counted and
+  dropped*, never fatal (reference ``main.rs:403-427``).
+- S7 hot fields: every metric any catalog query touches is extracted once
+  here into typed columns (reference re-parses JSON at query time from
+  ``raw_data`` — ``duckdb_store_backup.rs:331-342``; SURVEY §4 says
+  normalize at ingest instead, so Catalyst prunes/pushes into the scan).
+- S8 app-id: from the event when present, else from the file path
+  (reference ``main.rs:396-401`` uses dir/file name).
+- S9 sink: ``partitionBy(event_date)`` zstd parquet — the stand-in for
+  the reference's DuckDB indexes (partition pruning + row-group min/max).
+- S10 incremental: a manifest table ``(path, size, complete)`` drives
+  re-scan; grown ``.inprogress`` files are re-read and their sink
+  partitions *replaced* (dynamic partition overwrite keyed by source
+  file), which upgrades the reference's at-least-once (duplicates
+  possible, ``metadata_store.rs:91-102``) to idempotent exactly-once end
+  state. Documented divergence per SURVEY §7 risk register.
+- S11 id: ``monotonically_increasing_id()`` — unique and ascending per
+  writer, the same guarantee as the reference's timestamp-seeded counter
+  (``event_processor.rs:445-459``).
+- S12: ``orderBy(timestamp)`` is left to queries (Spark sorts lazily).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: S2/S3 discovery globs (reference hdfs_reader.rs:131-134, :183-186).
+APP_DIR_GLOBS = ("application_*", "app-*", "eventlog_v2_*")
+EVENT_FILE_GLOBS = ("events*", "*eventLog*", "*.inprogress", "*.json")
+
+#: Pinned "now" for missing timestamps (reference falls back to ``now()``,
+#: duckdb_store.rs:726; pinned per SURVEY §7 for determinism).
+DEFAULT_NOW_MS = 1735689600000
+
+_MB = 1048576.0
+
+
+def _get(path: str) -> F.Column:
+    return F.get_json_object(F.col("raw_data"), path)
+
+
+def _num(path: str) -> F.Column:
+    return _get(path).cast("double")
+
+
+def read_event_logs(
+    spark: SparkSession,
+    path: str | list[str],
+    now_ms: int = DEFAULT_NOW_MS,
+    with_rejects: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """S1-S8, S11: read JSON-lines Spark event logs into the normalized
+    EVENTS_SCHEMA DataFrame (same canonical columns as the generic test
+    binding, so the whole query catalog runs unchanged on real logs).
+
+    ``path`` may be a file, a directory, or a glob; discovery of rollover
+    dirs uses :data:`APP_DIR_GLOBS`. Returns ``(events, rejects)`` when
+    ``with_rejects`` (S6 requires counting bad lines, not failing).
+    """
+    raw = (
+        spark.read.text(path)
+        .withColumnRenamed("value", "raw_data")
+        .withColumn("src_file", F.input_file_name())
+    )
+    events = _project_events(raw, now_ms=now_ms)
+    if with_rejects:
+        rejects = raw.withColumn("event_full", _get("$['Event']")).filter(
+            F.col("event_full").isNull() & (F.length(F.trim("raw_data")) > 0)
+        ).select("src_file", "raw_data")
+        return events, rejects
+    return events
+
+
+def _project_events(
+    raw: DataFrame, now_ms: int = DEFAULT_NOW_MS, streaming: bool = False
+) -> DataFrame:
+    """The pure-projection normalization core (S6-S8, S11). Works on any
+    DataFrame with (raw_data, src_file) — batch and streaming share it."""
+    parsed = raw.withColumn("event_full", _get("$['Event']"))
+    ok = parsed.filter(F.col("event_full").isNotNull())
+
+    short = F.regexp_replace(F.col("event_full"), "^SparkListener", "")
+    # SQL events arrive as fully-qualified class names
+    # (org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart).
+    short = F.element_at(F.split(short, "\\."), -1)
+
+    is_task_end = F.col("event_type") == "TaskEnd"
+    ev = (
+        ok.withColumn("event_type", short)
+        .withColumn(
+            "app_id",
+            F.coalesce(
+                _get("$['App ID']"),
+                # S8: fall back to the app directory / file name
+                F.regexp_extract(
+                    F.col("src_file"),
+                    r"(application_[\w-]+|app-[\w-]+|eventlog_v2_[\w-]+|[^/]+)(?:/[^/]*)?$",
+                    1,
+                ),
+            ),
+        )
+        .withColumn(
+            "event_ts",
+            F.coalesce(
+                F.timestamp_millis(_get("$['Timestamp']").cast("long")),
+                F.timestamp_millis(F.lit(now_ms)),
+            ),
+        )
+        .withColumn("event_date", F.to_date("event_ts"))
+        .withColumn("is_task", is_task_end)
+        .withColumn("is_app_start", F.col("event_type") == "ApplicationStart")
+        .withColumn("is_app_end", F.col("event_type") == "ApplicationEnd")
+        .withColumn("is_exec_add", F.col("event_type") == "ExecutorAdded")
+        .withColumn("is_exec_remove", F.col("event_type") == "ExecutorRemoved")
+        .withColumn(
+            "is_success",
+            F.coalesce(
+                _get("$['Task End Reason']['Reason']") == "Success",
+                F.lit(True),
+            ),
+        )
+        .withColumn("job_id", _get("$['Job ID']").cast("long"))
+        .withColumn(
+            "stage_id",
+            # TaskEnd carries it top-level; Stage events nest it
+            # (spark_events.rs:165-171 handles both — so do we)
+            F.coalesce(
+                _get("$['Stage ID']").cast("long"),
+                _get("$['Stage Info']['Stage ID']").cast("long"),
+            ),
+        )
+        .withColumn("task_id", _get("$['Task Info']['Task ID']").cast("long"))
+        .withColumn(
+            "duration_ms",
+            F.when(is_task_end, _num("$['Task Metrics']['Executor Run Time']")),
+        )
+        .withColumn(
+            "cpu_ms",
+            F.when(is_task_end, _num("$['Task Metrics']['Executor CPU Time']") / 1e6),
+        )
+        .withColumn(
+            "gc_ms", F.when(is_task_end, _num("$['Task Metrics']['JVM GC Time']"))
+        )
+        .withColumn(
+            "peak_memory_mb",
+            F.when(
+                is_task_end, _num("$['Task Metrics']['Peak Execution Memory']") / _MB
+            ),
+        )
+        .withColumn(
+            "jvm_heap_mb",
+            F.when(
+                is_task_end,
+                _num("$['Task Executor Metrics']['JVMHeapMemory']") / _MB,
+            ),
+        )
+        .withColumn(
+            "mem_spill_mb",
+            F.when(is_task_end, _num("$['Task Metrics']['Memory Bytes Spilled']") / _MB),
+        )
+        .withColumn(
+            "disk_spill_mb",
+            F.when(is_task_end, _num("$['Task Metrics']['Disk Bytes Spilled']") / _MB),
+        )
+        .withColumn(
+            "input_mb",
+            F.when(
+                is_task_end,
+                _num("$['Task Metrics']['Input Metrics']['Bytes Read']") / _MB,
+            ),
+        )
+        .withColumn(
+            "output_mb",
+            F.when(
+                is_task_end,
+                _num("$['Task Metrics']['Output Metrics']['Bytes Written']") / _MB,
+            ),
+        )
+        .withColumn(
+            "shuffle_read_mb",
+            F.when(
+                is_task_end,
+                _num("$['Task Metrics']['Shuffle Read Metrics']['Remote Bytes Read']")
+                / _MB,
+            ),
+        )
+        .withColumn(
+            "shuffle_write_mb",
+            F.when(
+                is_task_end,
+                _num(
+                    "$['Task Metrics']['Shuffle Write Metrics']"
+                    "['Shuffle Bytes Written']"
+                )
+                / _MB,
+            ),
+        )
+        .withColumn("total_cores", _num("$['Executor Info']['Total Cores']"))
+        .withColumn(
+            "executor_id",
+            F.coalesce(
+                _get("$['Task Info']['Executor ID']"), _get("$['Executor ID']")
+            ),
+        )
+        .withColumn("host", _get("$['Task Info']['Host']"))
+        .withColumn("locality", _get("$['Task Info']['Locality']"))
+        .withColumn(
+            "id",
+            # S11: batch gets the monotonic writer counter (reference
+            # semantics); streaming plans can't use it — there a stable
+            # content hash is the right id anyway (idempotent across
+            # micro-batch retries).
+            F.monotonically_increasing_id()
+            if not streaming
+            else F.xxhash64("src_file", "raw_data", "event_ts"),
+        )
+    )
+    cols = [
+        "id",
+        "app_id",
+        "event_type",
+        "event_ts",
+        "event_date",
+        "is_task",
+        "is_app_start",
+        "is_app_end",
+        "is_exec_add",
+        "is_exec_remove",
+        "is_success",
+        "job_id",
+        "stage_id",
+        "task_id",
+        "duration_ms",
+        "cpu_ms",
+        "gc_ms",
+        "peak_memory_mb",
+        "jvm_heap_mb",
+        "mem_spill_mb",
+        "disk_spill_mb",
+        "input_mb",
+        "output_mb",
+        "shuffle_read_mb",
+        "shuffle_write_mb",
+        "total_cores",
+        "executor_id",
+        "host",
+        "locality",
+        "raw_data",
+        "src_file",
+    ]
+    return ev.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# S9 — partitioned sink
+# --------------------------------------------------------------------------
+def write_events_sink(events: DataFrame, sink_dir: str, mode: str = "append") -> None:
+    """S9: append the normalized events to a date-partitioned zstd parquet
+    sink. Partitioning on ``event_date`` + parquet min/max stats replace
+    the reference's three DuckDB indexes (SURVEY §4): the catalog's
+    date-range filters prune partitions, app/event-type filters use
+    row-group statistics."""
+    (
+        events.withColumn("ingest_src", F.md5("src_file"))
+        .write.partitionBy("event_date", "ingest_src")
+        .mode(mode)
+        .parquet(sink_dir)
+    )
+
+
+def read_events_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    return spark.read.parquet(sink_dir)
+
+
+# --------------------------------------------------------------------------
+# S10 — manifest-driven incremental ingest
+# --------------------------------------------------------------------------
+def _list_files(spark: SparkSession, base: str) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing through the Hadoop FileSystem API —
+    works for file://, hdfs:// and s3a:// alike (S1/S4/S5)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(base)
+    fs = fs_path.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = posixpath.basename(p)
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        out.append((p, status.getLen()))
+    return out
+
+
+def plan_incremental(
+    spark: SparkSession, base: str, manifest_dir: str
+) -> tuple[list[str], DataFrame]:
+    """Decide which files need (re-)ingest: new files always; known files
+    iff ``current_size > stored_size`` and not yet complete (reference
+    ``metadata_store.rs:91-102``). Returns (paths_to_ingest, new_manifest).
+    """
+    listed = spark.createDataFrame(
+        _list_files(spark, base), "path string, size long"
+    )
+    try:
+        manifest = spark.read.parquet(manifest_dir).select(
+            F.col("path").alias("m_path"),
+            F.col("size").alias("m_size"),
+            F.col("complete").alias("m_complete"),
+        )
+    except Exception:
+        manifest = spark.createDataFrame(
+            [], "m_path string, m_size long, m_complete boolean"
+        )
+    joined = listed.join(manifest, listed["path"] == manifest["m_path"], "left")
+    todo = joined.filter(
+        F.col("m_path").isNull()
+        | ((F.col("size") > F.col("m_size")) & ~F.coalesce("m_complete", F.lit(False)))
+    ).select("path", "size")
+    new_manifest = listed.withColumn(
+        # completion marker: not *.inprogress ⇒ complete (event_processor.rs:257)
+        "complete",
+        ~F.col("path").endswith(".inprogress"),
+    )
+    return [r.path for r in todo.collect()], new_manifest
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    base: str,
+    sink_dir: str,
+    manifest_dir: str,
+    now_ms: int = DEFAULT_NOW_MS,
+) -> int:
+    """S10: one incremental pass — list, diff against the manifest, re-read
+    new/grown files, atomically replace their sink partitions, update the
+    manifest. Returns number of files ingested.
+
+    Exactly-once end state: the sink is partitioned by
+    ``(event_date, ingest_src=md5(file))``; with dynamic partition
+    overwrite, re-ingesting a grown file replaces exactly that file's
+    previous rows. (Reference semantics are at-least-once with duplicates —
+    documented improvement.)
+
+    Scale note: one pass reads only changed bytes' files and rewrites only
+    their partitions. For 100 TB history the per-file partitioning creates
+    many small dirs — run :func:`compact_sink` on closed dates, or flip to
+    plain date partitioning once logs are immutable.
+    """
+    todo, new_manifest = plan_incremental(spark, base, manifest_dir)
+    if todo:
+        events = read_event_logs(spark, todo, now_ms=now_ms)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                events.withColumn("ingest_src", F.md5("src_file"))
+                .write.partitionBy("event_date", "ingest_src")
+                .mode("overwrite")
+                .parquet(sink_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # manifest swap (tiny table — rewrite wholesale)
+    new_manifest.write.mode("overwrite").parquet(manifest_dir)
+    return len(todo)
+
+
+def compact_sink(spark: SparkSession, sink_dir: str, out_dir: str) -> None:
+    """Compact the per-file incremental layout into plain date partitions
+    (for closed/immutable history) — the long-term 100 TB layout."""
+    (
+        spark.read.parquet(sink_dir)
+        .drop("ingest_src")
+        .repartition("event_date")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -1,0 +1,114 @@
+"""End-to-end API tests against a live server (reference pattern:
+analytics_api_test.rs — boot the full app on an ephemeral port, walk the
+endpoints, assert status + shape + data-quality invariants)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from spark_history_server_rs_spark.api.server import parse_date_param, serve
+from spark_history_server_rs_spark.sources.generic import load_events
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    ev = load_events(spark, SF_SMALL)
+    httpd = serve(ev)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def _get(base, path):
+    try:
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_version(api):
+    assert _get(api, "/health") == (200, {"status": "healthy"})
+    code, v = _get(api, "/api/v1/version")
+    assert code == 200 and v["engine"] == "pyspark"
+
+
+def test_applications_walk(api):
+    code, apps = _get(api, "/api/v1/applications?limit=5")
+    assert code == 200 and 0 < len(apps) <= 5
+    app_id = apps[0]["app_id"]
+    code, one = _get(api, f"/api/v1/applications/{app_id}")
+    assert code == 200 and one["app_id"] == app_id
+    code, execs = _get(api, f"/api/v1/applications/{app_id}/executors")
+    assert code == 200 and isinstance(execs, list)
+    code, jobs = _get(api, f"/api/v1/applications/{app_id}/jobs")
+    assert (code, jobs) == (200, [])  # stub parity
+    code, _ = _get(api, "/api/v1/applications/definitely-missing")
+    assert code == 404
+
+
+def test_analytics_endpoints_and_invariants(api):
+    code, hogs = _get(api, "/api/v1/optimization/resource-hogs?limit=5")
+    assert code == 200 and len(hogs) <= 5
+    for h in hogs:
+        assert h["max_peak_memory_mb"] > 0
+        assert h["efficiency_score"] in (60.0, 75.0, 85.0)
+
+    code, eff = _get(api, "/api/v1/optimization/efficiency-analysis")
+    assert code == 200
+    for e in eff:
+        assert e["efficiency_category"] in (
+            "OverProvisioned",
+            "UnderProvisioned",
+            "WellTuned",
+        )
+        assert e["risk_level"] in ("Low", "Medium", "High")
+        assert 0 <= e["memory_efficiency_pct"] <= 100
+
+    code, trends = _get(api, "/api/v1/capacity/usage-trends")
+    assert code == 200
+    for t in trends:
+        assert 0 <= t["capacity_utilization_pct"] <= 100
+
+    code, cost = _get(api, "/api/v1/capacity/cost-optimization")
+    assert code == 200
+    for c in cost:
+        assert c["optimized_monthly_cost"] <= c["current_monthly_cost"]
+
+
+def test_date_filter_params(api):
+    code, all_apps = _get(api, "/api/v1/applications")
+    # a start date far in the future filters everything out
+    code2, none = _get(api, "/api/v1/applications?startDate=2050-01-01")
+    assert code == code2 == 200
+    assert len(none) == 0 < len(all_apps)
+    code3, bad = _get(api, "/api/v1/applications?startDate=garbage")
+    assert code3 == 400
+
+
+def test_deprecated_analytics_404(api):
+    for p in ("/api/v1/analytics/resource-usage", "/api/v1/analytics/anything"):
+        code, _ = _get(api, p)
+        assert code == 404
+
+
+def test_dashboard_summary(api):
+    code, dash = _get(api, "/")
+    assert code == 200
+    assert dash["summary"]["n_hogs"] == len(dash["resource_hogs"])
+    assert dash["summary"]["total_potential_savings"] >= 0
+
+
+def test_parse_date_param():
+    assert parse_date_param("1700486400000") == 1700486400000
+    assert parse_date_param("2023-11-20") == 1700438400000
+    assert parse_date_param("2023-11-20T12:00:00+00:00") == 1700481600000
+    with pytest.raises(ValueError):
+        parse_date_param("not-a-date")
