@@ -15,6 +15,7 @@ from spark_history_server_rs_spark.operators import (
     catalog,
     dedup,
     multimodal,
+    relational,
     similarity,
     textprep,
 )
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),
+        # --- relational surface: joins / semi-anti / rollup / windows ---
+        **relational.QUERIES,
     }
 
 
@@ -89,4 +92,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE_SQL_DEDUP)
     out.update(similarity.ORACLE_SQL_SIMILARITY)
     out.update(multimodal.ORACLE_SQL_MULTIMODAL)
+    out.update(relational.ORACLE_SQL_RELATIONAL)
     return out

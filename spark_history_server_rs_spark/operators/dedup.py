@@ -115,12 +115,12 @@ common AS (
 )
 SELECT doc_a, doc_b, common_shingles,
        FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-         / 10000.0 AS jaccard
+         / CAST(10000.0 AS DOUBLE) AS jaccard
 FROM common
 JOIN sizes x ON doc_a = x.doc_id
 JOIN sizes y ON doc_b = y.doc_id
 WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-        / 10000.0 >= {thr}
+         / CAST(10000.0 AS DOUBLE) >= {thr}
 ORDER BY doc_a, doc_b
 """
 
@@ -202,12 +202,12 @@ common AS (
 )
 SELECT doc_a, doc_b, common_shingles,
        FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-         / 10000.0 AS jaccard
+         / CAST(10000.0 AS DOUBLE) AS jaccard
 FROM common
 JOIN sizes x ON doc_a = x.doc_id
 JOIN sizes y ON doc_b = y.doc_id
 WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-        / 10000.0 >= {thr}
+         / CAST(10000.0 AS DOUBLE) >= {thr}
 ORDER BY doc_a, doc_b
 """
 )
@@ -343,14 +343,14 @@ def cosine_expr_spark(a: str, b: str) -> str:
     dot = _DOT.format(a=a, b=b)
     na = _NORM.format(v=a)
     nb = _NORM.format(v=b)
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
 
 
 def cosine_expr_duck(a: str, b: str) -> str:
     dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
 
 
 # Pre-normalize once per vector (one norm fold each), then a pair is a
@@ -376,7 +376,7 @@ FROM {src}
 _COS_PAIRS_TAIL = """
 SELECT vec_a, vec_b, cosine FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         FLOOR(({dot}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
   FROM normed a JOIN normed b ON a.vec_id < b.vec_id
 )
 WHERE cosine >= {thr}

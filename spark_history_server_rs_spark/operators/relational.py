@@ -1,0 +1,283 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables —
+multi-table joins (broadcast dims), semi/anti joins, ROLLUP grouping sets,
+gap sessionization, and per-group top-k windows.
+
+The reference engine has no user-table joins at all (SURVEY.md §2.3: three
+self-join sites only); a complete analytics engine at 100 TB needs the
+full relational surface, so these operators extend §2 with the classic
+shapes, each oracle-checked:
+
+- **R1/R2/R3** TPC-H Q1/Q3/Q5-style pipelines: scan → pushed filters →
+  joins (small dims broadcast via hints, big fact-fact joins shuffled on
+  keys) → grouped aggregation → top-k.
+- **R4/R5** EXISTS / NOT EXISTS → Spark plans left-semi / left-anti joins.
+- **R6** ROLLUP — grouping-set aggregation (map-side expand).
+- **R7** gap sessionization — two windows + re-aggregation, partitioned
+  by the session key (no global ordering at any scale).
+- **R8** per-group top-k via row_number (per-partition ranking).
+
+Float determinism: every SUM over a float expression snaps the per-row
+value to integer cents first (``FLOOR(x*100+0.5)``) — integer-valued
+doubles add exactly in IEEE arithmetic, so Spark's partial-aggregation
+order cannot flip a bit vs the oracle's sequential sum (the same
+invariant sources/generic.py uses).
+
+Both engines run the SAME SQL text (DuckDB ignores ``/*+ ... */`` hints
+as comments); only the date-format / epoch spellings differ, injected via
+``{DF}``/``{EPOCH}`` placeholders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.generic import duckdb_events_cte, load_events, load_table
+
+# Engine-specific spellings injected into shared SQL text.
+_SPARK_SPELL = {
+    "DF": "date_format({x}, 'yyyy-MM-dd')",
+    "EPOCH": "unix_millis(CAST({x} AS TIMESTAMP))",
+}
+_DUCK_SPELL = {
+    "DF": "strftime({x}, '%Y-%m-%d')",
+    "EPOCH": "CAST(epoch_ms({x}) AS BIGINT)",
+}
+
+
+def _render(template: str, spell: dict[str, str], **kw) -> str:
+    out = template
+    for key, fmt in spell.items():
+        # expand {DF:expr} / {EPOCH:expr} pseudo-calls
+        while "{" + key + ":" in out:
+            start = out.index("{" + key + ":")
+            depth = 0
+            for i in range(start, len(out)):
+                if out[i] == "{":
+                    depth += 1
+                elif out[i] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            inner = out[start + len(key) + 2 : end]
+            out = out[:start] + fmt.format(x=inner) + out[end + 1 :]
+    return out.format(**kw)
+
+
+_CENTS = "FLOOR({x} * 100.0 + 0.5)"
+
+
+def _disc_price() -> str:
+    return _CENTS.format(x="l_extendedprice * (1.0 - l_discount)")
+
+
+# ==========================================================================
+# R1 — TPC-H Q1-style pricing summary
+# ==========================================================================
+R1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM({_CENTS.format(x="l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST(SUM({_CENTS.format(x="l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) AS DOUBLE) / 100.0
+         AS sum_charge,
+       FLOOR((CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_qty,
+       FLOOR((CAST(SUM({_CENTS.format(x="l_extendedprice")}) AS DOUBLE) / 100.0 / COUNT(*)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ==========================================================================
+# R2 — TPC-H Q3-style shipping priority (3-way join, broadcast dim)
+# ==========================================================================
+R2_SQL = f"""
+SELECT /*+ BROADCAST(c) */
+       l_orderkey,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS revenue,
+       {{DF:o_orderdate}} AS order_date,
+       o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, {{DF:o_orderdate}}, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+# ==========================================================================
+# R3 — TPC-H Q5-style regional revenue (6-way join)
+# ==========================================================================
+R3_SQL = f"""
+SELECT /*+ BROADCAST(n, r) */
+       n.n_name AS nation,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS line_count
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+# ==========================================================================
+# R4 / R5 — semi / anti joins via EXISTS
+# ==========================================================================
+R4_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+LIMIT 200
+"""
+
+R5_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+LIMIT 200
+"""
+
+# ==========================================================================
+# R6 — ROLLUP grouping sets
+# ==========================================================================
+R6_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+       COALESCE(o_orderpriority, 'ALL') AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_CENTS.format(x="o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY order_status, order_priority
+"""
+
+# ==========================================================================
+# R7 — gap sessionization over the events binding
+# ==========================================================================
+SESSION_GAP_MS = 3600_000  # 1 hour
+
+R7_TAIL = f"""
+seq AS (
+  SELECT app_id, id, {{EPOCH:event_ts}} AS ts_ms,
+         LAG({{EPOCH:event_ts}}) OVER (PARTITION BY app_id ORDER BY {{EPOCH:event_ts}}, id)
+           AS prev_ms
+  FROM ev
+),
+marked AS (
+  SELECT app_id, id, ts_ms,
+         CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sessions AS (
+  SELECT app_id, id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY app_id ORDER BY ts_ms, id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT app_id, session_id, COUNT(*) AS n_events,
+         MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+  FROM sessions GROUP BY app_id, session_id
+)
+SELECT app_id,
+       COUNT(*) AS n_sessions,
+       FLOOR((CAST(SUM(n_events) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         AS avg_events_per_session,
+       MAX(duration_ms) AS max_session_ms
+FROM per_session
+GROUP BY app_id
+ORDER BY app_id
+"""
+
+# ==========================================================================
+# R8 — per-group top-k (slowest tasks per app)
+# ==========================================================================
+R8_TAIL = """
+ranked AS (
+  SELECT app_id, task_id, duration_ms,
+         ROW_NUMBER() OVER (PARTITION BY app_id
+                            ORDER BY duration_ms DESC, task_id) AS rnk
+  FROM ev
+  WHERE is_task AND duration_ms IS NOT NULL
+)
+SELECT app_id, task_id,
+       -- Spark FLOOR yields BIGINT, DuckDB's yields DOUBLE: unify the type
+       CAST(duration_ms AS DOUBLE) AS duration_ms,
+       rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY app_id, rnk
+"""
+
+
+# --------------------------------------------------------------------------
+# wiring
+# --------------------------------------------------------------------------
+_TPCH_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+
+
+def _tpch_query(sql_template: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _TPCH_TABLES:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(_render(sql_template, _SPARK_SPELL))
+
+    return run
+
+
+def _events_query(tail: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_events(spark, sf_dir).createOrReplaceTempView("_rel_ev")
+        return spark.sql(
+            "WITH ev AS (SELECT * FROM _rel_ev),\n" + _render(tail, _SPARK_SPELL)
+        )
+
+    return run
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1_pricing_summary": _tpch_query(R1_SQL),
+    "tpch_q3_shipping_priority": _tpch_query(R2_SQL),
+    "tpch_q5_regional_revenue": _tpch_query(R3_SQL),
+    "semi_join_urgent_customers": _tpch_query(R4_SQL),
+    "anti_join_no_urgent_customers": _tpch_query(R5_SQL),
+    "rollup_order_stats": _tpch_query(R6_SQL),
+    "sessionize_events": _events_query(R7_TAIL),
+    "topk_tasks_per_app": _events_query(R8_TAIL),
+}
+
+
+def _duck(sql_template: str) -> str:
+    return _render(sql_template, _DUCK_SPELL)
+
+
+ORACLE_SQL_RELATIONAL: dict[str, str] = {
+    "tpch_q1_pricing_summary": _duck(R1_SQL),
+    "tpch_q3_shipping_priority": _duck(R2_SQL),
+    "tpch_q5_regional_revenue": _duck(R3_SQL),
+    "semi_join_urgent_customers": _duck(R4_SQL),
+    "anti_join_no_urgent_customers": _duck(R5_SQL),
+    "rollup_order_stats": _duck(R6_SQL),
+    "sessionize_events": duckdb_events_cte() + ",\n" + _duck(R7_TAIL),
+    "topk_tasks_per_app": duckdb_events_cte() + ",\n" + _duck(R8_TAIL),
+}

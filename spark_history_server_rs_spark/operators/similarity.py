@@ -127,7 +127,7 @@ def _bucket_expr(vec: str, spark: bool) -> str:
             )
         else:
             proj = f"list_dot_product(CAST({vec} AS DOUBLE[]), {plane})"
-        rounded = f"FLOOR(({proj}) * 1000000.0 + 0.5) / 1000000.0"
+        rounded = f"FLOOR(({proj}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
         bits.append(f"(CASE WHEN {rounded} > 0 THEN {1 << h} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
@@ -188,7 +188,7 @@ exploded AS (
 ),
 centroid_dims AS (
   SELECT label, i,
-         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS c
+         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS c
   FROM exploded GROUP BY label, i
 ),
 centroids AS (
@@ -207,7 +207,7 @@ exploded AS (
 ),
 centroid_dims AS (
   SELECT label, i,
-         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS c
+         FLOOR(AVG(CAST(x AS DOUBLE)) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS c
   FROM exploded GROUP BY label, i
 ),
 centroids AS (
@@ -271,7 +271,7 @@ def _ivf_duck_cos(a: str, b: str) -> str:
     dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / 1000000.0"
+    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
 
 
 ORACLE_ANN_IVF = (

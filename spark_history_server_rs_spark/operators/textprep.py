@@ -70,7 +70,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         f"size(regexp_extract_all(text, '{BPEISH_PATTERN}', 0)) AS n_bpeish_tokens",
         f"""FLOOR((CAST(aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0,
             (a, x) -> a + x) AS DOUBLE) / size({_TOKENS_SPARK})) * 10000.0 + 0.5)
-            / 10000.0 AS avg_token_len""",
+         / CAST(10000.0 AS DOUBLE) AS avg_token_len""",
     ).orderBy("doc_id")
 
 
@@ -81,7 +81,7 @@ SELECT doc_id,
        len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
        len(regexp_extract_all(text, '{BPEISH_PATTERN}')) AS n_bpeish_tokens,
        FLOOR((CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS DOUBLE)
-              / len({_TOKENS_DUCK})) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+              / len({_TOKENS_DUCK})) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_token_len
 FROM documents
 ORDER BY doc_id
 """
@@ -159,7 +159,7 @@ _QUALITY_EXPR = """
 FLOOR((0.35 * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)
      + 0.35 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
      + 0.15 * (1.0 - punct_ratio)
-     + 0.15 * LEAST(CAST(1.0 AS DOUBLE), stop_ratio * 5.0)) * 10000.0 + 0.5) / 10000.0
+     + 0.15 * LEAST(CAST(1.0 AS DOUBLE), stop_ratio * 5.0)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
 """
 
 
@@ -175,10 +175,10 @@ def text_quality(docs: DataFrame) -> DataFrame:
         f"size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens",
         f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits",
         "FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
-        " / length(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio",
+        " / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio",
     ).selectExpr(
         "*",
-        "FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio",
+        "FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS stop_ratio",
     )
     return (
         base.selectExpr("*", f"{_QUALITY_EXPR} AS quality_score")
@@ -201,11 +201,11 @@ WITH base AS (
          len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
          len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
          FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                / length(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio
+                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio
   FROM documents
 ),
 ratio AS (
-  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS stop_ratio
   FROM base
 ),
 scored AS (
