@@ -1,0 +1,81 @@
+"""Physical-plan introspection — the tooling behind the engine's
+scale-quality gates (SURVEY.md §4).
+
+The reference delegates all optimization to DuckDB; here Catalyst does it,
+and these helpers make the resulting plans *assertable*: tests pin the
+properties that matter at 100 TB (filter pushdown into the parquet scan,
+column pruning, broadcast joins for small sides, whole-stage codegen,
+no accidental cartesian products) so a regression in plan shape fails CI
+the same way a wrong result would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The full explain output as a string (what ``df.explain`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Post-AQE executed plan string (runs no jobs; final plan may still
+    change at runtime under AQE — use after an action for the真 final)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names that reach the parquet scan (ReadSchema) — the
+    column-pruning witness."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for line in text.splitlines():
+        if "ReadSchema:" in line:
+            schema = line.split("ReadSchema:", 1)[1]
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            depth = 0
+            field = ""
+            for ch in inner:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    cols.append(field.split(":", 1)[0])
+                    field = ""
+                    continue
+                field += ch
+            if field:
+                cols.append(field.split(":", 1)[0])
+    return cols
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan (predicate-pushdown witness)."""
+    text = explain_str(df)
+    return "\n".join(l for l in text.splitlines() if "PushedFilters" in l)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    s = explain_str(df, "simple")
+    return "CartesianProduct" in s
+
+
+def codegen_stage_count(df: DataFrame, run: bool = True) -> int:
+    """Number of whole-stage-codegen spans (wider is better — more of the
+    plan runs as generated JVM code). Under AQE the codegen decision lands
+    only in the *final* executed plan, where codegen'd operators carry a
+    ``*(N)`` prefix — so by default this executes the query first."""
+    import re
+
+    if run:
+        df.collect()
+    text = executed_plan(df)
+    return len(set(re.findall(r"\*\((\d+)\)", text)))

@@ -394,3 +394,47 @@ def compact_sink(spark: SparkSession, sink_dir: str, out_dir: str) -> None:
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def application_details(events: DataFrame) -> DataFrame:
+    """A17 full fold on real logs: first ApplicationStart supplies
+    (name, user, attempt); ApplicationEnd closes the app; duration uses the
+    pinned "now" for still-running apps (reference event_log.rs:26-93,
+    models.rs:183-212 — duration fallback :193-197).
+
+    Only meaningful on the event-log source (the generic binding's
+    raw_data has no App Name) — hence not part of the oracle-checked
+    catalog; covered by the ingest test suite instead."""
+    first_start = F.min(F.when(F.col("is_app_start"), F.col("event_ts")))
+    app_name = F.max(
+        F.when(F.col("is_app_start"), F.get_json_object("raw_data", "$['App Name']"))
+    )
+    app_user = F.max(
+        F.when(F.col("is_app_start"), F.get_json_object("raw_data", "$['User']"))
+    )
+    attempt = F.max(
+        F.when(
+            F.col("is_app_start"),
+            F.get_json_object("raw_data", "$['App Attempt ID']"),
+        )
+    )
+    end_ts = F.max(F.when(F.col("is_app_end"), F.col("event_ts")))
+    return (
+        events.groupBy("app_id")
+        .agg(
+            app_name.alias("app_name"),
+            app_user.alias("user"),
+            attempt.alias("attempt_id"),
+            F.unix_millis(first_start).alias("start_ms"),
+            F.unix_millis(end_ts).alias("end_ms"),
+            F.unix_millis(F.max("event_ts")).alias("last_updated_ms"),
+            (F.count(F.when(F.col("is_app_end"), 1)) > 0).alias("completed"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.when(F.col("completed"), F.col("end_ms") - F.col("start_ms")).otherwise(
+                F.lit(DEFAULT_NOW_MS) - F.col("start_ms")
+            ),
+        )
+        .orderBy("app_id")
+    )

@@ -210,3 +210,35 @@ def test_streaming_windowed_activity(spark, log_dir):
     for r in act:
         by_app[r.app_id] = by_app.get(r.app_id, 0) + r.tasks
     assert by_app["application_mem_hog"] == 12
+
+
+def test_gzip_compressed_logs(spark, tmp_path):
+    """S6 compression parity: the reference decompresses gz logs
+    (flate2, Cargo.toml:24-26); Spark's text source reads .gz natively."""
+    import gzip
+
+    d = tmp_path / "gzlogs" / "application_gz"
+    d.mkdir(parents=True)
+    payload = "".join(
+        json.dumps(e) + "\n" for e in _app_events("application_gz", 3, 0.5, 1 << 28)
+    )
+    with gzip.open(d / "events_1.gz", "wt") as f:
+        f.write(payload)
+    events = read_event_logs(spark, str(tmp_path / "gzlogs") + "/*/*")
+    assert events.count() == 6
+    assert events.filter("is_task").count() == 3
+
+
+def test_application_details_fold(spark, log_dir):
+    """A17 full fold: name/user/attempt from the first ApplicationStart,
+    completion + duration semantics (reference event_log.rs:26-93)."""
+    from spark_history_server_rs_spark.sources.event_logs import application_details
+
+    events = read_event_logs(spark, log_dir + "/*/*")
+    det = {r.app_id: r for r in application_details(events).collect()}
+    assert len(det) == 3
+    hog = det["application_mem_hog"]
+    assert hog.app_name == "name-application_mem_hog"
+    assert hog.user == "tester"
+    assert hog.completed
+    assert hog.duration_ms == hog.end_ms - hog.start_ms

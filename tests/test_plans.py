@@ -1,0 +1,117 @@
+"""Plan-shape gates: the physical-plan properties that keep the engine
+fast at 100 TB, pinned as tests (SURVEY.md §4). A plan regression (lost
+pushdown, a surprise cartesian, an un-broadcast dim join) fails here even
+while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_history_server_rs_spark.operators import catalog, relational
+from spark_history_server_rs_spark.plans import inspect as I
+from spark_history_server_rs_spark.sources.generic import load_events
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return load_events(spark, SF_ORACLE)
+
+
+def test_task_filter_pushed_to_scan(spark, ev):
+    """The is_task role flag must collapse into an event_type IN-filter
+    pushed into the parquet scan — no post-scan row filtering of the
+    dominant predicate."""
+    df = catalog.performance_trends(ev)
+    pushed = I.pushed_filters(df)
+    assert "In(event_type" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, ev):
+    """applications touches only (app_id, ts): the scan must not read
+    props/raw JSON. A scan reading all columns for a 2-column query is the
+    canonical 100 TB mistake."""
+    cols = I.scan_read_schema(catalog.applications(ev))
+    assert "props" not in cols
+    assert set(cols) <= {"ts", "user_id"}
+
+
+def test_sink_path_prunes_raw_data(spark, tmp_path_factory):
+    """On the real ingest path (event logs → normalized parquet sink) the
+    metric columns are materialized, so analytics queries must NOT read
+    raw_data at the scan. (The generic test binding necessarily reads
+    props — its metrics only exist inside that JSON — so the pruning
+    guarantee is asserted where it matters: the sink.)"""
+    import json
+
+    d = tmp_path_factory.mktemp("prune-logs")
+    with open(d / "events_app-prune", "w") as f:
+        for t in range(4):
+            f.write(
+                json.dumps(
+                    {
+                        "Event": "SparkListenerTaskEnd",
+                        "Stage ID": 0,
+                        "Task End Reason": {"Reason": "Success"},
+                        "Task Info": {"Task ID": t, "Executor ID": "1",
+                                      "Host": "h", "Locality": "ANY"},
+                        "Task Metrics": {"Executor Run Time": 100 + t,
+                                         "Executor CPU Time": int(8e7),
+                                         "Peak Execution Memory": 1 << 20},
+                        "Timestamp": 1700486400000 + t,
+                    }
+                )
+                + "\n"
+            )
+    from spark_history_server_rs_spark.sources.event_logs import (
+        read_event_logs,
+        write_events_sink,
+    )
+
+    sink = str(d / "sink")
+    write_events_sink(read_event_logs(spark, str(d / "events_app-prune")), sink)
+    sunk = spark.read.parquet(sink)
+    for name, fn in [
+        ("top_resource_consumers", catalog.top_resource_consumers),
+        ("capacity_trends", catalog.capacity_trends),
+        ("task_distribution", catalog.task_distribution),
+    ]:
+        cols = I.scan_read_schema(fn(sunk))
+        assert "raw_data" not in cols, f"{name} reads raw_data at the scan"
+
+
+def test_executor_summary_joins_broadcast(spark, ev):
+    """J1's three sides are per-executor aggregates — tiny at any input
+    scale; the full-outer join chain must not plan a cartesian product."""
+    df = catalog.executor_summary(ev)
+    assert not I.has_cartesian(df)
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    df = relational.QUERIES["tpch_q3_shipping_priority"](spark, SF_ORACLE)
+    assert I.has_broadcast_join(df)
+    assert not I.has_cartesian(df)
+
+
+def test_tpch_q5_no_cartesian(spark):
+    df = relational.QUERIES["tpch_q5_regional_revenue"](spark, SF_ORACLE)
+    assert not I.has_cartesian(df)
+
+
+def test_semi_anti_join_planned(spark):
+    semi = relational.QUERIES["semi_join_urgent_customers"](spark, SF_ORACLE)
+    anti = relational.QUERIES["anti_join_no_urgent_customers"](spark, SF_ORACLE)
+    assert "LeftSemi" in I.explain_str(semi, "simple")
+    assert "LeftAnti" in I.explain_str(anti, "simple")
+
+
+def test_whole_stage_codegen_present(spark, ev):
+    """The aggregation pipeline must run inside whole-stage codegen."""
+    assert I.codegen_stage_count(catalog.performance_trends(ev)) >= 1
+
+
+def test_topk_plans_take_ordered(spark, ev):
+    """ORDER BY agg DESC LIMIT n must plan TakeOrderedAndProject — not a
+    global sort of the aggregate."""
+    df = catalog.top_resource_consumers(ev)
+    assert "TakeOrderedAndProject" in I.explain_str(df, "simple")
