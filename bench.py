@@ -48,8 +48,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
     spark = get_spark("bench")
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     t0 = time.perf_counter()
-    ev = load_events(spark, sf_dir)
+    # parallelism: the sf tables are single parquet files; repartition the raw
+    # scan so the JSON-normalizing projection runs on all cores (a real corpus
+    # has file-level parallelism and skips this).
+    ev = load_events(spark, sf_dir, parallelism=cpus)
     # Warm state = the normalized columns the catalog reads (raw_data excluded:
     # no catalog query touches it — same column-pruning a real deployment gets
     # from its parquet sink). Equivalent of the reference's ingested DuckDB file.
@@ -62,7 +66,7 @@ def main() -> None:
     # first execution JIT-compiles the whole-stage-codegen for each plan
     # (one-time per query shape per JVM); the warm run is the serving
     # latency. Report warm as the headline, cold alongside.
-    # The VM shows bursty CPU-steal noise; min-of-2 warm runs is the standard
+    # The VM shows bursty CPU-steal noise; min-of-3 warm runs is the standard
     # noise-robust latency estimator.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
@@ -72,13 +76,32 @@ def main() -> None:
         fn(ev).collect()
         cold[name] = round(time.perf_counter() - t, 4)
         warm = []
-        for _ in range(2):
+        for _ in range(3):
             t = time.perf_counter()
             fn(ev).collect()
             warm.append(time.perf_counter() - t)
         dt = min(warm)
         timings[name] = round(dt, 4)
         total += dt
+
+    # extended (beyond-reference) operator timings over documents/embeddings
+    from spark_history_server_rs_spark.operators import dedup, similarity, textprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+    emb = load_table(spark, sf_dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count(), emb.count()
+    extended: dict[str, float] = {}
+    for name, fn, src in [
+        ("dedup_exact", dedup.dedup_exact, docs),
+        ("dedup_minhash_lsh", dedup.minhash_lsh_pairs, docs),
+        ("text_quality", textprep.text_quality, docs),
+        ("ann_cosine_topk", similarity.ann_cosine_topk, emb),
+    ]:
+        fn(src).collect()  # codegen warmup
+        t = time.perf_counter()
+        fn(src).collect()
+        extended[name] = round(time.perf_counter() - t, 4)
 
     out = {
         "metric": "seven_query_suite_total",
@@ -91,6 +114,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 4),
         "ingest_sec": round(ingest_sec, 4),
         "ingest_events_per_sec": round(n_events / ingest_sec, 1) if ingest_sec else None,
+        "extended": extended,
     }
     print(json.dumps(out))
     spark.stop()

@@ -164,27 +164,43 @@ def _band_cols_sql() -> list[str]:
     return cols
 
 
-_MINHASH_TAIL = (
-    """
+# Band-key row expansion, per engine. Spark MUST use stack() (a generator,
+# one pass): CTEs are inlined there, so a UNION-ALL expansion would
+# recompute the whole signature aggregation once per band — measured 8×+
+# slowdown at sf0.1. DuckDB has no stack(); its oracle keeps UNION ALL.
+_BANDKV_SPARK = (
+    "  SELECT doc_id, band_idx, band_key FROM (\n"
+    "    SELECT doc_id, stack("
+    + str(BANDS)
+    + ", "
+    + ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    + ") AS (band_idx, band_key) FROM bands\n  )"
+)
+_BANDKV_DUCK = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM bands"
+    for b in range(BANDS)
+)
+
+
+def _minhash_tail(bandkv_body: str) -> str:
+    return (
+        """
 sigs AS (
   SELECT doc_id, """
-    + ", ".join(_sig_cols_sql())
-    + """
+        + ", ".join(_sig_cols_sql())
+        + """
   FROM shingles GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, """
-    + ", ".join(_band_cols_sql())
-    + """
+        + ", ".join(_band_cols_sql())
+        + """
   FROM sigs
 ),
 bandkv AS (
 """
-    + "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM bands"
-        for b in range(BANDS)
-    )
-    + """
+        + bandkv_body
+        + """
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -210,7 +226,7 @@ WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 
          / CAST(10000.0 AS DOUBLE) >= {thr}
 ORDER BY doc_a, doc_b
 """
-)
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -225,14 +241,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         "WITH shingles AS ("
         + _SHINGLES_SPARK.format(src="_dedup_docs")
         + "),\n"
-        + _MINHASH_TAIL.format(thr=JACCARD_THRESHOLD)
+        + _minhash_tail(_BANDKV_SPARK).format(thr=JACCARD_THRESHOLD)
     )
     return docs.sparkSession.sql(sql)
 
 
 ORACLE_MINHASH = (
     "WITH shingles AS (" + _SHINGLES_DUCK + "),\n"
-    + _MINHASH_TAIL.format(thr=JACCARD_THRESHOLD)
+    + _minhash_tail(_BANDKV_DUCK).format(thr=JACCARD_THRESHOLD)
 )
 
 
@@ -260,7 +276,25 @@ def _simhash_fp() -> str:
 _BLOCK_WIDTH = SIMHASH_BITS // SIMHASH_BLOCKS  # 4 bits per block
 
 
-def _simhash_tail(xor_expr: str) -> str:
+# Per-engine block expansion (same reasoning as _BANDKV_*: Spark inlines
+# CTEs, so UNION ALL would recompute the 16-aggregate simhash per block).
+_BLOCKS_SPARK = (
+    "  SELECT doc_id, fp, block_idx, (fp >> (block_idx * "
+    + str(_BLOCK_WIDTH)
+    + f")) & {(1 << _BLOCK_WIDTH) - 1} AS block_val FROM (\n"
+    "    SELECT doc_id, fp, explode(array("
+    + ", ".join(str(q) for q in range(SIMHASH_BLOCKS))
+    + ")) AS block_idx FROM fps\n  )"
+)
+_BLOCKS_DUCK = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, fp, {q} AS block_idx,"
+    f" (fp >> {q * _BLOCK_WIDTH}) & {(1 << _BLOCK_WIDTH) - 1} AS block_val"
+    f" FROM fps"
+    for q in range(SIMHASH_BLOCKS)
+)
+
+
+def _simhash_tail(xor_expr: str, blocks_body: str) -> str:
     return (
         """
 hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
@@ -275,12 +309,7 @@ fps AS (SELECT doc_id, """
         + """ AS fp FROM sums),
 blocks AS (
 """
-        + "\n  UNION ALL\n".join(
-            f"  SELECT doc_id, fp, {q} AS block_idx,"
-            f" (fp >> {q * _BLOCK_WIDTH}) & {(1 << _BLOCK_WIDTH) - 1} AS block_val"
-            f" FROM fps"
-            for q in range(SIMHASH_BLOCKS)
-        )
+        + blocks_body
         + f"""
 ),
 candidates AS (
@@ -309,7 +338,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     sql = (
         "WITH tokens AS (SELECT doc_id, tok FROM (SELECT doc_id, "
         f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _dedup_docs)),\n"
-        + _simhash_tail("fp_a ^ fp_b")
+        + _simhash_tail("fp_a ^ fp_b", _BLOCKS_SPARK)
     )
     return docs.sparkSession.sql(sql)
 
@@ -318,7 +347,7 @@ ORACLE_SIMHASH = (
     "WITH tokens AS (SELECT doc_id, unnest("
     + _TOKENS_DUCK
     + ") AS tok FROM documents),\n"
-    + _simhash_tail("xor(fp_a, fp_b)")
+    + _simhash_tail("xor(fp_a, fp_b)", _BLOCKS_DUCK)
 )
 
 

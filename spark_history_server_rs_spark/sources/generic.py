@@ -126,12 +126,23 @@ def _render(subs: dict[str, str]) -> list[tuple[str, str]]:
     return [(name, expr.format(**subs)) for name, expr in _BINDINGS]
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read ``{sf_dir}/events.parquet`` and normalize to EVENTS_SCHEMA columns."""
+def load_events(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
+    """Read ``{sf_dir}/events.parquet`` and normalize to EVENTS_SCHEMA columns.
+
+    ``parallelism`` repartitions the raw scan before the (JSON-parsing)
+    projection — useful when the input is a single small file that would
+    otherwise normalize on one task. A real 100 TB corpus arrives as many
+    files/row-groups and needs no repartition (it would be a full shuffle
+    of the raw data); leave it None there.
+    """
     from ..session import pin_session_conf
 
     pin_session_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if parallelism:
+        raw = raw.repartition(parallelism)
     ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
     subs = _SPARK_SUBS if ts_is_long else _SPARK_SUBS_TSNATIVE
     exprs = [f"{expr} AS {name}" for name, expr in _render(subs)]
