@@ -171,6 +171,17 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             )
             return self._send(200, _rows(df))
 
+        if path in ("/optimize", "/dashboard"):
+            # dashboard render (reference dashboard.rs:55-159 + Askama HTML
+            # templates): static shell that pulls the JSON endpoints
+            body = _DASHBOARD_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+
         if path == "/":
             # dashboard summary (dashboard.rs:55-159): four catalog calls +
             # host-side fold over the collected (≤ limit) rows
@@ -202,3 +213,33 @@ def serve(events: DataFrame, host: str = "127.0.0.1", port: int = 0):
     httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
     httpd.events = events  # type: ignore[attr-defined]
     return httpd
+
+
+_DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Spark History Analytics</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+ table{border-collapse:collapse;width:100%;margin:1rem 0}
+ th,td{border:1px solid #ccc;padding:.35rem .6rem;text-align:left;font-size:.9rem}
+ th{background:#f3f4f6} h2{margin-top:2rem}
+</style></head><body>
+<h1>Platform engineering — resource optimization</h1>
+<div id="summary"></div>
+<h2>Resource hogs</h2><table id="hogs"></table>
+<h2>Efficiency analysis</h2><table id="eff"></table>
+<script>
+function fill(id, rows){
+  const t = document.getElementById(id);
+  if(!rows.length){ t.outerHTML = "<p>no data</p>"; return; }
+  const cols = Object.keys(rows[0]);
+  t.innerHTML = "<tr>"+cols.map(c=>`<th>${c}</th>`).join("")+"</tr>" +
+    rows.map(r=>"<tr>"+cols.map(c=>`<td>${r[c]}</td>`).join("")+"</tr>").join("");
+}
+fetch("/").then(r=>r.json()).then(d=>{
+  document.getElementById("summary").textContent =
+    `${d.summary.n_hogs} hogs · ${d.summary.n_analyzed} apps analyzed · ` +
+    `potential savings ${d.summary.total_potential_savings}`;
+  fill("hogs", d.resource_hogs); fill("eff", d.efficiency);
+});
+</script></body></html>
+"""

@@ -112,3 +112,13 @@ def test_parse_date_param():
     assert parse_date_param("2023-11-20T12:00:00+00:00") == 1700481600000
     with pytest.raises(ValueError):
         parse_date_param("not-a-date")
+
+
+def test_dashboard_html(api):
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/optimize", timeout=120) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert "Resource hogs" in body

@@ -242,3 +242,24 @@ def test_application_details_fold(spark, log_dir):
     assert hog.user == "tester"
     assert hog.completed
     assert hog.duration_ms == hog.end_ms - hog.start_ms
+
+
+def test_zip_compressed_logs(spark, tmp_path):
+    """S6 zip parity: archives unpack through binaryFile + mapInPandas into
+    the same normalized events frame."""
+    import zipfile
+
+    from spark_history_server_rs_spark.sources.event_logs import read_zip_event_logs
+
+    d = tmp_path / "ziplogs"
+    d.mkdir()
+    payload = "".join(
+        json.dumps(e) + "\n" for e in _app_events("application_zip", 5, 0.5, 1 << 28)
+    )
+    with zipfile.ZipFile(d / "application_zip.zip", "w") as zf:
+        zf.writestr("events_1_application_zip", payload)
+    events = read_zip_event_logs(spark, str(d))
+    rows = events.collect()
+    assert len(rows) == 8
+    assert {r.app_id for r in rows} == {"application_zip"}
+    assert events.filter("is_task").count() == 5
