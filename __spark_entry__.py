@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_history_server_rs_spark.operators import (
     catalog,
+    corpus,
     dedup,
     multimodal,
     relational,
@@ -83,6 +84,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _d(multimodal.frame_sample),
         # --- relational surface: joins / semi-anti / rollup / windows ---
         **relational.QUERIES,
+        # --- corpus ops: cluster resolution, split, vocab, tf-idf ---
+        "dedup_clusters": _d(corpus.dedup_clusters),
+        "corpus_hash_split": _d(corpus.hash_split),
+        "corpus_vocabulary": _d(corpus.vocabulary),
+        "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
     }
 
 
@@ -93,4 +99,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE_SQL_SIMILARITY)
     out.update(multimodal.ORACLE_SQL_MULTIMODAL)
     out.update(relational.ORACLE_SQL_RELATIONAL)
+    out.update(corpus.ORACLE_SQL_CORPUS)
     return out

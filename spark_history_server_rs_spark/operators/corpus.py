@@ -1,0 +1,291 @@
+"""Corpus-level training-data operators: dedup-cluster resolution
+(connected components over near-dup pairs), deterministic train/val/test
+splits, vocabulary building, and TF-IDF term scoring.
+
+These complete the dedup story (pair-finding lives in :mod:`.dedup`; a real
+pipeline must then *resolve clusters* and keep one representative) and add
+the corpus-statistics operators every large-scale text pipeline needs.
+
+Scale design:
+
+- **connected components** is iterative min-label propagation over the
+  (tiny relative to the corpus) near-dup edge set: each iteration is one
+  join + groupBy keyed on doc_id, converging in O(diameter) rounds —
+  the standard large-graph CC under hash partitioning. The DuckDB oracle
+  states the same fixpoint as a recursive CTE, so the iterative Spark
+  result is checked against a declarative ground truth.
+- **hash split** is a pure projection (md5-bucket) — deterministic,
+  leakage-free by construction, no shuffle.
+- **vocabulary / tf-idf** are explode → groupBy pipelines with bounded
+  result sizes (vocab top-k; per-doc top terms via window rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _SHINGLES_DUCK, _SHINGLES_SPARK, _TOKENS_DUCK, _TOKENS_SPARK
+from .dedup import JACCARD_THRESHOLD
+
+MAX_CC_ITERATIONS = 20
+TRAIN_PCT, VAL_PCT = 80, 10  # md5-bucket split (out of 100)
+VOCAB_TOP_K = 50
+TFIDF_TOP_TERMS = 3
+
+
+# ==========================================================================
+# C1 — dedup cluster resolution (connected components over jaccard pairs)
+# ==========================================================================
+_EDGE_CTES = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) >= {thr}
+)"""
+_EDGES_TAIL = _EDGE_CTES + """
+SELECT doc_a, doc_b FROM edges
+"""
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """C1: resolve near-dup pairs (n-gram Jaccard ≥ τ) into clusters via
+    min-label propagation; keeper = cluster id = min doc_id. Returns one
+    row per clustered document (cluster_id, doc_id, cluster_size,
+    is_keeper), ordered.
+
+    Iterative: label(v) ← min(label(v), min over neighbors) until no
+    change (≤ MAX_CC_ITERATIONS — near-dup components are shallow). Each
+    round is a shuffle keyed on doc_id over the edge set only.
+    """
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    edges = spark.sql(
+        "WITH shingles AS ("
+        + _SHINGLES_SPARK.format(src="_corpus_docs")
+        + "),\n"
+        + _EDGES_TAIL.format(thr=JACCARD_THRESHOLD)
+    )
+    # undirected adjacency
+    adj = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    adj = adj.cache()
+    labels = (
+        adj.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        # candidate labels arriving over edges
+        incoming = (
+            adj.join(labels, adj["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(incoming, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1)
+        labels = updated.select("doc_id", F.col("new_label").alias("label"))
+        if not changed.take(1):
+            break
+    adj.unpersist()
+    sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, labels["label"] == sizes["cluster_id"])
+        .select(
+            "cluster_id",
+            "doc_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+    + """,
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, src FROM undirected
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
+),
+clustered AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+cluster_sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM clustered GROUP BY cluster_id)
+SELECT c.cluster_id, c.doc_id, s.cluster_size,
+       (c.doc_id = c.cluster_id) AS is_keeper
+FROM clustered c JOIN cluster_sizes s USING (cluster_id)
+ORDER BY cluster_id, doc_id
+"""
+)
+
+
+# ==========================================================================
+# C2 — deterministic hash split (train/val/test)
+# ==========================================================================
+def _split_case(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN {bucket_expr} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket_expr} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+# md5 first 2 hex chars → 0..255 → % 100; identical text in both engines
+_BUCKET = (
+    "(((position(substr(md5(CAST(doc_id AS {STR})), 1, 1) IN '0123456789abcdef') - 1) * 16"
+    " + (position(substr(md5(CAST(doc_id AS {STR})), 2, 1) IN '0123456789abcdef') - 1)) % 100)"
+)
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """C2: leakage-free deterministic split — md5(doc_id) buckets into
+    {t}% train / {v}% val / rest test; summary per (lang, split). A pure
+    projection + one small groupBy: stable under re-runs, re-shards, and
+    engine changes (the property random() splits lack).""".format(
+        t=TRAIN_PCT, v=VAL_PCT
+    )
+    bucket = _BUCKET.format(STR="STRING")
+    return (
+        docs.selectExpr("lang", f"{_split_case(bucket)} AS split")
+        .groupBy("lang", "split")
+        .count()
+        .withColumnRenamed("count", "n_docs")
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_HASH_SPLIT = f"""
+SELECT lang, {_split_case(_BUCKET.format(STR="VARCHAR"))} AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, 2
+ORDER BY lang, split
+"""
+
+
+# ==========================================================================
+# C3 — vocabulary builder (global token stats, top-k)
+# ==========================================================================
+_VOCAB_TAIL = """
+tok AS ({tokens}),
+stats AS (
+  SELECT tok AS token,
+         COUNT(*) AS term_count,
+         COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY tok
+)
+SELECT token, term_count, doc_freq,
+       ROW_NUMBER() OVER (ORDER BY term_count DESC, token) AS rank
+FROM stats
+ORDER BY rank
+LIMIT {k}
+"""
+
+
+def vocabulary(docs: DataFrame) -> DataFrame:
+    """C3: global token counts + document frequency, top-{k} by count.
+    One explode + one groupBy (map-side combine); vocab result is bounded
+    by LIMIT regardless of corpus size.""".format(k=VOCAB_TOP_K)
+    docs.createOrReplaceTempView("_corpus_docs")
+    tokens = (
+        "SELECT doc_id, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+    )
+    return docs.sparkSession.sql(
+        "WITH " + _VOCAB_TAIL.format(tokens=tokens, k=VOCAB_TOP_K)
+    )
+
+
+ORACLE_VOCABULARY = "WITH " + _VOCAB_TAIL.format(
+    tokens=f"SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents",
+    k=VOCAB_TOP_K,
+)
+
+
+# ==========================================================================
+# C4 — TF-IDF top terms per document
+# ==========================================================================
+_TFIDF_TAIL = """
+tok AS ({tokens}),
+tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM {docsrc}),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+         FLOOR((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq)) * 1000000.0 + 0.5)
+           / CAST(1000000.0 AS DOUBLE) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, doc_freq, tfidf, rnk
+FROM ranked WHERE rnk <= {top}
+ORDER BY doc_id, rnk
+"""
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """C4: classic TF-IDF, top-{t} terms per document. tf/df are two
+    groupBys over the exploded tokens; idf joins the (vocab-sized) df
+    table — broadcast at any corpus scale.""".format(t=TFIDF_TOP_TERMS)
+    docs.createOrReplaceTempView("_corpus_docs")
+    tokens = (
+        "SELECT doc_id, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+    )
+    return docs.sparkSession.sql(
+        "WITH "
+        + _TFIDF_TAIL.format(
+            tokens=tokens, docsrc="_corpus_docs", top=TFIDF_TOP_TERMS
+        )
+    )
+
+
+ORACLE_TFIDF = "WITH " + _TFIDF_TAIL.format(
+    tokens=f"SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents",
+    docsrc="documents",
+    top=TFIDF_TOP_TERMS,
+)
+
+
+ORACLE_SQL_CORPUS = {
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "corpus_hash_split": ORACLE_HASH_SPLIT,
+    "corpus_vocabulary": ORACLE_VOCABULARY,
+    "corpus_tfidf_top_terms": ORACLE_TFIDF,
+}
