@@ -15,6 +15,11 @@ shapes, each oracle-checked:
 - **R7** gap sessionization — two windows + re-aggregation, partitioned
   by the session key (no global ordering at any scale).
 - **R8** per-group top-k via row_number (per-partition ranking).
+- **R9** as-of (point-in-time) join — union both streams + running MAX
+  window over a packed (ts, payload) BIGINT: one shuffle on the equi-key,
+  no range-join explosion, skew-safe. Spark has no native ASOF JOIN.
+- **R10** TPC-H Q6-style pure-scan aggregate (pushed predicates, 2-column
+  read schema — the pushdown litmus test).
 
 Float determinism: every SUM over a float expression snaps the per-row
 value to integer cents first (``FLOOR(x*100+0.5)``) — integer-valued
@@ -230,6 +235,70 @@ ORDER BY app_id, rnk
 """
 
 
+# ==========================================================================
+# R9 — as-of join: executor config live at each task's start
+# ==========================================================================
+# Spark has no native ASOF JOIN; the scalable formulation is union-the-two-
+# streams + one running-MAX window partitioned by the equi-key (app_id):
+# a single shuffle on app_id, no range-join row explosion, and it survives
+# arbitrary skew in either stream. To stay portable across engines without
+# LAST_VALUE(... IGNORE NULLS) (whose syntax differs), the (add_ts, cores)
+# pair is packed into one BIGINT (cores < 1000 by construction) so the
+# running MAX over the time-ordered frame IS the most recent add's pair.
+R9_TAIL = """
+adds AS (
+  SELECT app_id, id, {EPOCH:event_ts} AS ts_ms, 0 AS kind,
+         CAST({EPOCH:event_ts} AS BIGINT) * 1000
+           + CAST(total_cores AS BIGINT) AS packed,
+         CAST(NULL AS BIGINT) AS task_id
+  FROM ev WHERE is_exec_add
+),
+tasks AS (
+  SELECT app_id, id, {EPOCH:event_ts} AS ts_ms, 1 AS kind,
+         CAST(NULL AS BIGINT) AS packed,
+         task_id
+  FROM ev WHERE is_task
+),
+unioned AS (
+  SELECT * FROM adds UNION ALL SELECT * FROM tasks
+),
+filled AS (
+  SELECT app_id, id, ts_ms, kind, task_id,
+         MAX(packed) OVER (PARTITION BY app_id
+                           ORDER BY ts_ms, kind, id
+                           ROWS UNBOUNDED PRECEDING) AS asof_packed
+  FROM unioned
+)
+SELECT app_id, task_id, ts_ms,
+       CAST(asof_packed % 1000 AS DOUBLE) AS asof_cores,
+       -- (p - p%1000)/1000 is exactly integral, so the double division is
+       -- bit-exact and the CAST agrees across engines (Spark truncates,
+       -- DuckDB rounds — on an exact integer both are identity)
+       ts_ms - CAST((asof_packed - asof_packed % 1000) / 1000 AS BIGINT)
+         AS staleness_ms
+FROM filled
+-- inner as-of: drop tasks with no preceding add (keeps output NULL-free,
+-- so cross-engine NULL-vs-NaN representation can't enter the value hash)
+WHERE kind = 1 AND asof_packed IS NOT NULL
+ORDER BY app_id, ts_ms, id
+LIMIT 500
+"""
+
+# ==========================================================================
+# R10 — TPC-H Q6-style forecast revenue (pure scan: pushed filters, 2 cols)
+# ==========================================================================
+R10_SQL = """
+SELECT CAST(SUM(FLOOR(l_extendedprice * l_discount * 100.0 + 0.5)) AS DOUBLE)
+         / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -264,6 +333,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_order_stats": _tpch_query(R6_SQL),
     "sessionize_events": _events_query(R7_TAIL),
     "topk_tasks_per_app": _events_query(R8_TAIL),
+    "asof_join_task_executor_config": _events_query(R9_TAIL),
+    "tpch_q6_forecast_revenue": _tpch_query(R10_SQL),
 }
 
 
@@ -280,4 +351,6 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "rollup_order_stats": _duck(R6_SQL),
     "sessionize_events": duckdb_events_cte() + ",\n" + _duck(R7_TAIL),
     "topk_tasks_per_app": duckdb_events_cte() + ",\n" + _duck(R8_TAIL),
+    "asof_join_task_executor_config": duckdb_events_cte() + ",\n" + _duck(R9_TAIL),
+    "tpch_q6_forecast_revenue": _duck(R10_SQL),
 }
