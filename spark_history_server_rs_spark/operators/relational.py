@@ -20,6 +20,8 @@ shapes, each oracle-checked:
   no range-join explosion, skew-safe. Spark has no native ASOF JOIN.
 - **R10** TPC-H Q6-style pure-scan aggregate (pushed predicates, 2-column
   read schema — the pushdown litmus test).
+- **R11** range-join (interval overlap) via sweep-line — +1/-1 deltas +
+  running SUM instead of a quadratic BETWEEN join.
 
 Float determinism: every SUM over a float expression snaps the per-row
 value to integer cents first (``FLOOR(x*100+0.5)``) — integer-valued
@@ -285,6 +287,41 @@ LIMIT 500
 """
 
 # ==========================================================================
+# R11 — range-join (interval overlap) via sweep-line: live executors per task
+# ==========================================================================
+# "How many executor intervals [add_ts, remove_ts] cover each task's ts?"
+# The naive range join (tasks JOIN intervals ON ts BETWEEN lo AND hi) has
+# no equi-key beyond app_id and explodes quadratically under skew. The
+# sweep-line turns it into +1/-1 deltas and a running SUM over the same
+# single app_id shuffle as R9 — linear work, any scale.
+R11_TAIL = """
+pts AS (
+  SELECT app_id, id, {EPOCH:event_ts} AS ts_ms,
+         CASE WHEN is_exec_add THEN 1 WHEN is_exec_remove THEN -1
+              ELSE 0 END AS delta,
+         CASE WHEN is_task THEN 1 ELSE 0 END AS kind
+  FROM ev WHERE is_exec_add OR is_exec_remove OR is_task
+),
+swept AS (
+  SELECT app_id, kind,
+         SUM(delta) OVER (PARTITION BY app_id
+                          ORDER BY ts_ms, kind, id
+                          ROWS UNBOUNDED PRECEDING) AS live_execs
+  FROM pts
+)
+SELECT app_id,
+       COUNT(*) AS n_tasks,
+       MIN(live_execs) AS min_live_execs,
+       MAX(live_execs) AS max_live_execs,
+       FLOOR((CAST(SUM(live_execs) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS avg_live_execs
+FROM swept
+WHERE kind = 1
+GROUP BY app_id
+ORDER BY app_id
+"""
+
+# ==========================================================================
 # R10 — TPC-H Q6-style forecast revenue (pure scan: pushed filters, 2 cols)
 # ==========================================================================
 R10_SQL = """
@@ -334,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": _events_query(R7_TAIL),
     "topk_tasks_per_app": _events_query(R8_TAIL),
     "asof_join_task_executor_config": _events_query(R9_TAIL),
+    "range_join_live_executors": _events_query(R11_TAIL),
     "tpch_q6_forecast_revenue": _tpch_query(R10_SQL),
 }
 
@@ -352,5 +390,6 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "sessionize_events": duckdb_events_cte() + ",\n" + _duck(R7_TAIL),
     "topk_tasks_per_app": duckdb_events_cte() + ",\n" + _duck(R8_TAIL),
     "asof_join_task_executor_config": duckdb_events_cte() + ",\n" + _duck(R9_TAIL),
+    "range_join_live_executors": duckdb_events_cte() + ",\n" + _duck(R11_TAIL),
     "tpch_q6_forecast_revenue": _duck(R10_SQL),
 }
