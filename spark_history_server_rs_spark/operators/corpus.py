@@ -25,10 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _SHINGLES_DUCK, _SHINGLES_SPARK, _TOKENS_DUCK, _TOKENS_SPARK
-from .dedup import JACCARD_THRESHOLD
+from .dedup import _SHINGLES_DUCK, _SHINGLES_VIEW_CTE, _TOKENS_DUCK, _TOKENS_SPARK
+from .dedup import JACCARD_THRESHOLD, materialized_shingles
 
 MAX_CC_ITERATIONS = 20
+CC_CHECKPOINT_EVERY = 5  # localCheckpoint cadence: truncate lineage growth
 TRAIN_PCT, VAL_PCT = 80, 10  # md5-bucket split (out of 100)
 VOCAB_TOP_K = 50
 TFIDF_TOP_TERMS = 3
@@ -68,11 +69,10 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     round is a shuffle keyed on doc_id over the edge set only.
     """
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
+    materialized_shingles(docs)
     edges = spark.sql(
-        "WITH shingles AS ("
-        + _SHINGLES_SPARK.format(src="_corpus_docs")
-        + "),\n"
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+        + ",\n"
         + _EDGES_TAIL.format(thr=JACCARD_THRESHOLD)
     )
     # undirected adjacency
@@ -85,6 +85,15 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    # Each round: eagerly localCheckpoint the stepped frame — materializes
+    # it once (MEMORY_AND_DISK on executors) AND truncates lineage to an
+    # RDD scan, so both plan depth and driver-side re-analysis cost stay
+    # O(1) per round instead of growing with the iteration count (the
+    # 100 TB recompute cliff flagged in r1). The convergence check is a
+    # single aggregate over the checkpointed frame — no separate take().
+    # localCheckpoint trades executor-loss fault tolerance for speed; on a
+    # real cluster a reliable-checkpoint cadence (CC_CHECKPOINT_EVERY) to
+    # HDFS would back it — the standard iterative-graph pattern.
     for _ in range(MAX_CC_ITERATIONS):
         # candidate labels arriving over edges
         incoming = (
@@ -92,19 +101,18 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(incoming, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("new_label"),
-                "label",
-            )
-        )
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1)
-        labels = updated.select("doc_id", F.col("new_label").alias("label"))
-        if not changed.take(1):
+        stepped = labels.join(incoming, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+            .cast("long")
+            .alias("chg"),
+        ).localCheckpoint()
+        n_changed = stepped.agg(F.sum("chg")).first()[0] or 0
+        labels = stepped.select("doc_id", "label")
+        if n_changed == 0:
             break
     adj.unpersist()
     sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(

@@ -72,6 +72,39 @@ SELECT DISTINCT doc_id, shingle FROM (
 ) WHERE shingle IS NOT NULL
 """
 
+# Last persisted shingle frame per view name, so repeated calls (test suite,
+# repeated API hits) don't pile up cached copies of superseded inputs.
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
+    """Compute the distinct (doc_id, shingle) relation ONCE, persist it, and
+    expose it as a temp view.
+
+    Spark inlines SQL CTEs, so a ``shingles`` CTE referenced by ``sigs``,
+    ``sizes`` and twice by ``common`` re-runs the posexplode + DISTINCT +
+    window sub-plan ~4× (measured: dedup_minhash_lsh 11.96 s at sf0.1).
+    Materializing it swaps every reference for a scan of one cached
+    InMemoryRelation — the same ingest-once philosophy as the reference's
+    hot-field extraction (duckdb_store.rs:708-757). The eager count fills
+    the cache in a single pass before the fan-out reads race to build it.
+    """
+    spark = docs.sparkSession
+    prev = _SHINGLE_CACHE.pop(view, None)
+    if prev is not None:
+        prev.unpersist()
+    docs.createOrReplaceTempView("_dedup_docs")
+    sh = spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs")).persist()
+    sh.count()
+    sh.createOrReplaceTempView(view)
+    _SHINGLE_CACHE[view] = sh
+    return sh
+
+
+# Spark-side CTE header that reads the materialized view; keeps the shared
+# SQL tails (which reference `shingles`) engine-identical below this line.
+_SHINGLES_VIEW_CTE = "WITH shingles AS (SELECT doc_id, shingle FROM _dedup_shingles),\n"
+
 
 # ==========================================================================
 # D1 — exact dedup (hash groupBy)
@@ -128,11 +161,8 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """D2: exact word-{k}-shingle Jaccard over candidate pairs sharing ≥1
     shingle (inverted index join, the all-pairs-similarity baseline)."""
-    docs.createOrReplaceTempView("_dedup_docs")
-    sql = (
-        "WITH shingles AS (" + _SHINGLES_SPARK.format(src="_dedup_docs") + "),\n"
-        + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
-    )
+    materialized_shingles(docs)
+    sql = _SHINGLES_VIEW_CTE + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
     return docs.sparkSession.sql(sql)
 
 
@@ -236,12 +266,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     (doc_id, band_key), not document content.""".format(
         n=NUM_HASHES, b=BANDS, t=JACCARD_THRESHOLD
     )
-    docs.createOrReplaceTempView("_dedup_docs")
-    sql = (
-        "WITH shingles AS ("
-        + _SHINGLES_SPARK.format(src="_dedup_docs")
-        + "),\n"
-        + _minhash_tail(_BANDKV_SPARK).format(thr=JACCARD_THRESHOLD)
+    materialized_shingles(docs)
+    sql = _SHINGLES_VIEW_CTE + _minhash_tail(_BANDKV_SPARK).format(
+        thr=JACCARD_THRESHOLD
     )
     return docs.sparkSession.sql(sql)
 

@@ -1,32 +1,37 @@
 """Multimodal column handling — opaque ``binary`` payloads with typed
-metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic fake (see :func:`_fake_decode_geometry`) while
-everything Spark-side is real and tested: binary column plumbing, schema
-contracts, Arrow batch iteration, row-expansion (frame sampling), and
-partition behavior. Swapping the fake for PIL/ffmpeg is a body-only change
-to the pandas functions.
+Default path is **pure column expressions** (length/md5/modulo/substring —
+all JVM-side, whole-stage-codegen'd): the deterministic fake decode is
+plain arithmetic over the payload, so no Python worker belongs in the
+executed plan. The Arrow-batched ``mapInPandas`` variants
+(:func:`_image_decode_codec`, :func:`_frame_sample_codec`) are the marked
+extension points for a REAL codec (PIL/ffmpeg — absent in this container):
+they exercise the identical schema contract, batch iteration, and
+row-expansion plumbing, gated behind ``use_codec=True``.
 
-Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded by
+Scale notes: the default plans are narrow projections (+ one generator for
+frame expansion) — zero shuffle before the presentation sort; the codec
+variants stream Arrow batches with memory bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of corpus
-size; the frame sampler expands rows inside the iterator (never
-``collect``). Binary payloads stay opaque bytes end-to-end: no JVM↔Python
-string re-encoding.
+size. Binary payloads stay opaque bytes end-to-end.
 
-Both operators remain oracle-checkable because the fake decode is pure
-arithmetic over the payload (length/md5), which DuckDB can mirror in SQL.
+Byte-vs-char contract: Spark operates on ``CAST(text AS BINARY)`` (UTF-8
+bytes); the DuckDB oracle slices VARCHAR with character-based ``substr``
+and counts bytes with ``strlen``. These agree only for pure-ASCII text —
+asserted against the synthetic testdata in
+``tests/test_schemas.py::test_documents_text_is_ascii`` (this DuckDB build
+has no BLOB ``substring`` to do it byte-wise).
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -67,12 +72,6 @@ def _real_decode(payload: bytes) -> tuple[int, int]:
     )
 
 
-def _fake_decode_geometry(n_bytes: int) -> tuple[int, int]:
-    """STUB decode: deterministic fake geometry derived from payload size
-    (stands in for a real header parse; same arithmetic as the oracle)."""
-    return n_bytes % 640, n_bytes % 480
-
-
 def _binary_payload(docs: DataFrame) -> DataFrame:
     """The multimodal ingestion contract: an opaque binary column + typed
     metadata. Here the synthetic ``text`` bytes stand in for image data."""
@@ -84,42 +83,50 @@ def _binary_payload(docs: DataFrame) -> DataFrame:
 
 
 # ==========================================================================
-# M1 — image decode (mapInPandas, one row per payload)
+# M1 — image decode (default: pure column expressions; codec: mapInPandas)
 # ==========================================================================
-def image_decode(docs: DataFrame) -> DataFrame:
-    """M1: decode opaque image payloads into typed features. Arrow-batched
-    ``mapInPandas``; the geometry step is the marked fake, the checksum is
-    a real bytes digest."""
+def image_decode(docs: DataFrame, use_codec: bool = False) -> DataFrame:
+    """M1: decode opaque image payloads into typed features. The fake
+    geometry (``n_bytes % 640/480``) and checksum are built-in expressions —
+    no Python worker in the plan; ``use_codec=True`` switches to the
+    Arrow-batched real-codec path."""
+    if use_codec:
+        return _image_decode_codec(docs)
+    n_bytes = F.length("payload").cast("long")
+    return (
+        _binary_payload(docs)
+        .select(
+            "doc_id",
+            "format",
+            n_bytes.alias("n_bytes"),
+            (n_bytes % 640).alias("width"),
+            (n_bytes % 480).alias("height"),
+            F.md5("payload").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _image_decode_codec(docs: DataFrame) -> DataFrame:
+    """Real-codec extension point: Arrow-batched ``mapInPandas`` with the
+    same output schema; raises until an image codec is installed."""
 
     # NOTE: the closure must be self-contained (locals + in-function imports
     # only). Referencing module-level symbols would make cloudpickle import
     # this package on every executor's Python worker — which fails when the
     # package is driver-side-only (sys.path injection, no --py-files).
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
-        import pandas as _pd
-
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": pdf["format"],
-                    "n_bytes": n_bytes,
-                    # fake geometry decode (see _fake_decode_geometry)
-                    "width": n_bytes % 640,
-                    "height": n_bytes % 480,
-                    "checksum": pdf["payload"].map(
-                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                }
+            # Body-only change once a codec ships: parse real width/height
+            # from the payload header here.
+            raise NotImplementedError(
+                "image codecs (PIL/opencv) are not available in this "
+                "environment; use image_decode(use_codec=False)"
             )
+            yield pdf  # pragma: no cover — generator shape
 
     return (
-        _binary_payload(docs)
-        .mapInPandas(decode, DECODE_SCHEMA)
-        .orderBy("doc_id")
+        _binary_payload(docs).mapInPandas(decode, DECODE_SCHEMA).orderBy("doc_id")
     )
 
 
@@ -136,18 +143,48 @@ ORDER BY doc_id
 
 
 # ==========================================================================
-# M2 — frame sampling (mapInPandas, row expansion)
+# M2 — frame sampling (default: explode(sequence) + substring + md5)
 # ==========================================================================
-def frame_sample(docs: DataFrame) -> DataFrame:
+def frame_sample(docs: DataFrame, use_codec: bool = False) -> DataFrame:
     """M2: split each payload into fixed {fb}-byte frames and keep every
-    {fs}. row (video frame-sampling plumbing: the pandas iterator expands
-    one input row into many output rows — batch shapes stay Arrow-bounded
-    either way).""".format(fb=FRAME_BYTES, fs=FRAME_STRIDE)
+    {fs}. one. Default plan is a generator over built-ins —
+    ``explode(sequence(0, n_frames-1, stride))`` then ``substring``/``md5``
+    per frame; ``use_codec=True`` switches to the mapInPandas row-expansion
+    plumbing for real frame extraction.""".format(fb=FRAME_BYTES, fs=FRAME_STRIDE)
+    if use_codec:
+        return _frame_sample_codec(docs)
+    fb, fs = FRAME_BYTES, FRAME_STRIDE
+    chunk = f"substring(payload, frame_idx * {fb} + 1, {fb})"
+    return (
+        _binary_payload(docs)
+        .where(F.length("payload") > 0)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.expr(
+                    f"sequence(0L, CAST(ceil(length(payload) / {fb}.0) AS BIGINT) - 1, {fs}L)"
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * fb).alias("frame_offset"),
+            F.expr(f"CAST(length({chunk}) AS BIGINT)").alias("frame_len"),
+            F.expr(f"md5({chunk})").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
 
+
+def _frame_sample_codec(docs: DataFrame) -> DataFrame:
+    """Real-codec extension point: one-input-row → many-output-rows inside
+    the Arrow batch iterator (video frame extraction shape)."""
     frame_bytes, frame_stride = FRAME_BYTES, FRAME_STRIDE
     cols = [f.name for f in FRAME_SCHEMA.fields]
 
-    # Self-contained closure — see the note in image_decode.
+    # Self-contained closure — see the note in _image_decode_codec.
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 

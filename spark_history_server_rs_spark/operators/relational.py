@@ -304,9 +304,12 @@ pts AS (
 ),
 swept AS (
   SELECT app_id, kind,
-         SUM(delta) OVER (PARTITION BY app_id
-                          ORDER BY ts_ms, kind, id
-                          ROWS UNBOUNDED PRECEDING) AS live_execs
+         -- CAST: DuckDB's SUM over integers returns HUGEINT (int128); Spark
+         -- returns BIGINT. The driver's value hash is type-sensitive, so pin
+         -- both engines to BIGINT in the shared text.
+         CAST(SUM(delta) OVER (PARTITION BY app_id
+                               ORDER BY ts_ms, kind, id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live_execs
   FROM pts
 )
 SELECT app_id,

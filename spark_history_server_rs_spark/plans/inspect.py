@@ -68,6 +68,25 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in s
 
 
+def has_python_worker(df: DataFrame) -> bool:
+    """True if the plan spawns a Python worker (row-at-a-time UDF, Pandas
+    UDF, mapInPandas/applyInPandas, ...). The hot-path operators are gated
+    on this being False — Python in the plan means Arrow/pickle transfer
+    and a second runtime per executor core."""
+    s = explain_str(df, "simple")
+    return any(
+        marker in s
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "PythonMapInArrow",
+            "MapInArrow",
+        )
+    )
+
+
 def codegen_stage_count(df: DataFrame, run: bool = True) -> int:
     """Number of whole-stage-codegen spans (wider is better — more of the
     plan runs as generated JVM code). Under AQE the codegen decision lands

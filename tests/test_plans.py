@@ -10,7 +10,7 @@ import pytest
 from spark_history_server_rs_spark.operators import catalog, relational
 from spark_history_server_rs_spark.plans import inspect as I
 from spark_history_server_rs_spark.sources.generic import load_events
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -115,3 +115,59 @@ def test_topk_plans_take_ordered(spark, ev):
     global sort of the aggregate."""
     df = catalog.top_resource_consumers(ev)
     assert "TakeOrderedAndProject" in I.explain_str(df, "simple")
+
+
+def test_multimodal_defaults_stay_jvm_side(spark):
+    """The fake decode is pure arithmetic — the default multimodal plans
+    must contain no Python worker (mapInPandas is the real-codec path only,
+    behind use_codec=True)."""
+    from spark_history_server_rs_spark.operators import multimodal
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert not I.has_python_worker(multimodal.image_decode(docs))
+    assert not I.has_python_worker(multimodal.frame_sample(docs))
+    # the codec variants DO plan a Python worker (the plumbing is real)
+    assert I.has_python_worker(multimodal.frame_sample(docs, use_codec=True))
+
+
+def test_multimodal_codec_frame_sample_matches_builtin(spark):
+    """The mapInPandas codec-path plumbing (batch iteration + row
+    expansion) must produce byte-identical frames to the built-in plan."""
+    from spark_history_server_rs_spark.operators import multimodal
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    fast = multimodal.frame_sample(docs).collect()
+    codec = multimodal.frame_sample(docs, use_codec=True).collect()
+    assert fast == codec
+
+
+def test_dedup_clusters_lineage_bounded_on_deep_chain(spark):
+    """The CC loop localCheckpoints every iteration, so the final plan's
+    lineage is O(1) — an RDD scan — regardless of iteration count (the
+    100 TB recompute cliff flagged in r1).
+
+    Chain construction: doc i = tokens[3i .. 3i+10] of one long word
+    sequence → adjacent docs share exactly 6 of 12 distinct 3-shingles
+    (Jaccard 0.5, an edge at τ=0.5) while doc i±2 shares 3/15 (0.2, no
+    edge). A 12-doc path needs ~11 propagation rounds — far past any
+    depth a single un-truncated plan should reach."""
+    from spark_history_server_rs_spark.operators import corpus
+
+    words = [f"w{i:03d}" for i in range(60)]
+    rows = [
+        (i, " ".join(words[3 * i : 3 * i + 11]), "en") for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df = corpus.dedup_clusters(docs)
+    out = df.collect()
+    # one cluster spanning the whole chain, keeper = doc 0
+    assert len(out) == 12
+    assert {r.cluster_id for r in out} == {0}
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # lineage was cut: final plan reads the checkpointed RDD, and its
+    # depth does not scale with the ~11 propagation rounds
+    assert "LogicalRDD" in plan
+    depth = len(plan.splitlines())
+    assert depth < 40, f"cluster plan lineage too deep ({depth} lines)"

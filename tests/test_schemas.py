@@ -26,3 +26,19 @@ def test_no_decimal_columns_and_analyzes(name, spark):
 def test_all_analyze_at_small_sf(spark):
     for name, fn in QUERIES.items():
         fn(spark, SF_SMALL).schema  # forces Catalyst analysis only
+
+
+def test_documents_text_is_ascii():
+    """Byte-vs-char contract for the multimodal operators: the Spark side
+    slices UTF-8 bytes while the DuckDB oracle slices characters (this
+    DuckDB build has no BLOB substring). They agree only for pure-ASCII
+    text — pin that property of the synthetic corpus so any future
+    non-ASCII testdata fails loudly here instead of silently diverging."""
+    import duckdb
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE strlen(text) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} non-ASCII documents"
