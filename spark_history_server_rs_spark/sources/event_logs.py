@@ -34,6 +34,7 @@ Reference behavior re-expressed Spark-first (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import fnmatch
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,14 +105,22 @@ def _project_events(
         ok.withColumn("event_type", short)
         .withColumn(
             "app_id",
+            # S8 fallback order: app-prefixed path component first (rollover
+            # dir or flat file), else the FINAL path component (reference
+            # main.rs:396-401 uses the file name). A single alternation with
+            # a [^/]+ catch-all is wrong: leftmost-match would bind the
+            # parent dir for flat layouts, merging every app into one.
             F.coalesce(
                 _get("$['App ID']"),
-                # S8: fall back to the app directory / file name
-                F.regexp_extract(
-                    F.col("src_file"),
-                    r"(application_[\w-]+|app-[\w-]+|eventlog_v2_[\w-]+|[^/]+)(?:/[^/]*)?$",
-                    1,
+                F.nullif(
+                    F.regexp_extract(
+                        F.col("src_file"),
+                        r"(application_[\w.-]+|app-[\w.-]+|eventlog_v2_[\w.-]+)(?:/[^/]*)?$",
+                        1,
+                    ),
+                    F.lit(""),
                 ),
+                F.regexp_extract(F.col("src_file"), r"([^/]+)$", 1),
             ),
         )
         .withColumn(
@@ -290,13 +299,40 @@ def read_events_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # S10 — manifest-driven incremental ingest
 # --------------------------------------------------------------------------
+def _matches_any(name: str, globs: tuple[str, ...]) -> bool:
+    return any(fnmatch.fnmatch(name, g) for g in globs)
+
+
+def is_event_log_path(base: str, path: str) -> bool:
+    """S2/S3 discovery filter (reference hdfs_reader.rs:131-134,183-186):
+    app *entries* under the base must match :data:`APP_DIR_GLOBS`; event
+    *files* inside an app dir must match :data:`EVENT_FILE_GLOBS`. A flat
+    file directly under the base is accepted if it matches either set
+    (reference main.rs:396-401 ingests flat app-named files). Everything
+    else — a stray README, a .parquet, a tool dropping — is skipped."""
+    rel = path[len(base) :].lstrip("/") if path.startswith(base) else path
+    parts = [p for p in rel.split("/") if p]
+    name = parts[-1] if parts else ""
+    if len(parts) <= 1:
+        return _matches_any(name, EVENT_FILE_GLOBS) or _matches_any(
+            name, APP_DIR_GLOBS
+        )
+    return _matches_any(parts[0], APP_DIR_GLOBS) and _matches_any(
+        name, EVENT_FILE_GLOBS
+    )
+
+
 def _list_files(spark: SparkSession, base: str) -> list[tuple[str, int]]:
     """Recursive (path, size) listing through the Hadoop FileSystem API —
-    works for file://, hdfs:// and s3a:// alike (S1/S4/S5)."""
+    works for file://, hdfs:// and s3a:// alike (S1/S4/S5), filtered by
+    the S2/S3 discovery globs so non-log files never reach the parser."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs_path = jvm.org.apache.hadoop.fs.Path(base)
     fs = fs_path.getFileSystem(conf)
+    # resolve the fully-qualified base (scheme + authority) so relative
+    # inputs still prefix-match the listed absolute paths
+    qualified = fs.makeQualified(fs_path).toString()
     out: list[tuple[str, int]] = []
     it = fs.listFiles(fs_path, True)
     while it.hasNext():
@@ -304,6 +340,8 @@ def _list_files(spark: SparkSession, base: str) -> list[tuple[str, int]]:
         p = status.getPath().toString()
         name = posixpath.basename(p)
         if name.startswith(".") or name.startswith("_"):
+            continue
+        if not is_event_log_path(qualified, p):
             continue
         out.append((p, status.getLen()))
     return out
@@ -488,6 +526,133 @@ def read_zip_event_logs(
 
     lines = raw.mapInPandas(
         unzip,
+        StructType(
+            [
+                StructField("raw_data", StringType(), False),
+                StructField("src_file", StringType(), False),
+            ]
+        ),
+    )
+    return _project_events(lines, now_ms=now_ms, streaming=True)
+
+
+#: Codec extensions Spark's EventLogFileWriter produces (reference declares
+#: the same set: Cargo.toml:24-26, config.rs:33). gz is handled natively by
+#: spark.read.text; these need the binaryFile + pyarrow path below.
+COMPRESSED_LOG_EXTENSIONS = (".lz4", ".zstd", ".zst", ".snappy")
+
+
+def read_compressed_event_logs(
+    spark: SparkSession, path: str, now_ms: int = DEFAULT_NOW_MS
+) -> DataFrame:
+    """S6 compression parity for lz4/zstd/snappy event logs — the formats
+    ``spark.eventLog.compress=true`` actually writes (lz4-java block
+    stream, zstd frame, snappy-java block stream; NOT the Hadoop codec
+    container formats). Spark's text source can't split or decode them, so:
+    ``binaryFile`` scan → Arrow-batched ``mapInPandas`` decodes each file
+    with pyarrow's raw codecs → (line, src-path-minus-extension) rows →
+    the shared normalization projection.
+
+    Scale: one compressed log = one task (these framings are not
+    splittable — the same constraint every engine has); parallelism comes
+    from the file count, which is how history dirs grow anyway.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{lz4,zstd,zst,snappy}")
+        .load(path)
+        .select("path", "content")
+    )
+
+    # Self-contained closure (see operators/multimodal.py note).
+    def decode(batches):
+        import struct
+
+        import pandas as _pd
+        import pyarrow as _pa
+
+        def lz4_block_stream(data: bytes) -> bytes:
+            # lz4-java LZ4BlockOutputStream framing: per block —
+            # magic "LZ4Block" (8) | token (1) | compressedLen (4 LE) |
+            # decompressedLen (4 LE) | checksum (4) | payload. Token high
+            # nibble 0x10 = stored raw, 0x20 = lz4-compressed. A
+            # decompressedLen of 0 is the end marker.
+            codec = _pa.Codec("lz4_raw")
+            out = bytearray()
+            pos = 0
+            while pos + 21 <= len(data):
+                if data[pos : pos + 8] != b"LZ4Block":
+                    raise ValueError(f"bad LZ4Block magic at offset {pos}")
+                token = data[pos + 8]
+                clen = struct.unpack("<i", data[pos + 9 : pos + 13])[0]
+                dlen = struct.unpack("<i", data[pos + 13 : pos + 17])[0]
+                block = data[pos + 21 : pos + 21 + clen]
+                if dlen == 0:
+                    break
+                if (token & 0xF0) == 0x10:
+                    out += block
+                else:
+                    out += bytes(codec.decompress(block, dlen))
+                pos += 21 + clen
+            return bytes(out)
+
+        def snappy_java_stream(data: bytes) -> bytes:
+            # snappy-java SnappyOutputStream framing: header (8-byte magic
+            # "\x82SNAPPY\x00" + 2 version ints) then per chunk —
+            # compressedLen (4 BE) | raw-snappy payload (which embeds its
+            # own uncompressed length varint).
+            if data[:8] != b"\x82SNAPPY\x00":
+                raise ValueError("bad snappy-java magic")
+            codec = _pa.Codec("snappy")
+            out = bytearray()
+            pos = 16
+            while pos + 4 <= len(data):
+                clen = struct.unpack(">i", data[pos : pos + 4])[0]
+                chunk = data[pos + 4 : pos + 4 + clen]
+                # raw snappy leads with the uncompressed length as a varint
+                dlen, shift, vp = 0, 0, 0
+                while True:
+                    b = chunk[vp]
+                    dlen |= (b & 0x7F) << shift
+                    vp += 1
+                    shift += 7
+                    if not (b & 0x80):
+                        break
+                out += bytes(codec.decompress(chunk, dlen))
+                pos += 4 + clen
+            return bytes(out)
+
+        def zstd_stream(data: bytes) -> bytes:
+            # standard zstd frames; streamed because event-log writers
+            # don't embed the content size
+            with _pa.input_stream(_pa.BufferReader(data), compression="zstd") as f:
+                return f.read()
+
+        decoders = {
+            ".lz4": lz4_block_stream,
+            ".zstd": zstd_stream,
+            ".zst": zstd_stream,
+            ".snappy": snappy_java_stream,
+        }
+        for pdf in batches:
+            out = {"raw_data": [], "src_file": []}
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                ext = "." + apath.rsplit(".", 1)[-1].lower()
+                # S8: strip the codec extension so app-id-from-path sees
+                # the same name an uncompressed log would have
+                stem = apath[: -len(ext)] if ext in decoders else apath
+                text = decoders[ext](bytes(content)).decode(
+                    "utf-8", errors="replace"
+                )
+                for line in text.splitlines():
+                    out["raw_data"].append(line)
+                    out["src_file"].append(stem)
+            yield _pd.DataFrame(out)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    lines = raw.mapInPandas(
+        decode,
         StructType(
             [
                 StructField("raw_data", StringType(), False),

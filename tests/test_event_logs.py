@@ -263,3 +263,104 @@ def test_zip_compressed_logs(spark, tmp_path):
     assert len(rows) == 8
     assert {r.app_id for r in rows} == {"application_zip"}
     assert events.filter("is_task").count() == 5
+
+
+def test_lz4_zstd_snappy_compressed_logs(spark, tmp_path):
+    """S6 compression parity: ingest event logs compressed the way
+    ``spark.eventLog.compress=true`` writes them — lz4-java block stream,
+    zstd frame, snappy-java block stream. Fixtures are produced by the
+    SAME JVM codec classes Spark uses, so the framing is authentic."""
+    from spark_history_server_rs_spark.sources.event_logs import (
+        read_compressed_event_logs,
+    )
+
+    d = tmp_path / "clogs"
+    d.mkdir()
+    jvm = spark.sparkContext._jvm
+    apps = {}
+    for app, ext, mk in [
+        ("app-20260813-lz4demo", ".lz4",
+         lambda fos: jvm.net.jpountz.lz4.LZ4BlockOutputStream(fos)),
+        ("app-20260813-zstdemo", ".zstd",
+         lambda fos: jvm.com.github.luben.zstd.ZstdOutputStream(fos)),
+        ("app-20260813-snpdemo", ".snappy",
+         lambda fos: jvm.org.xerial.snappy.SnappyOutputStream(fos)),
+    ]:
+        evs = list(_app_events(app, 3, 0.5, 1 << 28))
+        # drop the embedded App ID so app_id must come from the file path
+        for e in evs:
+            e.pop("App ID", None)
+        payload = "".join(json.dumps(e) + "\n" for e in evs).encode()
+        fos = jvm.java.io.FileOutputStream(str(d / (app + ext)))
+        out = mk(fos)
+        out.write(bytearray(payload))
+        out.close()
+        apps[app] = len(evs)
+
+    events = read_compressed_event_logs(spark, str(d))
+    rows = events.collect()
+    got = {}
+    for r in rows:
+        got[r.app_id] = got.get(r.app_id, 0) + 1
+    assert got == apps
+    # catalog runs unchanged on the decoded events
+    te = catalog.resource_usage_summary(events).collect()
+    assert len(te) > 0
+
+
+def test_flat_layout_app_id_from_file_name(spark, tmp_path):
+    """S8 on the default FLAT layout (log files directly under the log
+    root): every event — including those without an embedded App ID — must
+    get the FILE name as app_id, never the log-root directory name
+    (reference main.rs:396-401)."""
+    d = tmp_path / "spark-events"
+    d.mkdir()
+    for app in ("app-20241201-160000-hog", "application_1700000000_0001"):
+        evs = list(_app_events(app, 2, 0.5, 1 << 28))
+        for e in evs:
+            e.pop("App ID", None)  # force the path fallback
+        _write_log(str(d / app), evs, extra_garbage=False)
+
+    events = read_event_logs(spark, str(d) + "/*")
+    assert set(r.app_id for r in events.collect()) == {
+        "app-20241201-160000-hog",
+        "application_1700000000_0001",
+    }
+    # non-app-prefixed flat file → file name (reference uses it verbatim)
+    evs = list(_app_events("x", 1, 0.5, 1 << 28))
+    for e in evs:
+        e.pop("App ID", None)
+    _write_log(str(d / "sample_event_log.json"), evs, extra_garbage=False)
+    events = read_event_logs(spark, str(d / "sample_event_log.json"))
+    assert set(r.app_id for r in events.collect()) == {"sample_event_log.json"}
+
+
+def test_discovery_skips_decoy_files(spark, tmp_path):
+    """S2/S3: a stray README / parquet / tool dropping in the log dir must
+    not be ingested (reference hdfs_reader.rs:131-134,183-186 filters
+    both the app-dir and event-file names)."""
+    base = tmp_path / "logs"
+    base.mkdir()
+    appdir = base / "application_real"
+    appdir.mkdir()
+    _write_log(
+        str(appdir / "events_1"),
+        _app_events("application_real", 2, 0.5, 1 << 28),
+        extra_garbage=False,
+    )
+    # decoys: wrong dir name, wrong file name, stray flat files
+    (base / "README.md").write_text("# not an event log\n")
+    (base / "data.parquet").write_bytes(b"PAR1 garbage")
+    notes = base / "tool-output"
+    notes.mkdir()
+    (notes / "events_fake").write_text('{"Event":"SparkListenerApplicationStart"}\n')
+    (appdir / "summary.txt").write_text("neither\n")
+
+    sink = str(tmp_path / "sink")
+    manifest = str(tmp_path / "manifest")
+    n = incremental_ingest(spark, str(base), sink, manifest)
+    assert n == 1  # only application_real/events_1
+    sunk = read_events_sink(spark, sink)
+    assert set(r.app_id for r in sunk.select("app_id").distinct().collect()) == {
+        "application_real"
+    }
