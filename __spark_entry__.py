@@ -44,8 +44,31 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from spark_history_server_rs_spark.operators.oracles import (
+        TW_APP_ID,
+        TW_END_MS,
+        TW_START_MS,
+    )
+
     return {
         "applications": _q(catalog.applications),
+        # P4/P5 predicate template with live parameters (start/end/app)
+        "applications_time_window": _q(
+            lambda ev: catalog.applications(
+                catalog.time_window(ev, start_ms=TW_START_MS, end_ms=TW_END_MS)
+            )
+        ),
+        "applications_app_window": _q(
+            lambda ev: catalog.applications(
+                catalog.time_window(ev, start_ms=TW_START_MS, app_id=TW_APP_ID)
+            )
+        ),
+        # ?status / minEndDate filters applied for real (api.rs:62-99)
+        "applications_status_completed": _q(
+            lambda ev: catalog.applications_filtered(
+                ev, statuses=["completed"], min_end_ms=TW_START_MS
+            )
+        ),
         "count_events": _q(catalog.count_events),
         "resource_usage_summary": _q(catalog.resource_usage_summary),
         "executor_summary": _q(catalog.executor_summary),

@@ -36,6 +36,7 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import DataFrame
 
 from ..operators import catalog
+from ..sources.event_logs import applications_with_attempts
 
 VERSION = {"version": "1.0.0", "engine": "pyspark"}
 
@@ -80,6 +81,14 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet test runs
         pass
 
+    def _send_html(self, html: str) -> None:
+        body = html.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def _filtered_events(self, qs: dict) -> DataFrame:
         ev = self.server.events  # type: ignore[attr-defined]
         start = qs.get("startDate", [None])[0] or qs.get("minDate", [None])[0]
@@ -93,10 +102,14 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         )
 
     def _limit(self, qs: dict, default: int) -> int:
+        raw = qs.get("limit", [default])[0]
         try:
-            return int(qs.get("limit", [default])[0])
-        except ValueError:
-            return default
+            n = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(f"invalid limit: {raw!r}")
+        if n < 0:
+            raise ValueError(f"invalid limit: {n} (must be >= 0)")
+        return min(n, 10_000)
 
     # ---- routing ----------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
@@ -122,8 +135,18 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send(404, {"error": "deprecated endpoint"})
 
         if path == "/api/v1/applications":
-            df = catalog.applications(
-                self._filtered_events(qs), limit=self._limit(qs, 100)
+            # full reference param surface (api.rs:62-99): status list,
+            # start-window (minDate/maxDate, P4), end-window
+            # (minEndDate/maxEndDate), limit
+            status = qs.get("status", [None])[0]
+            min_end = qs.get("minEndDate", [None])[0]
+            max_end = qs.get("maxEndDate", [None])[0]
+            df = catalog.applications_filtered(
+                self._filtered_events(qs),
+                statuses=status.split(",") if status else None,
+                min_end_ms=parse_date_param(min_end) if min_end else None,
+                max_end_ms=parse_date_param(max_end) if max_end else None,
+                limit=self._limit(qs, 100),
             )
             return self._send(200, _rows(df))
 
@@ -135,6 +158,13 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             rows = _rows(df)
             if not rows:
                 return self._send(404, {"error": "unknown application"})
+            # ApplicationInfo shape (models.rs:10-18): attach the attempt
+            # list, newest first
+            att = applications_with_attempts(
+                ev.filter(ev["app_id"] == m.group(1))
+            )
+            arows = _rows(att)
+            rows[0]["attempts"] = arows[0]["attempts"] if arows else []
             return self._send(200, rows[0])
 
         m = re.fullmatch(r"/api/v1/applications/([^/]+)/executors", path)
@@ -174,13 +204,14 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         if path in ("/optimize", "/dashboard"):
             # dashboard render (reference dashboard.rs:55-159 + Askama HTML
             # templates): static shell that pulls the JSON endpoints
-            body = _DASHBOARD_HTML.encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html; charset=utf-8")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-            return
+            return self._send_html(_DASHBOARD_HTML)
+        if path == "/resources":
+            # analytics view retired → meta-refresh redirect to /optimize
+            # (reference dashboard.rs:161-187)
+            return self._send_html(_RESOURCES_REDIRECT_HTML)
+        if path == "/teams":
+            # static placeholder (reference dashboard.rs:189-214)
+            return self._send_html(_TEAMS_HTML)
 
         if path == "/":
             # dashboard summary (dashboard.rs:55-159): four catalog calls +
@@ -228,12 +259,35 @@ _DASHBOARD_HTML = """<!doctype html>
 <h2>Resource hogs</h2><table id="hogs"></table>
 <h2>Efficiency analysis</h2><table id="eff"></table>
 <script>
+// Cells are built via createElement/textContent — row values derive from
+// untrusted event-log content (app ids, file names), so nothing from the
+// JSON is ever interpolated into markup (the reference gets the same
+// guarantee from Askama's auto-escaping).
 function fill(id, rows){
   const t = document.getElementById(id);
-  if(!rows.length){ t.outerHTML = "<p>no data</p>"; return; }
+  if(!rows.length){
+    const p = document.createElement("p");
+    p.textContent = "no data";
+    t.replaceWith(p);
+    return;
+  }
   const cols = Object.keys(rows[0]);
-  t.innerHTML = "<tr>"+cols.map(c=>`<th>${c}</th>`).join("")+"</tr>" +
-    rows.map(r=>"<tr>"+cols.map(c=>`<td>${r[c]}</td>`).join("")+"</tr>").join("");
+  const head = document.createElement("tr");
+  for(const c of cols){
+    const th = document.createElement("th");
+    th.textContent = c;
+    head.appendChild(th);
+  }
+  t.appendChild(head);
+  for(const r of rows){
+    const tr = document.createElement("tr");
+    for(const c of cols){
+      const td = document.createElement("td");
+      td.textContent = String(r[c]);
+      tr.appendChild(td);
+    }
+    t.appendChild(tr);
+  }
 }
 fetch("/").then(r=>r.json()).then(d=>{
   document.getElementById("summary").textContent =
@@ -242,4 +296,26 @@ fetch("/").then(r=>r.json()).then(d=>{
   fill("hogs", d.resource_hogs); fill("eff", d.efficiency);
 });
 </script></body></html>
+"""
+
+_RESOURCES_REDIRECT_HTML = """<!doctype html>
+<html><head><title>Resources - Spark Platform</title>
+<meta http-equiv="refresh" content="0; url=/optimize"></head>
+<body>
+<p>The resources view has been integrated into the
+<a href="/optimize">Optimization Dashboard</a>.</p>
+<p>Redirecting automatically...</p>
+</body></html>
+"""
+
+_TEAMS_HTML = """<!doctype html>
+<html><head><title>Teams - Spark Platform</title>
+<style>body{font-family:system-ui;margin:40px;text-align:center}
+.message{background:#f0f9ff;border:1px solid #0ea5e9;padding:20px;border-radius:8px}
+</style></head>
+<body><div class="message">
+<h2>Teams View</h2>
+<p>Teams functionality coming soon...</p>
+<p><a href="/">&larr; Back to Overview</a></p>
+</div></body></html>
 """

@@ -88,6 +88,41 @@ def applications(ev: DataFrame, limit: int = 100) -> DataFrame:
     )
 
 
+def applications_filtered(
+    ev: DataFrame,
+    statuses: list[str] | None = None,
+    min_end_ms: int | None = None,
+    max_end_ms: int | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """A1 + the reference's declared filter params (``?status``,
+    ``minEndDate``, ``maxEndDate`` — api.rs:62-99). The reference *parses*
+    them but never applies them (api.rs:84-99 binds to underscored vars);
+    here they filter for real: status via the 'completed = has end event'
+    rule (J3), end-date range against the app's last event. Unknown status
+    tokens are dropped, mirroring the reference's ``filter_map``; if none
+    survive, no status filter applies.
+
+    Post-agg filters on a per-app aggregate — the filter input is one row
+    per application, so this costs nothing extra at any event scale."""
+    apps = ev.groupBy("app_id").agg(
+        epoch_ms(F.min("event_ts")).alias("start_ms"),
+        epoch_ms(F.max("event_ts")).alias("end_ms"),
+        F.count("*").alias("event_count"),
+        (F.count(F.when(F.col("is_app_end"), 1)) > 0).alias("completed"),
+    )
+    if statuses:
+        wanted = {s.strip().upper() for s in statuses}
+        allowed = [c for s, c in (("COMPLETED", True), ("RUNNING", False)) if s in wanted]
+        if allowed:
+            apps = apps.filter(F.col("completed").isin(allowed))
+    if min_end_ms is not None:
+        apps = apps.filter(F.col("end_ms") >= F.lit(min_end_ms))
+    if max_end_ms is not None:
+        apps = apps.filter(F.col("end_ms") <= F.lit(max_end_ms))
+    return apps.orderBy(F.desc("end_ms"), "app_id").limit(limit)
+
+
 # --------------------------------------------------------------------------
 # A2 — global counters
 # --------------------------------------------------------------------------
@@ -574,6 +609,28 @@ def efficiency_analysis(ev: DataFrame, limit: int = 10) -> DataFrame:
             F.when(F.col("task_count") < 10, "High")
             .when(F.col("cpu_efficiency_pct") < 20, "Low")
             .otherwise("Medium"),
+        )
+        .withColumn(
+            # host-side derived list in the reference
+            # (duckdb_store_backup.rs:1323-1337), a column expr here
+            "optimization_actions",
+            F.when(
+                F.col("efficiency_category") == "OverProvisioned",
+                F.array(
+                    F.lit("Reduce executor memory allocation"),
+                    F.lit("Decrease number of executor cores"),
+                    F.lit("Consider smaller instance types"),
+                ),
+            )
+            .when(
+                F.col("efficiency_category") == "UnderProvisioned",
+                F.array(
+                    F.lit("Increase executor memory allocation"),
+                    F.lit("Add more executor cores"),
+                    F.lit("Monitor for OOM errors"),
+                ),
+            )
+            .otherwise(F.array(F.lit("Configuration appears optimal"))),
         )
         .orderBy(F.desc("potential_savings"), "app_id")
         .limit(limit)

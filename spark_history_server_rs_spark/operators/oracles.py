@@ -46,6 +46,58 @@ ORACLE_SQL["count_events"] = f"""{_CTE}
 SELECT COUNT(*) AS total_events, MAX(id) AS max_event_id FROM ev
 """
 
+# P4/P5 with LIVE parameters (the reference's single most shared code path,
+# duckdb_store_backup.rs:505-508): the same A1 aggregate behind a bound
+# start/end window and an app filter. Constants are mid-range for the
+# sf0.01 ts domain (2024-01-01..2024-01-30) so each predicate drops rows.
+TW_START_MS = 1704672000000  # 2024-01-08T00:00:00Z
+TW_END_MS = 1705881600000  # 2024-01-22T00:00:00Z
+TW_APP_ID = "7"
+
+ORACLE_SQL["applications_time_window"] = f"""{_CTE}
+SELECT app_id,
+       CAST(epoch_ms(MIN(event_ts)) AS BIGINT) AS start_ms,
+       CAST(epoch_ms(MAX(event_ts)) AS BIGINT) AS end_ms,
+       COUNT(*) AS event_count
+FROM ev
+WHERE CAST(epoch_ms(event_ts) AS BIGINT) >= {TW_START_MS}
+  AND CAST(epoch_ms(event_ts) AS BIGINT) <= {TW_END_MS}
+GROUP BY app_id
+ORDER BY end_ms DESC, app_id
+LIMIT 100
+"""
+
+ORACLE_SQL["applications_app_window"] = f"""{_CTE}
+SELECT app_id,
+       CAST(epoch_ms(MIN(event_ts)) AS BIGINT) AS start_ms,
+       CAST(epoch_ms(MAX(event_ts)) AS BIGINT) AS end_ms,
+       COUNT(*) AS event_count
+FROM ev
+WHERE CAST(epoch_ms(event_ts) AS BIGINT) >= {TW_START_MS}
+  AND app_id = '{TW_APP_ID}'
+GROUP BY app_id
+ORDER BY end_ms DESC, app_id
+LIMIT 100
+"""
+
+# ?status=completed&minEndDate=... on /api/v1/applications — the filters
+# the reference declares (api.rs:62-99) applied for real.
+ORACLE_SQL["applications_status_completed"] = f"""{_CTE},
+apps AS (
+  SELECT app_id,
+         CAST(epoch_ms(MIN(event_ts)) AS BIGINT) AS start_ms,
+         CAST(epoch_ms(MAX(event_ts)) AS BIGINT) AS end_ms,
+         COUNT(*) AS event_count,
+         COUNT(CASE WHEN is_app_end THEN 1 END) > 0 AS completed
+  FROM ev GROUP BY app_id
+)
+SELECT app_id, start_ms, end_ms, event_count, completed
+FROM apps
+WHERE completed AND end_ms >= {TW_START_MS}
+ORDER BY end_ms DESC, app_id
+LIMIT 100
+"""
+
 ORACLE_SQL["resource_usage_summary"] = f"""{_CTE}
 SELECT app_id, event_type,
        strftime(event_date, '%Y-%m-%d') AS event_date,
@@ -319,7 +371,17 @@ SELECT *,
             ELSE 0.0::DOUBLE END AS potential_savings,
        CASE WHEN task_count < 10 THEN 'High'
             WHEN cpu_efficiency_pct < 20 THEN 'Low'
-            ELSE 'Medium' END AS risk_level
+            ELSE 'Medium' END AS risk_level,
+       CASE WHEN cpu_efficiency_pct < 30 THEN
+              ['Reduce executor memory allocation',
+               'Decrease number of executor cores',
+               'Consider smaller instance types']
+            WHEN cpu_efficiency_pct > 90 THEN
+              ['Increase executor memory allocation',
+               'Add more executor cores',
+               'Monitor for OOM errors']
+            ELSE ['Configuration appears optimal']
+       END AS optimization_actions
 FROM derived
 ORDER BY potential_savings DESC, app_id
 LIMIT 10

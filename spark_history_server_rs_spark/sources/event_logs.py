@@ -112,11 +112,19 @@ def _project_events(
             # parent dir for flat layouts, merging every app into one.
             F.coalesce(
                 _get("$['App ID']"),
+                # eventlog_v2_<appId> rollover dirs: the app id is the dir
+                # name MINUS the prefix (Spark's EventLogFileWriter v2
+                # naming), so events before ApplicationStart coalesce to
+                # the same app as events after it
                 F.nullif(
-                    F.regexp_extract(
-                        F.col("src_file"),
-                        r"(application_[\w.-]+|app-[\w.-]+|eventlog_v2_[\w.-]+)(?:/[^/]*)?$",
-                        1,
+                    F.regexp_replace(
+                        F.regexp_extract(
+                            F.col("src_file"),
+                            r"(application_[\w.-]+|app-[\w.-]+|eventlog_v2_[\w.-]+)(?:/[^/]*)?$",
+                            1,
+                        ),
+                        r"^eventlog_v2_",
+                        "",
                     ),
                     F.lit(""),
                 ),
@@ -474,6 +482,126 @@ def application_details(events: DataFrame) -> DataFrame:
                 F.lit(DEFAULT_NOW_MS) - F.col("start_ms")
             ),
         )
+        .orderBy("app_id")
+    )
+
+
+def application_attempts(events: DataFrame, now_ms: int = DEFAULT_NOW_MS) -> DataFrame:
+    """Per-(app, attempt) fold — the reference's ApplicationAttemptInfo
+    (models.rs:20-40), built the way its per-file parser does
+    (storage/event_log.rs:26-93): each log unit (rollover dir or flat
+    file) folds to ONE attempt; ``attempt_id`` comes from the start
+    event's ``App Attempt ID`` (absent → NULL, e.g. client-mode apps),
+    ``spark_version`` from ``SparkListenerLogStart``/``EnvironmentUpdate``,
+    ``end_time`` falls back to last_updated when the log has no end event
+    (event_log.rs:70-71).
+
+    One groupBy keyed on (app_id, log unit) — the same single shuffle as
+    A17 at any history size."""
+    # same two-step fallback as the S8 app-id rule: app-prefixed path
+    # component (rollover dir / flat file) first, else the file name.
+    # Sources without file provenance (the generic binding) fold each app
+    # to a single attempt keyed by app_id.
+    src = F.col("src_file") if "src_file" in events.columns else F.col("app_id")
+    log_unit = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                src,
+                r"(application_[\w.-]+|app-[\w.-]+|eventlog_v2_[\w.-]+)(?:/[^/]*)?$",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.regexp_extract(src, r"([^/]+)$", 1),
+    )
+    on_start = lambda c: F.max(F.when(F.col("is_app_start"), c))  # noqa: E731
+    # Group by the log unit ALONE (one file/dir = one attempt, exactly the
+    # reference's per-file fold), then take the unit's app id from its
+    # ApplicationStart event — events written before it (LogStart,
+    # EnvironmentUpdate) carry only the path-derived id and must not split
+    # the attempt.
+    att = (
+        events.groupBy(log_unit.alias("log_unit"))
+        .agg(
+            F.coalesce(
+                on_start(F.get_json_object("raw_data", "$['App ID']")),
+                F.max("app_id"),
+            ).alias("app_id"),
+            on_start(F.get_json_object("raw_data", "$['App Attempt ID']")).alias(
+                "attempt_id"
+            ),
+            F.coalesce(
+                on_start(F.get_json_object("raw_data", "$['User']")),
+                F.lit("unknown"),
+            ).alias("spark_user"),
+            F.coalesce(
+                F.max(F.get_json_object("raw_data", "$['Spark Version']")),
+                F.lit("unknown"),
+            ).alias("app_spark_version"),
+            F.unix_millis(
+                F.min(F.when(F.col("is_app_start"), F.col("event_ts")))
+            ).alias("start_ms"),
+            F.unix_millis(F.max(F.when(F.col("is_app_end"), F.col("event_ts")))).alias(
+                "app_end_ms"
+            ),
+            F.unix_millis(F.max("event_ts")).alias("last_updated_ms"),
+            (F.count(F.when(F.col("is_app_end"), 1)) > 0).alias("completed"),
+        )
+        .withColumn(
+            "end_ms",
+            F.coalesce(
+                F.col("app_end_ms"),
+                F.when(F.col("completed"), F.col("last_updated_ms")).otherwise(
+                    F.lit(now_ms)
+                ),
+            ),
+        )
+        .withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
+    )
+    return att.select(
+        "app_id",
+        "attempt_id",
+        "start_ms",
+        "end_ms",
+        "last_updated_ms",
+        "duration_ms",
+        "spark_user",
+        "completed",
+        "app_spark_version",
+    ).orderBy("app_id", F.desc_nulls_last("attempt_id"))
+
+
+def applications_with_attempts(
+    events: DataFrame, now_ms: int = DEFAULT_NOW_MS
+) -> DataFrame:
+    """The reference's ApplicationInfo shape (models.rs:10-18): one row per
+    application carrying its attempt list, newest attempt first (the
+    History Server's ordering). ``sort_array`` on a struct whose FIRST
+    field is attempt_id gives the descending attempt order without a
+    second shuffle."""
+    att = application_attempts(events, now_ms=now_ms)
+    name = F.max(F.when(F.col("is_app_start"), F.get_json_object("raw_data", "$['App Name']")))
+    names = events.groupBy("app_id").agg(name.alias("app_name"))
+    per_app = att.groupBy("app_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "attempt_id",
+                    "start_ms",
+                    "end_ms",
+                    "last_updated_ms",
+                    "duration_ms",
+                    "spark_user",
+                    "completed",
+                    "app_spark_version",
+                )
+            ),
+            asc=False,
+        ).alias("attempts"),
+    )
+    return (
+        per_app.join(names, "app_id", "left")
+        .select("app_id", "app_name", "attempts")
         .orderBy("app_id")
     )
 

@@ -122,3 +122,75 @@ def test_dashboard_html(api):
         assert "text/html" in r.headers["Content-Type"]
         body = r.read().decode()
     assert "Resource hogs" in body
+
+
+def test_applications_status_and_end_date_filters(api):
+    """Mirrors the reference's declared param surface (api.rs:62-99) with
+    the filters actually applied: status=running|completed partitions the
+    app list; minEndDate/maxEndDate bound the app's last-event time."""
+    code, all_apps = _get(api, "/api/v1/applications")
+    code1, completed = _get(api, "/api/v1/applications?status=completed")
+    code2, running = _get(api, "/api/v1/applications?status=running")
+    assert code == code1 == code2 == 200
+    assert all(a["completed"] for a in completed)
+    assert not any(a["completed"] for a in running)
+    # the two statuses partition the full list
+    assert len(completed) + len(running) == len(all_apps)
+    # comma list = union; unknown tokens are dropped (filter_map parity)
+    code3, both = _get(api, "/api/v1/applications?status=running,completed,bogus")
+    assert code3 == 200 and len(both) == len(all_apps)
+
+    # end-date window: a future minEndDate excludes everything
+    code4, none = _get(api, "/api/v1/applications?minEndDate=2050-01-01")
+    assert code4 == 200 and none == []
+    code5, still = _get(api, "/api/v1/applications?maxEndDate=2050-01-01")
+    assert code5 == 200 and len(still) == len(all_apps)
+    code6, _ = _get(api, "/api/v1/applications?minEndDate=garbage")
+    assert code6 == 400
+
+
+def test_limit_validation(api):
+    """Malformed limit → 400, not a Spark-side 500 (negative limits raise
+    inside df.limit); huge limits are clamped, not fatal."""
+    for bad in ("-1", "abc", "1.5"):
+        code, body = _get(api, f"/api/v1/applications?limit={bad}")
+        assert code == 400, (bad, body)
+    code, apps = _get(api, "/api/v1/applications?limit=999999999")
+    assert code == 200
+
+
+def test_resources_redirect_and_teams(api):
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/resources", timeout=120) as r:
+        assert r.status == 200
+        body = r.read().decode()
+    assert 'url=/optimize' in body  # meta-refresh redirect (dashboard.rs:161-187)
+    with urllib.request.urlopen(api + "/teams", timeout=120) as r:
+        assert r.status == 200
+        body = r.read().decode()
+    assert "Teams" in body
+
+
+def test_dashboard_js_has_no_interpolated_markup(api):
+    """XSS regression gate: the dashboard script must not build table
+    markup by string interpolation — values from untrusted event logs go
+    through textContent only."""
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/dashboard", timeout=120) as r:
+        body = r.read().decode()
+    assert "innerHTML" not in body
+    assert "<td>${" not in body and "<th>${" not in body
+
+
+def test_single_application_includes_attempts(api):
+    code, apps = _get(api, "/api/v1/applications?limit=1")
+    app_id = apps[0]["app_id"]
+    code, one = _get(api, f"/api/v1/applications/{app_id}")
+    assert code == 200
+    assert isinstance(one["attempts"], list) and len(one["attempts"]) >= 1
+    att = one["attempts"][0]
+    for k in ("attempt_id", "start_ms", "end_ms", "duration_ms",
+              "spark_user", "completed", "app_spark_version"):
+        assert k in att

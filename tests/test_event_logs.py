@@ -364,3 +364,68 @@ def test_discovery_skips_decoy_files(spark, tmp_path):
     assert set(r.app_id for r in sunk.select("app_id").distinct().collect()) == {
         "application_real"
     }
+
+
+REAL_LOGS = "/root/reference/test-data/spark-events"
+
+
+def test_attempts_model_on_real_rollover_logs(spark):
+    """Attempts model (reference models.rs:10-48, storage/event_log.rs:26-93)
+    on the reference's own eventlog_v2 rollover fixtures: one attempt per
+    log unit, NULL attempt_id (the fixtures carry no App Attempt ID),
+    user/version/completed folded per attempt."""
+    import os
+
+    if not os.path.isdir(REAL_LOGS):
+        pytest.skip("reference fixture logs unavailable")
+    from spark_history_server_rs_spark.sources.event_logs import (
+        applications_with_attempts,
+        read_event_logs,
+    )
+
+    events = read_event_logs(spark, REAL_LOGS + "/eventlog_v2_*/*")
+    apps = {r.app_id: r for r in applications_with_attempts(events).collect()}
+    assert len(apps) == 3
+    for app_id, row in apps.items():
+        assert app_id.startswith("spark-")
+        assert len(row.attempts) == 1
+        att = row.attempts[0]
+        assert att.attempt_id is None  # fixtures have no App Attempt ID
+        assert att.spark_user == "spark"
+        assert att.app_spark_version == "3.5.3"
+        assert att.start_ms and att.last_updated_ms >= att.start_ms
+    assert apps["spark-110be3a8424d4a2789cb88134418217b"].app_name.startswith(
+        "NewYorkTaxiData"
+    )
+
+
+def test_attempts_model_multi_attempt_ordering(spark, tmp_path):
+    """A yarn-style app with two attempts (two log files, App Attempt ID
+    1/2) folds to ONE application row with attempts newest-first."""
+    from spark_history_server_rs_spark.sources.event_logs import (
+        applications_with_attempts,
+        read_event_logs,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    app = "application_1700000000_0042"
+    for attempt, complete in (("1", False), ("2", True)):
+        evs = list(_app_events(app, 2, 0.5, 1 << 28))
+        for e in evs:
+            if e["Event"] == "SparkListenerApplicationStart":
+                e["App Attempt ID"] = attempt
+                e["Timestamp"] += int(attempt) * 1000
+        if not complete:
+            evs = [e for e in evs if e["Event"] != "SparkListenerApplicationEnd"]
+        _write_log(str(d / f"{app}_{attempt}"), evs, extra_garbage=False)
+
+    events = read_event_logs(spark, str(d) + "/*")
+    rows = applications_with_attempts(events).collect()
+    assert len(rows) == 1
+    atts = rows[0].attempts
+    assert [a.attempt_id for a in atts] == ["2", "1"]  # newest first
+    assert atts[0].completed is True
+    assert atts[1].completed is False
+    assert atts[1].end_ms > atts[1].last_updated_ms  # running → pinned now
+    assert atts[0].duration_ms == atts[0].end_ms - atts[0].start_ms
