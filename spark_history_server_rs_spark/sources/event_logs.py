@@ -486,6 +486,63 @@ def application_details(events: DataFrame) -> DataFrame:
     )
 
 
+#: typed view of the ExecutorAdded/Removed payload (maps need a schema —
+#: get_json_object can only return scalars)
+_EXEC_INFO_SCHEMA = (
+    "struct<`Executor Info`: struct<`Host`: string,"
+    " `Log Urls`: map<string,string>, `Attributes`: map<string,string>,"
+    " `Resource Profile Id`: bigint>,"
+    " `Removed Reason`: string>"
+)
+
+
+def executor_details(events: DataFrame) -> DataFrame:
+    """Executor lifecycle detail on real logs — the reference's
+    ExecutorSummary metadata columns (models.rs:95-112): add/remove times,
+    remove reason, host, the ``executor_logs``/``attributes``
+    ``map<string,string>`` columns, resource profile id, and the excluded
+    flag. One groupBy over the (tiny) executor-lifecycle event subset.
+
+    Only meaningful on the event-log source (the generic binding's
+    raw_data has no Executor Info) — covered by the ingest test suite,
+    like :func:`application_details`."""
+    x = F.from_json("raw_data", _EXEC_INFO_SCHEMA)
+    on_add = lambda c: F.first(F.when(F.col("is_exec_add"), c), ignorenulls=True)  # noqa: E731
+    excluded_types = ("ExecutorExcluded", "ExecutorBlacklisted")
+    return (
+        events.filter(
+            F.col("is_exec_add")
+            | F.col("is_exec_remove")
+            | F.col("event_type").isin(*excluded_types)
+        )
+        .withColumn("_x", x)
+        .groupBy("app_id", "executor_id")
+        .agg(
+            F.unix_millis(
+                F.min(F.when(F.col("is_exec_add"), F.col("event_ts")))
+            ).alias("add_time_ms"),
+            F.unix_millis(
+                F.max(F.when(F.col("is_exec_remove"), F.col("event_ts")))
+            ).alias("remove_time_ms"),
+            F.max(
+                F.when(F.col("is_exec_remove"), F.col("_x")["Removed Reason"])
+            ).alias("remove_reason"),
+            on_add(F.col("_x")["Executor Info"]["Host"]).alias("host"),
+            F.max("total_cores").cast("long").alias("total_cores"),
+            on_add(F.col("_x")["Executor Info"]["Log Urls"]).alias("executor_logs"),
+            on_add(F.col("_x")["Executor Info"]["Attributes"]).alias("attributes"),
+            on_add(F.col("_x")["Executor Info"]["Resource Profile Id"]).alias(
+                "resource_profile_id"
+            ),
+            (
+                F.count(F.when(F.col("event_type").isin(*excluded_types), 1)) > 0
+            ).alias("is_excluded"),
+        )
+        .withColumn("active", F.col("remove_time_ms").isNull())
+        .orderBy("app_id", "executor_id")
+    )
+
+
 def application_attempts(events: DataFrame, now_ms: int = DEFAULT_NOW_MS) -> DataFrame:
     """Per-(app, attempt) fold — the reference's ApplicationAttemptInfo
     (models.rs:20-40), built the way its per-file parser does

@@ -429,3 +429,71 @@ def test_attempts_model_multi_attempt_ordering(spark, tmp_path):
     assert atts[1].completed is False
     assert atts[1].end_ms > atts[1].last_updated_ms  # running → pinned now
     assert atts[0].duration_ms == atts[0].end_ms - atts[0].start_ms
+
+
+def test_executor_details_maps(spark, tmp_path):
+    """Executor metadata columns (reference models.rs:95-112): log-URL and
+    attribute maps, remove reason, resource profile, active flag."""
+    from spark_history_server_rs_spark.sources.event_logs import (
+        executor_details,
+        read_event_logs,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    app = "application_execmeta"
+    evs = [
+        {"Event": "SparkListenerApplicationStart", "App ID": app,
+         "App Name": "m", "Timestamp": BASE_TS, "User": "u"},
+        {"Event": "SparkListenerExecutorAdded", "Timestamp": BASE_TS + 1000,
+         "Executor ID": "1",
+         "Executor Info": {"Host": "node-a", "Total Cores": 4,
+                           "Log Urls": {"stdout": "http://node-a/out",
+                                        "stderr": "http://node-a/err"},
+                           "Attributes": {"CONTAINER_ID": "c-123"},
+                           "Resources": {}, "Resource Profile Id": 2}},
+        {"Event": "SparkListenerExecutorAdded", "Timestamp": BASE_TS + 2000,
+         "Executor ID": "2",
+         "Executor Info": {"Host": "node-b", "Total Cores": 4,
+                           "Log Urls": {}, "Attributes": {},
+                           "Resource Profile Id": 0}},
+        {"Event": "SparkListenerExecutorRemoved", "Timestamp": BASE_TS + 9000,
+         "Executor ID": "1", "Removed Reason": "Killed by dynamic allocation"},
+        {"Event": "SparkListenerApplicationEnd", "Timestamp": BASE_TS + 10000},
+    ]
+    appdir = d / app
+    appdir.mkdir()
+    _write_log(str(appdir / "events_1"), evs, extra_garbage=False)
+
+    events = read_event_logs(spark, str(d) + "/*/*")
+    rows = {r.executor_id: r for r in executor_details(events).collect()}
+    assert set(rows) == {"1", "2"}
+    e1 = rows["1"]
+    assert e1.executor_logs == {"stdout": "http://node-a/out",
+                                "stderr": "http://node-a/err"}
+    assert e1.attributes == {"CONTAINER_ID": "c-123"}
+    assert e1.resource_profile_id == 2
+    assert e1.host == "node-a"
+    assert e1.remove_reason == "Killed by dynamic allocation"
+    assert e1.active is False and e1.is_excluded is False
+    e2 = rows["2"]
+    assert e2.active is True and e2.remove_time_ms is None
+    assert e2.executor_logs == {}
+
+
+def test_executor_details_on_real_logs(spark):
+    import os
+
+    if not os.path.isdir(REAL_LOGS):
+        pytest.skip("reference fixture logs unavailable")
+    from spark_history_server_rs_spark.sources.event_logs import (
+        executor_details,
+        read_event_logs,
+    )
+
+    events = read_event_logs(spark, REAL_LOGS + "/eventlog_v2_*/*")
+    rows = executor_details(events).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.executor_logs == {} and r.attributes == {}
+        assert r.add_time_ms is not None
