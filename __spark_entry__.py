@@ -15,6 +15,7 @@ from spark_history_server_rs_spark.operators import (
     catalog,
     corpus,
     dedup,
+    llmprep,
     multimodal,
     relational,
     similarity,
@@ -112,6 +113,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
+        # --- LLM training-data prep: profiling, packing, sampling,
+        #     decontamination, normalization, embedding health ---
+        "corpus_length_histogram": _d(llmprep.length_histogram),
+        "corpus_bigram_counts": _d(llmprep.bigram_counts),
+        "corpus_pack_sequences": _d(llmprep.pack_sequences),
+        "corpus_stratified_sample": _d(llmprep.stratified_sample),
+        "corpus_contamination": _d(llmprep.contamination),
+        "text_stem_normalize": _d(llmprep.stem_normalize),
+        "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
+        "embedding_kmeans_step": _e(llmprep.kmeans_step),
     }
 
 
@@ -123,4 +134,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE_SQL_MULTIMODAL)
     out.update(relational.ORACLE_SQL_RELATIONAL)
     out.update(corpus.ORACLE_SQL_CORPUS)
+    out.update(llmprep.ORACLE_SQL_LLMPREP)
     return out

@@ -1,0 +1,484 @@
+"""LLM training-data preparation operators — the pipeline steps between a
+raw crawled corpus and a tokenizer-ready dataset: length profiling,
+n-gram statistics, sequence packing, stratified sampling, train/test
+decontamination, light normalization, and embedding-health checks.
+
+These extend the reference (which has no corpus ops) the same way
+:mod:`.textprep`/:mod:`.dedup`/:mod:`.corpus` do: first-class catalog
+entries with DuckDB oracle twins, Spark-first plans.
+
+Scale design per operator:
+
+- **length histogram** — one groupBy over a projected bucket; output is
+  bounded by (#langs × #buckets).
+- **bigram counts** — explode + window(lead) keyed on doc_id (the same
+  single shuffle as fingerprinting), then a bounded top-k aggregate.
+- **sequence packing** — running token cumsum per lang (window over the
+  lang shuffle), bin = cumsum div budget. Contiguous-greedy: deterministic
+  under distributed execution, unlike first-fit-decreasing whose result
+  depends on arrival order — the property that matters when 1000 workers
+  pack 100 TB.
+- **stratified sample** — pure projection (md5 threshold per doc), no
+  shuffle before the bounded per-lang summary; sampling decisions are
+  reproducible across runs/engines by construction.
+- **contamination** — shingle inverted-index join between the train and
+  test splits (reuses the materialized shingle relation); shuffles carry
+  (doc_id, shingle-hash), never text.
+- **stem normalize** — single projection of JVM higher-order lambdas.
+- **embedding dim stats / k-means step** — element snapping to scaled
+  integers BEFORE any cross-row SUM, so partial-aggregation order (Spark)
+  vs sequential order (DuckDB) cannot flip low bits; distances are
+  computed in one per-row fold (deterministic IEEE op sequence).
+
+Determinism rule (see ``sources/generic.py``): every cross-row float SUM
+aggregates integer-valued doubles; division/rounding happens once, after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .corpus import TRAIN_PCT, VAL_PCT, _BUCKET
+from .dedup import _SHINGLES_DUCK, _SHINGLES_VIEW_CTE, materialized_shingles
+
+_TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# --- shared constants -----------------------------------------------------
+PACK_TOKEN_BUDGET = 256  # context-window token budget for packing
+SAMPLE_PER_CENT = 10  # stratified sample rate (% of docs per lang)
+BIGRAM_TOP_K = 50
+CONTAMINATION_MIN_SHINGLES = 2  # shared 3-shingles to flag a pair
+EMBED_SCALE = 1000000.0  # element snap scale for embedding sums
+
+#: token-count histogram edges (CASE ladder — integer-exact in both
+#: engines, no log2 float edge cases at exact powers of two)
+LENGTH_BUCKETS = (16, 32, 64, 128, 256)
+
+
+# ==========================================================================
+# L1 — corpus length histogram
+# ==========================================================================
+def _bucket_case(n_expr: str) -> str:
+    branches = []
+    lo = 0
+    for edge in LENGTH_BUCKETS:
+        branches.append(
+            f"WHEN {n_expr} < {edge} THEN '{lo:04d}-{edge - 1:04d}'"
+        )
+        lo = edge
+    return (
+        "CASE " + " ".join(branches) + f" ELSE '{LENGTH_BUCKETS[-1]:04d}+' END"
+    )
+
+
+_LENGTH_HIST_TAIL = """
+sized AS (
+  SELECT lang, {bucket} AS token_bucket FROM ({tokens})
+),
+counts AS (
+  SELECT lang, token_bucket, COUNT(*) AS n_docs FROM sized
+  GROUP BY lang, token_bucket
+),
+tot AS (SELECT lang, SUM(n_docs) AS lang_docs FROM counts GROUP BY lang)
+SELECT c.lang, c.token_bucket, c.n_docs,
+       FLOOR((CAST(c.n_docs AS DOUBLE) * 100.0 / t.lang_docs) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS pct_of_lang
+FROM counts c JOIN tot t ON c.lang = t.lang
+ORDER BY c.lang, c.token_bucket
+"""
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """L1: token-count histogram per language (fixed CASE-ladder buckets)
+    with each bucket's share of its language. The per-corpus length
+    profile every data-mix decision starts from."""
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _LENGTH_HIST_TAIL.format(
+        bucket=_bucket_case("n_tokens"),
+        tokens=f"SELECT lang, size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs",
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_LENGTH_HISTOGRAM = "WITH " + _LENGTH_HIST_TAIL.format(
+    bucket=_bucket_case("n_tokens"),
+    tokens=f"SELECT lang, len({_TOKENS_DUCK}) AS n_tokens FROM documents",
+)
+
+
+# ==========================================================================
+# L2 — bigram counts (top-k)
+# ==========================================================================
+_BIGRAM_TAIL = """
+bigrams AS (
+  SELECT doc_id, tok || ' ' || next_tok AS bigram FROM (
+    SELECT doc_id, tok, lead(tok, 1) OVER w AS next_tok
+    FROM ({tokens})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE next_tok IS NOT NULL
+),
+counts AS (
+  SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM bigrams GROUP BY bigram
+)
+SELECT bigram, n, doc_freq,
+       ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank
+FROM counts
+ORDER BY rank
+LIMIT {k}
+"""
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """L2: global bigram frequencies, top-{k} — the 2-gram LM statistic
+    (and the vocabulary-merge signal for BPE-style tokenizer training).
+    Explode + per-doc window + one bounded aggregate.""".format(k=BIGRAM_TOP_K)
+    docs.createOrReplaceTempView("_llm_docs")
+    tokens = (
+        "SELECT doc_id, pos, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _llm_docs)"
+    )
+    return docs.sparkSession.sql(
+        "WITH " + _BIGRAM_TAIL.format(tokens=tokens, k=BIGRAM_TOP_K)
+    )
+
+
+ORACLE_BIGRAM_COUNTS = "WITH " + _BIGRAM_TAIL.format(
+    tokens=(
+        "SELECT doc_id,"
+        f" generate_subscripts({_TOKENS_DUCK}, 1) AS pos,"
+        f" unnest({_TOKENS_DUCK}) AS tok FROM documents"
+    ),
+    k=BIGRAM_TOP_K,
+)
+
+
+# ==========================================================================
+# L3 — sequence packing (contiguous-greedy bins per language)
+# ==========================================================================
+_PACK_TAIL = """
+sized AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM ({tokens})
+),
+binned AS (
+  SELECT lang, CAST(FLOOR((cum_tokens - 1) / {budget}.0) AS BIGINT) AS bin_id,
+         doc_id, n_tokens
+  FROM sized WHERE n_tokens > 0
+)
+SELECT lang, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM binned
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+def pack_sequences(docs: DataFrame) -> DataFrame:
+    """L3: pack documents into ~{b}-token training sequences per language
+    (contiguous-greedy: running token cumsum, bin = cumsum div budget).
+    Deterministic under any degree of parallelism — the scalable
+    alternative to first-fit bin packing, whose output depends on arrival
+    order. One lang-keyed shuffle for the window, one for the bin
+    aggregate.""".format(b=PACK_TOKEN_BUDGET)
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _PACK_TAIL.format(
+        tokens=(
+            "SELECT doc_id, lang,"
+            f" size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs"
+        ),
+        budget=PACK_TOKEN_BUDGET,
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_PACK_SEQUENCES = "WITH " + _PACK_TAIL.format(
+    tokens=(
+        "SELECT doc_id, lang,"
+        f" len({_TOKENS_DUCK}) AS n_tokens FROM documents"
+    ),
+    budget=PACK_TOKEN_BUDGET,
+)
+
+
+# ==========================================================================
+# L4 — deterministic stratified sample
+# ==========================================================================
+_SAMPLE_TAIL = """
+marked AS (
+  SELECT lang, doc_id,
+         CASE WHEN {bucket} < {rate} THEN 1 ELSE 0 END AS sampled
+  FROM {src}
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+       FLOOR((CAST(SUM(sampled) AS DOUBLE) * 100.0 / COUNT(*)) * 100.0 + 0.5)
+         / CAST(100.0 AS DOUBLE) AS sampled_pct,
+       CAST(SUM(CASE WHEN sampled = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS sample_checksum
+FROM marked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """L4: deterministic {r}% per-language sample via the md5(doc_id)
+    bucket (same family as the train/val/test split — no RNG, identical
+    across engines/runs/reshards). Returns the per-lang summary +
+    checksum of the sampled id set so the *selection* is oracle-checked,
+    not just the counts.""".format(r=SAMPLE_PER_CENT)
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _SAMPLE_TAIL.format(
+        bucket=_BUCKET.format(STR="STRING"),
+        rate=SAMPLE_PER_CENT,
+        src="_llm_docs",
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_STRATIFIED_SAMPLE = "WITH " + _SAMPLE_TAIL.format(
+    bucket=_BUCKET.format(STR="VARCHAR"),
+    rate=SAMPLE_PER_CENT,
+    src="documents",
+)
+
+
+# ==========================================================================
+# L5 — train/test contamination (shingle overlap across the hash split)
+# ==========================================================================
+_CONTAM_TAIL = """
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {train} THEN 'train'
+              WHEN {bucket} < {trainval} THEN 'val'
+              ELSE 'test' END AS split
+  FROM {src}
+),
+overlap AS (
+  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+         COUNT(*) AS common_shingles
+  FROM shingles a
+  JOIN splits tr ON a.doc_id = tr.doc_id AND tr.split = 'train'
+  JOIN shingles b ON b.shingle = a.shingle
+  JOIN splits te ON b.doc_id = te.doc_id AND te.split = 'test'
+  GROUP BY tr.doc_id, te.doc_id
+)
+SELECT train_doc, test_doc, common_shingles
+FROM overlap
+WHERE common_shingles >= {minsh}
+ORDER BY train_doc, test_doc
+"""
+
+
+def contamination(docs: DataFrame) -> DataFrame:
+    """L5: train→test leakage detector — (train_doc, test_doc) pairs from
+    the deterministic hash split sharing ≥{m} 3-word shingles. The
+    decontamination pass every serious eval pipeline runs before
+    training. Reuses the materialized shingle relation (built once) and
+    the inverted-index join: shuffles carry (doc_id, shingle), never
+    text.""".format(m=CONTAMINATION_MIN_SHINGLES)
+    materialized_shingles(docs)
+    sql = _SHINGLES_VIEW_CTE + _CONTAM_TAIL.format(
+        bucket=_BUCKET.format(STR="STRING"),
+        train=TRAIN_PCT,
+        trainval=TRAIN_PCT + VAL_PCT,
+        src="_dedup_docs",
+        minsh=CONTAMINATION_MIN_SHINGLES,
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_CONTAMINATION = (
+    "WITH shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _CONTAM_TAIL.format(
+        bucket=_BUCKET.format(STR="VARCHAR"),
+        train=TRAIN_PCT,
+        trainval=TRAIN_PCT + VAL_PCT,
+        src="documents",
+        minsh=CONTAMINATION_MIN_SHINGLES,
+    )
+)
+
+
+# ==========================================================================
+# L6 — light normalization (plural-s stem fold)
+# ==========================================================================
+_STEM_SPARK = (
+    f"transform({_TOKENS_SPARK}, x -> CASE WHEN length(x) > 3 AND x LIKE '%s'"
+    " THEN substr(x, 1, length(x) - 1) ELSE x END)"
+)
+_STEM_DUCK = (
+    f"list_transform({_TOKENS_DUCK}, x -> CASE WHEN length(x) > 3 AND x LIKE '%s'"
+    " THEN substr(x, 1, length(x) - 1) ELSE x END)"
+)
+
+
+def stem_normalize(docs: DataFrame) -> DataFrame:
+    """L6: light token normalization (strip plural 's' from tokens longer
+    than 3 chars), emitting the normalized-text hash and change counts —
+    the cheap canonicalization pass that runs before exact dedup so
+    trivially-inflected duplicates collapse. Pure projection of JVM
+    higher-order lambdas; zero shuffle."""
+    # a token changes iff the stem condition holds, so the changed count
+    # is a direct filter — no zip needed
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKENS_SPARK}) AS n_tokens",
+        f"""size(filter({_TOKENS_SPARK},
+            x -> length(x) > 3 AND x LIKE '%s')) AS n_changed_tokens""",
+        f"md5(array_join({_STEM_SPARK}, ' ')) AS normalized_hash",
+    ).orderBy("doc_id")
+
+
+ORACLE_STEM_NORMALIZE = f"""
+SELECT doc_id,
+       len({_TOKENS_DUCK}) AS n_tokens,
+       len(list_filter({_TOKENS_DUCK},
+           x -> length(x) > 3 AND x LIKE '%s')) AS n_changed_tokens,
+       md5(array_to_string({_STEM_DUCK}, ' ')) AS normalized_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# L7 — embedding dimension statistics (health check)
+# ==========================================================================
+# Snap each element to a scaled integer BEFORE the cross-row SUM: integer
+# sums are associative, so Spark's partial-agg order and DuckDB's
+# sequential order produce identical bits. Divide/round once at the end.
+_DIM_STATS_TAIL = """
+elems AS (
+  SELECT dim, CAST(FLOOR(v * {scale} + 0.5) AS BIGINT) AS sv
+  FROM ({unnested})
+)
+SELECT dim,
+       COUNT(*) AS n,
+       FLOOR((CAST(SUM(sv) AS DOUBLE) / COUNT(*) / {scale}) * 1000000.0 + 0.5)
+         / CAST(1000000.0 AS DOUBLE) AS mean_v,
+       FLOOR((MIN(sv) / {scale}) * 1000000.0 + 0.5)
+         / CAST(1000000.0 AS DOUBLE) AS min_v,
+       FLOOR((MAX(sv) / {scale}) * 1000000.0 + 0.5)
+         / CAST(1000000.0 AS DOUBLE) AS max_v,
+       FLOOR(sqrt(GREATEST(CAST(SUM(sv * sv) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(sv) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(sv) AS DOUBLE) / COUNT(*)), 0.0))
+             / {scale} * 1000000.0 + 0.5)
+         / CAST(1000000.0 AS DOUBLE) AS std_v
+FROM elems
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """L7: per-dimension mean/min/max/std over the embedding column — the
+    collapsed-dimension / scale-drift health check run before any ANN
+    index build. posexplode + one dim-keyed aggregate; sums run over
+    snapped integers so the result is bit-stable at any parallelism."""
+    emb.createOrReplaceTempView("_llm_emb")
+    sql = "WITH " + _DIM_STATS_TAIL.format(
+        scale=EMBED_SCALE,
+        unnested=(
+            "SELECT pos AS dim, CAST(v AS DOUBLE) AS v FROM _llm_emb "
+            "LATERAL VIEW posexplode(embedding) t AS pos, v"
+        ),
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_EMBEDDING_DIM_STATS = "WITH " + _DIM_STATS_TAIL.format(
+    scale=EMBED_SCALE,
+    unnested=(
+        "SELECT generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+    ),
+)
+
+
+# ==========================================================================
+# L8 — one k-means (Lloyd) step over the embeddings
+# ==========================================================================
+KMEANS_K = 8  # centroids = embeddings of vec_id 0..7 (deterministic seed)
+
+_KMEANS_TAIL = """
+centroids AS (
+  SELECT vec_id AS centroid_id, nv AS cv FROM normed WHERE vec_id < {k}
+),
+assigned AS (
+  SELECT vec_id, centroid_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id) AS rnk
+  FROM (
+    SELECT n.vec_id, c.centroid_id,
+           CAST(FLOOR(({dot}) * 1000000.0 + 0.5) AS BIGINT) AS cos_sim
+    FROM normed n JOIN centroids c ON 1 = 1
+  )
+)
+SELECT centroid_id,
+       COUNT(*) AS cluster_size,
+       FLOOR((CAST(SUM(cos_sim) AS DOUBLE) / COUNT(*) / 1000000.0)
+             * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS mean_sim,
+       MIN(vec_id) AS min_member,
+       MAX(vec_id) AS max_member
+FROM assigned WHERE rnk = 1
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0D, (acc, x) -> acc + x))"
+)
+_DOT_SPARK = (
+    "aggregate(zip_with(n.nv, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+)
+
+
+def kmeans_step(emb: DataFrame) -> DataFrame:
+    """L8: one Lloyd assignment step — assign every vector to its
+    nearest-by-cosine of {k} deterministic seed centroids (the embeddings
+    of vec_id 0..{km1}), reporting per-cluster size and mean similarity.
+    The training half of the IVF index (:func:`.similarity.ann_ivf` is
+    the probe half). The centroid side is {k} rows — broadcast at any
+    corpus scale; similarities are snapped to scaled integers before the
+    cross-row mean.""".format(k=KMEANS_K, km1=KMEANS_K - 1)
+    emb.createOrReplaceTempView("_llm_emb")
+    sql = (
+        "WITH normed AS (SELECT vec_id,"
+        f" transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM_SPARK}) AS nv"
+        " FROM _llm_emb),\n"
+        + _KMEANS_TAIL.format(k=KMEANS_K, dot=_DOT_SPARK)
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_KMEANS_STEP = (
+    "WITH normed AS (SELECT vec_id,"
+    " list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])))) AS nv FROM embeddings),\n"
+    + _KMEANS_TAIL.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
+)
+
+
+ORACLE_SQL_LLMPREP = {
+    "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
+    "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_contamination": ORACLE_CONTAMINATION,
+    "text_stem_normalize": ORACLE_STEM_NORMALIZE,
+    "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
+    "embedding_kmeans_step": ORACLE_KMEANS_STEP,
+}
