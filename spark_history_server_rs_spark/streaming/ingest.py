@@ -103,3 +103,82 @@ def stream_app_activity(
             "failed_tasks",
         )
     )
+
+
+def stream_dedup_documents(
+    docs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact-dedup for incremental corpus ingest: emit only the
+    FIRST occurrence of each content hash across all micro-batches
+    (state = seen hashes, evicted past the watermark). The streaming twin
+    of :func:`..operators.dedup.dedup_exact` — a corpus crawler can drop
+    duplicates at ingest time instead of re-scanning the corpus.
+
+    State is keyed on md5(text): uniform, unskewable, and bounded by the
+    watermark horizon rather than corpus size.
+    """
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicates(["text_hash"])
+        .select("doc_id", "text_hash", "lang")
+    )
+
+
+#: output schema of :func:`stream_running_corpus_stats`
+RUNNING_STATS_SCHEMA = (
+    "lang string, docs_seen long, tokens_seen long, batches long"
+)
+_RUNNING_STATE_SCHEMA = "docs long, tokens long, batches long"
+
+
+def stream_running_corpus_stats(docs: DataFrame):
+    """Beyond-reference custom stateful operator via
+    ``applyInPandasWithState``: per-language running corpus totals
+    (documents, whitespace tokens, micro-batches contributing) that
+    survive across micro-batches — the live "how much data have we
+    ingested per language" counter a crawl pipeline shows on its
+    dashboard.
+
+    State per key is three longs — O(#languages) total, independent of
+    corpus size; each micro-batch ships only its own rows through Arrow.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Self-contained closure (see operators/multimodal.py note).
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        docs_n = 0
+        toks = 0
+        for pdf in pdfs:
+            docs_n += len(pdf)
+            toks += int(
+                pdf["text"].map(lambda t: len([w for w in t.split(" ") if w])).sum()
+            )
+        if state.exists:
+            p_docs, p_toks, p_batches = state.get
+        else:
+            p_docs, p_toks, p_batches = 0, 0, 0
+        new = (p_docs + docs_n, p_toks + toks, p_batches + 1)
+        state.update(new)
+        yield _pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "docs_seen": [new[0]],
+                "tokens_seen": [new[1]],
+                "batches": [new[2]],
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

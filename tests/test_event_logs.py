@@ -497,3 +497,117 @@ def test_executor_details_on_real_logs(spark):
     for r in rows:
         assert r.executor_logs == {} and r.attributes == {}
         assert r.add_time_ms is not None
+
+
+def _write_doc_files(d, batches):
+    """Write doc batches as json-lines files (one file per batch)."""
+    import json as _json
+
+    d.mkdir(parents=True, exist_ok=True)
+    for i, rows in enumerate(batches):
+        with open(d / f"docs_{i}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    """Streaming exact-dedup: duplicates across micro-batches emit once."""
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_dedup_documents,
+    )
+
+    src = tmp_path / "docs"
+    _write_doc_files(
+        src,
+        [
+            [
+                {"doc_id": 1, "text": "alpha beta gamma", "lang": "en"},
+                {"doc_id": 2, "text": "delta epsilon", "lang": "en"},
+                {"doc_id": 3, "text": "alpha beta gamma", "lang": "en"},  # dup of 1
+            ]
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .json(str(src))
+    )
+    sink = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "ckpt_d")
+
+    def drain():
+        q = (
+            stream_dedup_documents(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 2  # the in-batch duplicate collapsed
+    assert len({r.text_hash for r in got}) == 2
+
+    # second drop: one duplicate of batch 1 + one new doc -> only the new
+    # doc appends (the seen-hash state survived in the checkpoint)
+    import json as _json
+
+    with open(src / "docs_1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 4, "text": "alpha beta gamma", "lang": "en"}) + "\n")
+        f.write(_json.dumps({"doc_id": 5, "text": "zeta eta", "lang": "en"}) + "\n")
+    drain()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 3
+    assert 4 not in {r.doc_id for r in got2}  # duplicate dropped cross-batch
+    assert 5 in {r.doc_id for r in got2}
+
+
+def test_stream_running_corpus_stats(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: per-lang totals
+    accumulate across micro-batches (state survives the batch boundary)."""
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_running_corpus_stats,
+    )
+
+    src = tmp_path / "docs"
+    _write_doc_files(
+        src,
+        [
+            [
+                {"doc_id": 1, "text": "a b c", "lang": "en"},
+                {"doc_id": 2, "text": "x y", "lang": "de"},
+            ],
+            [
+                {"doc_id": 3, "text": "d e", "lang": "en"},
+            ],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .json(str(src))
+    )
+    q = (
+        stream_running_corpus_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_stats").collect()
+    # latest row per lang = the running total
+    latest = {}
+    for r in rows:
+        if r.lang not in latest or r.batches > latest[r.lang].batches:
+            latest[r.lang] = r
+    assert latest["en"].docs_seen == 2
+    assert latest["en"].tokens_seen == 5  # "a b c" + "d e"
+    assert latest["en"].batches == 2  # state crossed the batch boundary
+    assert latest["de"].docs_seen == 1
+    assert latest["de"].tokens_seen == 2

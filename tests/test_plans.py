@@ -171,3 +171,32 @@ def test_dedup_clusters_lineage_bounded_on_deep_chain(spark):
     assert "LogicalRDD" in plan
     depth = len(plan.splitlines())
     assert depth < 40, f"cluster plan lineage too deep ({depth} lines)"
+
+
+def test_llmprep_plan_shapes(spark):
+    """Scale gates for the LLM-prep suite: the k-means centroid side must
+    broadcast (8 rows vs the corpus), contamination must not plan a
+    cartesian product, and the pure-projection ops must not spawn a
+    Python worker."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    km = llmprep.kmeans_step(emb)
+    s = I.explain_str(km, "simple")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert not I.has_python_worker(km)
+
+    cont = llmprep.contamination(docs)
+    assert not I.has_cartesian(cont)
+
+    for df in (
+        llmprep.stem_normalize(docs),
+        llmprep.stratified_sample(docs),
+        llmprep.pack_sequences(docs),
+        llmprep.embedding_dim_stats(emb),
+    ):
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)
