@@ -85,7 +85,12 @@ def main() -> None:
         total += dt
 
     # extended (beyond-reference) operator timings over documents/embeddings
-    from spark_history_server_rs_spark.operators import dedup, similarity, textprep
+    from spark_history_server_rs_spark.operators import (
+        dedup,
+        llmprep,
+        similarity,
+        textprep,
+    )
     from spark_history_server_rs_spark.sources.generic import load_table
 
     docs = load_table(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
@@ -97,6 +102,9 @@ def main() -> None:
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs, docs),
         ("text_quality", textprep.text_quality, docs),
         ("ann_cosine_topk", similarity.ann_cosine_topk, emb),
+        ("corpus_contamination", llmprep.contamination, docs),
+        ("corpus_pack_sequences", llmprep.pack_sequences, docs),
+        ("embedding_kmeans_step", llmprep.kmeans_step, emb),
     ]:
         fn(src).collect()  # codegen warmup
         t = time.perf_counter()
