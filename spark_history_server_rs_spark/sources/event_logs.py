@@ -429,6 +429,29 @@ def incremental_ingest(
     return len(todo)
 
 
+def write_bucketed_sink(
+    events: DataFrame, table: str, buckets: int = 32
+) -> None:
+    """S9 alternative layout: an ``app_id``-bucketed, sorted table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every later
+    ``groupBy("app_id")`` / join on ``app_id`` reads co-located buckets and
+    plans **no Exchange** — the biggest standing cost in the analytics
+    catalog (every A-query shuffles on app_id today). At 100 TB this turns
+    each dashboard query from shuffle-bound to scan-bound; the trade is a
+    fixed bucket count chosen for the cluster (here 32 = local core
+    count; a real deployment sizes it to executors × a small factor).
+    Shuffle elimination is plan-gated in ``tests/test_plans.py``.
+    """
+    (
+        events.write.bucketBy(buckets, "app_id")
+        .sortBy("app_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def compact_sink(spark: SparkSession, sink_dir: str, out_dir: str) -> None:
     """Compact the per-file incremental layout into plain date partitions
     (for closed/immutable history) — the long-term 100 TB layout."""

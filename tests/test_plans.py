@@ -200,3 +200,46 @@ def test_llmprep_plan_shapes(spark):
     ):
         assert not I.has_python_worker(df)
         assert not I.has_cartesian(df)
+
+
+def test_bucketed_sink_eliminates_exchange(spark, tmp_path_factory):
+    """The app_id-bucketed table layout must let groupBy(app_id) and
+    app_id-joins plan WITHOUT an Exchange — the write-once pre-shuffle
+    that turns every dashboard query scan-bound at 100 TB."""
+    import json
+
+    from spark_history_server_rs_spark.sources.event_logs import (
+        read_event_logs,
+        write_bucketed_sink,
+    )
+
+    d = tmp_path_factory.mktemp("bucketed-logs")
+    for app in ("application_b1", "application_b2"):
+        appdir = d / app
+        appdir.mkdir()
+        with open(appdir / "events_1", "w") as f:
+            for t in range(3):
+                f.write(json.dumps({
+                    "Event": "SparkListenerTaskEnd", "Stage ID": 0,
+                    "Task End Reason": {"Reason": "Success"},
+                    "Task Info": {"Task ID": t, "Executor ID": "1",
+                                  "Host": "h", "Locality": "ANY"},
+                    "Task Metrics": {"Executor Run Time": 100 + t,
+                                     "Executor CPU Time": int(8e7),
+                                     "Peak Execution Memory": 1 << 20},
+                    "Timestamp": 1700486400000 + t}) + "\n")
+    events = read_event_logs(spark, str(d) + "/*/*")
+    write_bucketed_sink(events, "bucketed_events_test", buckets=4)
+    try:
+        t = spark.table("bucketed_events_test")
+        agg = t.groupBy("app_id").count()
+        plan = I.explain_str(agg, "simple")
+        assert "Exchange" not in plan, plan
+        # self-join on the bucket key: both sides pre-partitioned
+        j = t.filter("is_task").join(
+            t.filter("is_task").groupBy("app_id").count(), "app_id"
+        )
+        jp = I.explain_str(j, "simple")
+        assert "Exchange hashpartitioning" not in jp, jp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_events_test")
