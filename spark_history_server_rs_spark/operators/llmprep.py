@@ -345,7 +345,9 @@ SELECT doc_id,
        len({_TOKENS_DUCK}) AS n_tokens,
        len(list_filter({_TOKENS_DUCK},
            x -> length(x) > 3 AND x LIKE '%s')) AS n_changed_tokens,
-       md5(array_to_string({_STEM_DUCK}, ' ')) AS normalized_hash
+       md5(COALESCE(array_to_string({_STEM_DUCK}, ' '), '')) AS normalized_hash
+       -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's
+       -- array_join([]) is '' — align on '' for empty documents
 FROM documents
 ORDER BY doc_id
 """

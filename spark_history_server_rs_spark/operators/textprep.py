@@ -68,8 +68,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
         f"size({_TOKENS_SPARK}) AS n_tokens",
         f"size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens",
         f"size(regexp_extract_all(text, '{BPEISH_PATTERN}', 0)) AS n_bpeish_tokens",
+        # NULLIF: an empty document has no tokens — avg length is NULL,
+        # not a divide-by-zero (ANSI mode errors on 0-division)
         f"""FLOOR((CAST(aggregate(transform({_TOKENS_SPARK}, x -> length(x)), 0,
-            (a, x) -> a + x) AS DOUBLE) / size({_TOKENS_SPARK})) * 10000.0 + 0.5)
+            (a, x) -> a + x) AS DOUBLE) / NULLIF(size({_TOKENS_SPARK}), 0)) * 10000.0 + 0.5)
          / CAST(10000.0 AS DOUBLE) AS avg_token_len""",
     ).orderBy("doc_id")
 
@@ -80,8 +82,8 @@ SELECT doc_id,
        len({_TOKENS_DUCK}) AS n_tokens,
        len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
        len(regexp_extract_all(text, '{BPEISH_PATTERN}')) AS n_bpeish_tokens,
-       FLOOR((CAST(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))) AS DOUBLE)
-              / len({_TOKENS_DUCK})) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_token_len
+       FLOOR((CAST(COALESCE(list_sum(list_transform({_TOKENS_DUCK}, x -> length(x))), 0) AS DOUBLE)
+              / NULLIF(len({_TOKENS_DUCK}), 0)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_token_len
 FROM documents
 ORDER BY doc_id
 """

@@ -121,3 +121,88 @@ def test_random_events_match_oracle(rows, spark, prop_dir):
         ok, report = compare(fn(ev), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random rows: {report}"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# documents-table properties: text/llmprep operators on adversarial corpora
+# ---------------------------------------------------------------------------
+_ASCII_TOKEN = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789.,;!?'\"-_()",
+    min_size=0,
+    max_size=8,
+)
+
+
+@st.composite
+def document_rows(draw):
+    n = draw(st.integers(min_value=0, max_value=25))
+    rows = []
+    for i in range(n):
+        # degenerate shapes on purpose: empty text, runs of spaces,
+        # duplicate docs, single-token docs, punctuation-only tokens
+        n_toks = draw(st.integers(0, 12))
+        toks = [draw(_ASCII_TOKEN) for _ in range(n_toks)]
+        sep = draw(st.sampled_from([" ", "  ", "   "]))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": sep.join(toks),
+                "lang": draw(st.sampled_from(["en", "de", "zh"])),
+                "source": "prop",
+                "n_chars": 0,
+            }
+        )
+    return rows
+
+
+def _write_documents(tmpdir: str, rows: list[dict]) -> None:
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def prop_docs_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop-docs"))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=document_rows())
+def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import dedup, llmprep, textprep
+
+    _write_documents(prop_docs_dir, rows)
+    docs = spark.read.parquet(f"{prop_docs_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{prop_docs_dir}/documents.parquet')"
+    )
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    for fn, name in [
+        (dedup.dedup_exact, "dedup_exact"),
+        (llmprep.stem_normalize, "text_stem_normalize"),
+        (llmprep.length_histogram, "corpus_length_histogram"),
+        (llmprep.pack_sequences, "corpus_pack_sequences"),
+        (llmprep.stratified_sample, "corpus_stratified_sample"),
+        (llmprep.bigram_counts, "corpus_bigram_counts"),
+        (textprep.token_stats, "text_token_stats"),
+    ]:
+        ok, report = compare(fn(docs), con, oracles[name])
+        assert ok, f"{name} on {len(rows)} random docs: {report}"
+    con.close()
