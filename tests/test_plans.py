@@ -243,3 +243,25 @@ def test_bucketed_sink_eliminates_exchange(spark, tmp_path_factory):
         assert "Exchange hashpartitioning" not in jp, jp
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_events_test")
+
+
+def test_salted_join_equivalence_and_shape(spark, ev):
+    """salted_join must (a) produce exactly the unsalted join's multiset,
+    (b) join on (key, _salt) so a hot key spreads across salt reducers."""
+    from spark_history_server_rs_spark.functions.skew import salted_join
+
+    # skewed probe side: per-event rows (one app dominates in any real
+    # history); build side: per-app aggregate too big to broadcast in the
+    # scenario this models
+    left = ev.select("app_id", "id", "event_type")
+    right = ev.groupBy("app_id").count()
+
+    plain = left.join(right, "app_id").select("app_id", "id", "count")
+    salted = salted_join(left, right, "app_id", salt=4).select(
+        "app_id", "id", "count"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    s = I.explain_str(salted, "simple")
+    assert "_salt" in s  # the join key actually includes the salt
