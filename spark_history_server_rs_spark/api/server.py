@@ -36,7 +36,7 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import DataFrame
 
 from ..operators import catalog
-from ..sources.event_logs import applications_with_attempts
+from ..sources.event_logs import applications_with_attempts, executor_details
 
 VERSION = {"version": "1.0.0", "engine": "pyspark"}
 
@@ -169,8 +169,35 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(r"/api/v1/applications/([^/]+)/executors", path)
         if m:
-            df = catalog.executor_summary(ev.filter(ev["app_id"] == m.group(1)))
-            return self._send(200, _rows(df))
+            app_ev = ev.filter(ev["app_id"] == m.group(1))
+            df = catalog.executor_summary(app_ev)
+            rows = _rows(df)
+            if "src_file" in ev.columns:
+                # real-log source: enrich with the ExecutorSummary metadata
+                # (models.rs:95-112) — log/attribute maps, remove reason,
+                # lifecycle times
+                detail = {
+                    r["executor_id"]: r
+                    for r in _rows(executor_details(app_ev))
+                }
+                for row in rows:
+                    d = detail.get(row.get("executor_id"))
+                    if d:
+                        row.update(
+                            {
+                                k: d[k]
+                                for k in (
+                                    "executor_logs",
+                                    "attributes",
+                                    "resource_profile_id",
+                                    "add_time_ms",
+                                    "remove_time_ms",
+                                    "remove_reason",
+                                    "is_excluded",
+                                )
+                            }
+                        )
+            return self._send(200, rows)
 
         m = re.fullmatch(
             r"/api/v1/applications/([^/]+)/(jobs|stages|storage/rdd|environment)",

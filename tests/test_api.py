@@ -194,3 +194,35 @@ def test_single_application_includes_attempts(api):
     for k in ("attempt_id", "start_ms", "end_ms", "duration_ms",
               "spark_user", "completed", "app_spark_version"):
         assert k in att
+
+
+def test_api_over_real_event_logs(spark, tmp_path):
+    """End-to-end on the reference's own fixture logs: boot the server over
+    ingested eventlog_v2 rollover dirs and walk the application surface,
+    including the attempt list and the executor metadata maps."""
+    import os
+
+    real = "/root/reference/test-data/spark-events"
+    if not os.path.isdir(real):
+        pytest.skip("reference fixture logs unavailable")
+    from spark_history_server_rs_spark.sources.event_logs import read_event_logs
+
+    events = read_event_logs(spark, real + "/eventlog_v2_*/*")
+    httpd = serve(events)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, apps = _get(base, "/api/v1/applications")
+        assert code == 200 and len(apps) == 3
+        app_id = apps[0]["app_id"]
+        code, one = _get(base, f"/api/v1/applications/{app_id}")
+        assert code == 200 and len(one["attempts"]) == 1
+        assert one["attempts"][0]["app_spark_version"] == "3.5.3"
+        code, execs = _get(base, f"/api/v1/applications/{app_id}/executors")
+        assert code == 200 and len(execs) > 0
+        for e in execs:
+            assert "executor_logs" in e and "attributes" in e
+            assert "add_time_ms" in e
+    finally:
+        httpd.shutdown()
