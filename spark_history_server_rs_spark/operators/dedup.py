@@ -76,9 +76,11 @@ SELECT DISTINCT doc_id, shingle FROM (
 ) WHERE shingle IS NOT NULL
 """
 
-# Last persisted shingle frame per view name, so repeated calls (test suite,
-# repeated API hits) don't pile up cached copies of superseded inputs.
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
+# Last persisted shingle frame per view name, keyed by the input plan's
+# semantic hash: MinHash / Jaccard / clusters / contamination over the SAME
+# documents frame share one cache instead of each rebuilding it, while a
+# different input (test fixtures, another sf) still invalidates.
+_SHINGLE_CACHE: dict[str, tuple[int, DataFrame]] = {}
 
 
 def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
@@ -92,16 +94,32 @@ def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> Dat
     InMemoryRelation — the same ingest-once philosophy as the reference's
     hot-field extraction (duckdb_store.rs:708-757). The eager count fills
     the cache in a single pass before the fan-out reads race to build it.
+
+    Calls with a semantically-identical input frame reuse the live cache
+    (one shingle build serves the whole dedup suite in a session).
     """
     spark = docs.sparkSession
-    prev = _SHINGLE_CACHE.pop(view, None)
-    if prev is not None:
-        prev.unpersist()
+    key = docs.semanticHash()
+    cached = _SHINGLE_CACHE.get(view)
+    if (
+        cached is not None
+        and cached[0] == key
+        and cached[1].sparkSession is spark  # not from a stopped session
+    ):
+        docs.createOrReplaceTempView("_dedup_docs")
+        cached[1].createOrReplaceTempView(view)
+        return cached[1]
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass  # prior session already gone
+        _SHINGLE_CACHE.pop(view, None)
     docs.createOrReplaceTempView("_dedup_docs")
     sh = spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs")).persist()
     sh.count()
     sh.createOrReplaceTempView(view)
-    _SHINGLE_CACHE[view] = sh
+    _SHINGLE_CACHE[view] = (key, sh)
     return sh
 
 
