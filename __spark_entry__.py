@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_usage": _q(catalog.memory_usage),
         "cross_app_summary": _q(catalog.cross_app_summary),
         "task_distribution": _q(catalog.task_distribution),
+        "job_metrics": _q(catalog.job_metrics),
         "executor_utilization": _q(catalog.executor_utilization),
         "resource_utilization_metrics": _q(catalog.resource_utilization_metrics),
         "top_resource_consumers": _q(catalog.top_resource_consumers),

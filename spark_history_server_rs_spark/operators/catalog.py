@@ -417,6 +417,43 @@ def task_distribution(ev: DataFrame, limit: int = 500) -> DataFrame:
     )
 
 
+def job_metrics(ev: DataFrame, limit: int = 500) -> DataFrame:
+    """Per-(app, job) resource rollup — the JobData-shaped aggregation the
+    reference stubs behind ``/applications/{id}/jobs`` (api.rs:153-159,
+    models.rs:50-75): task outcomes plus wall/cpu/gc and io/shuffle/spill
+    totals. Single groupBy, result bounded by (apps × jobs)."""
+    z = F.lit(0.0)
+    return (
+        _tasks(ev)
+        .filter(F.col("job_id").isNotNull())
+        .groupBy("app_id", "job_id")
+        .agg(
+            F.count("*").alias("total_tasks"),
+            count_if(F.col("is_success")).alias("successful_tasks"),
+            count_if(~F.col("is_success")).alias("failed_tasks"),
+            r4(F.sum("duration_ms")).alias("total_duration_ms"),
+            r4(F.sum(F.coalesce(F.col("cpu_ms"), z))).alias("total_cpu_ms"),
+            r4(F.sum(F.coalesce(F.col("gc_ms"), z))).alias("total_gc_ms"),
+            r4(F.sum(F.coalesce(F.col("input_mb"), z))).alias("total_input_mb"),
+            r4(F.sum(F.coalesce(F.col("output_mb"), z))).alias("total_output_mb"),
+            r4(
+                F.sum(
+                    F.coalesce(F.col("shuffle_read_mb"), z)
+                    + F.coalesce(F.col("shuffle_write_mb"), z)
+                )
+            ).alias("total_shuffle_mb"),
+            r4(
+                F.sum(
+                    F.coalesce(F.col("mem_spill_mb"), z)
+                    + F.coalesce(F.col("disk_spill_mb"), z)
+                )
+            ).alias("total_spill_mb"),
+        )
+        .orderBy("app_id", "job_id")
+        .limit(limit)
+    )
+
+
 # --------------------------------------------------------------------------
 # A11 — executor utilization (collect_set + to_json)
 # --------------------------------------------------------------------------

@@ -260,7 +260,27 @@ ORDER BY app_id, stage_id
 LIMIT 500
 """
 
-ORACLE_SQL["executor_utilization"] = f"""{_CTE}
+ORACLE_SQL["job_metrics"] = f"""{_CTE}
+SELECT app_id, job_id,
+       {_TASK_AGG_COMMON},
+       FLOOR((SUM(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS total_duration_ms,
+       FLOOR((SUM(COALESCE(cpu_ms, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS total_cpu_ms,
+       FLOOR((SUM(COALESCE(gc_ms, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS total_gc_ms,
+       FLOOR((SUM(COALESCE(input_mb, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS total_input_mb,
+       FLOOR((SUM(COALESCE(output_mb, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS total_output_mb,
+       FLOOR((SUM(COALESCE(shuffle_read_mb, 0.0::DOUBLE)
+                  + COALESCE(shuffle_write_mb, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0
+         AS total_shuffle_mb,
+       FLOOR((SUM(COALESCE(mem_spill_mb, 0.0::DOUBLE)
+                  + COALESCE(disk_spill_mb, 0.0::DOUBLE))) * 10000.0 + 0.5) / 10000.0
+         AS total_spill_mb
+FROM ev WHERE is_task AND job_id IS NOT NULL
+GROUP BY app_id, job_id
+ORDER BY app_id, job_id
+LIMIT 500
+"""
+
+ORACLE_SQL["executor_utilization"] =f"""{_CTE}
 SELECT executor_id, host,
        COUNT(*) AS total_tasks,
        FLOOR((SUM(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS total_duration_ms,

@@ -49,18 +49,11 @@ def event_rows(draw):
                         allow_infinity=False,
                     )
                 ),
-                "props": json.dumps(
-                    {
-                        "k": draw(
-                            st.floats(
-                                min_value=0.0,
-                                max_value=100.0,
-                                allow_nan=False,
-                                allow_infinity=False,
-                            )
-                        )
-                    }
-                ),
+                # k is integer-valued per the testdata determinism contract
+                # (sources/generic.py): derived metrics like gc_ms = k*10
+                # stay integer-valued doubles, so cross-row SUMs are exact
+                # and aggregation order can't flip bits in either engine
+                "props": json.dumps({"k": float(draw(st.integers(0, 100)))}),
             }
         )
     return rows
@@ -117,6 +110,10 @@ def test_random_events_match_oracle(rows, spark, prop_dir):
         (catalog.cross_app_summary, "cross_app_summary"),
         (catalog.task_distribution, "task_distribution"),
         (catalog.performance_trends, "performance_trends"),
+        (catalog.job_metrics, "job_metrics"),
+        (catalog.gc_time_trends, "gc_time_trends"),
+        (catalog.executor_summary, "executor_summary"),
+        (catalog.resource_usage_summary, "resource_usage_summary"),
     ]:
         ok, report = compare(fn(ev), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random rows: {report}"
