@@ -199,6 +199,13 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                         )
             return self._send(200, rows)
 
+        m = re.fullmatch(r"/api/v1/applications/([^/]+)/jobs", path)
+        if m and qs.get("detailed", ["false"])[0].lower() == "true":
+            # extension: the real per-job rollup (the reference stubs jobs
+            # with [], api.rs:153-159 — stub behavior preserved below)
+            df = catalog.job_metrics(ev.filter(ev["app_id"] == m.group(1)))
+            return self._send(200, _rows(df))
+
         m = re.fullmatch(
             r"/api/v1/applications/([^/]+)/(jobs|stages|storage/rdd|environment)",
             path,

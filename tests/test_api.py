@@ -226,3 +226,17 @@ def test_api_over_real_event_logs(spark, tmp_path):
             assert "add_time_ms" in e
     finally:
         httpd.shutdown()
+
+
+def test_jobs_detailed_extension(api):
+    """Default /jobs keeps reference stub parity ([]); ?detailed=true
+    returns the real per-job rollup."""
+    code, apps = _get(api, "/api/v1/applications?limit=1")
+    app_id = apps[0]["app_id"]
+    code, stub = _get(api, f"/api/v1/applications/{app_id}/jobs")
+    assert (code, stub) == (200, [])
+    code, jobs = _get(api, f"/api/v1/applications/{app_id}/jobs?detailed=true")
+    assert code == 200 and len(jobs) > 0
+    for j in jobs:
+        assert j["total_tasks"] >= j["successful_tasks"]
+        assert j["total_duration_ms"] >= 0
