@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import r4
-
 # --- shared constants (single source of truth for Spark AND oracle) -------
 #: language marker vocabularies for the n-gram/stopword language-ID
 #: heuristic. Real-world stopword lists; precedence en>es>de>fr>zh on ties.
