@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_histogram": _d(llmprep.length_histogram),
         "corpus_bigram_counts": _d(llmprep.bigram_counts),
         "corpus_pack_sequences": _d(llmprep.pack_sequences),
+        "corpus_pack_sequences_sharded": _d(llmprep.pack_sequences_sharded),
         "corpus_stratified_sample": _d(llmprep.stratified_sample),
         "corpus_contamination": _d(llmprep.contamination),
         "text_stem_normalize": _d(llmprep.stem_normalize),

@@ -207,6 +207,74 @@ ORACLE_PACK_SEQUENCES = "WITH " + _PACK_TAIL.format(
 )
 
 
+# --- L3b: sharded packing — the 100 TB variant -----------------------------
+# The plain packer's window partitions on lang alone: a 5-language corpus
+# gives 5 reducers no matter the cluster size (each language's cumsum is
+# inherently sequential). The sharded variant hashes each doc into one of
+# N_PACK_SHARDS per-language shards and packs within (lang, shard):
+# parallelism = #langs × #shards, bins stay deterministic, and the bin id
+# namespaces the shard so ids never collide. Bins are contiguous within a
+# shard rather than globally — the standard trade for distributed packing.
+N_PACK_SHARDS = 16
+
+_PACK_SHARDED_TAIL = """
+sized AS (
+  SELECT doc_id, lang, n_tokens,
+         ({bucket}) % {shards} AS shard,
+         SUM(n_tokens) OVER (PARTITION BY lang, ({bucket}) % {shards}
+                             ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM ({tokens})
+),
+binned AS (
+  SELECT lang, shard,
+         CAST(shard AS BIGINT) * 1000000
+           + CAST(FLOOR((cum_tokens - 1) / {budget}.0) AS BIGINT) AS bin_id,
+         doc_id, n_tokens
+  FROM sized WHERE n_tokens > 0
+)
+SELECT lang, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM binned
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+def pack_sequences_sharded(docs: DataFrame) -> DataFrame:
+    """L3b: the scale variant of :func:`pack_sequences` — md5-sharded
+    per-language packing so the window parallelism is #langs × {s}
+    instead of #langs. Same budget, deterministic shard assignment (the
+    split-family md5 bucket), shard-namespaced bin ids.""".format(
+        s=N_PACK_SHARDS
+    )
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _PACK_SHARDED_TAIL.format(
+        tokens=(
+            "SELECT doc_id, lang,"
+            f" size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs"
+        ),
+        budget=PACK_TOKEN_BUDGET,
+        bucket=_BUCKET.format(STR="STRING"),
+        shards=N_PACK_SHARDS,
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_PACK_SEQUENCES_SHARDED = "WITH " + _PACK_SHARDED_TAIL.format(
+    tokens=(
+        "SELECT doc_id, lang,"
+        f" len({_TOKENS_DUCK}) AS n_tokens FROM documents"
+    ),
+    budget=PACK_TOKEN_BUDGET,
+    bucket=_BUCKET.format(STR="VARCHAR"),
+    shards=N_PACK_SHARDS,
+)
+
+
 # ==========================================================================
 # L4 — deterministic stratified sample
 # ==========================================================================
@@ -478,6 +546,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_pack_sequences_sharded": ORACLE_PACK_SEQUENCES_SHARDED,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "text_stem_normalize": ORACLE_STEM_NORMALIZE,
