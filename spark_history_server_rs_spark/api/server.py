@@ -235,9 +235,10 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             )
             return self._send(200, _rows(df))
 
-        if path in ("/optimize", "/dashboard"):
-            # dashboard render (reference dashboard.rs:55-159 + Askama HTML
-            # templates): static shell that pulls the JSON endpoints
+        if path in ("/", "/optimize", "/dashboard"):
+            # dashboard render (reference dashboard.rs:47-51 routes "/" and
+            # "/optimize" to the same view; Askama HTML there, a static
+            # shell pulling the JSON summary here)
             return self._send_html(_DASHBOARD_HTML)
         if path == "/resources":
             # analytics view retired → meta-refresh redirect to /optimize
@@ -247,20 +248,27 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             # static placeholder (reference dashboard.rs:189-214)
             return self._send_html(_TEAMS_HTML)
 
-        if path == "/":
-            # dashboard summary (dashboard.rs:55-159): four catalog calls +
-            # host-side fold over the collected (≤ limit) rows
+        if path == "/api/v1/dashboard/summary":
+            # the dashboard's data fold (dashboard.rs:55-159 pulls the same
+            # four analytics calls before rendering): host-side fold over
+            # the collected (≤ limit) rows
             hogs = _rows(catalog.top_resource_consumers(ev, limit=20))
             eff = _rows(catalog.efficiency_analysis(ev, limit=20))
+            trends = _rows(catalog.capacity_trends(ev, limit=30))
+            cost = _rows(catalog.cost_optimization(ev, limit=20))
             total_savings = round(sum(r["potential_savings"] for r in eff), 6)
             return self._send(
                 200,
                 {
                     "resource_hogs": hogs,
                     "efficiency": eff,
+                    "capacity_trends": trends,
+                    "cost_optimization": cost,
                     "summary": {
                         "n_hogs": len(hogs),
                         "n_analyzed": len(eff),
+                        "n_trend_days": len(trends),
+                        "n_cost_opportunities": len(cost),
                         "total_potential_savings": total_savings,
                     },
                 },
@@ -323,7 +331,7 @@ function fill(id, rows){
     t.appendChild(tr);
   }
 }
-fetch("/").then(r=>r.json()).then(d=>{
+fetch("/api/v1/dashboard/summary").then(r=>r.json()).then(d=>{
   document.getElementById("summary").textContent =
     `${d.summary.n_hogs} hogs · ${d.summary.n_analyzed} apps analyzed · ` +
     `potential savings ${d.summary.total_potential_savings}`;

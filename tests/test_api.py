@@ -100,10 +100,21 @@ def test_deprecated_analytics_404(api):
 
 
 def test_dashboard_summary(api):
-    code, dash = _get(api, "/")
+    code, dash = _get(api, "/api/v1/dashboard/summary")
     assert code == 200
     assert dash["summary"]["n_hogs"] == len(dash["resource_hogs"])
+    assert dash["summary"]["n_cost_opportunities"] == len(dash["cost_optimization"])
     assert dash["summary"]["total_potential_savings"] >= 0
+
+
+def test_root_serves_dashboard_html(api):
+    """Reference routes '/' to the optimize view (dashboard.rs:47-51)."""
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/", timeout=120) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        assert "Resource hogs" in r.read().decode()
 
 
 def test_parse_date_param():
