@@ -63,6 +63,76 @@ def _rows(df: DataFrame) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
+# --- wire-format adapters ---------------------------------------------------
+# The platform endpoints serialize the reference's exact field names
+# (analytics_api.rs:53-143 ResourceHog / EfficiencyAnalysis / CapacityTrend /
+# CostOptimization) so a client of the reference can switch without code
+# changes. The catalog rows keep their oracle-checked column names; mapping
+# happens here, at the edge.
+def _wire_resource_hog(r: dict) -> dict:
+    return {
+        "app_id": r["app_id"],
+        "app_name": f"app_{r['app_id']}",
+        "resource_type": "Memory",
+        "consumption_value": r["max_peak_memory_mb"],
+        "consumption_unit": "MB",
+        # reference hardcodes 0.0 with a TODO (duckdb_store_backup.rs:1227)
+        "utilization_percentage": 0.0,
+        "efficiency_score": r["efficiency_score"],
+        "efficiency_explanation": f"{r['efficiency_score']:.0f}% "
+        f"(peak {r['max_peak_memory_mb']:.0f}MB vs avg {r['avg_peak_memory_mb']:.0f}MB)",
+        "cost_impact": r["estimated_cost"],
+        "recommendation": r["recommendation"],
+        "last_seen": str(r["last_seen_ms"]),
+    }
+
+
+def _wire_efficiency(r: dict) -> dict:
+    return {
+        "app_id": r["app_id"],
+        "app_name": f"app_{r['app_id']}",
+        "efficiency_category": r["efficiency_category"],
+        "memory_efficiency": r["memory_efficiency_pct"],
+        "memory_efficiency_explanation": f"{r['memory_efficiency_pct']}% of peak used on average",
+        "cpu_efficiency": r["cpu_efficiency_pct"],
+        "cpu_efficiency_explanation": f"{r['cpu_efficiency_pct']}% of wall time on CPU",
+        "recommended_memory_gb": round(r["recommended_memory_mb"] / 1024.0, 4),
+        "recommended_cpu_cores": float(r["recommended_cores"]),
+        "potential_cost_savings": r["potential_savings"],
+        "risk_level": r["risk_level"],
+        "optimization_actions": r["optimization_actions"],
+    }
+
+
+def _wire_capacity(r: dict) -> dict:
+    return {
+        "date": r["event_date"],
+        "total_memory_gb_used": r["total_memory_gb"],
+        "total_cpu_cores_used": r["estimated_cores_used"],
+        "peak_concurrent_applications": r["active_apps"],
+        "average_resource_utilization": r["avg_memory_per_app_gb"],
+        "cluster_capacity_percentage": r["capacity_utilization_pct"],
+        # reference returns NULL with a TODO (duckdb_store_backup.rs:1390)
+        "projected_growth_rate": None,
+    }
+
+
+def _wire_cost(r: dict) -> dict:
+    savings = r["current_monthly_cost"] - r["optimized_monthly_cost"]
+    return {
+        "optimization_type": r["optimization_type"],
+        "app_id": r["app_id"],
+        "app_name": f"app_{r['app_id']}",
+        "current_cost": r["current_monthly_cost"],
+        "optimized_cost": r["optimized_monthly_cost"],
+        "savings_percentage": r["savings_pct"],
+        "confidence_score": r["confidence"],
+        "implementation_difficulty": r["difficulty"],
+        "optimization_details": r["details"],
+        "formatted_savings": f"${savings:.4f}",
+    }
+
+
 class AnalyticsHandler(BaseHTTPRequestHandler):
     """One handler instance per request; the events DataFrame and the
     query catalog hang off the server object."""
@@ -218,22 +288,22 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             df = catalog.top_resource_consumers(
                 self._filtered_events(qs), limit=self._limit(qs, 10)
             )
-            return self._send(200, _rows(df))
+            return self._send(200, [_wire_resource_hog(r) for r in _rows(df)])
         if path == "/api/v1/optimization/efficiency-analysis":
             df = catalog.efficiency_analysis(
                 self._filtered_events(qs), limit=self._limit(qs, 10)
             )
-            return self._send(200, _rows(df))
+            return self._send(200, [_wire_efficiency(r) for r in _rows(df)])
         if path == "/api/v1/capacity/usage-trends":
             df = catalog.capacity_trends(
                 self._filtered_events(qs), limit=self._limit(qs, 30)
             )
-            return self._send(200, _rows(df))
+            return self._send(200, [_wire_capacity(r) for r in _rows(df)])
         if path == "/api/v1/capacity/cost-optimization":
             df = catalog.cost_optimization(
                 self._filtered_events(qs), limit=self._limit(qs, 10)
             )
-            return self._send(200, _rows(df))
+            return self._send(200, [_wire_cost(r) for r in _rows(df)])
 
         if path in ("/", "/optimize", "/dashboard"):
             # dashboard render (reference dashboard.rs:47-51 routes "/" and
@@ -252,11 +322,25 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             # the dashboard's data fold (dashboard.rs:55-159 pulls the same
             # four analytics calls before rendering): host-side fold over
             # the collected (≤ limit) rows
-            hogs = _rows(catalog.top_resource_consumers(ev, limit=20))
-            eff = _rows(catalog.efficiency_analysis(ev, limit=20))
-            trends = _rows(catalog.capacity_trends(ev, limit=30))
-            cost = _rows(catalog.cost_optimization(ev, limit=20))
-            total_savings = round(sum(r["potential_savings"] for r in eff), 6)
+            hogs = [
+                _wire_resource_hog(r)
+                for r in _rows(catalog.top_resource_consumers(ev, limit=20))
+            ]
+            eff = [
+                _wire_efficiency(r)
+                for r in _rows(catalog.efficiency_analysis(ev, limit=20))
+            ]
+            trends = [
+                _wire_capacity(r)
+                for r in _rows(catalog.capacity_trends(ev, limit=30))
+            ]
+            cost = [
+                _wire_cost(r)
+                for r in _rows(catalog.cost_optimization(ev, limit=20))
+            ]
+            total_savings = round(
+                sum(r["potential_cost_savings"] for r in eff), 6
+            )
             return self._send(
                 200,
                 {

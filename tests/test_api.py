@@ -55,32 +55,52 @@ def test_applications_walk(api):
 
 
 def test_analytics_endpoints_and_invariants(api):
+    """Mirrors the reference's own endpoint walk
+    (analytics_api_test.rs:63-175): same routes, same WIRE field names
+    (analytics_api.rs:53-143), same shape assertions."""
     code, hogs = _get(api, "/api/v1/optimization/resource-hogs?limit=5")
     assert code == 200 and len(hogs) <= 5
     for h in hogs:
-        assert h["max_peak_memory_mb"] > 0
+        for field in ("app_id", "resource_type", "consumption_value",
+                      "efficiency_score", "recommendation", "last_seen"):
+            assert field in h
+        assert h["resource_type"] == "Memory"
+        assert h["consumption_value"] > 0
         assert h["efficiency_score"] in (60.0, 75.0, 85.0)
 
     code, eff = _get(api, "/api/v1/optimization/efficiency-analysis")
     assert code == 200
     for e in eff:
+        for field in ("app_id", "efficiency_category", "memory_efficiency",
+                      "cpu_efficiency", "optimization_actions"):
+            assert field in e
         assert e["efficiency_category"] in (
             "OverProvisioned",
             "UnderProvisioned",
             "WellTuned",
         )
         assert e["risk_level"] in ("Low", "Medium", "High")
-        assert 0 <= e["memory_efficiency_pct"] <= 100
+        assert 0 <= e["memory_efficiency"] <= 100
+        assert isinstance(e["optimization_actions"], list)
+        assert len(e["optimization_actions"]) >= 1
 
     code, trends = _get(api, "/api/v1/capacity/usage-trends")
     assert code == 200
     for t in trends:
-        assert 0 <= t["capacity_utilization_pct"] <= 100
+        for field in ("date", "total_memory_gb_used", "total_cpu_cores_used",
+                      "peak_concurrent_applications"):
+            assert field in t
+        assert 0 <= t["cluster_capacity_percentage"] <= 100
 
     code, cost = _get(api, "/api/v1/capacity/cost-optimization")
     assert code == 200
     for c in cost:
-        assert c["optimized_monthly_cost"] <= c["current_monthly_cost"]
+        for field in ("app_id", "optimization_type", "current_cost",
+                      "savings_percentage", "confidence_score",
+                      "formatted_savings"):
+            assert field in c
+        assert c["optimized_cost"] <= c["current_cost"]
+        assert c["formatted_savings"].startswith("$")
 
 
 def test_date_filter_params(api):
