@@ -63,6 +63,50 @@ def _rows(df: DataFrame) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
+def _iso_utc(ms: int | None) -> str | None:
+    if ms is None:
+        return None
+    return (
+        datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+        .isoformat()
+        .replace("+00:00", "Z")
+    )
+
+
+def _wire_attempt(a: dict) -> dict:
+    """ApplicationAttemptInfo wire shape (models.rs:20-40: camelCase with
+    explicit *Epoch renames; times serialize RFC3339)."""
+    return {
+        "attemptId": a["attempt_id"],
+        "startTime": _iso_utc(a["start_ms"]),
+        "endTime": _iso_utc(a["end_ms"]),
+        "lastUpdated": _iso_utc(a["last_updated_ms"]),
+        "duration": a["duration_ms"],
+        "sparkUser": a["spark_user"],
+        "completed": a["completed"],
+        "appSparkVersion": a["app_spark_version"],
+        "startTimeEpoch": a["start_ms"],
+        "endTimeEpoch": a["end_ms"],
+        "lastUpdatedEpoch": a["last_updated_ms"],
+    }
+
+
+def _wire_application(row: dict, attempts: list[dict], name: str | None) -> dict:
+    """ApplicationInfo wire shape (models.rs:8-18) + this engine's flat
+    diagnostic fields (extra keys don't break reference clients)."""
+    return {
+        "id": row["app_id"],
+        "name": name or f"app_{row['app_id']}",
+        "coresGranted": None,
+        "maxCores": None,
+        "coresPerExecutor": None,
+        "memoryPerExecutorMb": None,
+        "attempts": [_wire_attempt(a) for a in attempts],
+        # engine extras (flat summary the dashboard/tests use)
+        **row,
+    }
+
+
 # --- wire-format adapters ---------------------------------------------------
 # The platform endpoints serialize the reference's exact field names
 # (analytics_api.rs:53-143 ResourceHog / EfficiencyAnalysis / CapacityTrend /
@@ -171,6 +215,21 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             app_id=app,
         )
 
+    def _attempts_for(
+        self, ev: DataFrame, app_ids: list[str]
+    ) -> tuple[dict, dict]:
+        """(app_id → attempt list, app_id → name) for the listed apps —
+        one aggregation over just those apps' events."""
+        if not app_ids:
+            return {}, {}
+        att = applications_with_attempts(ev.filter(ev["app_id"].isin(app_ids)))
+        att_map: dict = {}
+        names: dict = {}
+        for r in _rows(att):
+            att_map[r["app_id"]] = r["attempts"]
+            names[r["app_id"]] = r["app_name"]
+        return att_map, names
+
     def _limit(self, qs: dict, default: int) -> int:
         raw = qs.get("limit", [default])[0]
         try:
@@ -218,7 +277,17 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 max_end_ms=parse_date_param(max_end) if max_end else None,
                 limit=self._limit(qs, 100),
             )
-            return self._send(200, _rows(df))
+            rows = _rows(df)
+            att_map, names = self._attempts_for(ev, [r["app_id"] for r in rows])
+            return self._send(
+                200,
+                [
+                    _wire_application(
+                        r, att_map.get(r["app_id"], []), names.get(r["app_id"])
+                    )
+                    for r in rows
+                ],
+            )
 
         m = re.fullmatch(r"/api/v1/applications/([^/]+)", path)
         if m:
@@ -228,14 +297,15 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             rows = _rows(df)
             if not rows:
                 return self._send(404, {"error": "unknown application"})
-            # ApplicationInfo shape (models.rs:10-18): attach the attempt
-            # list, newest first
-            att = applications_with_attempts(
-                ev.filter(ev["app_id"] == m.group(1))
+            att_map, names = self._attempts_for(ev, [m.group(1)])
+            return self._send(
+                200,
+                _wire_application(
+                    rows[0],
+                    att_map.get(m.group(1), []),
+                    names.get(m.group(1)),
+                ),
             )
-            arows = _rows(att)
-            rows[0]["attempts"] = arows[0]["attempts"] if arows else []
-            return self._send(200, rows[0])
 
         m = re.fullmatch(r"/api/v1/applications/([^/]+)/executors", path)
         if m:

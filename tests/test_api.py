@@ -216,15 +216,23 @@ def test_dashboard_js_has_no_interpolated_markup(api):
 
 
 def test_single_application_includes_attempts(api):
+    """ApplicationInfo wire shape (models.rs:8-40): camelCase attempt
+    fields incl. the explicit *Epoch renames, RFC3339 times."""
     code, apps = _get(api, "/api/v1/applications?limit=1")
     app_id = apps[0]["app_id"]
+    assert apps[0]["id"] == app_id  # wire id + engine extras coexist
     code, one = _get(api, f"/api/v1/applications/{app_id}")
     assert code == 200
     assert isinstance(one["attempts"], list) and len(one["attempts"]) >= 1
     att = one["attempts"][0]
-    for k in ("attempt_id", "start_ms", "end_ms", "duration_ms",
-              "spark_user", "completed", "app_spark_version"):
+    for k in ("attemptId", "startTime", "endTime", "lastUpdated", "duration",
+              "sparkUser", "completed", "appSparkVersion", "startTimeEpoch",
+              "endTimeEpoch", "lastUpdatedEpoch"):
         assert k in att
+    assert att["startTime"].endswith("Z")
+    for k in ("coresGranted", "maxCores", "coresPerExecutor",
+              "memoryPerExecutorMb"):
+        assert k in one
 
 
 def test_api_over_real_event_logs(spark, tmp_path):
@@ -249,7 +257,7 @@ def test_api_over_real_event_logs(spark, tmp_path):
         app_id = apps[0]["app_id"]
         code, one = _get(base, f"/api/v1/applications/{app_id}")
         assert code == 200 and len(one["attempts"]) == 1
-        assert one["attempts"][0]["app_spark_version"] == "3.5.3"
+        assert one["attempts"][0]["appSparkVersion"] == "3.5.3"
         code, execs = _get(base, f"/api/v1/applications/{app_id}/executors")
         assert code == 200 and len(execs) > 0
         for e in execs:
