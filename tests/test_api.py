@@ -261,8 +261,13 @@ def test_api_over_real_event_logs(spark, tmp_path):
         code, execs = _get(base, f"/api/v1/applications/{app_id}/executors")
         assert code == 200 and len(execs) > 0
         for e in execs:
-            assert "executor_logs" in e and "attributes" in e
-            assert "add_time_ms" in e
+            # ExecutorSummary wire shape (models.rs:83-112)
+            for k in ("id", "hostPort", "isActive", "totalCores",
+                      "totalDuration", "totalGCTime", "executorLogs",
+                      "attributes", "resourceProfileId", "addTime"):
+                assert k in e
+            assert e["executorLogs"] == {} and e["attributes"] == {}
+            assert e["addTime"] is not None
     finally:
         httpd.shutdown()
 
