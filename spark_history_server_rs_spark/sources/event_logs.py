@@ -381,6 +381,39 @@ def _list_files(spark: SparkSession, base: str) -> list[tuple[str, int]]:
     return out
 
 
+def read_event_logs_auto(
+    spark: SparkSession,
+    paths: list[str],
+    now_ms: int = DEFAULT_NOW_MS,
+) -> DataFrame:
+    """Route an explicit file list to the right reader by extension —
+    plain/gz JSON-lines through the text source, ``.zip`` through the
+    archive reader, lz4/zstd/snappy through the pyarrow decoder — and
+    union the normalized frames (identical schema by construction). This
+    is what the incremental planner feeds: a real history dir freely
+    mixes compressed and plain logs."""
+    zips = [p for p in paths if p.lower().endswith(".zip")]
+    comp = [
+        p
+        for p in paths
+        if p.lower().endswith(COMPRESSED_LOG_EXTENSIONS)
+    ]
+    plain = [p for p in paths if p not in set(zips) | set(comp)]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(read_event_logs(spark, plain, now_ms=now_ms))
+    if zips:
+        parts.append(read_zip_event_logs(spark, zips, now_ms=now_ms))
+    if comp:
+        parts.append(read_compressed_event_logs(spark, comp, now_ms=now_ms))
+    if not parts:
+        raise ValueError("no event-log files to read")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def plan_incremental(
     spark: SparkSession, base: str, manifest_dir: str
 ) -> tuple[list[str], DataFrame]:
@@ -438,7 +471,7 @@ def incremental_ingest(
     """
     todo, new_manifest = plan_incremental(spark, base, manifest_dir)
     if todo:
-        events = read_event_logs(spark, todo, now_ms=now_ms)
+        events = read_event_logs_auto(spark, todo, now_ms=now_ms)
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -713,7 +746,7 @@ def applications_with_attempts(
 
 
 def read_zip_event_logs(
-    spark: SparkSession, path: str, now_ms: int = DEFAULT_NOW_MS
+    spark: SparkSession, path: str | list[str], now_ms: int = DEFAULT_NOW_MS
 ) -> DataFrame:
     """S6 compression parity for ``.zip`` archives (the reference bundles a
     zip reader, Cargo.toml:24-26). Spark's text source decompresses gz/bz2
@@ -777,7 +810,7 @@ COMPRESSED_LOG_EXTENSIONS = (".lz4", ".zstd", ".zst", ".snappy")
 
 
 def read_compressed_event_logs(
-    spark: SparkSession, path: str, now_ms: int = DEFAULT_NOW_MS
+    spark: SparkSession, path: str | list[str], now_ms: int = DEFAULT_NOW_MS
 ) -> DataFrame:
     """S6 compression parity for lz4/zstd/snappy event logs — the formats
     ``spark.eventLog.compress=true`` actually writes (lz4-java block

@@ -611,3 +611,53 @@ def test_stream_running_corpus_stats(spark, tmp_path):
     assert latest["en"].batches == 2  # state crossed the batch boundary
     assert latest["de"].docs_seen == 1
     assert latest["de"].tokens_seen == 2
+
+
+def test_incremental_ingest_mixed_compression(spark, tmp_path):
+    """A real history dir mixes plain, gz, lz4, and zip logs; the
+    incremental planner must route each file to the right reader instead
+    of text-reading compressed bytes."""
+    import gzip as _gzip
+    import zipfile as _zipfile
+
+    base = tmp_path / "logs"
+    base.mkdir()
+    jvm = spark.sparkContext._jvm
+
+    def events_for(app):
+        evs = list(_app_events(app, 2, 0.5, 1 << 28))
+        return "".join(json.dumps(e) + "\n" for e in evs)
+
+    # plain
+    appdir = base / "application_plain"
+    appdir.mkdir()
+    (appdir / "events_1").write_text(events_for("application_plain"))
+    # gz (native text source)
+    (base / "app-gzip-1").mkdir()
+    with _gzip.open(base / "app-gzip-1" / "events_1.gz", "wt") as f:
+        f.write(events_for("app-gzip-1"))
+    # lz4 (lz4-java block stream)
+    fos = jvm.java.io.FileOutputStream(str(base / "application_lz4demo"))
+    lz = jvm.net.jpountz.lz4.LZ4BlockOutputStream(fos)
+    lz.write(bytearray(events_for("application_lz4demo").encode()))
+    lz.close()
+    import os
+    os.rename(base / "application_lz4demo", base / "application_lz4demo.lz4")
+    # zip archive
+    with _zipfile.ZipFile(base / "application_ziplog.zip", "w") as zf:
+        zf.writestr("events_1_application_ziplog", events_for("application_ziplog"))
+
+    sink = str(tmp_path / "sink")
+    manifest = str(tmp_path / "manifest")
+    n = incremental_ingest(spark, str(base), sink, manifest)
+    assert n == 4
+    sunk = read_events_sink(spark, sink)
+    apps = {r.app_id for r in sunk.select("app_id").distinct().collect()}
+    assert apps == {
+        "application_plain",
+        "app-gzip-1",
+        "application_lz4demo",
+        "application_ziplog",
+    }
+    # idempotent: nothing new on re-run
+    assert incremental_ingest(spark, str(base), sink, manifest) == 0
