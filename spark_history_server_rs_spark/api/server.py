@@ -462,12 +462,31 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         self._send(404, {"error": "not found"})
 
 
-def serve(events: DataFrame, host: str = "127.0.0.1", port: int = 0):
+def serve(
+    events: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    warmup: bool = True,
+):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
-    frame is cached — the warm serving state."""
+    frame is cached — the warm serving state.
+
+    ``warmup`` pre-executes the dashboard query shapes once so whole-stage
+    codegen is JIT-compiled before the first user request (first-hit
+    latency drops from ~1.5 s to the warm ~0.5 s)."""
     events = events.cache()
     events.count()  # materialize
+    if warmup:
+        for fn in (
+            lambda ev: catalog.top_resource_consumers(ev, limit=1),
+            lambda ev: catalog.efficiency_analysis(ev, limit=1),
+            lambda ev: catalog.capacity_trends(ev, limit=1),
+            lambda ev: catalog.cost_optimization(ev, limit=1),
+            lambda ev: catalog.applications(ev, limit=1),
+            catalog.executor_summary,
+        ):
+            fn(events).collect()
     httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
     httpd.events = events  # type: ignore[attr-defined]
     return httpd
