@@ -339,6 +339,60 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 """
 
 
+# ==========================================================================
+# R12 — TPC-H Q4-style order-priority check (correlated EXISTS)
+# ==========================================================================
+# Adapted to the testdata columns (no l_commitdate): an order counts when
+# at least one of its lines shipped after the order date. Catalyst
+# rewrites the correlated EXISTS into a LeftSemi join on o_orderkey.
+R12_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ==========================================================================
+# R13 — TPC-H Q13-style customer order-count distribution (outer join)
+# ==========================================================================
+# The LEFT JOIN keeps customers with zero orders (c_count = 0 bucket) —
+# the classic outer-join + double-aggregation shape.
+R13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# ==========================================================================
+# R14 — TPC-H Q18-style large-volume customers (HAVING over join, top-k)
+# ==========================================================================
+LARGE_ORDER_QTY = 250
+
+R14_SQL = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {{DF:o.o_orderdate}} AS order_date,
+       CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS DOUBLE) / 100.0 AS total_price,
+       SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, {{DF:o.o_orderdate}}, o.o_totalprice
+HAVING SUM(l.l_quantity) > {LARGE_ORDER_QTY}
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -376,6 +430,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_task_executor_config": _events_query(R9_TAIL),
     "range_join_live_executors": _events_query(R11_TAIL),
     "tpch_q6_forecast_revenue": _tpch_query(R10_SQL),
+    "tpch_q4_priority_check": _tpch_query(R12_SQL),
+    "tpch_q13_order_distribution": _tpch_query(R13_SQL),
+    "tpch_q18_large_orders": _tpch_query(R14_SQL),
 }
 
 
@@ -395,4 +452,7 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "asof_join_task_executor_config": duckdb_events_cte() + ",\n" + _duck(R9_TAIL),
     "range_join_live_executors": duckdb_events_cte() + ",\n" + _duck(R11_TAIL),
     "tpch_q6_forecast_revenue": _duck(R10_SQL),
+    "tpch_q4_priority_check": _duck(R12_SQL),
+    "tpch_q13_order_distribution": _duck(R13_SQL),
+    "tpch_q18_large_orders": _duck(R14_SQL),
 }
