@@ -542,7 +542,59 @@ ORACLE_KMEANS_STEP = (
 )
 
 
+# ==========================================================================
+# L9 — table profile (null/distinct census)
+# ==========================================================================
+PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_table(df: DataFrame, columns: tuple[str, ...] = PROFILE_COLUMNS) -> DataFrame:
+    """L9: per-column data-quality census — rows, non-nulls, nulls,
+    distincts — the first pass any pipeline runs over a new drop.
+
+    Spark-first shape: ONE aggregate computes every column's counters in a
+    single scan (the oracle's UNION-ALL-per-column shape would scan once
+    per column), then ``stack`` pivots to the long format."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("_rows")]
+    for c in columns:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in columns)
+    return (
+        wide.selectExpr(
+            "_rows AS n_rows",
+            f"stack({len(columns)}, {stack_expr})"
+            " AS (column_name, n_non_null, n_distinct)",
+        )
+        .selectExpr(
+            "column_name",
+            "n_rows",
+            "n_non_null",
+            "n_rows - n_non_null AS n_nulls",
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLE_PROFILE = (
+    "SELECT column_name, n_rows, n_non_null, n_rows - n_non_null AS n_nulls,"
+    " n_distinct FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
+        f" COUNT({c}) AS n_non_null, COUNT(DISTINCT {c}) AS n_distinct"
+        " FROM documents"
+        for c in PROFILE_COLUMNS
+    )
+    + "\n) ORDER BY column_name"
+)
+
+
 ORACLE_SQL_LLMPREP = {
+    "corpus_profile": ORACLE_PROFILE,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
