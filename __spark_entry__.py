@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),
+        "corpus_training_manifest": _d(llmprep.training_manifest),
         "corpus_length_histogram": _d(llmprep.length_histogram),
         "corpus_bigram_counts": _d(llmprep.bigram_counts),
         "corpus_pack_sequences": _d(llmprep.pack_sequences),

@@ -130,12 +130,9 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_CLUSTERS = (
-    "WITH RECURSIVE shingles AS ("
-    + _SHINGLES_DUCK
-    + "),\n"
-    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
-    + """,
+#: the recursive connected-components CTE chain (shared with the
+#: training-manifest composition in :mod:`.llmprep`)
+CC_ORACLE_CTES = """
 undirected AS (
   SELECT doc_a AS src, doc_b AS dst FROM edges
   UNION
@@ -148,7 +145,16 @@ reach(a, b) AS (
 ),
 clustered AS (
   SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-),
+)"""
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+    + ","
+    + CC_ORACLE_CTES
+    + """,
 cluster_sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
           FROM clustered GROUP BY cluster_id)
 SELECT c.cluster_id, c.doc_id, s.cluster_size,

@@ -543,6 +543,118 @@ ORACLE_KMEANS_STEP = (
 
 
 # ==========================================================================
+# L10 — training manifest (the end-to-end keep/drop decision)
+# ==========================================================================
+def training_manifest(docs: DataFrame) -> DataFrame:
+    """L10: the pipeline's final answer — per document: split assignment,
+    quality score, near-dup cluster, and the keep/drop decision
+    (``duplicate`` beats ``low_quality``; keepers of a cluster survive).
+    Composes the deterministic hash split, the quality scorer, and the
+    near-dup cluster resolution into one manifest — documents in,
+    training set out.
+
+    Scale: reuses each component's plan (shingle relation is shared via
+    the materialized cache; the cluster side only carries docs with ≥1
+    edge, LEFT-joined back)."""
+    from pyspark.sql import functions as F
+
+    from .corpus import dedup_clusters, hash_split  # noqa: F401 (split case below)
+    from .textprep import text_quality
+
+    clusters = dedup_clusters(docs).select(
+        "doc_id", "cluster_id", "is_keeper"
+    )
+    quality = text_quality(docs).select(
+        "doc_id", "quality_score", "quality_bucket"
+    )
+    bucket = _BUCKET.format(STR="STRING")
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'"
+        f" WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val'"
+        " ELSE 'test' END AS split",
+    )
+    return (
+        base.join(quality, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("cluster_id").isNotNull() & ~F.col("is_keeper"),
+                "duplicate",
+            ).when(F.col("quality_bucket") == "Low", "low_quality"),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            "quality_score",
+            "cluster_id",
+            "keep",
+            "drop_reason",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_training_manifest() -> str:
+    from .corpus import CC_ORACLE_CTES, _EDGE_CTES
+    from .dedup import JACCARD_THRESHOLD
+    from .textprep import QUALITY_STOPWORDS, _in_list, _QUALITY_EXPR
+
+    stop = _in_list(QUALITY_STOPWORDS)
+    bucket = _BUCKET.format(STR="VARCHAR")
+    return (
+        "WITH RECURSIVE shingles AS ("
+        + _SHINGLES_DUCK
+        + "),\n"
+        + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+        + ","
+        + CC_ORACLE_CTES
+        + f""",
+qbase AS (
+  SELECT doc_id,
+         len({_TOKENS_DUCK}) AS n_tokens,
+         len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
+         FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio
+  FROM documents
+),
+qratio AS (
+  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+              / CAST(10000.0 AS DOUBLE) AS stop_ratio
+  FROM qbase
+),
+qscored AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qratio),
+assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT a.doc_id, a.lang, a.split, q.quality_score, c.cluster_id,
+       (CASE WHEN c.cluster_id IS NOT NULL AND a.doc_id <> c.cluster_id
+               THEN 'duplicate'
+             WHEN q.quality_score < 0.5 THEN 'low_quality' END) IS NULL AS keep,
+       CASE WHEN c.cluster_id IS NOT NULL AND a.doc_id <> c.cluster_id
+              THEN 'duplicate'
+            WHEN q.quality_score < 0.5 THEN 'low_quality' END AS drop_reason
+FROM assigned a
+JOIN qscored q ON a.doc_id = q.doc_id
+LEFT JOIN clustered c ON a.doc_id = c.doc_id
+ORDER BY a.doc_id
+"""
+    )
+
+
+ORACLE_TRAINING_MANIFEST = _oracle_training_manifest()
+
+
+# ==========================================================================
 # L9 — table profile (null/distinct census)
 # ==========================================================================
 PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -595,6 +707,7 @@ ORACLE_PROFILE = (
 
 ORACLE_SQL_LLMPREP = {
     "corpus_profile": ORACLE_PROFILE,
+    "corpus_training_manifest": ORACLE_TRAINING_MANIFEST,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
