@@ -20,6 +20,8 @@ SELECTED = [
     ("corpus_contamination", "split-filtered shingle inverted-index join"),
     ("embedding_kmeans_step", "broadcast centroid assignment"),
     ("range_join_live_executors", "sweep-line replacing a BETWEEN range join"),
+    ("tpch_q4_priority_check", "correlated EXISTS planned as LeftSemi"),
+    ("corpus_training_manifest", "end-to-end keep/drop composition"),
 ]
 
 
