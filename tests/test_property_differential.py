@@ -114,6 +114,9 @@ def test_random_events_match_oracle(rows, spark, prop_dir):
         (catalog.gc_time_trends, "gc_time_trends"),
         (catalog.executor_summary, "executor_summary"),
         (catalog.resource_usage_summary, "resource_usage_summary"),
+        (catalog.efficiency_analysis, "efficiency_analysis"),
+        (catalog.top_resource_consumers, "top_resource_consumers"),
+        (catalog.capacity_trends, "capacity_trends"),
     ]:
         ok, report = compare(fn(ev), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random rows: {report}"
