@@ -105,6 +105,9 @@ def main() -> None:
         ("corpus_contamination", llmprep.contamination, docs),
         ("corpus_pack_sequences", llmprep.pack_sequences, docs),
         ("embedding_kmeans_step", llmprep.kmeans_step, emb),
+        # the end-to-end composition (split + quality + iterative CC):
+        # the heaviest single op by design — tracked so regressions show
+        ("corpus_training_manifest", llmprep.training_manifest, docs),
     ]:
         fn(src).collect()  # codegen warmup
         t = time.perf_counter()
