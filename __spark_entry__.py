@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_optimization": _q(catalog.cost_optimization),
         "application_info": _q(catalog.application_info),
         "task_duration_percentiles": _q(catalog.task_duration_percentiles),
+        # scale path: engine-specific mergeable sketch — deliberately no
+        # DuckDB oracle (rows-only check); pinned against the exact
+        # variant within tolerance in tests/test_plans.py
+        "task_duration_percentiles_approx": _q(
+            catalog.task_duration_percentiles_approx
+        ),
         "event_search": _q(catalog.event_search),
         # --- training-data pipeline: text analysis ---
         "text_token_stats": _d(textprep.token_stats),

@@ -842,6 +842,33 @@ def task_duration_percentiles(ev: DataFrame) -> DataFrame:
     )
 
 
+def task_duration_percentiles_approx(
+    ev: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """W1 scale path: the ``percentile_approx`` swap declared in
+    :func:`task_duration_percentiles` — a mergeable fixed-memory sketch
+    (KLL-style) per group instead of the exact sort-based percentile, so
+    the aggregation stays one map-side-combinable pass at any row count.
+    No DuckDB oracle (the sketch is engine-specific by design); pinned
+    against the exact variant within tolerance in the test suite."""
+    pct = F.expr(
+        f"percentile_approx(duration_ms, array(0.5, 0.9, 0.95, 0.99), {accuracy})"
+    )
+    return (
+        _tasks(ev)
+        .groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            r4(F.col("p")[0].cast("double")).alias("p50_ms"),
+            r4(F.col("p")[1].cast("double")).alias("p90_ms"),
+            r4(F.col("p")[2].cast("double")).alias("p95_ms"),
+            r4(F.col("p")[3].cast("double")).alias("p99_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # P2/P3/P6 showcase — event search with LIKE / IN / range predicates
 # --------------------------------------------------------------------------

@@ -19,7 +19,11 @@ ORACLES = entrymod.oracle_sql()
 def test_every_query_has_oracle_or_is_declared():
     missing = [k for k in QUERIES if k not in ORACLES]
     # non-SQL-expressible ops may omit an oracle; keep the list explicit
-    allowed_missing: set[str] = set()
+    allowed_missing: set[str] = {
+        # engine-specific mergeable sketch; tolerance-pinned against the
+        # exact percentile variant instead (tests/test_plans.py)
+        "task_duration_percentiles_approx",
+    }
     assert set(missing) <= allowed_missing
 
 

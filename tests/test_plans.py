@@ -265,3 +265,19 @@ def test_salted_join_equivalence_and_shape(spark, ev):
     )
     s = I.explain_str(salted, "simple")
     assert "_salt" in s  # the join key actually includes the salt
+
+
+def test_approx_percentiles_close_to_exact(spark, ev):
+    """The percentile_approx scale path must track the exact variant
+    within 5% per percentile per group (the declared swap for 100 TB)."""
+    exact = {r.event_type: r for r in catalog.task_duration_percentiles(ev).collect()}
+    approx = {
+        r.event_type: r
+        for r in catalog.task_duration_percentiles_approx(ev).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        for col in ("p50_ms", "p90_ms", "p95_ms", "p99_ms"):
+            ev_, av = getattr(e, col), getattr(a, col)
+            assert abs(av - ev_) <= 0.05 * max(ev_, 1.0), (et, col, ev_, av)
