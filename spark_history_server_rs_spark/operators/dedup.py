@@ -14,8 +14,8 @@ The large-scale training-data-pipeline surface. Scale design per operator:
   band keys → self-join on band key → verify candidates with exact
   Jaccard. Join cardinality is bucket-bounded; at 100 TB the band join
   shuffles only (doc_id, band_key) pairs, never text.
-- **SimHash**: 16-bit fingerprints; candidate pairs via the 4-block
-  pigeonhole join (any equal 4-bit quarter), which is *exact* for Hamming
+- **SimHash**: 32-bit fingerprints; candidate pairs via the 4-block
+  pigeonhole join (any equal 8-bit block), which is *exact* for Hamming
   radius ≤ 3 — no quadratic scan at any scale.
 - **embedding cosine**: exact all-pairs baseline at test scale; the
   bucketed scale path lives in :mod:`.similarity` (LSH hyperplanes).
@@ -38,7 +38,7 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_THRESHOLD = 0.5
 # 32-bit fingerprints, 8-bit pigeonhole blocks: at radius ≤3 the 4-block
 # join is still exact, while the candidate space per block is 256× finer
-# than the 16-bit/4-bit original — measured 1.57M pairs → ~5k at sf0.1
+# than the 16-bit/4-bit original — measured 1.57M pairs → 83k at sf0.1
 # (a 16-bit space saturates on any large corpus: quadratic collisions).
 SIMHASH_BITS = 32
 SIMHASH_BLOCKS = 4  # pigeonhole blocks → exact for radius ≤ SIMHASH_BLOCKS-1
@@ -378,7 +378,7 @@ ORDER BY doc_a, doc_b
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
-    """D4: 16-bit SimHash near-dup pairs at Hamming radius ≤ {r}. Candidate
+    """D4: 32-bit SimHash near-dup pairs at Hamming radius ≤ {r}. Candidate
     generation is the 4-block pigeonhole join (two fingerprints within
     radius {r} < {b} blocks must agree on ≥1 block) — exact recall without
     an all-pairs scan, the property that makes SimHash the 100 TB
