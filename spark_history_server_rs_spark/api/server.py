@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 
 from ..operators import catalog
 from ..sources.event_logs import applications_with_attempts, executor_details
+from .circuit_breaker import CircuitBreaker
 
 VERSION = {"version": "1.0.0", "engine": "pyspark"}
 
@@ -289,14 +290,30 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
     # ---- routing ----------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        breaker = getattr(self.server, "breaker", None)
         try:
             url = urlparse(self.path)
             qs = parse_qs(url.query)
             path = url.path.rstrip("/") or "/"
+            if path == "/api/v1/circuit-breaker":
+                return self._send(
+                    200, breaker.snapshot() if breaker else {"state": "disabled"}
+                )
+            # fail fast while the circuit is open (circuit_breaker.rs:88-92);
+            # health stays reachable so probes see the process is alive
+            if breaker is not None and path != "/health" and not breaker.allow():
+                return self._send(
+                    503, {"error": "circuit open", **breaker.snapshot()}
+                )
             self._route(path, qs)
+            if breaker is not None:
+                breaker.record_success()
         except ValueError as ex:
+            # client errors are not service failures — don't trip the breaker
             self._send(400, {"error": str(ex)})
         except Exception as ex:  # pragma: no cover - defensive 500
+            if breaker is not None:
+                breaker.record_failure()
             self._send(500, {"error": str(ex)})
 
     def _route(self, path: str, qs: dict) -> None:
@@ -489,6 +506,7 @@ def serve(
             fn(events).collect()
     httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
     httpd.events = events  # type: ignore[attr-defined]
+    httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 
 

@@ -284,3 +284,54 @@ def test_jobs_detailed_extension(api):
     for j in jobs:
         assert j["total_tasks"] >= j["successful_tasks"]
         assert j["total_duration_ms"] >= 0
+
+
+def test_circuit_breaker_state_machine():
+    """Unit: CLOSED -> OPEN after N failures, OPEN fails fast, HALF_OPEN
+    after the timeout, trial successes re-close, trial failure re-opens
+    (reference circuit_breaker.rs state machine + defaults)."""
+    from spark_history_server_rs_spark.api.circuit_breaker import (
+        CLOSED, HALF_OPEN, OPEN, CircuitBreaker,
+    )
+
+    t = [0.0]
+    cb = CircuitBreaker(failure_threshold=3, success_threshold=2,
+                        timeout_s=10, window_s=100, clock=lambda: t[0])
+    assert cb.state == CLOSED and cb.allow()
+    for _ in range(3):
+        cb.record_failure()
+    assert cb.state == OPEN and not cb.allow()
+    # timeout elapses -> half-open trials allowed
+    t[0] = 11.0
+    assert cb.allow() and cb.state == HALF_OPEN
+    cb.record_success()
+    assert cb.state == HALF_OPEN  # needs success_threshold
+    cb.record_success()
+    assert cb.state == CLOSED
+    # a half-open failure re-opens immediately
+    for _ in range(3):
+        cb.record_failure()
+    t[0] = 22.0
+    assert cb.state == HALF_OPEN
+    cb.record_failure()
+    assert cb.state == OPEN
+    # failure window: stale failures don't accumulate
+    t[0] = 100.0
+    cb2 = CircuitBreaker(failure_threshold=3, timeout_s=10, window_s=50,
+                         clock=lambda: t[0])
+    cb2.record_failure(); cb2.record_failure()
+    t[0] = 160.0  # window rolls over
+    cb2.record_failure()
+    assert cb2.state == CLOSED  # only 1 failure in the current window
+
+
+def test_circuit_breaker_endpoint_and_serving(api):
+    """Wire: the status endpoint reports CLOSED under normal serving, and
+    client errors (400s) don't trip the breaker."""
+    code, st = _get(api, "/api/v1/circuit-breaker")
+    assert code == 200 and st["state"] == "closed"
+    for _ in range(6):
+        code, _body = _get(api, "/api/v1/applications?limit=abc")
+        assert code == 400
+    code, st = _get(api, "/api/v1/circuit-breaker")
+    assert code == 200 and st["state"] == "closed"
