@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _d(textprep.language_id),
         "text_quality": _d(textprep.text_quality),
         "text_fingerprints": _d(textprep.doc_fingerprints),
+        "text_repetition": _d(textprep.repetition_signals),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _e(similarity.ann_cosine_topk),
         "ann_lsh_bucketed": _e(similarity.ann_lsh_bucketed),
         "ann_ivf": _e(similarity.ann_ivf),
+        "ann_recall_eval": _e(similarity.ann_recall_eval),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),
@@ -129,8 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": _d(llmprep.pack_sequences),
         "corpus_pack_sequences_sharded": _d(llmprep.pack_sequences_sharded),
         "corpus_stratified_sample": _d(llmprep.stratified_sample),
+        "corpus_temperature_sample": _d(llmprep.temperature_sample),
         "corpus_contamination": _d(llmprep.contamination),
         "text_stem_normalize": _d(llmprep.stem_normalize),
+        "text_pii_scrub": _d(llmprep.pii_scrub),
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
     }

@@ -320,6 +320,103 @@ ORACLE_STRATIFIED_SAMPLE = "WITH " + _SAMPLE_TAIL.format(
 
 
 # ==========================================================================
+# L11 — temperature-weighted source sampling (multilingual mixture rates)
+# ==========================================================================
+#: corpus fraction the temperature sample targets (sum over sources).
+TEMP_SAMPLE_FRACTION = 0.5
+
+
+def _u4(str_type: str) -> str:
+    """md5(doc_id) first 4 hex digits → uniform in [0, 1) with 1/65536
+    granularity — same portable-hex family as ``_BUCKET``, more
+    resolution (per-source rates are real-valued, not percents)."""
+    digits = [
+        f"(position(substr(md5(CAST(doc_id AS {str_type})), {i}, 1)"
+        " IN '0123456789abcdef') - 1)"
+        for i in (1, 2, 3, 4)
+    ]
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"({acc} * 16 + {d})"
+    return f"(CAST({acc} AS DOUBLE) / CAST(65536.0 AS DOUBLE))"
+
+
+#: w = SQRT(char mass) snapped to an integer-valued double — temperature
+#: alpha = 0.5 (the standard up-weighting of low-resource sources), and
+#: integer-valued doubles SUM exactly in any aggregation order. Weighting
+#: is by character mass, not doc count, so sources with longer documents
+#: don't dominate the mix by token volume.
+_TEMP_W = "FLOOR(SQRT(CAST(src_chars AS DOUBLE)) * 1000000.0 + 0.5)"
+
+_TEMP_SAMPLE_TAIL = """
+counts AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS src_chars
+  FROM {src} GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, src_chars,
+         {w} AS w,
+         SUM({w}) OVER () AS tot_w,
+         SUM(src_chars) OVER () AS total_chars
+  FROM counts
+),
+rated AS (
+  SELECT source, n_docs, src_chars,
+         LEAST(CAST(1.0 AS DOUBLE),
+               FLOOR(((CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))
+                      * CAST(FLOOR(CAST(total_chars AS DOUBLE) * CAST({frac} AS DOUBLE) + 0.5) AS DOUBLE)
+                      / CAST(src_chars AS DOUBLE)) * 1000000.0 + 0.5)
+               / CAST(1000000.0 AS DOUBLE)) AS sample_rate
+  FROM weighted
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+  FROM {src} d JOIN rated r ON d.source = r.source
+  WHERE {u4} < r.sample_rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.src_chars, r.sample_rate,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.sampled_chars, 0) AS sampled_chars
+FROM rated r LEFT JOIN sampled s ON r.source = s.source
+ORDER BY r.source
+"""
+
+
+def temperature_sample(docs: DataFrame) -> DataFrame:
+    """L11: temperature-weighted mixture sampling — per-source selection
+    rates proportional to ``count^0.5 / sum(count^0.5)`` (temperature
+    alpha = 0.5, the standard low-resource up-weighting for multilingual /
+    multi-source training mixes), scaled to a {frac:.0%}-of-corpus target,
+    then a deterministic md5-uniform per-document selection.
+
+    Plan shape at 100 TB: one map-side-combined ``groupBy(source)`` over
+    the corpus (bounded by #sources), two window sums over that tiny
+    frame, a broadcast join of the rates back onto the scan, and a second
+    bounded groupBy — the document side is never shuffled by anything
+    wider than the #sources aggregation key. Selection is reproducible
+    across runs, reshards, and engines (no RNG).""".format(
+        frac=TEMP_SAMPLE_FRACTION
+    )
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _TEMP_SAMPLE_TAIL.format(
+        src="_llm_docs",
+        w=_TEMP_W,
+        frac=TEMP_SAMPLE_FRACTION,
+        u4=_u4("STRING"),
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_TEMPERATURE_SAMPLE = "WITH " + _TEMP_SAMPLE_TAIL.format(
+    src="documents",
+    w=_TEMP_W,
+    frac=TEMP_SAMPLE_FRACTION,
+    u4=_u4("VARCHAR"),
+)
+
+
+# ==========================================================================
 # L5 — train/test contamination (shingle overlap across the hash split)
 # ==========================================================================
 _CONTAM_TAIL = """
@@ -375,6 +472,78 @@ ORACLE_CONTAMINATION = (
         src="documents",
         minsh=CONTAMINATION_MIN_SHINGLES,
     )
+)
+
+
+# ==========================================================================
+# L12 — PII scrub (email / IPv4 / long-number redaction)
+# ==========================================================================
+#: Patterns are written backslash-free (character classes only, no \\d or
+#: \\. and no {{m,n}} quantifiers) so the identical pattern TEXT means the
+#: identical regex in Java (Spark) and RE2 (DuckDB), with no
+#: string-literal escaping differences between the two SQL dialects.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+PII_LONGNUM = "[0-9][0-9][0-9][0-9][0-9]+"
+
+#: staged so each count runs on the PREVIOUS stage's text: digit runs
+#: inside an IP address are not double-counted as long numbers, and
+#: neither is counted inside an already-redacted email.
+_PII_TAIL = """
+s1 AS (
+  SELECT doc_id, length(text) AS n_chars_orig, text AS t0,
+         regexp_replace(text, '{email}', '<EMAIL>'{g}) AS t1
+  FROM {src}
+),
+s2 AS (
+  SELECT *, regexp_replace(t1, '{ipv4}', '<IP>'{g}) AS t2 FROM s1
+),
+s3 AS (
+  SELECT *, regexp_replace(t2, '{num}', '<NUM>'{g}) AS t3 FROM s2
+)
+SELECT doc_id,
+       {sz}(regexp_extract_all(t0, '{email}'{zero})) AS n_emails,
+       {sz}(regexp_extract_all(t1, '{ipv4}'{zero})) AS n_ipv4,
+       {sz}(regexp_extract_all(t2, '{num}'{zero})) AS n_longnums,
+       n_chars_orig,
+       length(t3) AS n_chars_scrubbed,
+       md5(t3) AS scrubbed_md5
+FROM s3
+ORDER BY doc_id
+"""
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """L12: PII redaction — emails, IPv4 addresses, and 5+-digit number
+    runs replaced by typed placeholder tokens, with per-document
+    redaction counts and an md5 of the scrubbed text (so the oracle
+    checks the exact output text, not just the counts).
+
+    Pure projection — three chained ``regexp_replace`` stages inside one
+    whole-stage-codegen pass, zero shuffles; scales linearly and keeps
+    scrubbed text out of any exchange. The standard pre-training scrub
+    pass a corpus pipeline runs before tokenization."""
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _PII_TAIL.format(
+        src="_llm_docs",
+        email=PII_EMAIL,
+        ipv4=PII_IPV4,
+        num=PII_LONGNUM,
+        g="",
+        sz="size",
+        zero=", 0",
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_PII_SCRUB = "WITH " + _PII_TAIL.format(
+    src="documents",
+    email=PII_EMAIL,
+    ipv4=PII_IPV4,
+    num=PII_LONGNUM,
+    g=", 'g'",
+    sz="len",
+    zero="",
 )
 
 
@@ -713,6 +882,8 @@ ORACLE_SQL_LLMPREP = {
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_pack_sequences_sharded": ORACLE_PACK_SEQUENCES_SHARDED,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
+    "text_pii_scrub": ORACLE_PII_SCRUB,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "text_stem_normalize": ORACLE_STEM_NORMALIZE,
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,

@@ -288,8 +288,96 @@ ORACLE_ANN_IVF = (
 )
 
 
+# ==========================================================================
+# X4 — recall evaluation: LSH bucket probe vs exact top-k
+# ==========================================================================
+#: The eval every ANN deployment runs before trusting the approximate
+#: path: per-query |exact ∩ approx| / k. Composes X1 and X2 in one query
+#: (CTE-renamed so both pipelines coexist); the oracle recomputes both
+#: sides in DuckDB, so the *measurement* is cross-checked, not just the
+#: inputs.
+_RECALL_TAIL = """
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM {src} q JOIN {src} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {k}
+),
+lsh_bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {src}
+),
+lsh_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM lsh_bucketed q JOIN lsh_bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+lsh_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM lsh_scored
+  ) WHERE rank <= {k}
+),
+overlap AS (
+  SELECT e.query_id,
+         COUNT(*) AS n_exact,
+         COUNT(l.neighbor_id) AS n_overlap
+  FROM exact_k e LEFT JOIN lsh_k l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+lsh_counts AS (
+  SELECT query_id, COUNT(*) AS n_lsh FROM lsh_k GROUP BY query_id
+)
+SELECT o.query_id, o.n_exact, COALESCE(c.n_lsh, 0) AS n_lsh, o.n_overlap,
+       FLOOR((CAST(o.n_overlap AS DOUBLE) / CAST(o.n_exact AS DOUBLE))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS recall_at_k
+FROM overlap o LEFT JOIN lsh_counts c ON c.query_id = o.query_id
+ORDER BY o.query_id
+"""
+
+
+def ann_recall_eval(emb: DataFrame) -> DataFrame:
+    """X4: recall@{k} of the LSH bucket probe (X2) against the exact
+    scan (X1), per probe query — the accept/reject measurement for
+    swapping the approximate path in.
+
+    Scale: the exact side is the expensive input (linear scan per query —
+    run on the same bounded probe set X1 uses); everything downstream of
+    the two top-k sets is a join of {nq}×{k} rows. At 100 TB this is the
+    recurring sampled-eval job, not a per-query cost.""".format(
+        k=TOP_K, nq=N_QUERIES
+    )
+    emb.createOrReplaceTempView("_sim_emb")
+    sql = "WITH " + _RECALL_TAIL.format(
+        cos=cosine_expr_spark("q.embedding", "c.embedding"),
+        bucket=_bucket_expr("embedding", spark=True),
+        src="_sim_emb",
+        nq=N_QUERIES,
+        k=TOP_K,
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_ANN_RECALL = "WITH " + _RECALL_TAIL.format(
+    cos=cosine_expr_duck("q.embedding", "c.embedding"),
+    bucket=_bucket_expr("embedding", spark=False),
+    src="embeddings",
+    nq=N_QUERIES,
+    k=TOP_K,
+)
+
+
 ORACLE_SQL_SIMILARITY = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_recall_eval": ORACLE_ANN_RECALL,
 }

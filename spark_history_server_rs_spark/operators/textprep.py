@@ -298,9 +298,119 @@ ORDER BY doc_id
 """
 
 
+# ==========================================================================
+# T5 — repetition signals (Gopher-style quality filters)
+# ==========================================================================
+#: round-to-4-decimals snap applied to every fraction (both engines branch
+#: and hash on the snapped value, so float noise cannot flip a bucket).
+_R4 = "FLOOR(({x}) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)"
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """T5: per-document repetition signals — duplicate-token fraction,
+    duplicate-bigram fraction, and top-bigram coverage (the strongest of
+    the Gopher repetition filters for catching boilerplate/spam).
+
+    Pure projection: bigrams and their mode are computed with JVM
+    higher-order lambdas inside one whole-stage-codegen projection — no
+    explode, no shuffle, linear in corpus size. The per-doc mode scan is
+    O(distinct·total) on arrays bounded by document length, which is the
+    right trade at 100 TB: it keeps the operator shuffle-free where an
+    explode+groupBy would shuffle every bigram occurrence.
+    """
+    toks = _TOKENS_SPARK
+    # adjacent-pair bigrams via two slices zipped; guarded so 0/1-token
+    # documents yield an empty array (slice length must be >= 0)
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END"
+    )
+    top_count = (
+        "COALESCE(array_max(transform(array_distinct(bgs), "
+        "b -> size(filter(bgs, x -> x = b)))), 0)"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{toks} AS toks", f"{bigrams} AS bgs")
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "size(array_distinct(toks)) AS n_distinct_tokens",
+            "size(bgs) AS n_bigrams",
+            "size(array_distinct(bgs)) AS n_distinct_bigrams",
+            f"{top_count} AS top_bigram_count",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            + _R4.format(x="1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens")
+            + " END AS dup_token_frac",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            "CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            + _R4.format(x="1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams")
+            + " END AS dup_bigram_frac",
+            "top_bigram_count",
+            "CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            + _R4.format(x="CAST(top_bigram_count AS DOUBLE) / n_bigrams")
+            + " END AS top_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_repetition_signals() -> str:
+    toks = _TOKENS_DUCK
+    bigrams = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(range(2, len({toks}) + 1), "
+        f"i -> {toks}[i - 1] || ' ' || {toks}[i]) "
+        "ELSE [] END"
+    )
+    top_count = (
+        "COALESCE(list_max(list_transform(list_distinct(bgs), "
+        "b -> len(list_filter(bgs, x -> x = b)))), 0)"
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {toks} AS toks, {bigrams} AS bgs FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(bgs) AS n_bigrams,
+         len(list_distinct(bgs)) AS n_distinct_bigrams,
+         {top_count} AS top_bigram_count
+  FROM arr
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         {_R4.format(x="1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens")}
+       END AS dup_token_frac,
+       n_bigrams, n_distinct_bigrams,
+       CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         {_R4.format(x="1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams")}
+       END AS dup_bigram_frac,
+       top_bigram_count,
+       CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         {_R4.format(x="CAST(top_bigram_count AS DOUBLE) / n_bigrams")}
+       END AS top_bigram_frac
+FROM counted
+ORDER BY doc_id
+"""
+
+
+ORACLE_REPETITION_SIGNALS = _oracle_repetition_signals()
+
+
 ORACLE_SQL_TEXT = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "text_repetition": ORACLE_REPETITION_SIGNALS,
 }

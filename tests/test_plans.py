@@ -281,3 +281,29 @@ def test_approx_percentiles_close_to_exact(spark, ev):
         for col in ("p50_ms", "p90_ms", "p95_ms", "p99_ms"):
             ev_, av = getattr(e, col), getattr(a, col)
             assert abs(av - ev_) <= 0.05 * max(ev_, 1.0), (et, col, ev_, av)
+
+
+def test_round2_text_ops_stay_projection_shaped(spark):
+    """T5/L11/L12/X4 scale gates: the pure-projection text ops must not
+    plan an aggregation/join shuffle (the only Exchange allowed is the
+    final presentation sort's range partitioning) nor a Python worker;
+    the temperature-sample rate join must broadcast; the recall eval must
+    not degrade to a CartesianProduct."""
+    from spark_history_server_rs_spark.operators import llmprep, similarity, textprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    for df in (textprep.repetition_signals(docs), llmprep.pii_scrub(docs)):
+        assert not I.has_python_worker(df)
+        assert "Exchange hashpartitioning" not in I.explain_str(df, "simple")
+
+    ts = llmprep.temperature_sample(docs)
+    assert I.has_broadcast_join(ts)
+    assert not I.has_cartesian(ts)
+    assert not I.has_python_worker(ts)
+
+    recall = similarity.ann_recall_eval(emb)
+    assert not I.has_cartesian(recall)
+    assert not I.has_python_worker(recall)
