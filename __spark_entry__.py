@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "task_duration_percentiles_approx": _q(
             catalog.task_duration_percentiles_approx
         ),
+        "task_skew_report": _q(catalog.task_skew_report),
         "event_search": _q(catalog.event_search),
         # --- training-data pipeline: text analysis ---
         "text_token_stats": _d(textprep.token_stats),
@@ -107,11 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
         "dedup_simhash": _d(dedup.simhash_pairs),
         "dedup_embedding_cosine": _e(dedup.embedding_cosine_dups),
+        "dedup_repeated_passages": _d(dedup.repeated_passage_coverage),
         # --- training-data pipeline: similarity search ---
         "ann_cosine_topk": _e(similarity.ann_cosine_topk),
         "ann_lsh_bucketed": _e(similarity.ann_lsh_bucketed),
         "ann_ivf": _e(similarity.ann_ivf),
         "ann_recall_eval": _e(similarity.ann_recall_eval),
+        "ann_hamming_rerank": _e(similarity.ann_hamming_rerank),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),

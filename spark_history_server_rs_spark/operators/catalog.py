@@ -869,6 +869,45 @@ def task_duration_percentiles_approx(
     )
 
 
+def task_skew_report(ev: DataFrame) -> DataFrame:
+    """W2 (beyond-reference): per-application straggler analysis — the
+    skew diagnosis a history server exists to answer. max/median task
+    duration ratio plus the p99/p50 spread, with a rating ladder on the
+    snapped ratio (both engines branch on the identical rounded double,
+    per the §2.8 determinism discipline).
+
+    Scale: one groupBy(app_id) over the TaskEnd slice — group cardinality
+    = #apps, map-side partial agg for count/max; the exact percentiles
+    are the oracle-checkable baseline and the declared 100 TB swap is
+    ``percentile_approx`` exactly as W1 does it.
+    """
+    pct = F.expr("percentile(duration_ms, array(0.5, 0.99))")
+    agg = (
+        _tasks(ev)
+        .groupBy("app_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            pct.alias("p"),
+            F.max("duration_ms").alias("mx"),
+        )
+        .select(
+            "app_id",
+            "n_tasks",
+            r4(F.col("p")[0]).alias("p50_ms"),
+            r4(F.col("p")[1]).alias("p99_ms"),
+            r4(F.col("mx")).alias("max_ms"),
+            r4(safe_div(F.col("mx"), F.col("p")[0])).alias("skew_ratio"),
+        )
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("skew_ratio") >= 3.0, F.lit("severe"))
+        .when(F.col("skew_ratio") >= 1.5, F.lit("moderate"))
+        .otherwise(F.lit("balanced"))
+        .alias("skew_rating"),
+    ).orderBy(F.desc("skew_ratio"), "app_id")
+
+
 # --------------------------------------------------------------------------
 # P2/P3/P6 showcase — event search with LIKE / IN / range predicates
 # --------------------------------------------------------------------------

@@ -490,10 +490,111 @@ ORACLE_COSINE_DUPS = (
 )
 
 
+# ==========================================================================
+# D6 — repeated-passage coverage (exact substring duplication)
+# ==========================================================================
+#: rolling-window length in tokens. Exact-substring dedup à la "Deduplicating
+#: Training Data Makes Language Models Better" (Lee et al., 2022) detects
+#: verbatim passages that survive document-level near-dup filters (boilerplate,
+#: licenses, quoted chunks). Production uses ~50-token windows over a suffix
+#: array; the Spark-native equivalent is rolling k-token window hashes — same
+#: signal, expressed as one explode + one uniform-key shuffle.
+PASSAGE_K = 5
+
+
+# Rolling PASSAGE_K-token window per position: posexplode + (k-1) LEADs —
+# the same no-UDF k-gram builder as the shingle relation, but KEEPING
+# positions (coverage needs every window occurrence, not the distinct set).
+_PASSAGE_CONCAT_SPARK = "concat(tok, " + ", ".join(
+    f"' ', lead(tok, {i}) OVER w" for i in range(1, PASSAGE_K)
+) + ")"
+_PASSAGE_CONCAT_DUCK = "tok || " + " || ".join(
+    f"' ' || lead(tok, {i}) OVER w" for i in range(1, PASSAGE_K)
+)
+
+_PASSAGE_WINS_SPARK = f"""
+SELECT doc_id, pos, md5({_PASSAGE_CONCAT_SPARK}) AS phash FROM (
+  SELECT doc_id, posexplode({_TOKENS_SPARK}) AS (pos, tok)
+  FROM {{src}}
+)
+WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+_PASSAGE_WINS_DUCK = f"""
+SELECT doc_id, pos, md5({_PASSAGE_CONCAT_DUCK}) AS phash FROM (
+  SELECT doc_id,
+         generate_subscripts({_TOKENS_DUCK}, 1) AS pos,
+         unnest({_TOKENS_DUCK}) AS tok
+  FROM {{src}}
+)
+WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+# Shared tail: windows → duplicated-hash set → per-doc coverage. NULL
+# window hashes (incomplete tail windows / short docs) are dropped the
+# same way in both engines because md5(NULL) IS NULL.
+_PASSAGE_TAIL = """
+dup_hashes AS (
+  SELECT phash FROM wins
+  WHERE phash IS NOT NULL
+  GROUP BY phash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_windows,
+         COUNT(d.phash) AS n_dup_windows
+  FROM wins w LEFT JOIN dup_hashes d ON d.phash = w.phash
+  WHERE w.phash IS NOT NULL
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       FLOOR((CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS dup_window_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def repeated_passage_coverage(docs: DataFrame) -> DataFrame:
+    """D6: per-document fraction of rolling {k}-token windows whose exact
+    content also appears in at least one OTHER document — the
+    passage-level duplication signal used to cut verbatim boilerplate
+    that document-level near-dup (D2-D4) cannot see.
+
+    Scale shape: one posexplode pass builds position-keyed window hashes
+    (persisted — the relation feeds both the duplicated-hash set and the
+    coverage join, and Spark would otherwise inline-recompute it); the
+    only wide exchanges are keyed on md5 hashes (uniform by construction,
+    unskewable) and doc_id. Window text never shuffles — only 32-hex
+    hashes. At 100 TB the dup-hash set is the small side and broadcasts.
+    """.format(k=PASSAGE_K)
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_dedup_docs")
+    wins = spark.sql(
+        _PASSAGE_WINS_SPARK.format(src="_dedup_docs")
+    ).persist()
+    wins.createOrReplaceTempView("_dedup_passage_wins")
+    sql = (
+        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
+        + _PASSAGE_TAIL
+    )
+    return spark.sql(sql)
+
+
+ORACLE_REPEATED_PASSAGES = (
+    "WITH wins AS ("
+    + _PASSAGE_WINS_DUCK.format(src="documents")
+    + "),\n"
+    + _PASSAGE_TAIL
+)
+
+
 ORACLE_SQL_DEDUP = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_COSINE_DUPS,
+    "dedup_repeated_passages": ORACLE_REPEATED_PASSAGES,
 }

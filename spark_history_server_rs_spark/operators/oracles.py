@@ -503,6 +503,26 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+ORACLE_SQL["task_skew_report"] = f"""{_CTE},
+agg AS (
+  SELECT app_id,
+         COUNT(*) AS n_tasks,
+         FLOOR((quantile_cont(duration_ms, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_ms,
+         FLOOR((quantile_cont(duration_ms, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99_ms,
+         FLOOR((MAX(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS max_ms,
+         FLOOR((MAX(duration_ms) / NULLIF(quantile_cont(duration_ms, 0.5), 0))
+               * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+  FROM ev WHERE is_task
+  GROUP BY app_id
+)
+SELECT app_id, n_tasks, p50_ms, p99_ms, max_ms, skew_ratio,
+       CASE WHEN skew_ratio >= 3.0::DOUBLE THEN 'severe'
+            WHEN skew_ratio >= 1.5::DOUBLE THEN 'moderate'
+            ELSE 'balanced' END AS skew_rating
+FROM agg
+ORDER BY skew_ratio DESC, app_id
+"""
+
 ORACLE_SQL["event_search"] = f"""{_CTE}
 SELECT id, app_id, event_type,
        CAST(epoch_ms(event_ts) AS BIGINT) AS event_ts_ms,

@@ -393,6 +393,50 @@ LIMIT 100
 """
 
 
+# ==========================================================================
+# R15 — TPC-H Q7-style volume shipping (nation-pair trade flows)
+# ==========================================================================
+# Two aliases of the SAME dim table (nation) joined at different keys —
+# the self-dim pattern Q5 doesn't exercise. Both nation sides broadcast;
+# the fact-side joins shuffle on their equi-keys. year() returns INT in
+# Spark and BIGINT in DuckDB, so the shared text pins BIGINT.
+R15_SQL = f"""
+SELECT /*+ BROADCAST(n1, n2) */
+       n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS volume,
+       COUNT(*) AS n_lines
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# ==========================================================================
+# R16 — CUBE grouping sets (completes the ROLLUP coverage of R6)
+# ==========================================================================
+# CUBE emits all 4 grouping sets — (), (status), (priority), (status,
+# priority) — in ONE Expand + one shuffle, where 4 separate GROUP BYs
+# would scan the fact table 4 times.
+R16_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+       COALESCE(o_orderpriority, 'ALL') AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_CENTS.format(x="o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY order_status, order_priority
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -433,6 +477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4_priority_check": _tpch_query(R12_SQL),
     "tpch_q13_order_distribution": _tpch_query(R13_SQL),
     "tpch_q18_large_orders": _tpch_query(R14_SQL),
+    "tpch_q7_volume_shipping": _tpch_query(R15_SQL),
+    "cube_order_stats": _tpch_query(R16_SQL),
 }
 
 
@@ -455,4 +501,6 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "tpch_q4_priority_check": _duck(R12_SQL),
     "tpch_q13_order_distribution": _duck(R13_SQL),
     "tpch_q18_large_orders": _duck(R14_SQL),
+    "tpch_q7_volume_shipping": _duck(R15_SQL),
+    "cube_order_stats": _duck(R16_SQL),
 }

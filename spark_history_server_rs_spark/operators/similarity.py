@@ -375,9 +375,120 @@ ORACLE_ANN_RECALL = "WITH " + _RECALL_TAIL.format(
 )
 
 
+# ==========================================================================
+# X5 — binary-sketch Hamming prefilter + exact cosine rerank
+# ==========================================================================
+#: Sketch width. 16 sign bits ≈ 2 bytes/vector: at 100 TB the sketch
+#: column is ~0.8% of a 64-dim float corpus, so the prefilter pass scans
+#: ONLY the (vec_id, sketch) columns — popcount on packed ints, no float
+#: math — and the full embedding column is read just for the survivors.
+N_SKETCH_BITS = 16
+#: Hamming radius admitted to the exact rerank. 6/16 keeps ~the nearest
+#: octant of directions while rejecting the bulk of the corpus.
+HAMMING_MAX = 6
+
+
+def _sketch_planes() -> list[list[float]]:
+    """Independent of :data:`HYPERPLANES` (namespaced ``s:``) so the
+    sketch and the LSH bucket are uncorrelated probes."""
+    planes = []
+    for h in range(N_SKETCH_BITS):
+        row = []
+        for i in range(EMBEDDING_DIM):
+            digit = int(hashlib.md5(f"s:{h}:{i}".encode()).hexdigest()[0], 16)
+            row.append(digit - 7.5)
+        planes.append(row)
+    return planes
+
+
+SKETCH_PLANES = _sketch_planes()
+
+
+def _sketch_expr(vec: str, spark: bool) -> str:
+    """Packed {nb}-bit sign sketch (same r6-round-before-sign discipline
+    as :func:`_bucket_expr`, so both engines set identical bits)."""
+    bits = []
+    for h in range(N_SKETCH_BITS):
+        vals = ", ".join(f"{v:.1f}" for v in SKETCH_PLANES[h])
+        if spark:
+            proj = (
+                f"aggregate(zip_with({vec}, array({vals}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+            )
+        else:
+            proj = f"list_dot_product(CAST({vec} AS DOUBLE[]), [{vals}])"
+        rounded = f"FLOOR(({proj}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
+        bits.append(f"(CASE WHEN {rounded} > 0 THEN {1 << h} ELSE 0 END)")
+    return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
+
+
+_HAMMING_TAIL = """
+sk AS (
+  SELECT vec_id, embedding, {sketch} AS sketch FROM {src}
+),
+prefiltered AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count({xor}) AS BIGINT) AS hamming,
+         q.embedding AS q_emb, c.embedding AS c_emb
+  FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming, {cos} AS cosine
+  FROM prefiltered WHERE hamming <= {hmax}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_hamming_rerank(emb: DataFrame) -> DataFrame:
+    """X5: binary-quantization ANN — a {nb}-bit sign sketch per vector,
+    popcount(XOR) Hamming prefilter (radius {hmax}), then exact cosine
+    rerank of the survivors only.
+
+    This is the memory-light 100 TB path the brute-force scan (X1)
+    graduates to: the sketch is materialized once at ingest (2 bytes a
+    vector), the prefilter scans only (vec_id, sketch) — integer popcount
+    inside whole-stage codegen, no float math, column-pruned — and the
+    float corpus is touched just for the Hamming survivors. Cosine is
+    computed AFTER the radius cut, never for rejected pairs.""".format(
+        nb=N_SKETCH_BITS, hmax=HAMMING_MAX
+    )
+    emb.createOrReplaceTempView("_sim_emb")
+    sql = "WITH " + _HAMMING_TAIL.format(
+        sketch=_sketch_expr("embedding", spark=True),
+        xor="q.sketch ^ c.sketch",
+        cos=cosine_expr_spark("q_emb", "c_emb"),
+        src="_sim_emb",
+        nq=N_QUERIES,
+        hmax=HAMMING_MAX,
+        k=TOP_K,
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_ANN_HAMMING = "WITH " + _HAMMING_TAIL.format(
+    sketch=_sketch_expr("embedding", spark=False),
+    xor="xor(q.sketch, c.sketch)",
+    cos=cosine_expr_duck("q_emb", "c_emb"),
+    src="embeddings",
+    nq=N_QUERIES,
+    hmax=HAMMING_MAX,
+    k=TOP_K,
+)
+
+
 ORACLE_SQL_SIMILARITY = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_recall_eval": ORACLE_ANN_RECALL,
+    "ann_hamming_rerank": ORACLE_ANN_HAMMING,
 }
