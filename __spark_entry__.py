@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),
+        "multimodal_audio_windows": _d(multimodal.audio_windows),
         # --- relational surface: joins / semi-anti / rollup / windows ---
         **relational.QUERIES,
         # --- corpus ops: cluster resolution, split, vocab, tf-idf ---
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
+        "corpus_oov_rate": _d(corpus.oov_rate),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

@@ -297,9 +297,72 @@ ORACLE_TFIDF = "WITH " + _TFIDF_TAIL.format(
 )
 
 
+# ==========================================================================
+# C5 — per-document OOV rate vs the corpus top-K vocabulary
+# ==========================================================================
+#: closed-vocabulary size for the OOV eval — smaller than the synthetic
+#: corpus's distinct-token count (31) so real OOV mass exists; at
+#: production scale this is the tokenizer's vocab loaded as a table.
+OOV_VOCAB_K = 20
+
+_OOV_TAIL = """
+counts AS (SELECT tok AS token, COUNT(*) AS term_count FROM tok GROUP BY tok),
+vocab AS (
+  SELECT token FROM (
+    SELECT token,
+           ROW_NUMBER() OVER (ORDER BY term_count DESC, token) AS rank
+    FROM counts
+  ) WHERE rank <= {k}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(*) - COUNT(v.token) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON v.token = t.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       FLOOR((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS oov_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def oov_rate(docs: DataFrame) -> DataFrame:
+    """C5: per-document out-of-vocabulary rate against the corpus's own
+    top-{k} token vocabulary — the tokenizer-coverage eval a training
+    pipeline runs before committing to a vocab (high-OOV docs are noise
+    or the wrong language/domain).
+
+    Scale shape: the token relation is built ONCE and persisted (it feeds
+    both the vocabulary ranking and the coverage join — Spark would
+    inline-recompute the explode otherwise); the vocabulary is top-{k}
+    rows → the coverage join broadcasts it. Wide exchanges are keyed on
+    token (for the bounded vocab agg) and doc_id only.""".format(k=OOV_VOCAB_K)
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    tok = spark.sql(
+        "SELECT doc_id, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+    ).persist()
+    tok.createOrReplaceTempView("_corpus_tok")
+    return spark.sql(
+        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
+        + _OOV_TAIL.format(k=OOV_VOCAB_K)
+    )
+
+
+ORACLE_OOV_RATE = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _OOV_TAIL.format(k=OOV_VOCAB_K)
+)
+
+
 ORACLE_SQL_CORPUS = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_split": ORACLE_HASH_SPLIT,
     "corpus_vocabulary": ORACLE_VOCABULARY,
     "corpus_tfidf_top_terms": ORACLE_TFIDF,
+    "corpus_oov_rate": ORACLE_OOV_RATE,
 }

@@ -229,7 +229,105 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ==========================================================================
+# M3 — audio windowing (overlapped frames + per-window energy/peak)
+# ==========================================================================
+#: audio framing constants: 32-byte windows with a 16-byte hop (50%
+#: overlap) — the standard STFT-style framing shape; incomplete tail
+#: windows are dropped (audio convention), so every window is full-width.
+AUDIO_WINDOW = 32
+AUDIO_HOP = 16
+
+
+def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
+    """M3: overlapped audio-style framing over an opaque payload — one row
+    per (doc, window) with integer energy (Σ sample²), peak amplitude, and
+    the r4-snapped RMS. The synthetic payload's byte values stand in for
+    PCM samples; a real decoder drops into the same mapInPandas extension
+    point as M1/M2 (``use_codec=True``).
+
+    Plan shape: generator (explode of the window index sequence) + pure
+    per-window arithmetic over ``substring`` slices — no shuffle before
+    the presentation sort; energy/peak are exact integer folds, so no
+    float portability risk. Overlap means each byte lands in ≤2 windows:
+    the expansion factor is len/hop, bounded and predictable at 100 TB.
+    """
+    if use_codec:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; "
+            "use audio_windows(use_codec=False)"
+        )
+    w, h = AUDIO_WINDOW, AUDIO_HOP
+    chunk = f"substring(payload, window_idx * {h} + 1, {w})"
+    codes = f"transform(sequence(1, {w}), i -> ascii(substring({chunk}, i, 1)))"
+    return (
+        _binary_payload(docs)
+        .where(F.length("payload") >= w)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.expr(
+                    f"sequence(0L, CAST(floor((length(payload) - {w}) / {h}.0) AS BIGINT))"
+                )
+            ).alias("window_idx"),
+        )
+        .select(
+            "doc_id",
+            "window_idx",
+            (F.col("window_idx") * h).alias("win_offset"),
+            F.expr(
+                f"aggregate({codes}, 0L, (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+            ).alias("energy"),
+            F.expr(f"CAST(array_max({codes}) AS BIGINT)").alias("peak"),
+        )
+        .withColumn(
+            "rms",
+            F.expr(
+                f"FLOOR(sqrt(CAST(energy AS DOUBLE) / {w}.0) * 10000.0 + 0.5)"
+                " / CAST(10000.0 AS DOUBLE)"
+            ),
+        )
+        .orderBy("doc_id", "window_idx")
+    )
+
+
+_DUCK_CODES = (
+    f"list_transform(range(1, {AUDIO_WINDOW} + 1),"
+    " i -> unicode(substr(chunk, i, 1)))"
+)
+
+ORACLE_AUDIO_WINDOWS = f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(FLOOR((strlen(text) - {AUDIO_WINDOW}) / {AUDIO_HOP}.0) AS BIGINT) + 1)) AS window_idx,
+         text
+  FROM documents
+  WHERE strlen(text) >= {AUDIO_WINDOW}
+),
+chunked AS (
+  SELECT doc_id, window_idx,
+         substr(text, window_idx * {AUDIO_HOP} + 1, {AUDIO_WINDOW}) AS chunk
+  FROM wins
+),
+scored AS (
+  SELECT doc_id, window_idx,
+         window_idx * {AUDIO_HOP} AS win_offset,
+         CAST(list_sum(list_transform({_DUCK_CODES},
+              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS energy,
+         CAST(list_max({_DUCK_CODES}) AS BIGINT) AS peak
+  FROM chunked
+)
+SELECT doc_id, window_idx, win_offset, energy, peak,
+       FLOOR(sqrt(CAST(energy AS DOUBLE) / {AUDIO_WINDOW}.0) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS rms
+FROM scored
+ORDER BY doc_id, window_idx
+"""
+
+
 ORACLE_SQL_MULTIMODAL = {
     "multimodal_image_decode": ORACLE_IMAGE_DECODE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
 }

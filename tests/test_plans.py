@@ -307,3 +307,42 @@ def test_round2_text_ops_stay_projection_shaped(spark):
     recall = similarity.ann_recall_eval(emb)
     assert not I.has_cartesian(recall)
     assert not I.has_python_worker(recall)
+
+
+def test_round2_batch2_plan_gates(spark):
+    """Scale gates for the second round-2 batch: X5 Hamming rerank, D6
+    repeated passages, W2 skew report, M3 audio windows, C5 OOV rate."""
+    from spark_history_server_rs_spark.operators import (
+        catalog,
+        corpus,
+        dedup,
+        multimodal,
+        similarity,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_events, load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    ev = load_events(spark, SF_ORACLE)
+
+    # X5: integer popcount prefilter — JVM-only, no cartesian explosion
+    ham = similarity.ann_hamming_rerank(emb)
+    assert not I.has_python_worker(ham)
+    assert not I.has_cartesian(ham)
+    assert "bit_count" in I.explain_str(ham, "simple")
+
+    # M3: generator + projection only — no shuffle except the final sort,
+    # no Python worker (the codec path is opt-in)
+    aw = multimodal.audio_windows(docs)
+    assert not I.has_python_worker(aw)
+    assert "Exchange hashpartitioning" not in I.explain_str(aw, "simple")
+
+    # D6/C5: hash-keyed exchanges only; window text never shuffles
+    for df in (dedup.repeated_passage_coverage(docs), corpus.oov_rate(docs)):
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)
+
+    # W2: one aggregation over app_id, no joins at all
+    skew = catalog.task_skew_report(ev)
+    assert not I.has_python_worker(skew)
+    assert "Join" not in I.explain_str(skew, "simple")
