@@ -22,6 +22,10 @@ SELECTED = [
     ("range_join_live_executors", "sweep-line replacing a BETWEEN range join"),
     ("tpch_q4_priority_check", "correlated EXISTS planned as LeftSemi"),
     ("corpus_training_manifest", "end-to-end keep/drop composition"),
+    ("multimodal_audio_windows", "staged window arrays, no python worker"),
+    ("ann_hamming_rerank", "bit-bucket candidate join + exact rerank"),
+    ("corpus_pack_sequences_sharded", "distributed greedy packing windows"),
+    ("task_skew_report", "per-key skew stats on one shuffle"),
 ]
 
 
