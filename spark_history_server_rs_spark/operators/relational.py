@@ -437,10 +437,269 @@ ORDER BY order_status, order_priority
 """
 
 
+# ==========================================================================
+# R17-R28 — the remaining expressible TPC-H shapes, adapted to the testdata
+# schema (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode
+# columns — the adaptations keep each query's *shape*: the join graph,
+# subquery kind, and aggregation pattern the optimizer must plan).
+# ==========================================================================
+
+# Portable 6-decimal ratio of two integer-valued aggregates. Snapping the
+# already-deterministic double division keeps the driver's value hash
+# scale-independent (partial-agg order can't matter: inputs are exact).
+def _ratio6(num: str, den: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        f" * CAST(1000000.0 AS DOUBLE) + 0.5) AS DOUBLE)"
+        f" / CAST(1000000.0 AS DOUBLE)"
+    )
+
+
+# R17 — Q8 national market share: one nation's slice of a region's yearly
+# revenue for one part type. 7-table join; every dim side broadcast-sized,
+# the three fact joins shuffle on their equi-keys.
+R17_SQL = f"""
+WITH region_sales AS (
+  SELECT /*+ BROADCAST(p, n1, n2, r, s, c) */
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {_disc_price()} AS volume_cents,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       {_ratio6("SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume_cents ELSE 0 END)", "SUM(volume_cents)")} AS mkt_share,
+       COUNT(*) AS n_lines
+FROM region_sales
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# R18 — Q9 product-type profit by supplier nation and year (profit stands
+# in for the partsupp-cost variant: discounted revenue on matching parts).
+R18_SQL = f"""
+SELECT /*+ BROADCAST(p, s, n) */
+       n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS sum_profit,
+       COUNT(*) AS n_lines
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+ORDER BY nation, o_year DESC
+"""
+
+# R19 — Q10 returned-item reporting: top 20 customers by lost revenue on
+# returned lines in a half-year window.
+R19_SQL = f"""
+SELECT /*+ BROADCAST(n) */
+       c.c_custkey, c.c_name,
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS revenue,
+       CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS DOUBLE) / 100.0 AS acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# R20 — Q12 shipping-delay priority split (the shipmode column doesn't
+# exist; the delay bucket keeps the CASE-pivot-over-join shape). Epoch
+# arithmetic instead of datediff(): the argument order of datediff
+# differs between engines, millisecond subtraction doesn't.
+R20_SQL = """
+SELECT CASE WHEN {EPOCH:l.l_shipdate} - {EPOCH:o.o_orderdate} <= 2592000000
+            THEN 'fast_ship' ELSE 'slow_ship' END AS ship_bucket,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count,
+       COUNT(*) AS n_lines
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY CASE WHEN {EPOCH:l.l_shipdate} - {EPOCH:o.o_orderdate} <= 2592000000
+              THEN 'fast_ship' ELSE 'slow_ship' END
+ORDER BY ship_bucket
+"""
+
+# R21 — Q14 promotion effect: promo revenue share of a quarter.
+R21_SQL = f"""
+SELECT /*+ BROADCAST(p) */
+       {_ratio6("SUM(CASE WHEN p.p_type = 'PROMO' THEN " + _disc_price() + " ELSE 0 END)", "SUM(" + _disc_price() + ")")} AS promo_share,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+# R22 — Q15 top supplier: scalar-subquery MAX over a grouped revenue
+# relation, equality join-back on exact integer cents.
+R22_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({_disc_price()}) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# R23 — Q16 supplier count per part spec; NOT IN plans a null-aware anti
+# join (s_suppkey is non-null, so it degenerates to the cheap variant).
+R23_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# R24 — Q17 small-quantity revenue: correlated scalar AVG per part.
+# Quantities are integral doubles, so AVG is the same exact division in
+# both engines and the < comparison can't straddle an ulp.
+R24_SQL = """
+SELECT CAST(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)) AS DOUBLE)
+         / CAST(100.0 AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# R25 — Q19 bracketed revenue: OR-of-ANDs across the join — the classic
+# disjunctive-predicate planning test (no single pushable conjunct).
+R25_SQL = f"""
+SELECT /*+ BROADCAST(p) */
+       CAST(SUM({_disc_price()}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+# R26 — Q21 waiting-supplier shape: on finished multi-supplier orders,
+# count per supplier the lines that shipped strictly last (EXISTS other
+# supplier + NOT EXISTS later other-supplier ship — semi + anti join on
+# the same fact table).
+R26_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+"""
+
+# R27 — Q22 idle high-balance customers: scalar global-average threshold
+# (exact cents, so the comparison is engine-stable) + NOT EXISTS recency
+# anti join, grouped by nation instead of the missing phone prefix.
+R27_SQL = """
+SELECT /*+ BROADCAST(n) */
+       n.n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(FLOOR(c.c_acctbal * 100.0 + 0.5)) AS DOUBLE)
+         / CAST(100.0 AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT CAST(SUM(FLOOR(c2.c_acctbal * 100.0 + 0.5)) AS DOUBLE)
+                            / CAST(100.0 AS DOUBLE) / COUNT(*)
+                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+# R28 — Q2 min-cost-supplier shape (partsupp stands in as the observed
+# per-(part, supplier) minimum unit price from lineitem): grouped MIN,
+# join-back on the exact snapped cents, region-restricted supplier side.
+_UNIT_CENTS = (
+    "FLOOR(l.l_extendedprice / l.l_quantity * CAST(100.0 AS DOUBLE) + 0.5)"
+)
+
+R28_SQL = f"""
+WITH offers AS (
+  SELECT /*+ BROADCAST(n, r) */
+         l.l_partkey, l.l_suppkey,
+         MIN({_UNIT_CENTS}) AS min_unit_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+  SELECT l_partkey, MIN(min_unit_cents) AS best_cents
+  FROM offers GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, p.p_brand, s.s_name,
+       CAST(o.min_unit_cents AS DOUBLE) / 100.0 AS unit_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.min_unit_cents = b.best_cents
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_size <= 15
+ORDER BY unit_price, p.p_partkey, s.s_name
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
-_TPCH_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+_TPCH_TABLES = (
+    "customer", "orders", "lineitem", "supplier", "nation", "region", "part",
+)
 
 
 def _tpch_query(sql_template: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -479,6 +738,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18_large_orders": _tpch_query(R14_SQL),
     "tpch_q7_volume_shipping": _tpch_query(R15_SQL),
     "cube_order_stats": _tpch_query(R16_SQL),
+    "tpch_q8_market_share": _tpch_query(R17_SQL),
+    "tpch_q9_product_profit": _tpch_query(R18_SQL),
+    "tpch_q10_returned_items": _tpch_query(R19_SQL),
+    "tpch_q12_ship_delay": _tpch_query(R20_SQL),
+    "tpch_q14_promo_effect": _tpch_query(R21_SQL),
+    "tpch_q15_top_supplier": _tpch_query(R22_SQL),
+    "tpch_q16_supplier_count": _tpch_query(R23_SQL),
+    "tpch_q17_small_qty_revenue": _tpch_query(R24_SQL),
+    "tpch_q19_bracketed_revenue": _tpch_query(R25_SQL),
+    "tpch_q21_waiting_supplier": _tpch_query(R26_SQL),
+    "tpch_q22_idle_customers": _tpch_query(R27_SQL),
+    "tpch_q2_min_price_supplier": _tpch_query(R28_SQL),
 }
 
 
@@ -503,4 +774,16 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "tpch_q18_large_orders": _duck(R14_SQL),
     "tpch_q7_volume_shipping": _duck(R15_SQL),
     "cube_order_stats": _duck(R16_SQL),
+    "tpch_q8_market_share": _duck(R17_SQL),
+    "tpch_q9_product_profit": _duck(R18_SQL),
+    "tpch_q10_returned_items": _duck(R19_SQL),
+    "tpch_q12_ship_delay": _duck(R20_SQL),
+    "tpch_q14_promo_effect": _duck(R21_SQL),
+    "tpch_q15_top_supplier": _duck(R22_SQL),
+    "tpch_q16_supplier_count": _duck(R23_SQL),
+    "tpch_q17_small_qty_revenue": _duck(R24_SQL),
+    "tpch_q19_bracketed_revenue": _duck(R25_SQL),
+    "tpch_q21_waiting_supplier": _duck(R26_SQL),
+    "tpch_q22_idle_customers": _duck(R27_SQL),
+    "tpch_q2_min_price_supplier": _duck(R28_SQL),
 }

@@ -346,3 +346,42 @@ def test_round2_batch2_plan_gates(spark):
     skew = catalog.task_skew_report(ev)
     assert not I.has_python_worker(skew)
     assert "Join" not in I.explain_str(skew, "simple")
+
+
+def test_tpch_round2_batch3_plan_gates(spark):
+    """Planning gates for the 12 adapted TPC-H shapes (R17-R28): the dim
+    sides broadcast, the subquery kinds plan as semi/anti joins, and no
+    query degenerates into a cartesian product."""
+    Q = relational.QUERIES
+
+    # Q8: the 7-table join — every dim broadcast, fact joins shuffled
+    q8 = Q["tpch_q8_market_share"](spark, SF_ORACLE)
+    assert I.has_broadcast_join(q8)
+    assert not I.has_cartesian(q8)
+
+    # Q16: NOT IN subquery on a non-null key — anti join, not a nested loop
+    q16 = Q["tpch_q16_supplier_count"](spark, SF_ORACLE)
+    s16 = I.explain_str(q16, "simple")
+    assert "LeftAnti" in s16 or "NullAwareAntiJoin" in s16
+    assert not I.has_cartesian(q16)
+
+    # Q21: EXISTS + NOT EXISTS on the same fact — semi AND anti planned
+    q21 = Q["tpch_q21_waiting_supplier"](spark, SF_ORACLE)
+    s21 = I.explain_str(q21, "simple")
+    assert "LeftSemi" in s21 and "LeftAnti" in s21
+
+    # Q17: correlated scalar AVG decorrelates into an aggregate + join
+    # (no per-row re-execution of the subquery)
+    q17 = Q["tpch_q17_small_qty_revenue"](spark, SF_ORACLE)
+    assert "Subquery" not in I.explain_str(q17, "simple").split("Scan")[0]
+    assert not I.has_cartesian(q17)
+
+    # Q15/Q22: scalar subqueries stay scalar (single-row broadcast), and
+    # the join-back keys are exact integers — no cartesian anywhere
+    for name in ("tpch_q15_top_supplier", "tpch_q22_idle_customers",
+                 "tpch_q2_min_price_supplier", "tpch_q19_bracketed_revenue",
+                 "tpch_q10_returned_items", "tpch_q12_ship_delay",
+                 "tpch_q14_promo_effect", "tpch_q9_product_profit"):
+        df = Q[name](spark, SF_ORACLE)
+        assert not I.has_cartesian(df), name
+        assert not I.has_python_worker(df), name
