@@ -192,7 +192,7 @@ def _wire_efficiency(r: dict) -> dict:
         "recommended_cpu_cores": float(r["recommended_cores"]),
         "potential_cost_savings": r["potential_savings"],
         "risk_level": r["risk_level"],
-        "optimization_actions": r["optimization_actions"],
+        "optimization_actions": json.loads(r["optimization_actions"]),
     }
 
 

@@ -649,25 +649,29 @@ def efficiency_analysis(ev: DataFrame, limit: int = 10) -> DataFrame:
         )
         .withColumn(
             # host-side derived list in the reference
-            # (duckdb_store_backup.rs:1323-1337), a column expr here
+            # (duckdb_store_backup.rs:1323-1337); the reference API layer
+            # serializes it to JSON anyway, so the column IS the JSON string
+            # (also keeps the output hashable for differential harnesses)
             "optimization_actions",
-            F.when(
-                F.col("efficiency_category") == "OverProvisioned",
-                F.array(
-                    F.lit("Reduce executor memory allocation"),
-                    F.lit("Decrease number of executor cores"),
-                    F.lit("Consider smaller instance types"),
-                ),
-            )
-            .when(
-                F.col("efficiency_category") == "UnderProvisioned",
-                F.array(
-                    F.lit("Increase executor memory allocation"),
-                    F.lit("Add more executor cores"),
-                    F.lit("Monitor for OOM errors"),
-                ),
-            )
-            .otherwise(F.array(F.lit("Configuration appears optimal"))),
+            F.to_json(
+                F.when(
+                    F.col("efficiency_category") == "OverProvisioned",
+                    F.array(
+                        F.lit("Reduce executor memory allocation"),
+                        F.lit("Decrease number of executor cores"),
+                        F.lit("Consider smaller instance types"),
+                    ),
+                )
+                .when(
+                    F.col("efficiency_category") == "UnderProvisioned",
+                    F.array(
+                        F.lit("Increase executor memory allocation"),
+                        F.lit("Add more executor cores"),
+                        F.lit("Monitor for OOM errors"),
+                    ),
+                )
+                .otherwise(F.array(F.lit("Configuration appears optimal")))
+            ),
         )
         .orderBy(F.desc("potential_savings"), "app_id")
         .limit(limit)

@@ -393,14 +393,10 @@ SELECT *,
             WHEN cpu_efficiency_pct < 20 THEN 'Low'
             ELSE 'Medium' END AS risk_level,
        CASE WHEN cpu_efficiency_pct < 30 THEN
-              ['Reduce executor memory allocation',
-               'Decrease number of executor cores',
-               'Consider smaller instance types']
+              '["Reduce executor memory allocation","Decrease number of executor cores","Consider smaller instance types"]'
             WHEN cpu_efficiency_pct > 90 THEN
-              ['Increase executor memory allocation',
-               'Add more executor cores',
-               'Monitor for OOM errors']
-            ELSE ['Configuration appears optimal']
+              '["Increase executor memory allocation","Add more executor cores","Monitor for OOM errors"]'
+            ELSE '["Configuration appears optimal"]'
        END AS optimization_actions
 FROM derived
 ORDER BY potential_savings DESC, app_id

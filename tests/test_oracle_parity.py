@@ -17,14 +17,24 @@ ORACLES = entrymod.oracle_sql()
 
 
 def test_every_query_has_oracle_or_is_declared():
+    # every registered query has a DuckDB oracle twin; pytest-only ops
+    # (e.g. task_duration_percentiles_approx, streaming) stay out of the
+    # registry and are pinned in tests/test_plans.py instead
     missing = [k for k in QUERIES if k not in ORACLES]
-    # non-SQL-expressible ops may omit an oracle; keep the list explicit
-    allowed_missing: set[str] = {
-        # engine-specific mergeable sketch; tolerance-pinned against the
-        # exact percentile variant instead (tests/test_plans.py)
-        "task_duration_percentiles_approx",
-    }
-    assert set(missing) <= allowed_missing
+    assert missing == []
+
+
+def test_driver_window_composition():
+    """The driver's harness checks only the first 50 registrations; pin the
+    window so rotation stays deliberate: sentinels first, then the round-4
+    rotation of previously-unchecked ops."""
+    keys = list(QUERIES)
+    window = keys[:50]
+    assert len(set(keys)) == len(keys)
+    for sentinel in entrymod._SENTINELS:
+        assert sentinel in window[: len(entrymod._SENTINELS)]
+    for name in entrymod._ROTATED_RELATIONAL:
+        assert name in window
 
 
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLES))
