@@ -58,9 +58,9 @@ _SENTINELS = (
     "efficiency_analysis",
     "cross_app_summary",
     "top_resource_consumers",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_prefiltered",
     "ann_hamming_rerank",
     "text_quality",
 )
@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
         "dedup_simhash": _d(dedup.simhash_pairs),
         "dedup_embedding_cosine": _e(dedup.embedding_cosine_dups),
+        "dedup_embedding_cosine_prefiltered": _e(
+            dedup.embedding_cosine_dups_prefiltered
+        ),
         "dedup_repeated_passages": _d(dedup.repeated_passage_coverage),
         # --- training-data pipeline: similarity search ---
         "ann_cosine_topk": _e(similarity.ann_cosine_topk),

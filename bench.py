@@ -125,10 +125,18 @@ def main() -> None:
         ("corpus_training_manifest", llmprep.training_manifest, docs),
         ("task_skew_report", catalog.task_skew_report, ev),
     ]:
+        # same methodology as the 7-query suite: one cold run, then
+        # min-of-3 warm. A single timed run samples the JVM's JIT ramp
+        # (measured on dedup_minhash_lsh: identical plan executes in
+        # 32.6 → 5.9 → 1.9 → 1.7 s across consecutive runs) and swung
+        # r2→r3 by 2.6× on unchanged code.
         fn(src).collect()  # codegen warmup
-        t = time.perf_counter()
-        fn(src).collect()
-        extended[name] = round(time.perf_counter() - t, 4)
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn(src).collect()
+            warm.append(time.perf_counter() - t)
+        extended[name] = round(min(warm), 4)
 
     out = {
         "metric": "seven_query_suite_total",

@@ -385,3 +385,40 @@ def test_tpch_round2_batch3_plan_gates(spark):
         df = Q[name](spark, SF_ORACLE)
         assert not I.has_cartesian(df), name
         assert not I.has_python_worker(df), name
+
+
+def test_cosine_dedup_repartition_scales_with_cluster(spark):
+    """D5/D5b gate: the quadratic pair loop's parallelism must follow the
+    session's defaultParallelism — a fixed-width repartition (the old
+    REPARTITION(16)) caps a 1000-executor cluster at 16 tasks."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    expected = f"RoundRobinPartitioning({spark.sparkContext.defaultParallelism})"
+    for fn in (dedup.embedding_cosine_dups, dedup.embedding_cosine_dups_prefiltered):
+        df = fn(emb)
+        plan = I.explain_str(df, "simple")
+        assert expected in plan, f"{fn.__name__}: want {expected}"
+        assert "RoundRobinPartitioning(16)" not in plan or expected.endswith("(16)")
+
+    # D5b: the popcount prefilter is part of the JOIN condition (rejects
+    # pairs before any float fold), and the cutoff is recall-preserving by
+    # construction (binomial mean + 4σ)
+    pre = dedup.embedding_cosine_dups_prefiltered(emb)
+    assert "bit_count" in I.explain_str(pre, "simple")
+    assert dedup.hamming_cutoff(0.4) == 23
+    assert dedup.hamming_cutoff(0.9) <= 14  # production regime: selective
+
+
+def test_cosine_dedup_prefilter_matches_all_pairs(spark):
+    """D5b must reproduce the exact all-pairs result (recall preservation
+    is the operator's contract, pinned against live data, not just the
+    oracle harness)."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    base = [tuple(r) for r in dedup.embedding_cosine_dups(emb).collect()]
+    pre = [tuple(r) for r in dedup.embedding_cosine_dups_prefiltered(emb).collect()]
+    assert base == pre and len(base) > 0
