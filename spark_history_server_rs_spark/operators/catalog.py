@@ -156,60 +156,60 @@ def resource_usage_summary(ev: DataFrame) -> DataFrame:
 # A4 / J1 — executor summary (the FULL OUTER join chain)
 # --------------------------------------------------------------------------
 def executor_summary(ev: DataFrame) -> DataFrame:
-    """A4: per-executor lifecycle + task metrics via two FULL OUTER joins
-    with a COALESCE-keyed second join and COALESCE defaults.
+    """A4: per-executor lifecycle + task metrics.
 
-    Reference: duckdb_store_backup.rs:320-450 (joins :404-407, defaults
-    :384-402). All three sides are per-executor aggregates (tiny) → AQE
-    broadcasts them regardless of input scale.
+    Reference: duckdb_store_backup.rs:320-450 — three per-executor
+    sub-aggregates merged by two FULL OUTER joins (:404-407) with
+    COALESCE defaults (:384-402). All three sides group on the SAME key
+    (executor_id), so the join chain is equivalent to ONE conditional
+    aggregation over a single scan: each side's aggregate becomes a
+    ``when(role, ...)``-guarded aggregate, a missing side-row becomes a
+    NULL aggregate (identical COALESCE behavior), and "survivors from any
+    branch" is simply the union of group keys. One scan + one shuffle
+    instead of three scans + three shuffles + two joins; map-side partial
+    aggregation bounds shuffle volume by executor count at any input
+    scale.
     """
-    added = (
-        ev.filter(F.col("is_exec_add"))
-        .groupBy(F.col("executor_id").alias("a_eid"))
-        .agg(
-            epoch_ms(F.min("event_ts")).alias("add_time_ms"),
-            F.coalesce(F.max("total_cores"), F.lit(1.0)).cast("long").alias("cores"),
-        )
+    base = ev.filter(
+        F.col("is_exec_add")
+        | F.col("is_exec_remove")
+        # the reference's task sub-aggregate excludes NULL executors
+        # (duckdb_store_backup.rs:380); add/remove sides do not
+        | (F.col("is_task") & F.col("executor_id").isNotNull())
     )
-    removed = (
-        ev.filter(F.col("is_exec_remove"))
-        .groupBy(F.col("executor_id").alias("r_eid"))
-        .agg(epoch_ms(F.max("event_ts")).alias("remove_time_ms"))
+    add, rem, task = (
+        F.col("is_exec_add"),
+        F.col("is_exec_remove"),
+        F.col("is_task"),
     )
-    tasks = (
-        _tasks(ev)
-        .filter(F.col("executor_id").isNotNull())
-        .groupBy(F.col("executor_id").alias("t_eid"))
-        .agg(
-            F.count("*").alias("total_tasks"),
-            count_if(F.col("is_success")).alias("completed_tasks"),
-            r4(F.sum("duration_ms")).alias("total_duration_ms"),
-            r4(F.sum("gc_ms")).alias("total_gc_ms"),
-            r4(F.sum("input_mb")).alias("total_input_mb"),
-            r4(F.sum("shuffle_read_mb")).alias("total_shuffle_read_mb"),
-            r4(F.sum("shuffle_write_mb")).alias("total_shuffle_write_mb"),
-        )
-    )
-    ar = added.join(removed, added["a_eid"] == removed["r_eid"], "full_outer")
-    joined = ar.join(
-        tasks,
-        F.coalesce(ar["a_eid"], ar["r_eid"]) == tasks["t_eid"],
-        "full_outer",
-    )
+
+    def _t(col: str) -> Column:
+        return F.when(task, F.col(col))
+
     return (
-        joined.select(
-            F.coalesce("a_eid", "r_eid", "t_eid", F.lit("driver")).alias("executor_id"),
-            "add_time_ms",
-            "remove_time_ms",
-            F.coalesce("cores", F.lit(1)).alias("cores"),
-            F.col("r_eid").isNull().alias("is_active"),
-            F.coalesce("total_tasks", F.lit(0)).alias("total_tasks"),
-            F.coalesce("completed_tasks", F.lit(0)).alias("completed_tasks"),
-            F.coalesce("total_duration_ms", F.lit(0.0)).alias("total_duration_ms"),
-            F.coalesce("total_gc_ms", F.lit(0.0)).alias("total_gc_ms"),
-            F.coalesce("total_input_mb", F.lit(0.0)).alias("total_input_mb"),
-            F.coalesce("total_shuffle_read_mb", F.lit(0.0)).alias("total_shuffle_read_mb"),
-            F.coalesce("total_shuffle_write_mb", F.lit(0.0)).alias("total_shuffle_write_mb"),
+        base.groupBy(
+            F.coalesce(F.col("executor_id"), F.lit("driver")).alias("executor_id")
+        )
+        .agg(
+            epoch_ms(F.min(F.when(add, F.col("event_ts")))).alias("add_time_ms"),
+            epoch_ms(F.max(F.when(rem, F.col("event_ts")))).alias("remove_time_ms"),
+            F.coalesce(F.max(F.when(add, F.col("total_cores"))), F.lit(1.0))
+            .cast("long")
+            .alias("cores"),
+            (count_if(rem) == 0).alias("is_active"),
+            count_if(task).alias("total_tasks"),
+            count_if(task & F.col("is_success")).alias("completed_tasks"),
+            F.coalesce(r4(F.sum(_t("duration_ms"))), F.lit(0.0)).alias(
+                "total_duration_ms"
+            ),
+            F.coalesce(r4(F.sum(_t("gc_ms"))), F.lit(0.0)).alias("total_gc_ms"),
+            F.coalesce(r4(F.sum(_t("input_mb"))), F.lit(0.0)).alias("total_input_mb"),
+            F.coalesce(r4(F.sum(_t("shuffle_read_mb"))), F.lit(0.0)).alias(
+                "total_shuffle_read_mb"
+            ),
+            F.coalesce(r4(F.sum(_t("shuffle_write_mb"))), F.lit(0.0)).alias(
+                "total_shuffle_write_mb"
+            ),
         )
         .orderBy("executor_id")
     )

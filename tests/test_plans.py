@@ -80,10 +80,14 @@ def test_sink_path_prunes_raw_data(spark, tmp_path_factory):
         assert "raw_data" not in cols, f"{name} reads raw_data at the scan"
 
 
-def test_executor_summary_joins_broadcast(spark, ev):
-    """J1's three sides are per-executor aggregates — tiny at any input
-    scale; the full-outer join chain must not plan a cartesian product."""
+def test_executor_summary_single_pass(spark, ev):
+    """A4/J1: the reference's three sub-aggregates + two FULL OUTER joins
+    share one grouping key, so the plan must be ONE scan + ONE aggregation
+    — no joins, no extra exchanges."""
     df = catalog.executor_summary(ev)
+    plan = I.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
     assert not I.has_cartesian(df)
 
 
