@@ -381,6 +381,68 @@ def _list_files(spark: SparkSession, base: str) -> list[tuple[str, int]]:
     return out
 
 
+# --------------------------------------------------------------------------
+# S4/S5 — remote-filesystem configuration surface
+# --------------------------------------------------------------------------
+def remote_fs_conf(
+    s3_endpoint: str | None = None,
+    s3_access_key: str | None = None,
+    s3_secret_key: str | None = None,
+    s3_path_style: bool | None = None,
+    s3_connection_timeout_ms: int | None = None,
+    hdfs_nameservice: str | None = None,
+    kerberos_enabled: bool = False,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Build the Hadoop configuration for the remote readers (S4/S5).
+
+    The reference carries dedicated HDFS/S3 clients with explicit
+    credential plumbing (s3_reader.rs:119-334 — endpoint, keys,
+    path-style; hdfs_reader.rs:201-235 — timeouts; file_reader.rs:199-253
+    — Kerberos principal/keytab). On Spark the same knobs are Hadoop conf
+    keys consumed by the ONE shared code path (:func:`_list_files` +
+    ``spark.read`` against the URI), so "supporting S3/HDFS" means
+    surfacing the keys, not writing clients.
+
+    Kerberos note: the principal/keytab login happens at session start
+    (``spark.kerberos.principal`` / ``spark.kerberos.keytab`` submit
+    options — the JVM equivalent of the reference's kinit flow at
+    file_reader.rs:219-243); this helper only flips the Hadoop-side
+    authentication mode that makes the tokens required.
+    """
+    conf: dict[str, str] = {}
+    if s3_endpoint is not None:
+        conf["fs.s3a.endpoint"] = s3_endpoint
+    if s3_access_key is not None:
+        conf["fs.s3a.access.key"] = s3_access_key
+    if s3_secret_key is not None:
+        conf["fs.s3a.secret.key"] = s3_secret_key
+    if s3_path_style is not None:
+        conf["fs.s3a.path.style.access"] = str(s3_path_style).lower()
+    if s3_connection_timeout_ms is not None:
+        conf["fs.s3a.connection.timeout"] = str(s3_connection_timeout_ms)
+    if hdfs_nameservice is not None:
+        conf["fs.defaultFS"] = hdfs_nameservice
+    if kerberos_enabled:
+        conf["hadoop.security.authentication"] = "kerberos"
+    if extra:
+        conf.update(extra)
+    return conf
+
+
+def configure_remote_fs(spark: SparkSession, **kwargs) -> dict[str, str]:
+    """Apply :func:`remote_fs_conf` to the live session's Hadoop
+    configuration and return what was set. Every reader in this module
+    resolves filesystems through ``Path.getFileSystem(hadoopConf)``, so
+    the settings take effect for file://, hdfs:// and s3a:// URIs alike
+    without reader-specific code."""
+    conf = remote_fs_conf(**kwargs)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return conf
+
+
 def read_event_logs_auto(
     spark: SparkSession,
     paths: list[str],

@@ -16,9 +16,11 @@ import pytest
 
 from spark_history_server_rs_spark.operators import catalog
 from spark_history_server_rs_spark.sources.event_logs import (
+    configure_remote_fs,
     incremental_ingest,
     read_event_logs,
     read_events_sink,
+    remote_fs_conf,
     write_events_sink,
 )
 
@@ -181,6 +183,53 @@ def test_incremental_ingest_no_duplicates(spark, tmp_path):
     )
     assert incremental_ingest(spark, str(base), sink, manifest) == 1
     assert read_events_sink(spark, sink).select("app_id").distinct().count() == 2
+
+
+def test_remote_fs_uri_discovery_and_ingest(spark, tmp_path):
+    """S4/S5: discovery + ingest through an explicit ``file://`` URI —
+    the SAME Hadoop-FS resolution path (`Path.getFileSystem`) that
+    hdfs:// and s3a:// URIs take, so the remote-reader plumbing is
+    exercised end-to-end without a live cluster (the sandboxed stand-in
+    the reference covers with MinIO/miniDFS containers,
+    tests/s3_integration_test.rs)."""
+    base = tmp_path / "remote_logs"
+    appdir = base / "application_remote"
+    appdir.mkdir(parents=True)
+    _write_log(
+        str(appdir / "events_1"),
+        _app_events("application_remote", 3, 0.5, 1 << 28),
+        extra_garbage=False,
+    )
+    uri = "file://" + str(base)
+
+    # conf passthrough: keys surface exactly as Hadoop expects them
+    conf = configure_remote_fs(
+        spark,
+        s3_endpoint="http://localhost:9000",
+        s3_access_key="ak",
+        s3_secret_key="sk",
+        s3_path_style=True,
+        s3_connection_timeout_ms=5000,
+        extra={"fs.s3a.connection.maximum": "64"},
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.connection.maximum") == "64"
+    assert conf["fs.s3a.connection.timeout"] == "5000"
+    assert remote_fs_conf(kerberos_enabled=True)[
+        "hadoop.security.authentication"
+    ] == "kerberos"
+
+    # full incremental pass against the URI base
+    sink = str(tmp_path / "remote_sink")
+    manifest = str(tmp_path / "remote_manifest")
+    assert incremental_ingest(spark, uri, sink, manifest) == 1
+    sunk = read_events_sink(spark, sink)
+    assert sunk.count() > 0
+    assert sunk.select("app_id").distinct().collect()[0][0] == "application_remote"
+    # idempotent second pass through the same URI path
+    assert incremental_ingest(spark, uri, sink, manifest) == 0
 
 
 def test_streaming_available_now(spark, log_dir, tmp_path):
