@@ -62,7 +62,8 @@ _SENTINELS = (
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_prefiltered",
     "ann_hamming_rerank",
-    "text_quality",
+    # new this round → needs its first driver row
+    "embedding_semantic_dedup",
 )
 
 _ROTATED_RELATIONAL = (
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _d(llmprep.pii_scrub),
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
+        "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
     }
 
     rotated = _ROTATED_RELATIONAL + (

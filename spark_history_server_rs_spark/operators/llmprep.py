@@ -712,6 +712,83 @@ ORACLE_KMEANS_STEP = (
 
 
 # ==========================================================================
+# L13 — semantic dedup (cluster-then-prune, SemDeDup-style)
+# ==========================================================================
+#: within-cluster cosine above this ⇒ semantic duplicates (matched to the
+#: synthetic embeddings' similarity range, like dedup.COSINE_DUP_THRESHOLD)
+SEM_DEDUP_TAU = 0.4
+
+_SEM_DEDUP_TAIL = """
+centroids AS (
+  SELECT vec_id AS centroid_id, nv AS cv FROM normed WHERE vec_id < {k}
+),
+assigned AS (
+  SELECT vec_id, centroid_id, nv FROM (
+    SELECT n.vec_id, c.centroid_id, n.nv,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY CAST(FLOOR(({dot}) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                                       c.centroid_id) AS rnk
+    FROM normed n JOIN centroids c ON 1 = 1
+  ) WHERE rnk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(({dotp}) * 1000000.0 + 0.5) AS BIGINT) >= {tau_int}
+)
+SELECT a.vec_id, a.centroid_id AS cluster_id,
+       d.vec_id IS NULL AS is_kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+def semantic_dedup(emb: DataFrame) -> DataFrame:
+    """L13: semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then prune near-duplicates
+    WITHIN each cluster only — the trick that turns an O(n²) corpus-wide
+    cosine scan into per-cluster quadratics bounded by cluster size.
+
+    Clustering reuses the deterministic seed centroids of
+    :func:`kmeans_step` (broadcast at any scale); the keep rule is
+    deterministic (lowest vec_id of a qualifying pair survives — the
+    paper keeps a random/centroid-distance representative; determinism is
+    required for the differential oracle). At 100 TB: centroids broadcast,
+    the only wide exchange keys on centroid_id, and the pair join touches
+    pre-normalized vectors within a cluster partition.
+    """
+    emb.createOrReplaceTempView("_llm_emb")
+    sql = (
+        "WITH normed AS (SELECT vec_id,"
+        f" transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM_SPARK}) AS nv"
+        " FROM _llm_emb),\n"
+        + _SEM_DEDUP_TAIL.format(
+            k=KMEANS_K,
+            dot=_DOT_SPARK,
+            dotp="aggregate(zip_with(a.nv, b.nv, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)",
+            tau_int=int(SEM_DEDUP_TAU * 1_000_000),
+        )
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_SEMANTIC_DEDUP = (
+    "WITH normed AS (SELECT vec_id,"
+    " list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])))) AS nv FROM embeddings),\n"
+    + _SEM_DEDUP_TAIL.format(
+        k=KMEANS_K,
+        dot="list_dot_product(n.nv, c.cv)",
+        dotp="list_dot_product(a.nv, b.nv)",
+        tau_int=int(SEM_DEDUP_TAU * 1_000_000),
+    )
+)
+
+
+# ==========================================================================
 # L10 — training manifest (the end-to-end keep/drop decision)
 # ==========================================================================
 def training_manifest(docs: DataFrame) -> DataFrame:
@@ -888,4 +965,5 @@ ORACLE_SQL_LLMPREP = {
     "text_stem_normalize": ORACLE_STEM_NORMALIZE,
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     "embedding_kmeans_step": ORACLE_KMEANS_STEP,
+    "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

@@ -14,7 +14,7 @@ SELECTED = [
     # (name, why it's in the report)
     ("applications", "minimum slice: scan → agg → TakeOrdered"),
     ("performance_trends", "dominant-predicate pushdown into the scan"),
-    ("executor_summary", "double full-outer join, all sides broadcast"),
+    ("executor_summary", "single-pass conditional agg (was 3 scans + 2 joins)"),
     ("top_resource_consumers", "top-k planning (TakeOrderedAndProject)"),
     ("dedup_minhash_lsh", "materialized shingles + banded self-join"),
     ("corpus_contamination", "split-filtered shingle inverted-index join"),
@@ -26,6 +26,8 @@ SELECTED = [
     ("ann_hamming_rerank", "bit-bucket candidate join + exact rerank"),
     ("corpus_pack_sequences_sharded", "distributed greedy packing windows"),
     ("task_skew_report", "per-key skew stats on one shuffle"),
+    ("dedup_embedding_cosine_prefiltered", "popcount prefilter in the pair join"),
+    ("embedding_semantic_dedup", "broadcast centroids + per-cluster prune join"),
 ]
 
 

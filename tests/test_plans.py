@@ -193,6 +193,14 @@ def test_llmprep_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
     assert not I.has_python_worker(km)
 
+    # L13: centroid assignment broadcasts; the prune join is an equi-join
+    # keyed on centroid_id (per-cluster quadratic, never corpus-wide)
+    sd = llmprep.semantic_dedup(emb)
+    ssd = I.explain_str(sd, "simple")
+    assert "BroadcastNestedLoopJoin" in ssd or "BroadcastHashJoin" in ssd
+    assert "centroid_id" in ssd
+    assert not I.has_python_worker(sd)
+
     cont = llmprep.contamination(docs)
     assert not I.has_cartesian(cont)
 
