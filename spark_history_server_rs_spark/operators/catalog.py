@@ -366,24 +366,45 @@ def cross_app_summary(ev: DataFrame) -> DataFrame:
     ELSE app_id END), which counts any app with ≥1 non-end event as active.
 
     Reference: duckdb_store_backup.rs:801-857 (quirk :1051-1058-adjacent).
+
+    Shape: two-level aggregation. A direct global agg with two
+    COUNT(DISTINCT app_id ...) forces Catalyst's Expand (shuffle rows ×
+    the distinct-agg count, over the whole fact table); pre-aggregating
+    per app makes the only wide exchange a map-side-combined app_id
+    shuffle whose output is #apps rows, and the distincts become plain
+    counts over that tiny relation. All merged aggregates are
+    order-insensitive (integer-ms/dyadic-MB sums, min/max), so results
+    are bit-identical to the single-pass form.
     """
-    return ev.agg(
-        F.countDistinct("app_id").alias("total_applications"),
-        F.countDistinct(
-            F.when(F.col("is_app_end"), F.lit(None)).otherwise(F.col("app_id"))
-        ).alias("active_applications"),
-        F.count("*").alias("total_events"),
-        count_if(F.col("is_task") & F.col("is_success")).alias("successful_tasks"),
-        count_if(F.col("is_task") & ~F.col("is_success")).alias("failed_tasks"),
-        r4(F.avg(F.when(F.col("is_task"), F.col("duration_ms")))).alias(
+    per_app = ev.groupBy("app_id").agg(
+        F.count("*").alias("n_events"),
+        count_if(~F.col("is_app_end")).alias("n_non_end"),
+        count_if(F.col("is_task") & F.col("is_success")).alias("n_succ"),
+        count_if(F.col("is_task") & ~F.col("is_success")).alias("n_fail"),
+        F.sum(F.when(F.col("is_task"), F.col("duration_ms"))).alias("task_dur_sum"),
+        count_if(F.col("is_task") & F.col("duration_ms").isNotNull()).alias(
+            "task_dur_n"
+        ),
+        F.sum(F.coalesce(F.col("input_mb"), F.lit(0.0))).alias("input_mb_sum"),
+        F.max("total_cores").alias("max_cores"),
+        F.min("event_ts").alias("min_ts"),
+        F.max("event_ts").alias("max_ts"),
+    )
+    return per_app.agg(
+        count_if(F.col("app_id").isNotNull()).alias("total_applications"),
+        count_if(F.col("app_id").isNotNull() & (F.col("n_non_end") > 0)).alias(
+            "active_applications"
+        ),
+        F.sum("n_events").alias("total_events"),
+        F.sum("n_succ").alias("successful_tasks"),
+        F.sum("n_fail").alias("failed_tasks"),
+        r4(safe_div(F.sum("task_dur_sum"), F.sum("task_dur_n"))).alias(
             "avg_task_duration_ms"
         ),
-        r4(F.sum(F.coalesce(F.col("input_mb"), F.lit(0.0))) / 1024.0).alias(
-            "total_input_gb"
-        ),
-        F.coalesce(F.max("total_cores"), F.lit(0.0)).cast("long").alias("max_total_cores"),
-        epoch_ms(F.min("event_ts")).alias("first_event_ms"),
-        epoch_ms(F.max("event_ts")).alias("last_event_ms"),
+        r4(F.sum("input_mb_sum") / 1024.0).alias("total_input_gb"),
+        F.coalesce(F.max("max_cores"), F.lit(0.0)).cast("long").alias("max_total_cores"),
+        epoch_ms(F.min("min_ts")).alias("first_event_ms"),
+        epoch_ms(F.max("max_ts")).alias("last_event_ms"),
     )
 
 

@@ -434,3 +434,13 @@ def test_cosine_dedup_prefilter_matches_all_pairs(spark):
     base = [tuple(r) for r in dedup.embedding_cosine_dups(emb).collect()]
     pre = [tuple(r) for r in dedup.embedding_cosine_dups_prefiltered(emb).collect()]
     assert base == pre and len(base) > 0
+
+
+def test_cross_app_summary_no_expand(spark, ev):
+    """A9 gate: the two COUNT(DISTINCT)s must resolve via the per-app
+    pre-aggregation, not Catalyst's Expand (which multiplies the full
+    fact table's shuffle rows by the distinct-agg count)."""
+    df = catalog.cross_app_summary(ev)
+    plan = I.explain_str(df, "simple")
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
