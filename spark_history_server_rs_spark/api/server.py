@@ -459,6 +459,13 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             total_savings = round(
                 sum(r["potential_cost_savings"] for r in eff), 6
             )
+            # the reference's SummaryStats fold (dashboard.rs:100-131),
+            # generalized from its single cost struct to the full list
+            # (its hardcoded apps_needing_optimization=1 / 0-or-1
+            # high-confidence counter become real counts here)
+            monthly = sum(
+                max(0.0, c["current_cost"] - c["optimized_cost"]) for c in cost
+            )
             return self._send(
                 200,
                 {
@@ -472,6 +479,20 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                         "n_trend_days": len(trends),
                         "n_cost_opportunities": len(cost),
                         "total_potential_savings": total_savings,
+                        "total_resource_hogs": len(hogs),
+                        "over_provisioned_apps": sum(
+                            r["efficiency_category"] == "OverProvisioned"
+                            for r in eff
+                        ),
+                        "under_provisioned_apps": sum(
+                            r["efficiency_category"] == "UnderProvisioned"
+                            for r in eff
+                        ),
+                        "potential_monthly_savings": f"${monthly:.2f}",
+                        "apps_needing_optimization": len(cost),
+                        "high_confidence_optimizations": sum(
+                            c["confidence_score"] > 80.0 for c in cost
+                        ),
                     },
                 },
             )
@@ -510,18 +531,35 @@ def serve(
     return httpd
 
 
+#: The optimize view: same sections as the reference's Askama template
+#: (templates/platform_engineering_optimize.html — summary-card row,
+#: TOP Resource Consumers, Application Efficiency Analysis, Cost
+#: Optimization Opportunities, Capacity Trends), rendered client-side
+#: from the summary JSON instead of server-side (allowed by SURVEY §3.3).
 _DASHBOARD_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>Spark History Analytics</title>
+<html><head><meta charset="utf-8"><title>Spark Platform — Optimization</title>
 <style>
- body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:76rem}
  table{border-collapse:collapse;width:100%;margin:1rem 0}
  th,td{border:1px solid #ccc;padding:.35rem .6rem;text-align:left;font-size:.9rem}
  th{background:#f3f4f6} h2{margin-top:2rem}
+ .cards{display:flex;flex-wrap:wrap;gap:.8rem;margin:1rem 0}
+ .card{border:1px solid #ddd;border-left:4px solid #0ea5e9;border-radius:6px;
+       padding:.7rem 1rem;min-width:10rem}
+ .card .v{font-size:1.5rem;font-weight:600}
+ .card .l{color:#555;font-size:.8rem}
+ .card.danger{border-left-color:#dc2626}.card.warning{border-left-color:#d97706}
+ .card.success{border-left-color:#16a34a}
+ nav a{margin-right:1rem}
 </style></head><body>
-<h1>Platform engineering — resource optimization</h1>
-<div id="summary"></div>
-<h2>Resource hogs</h2><table id="hogs"></table>
-<h2>Efficiency analysis</h2><table id="eff"></table>
+<h1>Spark Platform — resource optimization</h1>
+<nav><a href="/optimize">Optimize</a><a href="/resources">Resources</a>
+<a href="/teams">Teams</a></nav>
+<div class="cards" id="cards"></div>
+<h2>TOP resource consumers</h2><table id="hogs"></table>
+<h2>Application efficiency analysis</h2><table id="eff"></table>
+<h2>Cost optimization opportunities</h2><table id="cost"></table>
+<h2>Capacity trends</h2><table id="trends"></table>
 <script>
 // Cells are built via createElement/textContent — row values derive from
 // untrusted event-log content (app ids, file names), so nothing from the
@@ -553,11 +591,26 @@ function fill(id, rows){
     t.appendChild(tr);
   }
 }
+function card(label, value, cls){
+  const d = document.createElement("div");
+  d.className = "card" + (cls ? " " + cls : "");
+  const v = document.createElement("div");
+  v.className = "v"; v.textContent = String(value);
+  const l = document.createElement("div");
+  l.className = "l"; l.textContent = label;
+  d.appendChild(v); d.appendChild(l);
+  document.getElementById("cards").appendChild(d);
+}
 fetch("/api/v1/dashboard/summary").then(r=>r.json()).then(d=>{
-  document.getElementById("summary").textContent =
-    `${d.summary.n_hogs} hogs · ${d.summary.n_analyzed} apps analyzed · ` +
-    `potential savings ${d.summary.total_potential_savings}`;
+  const s = d.summary;
+  card("Resource hogs", s.total_resource_hogs, "danger");
+  card("Over-provisioned apps", s.over_provisioned_apps, "warning");
+  card("Under-provisioned apps", s.under_provisioned_apps);
+  card("Potential monthly savings", s.potential_monthly_savings, "success");
+  card("Apps needing optimization", s.apps_needing_optimization);
+  card("High-confidence optimizations", s.high_confidence_optimizations);
   fill("hogs", d.resource_hogs); fill("eff", d.efficiency);
+  fill("cost", d.cost_optimization); fill("trends", d.capacity_trends);
 });
 </script></body></html>
 """

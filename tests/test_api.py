@@ -122,9 +122,18 @@ def test_deprecated_analytics_404(api):
 def test_dashboard_summary(api):
     code, dash = _get(api, "/api/v1/dashboard/summary")
     assert code == 200
-    assert dash["summary"]["n_hogs"] == len(dash["resource_hogs"])
-    assert dash["summary"]["n_cost_opportunities"] == len(dash["cost_optimization"])
-    assert dash["summary"]["total_potential_savings"] >= 0
+    s = dash["summary"]
+    assert s["n_hogs"] == len(dash["resource_hogs"])
+    assert s["n_cost_opportunities"] == len(dash["cost_optimization"])
+    assert s["total_potential_savings"] >= 0
+    # the reference SummaryStats fold (dashboard.rs:100-131)
+    assert s["total_resource_hogs"] == len(dash["resource_hogs"])
+    cats = [e["efficiency_category"] for e in dash["efficiency"]]
+    assert s["over_provisioned_apps"] == cats.count("OverProvisioned")
+    assert s["under_provisioned_apps"] == cats.count("UnderProvisioned")
+    assert s["potential_monthly_savings"].startswith("$")
+    assert s["apps_needing_optimization"] == len(dash["cost_optimization"])
+    assert 0 <= s["high_confidence_optimizations"] <= len(dash["cost_optimization"])
 
 
 def test_root_serves_dashboard_html(api):
