@@ -722,14 +722,21 @@ _SEM_DEDUP_TAIL = """
 centroids AS (
   SELECT vec_id AS centroid_id, nv AS cv FROM normed WHERE vec_id < {k}
 ),
-assigned AS (
-  SELECT vec_id, centroid_id, nv FROM (
-    SELECT n.vec_id, c.centroid_id, n.nv,
+assigned_ids AS (
+  -- rank on scalars only: the similarity is projected BEFORE the window
+  -- shuffle, so the per-vector × per-centroid exchange carries
+  -- (vec_id, centroid_id, cos) rows, never the embedding arrays
+  SELECT vec_id, centroid_id FROM (
+    SELECT n.vec_id, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
                               ORDER BY CAST(FLOOR(({dot}) * 1000000.0 + 0.5) AS BIGINT) DESC,
                                        c.centroid_id) AS rnk
     FROM normed n JOIN centroids c ON 1 = 1
   ) WHERE rnk = 1
+),
+assigned AS (
+  SELECT s.vec_id, s.centroid_id, n.nv
+  FROM assigned_ids s JOIN normed n ON n.vec_id = s.vec_id
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
