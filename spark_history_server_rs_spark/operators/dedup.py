@@ -377,6 +377,36 @@ ORDER BY doc_a, doc_b
     )
 
 
+def simhash_fp_fold_expr() -> str:
+    """The SimHash fingerprint as ONE projection expression — a
+    higher-order fold over the token array (per-token md5 → ±1 bit
+    contributions → sign), bit-identical to the explode+groupBy pipeline
+    in :func:`simhash_pairs` (verified doc-by-doc) but with no
+    aggregation step, so it is legal in a streaming projection and free
+    of shuffle in batch. A token-less document folds to fp=0 (the batch
+    aggregation emits no row for it — the only divergence)."""
+    return f"""
+aggregate(
+  zip_with(
+    aggregate(
+      transform(filter(split(text, ' '), x -> x <> ''), t -> md5(t)),
+      array_repeat(0, {SIMHASH_BITS}),
+      (acc, h) -> zip_with(
+        acc,
+        transform(sequence(0, {SIMHASH_BITS - 1}), j ->
+          (shiftright(locate(substr(h, CAST(1 + j DIV 4 AS INT), 1),
+                             '0123456789abcdef') - 1,
+                      CAST(j % 4 AS INT)) & 1)),
+        (a, b) -> a + 2 * b - 1)
+    ),
+    sequence(0, {SIMHASH_BITS - 1}),
+    (s, j) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+              ELSE CAST(0 AS BIGINT) END
+  ),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x)
+"""
+
+
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """D4: 32-bit SimHash near-dup pairs at Hamming radius ≤ {r}. Candidate
     generation is the 4-block pigeonhole join (two fingerprints within

@@ -162,6 +162,104 @@ def stream_dedup_documents(
     )
 
 
+#: output schema of :func:`stream_near_dedup`
+NEAR_DEDUP_SCHEMA = (
+    "doc_id long, fp long, block_idx integer, matched_doc_id long, hamming long"
+)
+_NEAR_DEDUP_STATE_SCHEMA = "doc_ids array<long>, fps array<long>"
+
+
+def stream_near_dedup(docs: DataFrame):
+    """Beyond-reference: streaming NEAR-duplicate detection — the
+    streaming twin of :func:`..operators.dedup.simhash_pairs`.
+
+    Per document the 32-bit SimHash fingerprint is computed as a pure
+    projection (:func:`..operators.dedup.simhash_fp_fold_expr` — a
+    higher-order fold, no aggregation, so it is streaming-legal), then
+    each document registers under its 4 pigeonhole block keys. State
+    per (block_idx, block_val) key is the fingerprint index of documents
+    seen so far — the pigeonhole guarantee (radius 3 < 4 blocks ⇒ some
+    block matches exactly) means any near-duplicate of an earlier
+    document is caught in at least one of its block groups, without ever
+    comparing across groups.
+
+    Emits one row per (document, block): ``matched_doc_id``/``hamming``
+    give the best (lowest-Hamming, then lowest-id) earlier match within
+    that block bucket, NULL when none. A document's verdict is
+    "near-dup" iff ANY of its 4 rows matched — exactly the batch
+    pigeonhole union, checked differentially in the test suite.
+
+    State size: 4 entries of ~12 bytes per corpus document, spread over
+    the uniform md5-derived bucket keys — the streaming index a crawler
+    needs to reject boilerplate near-dups AT INGEST, which batch dedup
+    only finds on the next full scan.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import (
+        _BLOCK_WIDTH,
+        SIMHASH_BLOCKS,
+        SIMHASH_RADIUS,
+        simhash_fp_fold_expr,
+    )
+
+    fp = docs.selectExpr("doc_id", f"({simhash_fp_fold_expr()}) AS fp")
+    blocks = fp.selectExpr(
+        "doc_id",
+        "fp",
+        f"explode(sequence(0, {SIMHASH_BLOCKS - 1})) AS block_idx",
+    ).selectExpr(
+        "doc_id",
+        "fp",
+        "block_idx",
+        f"CAST((fp >> (block_idx * {_BLOCK_WIDTH}))"
+        f" & {(1 << _BLOCK_WIDTH) - 1} AS INT) AS block_val",
+    )
+    radius = SIMHASH_RADIUS
+
+    # Self-contained closure (see operators/multimodal.py note).
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            seen_ids, seen_fps = list(state.get[0]), list(state.get[1])
+        else:
+            seen_ids, seen_fps = [], []
+        batch: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            batch.extend(
+                zip(pdf["doc_id"].astype(int), pdf["fp"].astype(int))
+            )
+        batch.sort()  # deterministic: earlier doc_ids become "seen" first
+        rows = []
+        for doc_id, fpv in batch:
+            best = None
+            for sid, sfp in zip(seen_ids, seen_fps):
+                h = bin(fpv ^ sfp).count("1")
+                if h <= radius and (best is None or (h, sid) < best):
+                    best = (h, sid)
+            rows.append(
+                (doc_id, fpv, key[0],
+                 best[1] if best else None,
+                 best[0] if best else None)
+            )
+            seen_ids.append(doc_id)
+            seen_fps.append(fpv)
+        state.update((seen_ids, seen_fps))
+        yield _pd.DataFrame(
+            rows,
+            columns=["doc_id", "fp", "block_idx", "matched_doc_id", "hamming"],
+        )
+
+    return blocks.groupBy("block_idx", "block_val").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DEDUP_SCHEMA,
+        stateStructType=_NEAR_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: output schema of :func:`stream_running_corpus_stats`
 RUNNING_STATS_SCHEMA = (
     "lang string, docs_seen long, tokens_seen long, batches long"

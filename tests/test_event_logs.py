@@ -767,3 +767,69 @@ def test_incremental_ingest_mixed_compression(spark, tmp_path):
     }
     # idempotent: nothing new on re-run
     assert incremental_ingest(spark, str(base), sink, manifest) == 0
+
+
+def test_stream_near_dedup_matches_batch_simhash(spark, tmp_path):
+    """Streaming SimHash near-dedup: per-doc verdicts must agree with the
+    batch pigeonhole pairs on the same corpus (differential, not
+    hand-computed), and matches must cross the micro-batch boundary."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.streaming.ingest import stream_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = {
+        1: base,
+        2: "one completely different document about spark executors",
+        3: base,  # exact dup of 1, same micro-batch
+        4: "totally unrelated text mentioning parquet files and shuffles",
+        7: base,  # exact dup of 1, NEXT micro-batch (state must cross)
+        8: base.replace("kappa", "lambda"),  # near variant
+        9: "yet another unrelated document entirely about watermarks",
+    }
+    src = tmp_path / "near_docs"
+    _write_doc_files(
+        src,
+        [
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (1, 2, 3, 4)],
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (7, 8, 9)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM near_dedup").collect()
+
+    # batch ground truth on the same corpus
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in corpus.items()],
+        "doc_id long, text string, lang string",
+    )
+    batch_pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs).collect()
+    }
+    batch_dup_docs = {b for (_, b) in batch_pairs}
+
+    stream_matches = {
+        (r.matched_doc_id, r.doc_id): r.hamming
+        for r in rows
+        if r.matched_doc_id is not None
+    }
+    # every streaming match is a real batch pair with the same hamming
+    for pair, h in stream_matches.items():
+        assert pair in batch_pairs and batch_pairs[pair] == h, pair
+    # every doc the batch flags as a later-duplicate is flagged in-stream
+    assert {b for (_, b) in stream_matches} == batch_dup_docs
+    # and the cross-batch case specifically: doc 7 matched doc 1 or 3
+    assert any(b == 7 for (_, b) in stream_matches)
