@@ -111,6 +111,7 @@ def main() -> None:
     extended: dict[str, float] = {}
     for name, fn, src in [
         ("dedup_exact", dedup.dedup_exact, docs),
+        ("dedup_simhash", dedup.simhash_pairs, docs),
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs, docs),
         ("dedup_repeated_passages", dedup.repeated_passage_coverage, docs),
         ("text_quality", textprep.text_quality, docs),

@@ -343,20 +343,11 @@ _BLOCKS_DUCK = "\n  UNION ALL\n".join(
 )
 
 
-def _simhash_tail(xor_expr: str, blocks_body: str) -> str:
+def _simhash_post(xor_expr: str, blocks_body: str) -> str:
+    """Everything downstream of the ``fps`` relation — shared verbatim by
+    both engines (the engines differ only in how fps is produced)."""
     return (
-        """
-hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
-sums AS (
-  SELECT doc_id, """
-        + ", ".join(_simhash_bit_sums())
-        + """
-  FROM hashed GROUP BY doc_id
-),
-fps AS (SELECT doc_id, """
-        + _simhash_fp()
-        + """ AS fp FROM sums),
-blocks AS (
+        """blocks AS (
 """
         + blocks_body
         + f"""
@@ -412,12 +403,23 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     generation is the 4-block pigeonhole join (two fingerprints within
     radius {r} < {b} blocks must agree on ≥1 block) — exact recall without
     an all-pairs scan, the property that makes SimHash the 100 TB
-    fingerprint dedup of choice.""".format(r=SIMHASH_RADIUS, b=SIMHASH_BLOCKS)
+    fingerprint dedup of choice.
+
+    The Spark side computes fingerprints as a shuffle-free fold
+    projection (:func:`simhash_fp_fold_expr` — no token explode, no
+    per-doc aggregation exchange; the corpus-wide token-hash shuffle was
+    this operator's heaviest); the DuckDB oracle keeps the
+    explode+GROUP BY pipeline, so the hash check differentially proves
+    the two formulations identical. Token-less docs are filtered to
+    match the aggregation's emit-no-row semantics.""".format(
+        r=SIMHASH_RADIUS, b=SIMHASH_BLOCKS
+    )
     docs.createOrReplaceTempView("_dedup_docs")
     sql = (
-        "WITH tokens AS (SELECT doc_id, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _dedup_docs)),\n"
-        + _simhash_tail("fp_a ^ fp_b", _BLOCKS_SPARK)
+        "WITH fps AS (SELECT doc_id, ("
+        + simhash_fp_fold_expr()
+        + f") AS fp FROM _dedup_docs WHERE size({_TOKENS_SPARK}) > 0),\n"
+        + _simhash_post("fp_a ^ fp_b", _BLOCKS_SPARK)
     )
     return docs.sparkSession.sql(sql)
 
@@ -425,8 +427,19 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 ORACLE_SIMHASH = (
     "WITH tokens AS (SELECT doc_id, unnest("
     + _TOKENS_DUCK
-    + ") AS tok FROM documents),\n"
-    + _simhash_tail("xor(fp_a, fp_b)", _BLOCKS_DUCK)
+    + """) AS tok FROM documents),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
+sums AS (
+  SELECT doc_id, """
+    + ", ".join(_simhash_bit_sums())
+    + """
+  FROM hashed GROUP BY doc_id
+),
+fps AS (SELECT doc_id, """
+    + _simhash_fp()
+    + """ AS fp FROM sums),
+"""
+    + _simhash_post("xor(fp_a, fp_b)", _BLOCKS_DUCK)
 )
 
 
