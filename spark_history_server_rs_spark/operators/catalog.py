@@ -395,9 +395,11 @@ def cross_app_summary(ev: DataFrame) -> DataFrame:
         count_if(F.col("app_id").isNotNull() & (F.col("n_non_end") > 0)).alias(
             "active_applications"
         ),
-        F.sum("n_events").alias("total_events"),
-        F.sum("n_succ").alias("successful_tasks"),
-        F.sum("n_fail").alias("failed_tasks"),
+        # COALESCE: COUNT over zero rows is 0, but the SUM of zero per-app
+        # partial counts is NULL — pin the count semantics on empty input
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("total_events"),
+        F.coalesce(F.sum("n_succ"), F.lit(0)).alias("successful_tasks"),
+        F.coalesce(F.sum("n_fail"), F.lit(0)).alias("failed_tasks"),
         r4(safe_div(F.sum("task_dur_sum"), F.sum("task_dur_n"))).alias(
             "avg_task_duration_ms"
         ),

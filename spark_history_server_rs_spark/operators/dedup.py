@@ -48,18 +48,25 @@ COSINE_DUP_THRESHOLD = 0.4  # matched to the synthetic embeddings' similarity ra
 _TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
 _TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-# Engine-shared CTE text for the distinct (doc_id, shingle) set. The window
-# trick builds word k-grams without a UDF; identical SQL in both dialects
-# except tokenization spelling.
+# The distinct (doc_id, shingle) set. Spark builds it SHUFFLE-FREE: word
+# k-grams via slice() over the token array inside one projection (no
+# posexplode→window ordering exchange), de-duplicated per doc with
+# array_distinct BEFORE the explode — and since doc_id is part of the
+# key, per-doc uniqueness IS global uniqueness, so the old corpus-wide
+# DISTINCT exchange disappears too. The DuckDB oracle keeps the
+# window-lead + DISTINCT formulation, so every shingle consumer's hash
+# check differentially proves the two builds identical.
 _SHINGLES_SPARK = f"""
-SELECT DISTINCT doc_id, shingle FROM (
+SELECT doc_id, shingle FROM (
   SELECT doc_id,
-         concat(tok, ' ', lead(tok, 1) OVER w, ' ', lead(tok, 2) OVER w) AS shingle
-  FROM (
-    SELECT doc_id, posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {{src}}
-  )
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-) WHERE shingle IS NOT NULL
+         explode(array_distinct(
+           CASE WHEN size(toks) >= {SHINGLE_K}
+                THEN transform(sequence(1, size(toks) - {SHINGLE_K} + 1),
+                               i -> concat_ws(' ', slice(toks, i, {SHINGLE_K})))
+                ELSE CAST(array() AS ARRAY<STRING>)
+           END)) AS shingle
+  FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM {{src}})
+)
 """
 
 _SHINGLES_DUCK = f"""
@@ -661,22 +668,27 @@ def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
 PASSAGE_K = 5
 
 
-# Rolling PASSAGE_K-token window per position: posexplode + (k-1) LEADs —
-# the same no-UDF k-gram builder as the shingle relation, but KEEPING
-# positions (coverage needs every window occurrence, not the distinct set).
-_PASSAGE_CONCAT_SPARK = "concat(tok, " + ", ".join(
-    f"' ', lead(tok, {i}) OVER w" for i in range(1, PASSAGE_K)
-) + ")"
+# Rolling PASSAGE_K-token window per position (DuckDB oracle spelling:
+# posexplode + (k-1) LEADs — the no-UDF k-gram builder, kept window-based
+# on the oracle side as the differential twin of the Spark slice fold).
 _PASSAGE_CONCAT_DUCK = "tok || " + " || ".join(
     f"' ' || lead(tok, {i}) OVER w" for i in range(1, PASSAGE_K)
 )
 
+# Spark: shuffle-free, same slice-fold trick as _SHINGLES_SPARK but
+# KEEPING positions (coverage counts every complete window occurrence);
+# the DuckDB twin below keeps the window-lead form as differential proof.
 _PASSAGE_WINS_SPARK = f"""
-SELECT doc_id, pos, md5({_PASSAGE_CONCAT_SPARK}) AS phash FROM (
-  SELECT doc_id, posexplode({_TOKENS_SPARK}) AS (pos, tok)
-  FROM {{src}}
+SELECT doc_id, pos, phash FROM (
+  SELECT doc_id,
+         posexplode(
+           CASE WHEN size(toks) >= {PASSAGE_K}
+                THEN transform(sequence(1, size(toks) - {PASSAGE_K} + 1),
+                               i -> md5(concat_ws(' ', slice(toks, i, {PASSAGE_K}))))
+                ELSE CAST(array() AS ARRAY<STRING>)
+           END) AS (pos, phash)
+  FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM {{src}})
 )
-WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 """
 
 _PASSAGE_WINS_DUCK = f"""
