@@ -110,14 +110,10 @@ ORACLE_LENGTH_HISTOGRAM = "WITH " + _LENGTH_HIST_TAIL.format(
 # ==========================================================================
 # L2 — bigram counts (top-k)
 # ==========================================================================
-_BIGRAM_TAIL = """
-bigrams AS (
-  SELECT doc_id, tok || ' ' || next_tok AS bigram FROM (
-    SELECT doc_id, tok, lead(tok, 1) OVER w AS next_tok
-    FROM ({tokens})
-    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  ) WHERE next_tok IS NOT NULL
-),
+# Shared from `counts` down; the `bigrams` body differs per engine
+# (Spark: shuffle-free slice fold; DuckDB: explode + window lead — the
+# differential twin).
+_BIGRAM_COUNT_TAIL = """
 counts AS (
   SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
   FROM bigrams GROUP BY bigram
@@ -129,18 +125,38 @@ ORDER BY rank
 LIMIT {k}
 """
 
+_BIGRAM_TAIL = (
+    """
+bigrams AS (
+  SELECT doc_id, tok || ' ' || next_tok AS bigram FROM (
+    SELECT doc_id, tok, lead(tok, 1) OVER w AS next_tok
+    FROM ({tokens})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE next_tok IS NOT NULL
+),"""
+    + _BIGRAM_COUNT_TAIL
+)
+
 
 def bigram_counts(docs: DataFrame) -> DataFrame:
     """L2: global bigram frequencies, top-{k} — the 2-gram LM statistic
     (and the vocabulary-merge signal for BPE-style tokenizer training).
-    Explode + per-doc window + one bounded aggregate.""".format(k=BIGRAM_TOP_K)
+    The per-doc bigram list is a slice fold in one projection (every
+    occurrence kept), so the only exchanges are the bounded bigram
+    aggregation and the top-k — no per-doc ordering shuffle.""".format(
+        k=BIGRAM_TOP_K
+    )
     docs.createOrReplaceTempView("_llm_docs")
-    tokens = (
-        "SELECT doc_id, pos, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _llm_docs)"
+    bigrams = (
+        "bigrams AS (SELECT doc_id, bigram FROM ("
+        " SELECT doc_id, explode(CASE WHEN size(toks) >= 2"
+        " THEN transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', slice(toks, i, 2)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram"
+        f" FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM _llm_docs))),"
     )
     return docs.sparkSession.sql(
-        "WITH " + _BIGRAM_TAIL.format(tokens=tokens, k=BIGRAM_TOP_K)
+        "WITH " + bigrams + _BIGRAM_COUNT_TAIL.format(k=BIGRAM_TOP_K)
     )
 
 

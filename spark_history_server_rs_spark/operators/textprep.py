@@ -19,7 +19,7 @@ DuckDB oracle SQL, so the two engines cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # --- shared constants (single source of truth for Spark AND oracle) -------
@@ -230,39 +230,37 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     minimum over each sliding window of ``FP_WINDOW`` hashes, distinct
     minima per document (the classic winnowing selection).
 
-    Plan shape: posexplode → two window functions partitioned by doc_id →
-    groupBy doc_id. One shuffle on doc_id; window state is per-document,
-    so 100 TB scales by document parallelism (no global ordering).
+    Plan shape: the per-doc hash sequence AND the rolling-window minima
+    are array folds inside one projection (slice() clamps at the tail,
+    reproducing the truncated trailing windows of a ROWS BETWEEN frame),
+    so the ONLY exchange is the final doc_id aggregation — the
+    posexplode → window formulation (kept on the DuckDB oracle side as
+    the differential twin) needed a per-doc ordering shuffle first.
     """
-    tok = docs.select(
-        "doc_id", F.posexplode(F.expr(_TOKENS_SPARK)).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = tok.select(
-        "doc_id",
-        "pos",
-        F.concat(
-            F.col("tok"),
-            F.lit(" "),
-            F.lead("tok", 1).over(w),
-            F.lit(" "),
-            F.lead("tok", 2).over(w),
-        ).alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
-    hashed = sh.select(
-        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 8).alias("h")
-    )
-    fpw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_WINDOW - 1)
-    fp = hashed.select("doc_id", F.min("h").over(fpw).alias("fp"))
-    return (
-        fp.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.countDistinct("fp").alias("n_fingerprints"),
-            F.to_json(F.sort_array(F.collect_set("fp"))).alias("fingerprints"),
-        )
-        .orderBy("doc_id")
-    )
+    docs.createOrReplaceTempView("_text_docs")
+    sql = f"""
+WITH hs AS (
+  SELECT doc_id,
+         CASE WHEN size(toks) >= {FP_SHINGLE_K}
+              THEN transform(sequence(1, size(toks) - {FP_SHINGLE_K} + 1),
+                             i -> substr(md5(concat_ws(' ',
+                                    slice(toks, i, {FP_SHINGLE_K}))), 1, 8))
+              ELSE CAST(array() AS ARRAY<STRING>) END AS hs
+  FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM _text_docs)
+),
+fp AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(hs)),
+                           i -> array_min(slice(hs, i, {FP_WINDOW})))) AS fp
+  FROM hs WHERE size(hs) > 0
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(DISTINCT fp) AS n_fingerprints,
+       to_json(sort_array(collect_set(fp))) AS fingerprints
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+    return docs.sparkSession.sql(sql)
 
 
 ORACLE_DOC_FINGERPRINTS = f"""
