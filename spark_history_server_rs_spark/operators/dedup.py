@@ -83,37 +83,24 @@ SELECT DISTINCT doc_id, shingle FROM (
 ) WHERE shingle IS NOT NULL
 """
 
-# Last persisted shingle frame per view name, keyed by the input plan's
-# semantic hash: MinHash / Jaccard / clusters / contamination over the SAME
+# Last persisted frame per view name, keyed by the input plan's semantic
+# hash: MinHash / Jaccard / clusters / contamination over the SAME
 # documents frame share one cache instead of each rebuilding it, while a
 # different input (test fixtures, another sf) still invalidates.
 _SHINGLE_CACHE: dict[str, tuple[int, DataFrame]] = {}
 
 
-def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
-    """Compute the distinct (doc_id, shingle) relation ONCE, persist it, and
-    expose it as a temp view.
-
-    Spark inlines SQL CTEs, so a ``shingles`` CTE referenced by ``sigs``,
-    ``sizes`` and twice by ``common`` re-runs the posexplode + DISTINCT +
-    window sub-plan ~4× (measured: dedup_minhash_lsh 11.96 s at sf0.1).
-    Materializing it swaps every reference for a scan of one cached
-    InMemoryRelation — the same ingest-once philosophy as the reference's
-    hot-field extraction (duckdb_store.rs:708-757). The eager count fills
-    the cache in a single pass before the fan-out reads race to build it.
-
-    Calls with a semantically-identical input frame reuse the live cache
-    (one shingle build serves the whole dedup suite in a session).
-    """
-    spark = docs.sparkSession
-    key = docs.semanticHash()
+def _materialized_view(spark, view: str, key: int, build) -> DataFrame:
+    """Build-once/persist/register pattern behind every derived-relation
+    cache in this module (shingles, minhash band keys). The eager count
+    fills the cache in a single pass before fan-out reads race to build
+    it; a changed input key (or a new session) invalidates."""
     cached = _SHINGLE_CACHE.get(view)
     if (
         cached is not None
         and cached[0] == key
         and cached[1].sparkSession is spark  # not from a stopped session
     ):
-        docs.createOrReplaceTempView("_dedup_docs")
         cached[1].createOrReplaceTempView(view)
         return cached[1]
     if cached is not None:
@@ -122,12 +109,35 @@ def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> Dat
         except Exception:
             pass  # prior session already gone
         _SHINGLE_CACHE.pop(view, None)
+    df = build().persist()
+    df.count()
+    df.createOrReplaceTempView(view)
+    _SHINGLE_CACHE[view] = (key, df)
+    return df
+
+
+def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
+    """Compute the distinct (doc_id, shingle) relation ONCE, persist it, and
+    expose it as a temp view.
+
+    Spark inlines SQL CTEs, so a ``shingles`` CTE referenced by ``sigs``,
+    ``sizes`` and twice by ``common`` re-runs the whole build sub-plan ~4×
+    (measured: dedup_minhash_lsh 11.96 s at sf0.1 pre-materialization).
+    Materializing it swaps every reference for a scan of one cached
+    InMemoryRelation — the same ingest-once philosophy as the reference's
+    hot-field extraction (duckdb_store.rs:708-757).
+
+    Calls with a semantically-identical input frame reuse the live cache
+    (one shingle build serves the whole dedup suite in a session).
+    """
+    spark = docs.sparkSession
     docs.createOrReplaceTempView("_dedup_docs")
-    sh = spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs")).persist()
-    sh.count()
-    sh.createOrReplaceTempView(view)
-    _SHINGLE_CACHE[view] = (key, sh)
-    return sh
+    return _materialized_view(
+        spark,
+        view,
+        docs.semanticHash(),
+        lambda: spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs")),
+    )
 
 
 # Spark-side CTE header that reads the materialized view; keeps the shared
@@ -241,7 +251,9 @@ _BANDKV_DUCK = "\n  UNION ALL\n".join(
 )
 
 
-def _minhash_tail(bandkv_body: str) -> str:
+def _minhash_bandkv_sql(bandkv_body: str) -> str:
+    """sigs → bands → bandkv: the signature/band-key derivation from the
+    shingle relation."""
     return (
         """
 sigs AS (
@@ -260,7 +272,13 @@ bandkv AS (
 """
         + bandkv_body
         + """
-),
+)"""
+    )
+
+
+# Shared from `candidates` down — references `bandkv` and `shingles`
+# however the engine produced them.
+_MINHASH_POST = """
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandkv a JOIN bandkv b
@@ -285,26 +303,45 @@ WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 
          / CAST(10000.0 AS DOUBLE) >= {thr}
 ORDER BY doc_a, doc_b
 """
-    )
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """D3: MinHash signatures ({n} hashes), {b} LSH bands; candidates =
     band-key collisions; exact-Jaccard verify at τ={t}. The scale path for
     D2: only band collisions are ever paired, so the shuffle carries
-    (doc_id, band_key), not document content.""".format(
+    (doc_id, band_key), not document content.
+
+    The (doc_id, band_idx, band_key) relation is materialized alongside
+    the shingles (same keyed cache): at serving time repeated calls skip
+    the {n}-MIN signature aggregation entirely — the index-once /
+    probe-many split every production LSH deployment uses.""".format(
         n=NUM_HASHES, b=BANDS, t=JACCARD_THRESHOLD
     )
+    spark = docs.sparkSession
     materialized_shingles(docs)
-    sql = _SHINGLES_VIEW_CTE + _minhash_tail(_BANDKV_SPARK).format(
-        thr=JACCARD_THRESHOLD
+    _materialized_view(
+        spark,
+        "_dedup_bandkv",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            _SHINGLES_VIEW_CTE
+            + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+            + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+        ),
     )
-    return docs.sparkSession.sql(sql)
+    sql = (
+        _SHINGLES_VIEW_CTE
+        + "bandkv AS (SELECT doc_id, band_idx, band_key FROM _dedup_bandkv),"
+        + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+    )
+    return spark.sql(sql)
 
 
 ORACLE_MINHASH = (
     "WITH shingles AS (" + _SHINGLES_DUCK + "),\n"
-    + _minhash_tail(_BANDKV_DUCK).format(thr=JACCARD_THRESHOLD)
+    + _minhash_bandkv_sql(_BANDKV_DUCK)
+    + ","
+    + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
 )
 
 
