@@ -116,6 +116,21 @@ def _materialized_view(spark, view: str, key: int, build) -> DataFrame:
     return df
 
 
+def clear_materialized_caches() -> None:
+    """Drop every cached derived relation (shingles, minhash band keys).
+
+    The cache key is the input PLAN's semantic hash, not the data: if the
+    files under an unchanged path are rewritten (re-ingest, test fixtures
+    overwriting a tmp dir), the key stays equal and the cache would serve
+    stale rows — call this after any in-place data change."""
+    for _, df in list(_SHINGLE_CACHE.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already gone
+    _SHINGLE_CACHE.clear()
+
+
 def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
     """Compute the distinct (doc_id, shingle) relation ONCE, persist it, and
     expose it as a temp view.
@@ -779,10 +794,12 @@ def repeated_passage_coverage(docs: DataFrame) -> DataFrame:
     """.format(k=PASSAGE_K)
     spark = docs.sparkSession
     docs.createOrReplaceTempView("_dedup_docs")
-    wins = spark.sql(
-        _PASSAGE_WINS_SPARK.format(src="_dedup_docs")
-    ).persist()
-    wins.createOrReplaceTempView("_dedup_passage_wins")
+    _materialized_view(
+        spark,
+        "_dedup_passage_wins",
+        docs.semanticHash(),
+        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_dedup_docs")),
+    )
     sql = (
         "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
         + _PASSAGE_TAIL

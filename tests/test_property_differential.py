@@ -194,6 +194,9 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
     import __spark_entry__ as entrymod
 
     oracles = entrymod.oracle_sql()
+    # the shingle/band caches key on the input PLAN hash; each example
+    # rewrites the same path, so they must be dropped between examples
+    dedup.clear_materialized_caches()
     for fn, name in [
         (dedup.dedup_exact, "dedup_exact"),
         (llmprep.stem_normalize, "text_stem_normalize"),
@@ -202,6 +205,15 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         (llmprep.stratified_sample, "corpus_stratified_sample"),
         (llmprep.bigram_counts, "corpus_bigram_counts"),
         (textprep.token_stats, "text_token_stats"),
+        # fold-vs-window equivalence under adversarial corpora (empty
+        # docs, space runs, dup docs, <k-token docs): the Spark side
+        # builds k-grams/fingerprints by slice fold, the oracle by
+        # explode + window — exactly where the two could diverge
+        (dedup.simhash_pairs, "dedup_simhash"),
+        (textprep.doc_fingerprints, "text_fingerprints"),
+        (dedup.repeated_passage_coverage, "dedup_repeated_passages"),
+        (dedup.ngram_jaccard_pairs, "dedup_ngram_jaccard"),
+        (dedup.minhash_lsh_pairs, "dedup_minhash_lsh"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
