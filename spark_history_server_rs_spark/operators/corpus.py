@@ -340,13 +340,22 @@ def oov_rate(docs: DataFrame) -> DataFrame:
     inline-recompute the explode otherwise); the vocabulary is top-{k}
     rows → the coverage join broadcasts it. Wide exchanges are keyed on
     token (for the bounded vocab agg) and doc_id only.""".format(k=OOV_VOCAB_K)
+    from .dedup import _materialized_view
+
     spark = docs.sparkSession
     docs.createOrReplaceTempView("_corpus_docs")
-    tok = spark.sql(
-        "SELECT doc_id, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-    ).persist()
-    tok.createOrReplaceTempView("_corpus_tok")
+    # keyed cache (not ad-hoc persist): a bare .persist() is matched by
+    # Spark's CacheManager on logical-plan equality, which serves stale
+    # rows if the same path is rewritten — see dedup.clear_materialized_caches
+    _materialized_view(
+        spark,
+        "_corpus_tok",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+        ),
+    )
     return spark.sql(
         "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
         + _OOV_TAIL.format(k=OOV_VOCAB_K)
