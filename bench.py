@@ -117,6 +117,9 @@ def main() -> None:
         ("text_quality", textprep.text_quality, docs),
         ("ann_cosine_topk", similarity.ann_cosine_topk, emb),
         ("ann_hamming_rerank", similarity.ann_hamming_rerank, emb),
+        ("dedup_embedding_cosine_prefiltered",
+         dedup.embedding_cosine_dups_prefiltered, emb),
+        ("embedding_semantic_dedup", llmprep.semantic_dedup, emb),
         ("multimodal_audio_windows", multimodal.audio_windows, docs),
         ("corpus_contamination", llmprep.contamination, docs),
         ("corpus_pack_sequences", llmprep.pack_sequences, docs),
