@@ -24,6 +24,22 @@ def test_every_query_has_oracle_or_is_declared():
     assert missing == []
 
 
+def test_registered_queries_emit_scalar_columns_only(spark):
+    """Differential harnesses canonicalize via pandas sort_values, which
+    raises on list/dict cells — the failure mode that left
+    efficiency_analysis unverified for two rounds (its array column is
+    now a JSON string). Guard the whole registry: no query may emit an
+    array/map/struct column; serialize with to_json at the query edge."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, SF_ORACLE).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert offenders == []
+
+
 def test_driver_window_composition():
     """The driver's harness checks only the first 50 registrations; pin the
     window so rotation stays deliberate: sentinels first, then the round-4
