@@ -57,7 +57,8 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    "top_resource_consumers",
+    # new this round → needs its first driver row
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_prefiltered",
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
+        "dedup_ngram_jaccard_capped": _d(dedup.ngram_jaccard_pairs_capped),
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
         "dedup_simhash": _d(dedup.simhash_pairs),
         "dedup_embedding_cosine": _e(dedup.embedding_cosine_dups),

@@ -226,6 +226,85 @@ ORACLE_NGRAM_JACCARD = (
 )
 
 
+# --------------------------------------------------------------------------
+# D2b — stop-shingle-capped Jaccard (the scale guard for D2)
+# --------------------------------------------------------------------------
+# Exact-Jaccard verification of a `candidates` (doc_a, doc_b) relation
+# against the FULL shingle sets — shared by capped-jaccard (stop-shingle-
+# pruned candidates) and minhash below (band candidates).
+_PAIR_VERIFY_POST = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, common_shingles,
+       FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) >= {thr}
+ORDER BY doc_a, doc_b
+"""
+#: candidate-generation doc-frequency cap: shingles appearing in more
+#: documents than this are boilerplate ("stop shingles") and are excluded
+#: from the inverted-index join. 6 exercises pruning at every test sf
+#: (max shingle doc-freq: 7 at sf0.01, 25 at sf0.1); production sets it
+#: relative to corpus size.
+HOT_SHINGLE_CAP = 6
+
+_CAPPED_CANDIDATES = """
+hot AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {cap}
+),
+pruned AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s LEFT JOIN hot h ON s.shingle = h.shingle
+  WHERE h.shingle IS NULL
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),"""
+
+
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame, cap: int = HOT_SHINGLE_CAP
+) -> DataFrame:
+    """D2b: D2 with the standard production guard against its worst case —
+    the inverted-index self-join is quadratic in the hottest shingle's
+    posting list, so shingles appearing in more than ``cap`` documents
+    ("stop shingles": licenses, navigation chrome, boilerplate headers)
+    are excluded from CANDIDATE GENERATION only. Surviving pairs are
+    verified with exact Jaccard over the FULL shingle sets (same verify
+    fragment as MinHash), so reported similarities are unchanged — the
+    cap can only drop pairs whose every shared shingle is ubiquitous,
+    which at τ={t} means boilerplate-only overlap. Candidate cost falls
+    from Σ f² over all shingles to Σ f² over f ≤ cap — bounded per
+    shingle, unskewable.""".format(t=JACCARD_THRESHOLD)
+    materialized_shingles(docs)
+    sql = (
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+        + ","
+        + _CAPPED_CANDIDATES.format(cap=cap)
+        + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),"
+    + _CAPPED_CANDIDATES.format(cap=HOT_SHINGLE_CAP)
+    + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
+)
+
+
 # ==========================================================================
 # D3 — MinHash + LSH (banded) with exact-Jaccard verification
 # ==========================================================================
@@ -293,31 +372,16 @@ bandkv AS (
 
 # Shared from `candidates` down — references `bandkv` and `shingles`
 # however the engine produced them.
-_MINHASH_POST = """
+_MINHASH_POST = (
+    """
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandkv a JOIN bandkv b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
-  FROM candidates c
-  JOIN shingles a ON a.doc_id = c.doc_a
-  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b
+),"""
+    + _PAIR_VERIFY_POST
 )
-SELECT doc_a, doc_b, common_shingles,
-       FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-         / CAST(10000.0 AS DOUBLE) AS jaccard
-FROM common
-JOIN sizes x ON doc_a = x.doc_id
-JOIN sizes y ON doc_b = y.doc_id
-WHERE FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
-         / CAST(10000.0 AS DOUBLE) >= {thr}
-ORDER BY doc_a, doc_b
-"""
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -818,6 +882,7 @@ ORACLE_REPEATED_PASSAGES = (
 ORACLE_SQL_DEDUP = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_COSINE_DUPS,
