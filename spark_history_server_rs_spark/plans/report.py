@@ -28,6 +28,7 @@ SELECTED = [
     ("task_skew_report", "per-key skew stats on one shuffle"),
     ("dedup_embedding_cosine_prefiltered", "popcount prefilter in the pair join"),
     ("embedding_semantic_dedup", "broadcast centroids + per-cluster prune join"),
+    ("dedup_ngram_jaccard_capped", "stop-shingle pruned candidates, full-set verify"),
 ]
 
 
