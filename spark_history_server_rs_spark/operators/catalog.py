@@ -169,6 +169,13 @@ def executor_summary(ev: DataFrame) -> DataFrame:
     instead of three scans + three shuffles + two joins; map-side partial
     aggregation bounds shuffle volume by executor count at any input
     scale.
+
+    Documented divergence on malformed logs: add/remove events whose
+    executor_id failed to parse (NULL) merge into ONE 'driver' row here,
+    whereas the reference's NULL join keys fall through every FULL OUTER
+    match and yield duplicate accidental 'driver' rows with is_active
+    stuck true. The oracle twin pins the merged (well-defined) semantics
+    by pre-COALESCE-ing its group keys.
     """
     base = ev.filter(
         F.col("is_exec_add")

@@ -668,57 +668,51 @@ ORACLE_COSINE_DUPS = (
 #: 16 bits because dedup thresholds admit much larger angles than top-k
 #: rerank radii, so the Hamming distribution needs finer resolution).
 EMBEDDING_SKETCH_BITS = 32
-_EMBEDDING_DIM = 64
 
 
 def _dedup_sketch_planes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes, namespaced ``e:`` so they
-    are independent of similarity.py's ``h:``/``s:`` plane families.
-    Same md5-digit construction as similarity.HYPERPLANES."""
-    import hashlib
+    """Planes namespaced ``e:`` so they are independent of similarity.py's
+    ``h:``/``s:`` families; one shared generator keeps the embedding
+    dimensionality in sync (see functions/planes.py)."""
+    from ..functions.planes import md5_planes
 
-    planes = []
-    for h in range(EMBEDDING_SKETCH_BITS):
-        planes.append(
-            [
-                int(hashlib.md5(f"e:{h}:{i}".encode()).hexdigest()[0], 16) - 7.5
-                for i in range(_EMBEDDING_DIM)
-            ]
-        )
-    return planes
+    return md5_planes("e", EMBEDDING_SKETCH_BITS)
 
 
 _DEDUP_SKETCH_PLANES = _dedup_sketch_planes()
 
 
-def _dedup_sketch_expr(vec: str, spark: bool) -> str:
-    """Packed sign sketch (r6-round-before-sign, both engines set the same
-    bits — the discipline proven by similarity.ann_hamming_rerank)."""
+def _dedup_sketch_expr(vec: str) -> str:
+    """Packed sign sketch, Spark spelling only — the prefiltered
+    operator's oracle is deliberately the all-pairs form, so no DuckDB
+    twin of this expression exists (r6-round-before-sign keeps the bit
+    decisions portable, the discipline proven by ann_hamming_rerank)."""
     bits = []
     for h in range(EMBEDDING_SKETCH_BITS):
         vals = ", ".join(f"{v:.1f}" for v in _DEDUP_SKETCH_PLANES[h])
-        if spark:
-            proj = (
-                f"aggregate(zip_with({vec}, array({vals}),"
-                " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
-            )
-        else:
-            proj = f"list_dot_product(CAST({vec} AS DOUBLE[]), [{vals}])"
+        proj = (
+            f"aggregate(zip_with({vec}, array({vals}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+        )
         rounded = f"FLOOR(({proj}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
         bits.append(f"(CASE WHEN {rounded} > 0 THEN {1 << h} ELSE 0 END)")
     return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
 
 
 def hamming_cutoff(threshold: float, bits: int = EMBEDDING_SKETCH_BITS) -> int:
-    """Recall-preserving Hamming cutoff for a cosine threshold.
+    """Hamming cutoff for a cosine threshold, at the 4σ recall level.
 
     For sign sketches, P(bit differs) = acos(τ)/π, so the Hamming distance
-    of a qualifying pair is Binomial(bits, p); mean + 4σ keeps essentially
-    every qualifying pair at any corpus size (measured on the synthetic
-    embeddings: qualifying-pair max Hamming 18/32 at sf0.01, 19/32 at
-    sf0.1 vs cutoff 23 for τ=0.4). Selectivity is threshold-driven: at the
-    production near-dup regime (τ≥0.9) the cutoff tightens to ~13/32 and
-    the prefilter rejects ~90% of random pairs before any float math.
+    of a qualifying pair is Binomial(bits, p); mean + 4σ bounds the
+    per-pair drop probability at ~3e-5 — PROBABILISTIC, not exact: on a
+    corpus with millions of qualifying pairs a few land past the cutoff,
+    the accepted trade of every production sketch prefilter. On the test
+    fixtures the margin is comfortable (qualifying-pair max Hamming 18/32
+    at sf0.01, 19/32 at sf0.1 vs cutoff 23 for τ=0.4), which is what lets
+    the differential pin against the exact all-pairs oracle hold there.
+    Selectivity is threshold-driven: at the production near-dup regime
+    (τ≥0.9) the cutoff tightens to ~13/32 and the prefilter rejects ~90%
+    of random pairs before any float math.
     """
     import math
 
@@ -754,7 +748,8 @@ def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
     fold, and at ingest the sketch column persists at ~1.5% the footprint
     of the float embeddings, so the prefilter scan is column-pruned to
     almost nothing. The cutoff comes from :func:`hamming_cutoff` (binomial
-    mean + 4σ), which preserves recall — this function is differentially
+    mean + 4σ), which bounds per-pair drop probability at ~3e-5 (see
+    :func:`hamming_cutoff` — probabilistic) — this function is differentially
     checked against the ALL-PAIRS oracle (ORACLE_COSINE_DUPS), i.e. a
     different plan must produce identical results. Parallelism follows the
     session's defaultParallelism, never a hard-coded width.
@@ -763,7 +758,7 @@ def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
     sql = _COS_PREFILTERED_SPARK.format(
         parts=emb.sparkSession.sparkContext.defaultParallelism,
         norm=_NORM.format(v="embedding"),
-        sketch=_dedup_sketch_expr("embedding", spark=True),
+        sketch=_dedup_sketch_expr("embedding"),
         src="_dedup_emb",
         dot=_DOT.format(a="a.nv", b="b.nv"),
         hmax=hamming_cutoff(COSINE_DUP_THRESHOLD),
@@ -888,7 +883,8 @@ ORACLE_SQL_DEDUP = {
     "dedup_embedding_cosine": ORACLE_COSINE_DUPS,
     # the prefiltered scale path must reproduce the ALL-PAIRS result —
     # deliberately the same oracle, so the differential check proves the
-    # prefilter is recall-preserving, not merely self-consistent
+    # prefilter loses nothing on the tested fixtures (the cutoff's 4σ
+    # margin holds there), not merely self-consistent
     "dedup_embedding_cosine_prefiltered": ORACLE_COSINE_DUPS,
     "dedup_repeated_passages": ORACLE_REPEATED_PASSAGES,
 }

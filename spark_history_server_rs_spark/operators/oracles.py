@@ -110,15 +110,15 @@ ORDER BY event_date DESC, app_id, event_type
 
 ORACLE_SQL["executor_summary"] = f"""{_CTE},
 added AS (
-  SELECT executor_id AS a_eid,
+  SELECT COALESCE(executor_id, 'driver') AS a_eid,
          CAST(epoch_ms(MIN(event_ts)) AS BIGINT) AS add_time_ms,
          CAST(COALESCE(MAX(total_cores), 1.0) AS BIGINT) AS cores
-  FROM ev WHERE is_exec_add GROUP BY executor_id
+  FROM ev WHERE is_exec_add GROUP BY COALESCE(executor_id, 'driver')
 ),
 removed AS (
-  SELECT executor_id AS r_eid,
+  SELECT COALESCE(executor_id, 'driver') AS r_eid,
          CAST(epoch_ms(MAX(event_ts)) AS BIGINT) AS remove_time_ms
-  FROM ev WHERE is_exec_remove GROUP BY executor_id
+  FROM ev WHERE is_exec_remove GROUP BY COALESCE(executor_id, 'driver')
 ),
 tasks AS (
   SELECT executor_id AS t_eid,
@@ -131,6 +131,11 @@ tasks AS (
          FLOOR((SUM(shuffle_write_mb)) * 10000.0 + 0.5) / 10000.0 AS total_shuffle_write_mb
   FROM ev WHERE is_task AND executor_id IS NOT NULL GROUP BY executor_id
 )
+-- NOTE: group keys above pre-COALESCE NULL executors to 'driver', so the
+-- join keys are never NULL. This pins well-defined semantics for malformed
+-- logs (the reference's NULL keys fall through every FULL OUTER match and
+-- produce duplicate accidental 'driver' rows, duckdb_store_backup.rs:404-407)
+-- and matches the single-pass implementation exactly.
 SELECT COALESCE(a.a_eid, r.r_eid, t.t_eid, 'driver') AS executor_id,
        a.add_time_ms AS add_time_ms,
        r.remove_time_ms AS remove_time_ms,

@@ -24,33 +24,17 @@ oracle, so the two engines share it by construction.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
+from ..functions.planes import EMBEDDING_DIM, md5_planes
 from .dedup import cosine_expr_duck, cosine_expr_spark
 
-EMBEDDING_DIM = 64
 N_QUERIES = 5  # queries = vec_id < 5
 TOP_K = 10
 N_HYPERPLANES = 4  # → 16 buckets
 NPROBE = 2  # IVF cells probed
 
-
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (h, i) is the
-    first md5 hex digit of ``"h:<h>:<i>"`` centered to [-7.5, 7.5]."""
-    planes = []
-    for h in range(N_HYPERPLANES):
-        row = []
-        for i in range(EMBEDDING_DIM):
-            digit = int(hashlib.md5(f"h:{h}:{i}".encode()).hexdigest()[0], 16)
-            row.append(digit - 7.5)
-        planes.append(row)
-    return planes
-
-
-HYPERPLANES = _hyperplanes()
+HYPERPLANES = md5_planes("h", N_HYPERPLANES)
 
 
 def _plane_array_sql(h: int) -> str:
@@ -388,20 +372,9 @@ N_SKETCH_BITS = 16
 HAMMING_MAX = 6
 
 
-def _sketch_planes() -> list[list[float]]:
-    """Independent of :data:`HYPERPLANES` (namespaced ``s:``) so the
-    sketch and the LSH bucket are uncorrelated probes."""
-    planes = []
-    for h in range(N_SKETCH_BITS):
-        row = []
-        for i in range(EMBEDDING_DIM):
-            digit = int(hashlib.md5(f"s:{h}:{i}".encode()).hexdigest()[0], 16)
-            row.append(digit - 7.5)
-        planes.append(row)
-    return planes
-
-
-SKETCH_PLANES = _sketch_planes()
+# Independent of :data:`HYPERPLANES` (namespaced ``s:``) so the sketch
+# and the LSH bucket are uncorrelated probes.
+SKETCH_PLANES = md5_planes("s", N_SKETCH_BITS)
 
 
 def _sketch_expr(vec: str, spark: bool) -> str:

@@ -390,7 +390,7 @@ def remote_fs_conf(
     s3_secret_key: str | None = None,
     s3_path_style: bool | None = None,
     s3_connection_timeout_ms: int | None = None,
-    hdfs_nameservice: str | None = None,
+    default_fs: str | None = None,
     kerberos_enabled: bool = False,
     extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
@@ -409,6 +409,13 @@ def remote_fs_conf(
     options — the JVM equivalent of the reference's kinit flow at
     file_reader.rs:219-243); this helper only flips the Hadoop-side
     authentication mode that makes the tokens required.
+
+    ``default_fs`` sets ``fs.defaultFS`` for the WHOLE session: every
+    schemeless path (sinks, manifests, checkpoints) then resolves against
+    it, not the local filesystem — prefer fully-qualified ``hdfs://`` /
+    ``s3a://`` URIs per call and leave this unset. An HA nameservice
+    additionally needs its ``dfs.nameservices``/``dfs.ha.*`` keys via
+    ``extra``.
     """
     conf: dict[str, str] = {}
     if s3_endpoint is not None:
@@ -421,8 +428,8 @@ def remote_fs_conf(
         conf["fs.s3a.path.style.access"] = str(s3_path_style).lower()
     if s3_connection_timeout_ms is not None:
         conf["fs.s3a.connection.timeout"] = str(s3_connection_timeout_ms)
-    if hdfs_nameservice is not None:
-        conf["fs.defaultFS"] = hdfs_nameservice
+    if default_fs is not None:
+        conf["fs.defaultFS"] = default_fs
     if kerberos_enabled:
         conf["hadoop.security.authentication"] = "kerberos"
     if extra:

@@ -184,10 +184,15 @@ def stream_near_dedup(docs: DataFrame):
     comparing across groups.
 
     Emits one row per (document, block): ``matched_doc_id``/``hamming``
-    give the best (lowest-Hamming, then lowest-id) earlier match within
-    that block bucket, NULL when none. A document's verdict is
-    "near-dup" iff ANY of its 4 rows matched — exactly the batch
-    pigeonhole union, checked differentially in the test suite.
+    give the best (lowest-Hamming, then lowest-id) PREVIOUSLY-SEEN match
+    within that block bucket, NULL when none. A document's verdict is
+    "near-dup" iff ANY of its 4 rows matched. "Previously seen" follows
+    ARRIVAL order (ascending doc_id within a micro-batch): when ingest
+    order is ascending across batches this equals the batch pigeonhole
+    union over (doc_a < doc_b) pairs — the case the differential test
+    pins; with out-of-order arrival a duplicate is still flagged, but
+    against whichever member arrived first (the operationally correct
+    streaming semantics: "have I seen something similar already").
 
     State size: 4 entries of ~12 bytes per corpus document, spread over
     the uniform md5-derived bucket keys — the streaming index a crawler

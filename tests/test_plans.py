@@ -415,8 +415,8 @@ def test_cosine_dedup_repartition_scales_with_cluster(spark):
         assert "RoundRobinPartitioning(16)" not in plan or expected.endswith("(16)")
 
     # D5b: the popcount prefilter is part of the JOIN condition (rejects
-    # pairs before any float fold), and the cutoff is recall-preserving by
-    # construction (binomial mean + 4σ)
+    # pairs before any float fold), and the cutoff follows the binomial
+    # mean + 4σ rule (drop probability ~3e-5/pair)
     pre = dedup.embedding_cosine_dups_prefiltered(emb)
     assert "bit_count" in I.explain_str(pre, "simple")
     assert dedup.hamming_cutoff(0.4) == 23
@@ -424,9 +424,10 @@ def test_cosine_dedup_repartition_scales_with_cluster(spark):
 
 
 def test_cosine_dedup_prefilter_matches_all_pairs(spark):
-    """D5b must reproduce the exact all-pairs result (recall preservation
-    is the operator's contract, pinned against live data, not just the
-    oracle harness)."""
+    """D5b must reproduce the exact all-pairs result on the test fixtures
+    (the 4σ cutoff has margin 4-5 there; the bound is probabilistic at
+    corpus scale — see dedup.hamming_cutoff), pinned against live data,
+    not just the oracle harness."""
     from spark_history_server_rs_spark.operators import dedup
     from spark_history_server_rs_spark.sources.generic import load_table
 
