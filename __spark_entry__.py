@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _d(textprep.text_quality),
         "text_fingerprints": _d(textprep.doc_fingerprints),
         "text_repetition": _d(textprep.repetition_signals),
+        "text_quality_classifier": _d(textprep.quality_classifier),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
@@ -170,10 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **relational.QUERIES,
         # --- corpus ops: cluster resolution, split, vocab, tf-idf ---
         "dedup_clusters": _d(corpus.dedup_clusters),
+        "dedup_keep_canonical": _d(corpus.dedup_keep_canonical),
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
         "corpus_oov_rate": _d(corpus.oov_rate),
+        "corpus_unigram_logprob": _d(corpus.unigram_logprob),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

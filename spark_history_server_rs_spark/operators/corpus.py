@@ -58,15 +58,15 @@ SELECT doc_a, doc_b FROM edges
 """
 
 
-def dedup_clusters(docs: DataFrame) -> DataFrame:
-    """C1: resolve near-dup pairs (n-gram Jaccard ≥ τ) into clusters via
-    min-label propagation; keeper = cluster id = min doc_id. Returns one
-    row per clustered document (cluster_id, doc_id, cluster_size,
-    is_keeper), ordered.
+def _cluster_labels(docs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over the Jaccard near-dup edge set.
+    Returns the unsorted (doc_id, label) frame for docs that appear in at
+    least one edge — the shared core of C1 (cluster listing) and C7
+    (canonical selection).
 
-    Iterative: label(v) ← min(label(v), min over neighbors) until no
-    change (≤ MAX_CC_ITERATIONS — near-dup components are shallow). Each
-    round is a shuffle keyed on doc_id over the edge set only.
+    label(v) ← min(label(v), min over neighbors) until no change
+    (≤ MAX_CC_ITERATIONS — near-dup components are shallow). Each round is
+    a shuffle keyed on doc_id over the edge set only.
     """
     spark = docs.sparkSession
     materialized_shingles(docs)
@@ -115,6 +115,15 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
         if n_changed == 0:
             break
     adj.unpersist()
+    return labels
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """C1: resolve near-dup pairs (n-gram Jaccard ≥ τ) into clusters via
+    min-label propagation; keeper = cluster id = min doc_id. Returns one
+    row per clustered document (cluster_id, doc_id, cluster_size,
+    is_keeper), ordered."""
+    labels = _cluster_labels(docs)
     sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size")
     )
@@ -162,6 +171,107 @@ SELECT c.cluster_id, c.doc_id, s.cluster_size,
 FROM clustered c JOIN cluster_sizes s USING (cluster_id)
 ORDER BY cluster_id, doc_id
 """
+)
+
+
+# ==========================================================================
+# C7 — canonical-document selection (cluster → keep best by quality)
+# ==========================================================================
+def _quality_ctes(for_spark: bool, src: str) -> str:
+    """(doc_id, quality_score) CTE chain — the T3 scoring formula inlined
+    from :mod:`.textprep` so the keep-rule is the same model users already
+    run standalone. Engine-specific only in the token/regexp spellings."""
+    from .textprep import _QUALITY_EXPR, _R4, QUALITY_STOPWORDS, _in_list
+
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = _TOKENS_SPARK if for_spark else _TOKENS_DUCK
+    if for_spark:
+        counts = (
+            f"size({toks}) AS n_tokens,"
+            f" size(array_distinct({toks})) AS n_distinct_tokens,"
+            f" size(filter({toks}, x -> x IN ({stop}))) AS stop_hits"
+        )
+        punct = "regexp_replace(text, '[^a-z0-9 ]', '')"
+    else:
+        counts = (
+            f"len({toks}) AS n_tokens,"
+            f" len(list_distinct({toks})) AS n_distinct_tokens,"
+            f" len(list_filter({toks}, x -> x IN ({stop}))) AS stop_hits"
+        )
+        punct = "regexp_replace(text, '[^a-z0-9 ]', '', 'g')"
+    punct_ratio = _R4.format(
+        x=f"CAST(length(text) - length({punct}) AS DOUBLE) / length(text)"
+    )
+    stop_ratio = _R4.format(x="CAST(stop_hits AS DOUBLE) / n_tokens")
+    return f"""
+qbase AS (
+  SELECT doc_id, {counts}, {punct_ratio} AS punct_ratio FROM {src}
+),
+qratio AS (SELECT *, {stop_ratio} AS stop_ratio FROM qbase),
+quality AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qratio)"""
+
+
+_CANON_TAIL = """
+assigned AS (
+  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+         q.quality_score
+  FROM quality q LEFT JOIN clustered c ON c.doc_id = q.doc_id
+),
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY cluster_id
+),
+ranked AS (
+  SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                 ORDER BY a.quality_score DESC, a.doc_id) AS rnk
+  FROM assigned a
+)
+SELECT r.doc_id, r.cluster_id, s.cluster_size, r.quality_score,
+       (r.rnk = 1) AS is_canonical
+FROM ranked r JOIN csizes s ON s.cluster_id = r.cluster_id
+ORDER BY r.doc_id
+"""
+
+
+def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
+    """C7: the end-to-end dedup keep-rule — near-dup clusters (C1's
+    min-label propagation over the Jaccard edge set) joined with the T3
+    quality score; each cluster keeps its highest-quality member (ties:
+    lowest doc_id), singletons keep themselves. One row per document with
+    its cluster, the cluster size, and the keep decision — what a real
+    pipeline materializes before the drop pass.
+
+    Scale shape: labels exist only for docs with at least one near-dup
+    edge (a small fraction of the corpus), so the label join is a
+    broadcast against the full-corpus quality projection; the rank window
+    shuffles (doc_id, cluster_id, score) triples only — document text
+    never moves. The oracle states the same fixpoint declaratively
+    (recursive CTE) — an independent plan checking the iterative result.
+    """
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    labels = _cluster_labels(docs).selectExpr(
+        "doc_id", "label AS cluster_id"
+    )
+    labels.createOrReplaceTempView("_cc_labels")
+    return spark.sql(
+        "WITH clustered AS (SELECT doc_id, cluster_id FROM _cc_labels),"
+        + _quality_ctes(for_spark=True, src="_corpus_docs")
+        + ","
+        + _CANON_TAIL
+    )
+
+
+ORACLE_KEEP_CANONICAL = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+    + ","
+    + CC_ORACLE_CTES
+    + ","
+    + _quality_ctes(for_spark=False, src="documents")
+    + ","
+    + _CANON_TAIL
 )
 
 
@@ -368,10 +478,81 @@ ORACLE_OOV_RATE = (
 )
 
 
+# ==========================================================================
+# C6 — per-document unigram LM surprisal (CCNet-style quality signal)
+# ==========================================================================
+# Per-token negative log-probability is snapped to integer micro-nats
+# BEFORE the per-document SUM: integer sums are exact in any aggregation
+# order, so the (order-sensitive) float accumulation that would differ
+# between Spark's partial aggregates and DuckDB's single-node scan never
+# happens. The only float ops are the ln() and the final divisions, both
+# over identical inputs in both engines.
+_UNIGRAM_TAIL = """
+counts AS (SELECT tok AS token, COUNT(*) AS c FROM tok GROUP BY tok),
+total AS (SELECT SUM(c) AS n FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(-ln(CAST(c.c AS DOUBLE) / CAST(tt.n AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+  FROM tok t JOIN counts c ON c.token = t.tok CROSS JOIN total tt
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll_micro) AS total_nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, total_nll_micro,
+       FLOOR((CAST(total_nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              / 1000000.0) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_nll,
+       FLOOR((CAST(total_nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              / 1000000.0 / ln(2.0)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         AS bits_per_token
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """C6: per-document average surprisal under the corpus's own unigram
+    LM — the CCNet-style perplexity quality signal (docs whose tokens are
+    improbable under the corpus distribution are noise/outliers; docs of
+    pure boilerplate score abnormally low).
+
+    Scale shape: the token relation is built once and persisted (shared
+    with C5's keyed cache); the LM table is vocab-sized → the scoring join
+    broadcasts it; the scalar corpus total broadcasts trivially. Wide
+    exchanges are keyed on token (bounded vocab agg) and doc_id only —
+    document text itself never shuffles.
+    """
+    from .dedup import _materialized_view
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    _materialized_view(
+        spark,
+        "_corpus_tok",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+        ),
+    )
+    return spark.sql(
+        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n" + _UNIGRAM_TAIL
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _UNIGRAM_TAIL
+)
+
+
 ORACLE_SQL_CORPUS = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_split": ORACLE_HASH_SPLIT,
     "corpus_vocabulary": ORACLE_VOCABULARY,
     "corpus_tfidf_top_terms": ORACLE_TFIDF,
     "corpus_oov_rate": ORACLE_OOV_RATE,
+    "corpus_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
 }

@@ -405,10 +405,102 @@ ORDER BY doc_id
 ORACLE_REPETITION_SIGNALS = _oracle_repetition_signals()
 
 
+# ==========================================================================
+# T6 — quality classifier (linear model scoring, fastText-style)
+# ==========================================================================
+#: Fixed logistic-regression weights over the T3 feature set — the
+#: "quality classifier at scale" pattern (CCNet / Gopher / fastText
+#: keep-drop filters): a linear model whose features are cheap column
+#: expressions, scored corpus-wide with zero shuffles. Weights live here
+#: once and are formatted into BOTH engines' SQL.
+QC_BIAS = -1.5
+QC_W_LEN = 2.0  # saturating length score
+QC_W_DIVERSITY = 2.5  # lexical diversity
+QC_W_PUNCT = -6.0  # punctuation density penalty
+QC_W_STOP = 1.2  # stopword-presence (English-likeness)
+QC_KEEP_THRESHOLD = 0.5
+
+_R6 = "FLOOR(({x}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
+
+#: logit over r4-snapped features; the logit itself is r6-snapped BEFORE
+#: the sigmoid so both engines exponentiate bit-identical inputs.
+_QC_LOGIT = _R6.format(
+    x=f"CAST({QC_BIAS} AS DOUBLE) + {QC_W_LEN} * len_score"
+    f" + {QC_W_DIVERSITY} * diversity + {QC_W_PUNCT} * punct_ratio"
+    f" + {QC_W_STOP} * stop5"
+)
+
+_QC_TAIL = f"""
+feats AS (
+  SELECT doc_id, n_tokens,
+         {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)")} AS len_score,
+         {_R4.format(x="CAST(n_distinct_tokens AS DOUBLE) / n_tokens")} AS diversity,
+         punct_ratio,
+         {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0)")} AS stop5
+  FROM base
+),
+scored AS (
+  SELECT *, {_QC_LOGIT} AS logit FROM feats
+)
+SELECT doc_id, n_tokens, len_score, diversity, punct_ratio, stop5, logit,
+       {_R6.format(x="1.0 / (1.0 + exp(-logit))")} AS keep_prob,
+       ({_R6.format(x="1.0 / (1.0 + exp(-logit))")} >= {QC_KEEP_THRESHOLD}) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """T6: logistic-regression quality filter — fixed public-style weights
+    over the T3 feature set (saturating length, lexical diversity,
+    punctuation density, stopword presence), sigmoid score, keep flag at
+    p >= {thr}. The fastText/CCNet-style keep-drop classifier, expressed
+    as pure column arithmetic.
+
+    Scale shape: a single projection over the scan — no shuffle, no
+    Python worker, whole-stage codegen end to end; model scoring cost is
+    O(corpus) map work, embarrassingly parallel. Snapped-feature logits
+    keep the sigmoid branch decisions identical across engines.""".format(
+        thr=QC_KEEP_THRESHOLD
+    )
+    stop = _in_list(QUALITY_STOPWORDS)
+    docs.createOrReplaceTempView("_text_docs")
+    base = f"""
+base AS (
+  SELECT doc_id,
+         size({_TOKENS_SPARK}) AS n_tokens,
+         size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens,
+         size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits,
+         {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
+                        " / length(text)"))} AS punct_ratio
+  FROM _text_docs
+)"""
+    return docs.sparkSession.sql("WITH " + base + "," + _QC_TAIL)
+
+
+def _oracle_quality_classifier() -> str:
+    stop = _in_list(QUALITY_STOPWORDS)
+    base = f"""
+base AS (
+  SELECT doc_id,
+         len({_TOKENS_DUCK}) AS n_tokens,
+         len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
+         len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
+         {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
+                        " / length(text)"))} AS punct_ratio
+  FROM documents
+)"""
+    return "WITH " + base + "," + _QC_TAIL
+
+
+ORACLE_QUALITY_CLASSIFIER = _oracle_quality_classifier()
+
+
 ORACLE_SQL_TEXT = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "text_repetition": ORACLE_REPETITION_SIGNALS,
+    "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
 }
