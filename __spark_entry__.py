@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
         "dedup_ngram_jaccard_capped": _d(dedup.ngram_jaccard_pairs_capped),
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
+        "dedup_minhash_eval": _d(dedup.minhash_estimate_eval),
         "dedup_simhash": _d(dedup.simhash_pairs),
         "dedup_embedding_cosine": _e(dedup.embedding_cosine_dups),
         "dedup_embedding_cosine_prefiltered": _e(
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _e(similarity.ann_ivf),
         "ann_recall_eval": _e(similarity.ann_recall_eval),
         "ann_hamming_rerank": _e(similarity.ann_hamming_rerank),
+        "ann_knn_graph": _e(similarity.ann_knn_graph),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),
@@ -185,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_counts": _d(llmprep.bigram_counts),
         "corpus_pack_sequences": _d(llmprep.pack_sequences),
         "corpus_pack_sequences_sharded": _d(llmprep.pack_sequences_sharded),
+        "corpus_global_shuffle": _d(llmprep.global_shuffle),
         "corpus_stratified_sample": _d(llmprep.stratified_sample),
         "corpus_temperature_sample": _d(llmprep.temperature_sample),
         "corpus_contamination": _d(llmprep.contamination),

@@ -424,6 +424,108 @@ ORACLE_MINHASH = (
 )
 
 
+# --------------------------------------------------------------------------
+# D3b — MinHash estimator-error eval (est. vs exact Jaccard per candidate)
+# --------------------------------------------------------------------------
+_SIG_MATCH_SUM = " + ".join(
+    f"(CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_HASHES)
+)
+
+# No τ filter here: the eval measures estimator quality across the whole
+# candidate range, not just accepted pairs. COALESCE guards the (md5-
+# collision-only) case of a band collision with zero shared shingles.
+_MINHASH_EVAL_POST = f"""
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkv a JOIN bandkv b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({_SIG_MATCH_SUM}) AS n_sig_matches,
+         COALESCE(m.common_shingles, 0) AS common_shingles
+  FROM candidates c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+),
+scored AS (
+  SELECT e.doc_a, e.doc_b, e.n_sig_matches, e.common_shingles,
+         FLOOR((CAST(e.n_sig_matches AS DOUBLE) / {NUM_HASHES}.0) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS est_jaccard,
+         FLOOR((CAST(e.common_shingles AS DOUBLE)
+                / (x.n + y.n - e.common_shingles)) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS jaccard
+  FROM est e
+  JOIN sizes x ON e.doc_a = x.doc_id
+  JOIN sizes y ON e.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, n_sig_matches, common_shingles, est_jaccard, jaccard,
+       FLOOR(ABS(est_jaccard - jaccard) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS abs_err
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_estimate_eval(docs: DataFrame) -> DataFrame:
+    """D3b: estimator-quality eval for the MinHash path — for every LSH
+    band-collision candidate pair, the signature-agreement Jaccard
+    estimate (matches/{n}) next to the exact shingle-set Jaccard and the
+    absolute error. This is the measurement a pipeline runs before
+    trusting D3's banding parameters (too-few hashes → high error →
+    wrong keep/drop calls near τ), the Jaccard twin of ann_recall_eval.
+
+    Scale shape: reuses the materialized shingle and band-key relations
+    (index-once/probe-many); signatures are one {n}-MIN aggregation per
+    doc over its shingles; everything pairwise runs only on the bounded
+    band-collision candidate set. The oracle recomputes BOTH the estimate
+    and the exact side declaratively, so the measurement itself is
+    cross-checked.""".format(n=NUM_HASHES)
+    spark = docs.sparkSession
+    materialized_shingles(docs)
+    _materialized_view(
+        spark,
+        "_dedup_bandkv",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            _SHINGLES_VIEW_CTE
+            + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+            + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+        ),
+    )
+    sigs = (
+        "sigs AS (\n  SELECT doc_id, "
+        + ", ".join(_sig_cols_sql())
+        + "\n  FROM shingles GROUP BY doc_id\n),"
+    )
+    sql = (
+        _SHINGLES_VIEW_CTE
+        + sigs
+        + "bandkv AS (SELECT doc_id, band_idx, band_key FROM _dedup_bandkv),"
+        + _MINHASH_EVAL_POST
+    )
+    return spark.sql(sql)
+
+
+ORACLE_MINHASH_EVAL = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),\n"
+    + _minhash_bandkv_sql(_BANDKV_DUCK)
+    + ","
+    + _MINHASH_EVAL_POST
+)
+
+
 # ==========================================================================
 # D4 — SimHash with pigeonhole block join
 # ==========================================================================
@@ -879,6 +981,7 @@ ORACLE_SQL_DEDUP = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_minhash_eval": ORACLE_MINHASH_EVAL,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_COSINE_DUPS,
     # the prefiltered scale path must reproduce the ALL-PAIRS result —

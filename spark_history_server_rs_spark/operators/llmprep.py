@@ -974,7 +974,69 @@ ORACLE_PROFILE = (
 )
 
 
+# ==========================================================================
+# L14 — deterministic global shuffle (training-order assignment)
+# ==========================================================================
+#: shard count for the shuffled training order. At 100 TB this is the
+#: output-file fan-out (thousands); 8 keeps the test result inspectable.
+N_SHUFFLE_SHARDS = 8
+
+# Shuffle key = md5 over a namespaced doc id — deterministic, uniform,
+# engine-identical; the first key byte assigns the shard so a doc's
+# placement is a pure projection (no global coordination).
+_SHUF_BYTE = (
+    "((position(substr(skey, 1, 1) IN '0123456789abcdef') - 1) * 16"
+    " + (position(substr(skey, 2, 1) IN '0123456789abcdef') - 1))"
+)
+
+_SHUFFLE_TAIL = f"""
+keyed AS (
+  SELECT doc_id, n_chars, md5('sh:' || CAST(doc_id AS {{str_t}})) AS skey
+  FROM {{src}}
+),
+sharded AS (
+  SELECT doc_id, n_chars, skey, {_SHUF_BYTE} % {N_SHUFFLE_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+         AS pos_in_shard,
+       CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_chars,
+       skey AS shuffle_key
+FROM sharded
+ORDER BY shard, pos_in_shard
+"""
+
+
+def global_shuffle(docs: DataFrame) -> DataFrame:
+    """L14: deterministic global training-order shuffle — every document
+    gets a shard and a position within it, from md5 over a namespaced
+    doc_id. No RNG: the order is reproducible across runs, engines, and
+    input re-shards (the property epoch-shuffle pipelines need for resume
+    and for mixing determinism), yet uniform enough to break any source/
+    time locality in the raw corpus. ``cum_chars`` is the running payload
+    size — the cut points a writer uses to split shard files.
+
+    Scale shape: shard assignment is a pure projection; the within-shard
+    order is ROW_NUMBER over (shard, key) — physically a
+    repartitionByRange + sortWithinPartitions, ONE total-order shuffle of
+    (doc_id, key) pairs. Document payloads follow by doc_id join or ride
+    the same shuffle; nothing else moves.
+    """
+    docs.createOrReplaceTempView("_llm_docs")
+    sql = "WITH " + _SHUFFLE_TAIL.format(str_t="STRING", src="_llm_docs")
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_GLOBAL_SHUFFLE = "WITH " + _SHUFFLE_TAIL.format(
+    str_t="VARCHAR", src="documents"
+)
+
+
 ORACLE_SQL_LLMPREP = {
+    "corpus_global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     "corpus_profile": ORACLE_PROFILE,
     "corpus_training_manifest": ORACLE_TRAINING_MANIFEST,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,

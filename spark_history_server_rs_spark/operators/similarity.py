@@ -458,7 +458,106 @@ ORACLE_ANN_HAMMING = "WITH " + _HAMMING_TAIL.format(
 )
 
 
+# ==========================================================================
+# X6 — τ-thresholded kNN graph (mutual-neighbor edge list)
+# ==========================================================================
+#: neighbors kept per vector in the graph.
+KNN_GRAPH_K = 5
+#: similarity floor for graph edges. Sharing the dedup prefilter's
+#: threshold family means the 32-bit sketch cutoff's validated recall
+#: margin (dedup.hamming_cutoff) applies unchanged.
+KNN_GRAPH_TAU = 0.4
+
+_KNN_TAIL = """
+edges AS (
+  SELECT src_id, dst_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cosine DESC, dst_id) AS rank
+  FROM pairs WHERE cosine >= {tau}
+),
+topk AS (SELECT * FROM edges WHERE rank <= {k})
+SELECT t.src_id, t.dst_id, t.cosine, t.rank,
+       (r.src_id IS NOT NULL) AS is_mutual
+FROM topk t LEFT JOIN topk r
+  ON r.src_id = t.dst_id AND r.dst_id = t.src_id
+ORDER BY t.src_id, t.rank
+"""
+
+
+def ann_knn_graph(emb: DataFrame) -> DataFrame:
+    """X6: the corpus-wide kNN graph — for every vector, its top-{k}
+    neighbors at cosine ≥ {tau}, with the mutual-kNN flag (the edge set
+    SNN/HDBSCAN-style clustering and graph-based near-dup mining consume).
+    Thresholding the graph is what makes it buildable at scale: the k-th
+    neighbor's similarity is unknown a priori, but edges below τ are
+    worthless to the consumers, so the candidate set is exactly the
+    τ-qualifying pairs — which the 32-bit sign-sketch popcount prefilter
+    (shared with dedup D5b, binomial 4σ cutoff) admits without scanning
+    float pairs.
+
+    Scale shape: the pair loop runs on (vec_id, 4-byte sketch) inside
+    whole-stage codegen; float folds only for Hamming survivors; the rank
+    window shuffles qualifying edges keyed by src_id; the mutual check is
+    a self-join of the bounded (≤ n·k rows) top-k edge set. The oracle is
+    the ALL-PAIRS form — a different plan must reproduce the graph
+    exactly.""".format(k=KNN_GRAPH_K, tau=KNN_GRAPH_TAU)
+    from .dedup import (
+        _DOT,
+        _NORM,
+        _dedup_sketch_expr,
+        hamming_cutoff,
+    )
+
+    emb.createOrReplaceTempView("_sim_emb")
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    sql = (
+        """
+WITH normed AS (
+  SELECT /*+ REPARTITION({parts}) */ vec_id,
+         transform(embedding, x -> CAST(x AS DOUBLE) / {norm}) AS nv,
+         {sketch} AS sketch
+  FROM _sim_emb
+),
+pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
+  FROM normed a JOIN normed b
+    ON a.vec_id <> b.vec_id
+   AND bit_count(a.sketch ^ b.sketch) <= {hmax}
+),""".format(
+            parts=parts,
+            norm=_NORM.format(v="embedding"),
+            sketch=_dedup_sketch_expr("embedding"),
+            dot=_DOT.format(a="a.nv", b="b.nv"),
+            hmax=hamming_cutoff(KNN_GRAPH_TAU),
+        )
+        + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+    )
+    return emb.sparkSession.sql(sql)
+
+
+def _oracle_knn_graph() -> str:
+    from .dedup import _NORMED_DUCK
+
+    return (
+        "WITH normed AS ("
+        + _NORMED_DUCK.format(src="embeddings")
+        + """),
+pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         FLOOR((list_dot_product(a.nv, b.nv)) * 1000000.0 + 0.5)
+           / CAST(1000000.0 AS DOUBLE) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+),"""
+        + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+    )
+
+
+ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
+
+
 ORACLE_SQL_SIMILARITY = {
+    "ann_knn_graph": ORACLE_ANN_KNN_GRAPH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,

@@ -437,6 +437,50 @@ def test_cosine_dedup_prefilter_matches_all_pairs(spark):
     assert base == pre and len(base) > 0
 
 
+def test_round5_plan_gates(spark):
+    """Scale gates for the round-5 batch: T6 classifier stays
+    projection-shaped (no shuffle, no Python); L14 global shuffle plans
+    exactly one hash exchange (the shard partitioning the window sorts
+    within); C6/C7/D3b stay JVM-side with no cartesian; X6 kNN graph
+    keeps the popcount prefilter inside the join condition and its pair
+    loop's parallelism follows the cluster."""
+    from spark_history_server_rs_spark.operators import (
+        corpus,
+        dedup,
+        llmprep,
+        similarity,
+        textprep,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    qc = textprep.quality_classifier(docs)
+    assert not I.has_python_worker(qc)
+    assert "Exchange hashpartitioning" not in I.explain_str(qc, "simple")
+
+    gs = llmprep.global_shuffle(docs)
+    assert not I.has_python_worker(gs)
+    assert not I.has_cartesian(gs)
+    assert I.explain_str(gs, "simple").count("Exchange hashpartitioning") == 1
+
+    for df in (
+        corpus.unigram_logprob(docs),
+        corpus.dedup_keep_canonical(docs),
+        dedup.minhash_estimate_eval(docs),
+    ):
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)
+
+    kg = similarity.ann_knn_graph(emb)
+    assert not I.has_python_worker(kg)
+    plan = I.explain_str(kg, "simple")
+    assert "bit_count" in plan
+    expected = f"RoundRobinPartitioning({spark.sparkContext.defaultParallelism})"
+    assert expected in plan
+
+
 def test_cross_app_summary_no_expand(spark, ev):
     """A9 gate: the two COUNT(DISTINCT)s must resolve via the per-app
     pre-aggregation, not Catalyst's Expand (which multiplies the full
