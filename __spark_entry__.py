@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _d(llmprep.pii_scrub),
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
+        "embedding_power_iteration": _e(llmprep.embedding_power_iteration),
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
     }
 

@@ -86,6 +86,7 @@ def main() -> None:
 
     # extended (beyond-reference) operator timings over documents/embeddings
     from spark_history_server_rs_spark.operators import (
+        corpus,
         dedup,
         llmprep,
         multimodal,
@@ -128,6 +129,14 @@ def main() -> None:
         # the heaviest single op by design — tracked so regressions show
         ("corpus_training_manifest", llmprep.training_manifest, docs),
         ("task_skew_report", catalog.task_skew_report, ev),
+        # round-5 batch
+        ("text_quality_classifier", textprep.quality_classifier, docs),
+        ("corpus_unigram_logprob", corpus.unigram_logprob, docs),
+        ("dedup_keep_canonical", corpus.dedup_keep_canonical, docs),
+        ("corpus_global_shuffle", llmprep.global_shuffle, docs),
+        ("ann_knn_graph", similarity.ann_knn_graph, emb),
+        ("dedup_minhash_eval", dedup.minhash_estimate_eval, docs),
+        ("embedding_power_iteration", llmprep.embedding_power_iteration, emb),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -975,6 +975,99 @@ ORACLE_PROFILE = (
 
 
 # ==========================================================================
+# L15 — PCA power-iteration step (top principal direction of embeddings)
+# ==========================================================================
+# One step of v' = normalize(Aᵀ(A v0) / n) over mean-centered embeddings —
+# the distributed-PCA building block (embedding drift/collapse monitoring,
+# whitening). Every cross-row sum goes through integer micro-snapping
+# (FLOOR(x·1e6+0.5) AS BIGINT) so aggregation order cannot produce
+# engine-visible differences; the per-row matvec is divided by n BEFORE
+# squaring so the norm accumulator stays far from BIGINT range at any
+# corpus size.
+_POWER_TAIL = """
+means AS (
+  SELECT i, FLOOR(AVG(x) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS mu
+  FROM dims GROUP BY i
+),
+scores AS (
+  SELECT d.vec_id,
+         SUM(CAST(FLOOR((d.x - m.mu) * v.v * 1000000.0 + 0.5) AS BIGINT))
+           AS s_micro
+  FROM dims d JOIN means m ON m.i = d.i JOIN v0 v ON v.i = d.i
+  GROUP BY d.vec_id
+),
+nrows AS (SELECT COUNT(*) AS n FROM scores),
+matvec AS (
+  SELECT d.i,
+         SUM(CAST(FLOOR((d.x - m.mu)
+                        * (CAST(s.s_micro AS DOUBLE) / 1000000.0)
+                        * 1000000.0 + 0.5) AS BIGINT)) AS w_micro
+  FROM dims d JOIN means m ON m.i = d.i JOIN scores s ON s.vec_id = d.vec_id
+  GROUP BY d.i
+),
+scaled AS (
+  SELECT w.i,
+         FLOOR((CAST(w.w_micro AS DOUBLE) / 1000000.0 / nn.n)
+               * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS wbar
+  FROM matvec w CROSS JOIN nrows nn
+),
+nrm AS (
+  SELECT SUM(CAST(FLOOR(wbar * wbar * 1000000.0 + 0.5) AS BIGINT)) AS q_micro
+  FROM scaled
+)
+SELECT s.i AS dim, m.mu, s.wbar,
+       FLOOR((s.wbar / sqrt(CAST(q.q_micro AS DOUBLE) / 1000000.0))
+             * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS v1
+FROM scaled s JOIN means m ON m.i = s.i CROSS JOIN nrm q
+ORDER BY dim
+"""
+
+
+def _power_v0_values() -> str:
+    """Deterministic start vector (md5 plane family, ``p:`` namespace),
+    1-based dims, inlined as a VALUES list both engines parse."""
+    from ..functions.planes import md5_planes
+
+    v0 = md5_planes("p", 1)[0]
+    return ", ".join(f"({i + 1}, {v:.1f})" for i, v in enumerate(v0))
+
+
+def embedding_power_iteration(emb: DataFrame) -> DataFrame:
+    """L15: one power-iteration step toward the top principal component
+    of the (mean-centered) embedding matrix — per-dimension mean, the
+    matvec Aᵀ(A v0)/n, and the normalized next iterate v1. Iterating this
+    step (swap v0 := v1) is distributed PCA; a single deterministic step
+    is what the oracle can state declaratively, the same contract as
+    kmeans_step (L8).
+
+    Scale shape: two explode→groupBy passes over (vec_id, dim, value)
+    triples — one keyed by dim (bounded by dimensionality), one by vec_id
+    — plus dim-sized broadcast joins for means/v0; no pairwise anything.
+    Integer micro-snapped accumulators make every SUM order-independent,
+    so the result is bit-stable under any partitioning.
+    """
+    emb.createOrReplaceTempView("_llm_emb")
+    dims = (
+        "dims AS (SELECT vec_id, i + 1 AS i, CAST(x AS DOUBLE) AS x FROM "
+        "(SELECT vec_id, posexplode(embedding) AS (i, x) FROM _llm_emb))"
+    )
+    v0 = f"v0 AS (SELECT i, v FROM (VALUES {_power_v0_values()}) AS t(i, v))"
+    return emb.sparkSession.sql("WITH " + dims + ",\n" + v0 + ",\n" + _POWER_TAIL)
+
+
+def _oracle_power_iteration() -> str:
+    dims = (
+        "dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)"
+    )
+    v0 = f"v0 AS (SELECT i, v FROM (VALUES {_power_v0_values()}) AS t(i, v))"
+    return "WITH " + dims + ",\n" + v0 + ",\n" + _POWER_TAIL
+
+
+ORACLE_POWER_ITERATION = _oracle_power_iteration()
+
+
+# ==========================================================================
 # L14 — deterministic global shuffle (training-order assignment)
 # ==========================================================================
 #: shard count for the shuffled training order. At 100 TB this is the
@@ -1050,5 +1143,6 @@ ORACLE_SQL_LLMPREP = {
     "text_stem_normalize": ORACLE_STEM_NORMALIZE,
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     "embedding_kmeans_step": ORACLE_KMEANS_STEP,
+    "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

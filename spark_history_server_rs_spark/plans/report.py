@@ -29,6 +29,11 @@ SELECTED = [
     ("dedup_embedding_cosine_prefiltered", "popcount prefilter in the pair join"),
     ("embedding_semantic_dedup", "broadcast centroids + per-cluster prune join"),
     ("dedup_ngram_jaccard_capped", "stop-shingle pruned candidates, full-set verify"),
+    ("text_quality_classifier", "model scoring as pure projection — no shuffle"),
+    ("corpus_global_shuffle", "one total-order exchange for the training order"),
+    ("ann_knn_graph", "sketch-prefiltered pair loop + bounded mutual join"),
+    ("dedup_keep_canonical", "cluster labels joined to quality, rank window"),
+    ("corpus_unigram_logprob", "broadcast vocab-sized LM scoring join"),
 ]
 
 

@@ -321,3 +321,48 @@ def stream_running_corpus_stats(docs: DataFrame):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_contamination_guard(
+    docs: DataFrame, test_docs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Beyond-reference: streaming decontamination — the streaming twin of
+    :func:`..operators.llmprep.contamination`. Incoming documents are
+    shingled as a pure projection (the same slice-fold build as batch
+    D2/D3 — streaming-legal, no aggregation), then STREAM-STATIC inner
+    joined against the protected eval set's distinct shingle relation;
+    any hit marks the arriving document contaminated. Emits one row per
+    flagged document (first hit only — dropDuplicates state keyed on
+    doc_id, bounded by the watermark horizon).
+
+    Scale shape: the static side is the eval corpus's shingle set —
+    small by definition (eval sets are thousands of docs, not billions)
+    — broadcast once and probed per micro-batch; the stream side never
+    shuffles (projection → broadcast-hash probe → dedup state on
+    doc_id). This is the ingest-time guard that keeps eval text from
+    entering the training corpus at all, instead of detecting it in the
+    next full batch scan.
+    """
+    from ..operators.dedup import SHINGLE_K, _TOKENS_SPARK
+
+    shingle_arr = (
+        f"array_distinct(CASE WHEN size(toks) >= {SHINGLE_K} "
+        f"THEN transform(sequence(1, size(toks) - {SHINGLE_K} + 1), "
+        f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_K}))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+    stream_sh = docs.selectExpr(
+        "doc_id", f"{_TOKENS_SPARK} AS toks"
+    ).selectExpr("doc_id", f"explode({shingle_arr}) AS shingle")
+    test_sh = F.broadcast(
+        test_docs.selectExpr(f"{_TOKENS_SPARK} AS toks")
+        .selectExpr(f"explode({shingle_arr}) AS shingle")
+        .distinct()
+    )
+    return (
+        stream_sh.join(test_sh, "shingle")
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )

@@ -833,3 +833,61 @@ def test_stream_near_dedup_matches_batch_simhash(spark, tmp_path):
     assert {b for (_, b) in stream_matches} == batch_dup_docs
     # and the cross-batch case specifically: doc 7 matched doc 1 or 3
     assert any(b == 7 for (_, b) in stream_matches)
+
+
+def test_stream_contamination_guard_matches_batch(spark, tmp_path):
+    """Streaming decontamination: flagged doc set must equal the batch
+    shingle-overlap computation on the same corpus, including docs whose
+    only contaminated arrival is in a later micro-batch."""
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_contamination_guard,
+    )
+
+    protected = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = {
+        1: protected,  # verbatim leak, batch 1
+        2: "one completely different document about spark executors",
+        3: "prefix words then alpha beta gamma inside the middle here",  # partial leak
+        4: "totally unrelated text mentioning parquet files and shuffles",
+        7: "tail leak arrives later with delta epsilon zeta at the end",  # batch 2
+        8: "yet another unrelated document entirely about watermarks",
+    }
+    src = tmp_path / "contam_docs"
+    _write_doc_files(
+        src,
+        [
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (1, 2, 3, 4)],
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (7, 8)],
+        ],
+    )
+    test_docs = spark.createDataFrame(
+        [(100, protected, "en")], "doc_id long, text string, lang string"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "contam_sink")
+    q = (
+        stream_contamination_guard(stream, test_docs)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "contam_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flagged = {r.doc_id for r in spark.read.parquet(sink).collect()}
+
+    # batch ground truth: docs sharing >= 1 word-3-shingle with the
+    # protected text (independent spelling: python-side shingling)
+    def shingles(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    prot = shingles(protected)
+    expected = {i for i, t in corpus.items() if shingles(t) & prot}
+    assert flagged == expected
+    assert 7 in flagged  # the cross-batch arrival was caught

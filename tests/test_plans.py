@@ -480,6 +480,11 @@ def test_round5_plan_gates(spark):
     expected = f"RoundRobinPartitioning({spark.sparkContext.defaultParallelism})"
     assert expected in plan
 
+    # L15: explode→groupBy passes only — no pairwise join anywhere
+    pi = llmprep.embedding_power_iteration(emb)
+    assert not I.has_python_worker(pi)
+    assert not I.has_cartesian(pi)
+
 
 def test_cross_app_summary_no_expand(spark, ev):
     """A9 gate: the two COUNT(DISTINCT)s must resolve via the per-app
