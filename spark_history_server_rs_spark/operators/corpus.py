@@ -67,7 +67,24 @@ def _cluster_labels(docs: DataFrame) -> DataFrame:
     label(v) ← min(label(v), min over neighbors) until no change
     (≤ MAX_CC_ITERATIONS — near-dup components are shallow). Each round is
     a shuffle keyed on doc_id over the edge set only.
+
+    The converged labels go through the keyed materialized-view cache
+    (same policy as shingles/band-keys/fingerprints): C1, C7 and the
+    training manifest all consume this relation, and re-running the
+    iterative loop per caller would repeat its ~iteration-count Spark
+    jobs — label resolution is index-once/serve-many.
     """
+    from .dedup import _materialized_view
+
+    spark = docs.sparkSession
+    key = docs.semanticHash()
+    cached = _materialized_view(
+        spark, "_cc_labels_mat", key, lambda: _propagate_labels(docs)
+    )
+    return cached
+
+
+def _propagate_labels(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     materialized_shingles(docs)
     edges = spark.sql(

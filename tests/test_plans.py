@@ -170,9 +170,11 @@ def test_dedup_clusters_lineage_bounded_on_deep_chain(spark):
     assert len(out) == 12
     assert {r.cluster_id for r in out} == {0}
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # lineage was cut: final plan reads the checkpointed RDD, and its
-    # depth does not scale with the ~11 propagation rounds
-    assert "LogicalRDD" in plan
+    # lineage was cut: final plan reads the checkpointed RDD (printed as
+    # LogicalRDD, or Scan ExistingRDD once the labels relation is served
+    # through the keyed materialized-view cache), and its depth does not
+    # scale with the ~11 propagation rounds
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
     depth = len(plan.splitlines())
     assert depth < 40, f"cluster plan lineage too deep ({depth} lines)"
 
