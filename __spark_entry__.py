@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "application_info": _q(catalog.application_info),
         "task_duration_percentiles": _q(catalog.task_duration_percentiles),
         "task_skew_report": _q(catalog.task_skew_report),
+        "job_parallelism_report": _q(catalog.job_parallelism_report),
         "event_search": _q(catalog.event_search),
         # --- training-data pipeline: text analysis ---
         "text_token_stats": _d(textprep.token_stats),
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),
         "multimodal_audio_windows": _d(multimodal.audio_windows),
+        "multimodal_phash_groups": _d(multimodal.phash_groups),
         # --- relational surface: joins / semi-anti / rollup / windows ---
         **relational.QUERIES,
         # --- corpus ops: cluster resolution, split, vocab, tf-idf ---

@@ -137,6 +137,8 @@ def main() -> None:
         ("ann_knn_graph", similarity.ann_knn_graph, emb),
         ("dedup_minhash_eval", dedup.minhash_estimate_eval, docs),
         ("embedding_power_iteration", llmprep.embedding_power_iteration, emb),
+        ("job_parallelism_report", catalog.job_parallelism_report, ev),
+        ("multimodal_phash_groups", multimodal.phash_groups, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -942,6 +942,46 @@ def task_skew_report(ev: DataFrame) -> DataFrame:
     ).orderBy(F.desc("skew_ratio"), "app_id")
 
 
+def job_parallelism_report(ev: DataFrame) -> DataFrame:
+    """W3 (beyond-reference): per-(app, job) parallelism-efficiency —
+    total task time vs the job's wall-clock span (achieved parallelism)
+    and the longest task's share of total work (the Amdahl serial-fraction
+    bound). The per-job companion to W2's per-app straggler view: W2 says
+    WHERE the skew is, this says how much speedup a wider cluster could
+    still buy each job.
+
+    Scale: one groupBy(app_id, job_id) over the TaskEnd slice — group
+    cardinality = #jobs, all five aggregates map-side partial; duration
+    sums are exact (integer-valued doubles, §2.8 discipline).
+    """
+    t = _tasks(ev).filter(F.col("job_id").isNotNull())
+    agg = t.groupBy("app_id", "job_id").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("duration_ms").alias("tot"),
+        F.max("duration_ms").alias("mx"),
+        (epoch_ms(F.max("event_ts")) - epoch_ms(F.min("event_ts"))).alias(
+            "wall_ms"
+        ),
+    )
+    out = agg.select(
+        "app_id",
+        "job_id",
+        "n_tasks",
+        r4(F.col("tot")).alias("total_task_ms"),
+        r4(F.col("mx")).alias("max_task_ms"),
+        "wall_ms",
+        r4(safe_div(F.col("tot"), F.col("wall_ms"))).alias("parallelism"),
+        r4(safe_div(F.col("mx"), F.col("tot"))).alias("critical_frac"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("parallelism") >= 4.0, F.lit("wide"))
+        .when(F.col("parallelism") >= 1.5, F.lit("parallel"))
+        .otherwise(F.lit("serial"))
+        .alias("parallelism_rating"),
+    ).orderBy("app_id", "job_id")
+
+
 # --------------------------------------------------------------------------
 # P2/P3/P6 showcase — event search with LIKE / IN / range predicates
 # --------------------------------------------------------------------------

@@ -340,8 +340,102 @@ ORDER BY doc_id, window_idx
 """
 
 
+# ==========================================================================
+# M4 — perceptual-hash duplicate groups (aHash over the decode path)
+# ==========================================================================
+#: perceptual-hash width: 16 mean-threshold blocks → a 16-bit aHash.
+PHASH_BITS = 16
+
+
+def phash_groups(docs: DataFrame) -> DataFrame:
+    """M4: average-hash (aHash) perceptual duplicate groups — the image
+    near-dup pass a multimodal pipeline runs where text dedup uses md5.
+    The payload is split into {nb} equal blocks; bit b = (block-b byte
+    mean > global byte mean), compared via integer cross-multiplication
+    ({nb}·blocksum > totalsum — no division, no float); payloads agreeing
+    on all {nb} bits group together. Unlike the exact checksum (M1),
+    payloads differing in a few bytes still collide — the "same image,
+    different encoder run" case.
+
+    Scale shape: the hash is a pure projection (one code-point array per
+    payload, folded per block inside whole-stage codegen); the only
+    shuffle is the groupBy on the 16-bit hash — bounded key space,
+    map-side partial aggregation, payload bytes never move. A real
+    decoder swaps the byte codes for luma samples via the M1 mapInPandas
+    extension point; the hash algebra is unchanged.""".format(nb=PHASH_BITS)
+    nb = PHASH_BITS
+    w = f"CAST(ceil(length(payload) / {nb}.0) AS INT)"
+    codes = "transform(sequence(1, length(payload)), i -> CAST(ascii(substring(payload, i, 1)) AS BIGINT))"
+    blocksums = (
+        f"transform(sequence(0, {nb - 1}), b -> "
+        f"aggregate(slice(codes, b * w + 1, w), 0L, (a, x) -> a + x))"
+    )
+    phash = (
+        f"aggregate(zip_with(blocksums, sequence(0, {nb - 1}), "
+        f"(s, b) -> CASE WHEN s * {nb} > total THEN shiftleft(CAST(1 AS BIGINT), b) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        _binary_payload(docs)
+        .where(F.length("payload") > 0)
+        .selectExpr("doc_id", "payload", f"{w} AS w", f"{codes} AS codes")
+        .selectExpr(
+            "doc_id",
+            f"{blocksums} AS blocksums",
+            "aggregate(codes, 0L, (a, x) -> a + x) AS total",
+        )
+        .selectExpr("doc_id", f"{phash} AS phash")
+        .groupBy("phash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            (F.count("*") - 1).alias("n_perceptual_dups"),
+        )
+        .orderBy("phash")
+    )
+
+
+def _oracle_phash_groups() -> str:
+    nb = PHASH_BITS
+    w = f"CAST(ceil(strlen(text) / {nb}.0) AS INT)"
+    codes = (
+        "list_transform(range(1, strlen(text) + 1), "
+        "i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))"
+    )
+    blocksums = (
+        f"list_transform(range(0, {nb}), b -> "
+        "COALESCE(CAST(list_sum(list_slice(codes, b * w + 1, b * w + w)) AS BIGINT), 0))"
+    )
+    phash = (
+        f"CAST(list_sum(list_transform(range(0, {nb}), b -> "
+        f"CASE WHEN blocksums[b + 1] * {nb} > total THEN (1 << b) "
+        "ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {w} AS w, {codes} AS codes
+  FROM documents WHERE strlen(text) > 0
+),
+summed AS (
+  SELECT doc_id, {blocksums} AS blocksums,
+         CAST(list_sum(codes) AS BIGINT) AS total
+  FROM sized
+),
+hashed AS (SELECT doc_id, {phash} AS phash FROM summed)
+SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) - 1 AS n_perceptual_dups
+FROM hashed
+GROUP BY phash
+ORDER BY phash
+"""
+
+
+ORACLE_PHASH_GROUPS = _oracle_phash_groups()
+
+
 ORACLE_SQL_MULTIMODAL = {
     "multimodal_image_decode": ORACLE_IMAGE_DECODE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
+    "multimodal_phash_groups": ORACLE_PHASH_GROUPS,
 }

@@ -524,6 +524,31 @@ FROM agg
 ORDER BY skew_ratio DESC, app_id
 """
 
+ORACLE_SQL["job_parallelism_report"] = f"""{_CTE},
+agg AS (
+  SELECT app_id, job_id,
+         COUNT(*) AS n_tasks,
+         FLOOR((SUM(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS total_task_ms,
+         FLOOR((MAX(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS max_task_ms,
+         CAST(epoch_ms(MAX(event_ts)) AS BIGINT)
+           - CAST(epoch_ms(MIN(event_ts)) AS BIGINT) AS wall_ms,
+         FLOOR((SUM(duration_ms) / NULLIF(CAST(epoch_ms(MAX(event_ts)) AS BIGINT)
+                 - CAST(epoch_ms(MIN(event_ts)) AS BIGINT), 0))
+               * 10000.0 + 0.5) / 10000.0 AS parallelism,
+         FLOOR((MAX(duration_ms) / NULLIF(SUM(duration_ms), 0))
+               * 10000.0 + 0.5) / 10000.0 AS critical_frac
+  FROM ev WHERE is_task AND job_id IS NOT NULL
+  GROUP BY app_id, job_id
+)
+SELECT app_id, job_id, n_tasks, total_task_ms, max_task_ms, wall_ms,
+       parallelism, critical_frac,
+       CASE WHEN parallelism >= 4.0::DOUBLE THEN 'wide'
+            WHEN parallelism >= 1.5::DOUBLE THEN 'parallel'
+            ELSE 'serial' END AS parallelism_rating
+FROM agg
+ORDER BY app_id, job_id
+"""
+
 ORACLE_SQL["event_search"] = f"""{_CTE}
 SELECT id, app_id, event_type,
        CAST(epoch_ms(event_ts) AS BIGINT) AS event_ts_ms,

@@ -487,6 +487,17 @@ def test_round5_plan_gates(spark):
     assert not I.has_python_worker(pi)
     assert not I.has_cartesian(pi)
 
+    # W3/M4: single bounded-key aggregations, JVM-side end to end
+    from spark_history_server_rs_spark.operators import catalog, multimodal
+    from spark_history_server_rs_spark.sources.generic import load_events
+
+    jp = catalog.job_parallelism_report(load_events(spark, SF_ORACLE))
+    assert not I.has_python_worker(jp)
+    assert "Join" not in I.explain_str(jp, "simple")
+    ph = multimodal.phash_groups(docs)
+    assert not I.has_python_worker(ph)
+    assert "Join" not in I.explain_str(ph, "simple")
+
 
 def test_cross_app_summary_no_expand(spark, ev):
     """A9 gate: the two COUNT(DISTINCT)s must resolve via the per-app
