@@ -65,6 +65,9 @@ _SENTINELS = (
     "ann_hamming_rerank",
     # new this round → needs its first driver row
     "embedding_semantic_dedup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "corpus_dsir_select",
 )
 
 _ROTATED_RELATIONAL = (
@@ -181,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
         "corpus_oov_rate": _d(corpus.oov_rate),
         "corpus_unigram_logprob": _d(corpus.unigram_logprob),
+        "corpus_dsir_select": _d(corpus.dsir_select),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

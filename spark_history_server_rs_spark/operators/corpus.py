@@ -564,6 +564,142 @@ ORACLE_UNIGRAM_LOGPROB = (
 )
 
 
+# ==========================================================================
+# C8 — DSIR-style importance weighting (hashed-unigram domain selection)
+# ==========================================================================
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# public arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of a *target-domain* bag-of-hashed-ngrams model vs the raw-corpus
+# model, then keep the top fraction. Here the target distribution is the
+# corpus's own `lang = 'en'` slice (the stand-in for "looks like the
+# high-quality target domain"), features are word unigrams hashed into
+# {b} md5 buckets, both models are add-one smoothed, and selection is the
+# deterministic top-{p}% by total score (the zero-temperature limit of
+# DSIR's Gumbel resampling — reproducible across engines and re-runs,
+# which the sampled variant is not).
+#
+# Determinism: the ln() argument is an exact small-integer rational
+# ((ct+1)(R+B)) / ((cr+1)(T+B)) — products stay < 2^53 at test scale, so
+# both engines feed ln identical doubles; the per-bucket log-ratio snaps
+# to integer micro-nats BEFORE the per-doc SUM (exact in any aggregation
+# order — same invariant as C6).
+#
+# Scale shape: token relation built once (C5/C6's keyed cache); bucket
+# models are {b}-row aggregates with map-side partial combine; the weight
+# table is {b} rows → the scoring join broadcasts it; the per-doc SUM is
+# the only doc-keyed exchange. Document text never shuffles.
+DSIR_BUCKETS = 256
+DSIR_KEEP_PCT = 20
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET = (
+    "((position(substr(md5(tok), 1, 1) IN '0123456789abcdef') - 1) * 16"
+    " + (position(substr(md5(tok), 2, 1) IN '0123456789abcdef') - 1))"
+)
+
+_DSIR_TAIL = """
+feat AS (SELECT doc_id, {bucket} AS bucket FROM tok),
+langs AS (SELECT doc_id, lang FROM {docsrc}),
+target_counts AS (
+  SELECT f.bucket, COUNT(*) AS ct
+  FROM feat f JOIN langs l ON f.doc_id = l.doc_id
+  WHERE l.lang = '{target}' GROUP BY f.bucket
+),
+raw_counts AS (SELECT bucket, COUNT(*) AS cr FROM feat GROUP BY bucket),
+totals AS (
+  SELECT (SELECT COALESCE(SUM(ct), 0) FROM target_counts) AS t_tot,
+         (SELECT SUM(cr) FROM raw_counts) AS r_tot
+),
+weights AS (
+  SELECT r.bucket,
+         CAST(FLOOR(ln(
+             (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * (tt.r_tot + {b}.0))
+             / (CAST(r.cr + 1 AS DOUBLE) * (tt.t_tot + {b}.0))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS lw_micro
+  FROM raw_counts r
+  LEFT JOIN target_counts t ON r.bucket = t.bucket
+  CROSS JOIN totals tt
+),
+scored AS (
+  SELECT f.doc_id, COUNT(*) AS n_tokens, SUM(w.lw_micro) AS score_micro
+  FROM feat f JOIN weights w ON f.bucket = w.bucket
+  GROUP BY f.doc_id
+),
+coarse AS (
+  -- two-level exact rank: an unpartitioned ROW_NUMBER over all docs
+  -- would single-partition the corpus (WindowExec warns exactly this);
+  -- instead rank WITHIN 10-nat score buckets (partitioned window) and
+  -- add the bucket's global offset (a window over the tiny bucket-count
+  -- relation — bounded by the score range in 10-nat steps, not by docs)
+  SELECT s.doc_id, s.n_tokens, s.score_micro,
+         CAST(FLOOR(CAST(s.score_micro AS DOUBLE) / 10000000.0) AS BIGINT)
+           AS cb
+  FROM scored s
+),
+bcounts AS (SELECT cb, COUNT(*) AS c FROM coarse GROUP BY cb),
+boffsets AS (
+  SELECT cb, COALESCE(SUM(c) OVER (ORDER BY cb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM bcounts
+),
+ranked AS (
+  SELECT c.doc_id, c.n_tokens, c.score_micro,
+         ROW_NUMBER() OVER (PARTITION BY c.cb
+                            ORDER BY c.score_micro DESC, c.doc_id) + o.off
+           AS rnk
+  FROM coarse c JOIN boffsets o ON c.cb = o.cb
+),
+tot_docs AS (SELECT COUNT(*) AS n FROM ranked)
+SELECT r.doc_id, l.lang, r.n_tokens, r.score_micro,
+       FLOOR((CAST(r.score_micro AS DOUBLE) / r.n_tokens / 1000000.0)
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_log_ratio,
+       (rnk <= CAST(FLOOR(n * {p}.0 / 100.0 + 0.5) AS BIGINT)) AS selected
+FROM ranked r JOIN langs l ON r.doc_id = l.doc_id CROSS JOIN tot_docs
+ORDER BY r.doc_id
+"""
+
+
+def _dsir_tail(docsrc: str) -> str:
+    return _DSIR_TAIL.format(
+        bucket=_DSIR_BUCKET,
+        docsrc=docsrc,
+        target=DSIR_TARGET_LANG,
+        b=DSIR_BUCKETS,
+        p=DSIR_KEEP_PCT,
+    )
+
+
+def dsir_select(docs: DataFrame) -> DataFrame:
+    """C8: DSIR-style hashed-ngram importance weighting — per-document
+    target-vs-raw log-likelihood ratio and a deterministic top-{p}% keep
+    flag. See the module-level block comment for the derivation, the
+    determinism invariants, and the 100 TB shape.""".format(p=DSIR_KEEP_PCT)
+    from .dedup import _materialized_view
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    _materialized_view(
+        spark,
+        "_corpus_tok",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+        ),
+    )
+    return spark.sql(
+        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
+        + _dsir_tail("_corpus_docs")
+    )
+
+
+ORACLE_DSIR = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _dsir_tail("documents")
+)
+
+
 ORACLE_SQL_CORPUS = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_split": ORACLE_HASH_SPLIT,
@@ -572,4 +708,5 @@ ORACLE_SQL_CORPUS = {
     "corpus_oov_rate": ORACLE_OOV_RATE,
     "corpus_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
+    "corpus_dsir_select": ORACLE_DSIR,
 }

@@ -694,6 +694,94 @@ LIMIT 100
 """
 
 
+# ==========================================================================
+# R29 — ordered funnel conversion (view → click → purchase)
+# ==========================================================================
+# Classic product-analytics funnel with *sequential* semantics: a user
+# counts for step k only with a step-k event inside the conversion window
+# after their qualifying step-(k-1) time (first-touch attribution). Three
+# chained per-user MIN aggregations; each f_k is one row per surviving
+# user, so the chained joins are tiny-side (broadcast at any corpus
+# scale) and the only big scans are the three filtered passes over ev —
+# no window over a global ordering, no self-join on the fact table.
+FUNNEL_WINDOW_MS = 12 * 3600 * 1000  # per-step conversion window
+
+R29_TAIL = f"""
+f1 AS (
+  SELECT app_id, MIN({{EPOCH:event_ts}}) AS t1
+  FROM ev WHERE event_type = 'view' GROUP BY app_id
+),
+f2 AS (
+  SELECT e.app_id, MIN({{EPOCH:e.event_ts}}) AS t2
+  FROM ev e JOIN f1 ON e.app_id = f1.app_id
+  WHERE e.event_type = 'click' AND {{EPOCH:e.event_ts}} >= f1.t1
+    AND {{EPOCH:e.event_ts}} < f1.t1 + {FUNNEL_WINDOW_MS}
+  GROUP BY e.app_id
+),
+f3 AS (
+  SELECT e.app_id, MIN({{EPOCH:e.event_ts}}) AS t3
+  FROM ev e JOIN f2 ON e.app_id = f2.app_id
+  WHERE e.event_type = 'purchase' AND {{EPOCH:e.event_ts}} >= f2.t2
+    AND {{EPOCH:e.event_ts}} < f2.t2 + {FUNNEL_WINDOW_MS}
+  GROUP BY e.app_id
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM f1) AS n1,
+         (SELECT COUNT(*) FROM f2) AS n2,
+         (SELECT COUNT(*) FROM f3) AS n3
+)
+SELECT step, step_event, users,
+       FLOOR((CAST(users AS DOUBLE) / NULLIF(n1, 0)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS conversion_from_top
+FROM (
+  SELECT 1 AS step, 'view' AS step_event, n1 AS users, n1 FROM counts
+  UNION ALL
+  SELECT 2, 'click', n2, n1 FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n3, n1 FROM counts
+) steps
+ORDER BY step
+"""
+
+# ==========================================================================
+# R30 — weekly retention cohorts
+# ==========================================================================
+# Cohort = the user's first-ever activity week (absolute epoch week —
+# deterministic, timezone-free); a cohort member is retained at offset w
+# if they have any event in [t0 + w·7d, t0 + (w+1)·7d). One MIN-per-user
+# aggregation (shuffle on user), a join back (the firsts side is one row
+# per user — co-partitioned on the same key, AQE can plan it shuffle-free),
+# then a distinct-count per (cohort, offset). Week arithmetic stays in
+# exact integer-valued doubles (epoch ms < 2^53), so both engines bucket
+# identically.
+R30_TAIL = """
+firsts AS (
+  SELECT app_id, MIN({EPOCH:event_ts}) AS t0 FROM ev GROUP BY app_id
+),
+activity AS (
+  SELECT e.app_id,
+         CAST(FLOOR(CAST(f.t0 AS DOUBLE) / 604800000.0) AS BIGINT)
+           AS cohort_week,
+         CAST(FLOOR(CAST({EPOCH:e.event_ts} - f.t0 AS DOUBLE) / 604800000.0)
+              AS BIGINT) AS week_offset
+  FROM ev e JOIN firsts f ON e.app_id = f.app_id
+),
+cells AS (
+  SELECT cohort_week, week_offset, COUNT(DISTINCT app_id) AS active_users
+  FROM activity GROUP BY cohort_week, week_offset
+),
+cohort_sizes AS (
+  SELECT cohort_week, active_users AS cohort_size
+  FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_size,
+       FLOOR((CAST(c.active_users AS DOUBLE) / s.cohort_size) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS retention_rate
+FROM cells c JOIN cohort_sizes s ON c.cohort_week = s.cohort_week
+ORDER BY c.cohort_week, c.week_offset
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -750,6 +838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21_waiting_supplier": _tpch_query(R26_SQL),
     "tpch_q22_idle_customers": _tpch_query(R27_SQL),
     "tpch_q2_min_price_supplier": _tpch_query(R28_SQL),
+    "funnel_conversion": _events_query(R29_TAIL),
+    "retention_cohorts": _events_query(R30_TAIL),
 }
 
 
@@ -786,4 +876,6 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "tpch_q21_waiting_supplier": _duck(R26_SQL),
     "tpch_q22_idle_customers": _duck(R27_SQL),
     "tpch_q2_min_price_supplier": _duck(R28_SQL),
+    "funnel_conversion": duckdb_events_cte() + ",\n" + _duck(R29_TAIL),
+    "retention_cohorts": duckdb_events_cte() + ",\n" + _duck(R30_TAIL),
 }

@@ -499,6 +499,30 @@ def test_round5_plan_gates(spark):
     assert "Join" not in I.explain_str(ph, "simple")
 
 
+def test_round6_plan_gates(spark, ev):
+    """Scale gates for the funnel / retention / DSIR batch: no cartesian
+    products, no Python workers; the funnel's chained step joins keep
+    their tiny per-user aggregates on the build side (broadcast-able —
+    at minimum not nested-loop); DSIR's 256-row weight table joins back
+    to the token relation as a broadcast."""
+    from spark_history_server_rs_spark.operators import corpus
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    fc = relational.QUERIES["funnel_conversion"](spark, SF_ORACLE)
+    rc = relational.QUERIES["retention_cohorts"](spark, SF_ORACLE)
+    for df in (fc, rc):
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ds = corpus.dsir_select(docs)
+    assert not I.has_python_worker(ds)
+    assert not I.has_cartesian(ds)
+    # the bucket-model weight table (DSIR_BUCKETS rows) must broadcast
+    # into the token-scoring join, not shuffle the token relation twice
+    assert "BroadcastHashJoin" in I.explain_str(ds, "simple")
+
+
 def test_cross_app_summary_no_expand(spark, ev):
     """A9 gate: the two COUNT(DISTINCT)s must resolve via the per-app
     pre-aggregation, not Catalyst's Expand (which multiplies the full
