@@ -68,6 +68,7 @@ _SENTINELS = (
     "funnel_conversion",
     "retention_cohorts",
     "corpus_dsir_select",
+    "event_transition_matrix",
 )
 
 _ROTATED_RELATIONAL = (

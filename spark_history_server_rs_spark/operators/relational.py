@@ -782,6 +782,38 @@ ORDER BY c.cohort_week, c.week_offset
 """
 
 
+# ==========================================================================
+# R31 — user-journey transition matrix (first-order Markov counts)
+# ==========================================================================
+# For every consecutive event pair within a user's timeline: transition
+# counts and the row-normalized transition probability — the classic
+# user-journey / Markov-chain summary. One LAG window PARTITIONED by the
+# user key (never a global ordering), then a groupBy on the bounded
+# (from, to) event-type domain with map-side partial aggregation; the
+# per-from totals join is |event_types| rows → broadcast.
+R31_TAIL = """
+seq AS (
+  SELECT app_id, event_type,
+         LAG(event_type) OVER (PARTITION BY app_id
+                               ORDER BY {EPOCH:event_ts}, id) AS prev_type
+  FROM ev
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+from_totals AS (
+  SELECT from_type, SUM(n) AS row_total FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       FLOOR((CAST(t.n AS DOUBLE) / f.row_total) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS p
+FROM trans t JOIN from_totals f ON t.from_type = f.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -840,6 +872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q2_min_price_supplier": _tpch_query(R28_SQL),
     "funnel_conversion": _events_query(R29_TAIL),
     "retention_cohorts": _events_query(R30_TAIL),
+    "event_transition_matrix": _events_query(R31_TAIL),
 }
 
 
@@ -878,4 +911,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "tpch_q2_min_price_supplier": _duck(R28_SQL),
     "funnel_conversion": duckdb_events_cte() + ",\n" + _duck(R29_TAIL),
     "retention_cohorts": duckdb_events_cte() + ",\n" + _duck(R30_TAIL),
+    "event_transition_matrix": duckdb_events_cte() + ",\n" + _duck(R31_TAIL),
 }

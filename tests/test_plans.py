@@ -510,9 +510,14 @@ def test_round6_plan_gates(spark, ev):
 
     fc = relational.QUERIES["funnel_conversion"](spark, SF_ORACLE)
     rc = relational.QUERIES["retention_cohorts"](spark, SF_ORACLE)
-    for df in (fc, rc):
+    tm = relational.QUERIES["event_transition_matrix"](spark, SF_ORACLE)
+    for df in (fc, rc, tm):
         assert not I.has_python_worker(df)
         assert not I.has_cartesian(df)
+    # R31's LAG must stay partitioned by the user key — a global window
+    # here would single-partition the fact table
+    tm_plan = I.explain_str(tm, "simple")
+    assert "windowspecdefinition(app_id" in tm_plan
 
     docs = load_table(spark, SF_ORACLE, "documents")
     ds = corpus.dsir_select(docs)
