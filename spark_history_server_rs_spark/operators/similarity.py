@@ -518,18 +518,32 @@ WITH normed AS (
          {sketch} AS sketch
   FROM _sim_emb
 ),
-pairs AS (
+half AS (
+  -- cosine is symmetric: evaluate each unordered pair once (a < b) and
+  -- mirror the survivors — halves the dominant n²/2 fold loop. Conjunct
+  -- order in the ON clause is load-bearing: BroadcastNestedLoopJoin
+  -- short-circuits left-to-right and Catalyst keeps the written order,
+  -- so the τ fold runs only on popcount survivors (writing τ as an
+  -- outer WHERE lets the optimizer push it in FIRST — measured 2.3×
+  -- slower on D5b before the same fix).
   SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
          FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
   FROM normed a JOIN normed b
-    ON a.vec_id <> b.vec_id
+    ON a.vec_id < b.vec_id
    AND bit_count(a.sketch ^ b.sketch) <= {hmax}
+   AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {tau}
+),
+pairs AS (
+  SELECT src_id, dst_id, cosine FROM half
+  UNION ALL
+  SELECT dst_id AS src_id, src_id AS dst_id, cosine FROM half
 ),""".format(
             parts=parts,
             norm=_NORM.format(v="embedding"),
             sketch=_dedup_sketch_expr("embedding"),
             dot=_DOT.format(a="a.nv", b="b.nv"),
             hmax=hamming_cutoff(KNN_GRAPH_TAU),
+            tau=KNN_GRAPH_TAU,
         )
         + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
     )
