@@ -69,6 +69,7 @@ _SENTINELS = (
     "retention_cohorts",
     "corpus_dsir_select",
     "event_transition_matrix",
+    "corpus_split_leakage",
 )
 
 _ROTATED_RELATIONAL = (
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_oov_rate": _d(corpus.oov_rate),
         "corpus_unigram_logprob": _d(corpus.unigram_logprob),
         "corpus_dsir_select": _d(corpus.dsir_select),
+        "corpus_split_leakage": _d(corpus.split_leakage),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

@@ -565,6 +565,71 @@ ORACLE_UNIGRAM_LOGPROB = (
 
 
 # ==========================================================================
+# C9 — split-leakage audit (near-dup pairs straddling train/val/test)
+# ==========================================================================
+# The eval-integrity check every pipeline needs after splitting: a
+# near-duplicate pair with one member in train and the other in val/test
+# leaks the held-out answer into training. Composes C2's deterministic
+# md5 split with the C1 Jaccard edge set: count near-dup pairs per
+# unordered (split, split) cell; off-diagonal cells are leaks. The md5
+# split makes leaks *possible* only through near-duplicate text (the
+# split itself can't leak by construction) — this op measures exactly
+# that residual channel.
+#
+# Scale shape: edges come from the banded/materialized shingle relation
+# (corpus-sized but built once, shared via the keyed cache); the split
+# label is a pure projection; the two label joins key on doc_id; the
+# final groupBy has ≤ 6 cells.
+def _leak_tail(docsrc: str, for_spark: bool) -> str:
+    bucket = _BUCKET.format(STR="STRING" if for_spark else "VARCHAR")
+    return (
+        _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+        + f""",
+splits AS (
+  SELECT doc_id, {_split_case(bucket)} AS split FROM {docsrc}
+),
+labeled AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM edges e
+  JOIN splits sa ON e.doc_a = sa.doc_id
+  JOIN splits sb ON e.doc_b = sb.doc_id
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       (split_a <> split_b) AS is_leak
+FROM labeled
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+    )
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """C9: near-dup split-leakage audit — Jaccard near-dup pairs bucketed
+    by the (unordered) train/val/test cell of their two members;
+    off-diagonal cells are evaluation leaks. See the block comment for
+    the channel being measured and the 100 TB shape."""
+    from .dedup import _SHINGLES_VIEW_CTE, materialized_shingles
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    materialized_shingles(docs)
+    return spark.sql(
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+        + ",\n"
+        + _leak_tail("_corpus_docs", for_spark=True)
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = (
+    "WITH shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _leak_tail("documents", for_spark=False)
+)
+
+
+# ==========================================================================
 # C8 — DSIR-style importance weighting (hashed-unigram domain selection)
 # ==========================================================================
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
@@ -709,4 +774,5 @@ ORACLE_SQL_CORPUS = {
     "corpus_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
     "corpus_dsir_select": ORACLE_DSIR,
+    "corpus_split_leakage": ORACLE_SPLIT_LEAKAGE,
 }

@@ -534,9 +534,14 @@ half AS (
    AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {tau}
 ),
 pairs AS (
-  SELECT src_id, dst_id, cosine FROM half
-  UNION ALL
-  SELECT dst_id AS src_id, src_id AS dst_id, cosine FROM half
+  -- mirror each survivor in the SAME pass with inline(): a UNION ALL of
+  -- two references to `half` would inline the CTE twice and re-run the
+  -- whole pair join (Spark only sometimes rescues this via AQE stage
+  -- reuse — measured bimodal 0.3 s / 6 s); one reference → one join.
+  SELECT inline(array(
+           named_struct('src_id', src_id, 'dst_id', dst_id, 'cosine', cosine),
+           named_struct('src_id', dst_id, 'dst_id', src_id, 'cosine', cosine)))
+  FROM half
 ),""".format(
             parts=parts,
             norm=_NORM.format(v="embedding"),

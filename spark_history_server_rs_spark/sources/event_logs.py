@@ -593,6 +593,115 @@ def compact_sink(spark: SparkSession, sink_dir: str, out_dir: str) -> None:
     )
 
 
+def _sink_partition_stats(
+    spark: SparkSession, sink_dir: str
+) -> dict[tuple[str, str], tuple[int, int]]:
+    """(event_date, ingest_src) → (file_count, total_bytes) for the
+    incremental sink layout, via one recursive Hadoop-FS listing (works
+    for file://, hdfs://, s3a:// alike — same path as :func:`_list_files`)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = fs_path.getFileSystem(conf)
+    stats: dict[tuple[str, str], tuple[int, int]] = {}
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = posixpath.basename(p)
+        if name.startswith("_") or name.startswith("."):
+            continue
+        parts = p.split("/")
+        date = src = None
+        for seg in parts:
+            if seg.startswith("event_date="):
+                date = seg.split("=", 1)[1]
+            elif seg.startswith("ingest_src="):
+                src = seg.split("=", 1)[1]
+        if date is None or src is None:
+            continue
+        n, b = stats.get((date, src), (0, 0))
+        stats[(date, src)] = (n + 1, b + status.getLen())
+    return stats
+
+
+def compact_sink_inplace(
+    spark: SparkSession,
+    sink_dir: str,
+    target_file_mb: int = 512,
+    min_files: int = 2,
+) -> list[dict]:
+    """S9c: targeted in-place small-file compaction for the incremental
+    sink — the maintenance pass a 100 TB deployment runs on closed dates.
+
+    Incremental ingest writes one file batch per (date, source-file)
+    partition per pass; over time hot partitions accumulate small files
+    that tax every subsequent scan (open/seek cost dominates under ~tens
+    of MB per file). This op rewrites ONLY partitions whose file count
+    exceeds what their byte size needs (⌈bytes / target⌉, and at least
+    ``min_files`` existing files), leaving everything else untouched:
+
+    - the partitions to rewrite join in as a tiny broadcast key set (at
+      scan time Spark's dynamic partition pruning keeps unaffected
+      partitions unread);
+    - rows hash into ⌈bytes/target⌉ slices per partition
+      (deterministic ``xxhash64(id)`` — no random()), so oversized
+      partitions split into target-sized files instead of one giant one;
+    - the rewrite commits via dynamic partition overwrite, replacing
+      exactly the selected partition directories. In-place safety comes
+      from the repartition barrier: the shuffle fully materializes the
+      scan before the first output commit can touch a source file.
+
+    Idempotent: a second run finds every selected partition already at
+    its target count and returns an empty plan. Returns the compaction
+    plan as dicts: (event_date, ingest_src, files_before, bytes,
+    files_target).
+    """
+    target_bytes = target_file_mb * 1024 * 1024
+    stats = _sink_partition_stats(spark, sink_dir)
+    plan = []
+    for (date, src), (n, b) in sorted(stats.items()):
+        want = max(1, -(-b // target_bytes))
+        if n >= min_files and n > want:
+            plan.append(
+                {
+                    "event_date": date,
+                    "ingest_src": src,
+                    "files_before": n,
+                    "bytes": b,
+                    "files_target": int(want),
+                }
+            )
+    if not plan:
+        return []
+    keys = spark.createDataFrame(
+        [(p["event_date"], p["ingest_src"], p["files_target"]) for p in plan],
+        "event_date string, ingest_src string, want int",
+    )
+    df = spark.read.parquet(sink_dir)
+    picked = df.withColumn("event_date", F.col("event_date").cast("string")).join(
+        F.broadcast(keys), ["event_date", "ingest_src"]
+    )
+    sliced = picked.withColumn(
+        "__slice", F.pmod(F.xxhash64("id"), F.col("want"))
+    ).drop("want")
+    total_slices = sum(p["files_target"] for p in plan)
+    out = (
+        sliced.repartition(total_slices, "event_date", "ingest_src", "__slice")
+        .drop("__slice")
+        .withColumn("event_date", F.col("event_date").cast("date"))
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.partitionBy("event_date", "ingest_src").mode("overwrite").parquet(
+            sink_dir
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return plan
+
+
 def application_details(events: DataFrame) -> DataFrame:
     """A17 full fold on real logs: first ApplicationStart supplies
     (name, user, attempt); ApplicationEnd closes the app; duration uses the

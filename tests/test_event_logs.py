@@ -146,6 +146,36 @@ def test_sink_roundtrip(spark, log_dir, tmp_path):
     assert "event_date" in back.columns
 
 
+def test_compact_sink_inplace(spark, log_dir, tmp_path):
+    """S9c: three appends → many small files per partition; one in-place
+    compaction → target file counts, identical rows, second run no-op."""
+    from spark_history_server_rs_spark.sources.event_logs import (
+        _sink_partition_stats,
+        compact_sink_inplace,
+    )
+
+    sink = str(tmp_path / "sink")
+    events = read_event_logs(spark, log_dir + "/*/*")
+    for _ in range(3):
+        write_events_sink(events, sink)
+    before_rows = read_events_sink(spark, sink).count()
+    before = _sink_partition_stats(spark, sink)
+    assert max(n for n, _ in before.values()) >= 3  # small-file buildup
+
+    plan = compact_sink_inplace(spark, sink, target_file_mb=512)
+    assert plan, "compaction should have selected the multi-file partitions"
+    after = _sink_partition_stats(spark, sink)
+    for p in plan:
+        key = (p["event_date"], p["ingest_src"])
+        assert after[key][0] == p["files_target"] == 1  # tiny data → 1 file
+    # rows survive byte-identically in count and content
+    back = read_events_sink(spark, sink)
+    assert back.count() == before_rows
+    assert back.select("id").distinct().count() == events.select("id").distinct().count()
+    # idempotent: nothing left to do
+    assert compact_sink_inplace(spark, sink, target_file_mb=512) == []
+
+
 def test_incremental_ingest_no_duplicates(spark, tmp_path):
     base = tmp_path / "logs"
     base.mkdir()
