@@ -323,6 +323,73 @@ def stream_running_corpus_stats(docs: DataFrame):
     )
 
 
+#: output schema of :func:`stream_transition_counts`
+TRANSITION_SCHEMA = "from_type string, to_type string, n long"
+_TRANSITION_STATE_SCHEMA = "last_ts long, last_id long, last_type string"
+
+
+def stream_transition_counts(events: DataFrame):
+    """Beyond-reference: streaming first-order transition counting — the
+    streaming twin of batch R31 (``event_transition_matrix``,
+    ``operators/relational.py``). State per user is ONE event (the last
+    seen ``(ts_ms, id, event_type)``); each micro-batch sorts its own
+    rows per user, prepends the stored last event, and emits that
+    batch's (from, to) count DELTAS. Consumers (or a downstream
+    aggregation) sum deltas into the running matrix — emitting deltas
+    keeps this a single stateful operator per query.
+
+    With in-time-order arrival the summed deltas equal the batch R31
+    counts exactly (the differential test pins this); with out-of-order
+    arrival, transitions follow arrival order — the operationally honest
+    streaming semantics without unbounded event buffering. State is 3
+    scalars per active user, independent of stream length.
+
+    Input schema: ``app_id string, id long, ts_ms long, event_type
+    string`` (pre-normalized — pair with ``_normalize_stream`` /
+    ``load_events`` projections).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Self-contained closure (see operators/multimodal.py note).
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_ms"].astype(int),
+                    pdf["id"].astype(int),
+                    pdf["event_type"],
+                )
+            )
+        rows.sort()
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        counts: dict[tuple[str, str], int] = {}
+        for ts, rid, etype in rows:
+            if last_type is not None:
+                k = (last_type, etype)
+                counts[k] = counts.get(k, 0) + 1
+            last_ts, last_id, last_type = ts, rid, etype
+        state.update((last_ts, last_id, last_type))
+        yield _pd.DataFrame(
+            [(f, t, n) for (f, t), n in sorted(counts.items())],
+            columns=["from_type", "to_type", "n"],
+        )
+
+    return events.groupBy("app_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        # deltas are final once emitted (never revised) — append semantics
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_contamination_guard(
     docs: DataFrame, test_docs: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -692,6 +692,78 @@ def test_stream_running_corpus_stats(spark, tmp_path):
     assert latest["de"].tokens_seen == 2
 
 
+def test_stream_transition_counts_matches_batch(spark, tmp_path):
+    """Streaming R31 twin: summed per-batch transition deltas over an
+    in-order two-chunk replay equal the batch LAG-based counts, with the
+    per-user last-event state bridging the chunk boundary."""
+    import json as _json
+    from collections import Counter
+
+    from spark_history_server_rs_spark.sources.generic import load_events
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_transition_counts,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_events(spark, SF_SMALL).selectExpr(
+        "app_id",
+        "id",
+        "unix_millis(CAST(event_ts AS TIMESTAMP)) AS ts_ms",
+        "event_type",
+    )
+    rows = sorted(ev.collect(), key=lambda r: (r.ts_ms, r.id))
+    expected: Counter = Counter()
+    last: dict = {}
+    for r in rows:
+        if r.app_id in last:
+            expected[(last[r.app_id], r.event_type)] += 1
+        last[r.app_id] = r.event_type
+
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    half = len(rows) // 2
+    sink = str(tmp_path / "trans_sink")
+    ckpt = str(tmp_path / "ckpt_t")
+    stream = (
+        spark.readStream.schema(
+            "app_id string, id long, ts_ms long, event_type string"
+        ).json(str(src))
+    )
+
+    def drain():
+        q = (
+            stream_transition_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        with open(src / f"chunk_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "app_id": r.app_id,
+                            "id": r.id,
+                            "ts_ms": r.ts_ms,
+                            "event_type": r.event_type,
+                        }
+                    )
+                    + "\n"
+                )
+        drain()
+
+    got: Counter = Counter()
+    for r in spark.read.parquet(sink).collect():
+        got[(r.from_type, r.to_type)] += r.n
+    assert got == expected
+
+
 def test_stream_sessionize_native_session_window(spark, tmp_path):
     """Native session_window sessionization: sessions merge within the
     gap, stay open across micro-batches, and close (append-emit) only
