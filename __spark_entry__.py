@@ -70,6 +70,7 @@ _SENTINELS = (
     "corpus_dsir_select",
     "event_transition_matrix",
     "corpus_split_leakage",
+    "set_ops_user_segments",
 )
 
 _ROTATED_RELATIONAL = (

@@ -814,6 +814,33 @@ ORDER BY t.from_type, t.to_type
 """
 
 
+# ==========================================================================
+# R32 — set operations (INTERSECT / EXCEPT segment algebra)
+# ==========================================================================
+# The reference has NO set operations (SURVEY §2.7 — "None"); a complete
+# relational surface needs them. Segment algebra over the app population:
+# apps with slow failed tasks ∩ apps that scaled executors ∖ apps with
+# very-slow successful tasks. Spark plans INTERSECT as an aggregate +
+# left-semi join and EXCEPT as aggregate + left-anti — both hash-keyed on
+# app_id, no sort, no cartesian; each leg is a pushed single-predicate
+# scan of the fact table.
+R32_TAIL = """
+slow_failed AS (
+  SELECT app_id FROM ev WHERE event_type = 'error' AND duration_ms > 15000
+),
+scaled AS (SELECT app_id FROM ev WHERE is_exec_add),
+long_clicks AS (
+  SELECT app_id FROM ev WHERE event_type = 'click' AND duration_ms > 19000
+)
+SELECT app_id FROM (
+  (SELECT app_id FROM slow_failed INTERSECT SELECT app_id FROM scaled)
+  EXCEPT
+  SELECT app_id FROM long_clicks
+)
+ORDER BY app_id
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -873,6 +900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": _events_query(R29_TAIL),
     "retention_cohorts": _events_query(R30_TAIL),
     "event_transition_matrix": _events_query(R31_TAIL),
+    "set_ops_user_segments": _events_query(R32_TAIL),
 }
 
 
@@ -912,4 +940,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "funnel_conversion": duckdb_events_cte() + ",\n" + _duck(R29_TAIL),
     "retention_cohorts": duckdb_events_cte() + ",\n" + _duck(R30_TAIL),
     "event_transition_matrix": duckdb_events_cte() + ",\n" + _duck(R31_TAIL),
+    "set_ops_user_segments": duckdb_events_cte() + ",\n" + _duck(R32_TAIL),
 }

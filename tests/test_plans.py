@@ -519,6 +519,12 @@ def test_round6_plan_gates(spark, ev):
     tm_plan = I.explain_str(tm, "simple")
     assert "windowspecdefinition(app_id" in tm_plan
 
+    # R32: INTERSECT/EXCEPT must plan as hash semi/anti joins, not sorts
+    so = relational.QUERIES["set_ops_user_segments"](spark, SF_ORACLE)
+    so_plan = I.explain_str(so, "simple")
+    assert "LeftSemi" in so_plan and "LeftAnti" in so_plan
+    assert not I.has_cartesian(so)
+
     docs = load_table(spark, SF_ORACLE, "documents")
     ds = corpus.dsir_select(docs)
     assert not I.has_python_worker(ds)
