@@ -71,6 +71,7 @@ _SENTINELS = (
     "event_transition_matrix",
     "corpus_split_leakage",
     "set_ops_user_segments",
+    "corpus_perplexity_buckets",
 )
 
 _ROTATED_RELATIONAL = (
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": _d(corpus.unigram_logprob),
         "corpus_dsir_select": _d(corpus.dsir_select),
         "corpus_split_leakage": _d(corpus.split_leakage),
+        "corpus_perplexity_buckets": _d(corpus.perplexity_buckets),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

@@ -504,7 +504,7 @@ ORACLE_OOV_RATE = (
 # between Spark's partial aggregates and DuckDB's single-node scan never
 # happens. The only float ops are the ln() and the final divisions, both
 # over identical inputs in both engines.
-_UNIGRAM_TAIL = """
+_UNIGRAM_CTES = """
 counts AS (SELECT tok AS token, COUNT(*) AS c FROM tok GROUP BY tok),
 total AS (SELECT SUM(c) AS n FROM counts),
 scored AS (
@@ -516,7 +516,9 @@ scored AS (
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll_micro) AS total_nll_micro
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_UNIGRAM_TAIL = _UNIGRAM_CTES + """
 SELECT doc_id, n_tokens, total_nll_micro,
        FLOOR((CAST(total_nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
               / 1000000.0) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_nll,
@@ -561,6 +563,81 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 ORACLE_UNIGRAM_LOGPROB = (
     f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
     + _UNIGRAM_TAIL
+)
+
+
+# ==========================================================================
+# C10 — CCNet-style perplexity buckets (head / middle / tail)
+# ==========================================================================
+# CCNet (Wenzek et al. 2020, public arXiv:1911.00359) splits a crawled
+# corpus into head/middle/tail TERTILES by language-model perplexity and
+# trains preferentially on the head. Here the LM is C6's own unigram
+# model (self-contained — no external artifact), the metric is integer
+# micro-nats per token, and the tertile boundary comes from an exact
+# corpus-wide rank computed with the same two-level bucket rank as C8:
+# rank within a 0.1-nat coarse bucket (partitioned window) plus the
+# bucket's offset (window over the tiny bucket-count relation) — no
+# corpus-wide single-partition window. Ties break by doc_id, so both
+# engines bucket identically even at tertile boundaries.
+_PPL_TAIL = _UNIGRAM_CTES + """,
+permetric AS (
+  SELECT doc_id, n_tokens, total_nll_micro,
+         CAST(FLOOR(CAST(total_nll_micro AS DOUBLE) / n_tokens) AS BIGINT)
+           AS nll_per_tok_micro
+  FROM per_doc
+),
+coarse AS (
+  SELECT *, CAST(FLOOR(CAST(nll_per_tok_micro AS DOUBLE) / 100000.0) AS BIGINT)
+              AS cb
+  FROM permetric
+),
+bcounts AS (SELECT cb, COUNT(*) AS c FROM coarse GROUP BY cb),
+boffsets AS (
+  SELECT cb, COALESCE(SUM(c) OVER (ORDER BY cb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM bcounts
+),
+ranked AS (
+  SELECT c.doc_id, c.n_tokens, c.nll_per_tok_micro,
+         ROW_NUMBER() OVER (PARTITION BY c.cb
+                            ORDER BY c.nll_per_tok_micro, c.doc_id) + o.off
+           AS rnk
+  FROM coarse c JOIN boffsets o ON c.cb = o.cb
+),
+tot AS (SELECT COUNT(*) AS n FROM ranked)
+SELECT doc_id, n_tokens, nll_per_tok_micro, rnk AS ppl_rank,
+       CASE WHEN rnk <= CAST(FLOOR(n / 3.0) AS BIGINT) THEN 'head'
+            WHEN rnk <= CAST(FLOOR(2.0 * n / 3.0) AS BIGINT) THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked CROSS JOIN tot
+ORDER BY doc_id
+"""
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """C10: CCNet-style head/middle/tail perplexity tertiles under the
+    corpus's own unigram LM — the standard quality partitioning a crawl
+    pipeline applies before sampling. See the block comment for the
+    ranking scheme and determinism invariants."""
+    from .dedup import _materialized_view
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    _materialized_view(
+        spark,
+        "_corpus_tok",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+        ),
+    )
+    return spark.sql("WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n" + _PPL_TAIL)
+
+
+ORACLE_PPL_BUCKETS = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _PPL_TAIL
 )
 
 
@@ -775,4 +852,5 @@ ORACLE_SQL_CORPUS = {
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
     "corpus_dsir_select": ORACLE_DSIR,
     "corpus_split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,
 }
