@@ -139,6 +139,10 @@ def main() -> None:
         ("embedding_power_iteration", llmprep.embedding_power_iteration, emb),
         ("job_parallelism_report", catalog.job_parallelism_report, ev),
         ("multimodal_phash_groups", multimodal.phash_groups, docs),
+        # round-6 batch
+        ("corpus_dsir_select", corpus.dsir_select, docs),
+        ("corpus_split_leakage", corpus.split_leakage, docs),
+        ("corpus_perplexity_buckets", corpus.perplexity_buckets, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
@@ -150,6 +154,25 @@ def main() -> None:
         for _ in range(3):
             t = time.perf_counter()
             fn(src).collect()
+            warm.append(time.perf_counter() - t)
+        extended[name] = round(min(warm), 4)
+
+    # round-6 events-SQL ops take (spark, sf_dir) — they scan the raw
+    # events parquet per run (the realistic serving shape for these)
+    from spark_history_server_rs_spark.operators import relational
+
+    for name in (
+        "funnel_conversion",
+        "retention_cohorts",
+        "event_transition_matrix",
+        "set_ops_user_segments",
+    ):
+        fn2 = relational.QUERIES[name]
+        fn2(spark, sf_dir).collect()
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn2(spark, sf_dir).collect()
             warm.append(time.perf_counter() - t)
         extended[name] = round(min(warm), 4)
 

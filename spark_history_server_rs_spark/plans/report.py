@@ -34,6 +34,13 @@ SELECTED = [
     ("ann_knn_graph", "sketch-prefiltered pair loop + bounded mutual join"),
     ("dedup_keep_canonical", "cluster labels joined to quality, rank window"),
     ("corpus_unigram_logprob", "broadcast vocab-sized LM scoring join"),
+    ("funnel_conversion", "chained tiny-side step joins, windowed funnel"),
+    ("retention_cohorts", "first-touch join + bounded cohort-cell agg"),
+    ("event_transition_matrix", "user-partitioned LAG, bounded (from,to) agg"),
+    ("set_ops_user_segments", "INTERSECT/EXCEPT as hash semi/anti joins"),
+    ("corpus_dsir_select", "256-bucket model, broadcast weight join, 2-level rank"),
+    ("corpus_split_leakage", "shared shingle edges × split labels, 6-cell agg"),
+    ("corpus_perplexity_buckets", "unigram LM + two-level tertile rank"),
 ]
 
 

@@ -182,7 +182,7 @@ def prop_docs_dir(tmp_path_factory):
 def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
     import duckdb
 
-    from spark_history_server_rs_spark.operators import dedup, llmprep, textprep
+    from spark_history_server_rs_spark.operators import corpus, dedup, llmprep, textprep
 
     _write_documents(prop_docs_dir, rows)
     docs = spark.read.parquet(f"{prop_docs_dir}/documents.parquet")
@@ -214,6 +214,13 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         (dedup.repeated_passage_coverage, "dedup_repeated_passages"),
         (dedup.ngram_jaccard_pairs, "dedup_ngram_jaccard"),
         (dedup.minhash_lsh_pairs, "dedup_minhash_lsh"),
+        # round-6 corpus ops: empty corpora, zero-token docs, absent
+        # target language (DSIR's t_tot = 0), and all-tied perplexity
+        # metrics (tertile boundaries resolve purely by doc_id) are
+        # exactly the shapes random generation hits
+        (corpus.dsir_select, "corpus_dsir_select"),
+        (corpus.perplexity_buckets, "corpus_perplexity_buckets"),
+        (corpus.split_leakage, "corpus_split_leakage"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
