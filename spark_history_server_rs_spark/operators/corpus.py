@@ -740,7 +740,6 @@ _DSIR_BUCKET = (
 )
 
 _DSIR_TAIL = """
-feat AS (SELECT doc_id, {bucket} AS bucket FROM tok),
 langs AS (SELECT doc_id, lang FROM {docsrc}),
 target_counts AS (
   SELECT f.bucket, COUNT(*) AS ct
@@ -816,7 +815,14 @@ def dsir_select(docs: DataFrame) -> DataFrame:
     """C8: DSIR-style hashed-ngram importance weighting — per-document
     target-vs-raw log-likelihood ratio and a deterministic top-{p}% keep
     flag. See the module-level block comment for the derivation, the
-    determinism invariants, and the 100 TB shape.""".format(p=DSIR_KEEP_PCT)
+    determinism invariants, and the 100 TB shape.
+
+    The hashed-bucket relation (feat) feeds THREE consumers (target
+    model, raw model, per-doc scoring); like the shingle relation it
+    goes through the keyed materialized-view cache so the explode+md5
+    pass over the corpus runs once, not three times.""".format(
+        p=DSIR_KEEP_PCT
+    )
     from .dedup import _materialized_view
 
     spark = docs.sparkSession
@@ -830,14 +836,23 @@ def dsir_select(docs: DataFrame) -> DataFrame:
             f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
         ),
     )
+    _materialized_view(
+        spark,
+        "_corpus_feat",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            f"SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM _corpus_tok"
+        ),
+    )
     return spark.sql(
-        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
+        "WITH feat AS (SELECT doc_id, bucket FROM _corpus_feat),\n"
         + _dsir_tail("_corpus_docs")
     )
 
 
 ORACLE_DSIR = (
     f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + f"feat AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM tok),\n"
     + _dsir_tail("documents")
 )
 
