@@ -72,6 +72,7 @@ _SENTINELS = (
     "corpus_split_leakage",
     "set_ops_user_segments",
     "corpus_perplexity_buckets",
+    "rolling_active_users",
 )
 
 _ROTATED_RELATIONAL = (

@@ -841,6 +841,38 @@ ORDER BY app_id
 """
 
 
+# ==========================================================================
+# R33 — rolling active users (DAU / trailing-7-day WAU / stickiness)
+# ==========================================================================
+# The standard engagement time series. Exact trailing-window COUNT
+# DISTINCT via the expansion trick: the distinct (user, day) relation
+# replicates each row to the 7 days it keeps the user "weekly active"
+# for (a broadcast 7-row offsets join — never a range self-join), then
+# one distinct-count per day. Two user-keyed exchanges total; day
+# arithmetic is exact integer epoch-days so both engines bucket
+# identically.
+R33_TAIL = """
+daily AS (
+  SELECT DISTINCT app_id,
+         CAST(FLOOR(CAST({EPOCH:event_ts} AS DOUBLE) / 86400000.0) AS BIGINT)
+           AS day
+  FROM ev
+),
+offsets AS (SELECT off FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) AS t(off)),
+expanded AS (
+  SELECT d.app_id, d.day + o.off AS day
+  FROM daily d JOIN offsets o ON 1 = 1
+),
+wau AS (SELECT day, COUNT(DISTINCT app_id) AS wau FROM expanded GROUP BY day),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day)
+SELECT d.day AS epoch_day, d.dau, w.wau,
+       FLOOR((CAST(d.dau AS DOUBLE) / w.wau) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY epoch_day
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -901,6 +933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": _events_query(R30_TAIL),
     "event_transition_matrix": _events_query(R31_TAIL),
     "set_ops_user_segments": _events_query(R32_TAIL),
+    "rolling_active_users": _events_query(R33_TAIL),
 }
 
 
@@ -941,4 +974,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "retention_cohorts": duckdb_events_cte() + ",\n" + _duck(R30_TAIL),
     "event_transition_matrix": duckdb_events_cte() + ",\n" + _duck(R31_TAIL),
     "set_ops_user_segments": duckdb_events_cte() + ",\n" + _duck(R32_TAIL),
+    "rolling_active_users": duckdb_events_cte() + ",\n" + _duck(R33_TAIL),
 }
