@@ -504,14 +504,23 @@ def minhash_estimate_eval(docs: DataFrame) -> DataFrame:
             + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
         ),
     )
-    sigs = (
-        "sigs AS (\n  SELECT doc_id, "
-        + ", ".join(_sig_cols_sql())
-        + "\n  FROM shingles GROUP BY doc_id\n),"
+    # the signature table is the index a MinHash deployment stores — like
+    # shingles/band keys it serves from the keyed materialized-view cache
+    # (one NUM_HASHES-way MIN aggregation pass, not one per eval call)
+    _materialized_view(
+        spark,
+        "_dedup_sigs",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+            + "\nSELECT doc_id, "
+            + ", ".join(_sig_cols_sql())
+            + " FROM shingles GROUP BY doc_id"
+        ),
     )
     sql = (
         _SHINGLES_VIEW_CTE
-        + sigs
+        + "sigs AS (SELECT * FROM _dedup_sigs),"
         + "bandkv AS (SELECT doc_id, band_idx, band_key FROM _dedup_bandkv),"
         + _MINHASH_EVAL_POST
     )
