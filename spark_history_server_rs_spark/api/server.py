@@ -402,6 +402,23 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             # reference stubs these with [] (api.rs:153-159)
             return self._send(200, [])
 
+        m = re.fullmatch(r"/api/v1/engagement/(funnel|retention|transitions|active-users|segments)", path)
+        if m:
+            # beyond-reference: the engagement analytics surface (R29-R33)
+            # served from the warm normalized frame; /api/v1/analytics/*
+            # stays a deprecated 404 per the reference's contract
+            from ..operators.relational import run_events_tail
+
+            name = {
+                "funnel": "funnel_conversion",
+                "retention": "retention_cohorts",
+                "transitions": "event_transition_matrix",
+                "active-users": "rolling_active_users",
+                "segments": "set_ops_user_segments",
+            }[m.group(1)]
+            df = run_events_tail(self._filtered_events(qs), name)
+            return self._send(200, _rows(df))
+
         if path == "/api/v1/optimization/resource-hogs":
             df = catalog.top_resource_consumers(
                 self._filtered_events(qs), limit=self._limit(qs, 10)

@@ -937,6 +937,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+#: events-SQL analytics shapes addressable by name against a live
+#: normalized events DataFrame (the API serving path)
+EVENTS_TAILS: dict[str, str] = {
+    "funnel_conversion": R29_TAIL,
+    "retention_cohorts": R30_TAIL,
+    "event_transition_matrix": R31_TAIL,
+    "set_ops_user_segments": R32_TAIL,
+    "rolling_active_users": R33_TAIL,
+}
+
+
+def run_events_tail(ev: DataFrame, name: str) -> DataFrame:
+    """Run a registered events-SQL analytics shape against an
+    already-normalized events DataFrame — the REST serving path (no
+    parquet re-scan; the server's warm events frame feeds the CTE)."""
+    ev.createOrReplaceTempView("_rel_ev_live")
+    return ev.sparkSession.sql(
+        "WITH ev AS (SELECT * FROM _rel_ev_live),\n"
+        + _render(EVENTS_TAILS[name], _SPARK_SPELL)
+    )
+
+
 def _duck(sql_template: str) -> str:
     return _render(sql_template, _DUCK_SPELL)
 

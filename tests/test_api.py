@@ -103,6 +103,24 @@ def test_analytics_endpoints_and_invariants(api):
         assert c["formatted_savings"].startswith("$")
 
 
+def test_engagement_endpoints(api):
+    """Beyond-reference engagement surface (R29-R33) served from the warm
+    frame; /api/v1/analytics/* stays the deprecated 404."""
+    code, funnel = _get(api, "/api/v1/engagement/funnel")
+    assert code == 200 and [r["step"] for r in funnel] == [1, 2, 3]
+    assert funnel[0]["step_event"] == "view"
+    code, ret = _get(api, "/api/v1/engagement/retention")
+    assert code == 200 and len(ret) >= 1
+    assert all(r["active_users"] <= r["cohort_size"] for r in ret)
+    code, trans = _get(api, "/api/v1/engagement/transitions")
+    assert code == 200 and len(trans) >= 1
+    assert all(0.0 <= r["p"] <= 1.0 for r in trans)
+    code, au = _get(api, "/api/v1/engagement/active-users")
+    assert code == 200 and all(r["dau"] <= r["wau"] for r in au)
+    code, seg = _get(api, "/api/v1/engagement/segments")
+    assert code == 200 and isinstance(seg, list)
+
+
 def test_date_filter_params(api):
     code, all_apps = _get(api, "/api/v1/applications")
     # a start date far in the future filters everything out
