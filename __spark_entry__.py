@@ -73,6 +73,7 @@ _SENTINELS = (
     "set_ops_user_segments",
     "corpus_perplexity_buckets",
     "rolling_active_users",
+    "table_profile_orders",
 )
 
 _ROTATED_RELATIONAL = (

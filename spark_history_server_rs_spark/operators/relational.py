@@ -873,6 +873,56 @@ ORDER BY epoch_day
 """
 
 
+# ==========================================================================
+# R34 — table profiler (per-column statistics, DESCRIBE-on-steroids)
+# ==========================================================================
+# The profiling surface every warehouse engine ships: one row per column
+# with row/null/distinct counts and typed min/max (numeric columns fill
+# min_num/max_num, string columns min_str/max_str, timestamps as epoch
+# millis). One UNION ALL branch per column — each is a single-pass
+# aggregate with map-side partial combine; Spark scans the parquet once
+# per branch with only that column in the read schema (column pruning),
+# which at 100 TB is exactly the per-column scan a profiler wants.
+# ``__STRT__`` is substituted (STRING/VARCHAR) before spell rendering.
+def _profile_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(MIN({col}) AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)"
+        ms = me = "CAST(NULL AS __STRT__)"
+    elif kind == "ts":
+        mn = f"CAST({{EPOCH:MIN({col})}} AS DOUBLE)"
+        mx = f"CAST({{EPOCH:MAX({col})}} AS DOUBLE)"
+        ms = me = "CAST(NULL AS __STRT__)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms = f"MIN({col})"
+        me = f"MAX({col})"
+    return f"""
+SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {me} AS max_str
+FROM orders"""
+
+
+R34_SQL = (
+    "SELECT * FROM ("
+    + "\nUNION ALL".join(
+        _profile_branch(c, k)
+        for c, k in [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ]
+    )
+    + "\n) ORDER BY column_name"
+)
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -934,6 +984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": _events_query(R31_TAIL),
     "set_ops_user_segments": _events_query(R32_TAIL),
     "rolling_active_users": _events_query(R33_TAIL),
+    "table_profile_orders": _tpch_query(R34_SQL.replace("__STRT__", "STRING")),
 }
 
 
@@ -997,4 +1048,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "event_transition_matrix": duckdb_events_cte() + ",\n" + _duck(R31_TAIL),
     "set_ops_user_segments": duckdb_events_cte() + ",\n" + _duck(R32_TAIL),
     "rolling_active_users": duckdb_events_cte() + ",\n" + _duck(R33_TAIL),
+    "table_profile_orders": _duck(R34_SQL.replace("__STRT__", "VARCHAR")),
 }
