@@ -74,6 +74,7 @@ _SENTINELS = (
     "corpus_perplexity_buckets",
     "rolling_active_users",
     "table_profile_orders",
+    "task_percentile_standing",
 )
 
 _ROTATED_RELATIONAL = (

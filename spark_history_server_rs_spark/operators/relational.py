@@ -923,6 +923,35 @@ R34_SQL = (
 )
 
 
+# ==========================================================================
+# R35 — analytic-window showcase (PERCENT_RANK / CUME_DIST / NTILE)
+# ==========================================================================
+# The remaining ranking-window surface, all PARTITIONED by the app key
+# (never a global window): per-task percentile standing among its app's
+# tasks. The (duration_ms, task_id) ordering is total within each
+# partition, so rank-derived values are deterministic in both engines;
+# percent_rank's (rank-1)/(n-1) division is exact-input IEEE and snaps
+# to 4 dp.
+R35_TAIL = """
+ranked AS (
+  -- explicit BIGINT: the binding's FLOOR() yields BIGINT in Spark but
+  -- DOUBLE in DuckDB; aggregated queries re-snap anyway, a raw
+  -- projection must pin the type itself
+  SELECT app_id, task_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+         FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS pct_rank,
+         FLOOR(CUME_DIST() OVER w * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS cume_dist,
+         NTILE(4) OVER w AS quartile
+  FROM ev WHERE is_task
+  WINDOW w AS (PARTITION BY app_id ORDER BY duration_ms, task_id)
+)
+SELECT app_id, task_id, duration_ms, pct_rank, cume_dist, quartile
+FROM ranked
+ORDER BY app_id, duration_ms, task_id
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -985,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_user_segments": _events_query(R32_TAIL),
     "rolling_active_users": _events_query(R33_TAIL),
     "table_profile_orders": _tpch_query(R34_SQL.replace("__STRT__", "STRING")),
+    "task_percentile_standing": _events_query(R35_TAIL),
 }
 
 
@@ -1049,4 +1079,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "set_ops_user_segments": duckdb_events_cte() + ",\n" + _duck(R32_TAIL),
     "rolling_active_users": duckdb_events_cte() + ",\n" + _duck(R33_TAIL),
     "table_profile_orders": _duck(R34_SQL.replace("__STRT__", "VARCHAR")),
+    "task_percentile_standing": duckdb_events_cte() + ",\n" + _duck(R35_TAIL),
 }
