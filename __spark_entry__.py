@@ -46,12 +46,16 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
 # Registration order is therefore a coverage schedule, not cosmetics:
-#   slots 1-10  — sentinels: core-surface regression canaries plus every
-#                 query whose implementation changed this round;
-#   slots 11-50 — this round's rotation: the 40 ops that had no driver row
-#                 in rounds 1-3 (22 relational, 5 corpus, 13 llmprep);
-#   slots 51+   — previously driver-green queries (still pytest-checked by
-#                 tests/test_oracle_parity.py every session).
+#   sentinels   — 4 core-surface regression canaries (kept in-window every
+#                 round per ADVICE.md) plus every query that is new or
+#                 whose implementation changed this round;
+#   then        — never-driver-checked ops, oldest debt first (the 22
+#                 relational shapes and as many corpus/llmprep ops as
+#                 fit);
+#   slots 51+   — previously driver-green queries and the remaining
+#                 corpus/llmprep backlog for next round's rotation (all
+#                 still pytest-checked by tests/test_oracle_parity.py
+#                 every session).
 _SENTINELS = (
     "applications",
     "executor_summary",
