@@ -79,6 +79,7 @@ _SENTINELS = (
     "rolling_active_users",
     "table_profile_orders",
     "task_percentile_standing",
+    "events_daily_gapfill",
 )
 
 _ROTATED_RELATIONAL = (

@@ -46,10 +46,12 @@ from ..sources.generic import duckdb_events_cte, load_events, load_table
 _SPARK_SPELL = {
     "DF": "date_format({x}, 'yyyy-MM-dd')",
     "EPOCH": "unix_millis(CAST({x} AS TIMESTAMP))",
+    "SEQ": "explode(sequence({x}))",
 }
 _DUCK_SPELL = {
     "DF": "strftime({x}, '%Y-%m-%d')",
     "EPOCH": "CAST(epoch_ms({x}) AS BIGINT)",
+    "SEQ": "unnest(generate_series({x}))",
 }
 
 
@@ -952,6 +954,32 @@ ORDER BY app_id, duration_ms, task_id
 """
 
 
+# ==========================================================================
+# R36 — calendar gap-filling (dense time series from sparse observations)
+# ==========================================================================
+# Time-series reporting needs every day present even when nothing
+# happened: generate the full day range from the observed span
+# ({SEQ:} — Spark explode(sequence), DuckDB unnest(generate_series)) and
+# LEFT-join the sparse daily counts, zero-filling the gaps. The span
+# aggregate is a scalar, the generated calendar is #days rows
+# (broadcast), the daily agg is the only fact-table pass — textbook
+# dimension-densification at any scale.
+R36_TAIL = """
+sparse AS (
+  SELECT CAST(FLOOR(CAST({EPOCH:event_ts} AS DOUBLE) / 86400000.0) AS BIGINT)
+           AS day
+  FROM ev WHERE event_type = 'error' AND duration_ms > 19500
+),
+daily AS (SELECT day, COUNT(*) AS n FROM sparse GROUP BY day),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM sparse),
+days AS (SELECT {SEQ:s.d0, s.d1} AS day FROM span s)
+SELECT d.day AS epoch_day, COALESCE(x.n, 0) AS n_events,
+       (x.day IS NULL) AS is_gap
+FROM days d LEFT JOIN daily x ON x.day = d.day
+ORDER BY epoch_day
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -1015,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": _events_query(R33_TAIL),
     "table_profile_orders": _tpch_query(R34_SQL.replace("__STRT__", "STRING")),
     "task_percentile_standing": _events_query(R35_TAIL),
+    "events_daily_gapfill": _events_query(R36_TAIL),
 }
 
 
@@ -1080,4 +1109,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "rolling_active_users": duckdb_events_cte() + ",\n" + _duck(R33_TAIL),
     "table_profile_orders": _duck(R34_SQL.replace("__STRT__", "VARCHAR")),
     "task_percentile_standing": duckdb_events_cte() + ",\n" + _duck(R35_TAIL),
+    "events_daily_gapfill": duckdb_events_cte() + ",\n" + _duck(R36_TAIL),
 }
