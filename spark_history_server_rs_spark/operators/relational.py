@@ -1055,6 +1055,8 @@ EVENTS_TAILS: dict[str, str] = {
     "event_transition_matrix": R31_TAIL,
     "set_ops_user_segments": R32_TAIL,
     "rolling_active_users": R33_TAIL,
+    "task_percentile_standing": R35_TAIL,
+    "events_daily_gapfill": R36_TAIL,
 }
 
 

@@ -120,6 +120,17 @@ def test_random_events_match_oracle(rows, spark, prop_dir):
     ]:
         ok, report = compare(fn(ev), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random rows: {report}"
+
+    # round-6 events-SQL shapes: empty tables (empty funnels/calendars),
+    # single-user streams, duplicate timestamps (transition/LAG
+    # tie-breaks), and all-in-one-week cohorts are the adversarial cases
+    from spark_history_server_rs_spark.operators import relational
+
+    for name in sorted(relational.EVENTS_TAILS):
+        ok, report = compare(
+            relational.run_events_tail(ev, name), con, oracles[name]
+        )
+        assert ok, f"{name} on {len(rows)} random rows: {report}"
     con.close()
 
 
