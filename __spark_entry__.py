@@ -80,6 +80,7 @@ _SENTINELS = (
     "table_profile_orders",
     "task_percentile_standing",
     "events_daily_gapfill",
+    "yoy_revenue_growth",
 )
 
 _ROTATED_RELATIONAL = (

@@ -980,6 +980,34 @@ ORDER BY epoch_day
 """
 
 
+# ==========================================================================
+# R37 — year-over-year revenue growth (time intelligence over TPC-H)
+# ==========================================================================
+# The standard period-over-period comparison: yearly revenue (exact
+# integer cents), previous year via LAG, growth ratio snapped to 4 dp.
+# The unpartitioned LAG window runs over the YEARLY aggregate — a
+# relation bounded by the calendar (single-digit rows at any corpus
+# size), which is the one place a global window is scale-legal.
+R37_SQL = """
+WITH yearly AS (
+  SELECT year(l_shipdate) AS yr,
+         SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5))
+           AS rev_cents
+  FROM lineitem
+  GROUP BY year(l_shipdate)
+)
+SELECT yr,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(LAG(rev_cents) OVER (ORDER BY yr) AS DOUBLE) / 100.0
+         AS prev_revenue,
+       FLOOR((CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY yr) AS DOUBLE)
+              / LAG(rev_cents) OVER (ORDER BY yr)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS yoy_growth
+FROM yearly
+ORDER BY yr
+"""
+
+
 # --------------------------------------------------------------------------
 # wiring
 # --------------------------------------------------------------------------
@@ -1044,6 +1072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile_orders": _tpch_query(R34_SQL.replace("__STRT__", "STRING")),
     "task_percentile_standing": _events_query(R35_TAIL),
     "events_daily_gapfill": _events_query(R36_TAIL),
+    "yoy_revenue_growth": _tpch_query(R37_SQL),
 }
 
 
@@ -1112,4 +1141,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "table_profile_orders": _duck(R34_SQL.replace("__STRT__", "VARCHAR")),
     "task_percentile_standing": duckdb_events_cte() + ",\n" + _duck(R35_TAIL),
     "events_daily_gapfill": duckdb_events_cte() + ",\n" + _duck(R36_TAIL),
+    "yoy_revenue_growth": _duck(R37_SQL),
 }
