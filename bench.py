@@ -166,6 +166,11 @@ def main() -> None:
         "retention_cohorts",
         "event_transition_matrix",
         "set_ops_user_segments",
+        "rolling_active_users",
+        "task_percentile_standing",
+        "events_daily_gapfill",
+        "table_profile_orders",
+        "yoy_revenue_growth",
     ):
         fn2 = relational.QUERIES[name]
         fn2(spark, sf_dir).collect()

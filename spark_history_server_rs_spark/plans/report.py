@@ -41,6 +41,11 @@ SELECTED = [
     ("corpus_dsir_select", "256-bucket model, broadcast weight join, 2-level rank"),
     ("corpus_split_leakage", "shared shingle edges × split labels, 6-cell agg"),
     ("corpus_perplexity_buckets", "unigram LM + two-level tertile rank"),
+    ("rolling_active_users", "offsets-expansion trailing-window distinct"),
+    ("table_profile_orders", "per-column single-pass pruned aggregates"),
+    ("task_percentile_standing", "partitioned PERCENT_RANK/CUME_DIST/NTILE"),
+    ("events_daily_gapfill", "generated calendar LEFT-joined, zero-filled"),
+    ("yoy_revenue_growth", "LAG over the calendar-bounded yearly aggregate"),
 ]
 
 
