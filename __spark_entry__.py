@@ -61,51 +61,43 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # new this round → needs its first driver row
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_prefiltered",
-    "ann_hamming_rerank",
-    # new this round → needs its first driver row
-    "embedding_semantic_dedup",
-    "funnel_conversion",
-    "retention_cohorts",
+    # round-5 re-checks: the four round-4 hash-fail rows (DuckDB HUGEINT
+    # canonicalization — fixed by CAST(SUM(...) AS BIGINT) in the shared
+    # SQL; values were already identical)
     "corpus_dsir_select",
-    "event_transition_matrix",
-    "corpus_split_leakage",
-    "set_ops_user_segments",
     "corpus_perplexity_buckets",
-    "rolling_active_users",
     "table_profile_orders",
-    "task_percentile_standing",
-    "events_daily_gapfill",
-    "yoy_revenue_growth",
+    "tpch_q12_ship_delay",
 )
 
+# The last 21 registry entries with no driver row yet (pytest-green every
+# session; three carried the latent HUGEINT/nullable-int hash bug, fixed
+# this round before their first check).
 _ROTATED_RELATIONAL = (
-    "sessionize_events",
-    "topk_tasks_per_app",
-    "asof_join_task_executor_config",
-    "range_join_live_executors",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_check",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q7_volume_shipping",
-    "cube_order_stats",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_ship_delay",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_price_supplier",
+    "corpus_training_manifest",
+    "corpus_length_histogram",
+    "corpus_bigram_counts",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
+    "corpus_stratified_sample",
+    "corpus_temperature_sample",
+    "corpus_contamination",
+    "text_stem_normalize",
+    "text_pii_scrub",
+    "embedding_dim_stats",
+    "embedding_kmeans_step",
+    "job_parallelism_report",
+    "text_quality_classifier",
+    "dedup_minhash_eval",
+    "ann_knn_graph",
+    "multimodal_phash_groups",
+    "dedup_keep_canonical",
+    "corpus_unigram_logprob",
+    "corpus_global_shuffle",
+    "embedding_power_iteration",
+    # changed this round (single-partition top-k window rewrite) → re-check
+    "corpus_vocabulary",
+    "corpus_tfidf_top_terms",
 )
 
 
@@ -220,27 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
     }
 
-    rotated = _ROTATED_RELATIONAL + (
-        "dedup_clusters",
-        "corpus_hash_split",
-        "corpus_vocabulary",
-        "corpus_tfidf_top_terms",
-        "corpus_oov_rate",
-        "corpus_profile",
-        "corpus_training_manifest",
-        "corpus_length_histogram",
-        "corpus_bigram_counts",
-        "corpus_pack_sequences",
-        "corpus_pack_sequences_sharded",
-        "corpus_stratified_sample",
-        "corpus_temperature_sample",
-        "corpus_contamination",
-        "text_stem_normalize",
-        "text_pii_scrub",
-        "embedding_dim_stats",
-        "embedding_kmeans_step",
-    )
-    window = tuple(dict.fromkeys(_SENTINELS + rotated))
+    window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))
     ordered = {name: all_queries[name] for name in window}
     ordered.update(
         (name, fn) for name, fn in all_queries.items() if name not in ordered

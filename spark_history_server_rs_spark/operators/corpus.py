@@ -346,12 +346,21 @@ stats AS (
          COUNT(*) AS term_count,
          COUNT(DISTINCT doc_id) AS doc_freq
   FROM tok GROUP BY tok
+),
+topk AS (
+  -- top-k FIRST (Spark: distributed TakeOrderedAndProject), THEN rank
+  -- the <=k survivors. Ranking before limiting would single-partition
+  -- the entire distinct-token relation through one ROW_NUMBER window —
+  -- hundreds of millions of rows through one partition at 100 TB.
+  SELECT token, term_count, doc_freq
+  FROM stats
+  ORDER BY term_count DESC, token
+  LIMIT {k}
 )
 SELECT token, term_count, doc_freq,
        ROW_NUMBER() OVER (ORDER BY term_count DESC, token) AS rank
-FROM stats
+FROM topk
 ORDER BY rank
-LIMIT {k}
 """
 
 
@@ -514,7 +523,10 @@ scored AS (
   FROM tok t JOIN counts c ON c.token = t.tok CROSS JOIN total tt
 ),
 per_doc AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll_micro) AS total_nll_micro
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (harness-canonicalized as
+  -- float); Spark yields BIGINT. Pin both engines to BIGINT.
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(nll_micro) AS BIGINT) AS total_nll_micro
   FROM scored GROUP BY doc_id
 )"""
 
@@ -593,8 +605,9 @@ coarse AS (
 ),
 bcounts AS (SELECT cb, COUNT(*) AS c FROM coarse GROUP BY cb),
 boffsets AS (
-  SELECT cb, COALESCE(SUM(c) OVER (ORDER BY cb ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  SELECT cb, CAST(COALESCE(SUM(c) OVER (ORDER BY cb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
   FROM bcounts
 ),
 ranked AS (
@@ -762,7 +775,10 @@ weights AS (
   CROSS JOIN totals tt
 ),
 scored AS (
-  SELECT f.doc_id, COUNT(*) AS n_tokens, SUM(w.lw_micro) AS score_micro
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; pin to BIGINT for the
+  -- cross-engine hash compare.
+  SELECT f.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(w.lw_micro) AS BIGINT) AS score_micro
   FROM feat f JOIN weights w ON f.bucket = w.bucket
   GROUP BY f.doc_id
 ),
@@ -779,9 +795,9 @@ coarse AS (
 ),
 bcounts AS (SELECT cb, COUNT(*) AS c FROM coarse GROUP BY cb),
 boffsets AS (
-  SELECT cb, COALESCE(SUM(c) OVER (ORDER BY cb DESC
+  SELECT cb, CAST(COALESCE(SUM(c) OVER (ORDER BY cb DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS off
+              AS BIGINT) AS off
   FROM bcounts
 ),
 ranked AS (

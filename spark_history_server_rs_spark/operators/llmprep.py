@@ -117,12 +117,20 @@ _BIGRAM_COUNT_TAIL = """
 counts AS (
   SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
   FROM bigrams GROUP BY bigram
+),
+topk AS (
+  -- top-k FIRST (distributed TakeOrderedAndProject), THEN rank the <=k
+  -- survivors — never a ROW_NUMBER window over the full distinct-bigram
+  -- relation (that plan funnels everything through one partition).
+  SELECT bigram, n, doc_freq
+  FROM counts
+  ORDER BY n DESC, bigram
+  LIMIT {k}
 )
 SELECT bigram, n, doc_freq,
        ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank
-FROM counts
+FROM topk
 ORDER BY rank
-LIMIT {k}
 """
 
 _BIGRAM_TAIL = (
@@ -366,7 +374,10 @@ _TEMP_W = "FLOOR(SQRT(CAST(src_chars AS DOUBLE)) * 1000000.0 + 0.5)"
 
 _TEMP_SAMPLE_TAIL = """
 counts AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS src_chars
+  -- CAST: DuckDB SUM(int) yields HUGEINT (harness-canonicalized as
+  -- float); Spark yields BIGINT. Pin both engines to BIGINT.
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS src_chars
   FROM {src} GROUP BY source
 ),
 weighted AS (
@@ -386,7 +397,8 @@ rated AS (
   FROM weighted
 ),
 sampled AS (
-  SELECT d.source, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+  SELECT d.source, COUNT(*) AS n_sampled,
+         CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
   FROM {src} d JOIN rated r ON d.source = r.source
   WHERE {u4} < r.sample_rate
   GROUP BY d.source
@@ -877,6 +889,14 @@ def training_manifest(docs: DataFrame) -> DataFrame:
             ).when(F.col("quality_bucket") == "Low", "low_quality"),
         )
         .withColumn("keep", F.col("drop_reason").isNull())
+        # -1 sentinel instead of NULL for "not in any near-dup cluster":
+        # a NULL-bearing bigint column turns float64 under pandas, which
+        # breaks the cross-engine value hash (and is a footgun for any
+        # downstream consumer reading the manifest into pandas).
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.lit(-1).cast("bigint")),
+        )
         .select(
             "doc_id",
             "lang",
@@ -927,7 +947,8 @@ assigned AS (
               ELSE 'test' END AS split
   FROM documents
 )
-SELECT a.doc_id, a.lang, a.split, q.quality_score, c.cluster_id,
+SELECT a.doc_id, a.lang, a.split, q.quality_score,
+       COALESCE(c.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id,
        (CASE WHEN c.cluster_id IS NOT NULL AND a.doc_id <> c.cluster_id
                THEN 'duplicate'
              WHEN q.quality_score < 0.5 THEN 'low_quality' END) IS NULL AS keep,

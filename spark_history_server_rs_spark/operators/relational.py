@@ -529,10 +529,12 @@ LIMIT 20
 R20_SQL = """
 SELECT CASE WHEN {EPOCH:l.l_shipdate} - {EPOCH:o.o_orderdate} <= 2592000000
             THEN 'fast_ship' ELSE 'slow_ship' END AS ship_bucket,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count,
+       -- CAST: DuckDB SUM(int) yields HUGEINT (canonicalized as float by the
+       -- harness); Spark yields BIGINT. Pin both engines to BIGINT.
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
        COUNT(*) AS n_lines
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -901,7 +903,7 @@ def _profile_branch(col: str, kind: str) -> str:
         me = f"MAX({col})"
     return f"""
 SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {col}) AS n_distinct,
        {mn} AS min_num, {mx} AS max_num,
        {ms} AS min_str, {me} AS max_str

@@ -87,6 +87,46 @@ def has_python_worker(df: DataFrame) -> bool:
     )
 
 
+def single_partition_windows(df: DataFrame) -> int:
+    """Number of Window operators fed by an ``Exchange SinglePartition``
+    — i.e. unpartitioned window functions, which funnel their whole input
+    relation through ONE task. Over an unbounded (fact-sized) relation
+    that is the canonical 100 TB scale-killer; over a provably tiny
+    derived relation (bucket counts, yearly rollups) it is fine. Tests
+    allowlist the sanctioned sites by query name so the class cannot
+    silently reappear."""
+    text = executed_plan(df)
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    lines = text.splitlines()
+    n = 0
+    # Walk each Window's direct input spine: through the operators Spark
+    # plans between a window and its partitioning exchange (Sort, group
+    # limit, trivial projections). The first other node decides: an
+    # Exchange SinglePartition there IS the window's distribution; any
+    # other node (join, aggregate, another exchange) means the window is
+    # partitioned and deeper single-partition exchanges belong to
+    # subtrees (e.g. a scalar-aggregate broadcast branch), not to it.
+    passthrough = ("Sort ", "WindowGroupLimit", "Project", "Filter")
+    for i, line in enumerate(lines):
+        body = line.lstrip(" :+-*(1234567890) ")
+        if not (body.startswith("Window") or body.startswith("RunningWindow")):
+            continue
+        d = depth(line)
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or depth(nxt) <= d:
+                break
+            nb = nxt.lstrip(" :+-*(1234567890) ")
+            if nb.startswith(passthrough):
+                continue
+            if nb.startswith("Exchange SinglePartition"):
+                n += 1
+            break
+    return n
+
+
 def codegen_stage_count(df: DataFrame, run: bool = True) -> int:
     """Number of whole-stage-codegen spans (wider is better — more of the
     plan runs as generated JVM code). Under AQE the codegen decision lands

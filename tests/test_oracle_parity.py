@@ -40,6 +40,28 @@ def test_registered_queries_emit_scalar_columns_only(spark):
     assert offenders == []
 
 
+def test_no_float_canonicalization_of_integral_columns(spark, oracle):
+    """The driver fetches DuckDB results via pandas, where HUGEINT (any
+    uncast SUM over integers) and NULL-bearing integer columns become
+    float64 while Spark emits bigint — identical values, different hash
+    (the round-4 red cluster). Replicate the pandas path and pin: every
+    column Spark types as integral/boolean must come back integral from
+    DuckDB too. Fix sites by CAST(SUM(...) AS BIGINT) in the shared SQL
+    and COALESCE-sentinels for nullable int outputs."""
+    integral = ("int", "bigint", "smallint", "tinyint", "boolean")
+    offenders = []
+    for name, sql in ORACLES.items():
+        ddf = oracle.execute(sql).fetchdf()
+        stypes = {
+            f.name: f.dataType.simpleString()
+            for f in QUERIES[name](spark, SF_ORACLE).schema.fields
+        }
+        for col, dtype in ddf.dtypes.items():
+            if str(dtype).startswith("float") and stypes.get(col) in integral:
+                offenders.append((name, col, stypes[col], str(dtype)))
+    assert offenders == []
+
+
 def test_driver_window_composition():
     """The driver's harness checks only the first 50 registrations; pin the
     window so rotation stays deliberate: sentinels first, then the round-4

@@ -542,3 +542,35 @@ def test_cross_app_summary_no_expand(spark, ev):
     plan = I.explain_str(df, "simple")
     assert "Expand" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    """The 100 TB scale-killer class from round 4 (VERDICT.md "What's
+    wrong" #2): an unpartitioned ranking window funnels its entire input
+    relation through ONE task. corpus_vocabulary / corpus_bigram_counts
+    did this over the full distinct-token relation — fixed by taking
+    top-k first (distributed TakeOrderedAndProject) and ranking the <=k
+    survivors. Gate the whole registry so the class cannot reappear:
+    every Window fed by an Exchange SinglePartition must be on the
+    explicit allowlist of provably tiny derived relations."""
+    import __spark_entry__ as entrymod
+    from spark_history_server_rs_spark.plans import inspect as I
+
+    # query -> (allowed count, why the windowed relation is bounded)
+    sanctioned = {
+        # running bucket-offset SUM over the coarse-bucket COUNT relation:
+        # cardinality = score range in 0.1-nat steps, independent of docs
+        "corpus_dsir_select": 1,
+        "corpus_perplexity_buckets": 1,
+        # SUM() OVER () over the per-source counts relation: one row per
+        # distinct `source` value
+        "corpus_temperature_sample": 2,
+        # LAG over the yearly revenue rollup: one row per calendar year
+        "yoy_revenue_growth": 1,
+    }
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        n = I.single_partition_windows(fn(spark, SF_ORACLE))
+        if n > sanctioned.get(name, 0):
+            offenders[name] = n
+    assert offenders == {}
