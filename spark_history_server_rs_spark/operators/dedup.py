@@ -48,6 +48,17 @@ COSINE_DUP_THRESHOLD = 0.4  # matched to the synthetic embeddings' similarity ra
 _TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
 _TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+#: Registry metadata: queries kept ONLY as exact oracle baselines for
+#: their scale-safe siblings. They are worst-case quadratic (uncapped
+#: inverted-index join / all-pairs cosine) and must not be the op a
+#: catalog user reaches for first — the value is the sibling name to use
+#: instead at scale. tests/test_oracle_parity.py enforces that every
+#: baseline's sibling is registered.
+BASELINE_ONLY: dict[str, str] = {
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine": "dedup_embedding_cosine_prefiltered",
+}
+
 # The distinct (doc_id, shingle) set. Spark builds it SHUFFLE-FREE: word
 # k-grams via slice() over the token array inside one projection (no
 # posexplode→window ordering exchange), de-duplicated per doc with

@@ -1094,12 +1094,27 @@ EVENTS_TAILS: dict[str, str] = {
 def run_events_tail(ev: DataFrame, name: str) -> DataFrame:
     """Run a registered events-SQL analytics shape against an
     already-normalized events DataFrame — the REST serving path (no
-    parquet re-scan; the server's warm events frame feeds the CTE)."""
-    ev.createOrReplaceTempView("_rel_ev_live")
-    return ev.sparkSession.sql(
-        "WITH ev AS (SELECT * FROM _rel_ev_live),\n"
-        + _render(EVENTS_TAILS[name], _SPARK_SPELL)
-    )
+    parquet re-scan; the server's warm events frame feeds the CTE).
+
+    The temp view is per-call unique and dropped before returning: the
+    server handles requests on a ThreadingHTTPServer over ONE shared
+    SparkSession, so a fixed view name would race between two
+    concurrent requests with different date/app filters — one request
+    silently serving rows computed from the other's filtered frame.
+    Dropping immediately is safe: ``spark.sql`` inlines the view's plan
+    at analysis time, so the returned DataFrame no longer references
+    the catalog entry."""
+    import uuid
+
+    view = f"_rel_ev_live_{uuid.uuid4().hex}"
+    ev.createOrReplaceTempView(view)
+    try:
+        return ev.sparkSession.sql(
+            f"WITH ev AS (SELECT * FROM {view}),\n"
+            + _render(EVENTS_TAILS[name], _SPARK_SPELL)
+        )
+    finally:
+        ev.sparkSession.catalog.dropTempView(view)
 
 
 def _duck(sql_template: str) -> str:

@@ -598,7 +598,16 @@ def _sink_partition_stats(
 ) -> dict[tuple[str, str], tuple[int, int]]:
     """(event_date, ingest_src) → (file_count, total_bytes) for the
     incremental sink layout, via one recursive Hadoop-FS listing (works
-    for file://, hdfs://, s3a:// alike — same path as :func:`_list_files`)."""
+    for file://, hdfs://, s3a:// alike — same path as :func:`_list_files`).
+
+    Partition values are Hive-UNESCAPED (``%3A`` → ``:`` etc.): Spark
+    percent-escapes special characters (space, ':', '%', ...) when it
+    writes partition directories, while the DataFrame's decoded
+    partition columns carry the raw values. Comparing raw directory
+    names against column values would make any ingest_src containing an
+    escaped character match zero rows — the partition would be
+    re-selected by every compaction run yet never rewritten."""
+    from urllib.parse import unquote
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs_path = jvm.org.apache.hadoop.fs.Path(sink_dir)
@@ -615,9 +624,9 @@ def _sink_partition_stats(
         date = src = None
         for seg in parts:
             if seg.startswith("event_date="):
-                date = seg.split("=", 1)[1]
+                date = unquote(seg.split("=", 1)[1])
             elif seg.startswith("ingest_src="):
-                src = seg.split("=", 1)[1]
+                src = unquote(seg.split("=", 1)[1])
         if date is None or src is None:
             continue
         n, b = stats.get((date, src), (0, 0))
@@ -656,6 +665,16 @@ def compact_sink_inplace(
     its target count and returns an empty plan. Returns the compaction
     plan as dicts: (event_date, ingest_src, files_before, bytes,
     files_target).
+
+    .. warning:: **Durability window.** Read safety is guaranteed (the
+       shuffle barrier materializes the scan before any commit), but the
+       dynamic-partition-overwrite COMMIT is not atomic: a crash between
+       partition-directory deletion and staged-file promotion loses the
+       only copy of the selected partitions. Run this only on closed
+       dates with the sink backed up or re-derivable from raw event
+       logs (the usual case — re-ingest regenerates it); for sinks
+       without a backing source, prefer :func:`compact_sink`, which
+       writes to a temp location and swaps.
     """
     target_bytes = target_file_mb * 1024 * 1024
     stats = _sink_partition_stats(spark, sink_dir)

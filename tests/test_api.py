@@ -121,6 +121,39 @@ def test_engagement_endpoints(api):
     assert code == 200 and isinstance(seg, list)
 
 
+def test_events_tail_isolated_between_concurrent_filters(spark):
+    """run_events_tail serves ThreadingHTTPServer requests off ONE shared
+    SparkSession; a fixed temp-view name raced between two concurrent
+    requests with different filters (one request silently computing over
+    the other's filtered frame). Pin the fix: per-call unique views,
+    dropped before return, and two frames built back-to-back keep their
+    own filters."""
+    from spark_history_server_rs_spark.operators.relational import (
+        run_events_tail,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_events
+    from tests.conftest import SF_ORACLE
+
+    ev = load_events(spark, SF_ORACLE)
+    one_app = ev.filter(
+        ev.app_id == ev.select("app_id").first()["app_id"]
+    )
+    # build both DataFrames BEFORE collecting either — with a shared
+    # view name the second register would clobber the first's relation
+    df_all = run_events_tail(ev, "rolling_active_users")
+    df_one = run_events_tail(one_app, "rolling_active_users")
+    all_dau = {(r["epoch_day"], r["dau"]) for r in df_all.collect()}
+    one_dau = {(r["epoch_day"], r["dau"]) for r in df_one.collect()}
+    assert one_dau != all_dau  # the single-app frame kept its filter
+    # no view leaks into the shared catalog
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("_rel_ev_live")
+    ]
+    assert leaked == []
+
+
 def test_date_filter_params(api):
     code, all_apps = _get(api, "/api/v1/applications")
     # a start date far in the future filters everything out

@@ -176,6 +176,46 @@ def test_compact_sink_inplace(spark, log_dir, tmp_path):
     assert compact_sink_inplace(spark, sink, target_file_mb=512) == []
 
 
+def test_compact_sink_inplace_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark percent-escapes in directory names (':' in
+    a URI-ish ingest_src) must still compact: _sink_partition_stats has
+    to Hive-unescape the directory segments before joining them against
+    the DataFrame's decoded partition columns, or the partition matches
+    zero rows — never rewritten, yet re-selected on every run."""
+    from pyspark.sql import functions as F
+
+    from spark_history_server_rs_spark.sources.event_logs import (
+        _sink_partition_stats,
+        compact_sink_inplace,
+    )
+
+    sink = str(tmp_path / "sink")
+    src = "hdfs://nn:8020 app.log"  # ':' and ' ' both get escaped
+    df = spark.createDataFrame(
+        [(i, "2024-01-01", src) for i in range(20)],
+        "id bigint, event_date string, ingest_src string",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    for _ in range(3):
+        df.write.partitionBy("event_date", "ingest_src").mode("append").parquet(
+            sink
+        )
+
+    before = _sink_partition_stats(spark, sink)
+    assert list(before) == [("2024-01-01", src)]  # decoded, not %3A/%20
+    assert before[("2024-01-01", src)][0] >= 3
+
+    plan = compact_sink_inplace(spark, sink, target_file_mb=512)
+    assert [(p["event_date"], p["ingest_src"]) for p in plan] == [
+        ("2024-01-01", src)
+    ]
+    after = _sink_partition_stats(spark, sink)
+    assert after[("2024-01-01", src)][0] == 1
+    assert spark.read.parquet(sink).count() == 60  # 3 appends × 20 rows
+    # idempotent — and in the buggy version this second run would
+    # re-select the never-rewritten partition forever
+    assert compact_sink_inplace(spark, sink, target_file_mb=512) == []
+
+
 def test_incremental_ingest_no_duplicates(spark, tmp_path):
     base = tmp_path / "logs"
     base.mkdir()

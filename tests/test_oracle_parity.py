@@ -40,6 +40,18 @@ def test_registered_queries_emit_scalar_columns_only(spark):
     assert offenders == []
 
 
+def test_baseline_only_ops_have_registered_scale_siblings():
+    """The two worst-case-quadratic ops (uncapped shingle Jaccard,
+    all-pairs cosine) stay registered as exact oracle baselines, but a
+    catalog user must find the scale-safe sibling next to each — pin
+    the tag map to the registry."""
+    from spark_history_server_rs_spark.operators.dedup import BASELINE_ONLY
+
+    for baseline, sibling in BASELINE_ONLY.items():
+        assert baseline in QUERIES, baseline
+        assert sibling in QUERIES, sibling
+
+
 def test_no_float_canonicalization_of_integral_columns(spark, oracle):
     """The driver fetches DuckDB results via pandas, where HUGEINT (any
     uncast SUM over integers) and NULL-bearing integer columns become
