@@ -98,6 +98,8 @@ _ROTATED_RELATIONAL = (
     # changed this round (single-partition top-k window rewrite) → re-check
     "corpus_vocabulary",
     "corpus_tfidf_top_terms",
+    # changed this round (empty-doc division guards) → re-check
+    "text_quality",
 )
 
 

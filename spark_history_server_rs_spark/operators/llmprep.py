@@ -388,12 +388,19 @@ weighted AS (
   FROM counts
 ),
 rated AS (
+  -- a source whose documents are all empty (src_chars = 0, hence w = 0
+  -- and possibly tot_w = 0 corpus-wide) carries no character mass to
+  -- sample: rate 0. Guarded explicitly — Spark runs ANSI mode where the
+  -- raw division throws DIVIDE_BY_ZERO (found by the adversarial
+  -- property corpus, not the fixed sf tables).
   SELECT source, n_docs, src_chars,
+         CASE WHEN tot_w = 0 OR src_chars = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE
          LEAST(CAST(1.0 AS DOUBLE),
                FLOOR(((CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))
                       * CAST(FLOOR(CAST(total_chars AS DOUBLE) * CAST({frac} AS DOUBLE) + 0.5) AS DOUBLE)
                       / CAST(src_chars AS DOUBLE)) * 1000000.0 + 0.5)
-               / CAST(1000000.0 AS DOUBLE)) AS sample_rate
+               / CAST(1000000.0 AS DOUBLE)) END AS sample_rate
   FROM weighted
 ),
 sampled AS (
@@ -930,13 +937,15 @@ qbase AS (
          len({_TOKENS_DUCK}) AS n_tokens,
          len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
          len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
+         CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
          FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio
+                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS punct_ratio
   FROM documents
 ),
 qratio AS (
-  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
-              / CAST(10000.0 AS DOUBLE) AS stop_ratio
+  SELECT *, CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+              / CAST(10000.0 AS DOUBLE) END AS stop_ratio
   FROM qbase
 ),
 qscored AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qratio),

@@ -155,9 +155,13 @@ ORACLE_LANGUAGE_ID = _oracle_language_id()
 #: Every division goes through CAST(.. AS DOUBLE): DuckDB would otherwise
 #: run int/decimal arithmetic in exact DECIMAL (Spark uses doubles) and the
 #: two engines disagree in the 4th decimal at rounding boundaries.
+#: zero-token docs score diversity 0 (no tokens, no lexical variety) —
+#: guarded because Spark's ANSI mode throws DIVIDE_BY_ZERO on the raw
+#: division (adversarial property corpora hit this; sf tables don't).
 _QUALITY_EXPR = """
 FLOOR((0.35 * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)
-     + 0.35 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+     + 0.35 * (CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(n_distinct_tokens AS DOUBLE) / n_tokens END)
      + 0.15 * (1.0 - punct_ratio)
      + 0.15 * LEAST(CAST(1.0 AS DOUBLE), stop_ratio * 5.0)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
 """
@@ -174,11 +178,13 @@ def text_quality(docs: DataFrame) -> DataFrame:
         f"size({_TOKENS_SPARK}) AS n_tokens",
         f"size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens",
         f"size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits",
+        "CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
         "FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
-        " / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio",
+        " / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS punct_ratio",
     ).selectExpr(
         "*",
-        "FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS stop_ratio",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS stop_ratio",
     )
     return (
         base.selectExpr("*", f"{_QUALITY_EXPR} AS quality_score")
@@ -200,12 +206,14 @@ WITH base AS (
          len({_TOKENS_DUCK}) AS n_tokens,
          len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
          len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
+         CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
          FLOOR((CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS punct_ratio
+                / length(text)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS punct_ratio
   FROM documents
 ),
 ratio AS (
-  SELECT *, FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS stop_ratio
+  SELECT *, CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS stop_ratio
   FROM base
 ),
 scored AS (
@@ -434,9 +442,11 @@ _QC_TAIL = f"""
 feats AS (
   SELECT doc_id, n_tokens,
          {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)")} AS len_score,
-         {_R4.format(x="CAST(n_distinct_tokens AS DOUBLE) / n_tokens")} AS diversity,
+         CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x="CAST(n_distinct_tokens AS DOUBLE) / n_tokens")} END AS diversity,
          punct_ratio,
-         {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0)")} AS stop5
+         CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0)")} END AS stop5
   FROM base
 ),
 scored AS (
@@ -471,8 +481,9 @@ base AS (
          size({_TOKENS_SPARK}) AS n_tokens,
          size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens,
          size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits,
-         {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
-                        " / length(text)"))} AS punct_ratio
+         CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
+                        " / length(text)"))} END AS punct_ratio
   FROM _text_docs
 )"""
     return docs.sparkSession.sql("WITH " + base + "," + _QC_TAIL)
@@ -486,8 +497,9 @@ base AS (
          len({_TOKENS_DUCK}) AS n_tokens,
          len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
          len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
-         {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
-                        " / length(text)"))} AS punct_ratio
+         CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
+                        " / length(text)"))} END AS punct_ratio
   FROM documents
 )"""
     return "WITH " + base + "," + _QC_TAIL

@@ -143,24 +143,41 @@ _ASCII_TOKEN = st.text(
     max_size=8,
 )
 
+# non-ASCII shapes where byte-level vs codepoint-level engine semantics
+# could diverge: multibyte UTF-8 (umlauts, CJK, emoji), combining marks
+_UNICODE_TOKEN = st.text(
+    alphabet="äöüßéñ日本語中文🙂✓Ωπ́abc",
+    min_size=1,
+    max_size=6,
+)
+
 
 @st.composite
 def document_rows(draw):
     n = draw(st.integers(min_value=0, max_value=25))
     rows = []
+    # with probability ~1/4 the whole corpus is ONE repeated document —
+    # the all-identical shape where every pair is a dup and tie-breaks
+    # decide everything
+    identical = n > 0 and draw(st.integers(0, 3)) == 0
+    token = st.one_of(_ASCII_TOKEN, _UNICODE_TOKEN)
     for i in range(n):
         # degenerate shapes on purpose: empty text, runs of spaces,
         # duplicate docs, single-token docs, punctuation-only tokens
-        n_toks = draw(st.integers(0, 12))
-        toks = [draw(_ASCII_TOKEN) for _ in range(n_toks)]
-        sep = draw(st.sampled_from([" ", "  ", "   "]))
+        if identical and rows:
+            text = rows[0]["text"]
+        else:
+            n_toks = draw(st.integers(0, 12))
+            toks = [draw(token) for _ in range(n_toks)]
+            sep = draw(st.sampled_from([" ", "  ", "   "]))
+            text = sep.join(toks)
         rows.append(
             {
                 "doc_id": i,
-                "text": sep.join(toks),
+                "text": text,
                 "lang": draw(st.sampled_from(["en", "de", "zh"])),
-                "source": "prop",
-                "n_chars": 0,
+                "source": draw(st.sampled_from(["web", "books", "code"])),
+                "n_chars": len(text),
             }
         )
     return rows
@@ -232,6 +249,56 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         (corpus.dsir_select, "corpus_dsir_select"),
         (corpus.perplexity_buckets, "corpus_perplexity_buckets"),
         (corpus.split_leakage, "corpus_split_leakage"),
+    ]:
+        ok, report = compare(fn(docs), con, oracles[name])
+        assert ok, f"{name} on {len(rows)} random docs: {report}"
+    con.close()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=document_rows())
+def test_random_documents_rank_vocab_manifest_match_oracle(
+    rows, spark, prop_docs_dir
+):
+    """Round-5 extension: the hand-built integer-arithmetic surface —
+    two-level bucket ranks, micro-nat LM sums, sqrt-weight temperature
+    rates, the end-to-end keep/drop manifest — under adversarial corpora
+    (empty, one-token, ALL-identical, unicode). This is where a wrong
+    answer would hide: the fixed sf tables never produce an empty
+    vocabulary, a zero-weight source, or a corpus where every doc ties."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import (
+        corpus,
+        dedup,
+        llmprep,
+        textprep,
+    )
+
+    _write_documents(prop_docs_dir, rows)
+    docs = spark.read.parquet(f"{prop_docs_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{prop_docs_dir}/documents.parquet')"
+    )
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    dedup.clear_materialized_caches()
+    for fn, name in [
+        (corpus.vocabulary, "corpus_vocabulary"),
+        (corpus.tfidf_top_terms, "corpus_tfidf_top_terms"),
+        (corpus.oov_rate, "corpus_oov_rate"),
+        (corpus.unigram_logprob, "corpus_unigram_logprob"),
+        (corpus.hash_split, "corpus_hash_split"),
+        (llmprep.temperature_sample, "corpus_temperature_sample"),
+        (llmprep.training_manifest, "corpus_training_manifest"),
+        (textprep.text_quality, "text_quality"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
