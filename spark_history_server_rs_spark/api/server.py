@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import re
 from datetime import datetime, timezone
+from html import escape as html_escape
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -278,6 +279,60 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             names[r["app_id"]] = r["app_name"]
         return att_map, names
 
+    def _dashboard_payload(self) -> dict:
+        """The optimize view's data fold (dashboard.rs:55-159 pulls the
+        same four analytics calls before rendering): host-side fold over
+        the collected (≤ limit) rows — shared by the JSON summary
+        endpoint and the server-rendered HTML view."""
+        ev = self.server.events  # type: ignore[attr-defined]
+        hogs = [
+            _wire_resource_hog(r)
+            for r in _rows(catalog.top_resource_consumers(ev, limit=20))
+        ]
+        eff = [
+            _wire_efficiency(r)
+            for r in _rows(catalog.efficiency_analysis(ev, limit=20))
+        ]
+        trends = [
+            _wire_capacity(r) for r in _rows(catalog.capacity_trends(ev, limit=30))
+        ]
+        cost = [
+            _wire_cost(r) for r in _rows(catalog.cost_optimization(ev, limit=20))
+        ]
+        total_savings = round(sum(r["potential_cost_savings"] for r in eff), 6)
+        # the reference's SummaryStats fold (dashboard.rs:100-131),
+        # generalized from its single cost struct to the full list
+        # (its hardcoded apps_needing_optimization=1 / 0-or-1
+        # high-confidence counter become real counts here)
+        monthly = sum(
+            max(0.0, c["current_cost"] - c["optimized_cost"]) for c in cost
+        )
+        return {
+            "resource_hogs": hogs,
+            "efficiency": eff,
+            "capacity_trends": trends,
+            "cost_optimization": cost,
+            "summary": {
+                "n_hogs": len(hogs),
+                "n_analyzed": len(eff),
+                "n_trend_days": len(trends),
+                "n_cost_opportunities": len(cost),
+                "total_potential_savings": total_savings,
+                "total_resource_hogs": len(hogs),
+                "over_provisioned_apps": sum(
+                    r["efficiency_category"] == "OverProvisioned" for r in eff
+                ),
+                "under_provisioned_apps": sum(
+                    r["efficiency_category"] == "UnderProvisioned" for r in eff
+                ),
+                "potential_monthly_savings": f"${monthly:.2f}",
+                "apps_needing_optimization": len(cost),
+                "high_confidence_optimizations": sum(
+                    c["confidence_score"] > 80.0 for c in cost
+                ),
+            },
+        }
+
     def _limit(self, qs: dict, default: int) -> int:
         raw = qs.get("limit", [default])[0]
         try:
@@ -441,10 +496,14 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send(200, [_wire_cost(r) for r in _rows(df)])
 
         if path in ("/", "/optimize", "/dashboard"):
-            # dashboard render (reference dashboard.rs:47-51 routes "/" and
-            # "/optimize" to the same view; Askama HTML there, a static
-            # shell pulling the JSON summary here)
-            return self._send_html(_DASHBOARD_HTML)
+            # dashboard render (reference dashboard.rs:47-51 routes "/"
+            # and "/optimize" to the same view): server-side HTML like
+            # the reference's Askama template — summary-card row, then
+            # the four analytics sections, every value HTML-escaped
+            # (Askama's auto-escape equivalent)
+            return self._send_html(
+                _render_optimize_html(self._dashboard_payload())
+            )
         if path == "/resources":
             # analytics view retired → meta-refresh redirect to /optimize
             # (reference dashboard.rs:161-187)
@@ -454,65 +513,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send_html(_TEAMS_HTML)
 
         if path == "/api/v1/dashboard/summary":
-            # the dashboard's data fold (dashboard.rs:55-159 pulls the same
-            # four analytics calls before rendering): host-side fold over
-            # the collected (≤ limit) rows
-            hogs = [
-                _wire_resource_hog(r)
-                for r in _rows(catalog.top_resource_consumers(ev, limit=20))
-            ]
-            eff = [
-                _wire_efficiency(r)
-                for r in _rows(catalog.efficiency_analysis(ev, limit=20))
-            ]
-            trends = [
-                _wire_capacity(r)
-                for r in _rows(catalog.capacity_trends(ev, limit=30))
-            ]
-            cost = [
-                _wire_cost(r)
-                for r in _rows(catalog.cost_optimization(ev, limit=20))
-            ]
-            total_savings = round(
-                sum(r["potential_cost_savings"] for r in eff), 6
-            )
-            # the reference's SummaryStats fold (dashboard.rs:100-131),
-            # generalized from its single cost struct to the full list
-            # (its hardcoded apps_needing_optimization=1 / 0-or-1
-            # high-confidence counter become real counts here)
-            monthly = sum(
-                max(0.0, c["current_cost"] - c["optimized_cost"]) for c in cost
-            )
-            return self._send(
-                200,
-                {
-                    "resource_hogs": hogs,
-                    "efficiency": eff,
-                    "capacity_trends": trends,
-                    "cost_optimization": cost,
-                    "summary": {
-                        "n_hogs": len(hogs),
-                        "n_analyzed": len(eff),
-                        "n_trend_days": len(trends),
-                        "n_cost_opportunities": len(cost),
-                        "total_potential_savings": total_savings,
-                        "total_resource_hogs": len(hogs),
-                        "over_provisioned_apps": sum(
-                            r["efficiency_category"] == "OverProvisioned"
-                            for r in eff
-                        ),
-                        "under_provisioned_apps": sum(
-                            r["efficiency_category"] == "UnderProvisioned"
-                            for r in eff
-                        ),
-                        "potential_monthly_savings": f"${monthly:.2f}",
-                        "apps_needing_optimization": len(cost),
-                        "high_confidence_optimizations": sum(
-                            c["confidence_score"] > 80.0 for c in cost
-                        ),
-                    },
-                },
-            )
+            return self._send(200, self._dashboard_payload())
 
         self._send(404, {"error": "not found"})
 
@@ -551,11 +552,12 @@ def serve(
 #: The optimize view: same sections as the reference's Askama template
 #: (templates/platform_engineering_optimize.html — summary-card row,
 #: TOP Resource Consumers, Application Efficiency Analysis, Cost
-#: Optimization Opportunities, Capacity Trends), rendered client-side
-#: from the summary JSON instead of server-side (allowed by SURVEY §3.3).
-_DASHBOARD_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>Spark Platform — Optimization</title>
-<style>
+#: Optimization Opportunities, Capacity Trends), rendered SERVER-SIDE
+#: like the reference (dashboard.rs:47-53 renders Askama templates, not
+#: a JS shell). Every value passes through html.escape — the Askama
+#: auto-escape equivalent; row values derive from untrusted event-log
+#: content (app ids, file names).
+_OPTIMIZE_STYLE = """
  body{font-family:system-ui,sans-serif;margin:2rem;max-width:76rem}
  table{border-collapse:collapse;width:100%;margin:1rem 0}
  th,td{border:1px solid #ccc;padding:.35rem .6rem;text-align:left;font-size:.9rem}
@@ -568,69 +570,68 @@ _DASHBOARD_HTML = """<!doctype html>
  .card.danger{border-left-color:#dc2626}.card.warning{border-left-color:#d97706}
  .card.success{border-left-color:#16a34a}
  nav a{margin-right:1rem}
-</style></head><body>
+"""
+
+
+def _html_table(rows: list[dict]) -> str:
+    if not rows:
+        return "<p>no data</p>"
+    cols = list(rows[0].keys())
+    head = "".join(f"<th>{html_escape(str(c))}</th>" for c in cols)
+    body = "".join(
+        "<tr>"
+        + "".join(f"<td>{html_escape(str(r.get(c)))}</td>" for c in cols)
+        + "</tr>"
+        for r in rows
+    )
+    return f"<table><tr>{head}</tr>{body}</table>"
+
+
+def _html_card(label: str, value, cls: str = "") -> str:
+    klass = f"card {cls}".strip()
+    return (
+        f'<div class="{klass}"><div class="v">{html_escape(str(value))}</div>'
+        f'<div class="l">{html_escape(label)}</div></div>'
+    )
+
+
+def _render_optimize_html(d: dict) -> str:
+    s = d["summary"]
+    cards = "".join(
+        (
+            _html_card("Resource hogs", s["total_resource_hogs"], "danger"),
+            _html_card(
+                "Over-provisioned apps", s["over_provisioned_apps"], "warning"
+            ),
+            _html_card("Under-provisioned apps", s["under_provisioned_apps"]),
+            _html_card(
+                "Potential monthly savings",
+                s["potential_monthly_savings"],
+                "success",
+            ),
+            _html_card(
+                "Apps needing optimization", s["apps_needing_optimization"]
+            ),
+            _html_card(
+                "High-confidence optimizations",
+                s["high_confidence_optimizations"],
+            ),
+        )
+    )
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>Spark Platform — Optimization</title>
+<style>{_OPTIMIZE_STYLE}</style></head><body>
 <h1>Spark Platform — resource optimization</h1>
 <nav><a href="/optimize">Optimize</a><a href="/resources">Resources</a>
 <a href="/teams">Teams</a></nav>
-<div class="cards" id="cards"></div>
-<h2>TOP resource consumers</h2><table id="hogs"></table>
-<h2>Application efficiency analysis</h2><table id="eff"></table>
-<h2>Cost optimization opportunities</h2><table id="cost"></table>
-<h2>Capacity trends</h2><table id="trends"></table>
-<script>
-// Cells are built via createElement/textContent — row values derive from
-// untrusted event-log content (app ids, file names), so nothing from the
-// JSON is ever interpolated into markup (the reference gets the same
-// guarantee from Askama's auto-escaping).
-function fill(id, rows){
-  const t = document.getElementById(id);
-  if(!rows.length){
-    const p = document.createElement("p");
-    p.textContent = "no data";
-    t.replaceWith(p);
-    return;
-  }
-  const cols = Object.keys(rows[0]);
-  const head = document.createElement("tr");
-  for(const c of cols){
-    const th = document.createElement("th");
-    th.textContent = c;
-    head.appendChild(th);
-  }
-  t.appendChild(head);
-  for(const r of rows){
-    const tr = document.createElement("tr");
-    for(const c of cols){
-      const td = document.createElement("td");
-      td.textContent = String(r[c]);
-      tr.appendChild(td);
-    }
-    t.appendChild(tr);
-  }
-}
-function card(label, value, cls){
-  const d = document.createElement("div");
-  d.className = "card" + (cls ? " " + cls : "");
-  const v = document.createElement("div");
-  v.className = "v"; v.textContent = String(value);
-  const l = document.createElement("div");
-  l.className = "l"; l.textContent = label;
-  d.appendChild(v); d.appendChild(l);
-  document.getElementById("cards").appendChild(d);
-}
-fetch("/api/v1/dashboard/summary").then(r=>r.json()).then(d=>{
-  const s = d.summary;
-  card("Resource hogs", s.total_resource_hogs, "danger");
-  card("Over-provisioned apps", s.over_provisioned_apps, "warning");
-  card("Under-provisioned apps", s.under_provisioned_apps);
-  card("Potential monthly savings", s.potential_monthly_savings, "success");
-  card("Apps needing optimization", s.apps_needing_optimization);
-  card("High-confidence optimizations", s.high_confidence_optimizations);
-  fill("hogs", d.resource_hogs); fill("eff", d.efficiency);
-  fill("cost", d.cost_optimization); fill("trends", d.capacity_trends);
-});
-</script></body></html>
+<div class="cards">{cards}</div>
+<h2>TOP resource consumers</h2>{_html_table(d["resource_hogs"])}
+<h2>Application efficiency analysis</h2>{_html_table(d["efficiency"])}
+<h2>Cost optimization opportunities</h2>{_html_table(d["cost_optimization"])}
+<h2>Capacity trends</h2>{_html_table(d["capacity_trends"])}
+</body></html>
 """
+
 
 _RESOURCES_REDIRECT_HTML = """<!doctype html>
 <html><head><title>Resources - Spark Platform</title>

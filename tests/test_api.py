@@ -263,16 +263,35 @@ def test_resources_redirect_and_teams(api):
     assert "Teams" in body
 
 
-def test_dashboard_js_has_no_interpolated_markup(api):
-    """XSS regression gate: the dashboard script must not build table
-    markup by string interpolation — values from untrusted event logs go
-    through textContent only."""
+def test_dashboard_server_rendered_and_escaped(api):
+    """The optimize view renders server-side like the reference's Askama
+    templates (dashboard.rs:47-53): all four sections plus the summary
+    cards arrive as HTML, no client fetch needed. XSS gate: every cell
+    value passes html.escape, so markup characters from untrusted
+    event-log content can never appear raw."""
     import urllib.request
+
+    from spark_history_server_rs_spark.api.server import (
+        _html_card,
+        _html_table,
+    )
 
     with urllib.request.urlopen(api + "/dashboard", timeout=120) as r:
         body = r.read().decode()
-    assert "innerHTML" not in body
-    assert "<td>${" not in body and "<th>${" not in body
+    for section in (
+        "TOP resource consumers",
+        "Application efficiency analysis",
+        "Cost optimization opportunities",
+        "Capacity trends",
+        "Potential monthly savings",
+    ):
+        assert section in body
+    # server-rendered: table cells present, no client-side data fetch
+    assert "<td>" in body and "fetch(" not in body
+    # escaping: a hostile value cannot break out of its cell
+    evil = '<script>alert(1)</script>"<img onerror=x>'
+    rendered = _html_table([{"app_id": evil}]) + _html_card("l", evil)
+    assert "<script>" not in rendered and "<img" not in rendered
 
 
 def test_single_application_includes_attempts(api):
