@@ -100,6 +100,14 @@ _ROTATED_RELATIONAL = (
     "corpus_tfidf_top_terms",
     # changed this round (empty-doc division guards) → re-check
     "text_quality",
+    # new this round → first driver row
+    "text_gopher_rules",
+    "text_c4_filters",
+    "corpus_zipf_fit",
+    "corpus_source_overlap",
+    "events_daily_anomaly",
+    "embedding_outliers",
+    "corpus_chunk_documents",
 )
 
 
@@ -157,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _d(textprep.doc_fingerprints),
         "text_repetition": _d(textprep.repetition_signals),
         "text_quality_classifier": _d(textprep.quality_classifier),
+        "text_gopher_rules": _d(textprep.gopher_rules),
+        "text_c4_filters": _d(textprep.c4_filters),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
@@ -194,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_select": _d(corpus.dsir_select),
         "corpus_split_leakage": _d(corpus.split_leakage),
         "corpus_perplexity_buckets": _d(corpus.perplexity_buckets),
+        "corpus_zipf_fit": _d(corpus.zipf_fit),
+        "corpus_source_overlap": _d(corpus.source_overlap),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),
@@ -212,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
+        "embedding_outliers": _e(llmprep.embedding_outliers),
+        "corpus_chunk_documents": _d(llmprep.chunk_documents),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

@@ -143,6 +143,13 @@ def main() -> None:
         ("corpus_dsir_select", corpus.dsir_select, docs),
         ("corpus_split_leakage", corpus.split_leakage, docs),
         ("corpus_perplexity_buckets", corpus.perplexity_buckets, docs),
+        # round-7 batch (quality rules / corpus profile / outliers)
+        ("text_gopher_rules", textprep.gopher_rules, docs),
+        ("text_c4_filters", textprep.c4_filters, docs),
+        ("corpus_zipf_fit", corpus.zipf_fit, docs),
+        ("corpus_source_overlap", corpus.source_overlap, docs),
+        ("embedding_outliers", llmprep.embedding_outliers, emb),
+        ("corpus_chunk_documents", llmprep.chunk_documents, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
@@ -169,6 +176,7 @@ def main() -> None:
         "rolling_active_users",
         "task_percentile_standing",
         "events_daily_gapfill",
+        "events_daily_anomaly",
         "table_profile_orders",
         "yoy_revenue_growth",
     ):

@@ -873,6 +873,150 @@ ORACLE_DSIR = (
 )
 
 
+# ==========================================================================
+# C11 — Zipf/type-token corpus profile
+# ==========================================================================
+#: ranks used for the Zipf log-log OLS fit (top of the frequency curve,
+#: where Zipf's law holds; public formulation e.g. Piantadosi 2014,
+#: "Zipf's word frequency law in natural language").
+ZIPF_TOP_K = 50
+
+#: OLS over (ln rank, ln count) with every term snapped to integer
+#: micro-units BEFORE summing — integer sums are exact in any
+#: aggregation order, so Spark's partial aggregates and DuckDB's
+#: single-node scan produce bit-identical slope inputs. ln() runs over
+#: identical integer inputs in both engines.
+_ZIPF_TAIL = """
+tok AS ({tokens}),
+stats AS (SELECT tok AS token, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types
+  FROM stats
+),
+topk AS (
+  -- top-k FIRST (distributed TakeOrderedAndProject), rank the <=k
+  -- survivors — same no-global-window rule as C3's vocabulary
+  SELECT token, c FROM stats ORDER BY c DESC, token LIMIT {k}
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM topk
+),
+terms AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM ranked
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sxy,
+         CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx
+  FROM terms
+)
+SELECT t.n_tokens, t.n_types,
+       CASE WHEN t.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(t.n_types AS DOUBLE) / t.n_tokens) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE)
+       END AS type_token_ratio,
+       f.n AS zipf_ranks_used,
+       CASE WHEN f.n < 2 OR (f.n * f.sxx - f.sx * f.sx) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                        / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
+                       * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+       END AS zipf_slope
+FROM tot t CROSS JOIN fit f
+"""
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """C11: corpus-level frequency-curve profile — total/distinct token
+    counts, type-token ratio, and the Zipf exponent (OLS slope of
+    ln count vs ln rank over the top-{k} ranks; natural text sits near
+    -1, boilerplate/spam corpora deviate hard). The one-row corpus
+    health check a data-mix dashboard plots per source/snapshot.
+
+    Scale shape: one token groupBy (map-side combined), a distributed
+    top-k, and two one-row aggregates cross-joined — nothing wide ever
+    passes through a single partition except the <= {k}-row rank window.
+    """.format(k=ZIPF_TOP_K)
+    docs.createOrReplaceTempView("_corpus_docs")
+    tokens = (
+        "SELECT doc_id, tok FROM (SELECT doc_id, "
+        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+    )
+    return docs.sparkSession.sql(
+        "WITH " + _ZIPF_TAIL.format(tokens=tokens, k=ZIPF_TOP_K)
+    )
+
+
+ORACLE_ZIPF_FIT = "WITH " + _ZIPF_TAIL.format(
+    tokens=f"SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents",
+    k=ZIPF_TOP_K,
+)
+
+
+# ==========================================================================
+# C12 — cross-source overlap matrix (source-pair shingle Jaccard)
+# ==========================================================================
+#: The "how much does snapshot/source A repeat source B" audit every
+#: multi-source data mix needs before setting sampling weights (e.g.
+#: CommonCrawl snapshot-vs-snapshot overlap in RefinedWeb, Penedo et al.
+#: 2023, arXiv:2306.01116 §3). Output is |sources|² bounded — a matrix,
+#: not a pair explosion.
+_SOURCE_OVERLAP_TAIL = """
+ssh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN {docsrc} d ON s.doc_id = d.doc_id
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common_shingles
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT c.source_a, c.source_b,
+       x.n AS shingles_a, y.n AS shingles_b, c.common_shingles,
+       FLOOR((CAST(c.common_shingles AS DOUBLE)
+              / (x.n + y.n - c.common_shingles)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes x ON c.source_a = x.source
+JOIN sizes y ON c.source_b = y.source
+ORDER BY source_a, source_b
+"""
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """C12: source-pair content overlap — Jaccard over each source's
+    distinct shingle set. Reads like D2's pair join but keyed on *source*
+    (a handful of values), so the output is matrix-sized at any corpus
+    scale.
+
+    Scale shape: reuses the materialized (doc_id, shingle) relation; the
+    (source, shingle) projection de-dups per source BEFORE the self-join
+    (bounded by vocab × #sources), the join is keyed on shingle, and the
+    per-shingle pair fan-out is capped by #sources². No document text
+    moves after the shingle build."""
+    spark = docs.sparkSession
+    materialized_shingles(docs)
+    docs.createOrReplaceTempView("_corpus_docs")
+    return spark.sql(
+        _SHINGLES_VIEW_CTE
+        + _SOURCE_OVERLAP_TAIL.format(docsrc="_corpus_docs")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _SOURCE_OVERLAP_TAIL.format(docsrc="documents")
+)
+
+
 ORACLE_SQL_CORPUS = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_split": ORACLE_HASH_SPLIT,
@@ -884,4 +1028,6 @@ ORACLE_SQL_CORPUS = {
     "corpus_dsir_select": ORACLE_DSIR,
     "corpus_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,
+    "corpus_zipf_fit": ORACLE_ZIPF_FIT,
+    "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
 }

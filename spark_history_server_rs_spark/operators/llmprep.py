@@ -747,6 +747,168 @@ ORACLE_KMEANS_STEP = (
 
 
 # ==========================================================================
+# L15 — document chunking (fixed token windows with overlap)
+# ==========================================================================
+#: The training-prep step that turns documents into model-context-sized
+#: sequences: CHUNK_SIZE-token windows advancing by CHUNK_SIZE - OVERLAP
+#: tokens (trailing partial window kept). Per-chunk md5 lets downstream
+#: chunk-level dedup run without re-materializing text.
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """L15: split each document into {size}-token chunks with {ov}-token
+    overlap (stride {stride}); emits (doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_hash). The window arithmetic is a per-row
+    sequence-explode — one Generate over the scan, chunk text never
+    shuffles (only its md5 would, in a downstream dedup). The DuckDB twin
+    states the same windows via generate_series + list_slice, so the
+    fold-vs-slice spellings differentially check each other.""".format(
+        size=CHUNK_SIZE, ov=CHUNK_OVERLAP, stride=_CHUNK_STRIDE
+    )
+    docs.createOrReplaceTempView("_llm_docs")
+    s = _CHUNK_STRIDE
+    return docs.sparkSession.sql(f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS t FROM _llm_docs),
+chunks AS (
+  SELECT doc_id, t,
+         explode(sequence(0,
+           CAST(CEIL(size(t) / {s}.0) AS INT) - 1)) AS chunk_idx
+  FROM toks WHERE size(t) > 0
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {s} AS chunk_start,
+       size(slice(t, chunk_idx * {s} + 1, {CHUNK_SIZE})) AS chunk_len,
+       md5(concat_ws(' ', slice(t, chunk_idx * {s} + 1, {CHUNK_SIZE})))
+         AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""")
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(CEIL(len(t) / {_CHUNK_STRIDE}.0) AS INT)))
+           AS chunk_idx
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_CHUNK_STRIDE} AS chunk_start,
+       len(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                      chunk_idx * {_CHUNK_STRIDE} + {CHUNK_SIZE})) AS chunk_len,
+       md5(array_to_string(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                           chunk_idx * {_CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+         AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ==========================================================================
+# L14 — embedding outlier detection (per-label centroid-distance z-score)
+# ==========================================================================
+#: The embedding-health audit before ANN index build / semantic dedup:
+#: vectors far from their own label's centroid are mislabeled points,
+#: encoder failures, or contamination. All arithmetic rides the snapped
+#: integer pattern: elements snap to EMBED_SCALE ints, per-dim squared
+#: deviations snap to ints before the cross-dim SUM, and the squared
+#: distance is down-scaled so per-label variance accumulators stay far
+#: inside BIGINT.
+OUTLIER_Z = 2.0
+#: down-scale for the squared distance (scaled² units → milli units)
+_SQD_DOWNSCALE = 100000000.0
+
+_OUTLIER_TAIL = """
+elems AS (
+  SELECT vec_id, label, dim,
+         CAST(FLOOR(v * {scale} + 0.5) AS BIGINT) AS sv
+  FROM ({unnested})
+),
+cent AS (
+  SELECT label, dim, COUNT(*) AS n,
+         CAST(SUM(sv) AS BIGINT) AS ssum
+  FROM elems GROUP BY label, dim
+),
+devs AS (
+  SELECT e.vec_id, e.label,
+         CAST(FLOOR((e.sv - CAST(c.ssum AS DOUBLE) / c.n)
+                    * (e.sv - CAST(c.ssum AS DOUBLE) / c.n) + 0.5) AS BIGINT)
+           AS sqdev
+  FROM elems e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+),
+dists AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(SUM(sqdev) AS DOUBLE) / {down}) AS BIGINT) AS sqd
+  FROM devs GROUP BY vec_id, label
+),
+lstats AS (
+  SELECT label, COUNT(*) AS n,
+         CAST(SUM(sqd) AS BIGINT) AS s1,
+         CAST(SUM(sqd * sqd) AS BIGINT) AS s2
+  FROM dists GROUP BY label
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.sqd,
+         CASE WHEN s.n < 2
+                OR (CAST(s.s2 AS DOUBLE) / s.n)
+                   - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)
+                   <= 0.0
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE FLOOR(((d.sqd - CAST(s.s1 AS DOUBLE) / s.n)
+                          / sqrt((CAST(s.s2 AS DOUBLE) / s.n)
+                                 - (CAST(s.s1 AS DOUBLE) / s.n)
+                                   * (CAST(s.s1 AS DOUBLE) / s.n)))
+                         * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         END AS z_score
+  FROM dists d JOIN lstats s ON d.label = s.label
+)
+SELECT vec_id, label, sqd AS sq_dist_scaled, z_score,
+       (z_score >= {z} OR z_score <= -{z}) AS is_outlier
+FROM scored
+ORDER BY label, vec_id
+"""
+
+
+def embedding_outliers(emb: DataFrame) -> DataFrame:
+    """L14: flag vectors whose squared distance to their own label's
+    centroid sits >= {z} standard deviations from the label mean — the
+    mislabeled-point / encoder-failure / contamination audit run before
+    ANN index builds and semantic dedup.
+
+    Scale shape: two keyed aggregations ((label, dim) centroids — a
+    relation bounded by #labels x dims, broadcast-sized — then a vec_id
+    re-aggregate) and one tiny per-label stats join. Everything wide is
+    keyed on vec_id or (label, dim); no window functions, no Python, no
+    all-pairs anything.""".format(z=OUTLIER_Z)
+    emb.createOrReplaceTempView("_llm_emb")
+    sql = "WITH " + _OUTLIER_TAIL.format(
+        scale=EMBED_SCALE,
+        down=_SQD_DOWNSCALE,
+        z=OUTLIER_Z,
+        unnested=(
+            "SELECT vec_id, label, pos AS dim, CAST(v AS DOUBLE) AS v"
+            " FROM _llm_emb LATERAL VIEW posexplode(embedding) t AS pos, v"
+        ),
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_EMBEDDING_OUTLIERS = "WITH " + _OUTLIER_TAIL.format(
+    scale=EMBED_SCALE,
+    down=_SQD_DOWNSCALE,
+    z=OUTLIER_Z,
+    unnested=(
+        "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+    ),
+)
+
+
+# ==========================================================================
 # L13 — semantic dedup (cluster-then-prune, SemDeDup-style)
 # ==========================================================================
 #: within-cluster cosine above this ⇒ semantic duplicates (matched to the
@@ -1184,6 +1346,8 @@ ORACLE_SQL_LLMPREP = {
     "corpus_global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     "corpus_profile": ORACLE_PROFILE,
     "corpus_training_manifest": ORACLE_TRAINING_MANIFEST,
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+    "corpus_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -983,6 +983,52 @@ ORDER BY epoch_day
 
 
 # ==========================================================================
+# R38 — daily event-volume anomaly detection (z-score spike/drop flags)
+# ==========================================================================
+# The ops-dashboard staple: per-day event counts scored against the
+# corpus-wide mean/std. Variance comes from integer SUM(n)/SUM(n*n)
+# accumulators (exact in any aggregation order — the engine-parity rule
+# every stats op here follows); z is snapped to 4 dp and flagged at
+# |z| >= 2. The scalar stats row broadcasts into the per-day join; no
+# window function at all, so nothing single-partitions at any scale.
+R38_TAIL = """
+daily AS (
+  SELECT CAST(FLOOR(CAST({EPOCH:event_ts} AS DOUBLE) / 86400000.0) AS BIGINT)
+           AS day,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_days,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(n * n), 0) AS BIGINT) AS s2
+  FROM daily
+),
+scored AS (
+  SELECT d.day, d.n,
+         FLOOR((CAST(s.s1 AS DOUBLE) / s.n_days) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS mean_events,
+         CASE WHEN s.n_days < 2
+                OR (CAST(s.s2 AS DOUBLE) / s.n_days)
+                   - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                     * (CAST(s.s1 AS DOUBLE) / s.n_days) <= 0.0
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE FLOOR(((d.n - CAST(s.s1 AS DOUBLE) / s.n_days)
+                          / sqrt((CAST(s.s2 AS DOUBLE) / s.n_days)
+                                 - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                                   * (CAST(s.s1 AS DOUBLE) / s.n_days)))
+                         * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         END AS z_score
+  FROM daily d CROSS JOIN stats s
+)
+SELECT day AS epoch_day, n AS n_events, mean_events, z_score,
+       (z_score >= 2.0 OR z_score <= -2.0) AS is_anomaly
+FROM scored
+ORDER BY epoch_day
+"""
+
+
+# ==========================================================================
 # R37 — year-over-year revenue growth (time intelligence over TPC-H)
 # ==========================================================================
 # The standard period-over-period comparison: yearly revenue (exact
@@ -1075,6 +1121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "task_percentile_standing": _events_query(R35_TAIL),
     "events_daily_gapfill": _events_query(R36_TAIL),
     "yoy_revenue_growth": _tpch_query(R37_SQL),
+    "events_daily_anomaly": _events_query(R38_TAIL),
 }
 
 
@@ -1088,6 +1135,7 @@ EVENTS_TAILS: dict[str, str] = {
     "rolling_active_users": R33_TAIL,
     "task_percentile_standing": R35_TAIL,
     "events_daily_gapfill": R36_TAIL,
+    "events_daily_anomaly": R38_TAIL,
 }
 
 
@@ -1159,4 +1207,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "task_percentile_standing": duckdb_events_cte() + ",\n" + _duck(R35_TAIL),
     "events_daily_gapfill": duckdb_events_cte() + ",\n" + _duck(R36_TAIL),
     "yoy_revenue_growth": _duck(R37_SQL),
+    "events_daily_anomaly": duckdb_events_cte() + ",\n" + _duck(R38_TAIL),
 }

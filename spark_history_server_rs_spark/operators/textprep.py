@@ -508,6 +508,231 @@ base AS (
 ORACLE_QUALITY_CLASSIFIER = _oracle_quality_classifier()
 
 
+# ==========================================================================
+# T7 — Gopher quality rules (rule-based document filter report)
+# ==========================================================================
+#: Public Gopher thresholds (Rae et al. 2021, arXiv:2112.11446, A1.1):
+#: word-count bounds, mean-word-length band, symbol-to-word ratio cap,
+#: bullet/ellipsis line caps, alphabetic-word floor, stopword floor,
+#: duplicate-line cap. MIN_WORDS lowered from Gopher's 50 to fit the
+#: synthetic corpus scale (the constant is the knob, the rule shape is
+#: the operator).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+
+#: engine-shared line split (docs are LF-delimited; a no-newline doc is
+#: one line; blank lines dropped).
+_LINES_SPARK = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l <> '')"
+_LINES_DUCK = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+    " l -> l <> '')"
+)
+
+
+def _gopher_tail(
+    sz: str,
+    sum_word_lens: str,
+    n_alpha_words: str,
+    stop_hits: str,
+    n_bullet_lines: str,
+    n_ellipsis_lines: str,
+    n_distinct_lines: str,
+) -> str:
+    """Engine-shared Gopher-rule SQL over an ``arr`` CTE carrying
+    (doc_id, text, toks, lines). The per-engine lambda spellings arrive
+    as complete expressions; thresholds come from the module constants,
+    so both engines branch on identical snapped values."""
+    return f"""
+feats AS (
+  SELECT doc_id,
+         {sz}(toks) AS n_words,
+         CASE WHEN {sz}(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=f"CAST({sum_word_lens} AS DOUBLE) / {sz}(toks)")}
+         END AS mean_word_len,
+         CASE WHEN {sz}(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=(
+                  "CAST((length(text) - length(replace(text, '#', '')))"
+                  " + (length(text) - length(replace(text, '...', ''))) / 3"
+                  f" AS DOUBLE) / {sz}(toks)"))}
+         END AS symbol_word_ratio,
+         CASE WHEN {sz}(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=f"CAST({n_alpha_words} AS DOUBLE) / {sz}(toks)")}
+         END AS alpha_word_frac,
+         {stop_hits} AS stop_hits,
+         CASE WHEN {sz}(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=f"CAST({n_bullet_lines} AS DOUBLE) / {sz}(lines)")}
+         END AS bullet_line_frac,
+         CASE WHEN {sz}(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=f"CAST({n_ellipsis_lines} AS DOUBLE) / {sz}(lines)")}
+         END AS ellipsis_line_frac,
+         CASE WHEN {sz}(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE {_R4.format(x=f"1.0 - CAST({n_distinct_lines} AS DOUBLE) / {sz}(lines)")}
+         END AS dup_line_frac
+  FROM arr
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       stop_hits, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+        AND bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}) AS keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
+#: bullet glyphs (Gopher: lines starting with a bullet) — kept ASCII plus
+#: the unicode bullet, shared verbatim by both engines.
+_BULLETS = "('-', '*', '•')"
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """T7: the Gopher rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) — word-count band, mean word length band,
+    symbol-to-word ratio, alphabetic-word floor, required-stopword
+    floor, bullet/ellipsis line caps, duplicate-line cap, and the
+    AND-fold keep flag.
+
+    Scale shape: one whole-stage-codegen projection over the scan — all
+    features are higher-order-function lambdas over the token/line
+    arrays, zero shuffles, zero Python. The canonical pre-filter a
+    100 TB crawl pipeline runs before any pairwise dedup."""
+    stops = _in_list(GOPHER_REQUIRED_STOPS)
+    tail = _gopher_tail(
+        sz="size",
+        sum_word_lens="aggregate(toks, 0, (a, t) -> a + length(t))",
+        n_alpha_words="size(filter(toks, x -> x rlike '[a-z]'))",
+        stop_hits=f"size(filter(array({stops}), w -> array_contains(toks, w)))",
+        n_bullet_lines=f"size(filter(lines, l -> left(l, 1) IN {_BULLETS}))",
+        n_ellipsis_lines=(
+            "size(filter(lines, l -> right(l, 3) = '...'"
+            " OR right(l, 1) = '…'))"
+        ),
+        n_distinct_lines="size(array_distinct(lines))",
+    )
+    docs.createOrReplaceTempView("_text_docs")
+    return docs.sparkSession.sql(
+        "WITH arr AS (SELECT doc_id, text, "
+        f"{_TOKENS_SPARK} AS toks, {_LINES_SPARK} AS lines FROM _text_docs),"
+        + tail
+    )
+
+
+def _oracle_gopher_rules() -> str:
+    stops = _in_list(GOPHER_REQUIRED_STOPS)
+    tail = _gopher_tail(
+        sz="len",
+        sum_word_lens="list_sum(list_transform(toks, t -> length(t)))",
+        n_alpha_words="len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))",
+        stop_hits=f"len(list_filter([{stops}], w -> list_contains(toks, w)))",
+        n_bullet_lines=f"len(list_filter(lines, l -> left(l, 1) IN {_BULLETS}))",
+        n_ellipsis_lines=(
+            "len(list_filter(lines, l -> right(l, 3) = '...'"
+            " OR right(l, 1) = '…'))"
+        ),
+        n_distinct_lines="len(list_distinct(lines))",
+    )
+    return (
+        "WITH arr AS (SELECT doc_id, text, "
+        f"{_TOKENS_DUCK} AS toks, {_LINES_DUCK} AS lines FROM documents),"
+        + tail
+    )
+
+
+ORACLE_GOPHER_RULES = _oracle_gopher_rules()
+
+
+# ==========================================================================
+# T8 — C4 line-level filters (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ==========================================================================
+#: Public C4 heuristics: keep lines that end in terminal punctuation and
+#: carry at least C4_MIN_LINE_WORDS words; drop pages with fewer than
+#: C4_MIN_KEPT_LINES such lines, or containing "lorem ipsum" or a curly
+#: brace (code). Word/line minimums lowered from C4's 5/3 to fit the
+#: synthetic corpus scale — constants are the knob, rules are the shape.
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 1
+C4_TERMINAL = "('.', '!', '?', '\"')"
+
+
+def _c4_tail(sz: str, flt: str) -> str:
+    """Engine-shared C4 SQL over an ``arr`` CTE carrying (doc_id, text,
+    lines). ``sz``/``flt`` are the engine's list-size/filter spellings
+    (lambda syntax is identical; only the function names differ)."""
+    kept = (
+        f"{flt}(lines, l -> right(l, 1) IN {C4_TERMINAL}"
+        f" AND {sz}({flt}(split(l, ' '), w -> w <> '')) >= {C4_MIN_LINE_WORDS})"
+    )
+    return f"""
+feats AS (
+  SELECT doc_id,
+         {sz}(lines) AS n_lines,
+         {sz}({flt}(lines, l -> right(l, 1) IN {C4_TERMINAL})) AS n_terminal_lines,
+         {sz}({kept}) AS n_kept_lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, chr(123)) AS has_brace
+  FROM arr
+)
+SELECT doc_id, n_lines, n_terminal_lines, n_kept_lines,
+       CASE WHEN n_lines = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE {_R4.format(x="CAST(n_kept_lines AS DOUBLE) / n_lines")}
+       END AS kept_line_frac,
+       has_lorem, has_brace,
+       (n_kept_lines >= {C4_MIN_KEPT_LINES}
+        AND NOT has_lorem AND NOT has_brace) AS keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """T8: the C4 cleaning heuristics (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2) as a per-document report — line counts,
+    terminal-punctuation line counts, kept-line count/fraction under the
+    min-words rule, lorem-ipsum and curly-brace detectors, and the fold
+    into C4's page-level keep decision.
+
+    Scale shape: like T7 — one shuffle-free whole-stage-codegen
+    projection; line logic is nested higher-order lambdas over the split
+    arrays (JVM-side, no Python, no explode)."""
+    tail = _c4_tail(sz="size", flt="filter")
+    docs.createOrReplaceTempView("_text_docs")
+    return docs.sparkSession.sql(
+        "WITH arr AS (SELECT doc_id, text, "
+        f"{_LINES_SPARK} AS lines FROM _text_docs),"
+        + tail
+    )
+
+
+def _oracle_c4_filters() -> str:
+    tail = _c4_tail(sz="len", flt="list_filter").replace(
+        "split(l, ' ')", "string_split(l, ' ')"
+    )
+    return (
+        "WITH arr AS (SELECT doc_id, text, "
+        f"{_LINES_DUCK} AS lines FROM documents),"
+        + tail
+    )
+
+
+ORACLE_C4_FILTERS = _oracle_c4_filters()
+
+
+
 ORACLE_SQL_TEXT = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_language_id": ORACLE_LANGUAGE_ID,
@@ -515,4 +740,6 @@ ORACLE_SQL_TEXT = {
     "text_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "text_repetition": ORACLE_REPETITION_SIGNALS,
     "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "text_gopher_rules": ORACLE_GOPHER_RULES,
+    "text_c4_filters": ORACLE_C4_FILTERS,
 }

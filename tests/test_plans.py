@@ -574,3 +574,40 @@ def test_no_unbounded_single_partition_windows(spark):
         if n > sanctioned.get(name, 0):
             offenders[name] = n
     assert offenders == {}
+
+
+def test_round7_quality_ops_plan_gates(spark):
+    """Round-5 batch: Gopher/C4 rule reports must stay shuffle-free
+    single projections (their whole value at 100 TB is running as pure
+    map work over the scan); zipf/source-overlap/anomaly/outliers must
+    stay Python-free with no cartesian products on unbounded relations
+    (the kmeans-style 1=1 joins pair against constant-sized sides)."""
+    from spark_history_server_rs_spark.operators import (
+        corpus,
+        llmprep,
+        relational,
+        textprep,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    for fn in (textprep.gopher_rules, textprep.c4_filters):
+        df = fn(docs)
+        plan = I.explain_str(df, "simple")
+        assert not I.has_python_worker(df)
+        # compute is one projection: the only exchange allowed is the
+        # ORDER BY's range partitioning (presentation sort), never a
+        # hash shuffle or aggregation
+        assert "Exchange hashpartitioning" not in plan
+        assert "HashAggregate" not in plan
+    for df in (
+        corpus.zipf_fit(docs),
+        corpus.source_overlap(docs),
+        llmprep.embedding_outliers(emb),
+        llmprep.chunk_documents(docs),
+        relational.QUERIES["events_daily_anomaly"](spark, SF_ORACLE),
+    ):
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)

@@ -169,7 +169,10 @@ def document_rows(draw):
         else:
             n_toks = draw(st.integers(0, 12))
             toks = [draw(token) for _ in range(n_toks)]
-            sep = draw(st.sampled_from([" ", "  ", "   "]))
+            # newline separators exercise the line-level rules (Gopher
+            # bullet/ellipsis/dup-line fractions, C4 terminal-punct
+            # lines) that the no-newline sf tables never touch
+            sep = draw(st.sampled_from([" ", "  ", "   ", "\n", "\n\n"]))
             text = sep.join(toks)
         rows.append(
             {
@@ -299,6 +302,13 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         (llmprep.temperature_sample, "corpus_temperature_sample"),
         (llmprep.training_manifest, "corpus_training_manifest"),
         (textprep.text_quality, "text_quality"),
+        # round-7 batch: line-level rules see newline-bearing docs only
+        # here; zipf/chunking see empty and one-token corpora
+        (textprep.gopher_rules, "text_gopher_rules"),
+        (textprep.c4_filters, "text_c4_filters"),
+        (corpus.zipf_fit, "corpus_zipf_fit"),
+        (corpus.source_overlap, "corpus_source_overlap"),
+        (llmprep.chunk_documents, "corpus_chunk_documents"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
