@@ -108,6 +108,8 @@ _ROTATED_RELATIONAL = (
     "events_daily_anomaly",
     "embedding_outliers",
     "corpus_chunk_documents",
+    "ann_pq_codes",
+    "ann_pq_recall",
 )
 
 
@@ -186,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _e(similarity.ann_recall_eval),
         "ann_hamming_rerank": _e(similarity.ann_hamming_rerank),
         "ann_knn_graph": _e(similarity.ann_knn_graph),
+        "ann_pq_codes": _e(similarity.ann_pq_codes),
+        "ann_pq_recall": _e(similarity.ann_pq_recall),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),

@@ -150,6 +150,8 @@ def main() -> None:
         ("corpus_source_overlap", corpus.source_overlap, docs),
         ("embedding_outliers", llmprep.embedding_outliers, emb),
         ("corpus_chunk_documents", llmprep.chunk_documents, docs),
+        ("ann_pq_codes", similarity.ann_pq_codes, emb),
+        ("ann_pq_recall", similarity.ann_pq_recall, emb),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -575,6 +575,180 @@ pairs AS (
 ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
 
 
+# ==========================================================================
+# X6/X7 — product quantization (PQ codes + ADC recall eval)
+# ==========================================================================
+#: PQ (Jegou, Douze, Schmid 2011, "Product quantization for nearest
+#: neighbor search", IEEE TPAMI — public) is THE memory-scale ANN path:
+#: split each vector into PQ_M subvectors, quantize each against a
+#: PQ_K-codeword codebook, store M small codes per vector (here 4 bytes
+#: vs 256 float bytes — 64x), and answer queries with asymmetric
+#: distance computation (ADC): per-query lookup tables over codewords,
+#: summed per candidate. Codebook = the subvectors of vec_id 0..PQ_K-1
+#: (deterministic seeds, same convention as KMEANS_K / IVF).
+PQ_M = 4          # subspaces
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M
+PQ_K = 16         # codewords per subspace
+#: element snap (micro) and diff down-snap (milli) — squared-diff sums
+#: stay exact BIGINTs: diff_milli <= ~4e3, squared 1.6e7, x16 dims 2.6e8.
+_PQ_SCALE = 1000000.0
+
+_PQ_CODE_CTES = """
+elems AS (
+  SELECT vec_id, dim,
+         CAST(FLOOR(v * {scale} + 0.5) AS BIGINT) AS sv
+  FROM ({unnested})
+),
+sub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {subdim}.0) AS BIGINT) AS subspace, dim, sv
+  FROM elems
+),
+cb AS (
+  SELECT vec_id AS codeword, subspace, dim, sv FROM sub WHERE vec_id < {pqk}
+),
+dists AS (
+  -- per (vector, subspace, codeword) squared L2 in exact milli ints
+  SELECT s.vec_id, s.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM sub s JOIN cb c ON s.subspace = c.subspace AND s.dim = c.dim
+  GROUP BY s.vec_id, s.subspace, c.codeword
+),
+assigned AS (
+  SELECT vec_id, subspace, codeword, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, codeword) AS rnk
+    FROM dists
+  ) WHERE rnk = 1
+)"""
+
+_PQ_CODES_TAIL = _PQ_CODE_CTES + """
+SELECT vec_id,
+       MAX(CASE WHEN subspace = 0 THEN codeword END) AS code_0,
+       MAX(CASE WHEN subspace = 1 THEN codeword END) AS code_1,
+       MAX(CASE WHEN subspace = 2 THEN codeword END) AS code_2,
+       MAX(CASE WHEN subspace = 3 THEN codeword END) AS code_3,
+       CAST(SUM(d) AS BIGINT) AS quant_err
+FROM assigned
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+_PQ_RECALL_TAIL = _PQ_CODE_CTES + """,
+adc AS (
+  -- ADC: query q's distance table row (q, subspace, codeword) joined to
+  -- each candidate's assigned codeword — M lookups per (q, candidate)
+  SELECT d.vec_id AS query_id, a.vec_id AS cand_id,
+         CAST(SUM(d.d) AS BIGINT) AS approx_d
+  FROM assigned a
+  JOIN dists d ON d.subspace = a.subspace AND d.codeword = a.codeword
+  WHERE d.vec_id < {nq} AND a.vec_id <> d.vec_id
+  GROUP BY d.vec_id, a.vec_id
+),
+adc_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d, cand_id) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         CAST(SUM(CAST(FLOOR(CAST(q.sv - x.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.sv - x.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS exact_d
+  FROM elems q JOIN elems x ON q.dim = x.dim AND q.vec_id <> x.vec_id
+  WHERE q.vec_id < {nq}
+  GROUP BY q.vec_id, x.vec_id
+),
+exact_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY exact_d, cand_id) AS rank
+    FROM exact_pairs
+  ) WHERE rank <= {k}
+),
+overlap AS (
+  SELECT e.query_id, COUNT(*) AS n_exact, COUNT(a.cand_id) AS n_overlap
+  FROM exact_k e LEFT JOIN adc_k a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_exact, n_overlap,
+       FLOOR((CAST(n_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS recall_at_k
+FROM overlap
+ORDER BY query_id
+"""
+
+_PQ_UNNEST_SPARK = (
+    "SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v"
+    " FROM _sim_emb LATERAL VIEW posexplode(embedding) t AS pos, v"
+)
+_PQ_UNNEST_DUCK = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
+    " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+)
+
+
+def ann_pq_codes(emb: DataFrame) -> DataFrame:
+    """X6: PQ encoding — per vector, the {m} codeword ids (codebook =
+    subvectors of vec_id 0..{km1}) and the total quantization error.
+    {m} bytes per vector replaces the float payload in the candidate
+    phase — the 64x memory cut that makes billion-vector ANN fit RAM
+    (Jegou et al. 2011).
+
+    Scale shape: the codebook side of the assignment join is
+    PQ_M x PQ_K x PQ_SUBDIM rows — broadcast at any corpus scale; the
+    wide aggregations are keyed on (vec_id, subspace). The rank window
+    is partitioned per (vector, subspace) — never global.""".format(
+        m=PQ_M, km1=PQ_K - 1
+    )
+    emb.createOrReplaceTempView("_sim_emb")
+    return emb.sparkSession.sql(
+        "WITH "
+        + _PQ_CODES_TAIL.format(
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+            unnested=_PQ_UNNEST_SPARK,
+        )
+    )
+
+
+ORACLE_ANN_PQ_CODES = "WITH " + _PQ_CODES_TAIL.format(
+    scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K, unnested=_PQ_UNNEST_DUCK
+)
+
+
+def ann_pq_recall(emb: DataFrame) -> DataFrame:
+    """X7: ADC recall@{k} — approximate distances from the query's
+    per-(subspace, codeword) lookup table summed over each candidate's
+    PQ code, scored against the exact L2 top-{k} per query. The
+    accept/reject measurement for swapping the PQ path in (same eval
+    shape as X4's LSH recall).
+
+    Scale: ADC joins the {nq}-query distance table (broadcast:
+    {nq} x PQ_M x PQ_K rows) against the per-vector code relation — the
+    corpus-side cost is M integer adds per candidate, the whole point
+    of PQ. The exact side stays the bounded sampled-eval scan.""".format(
+        k=TOP_K, nq=N_QUERIES
+    )
+    emb.createOrReplaceTempView("_sim_emb")
+    return emb.sparkSession.sql(
+        "WITH "
+        + _PQ_RECALL_TAIL.format(
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+            nq=N_QUERIES, k=TOP_K, unnested=_PQ_UNNEST_SPARK,
+        )
+    )
+
+
+ORACLE_ANN_PQ_RECALL = "WITH " + _PQ_RECALL_TAIL.format(
+    scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+    nq=N_QUERIES, k=TOP_K, unnested=_PQ_UNNEST_DUCK,
+)
+
+
 ORACLE_SQL_SIMILARITY = {
     "ann_knn_graph": ORACLE_ANN_KNN_GRAPH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
@@ -582,4 +756,6 @@ ORACLE_SQL_SIMILARITY = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_recall_eval": ORACLE_ANN_RECALL,
     "ann_hamming_rerank": ORACLE_ANN_HAMMING,
+    "ann_pq_codes": ORACLE_ANN_PQ_CODES,
+    "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
 }

@@ -611,3 +611,20 @@ def test_round7_quality_ops_plan_gates(spark):
     ):
         assert not I.has_python_worker(df)
         assert not I.has_cartesian(df)
+
+
+def test_pq_plan_gates(spark):
+    """X6/X7 gates: the PQ codebook side must broadcast (PQ_M x PQ_K x
+    PQ_SUBDIM rows) into the assignment join; rank windows stay
+    partitioned per (vector, subspace) / per query — never global; no
+    Python workers, no cartesian products."""
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    for fn in (similarity.ann_pq_codes, similarity.ann_pq_recall):
+        df = fn(emb)
+        assert not I.has_python_worker(df)
+        assert not I.has_cartesian(df)
+        assert I.single_partition_windows(df) == 0
+        assert "BroadcastHashJoin" in I.explain_str(df, "simple")
