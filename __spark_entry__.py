@@ -110,6 +110,7 @@ _ROTATED_RELATIONAL = (
     "corpus_chunk_documents",
     "ann_pq_codes",
     "ann_pq_recall",
+    "corpus_doremi_reweight",
 )
 
 
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_perplexity_buckets": _d(corpus.perplexity_buckets),
         "corpus_zipf_fit": _d(corpus.zipf_fit),
         "corpus_source_overlap": _d(corpus.source_overlap),
+        "corpus_doremi_reweight": _d(corpus.doremi_reweight),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

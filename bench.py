@@ -152,6 +152,7 @@ def main() -> None:
         ("corpus_chunk_documents", llmprep.chunk_documents, docs),
         ("ann_pq_codes", similarity.ann_pq_codes, emb),
         ("ann_pq_recall", similarity.ann_pq_recall, emb),
+        ("corpus_doremi_reweight", corpus.doremi_reweight, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -959,6 +959,88 @@ ORACLE_ZIPF_FIT = "WITH " + _ZIPF_TAIL.format(
 
 
 # ==========================================================================
+# C13 — DoReMi-style domain reweighting (one Group-DRO update step)
+# ==========================================================================
+#: DoReMi (Xie et al. 2023, arXiv:2305.10429) tunes the domain sampling
+#: mix by exponentially up-weighting domains with high EXCESS loss under
+#: a proxy model. Here the proxy is C6's corpus unigram LM: per-source
+#: mean surprisal (exact micro-nat integer sums), excess over the
+#: best-scoring source, multiplicative-weights update w ∝ exp(η·excess),
+#: weights snapped to integer micro BEFORE the normalizing sum so both
+#: engines normalize identical values.
+DOREMI_ETA = 1.0
+
+_DOREMI_TAIL = """,
+per_src AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(p.total_nll_micro) AS BIGINT) AS sum_nll_micro,
+         CAST(SUM(p.n_tokens) AS BIGINT) AS sum_tokens
+  FROM per_doc p JOIN {docsrc} d ON p.doc_id = d.doc_id
+  GROUP BY d.source
+),
+rated AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(CAST(sum_nll_micro AS DOUBLE) / sum_tokens) AS BIGINT)
+           AS nll_per_tok_micro
+  FROM per_src
+),
+ref AS (SELECT MIN(nll_per_tok_micro) AS base FROM rated),
+wraw AS (
+  SELECT r.source, r.n_docs, r.nll_per_tok_micro,
+         r.nll_per_tok_micro - f.base AS excess_micro,
+         CAST(FLOOR(exp(CAST(r.nll_per_tok_micro - f.base AS DOUBLE)
+                        / 1000000.0 * {eta}) * 1000000.0 + 0.5) AS BIGINT)
+           AS w_micro
+  FROM rated r CROSS JOIN ref f
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wraw)
+SELECT w.source, w.n_docs, w.nll_per_tok_micro, w.excess_micro,
+       FLOOR((CAST(w.w_micro AS DOUBLE) / t.tw) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS domain_weight
+FROM wraw w CROSS JOIN tot t
+ORDER BY w.source
+"""
+
+
+def doremi_reweight(docs: DataFrame) -> DataFrame:
+    """C13: one DoReMi Group-DRO update of the domain sampling weights
+    (Xie et al. 2023): per-source mean surprisal under the corpus's own
+    unigram LM (the proxy-model loss), excess over the best source, and
+    the multiplicative-weights mix w ∝ exp(η·excess) — high-excess
+    domains get up-sampled in the next training round.
+
+    Scale shape: rides C6's token/LM relations (shared materialized
+    cache); everything after per_doc is per-source arithmetic on a
+    #sources-row relation. One doc-keyed join against the corpus, no
+    windows."""
+    from .dedup import _materialized_view
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    _materialized_view(
+        spark,
+        "_corpus_tok",
+        docs.semanticHash(),
+        lambda: spark.sql(
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
+        ),
+    )
+    return spark.sql(
+        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
+        + _UNIGRAM_CTES
+        + _DOREMI_TAIL.format(docsrc="_corpus_docs", eta=DOREMI_ETA)
+    )
+
+
+ORACLE_DOREMI = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _UNIGRAM_CTES
+    + _DOREMI_TAIL.format(docsrc="documents", eta=DOREMI_ETA)
+)
+
+
+# ==========================================================================
 # C12 — cross-source overlap matrix (source-pair shingle Jaccard)
 # ==========================================================================
 #: The "how much does snapshot/source A repeat source B" audit every
@@ -1030,4 +1112,5 @@ ORACLE_SQL_CORPUS = {
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,
     "corpus_zipf_fit": ORACLE_ZIPF_FIT,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "corpus_doremi_reweight": ORACLE_DOREMI,
 }
