@@ -46,6 +46,15 @@ SELECTED = [
     ("task_percentile_standing", "partitioned PERCENT_RANK/CUME_DIST/NTILE"),
     ("events_daily_gapfill", "generated calendar LEFT-joined, zero-filled"),
     ("yoy_revenue_growth", "LAG over the calendar-bounded yearly aggregate"),
+    # round-7 batch
+    ("text_gopher_rules", "rule-based filter as one shuffle-free projection"),
+    ("corpus_zipf_fit", "distributed top-k + integer-snapped OLS, one row out"),
+    ("corpus_source_overlap", "per-source distinct shingles before the pair join"),
+    ("events_daily_anomaly", "scalar stats broadcast into the daily join, no windows"),
+    ("embedding_outliers", "(label, dim) centroid relation joined back, no windows"),
+    ("ann_pq_codes", "broadcast codebook assignment, per-(vec, subspace) rank"),
+    ("ann_pq_recall", "ADC lookup-table join vs exact-L2 sampled eval"),
+    ("corpus_doremi_reweight", "unigram proxy loss folded to a sources-sized mix"),
 ]
 
 
