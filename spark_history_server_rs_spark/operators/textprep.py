@@ -600,17 +600,10 @@ ORDER BY doc_id
 _BULLETS = "('-', '*', '•')"
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
-    """T7: the Gopher rule-based document filter (Rae et al. 2021,
-    arXiv:2112.11446 A1.1) — word-count band, mean word length band,
-    symbol-to-word ratio, alphabetic-word floor, required-stopword
-    floor, bullet/ellipsis line caps, duplicate-line cap, and the
-    AND-fold keep flag.
-
-    Scale shape: one whole-stage-codegen projection over the scan — all
-    features are higher-order-function lambdas over the token/line
-    arrays, zero shuffles, zero Python. The canonical pre-filter a
-    100 TB crawl pipeline runs before any pairwise dedup."""
+def gopher_spark_sql(view: str, ordered: bool = True) -> str:
+    """The Spark-side Gopher SQL over ``view`` — shared by the batch
+    operator and the streaming ingest gate (which must drop the ORDER BY:
+    sorting is illegal in a streaming projection, and pointless there)."""
     stops = _in_list(GOPHER_REQUIRED_STOPS)
     tail = _gopher_tail(
         sz="size",
@@ -624,12 +617,28 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         ),
         n_distinct_lines="size(array_distinct(lines))",
     )
-    docs.createOrReplaceTempView("_text_docs")
-    return docs.sparkSession.sql(
+    if not ordered:
+        tail = tail.replace("ORDER BY doc_id", "")
+    return (
         "WITH arr AS (SELECT doc_id, text, "
-        f"{_TOKENS_SPARK} AS toks, {_LINES_SPARK} AS lines FROM _text_docs),"
+        f"{_TOKENS_SPARK} AS toks, {_LINES_SPARK} AS lines FROM {view}),"
         + tail
     )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """T7: the Gopher rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) — word-count band, mean word length band,
+    symbol-to-word ratio, alphabetic-word floor, required-stopword
+    floor, bullet/ellipsis line caps, duplicate-line cap, and the
+    AND-fold keep flag.
+
+    Scale shape: one whole-stage-codegen projection over the scan — all
+    features are higher-order-function lambdas over the token/line
+    arrays, zero shuffles, zero Python. The canonical pre-filter a
+    100 TB crawl pipeline runs before any pairwise dedup."""
+    docs.createOrReplaceTempView("_text_docs")
+    return docs.sparkSession.sql(gopher_spark_sql("_text_docs"))
 
 
 def _oracle_gopher_rules() -> str:

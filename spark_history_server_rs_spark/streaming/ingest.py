@@ -433,3 +433,27 @@ def stream_contamination_guard(
         .dropDuplicates(["doc_id"])
         .select("doc_id")
     )
+
+
+def stream_quality_gate(docs: DataFrame) -> DataFrame:
+    """Beyond-reference: streaming Gopher quality gate — the streaming
+    twin of :func:`..operators.textprep.gopher_rules`. The rule report
+    (word-count band, mean word length, symbol ratio, line rules, keep
+    flag) is a pure projection, so it is streaming-legal as-is; only the
+    batch operator's presentation ORDER BY is dropped. This is the
+    ingest-time filter that keeps junk documents from ever landing in
+    the corpus, instead of scrubbing them in the next batch sweep.
+
+    Scale shape: identical to batch — zero shuffles, zero state, zero
+    Python; every micro-batch is map-only work.
+    """
+    import uuid
+
+    from ..operators.textprep import gopher_spark_sql
+
+    view = f"_stream_text_docs_{uuid.uuid4().hex}"
+    docs.createOrReplaceTempView(view)
+    try:
+        return docs.sparkSession.sql(gopher_spark_sql(view, ordered=False))
+    finally:
+        docs.sparkSession.catalog.dropTempView(view)

@@ -1033,3 +1033,63 @@ def test_stream_contamination_guard_matches_batch(spark, tmp_path):
     expected = {i for i, t in corpus.items() if shingles(t) & prot}
     assert flagged == expected
     assert 7 in flagged  # the cross-batch arrival was caught
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """Streaming Gopher gate: per-doc rule report and keep flag across
+    micro-batches must equal the batch gopher_rules computation on the
+    same corpus (projection-only op — the differential is the whole
+    point: streaming legality must not change a single value)."""
+    from spark_history_server_rs_spark.operators.textprep import gopher_rules
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_quality_gate,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs to it with"]
+        * 3
+    )
+    corpus = {
+        1: good,                                   # passes everything
+        2: "short",                                # word-count floor
+        3: "- bullet one\n- bullet two\n- three",  # bullet-line cap
+        4: "a a a a a # # # # # # " + good,        # symbol ratio
+        5: "same line\nsame line\nsame line\nok",  # dup-line cap
+        6: good + " trailing thought goes on...",  # ellipsis line (1/1)
+    }
+    src = tmp_path / "quality_docs"
+    _write_doc_files(
+        src,
+        [
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (1, 2, 3)],
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (4, 5, 6)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "qg_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: tuple(r) for r in spark.sql("SELECT * FROM quality_gate").collect()
+    }
+
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in corpus.items()],
+        "doc_id long, text string, lang string",
+    )
+    batch = {r.doc_id: tuple(r) for r in gopher_rules(docs).collect()}
+    assert streamed == batch
+    # the corpus exercises both outcomes
+    keeps = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
+    assert keeps[1] and not keeps[2]
