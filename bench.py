@@ -192,9 +192,34 @@ def main() -> None:
             warm.append(time.perf_counter() - t)
         extended[name] = round(min(warm), 4)
 
+    # Machine-noise canaries: two fixed computations with zero
+    # code-under-test, timed min-of-3. Cross-round query deltas that
+    # track these are machine drift (VM contention, thermal), not
+    # regressions — measured 1.4x swings on identical code within one
+    # session on this host.
+    #   - calib_range_sum_sec: whole-stage-codegen throughput (compute)
+    #   - calib_shuffle_sec: a tiny 32-partition shuffle round-trip —
+    #     the scheduling/stage-overhead floor that dominates the warm
+    #     suite's per-query latency
+    calib_cpu, calib_shuf = [], []
+    for _ in range(3):
+        t = time.perf_counter()
+        # % bound keeps the ANSI-mode sum far from BIGINT overflow
+        spark.range(200_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000)"
+        ).collect()
+        calib_cpu.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        spark.range(0, 10_000).repartition(32).selectExpr(
+            "id % 13 AS k"
+        ).groupBy("k").count().collect()
+        calib_shuf.append(time.perf_counter() - t)
+
     out = {
         "metric": "seven_query_suite_total",
         "value": round(total, 4),
+        "calib_range_sum_sec": round(min(calib_cpu), 4),
+        "calib_shuffle_sec": round(min(calib_shuf), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
