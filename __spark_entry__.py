@@ -111,6 +111,9 @@ _ROTATED_RELATIONAL = (
     "ann_pq_codes",
     "ann_pq_recall",
     "corpus_doremi_reweight",
+    "ann_ivf_pq",
+    "dedup_passage_index",
+    "events_volume_ewma",
 )
 
 
@@ -182,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.embedding_cosine_dups_prefiltered
         ),
         "dedup_repeated_passages": _d(dedup.repeated_passage_coverage),
+        "dedup_passage_index": _d(dedup.duplicate_passage_index),
         # --- training-data pipeline: similarity search ---
         "ann_cosine_topk": _e(similarity.ann_cosine_topk),
         "ann_lsh_bucketed": _e(similarity.ann_lsh_bucketed),
@@ -191,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_graph": _e(similarity.ann_knn_graph),
         "ann_pq_codes": _e(similarity.ann_pq_codes),
         "ann_pq_recall": _e(similarity.ann_pq_recall),
+        "ann_ivf_pq": _e(similarity.ann_ivf_pq),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),

@@ -153,6 +153,8 @@ def main() -> None:
         ("ann_pq_codes", similarity.ann_pq_codes, emb),
         ("ann_pq_recall", similarity.ann_pq_recall, emb),
         ("corpus_doremi_reweight", corpus.doremi_reweight, docs),
+        ("ann_ivf_pq", similarity.ann_ivf_pq, emb),
+        ("dedup_passage_index", dedup.duplicate_passage_index, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
@@ -180,6 +182,7 @@ def main() -> None:
         "task_percentile_standing",
         "events_daily_gapfill",
         "events_daily_anomaly",
+        "events_volume_ewma",
         "table_profile_orders",
         "yoy_revenue_growth",
     ):

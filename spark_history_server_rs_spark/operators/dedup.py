@@ -1015,6 +1015,66 @@ ORACLE_REPEATED_PASSAGES = (
 )
 
 
+# ==========================================================================
+# D7 — cross-document duplicate-passage index
+# ==========================================================================
+#: The INDEX view of D6: one row per exact passage duplicated ACROSS
+#: documents (doc count, occurrence count, the first two carrying docs) —
+#: the actionable artifact for span-level scrubbing (Lee et al. 2022
+#: remove the duplicated spans themselves, not whole documents).
+_PASSAGE_INDEX_TAIL = """
+dup AS (
+  SELECT phash,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences,
+         MIN(doc_id) AS first_doc
+  FROM wins WHERE phash IS NOT NULL
+  GROUP BY phash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+second AS (
+  SELECT w.phash, MIN(w.doc_id) AS second_doc
+  FROM wins w JOIN dup d ON w.phash = d.phash AND w.doc_id > d.first_doc
+  GROUP BY w.phash
+)
+SELECT d.phash, d.n_docs, d.n_occurrences, d.first_doc, s.second_doc
+FROM dup d JOIN second s ON d.phash = s.phash
+ORDER BY d.phash
+"""
+
+
+def duplicate_passage_index(docs: DataFrame) -> DataFrame:
+    """D7: the cross-document duplicate-passage index — every exact
+    {k}-token window appearing in ≥2 documents, with its document and
+    occurrence counts plus the first two carrying doc_ids (the span a
+    scrubbing pass would cut, and where to look first).
+
+    Scale shape: rides D6's persisted position-keyed window-hash
+    relation; both aggregations key on the md5 hash (uniform,
+    unskewable) and only 32-hex hashes + ids move — passage text never
+    shuffles.""".format(k=PASSAGE_K)
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_dedup_docs")
+    _materialized_view(
+        spark,
+        "_dedup_passage_wins",
+        docs.semanticHash(),
+        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_dedup_docs")),
+    )
+    return spark.sql(
+        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
+        + _PASSAGE_INDEX_TAIL
+    )
+
+
+ORACLE_PASSAGE_INDEX = (
+    "WITH wins AS ("
+    + _PASSAGE_WINS_DUCK.format(src="documents")
+    + "),\n"
+    + _PASSAGE_INDEX_TAIL
+)
+
+
 ORACLE_SQL_DEDUP = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -1029,4 +1089,5 @@ ORACLE_SQL_DEDUP = {
     # margin holds there), not merely self-consistent
     "dedup_embedding_cosine_prefiltered": ORACLE_COSINE_DUPS,
     "dedup_repeated_passages": ORACLE_REPEATED_PASSAGES,
+    "dedup_passage_index": ORACLE_PASSAGE_INDEX,
 }

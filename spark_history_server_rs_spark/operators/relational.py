@@ -1029,6 +1029,49 @@ ORDER BY epoch_day
 
 
 # ==========================================================================
+# R39 — EWMA event-volume smoothing + next-day forecast
+# ==========================================================================
+#: classic exponentially-weighted moving average over the daily volume
+#: relation (normalized form: ewma_t = sum w_j x_j / sum w_j with
+#: w_j = (1-alpha)^(t-j)). The decay powers are snapped to integer
+#: micro-weights BEFORE the weighted sums, so both engines accumulate
+#: exact integers — pow() last-ulp differences cannot leak into the
+#: result. The day-pair join is over the calendar-bounded daily
+#: relation (O(days^2) on single-digit-thousands rows at any corpus
+#: size) — the scale-legal place for quadratic work.
+EWMA_ALPHA = 0.3
+
+R39_TAIL = """
+daily AS (
+  SELECT CAST(FLOOR(CAST({EPOCH:event_ts} AS DOUBLE) / 86400000.0) AS BIGINT)
+           AS day,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1
+),
+pairs AS (
+  SELECT t.day, t.n,
+         CAST(FLOOR(power(1.0 - """ + str(EWMA_ALPHA) + """, t.day - j.day)
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_micro,
+         j.n AS xj
+  FROM daily t JOIN daily j ON j.day <= t.day
+),
+smoothed AS (
+  SELECT day, MIN(n) AS n_events,
+         CAST(SUM(w_micro * xj) AS BIGINT) AS wx,
+         CAST(SUM(w_micro) AS BIGINT) AS wsum
+  FROM pairs GROUP BY day
+)
+SELECT day AS epoch_day, n_events,
+       FLOOR((CAST(wx AS DOUBLE) / wsum) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS ewma,
+       FLOOR((n_events - CAST(wx AS DOUBLE) / wsum) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS residual
+FROM smoothed
+ORDER BY epoch_day
+"""
+
+
+# ==========================================================================
 # R37 — year-over-year revenue growth (time intelligence over TPC-H)
 # ==========================================================================
 # The standard period-over-period comparison: yearly revenue (exact
@@ -1122,6 +1165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_gapfill": _events_query(R36_TAIL),
     "yoy_revenue_growth": _tpch_query(R37_SQL),
     "events_daily_anomaly": _events_query(R38_TAIL),
+    "events_volume_ewma": _events_query(R39_TAIL),
 }
 
 
@@ -1136,6 +1180,7 @@ EVENTS_TAILS: dict[str, str] = {
     "task_percentile_standing": R35_TAIL,
     "events_daily_gapfill": R36_TAIL,
     "events_daily_anomaly": R38_TAIL,
+    "events_volume_ewma": R39_TAIL,
 }
 
 
@@ -1208,4 +1253,5 @@ ORACLE_SQL_RELATIONAL: dict[str, str] = {
     "events_daily_gapfill": duckdb_events_cte() + ",\n" + _duck(R36_TAIL),
     "yoy_revenue_growth": _duck(R37_SQL),
     "events_daily_anomaly": duckdb_events_cte() + ",\n" + _duck(R38_TAIL),
+    "events_volume_ewma": duckdb_events_cte() + ",\n" + _duck(R39_TAIL),
 }

@@ -749,6 +749,100 @@ ORACLE_ANN_PQ_RECALL = "WITH " + _PQ_RECALL_TAIL.format(
 )
 
 
+# ==========================================================================
+# X8 — IVFADC: IVF cell probe + PQ asymmetric-distance ranking
+# ==========================================================================
+#: The production billion-vector shape from the PQ paper (Jegou et al.
+#: 2011 §IV, "IVFADC"): the coarse quantizer (per-label centroids — the
+#: same cells X3 probes) prunes the corpus to NPROBE cells, then the
+#: fine ranking runs over PQ codes with per-query ADC lookup tables —
+#: the corpus-side cost is PQ_M integer adds per candidate and nothing
+#: but codes is ever read. At 100 TB: cells = partition pruning, codes =
+#: 4 bytes/vector in memory, floats never touched after indexing.
+_IVFADC_TAIL = """,
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM {src} q JOIN centroids ct ON 1 = 1
+    WHERE q.vec_id < {nq}
+  ) WHERE crank <= {nprobe}
+),
+{pq_ctes},
+vec_cells AS (SELECT vec_id, label FROM {src}),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, l.label AS probed_label,
+         CAST(SUM(d.d) AS BIGINT) AS approx_d
+  FROM assigned a
+  JOIN vec_cells l ON l.vec_id = a.vec_id
+  JOIN probes p ON p.label = l.label
+  JOIN dists d ON d.vec_id = p.query_id
+              AND d.subspace = a.subspace AND d.codeword = a.codeword
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id, l.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, probed_label, neighbor_id, approx_d, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_pq(emb: DataFrame) -> DataFrame:
+    """X8: IVFADC — probe the {np} nearest IVF cells (X3's coarse
+    quantizer), rank ONLY those cells' vectors by PQ asymmetric
+    distance (X6's codes + per-query codeword lookup tables). The
+    composition is the point: cells bound the candidate set, ADC bounds
+    the per-candidate cost to {m} integer adds, and the vectors' floats
+    are never read after indexing — the Jegou et al. 2011 IVFADC
+    system, stated as one declarative plan.""".format(np=NPROBE, m=PQ_M)
+    emb.createOrReplaceTempView("_sim_emb")
+    pq = _PQ_CODE_CTES.format(
+        scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+        unnested=_PQ_UNNEST_SPARK,
+    ).strip().rstrip(",")
+    sql = (
+        "WITH "
+        + _IVF_SPARK.format(src="_sim_emb")
+        + _IVFADC_TAIL.format(
+            qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+            src="_sim_emb",
+            nq=N_QUERIES,
+            nprobe=NPROBE,
+            k=TOP_K,
+            pq_ctes=pq,
+        )
+    )
+    return emb.sparkSession.sql(sql)
+
+
+def _oracle_ann_ivf_pq() -> str:
+    pq = _PQ_CODE_CTES.format(
+        scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+        unnested=_PQ_UNNEST_DUCK,
+    ).strip().rstrip(",")
+    return (
+        "WITH "
+        + _IVF_DUCK.format(src="embeddings")
+        + _IVFADC_TAIL.format(
+            qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
+            src="embeddings",
+            nq=N_QUERIES,
+            nprobe=NPROBE,
+            k=TOP_K,
+            pq_ctes=pq,
+        )
+    )
+
+
+ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
+
+
 ORACLE_SQL_SIMILARITY = {
     "ann_knn_graph": ORACLE_ANN_KNN_GRAPH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
@@ -758,4 +852,5 @@ ORACLE_SQL_SIMILARITY = {
     "ann_hamming_rerank": ORACLE_ANN_HAMMING,
     "ann_pq_codes": ORACLE_ANN_PQ_CODES,
     "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
+    "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
 }

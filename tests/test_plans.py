@@ -628,3 +628,25 @@ def test_pq_plan_gates(spark):
         assert not I.has_cartesian(df)
         assert I.single_partition_windows(df) == 0
         assert "BroadcastHashJoin" in I.explain_str(df, "simple")
+
+
+def test_ivfadc_and_passage_index_plan_gates(spark):
+    """X8/D7/R39 gates: IVFADC keeps broadcast joins and partitioned rank
+    windows (never global); the passage index shuffles only hash keys;
+    the EWMA day-pair join is NOT a cartesian on an unbounded relation
+    (it equi-bounds on the tiny daily aggregate). No Python anywhere."""
+    from spark_history_server_rs_spark.operators import dedup, relational, similarity
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ivfadc = similarity.ann_ivf_pq(emb)
+    assert not I.has_python_worker(ivfadc)
+    assert I.single_partition_windows(ivfadc) == 0
+    assert "BroadcastHashJoin" in I.explain_str(ivfadc, "simple")
+    pidx = dedup.duplicate_passage_index(docs)
+    assert not I.has_python_worker(pidx)
+    assert not I.has_cartesian(pidx)
+    ewma = relational.QUERIES["events_volume_ewma"](spark, SF_ORACLE)
+    assert not I.has_python_worker(ewma)
+    assert I.single_partition_windows(ewma) == 0
