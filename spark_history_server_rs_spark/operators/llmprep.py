@@ -846,9 +846,13 @@ dists AS (
   FROM devs GROUP BY vec_id, label
 ),
 lstats AS (
+  -- s2 accumulates in DECIMAL(38,0): each sqd*sqd term is ~6.6e12 (fits
+  -- BIGINT), but SUMming them overflows BIGINT past ~1.4e6 vectors per
+  -- label; decimal-38 headroom (1e38) is unreachable at any corpus
+  -- size and the arithmetic stays exact in both engines.
   SELECT label, COUNT(*) AS n,
          CAST(SUM(sqd) AS BIGINT) AS s1,
-         CAST(SUM(sqd * sqd) AS BIGINT) AS s2
+         SUM(CAST(sqd * sqd AS DECIMAL(38, 0))) AS s2
   FROM dists GROUP BY label
 ),
 scored AS (

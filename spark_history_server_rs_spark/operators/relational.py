@@ -999,9 +999,15 @@ daily AS (
   FROM ev GROUP BY 1
 ),
 stats AS (
+  -- s2 accumulates in DECIMAL(38,0): a single n*n term fits BIGINT up
+  -- to ~3e9 events/day, but a multi-year SUM of squares overflows it at
+  -- high volume; decimal-38 headroom is unreachable and stays exact in
+  -- both engines (the result is only read back as DOUBLE for the
+  -- variance, where the leading digits are all that matter).
   SELECT COUNT(*) AS n_days,
          CAST(COALESCE(SUM(n), 0) AS BIGINT) AS s1,
-         CAST(COALESCE(SUM(n * n), 0) AS BIGINT) AS s2
+         COALESCE(SUM(CAST(n * n AS DECIMAL(38, 0))),
+                  CAST(0 AS DECIMAL(38, 0))) AS s2
   FROM daily
 ),
 scored AS (
@@ -1194,20 +1200,15 @@ def run_events_tail(ev: DataFrame, name: str) -> DataFrame:
     SparkSession, so a fixed view name would race between two
     concurrent requests with different date/app filters — one request
     silently serving rows computed from the other's filtered frame.
-    Dropping immediately is safe: ``spark.sql`` inlines the view's plan
-    at analysis time, so the returned DataFrame no longer references
-    the catalog entry."""
-    import uuid
+    Drop-after-analysis safety lives in
+    :func:`..functions.views.scoped_temp_view`."""
+    from ..functions.views import scoped_temp_view
 
-    view = f"_rel_ev_live_{uuid.uuid4().hex}"
-    ev.createOrReplaceTempView(view)
-    try:
+    with scoped_temp_view(ev, "_rel_ev_live") as view:
         return ev.sparkSession.sql(
             f"WITH ev AS (SELECT * FROM {view}),\n"
             + _render(EVENTS_TAILS[name], _SPARK_SPELL)
         )
-    finally:
-        ev.sparkSession.catalog.dropTempView(view)
 
 
 def _duck(sql_template: str) -> str:

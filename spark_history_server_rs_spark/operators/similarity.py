@@ -588,6 +588,13 @@ ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
 #: (deterministic seeds, same convention as KMEANS_K / IVF).
 PQ_M = 4          # subspaces
 PQ_SUBDIM = EMBEDDING_DIM // PQ_M
+# dims must split evenly into subspaces: a remainder would land in a
+# silent extra subspace that the code pivot drops while its distance
+# still folds into quant_err — codes and error would disagree with no
+# failure. Fail loud at import instead.
+assert EMBEDDING_DIM % PQ_M == 0, (
+    f"EMBEDDING_DIM={EMBEDDING_DIM} not divisible by PQ_M={PQ_M}"
+)
 PQ_K = 16         # codewords per subspace
 #: element snap (micro) and diff down-snap (milli) — squared-diff sums
 #: stay exact BIGINTs: diff_milli <= ~4e3, squared 1.6e7, x16 dims 2.6e8.
@@ -623,12 +630,16 @@ assigned AS (
   ) WHERE rnk = 1
 )"""
 
-_PQ_CODES_TAIL = _PQ_CODE_CTES + """
+# code pivot derived from PQ_M so raising the subspace count cannot
+# silently drop codes from the output
+_PQ_CODE_COLS = ",\n       ".join(
+    f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+    for s in range(PQ_M)
+)
+
+_PQ_CODES_TAIL = _PQ_CODE_CTES + f"""
 SELECT vec_id,
-       MAX(CASE WHEN subspace = 0 THEN codeword END) AS code_0,
-       MAX(CASE WHEN subspace = 1 THEN codeword END) AS code_1,
-       MAX(CASE WHEN subspace = 2 THEN codeword END) AS code_2,
-       MAX(CASE WHEN subspace = 3 THEN codeword END) AS code_3,
+       {_PQ_CODE_COLS},
        CAST(SUM(d) AS BIGINT) AS quant_err
 FROM assigned
 GROUP BY vec_id

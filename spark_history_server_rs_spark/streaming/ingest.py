@@ -447,13 +447,8 @@ def stream_quality_gate(docs: DataFrame) -> DataFrame:
     Scale shape: identical to batch — zero shuffles, zero state, zero
     Python; every micro-batch is map-only work.
     """
-    import uuid
-
+    from ..functions.views import scoped_temp_view
     from ..operators.textprep import gopher_spark_sql
 
-    view = f"_stream_text_docs_{uuid.uuid4().hex}"
-    docs.createOrReplaceTempView(view)
-    try:
+    with scoped_temp_view(docs, "_stream_text_docs") as view:
         return docs.sparkSession.sql(gopher_spark_sql(view, ordered=False))
-    finally:
-        docs.sparkSession.catalog.dropTempView(view)
