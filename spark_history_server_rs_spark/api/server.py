@@ -474,6 +474,32 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             df = run_events_tail(self._filtered_events(qs), name)
             return self._send(200, _rows(df))
 
+        m = re.fullmatch(
+            r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights)",
+            path,
+        )
+        if m:
+            # beyond-reference: corpus analytics served from an optional
+            # warm documents frame (serve(..., documents=...)); 404s with
+            # a hint when the server was started events-only
+            docs = getattr(self.server, "documents", None)
+            if docs is None:
+                return self._send(
+                    404,
+                    {"error": "no documents frame attached to this server"},
+                )
+            from ..operators import corpus, llmprep, textprep
+
+            fn = {
+                "profile": llmprep.profile_table,
+                "quality": textprep.gopher_rules,
+                "zipf": corpus.zipf_fit,
+                "sources": corpus.source_overlap,
+                "domain-weights": corpus.doremi_reweight,
+            }[m.group(1)]
+            rows = _rows(fn(docs).limit(self._limit(qs, 1000)))
+            return self._send(200, rows)
+
         if path == "/api/v1/optimization/resource-hogs":
             df = catalog.top_resource_consumers(
                 self._filtered_events(qs), limit=self._limit(qs, 10)
@@ -523,6 +549,7 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     warmup: bool = True,
+    documents: DataFrame | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -530,9 +557,17 @@ def serve(
 
     ``warmup`` pre-executes the dashboard query shapes once so whole-stage
     codegen is JIT-compiled before the first user request (first-hit
-    latency drops from ~1.5 s to the warm ~0.5 s)."""
+    latency drops from ~1.5 s to the warm ~0.5 s).
+
+    ``documents`` (optional) attaches a corpus frame and enables the
+    ``/api/v1/corpus/*`` analytics routes (profile, Gopher quality
+    report, Zipf fit, source-overlap matrix, DoReMi domain weights) —
+    the corpus-health dashboard next to the cluster one."""
     events = events.cache()
     events.count()  # materialize
+    if documents is not None:
+        documents = documents.cache()
+        documents.count()
     if warmup:
         for fn in (
             lambda ev: catalog.top_resource_consumers(ev, limit=1),
@@ -545,6 +580,7 @@ def serve(
             fn(events).collect()
     httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
     httpd.events = events  # type: ignore[attr-defined]
+    httpd.documents = documents  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

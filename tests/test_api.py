@@ -414,3 +414,43 @@ def test_circuit_breaker_endpoint_and_serving(api):
         assert code == 400
     code, st = _get(api, "/api/v1/circuit-breaker")
     assert code == 200 and st["state"] == "closed"
+
+
+def test_corpus_endpoints(spark):
+    """Beyond-reference corpus analytics routes: served when a documents
+    frame is attached, a helpful 404 when not."""
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    ev = load_events(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    httpd = serve(ev, warmup=False, documents=docs)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, zipf = _get(base, "/api/v1/corpus/zipf")
+        assert code == 200 and len(zipf) == 1
+        assert {"n_tokens", "n_types", "zipf_slope"} <= set(zipf[0])
+        code, quality = _get(base, "/api/v1/corpus/quality?limit=5")
+        assert code == 200 and 0 < len(quality) <= 5
+        assert "keep" in quality[0]
+        code, sources = _get(base, "/api/v1/corpus/sources")
+        assert code == 200 and all("jaccard" in r for r in sources)
+        code, weights = _get(base, "/api/v1/corpus/domain-weights")
+        assert code == 200 and len(weights) >= 1
+        assert abs(sum(r["domain_weight"] for r in weights) - 1.0) < 0.01
+        code, prof = _get(base, "/api/v1/corpus/profile")
+        assert code == 200 and len(prof) >= 1
+    finally:
+        httpd.shutdown()
+
+    # events-only server → informative 404
+    httpd2 = serve(ev, warmup=False)
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+    try:
+        code, body = _get(base2, "/api/v1/corpus/zipf")
+        assert code == 404 and "documents" in body["error"]
+    finally:
+        httpd2.shutdown()

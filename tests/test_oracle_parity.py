@@ -99,3 +99,41 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "app_id" in df.columns
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one representative per operator family — pins the README claim
+        # that results have no scale-dependent divergence (sf0.01 is the
+        # exhaustive tier; this tier re-checks the shapes where scale
+        # could plausibly matter: rank cutoffs, bucket boundaries,
+        # variance accumulators, pair joins)
+        "applications",
+        "cross_app_summary",
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "corpus_perplexity_buckets",
+        "corpus_dsir_select",
+        "corpus_source_overlap",
+        "events_daily_anomaly",
+        "embedding_outliers",
+        "ann_ivf_pq",
+        "dedup_passage_index",
+        "corpus_doremi_reweight",
+    ],
+)
+def test_sf01_parity_spot(name, spark):
+    """Scale-divergence gate at sf0.1 (10x the exhaustive tier)."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.testing import open_oracle
+
+    sf_dir = "/root/testdata/sf0.1"
+    dedup.clear_materialized_caches()  # keyed on plan → same path, other data
+    con = open_oracle(sf_dir)
+    try:
+        ok, report = compare(QUERIES[name](spark, sf_dir), con, ORACLES[name])
+        assert ok, f"{name} at sf0.1: {report}"
+    finally:
+        dedup.clear_materialized_caches()
+        con.close()
