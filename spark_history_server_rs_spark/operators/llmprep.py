@@ -179,6 +179,126 @@ ORACLE_BIGRAM_COUNTS = "WITH " + _BIGRAM_TAIL.format(
 
 
 # ==========================================================================
+# L2b — one BPE merge step (tokenizer-training primitive)
+# ==========================================================================
+#: One iteration of byte-pair-encoding merge learning (Sennrich et al.
+#: 2016, arXiv:1508.07909), at the word level this corpus tokenizes at:
+#: pick the most frequent adjacent pair, merge every (left-to-right
+#: non-overlapping — exactly SQL replace() semantics) occurrence into
+#: one token, report the corpus before/after. Real tokenizer training
+#: is this step iterated; the per-step plan is what must scale.
+def bpe_merge_step(docs: DataFrame) -> DataFrame:
+    """L2b: one BPE merge step — the top adjacent pair (count ties break
+    lexicographically), applied corpus-wide via canonicalized-text
+    replace, with before/after token and vocabulary counts.
+
+    Scale shape: the pair ranking is the L2 bigram aggregate (map-side
+    combined, distributed top-1); the 1-row winner cross-joins
+    (broadcast) into a pure replace/split projection; the after-stats
+    are one more token aggregate. No windows, no Python."""
+    docs.createOrReplaceTempView("_llm_docs")
+    return docs.sparkSession.sql(f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS tk FROM _llm_docs),
+bigrams AS (
+  SELECT explode(CASE WHEN size(tk) >= 2
+    THEN transform(sequence(1, size(tk) - 1),
+                   i -> concat_ws(' ', slice(tk, i, 2)))
+    ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram
+  FROM toks
+),
+top_pair AS (
+  SELECT bigram, n FROM (
+    SELECT bigram, COUNT(*) AS n FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 1
+  )
+),
+merged AS (
+  SELECT t.doc_id,
+         filter(split(replace(concat_ws(' ', t.tk), p.bigram,
+                              replace(p.bigram, ' ', '_')), ' '),
+                x -> x <> '') AS mk
+  FROM toks t CROSS JOIN top_pair p
+),
+before_stats AS (
+  SELECT CAST(COALESCE(SUM(size(tk)), 0) AS BIGINT) AS n_tokens_before
+  FROM toks
+),
+before_types AS (
+  SELECT COUNT(DISTINCT tok) AS n_types_before
+  FROM (SELECT explode(tk) AS tok FROM toks)
+),
+after_stats AS (
+  SELECT CAST(COALESCE(SUM(size(mk)), 0) AS BIGINT) AS n_tokens_after
+  FROM merged
+),
+after_types AS (
+  SELECT COUNT(DISTINCT tok) AS n_types_after
+  FROM (SELECT explode(mk) AS tok FROM merged)
+)
+SELECT p.bigram AS merged_pair,
+       replace(p.bigram, ' ', '_') AS new_token,
+       p.n AS pair_count,
+       b.n_tokens_before, a.n_tokens_after,
+       b.n_tokens_before - a.n_tokens_after AS merges_applied,
+       bt.n_types_before, at.n_types_after
+FROM top_pair p
+CROSS JOIN before_stats b CROSS JOIN after_stats a
+CROSS JOIN before_types bt CROSS JOIN after_types at
+""")
+
+
+ORACLE_BPE_MERGE_STEP = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM documents),
+bigrams AS (
+  SELECT unnest(CASE WHEN len(tk) >= 2
+    THEN list_transform(range(2, len(tk) + 1),
+                        i -> tk[i - 1] || ' ' || tk[i])
+    ELSE [] END) AS bigram
+  FROM toks
+),
+top_pair AS (
+  SELECT bigram, n FROM (
+    SELECT bigram, COUNT(*) AS n FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 1
+  )
+),
+merged AS (
+  SELECT t.doc_id,
+         list_filter(string_split(replace(array_to_string(t.tk, ' '),
+                                          p.bigram,
+                                          replace(p.bigram, ' ', '_')),
+                                  ' '), x -> x <> '') AS mk
+  FROM toks t CROSS JOIN top_pair p
+),
+before_stats AS (
+  SELECT CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS n_tokens_before
+  FROM toks
+),
+before_types AS (
+  SELECT COUNT(DISTINCT tok) AS n_types_before
+  FROM (SELECT unnest(tk) AS tok FROM toks)
+),
+after_stats AS (
+  SELECT CAST(COALESCE(SUM(len(mk)), 0) AS BIGINT) AS n_tokens_after
+  FROM merged
+),
+after_types AS (
+  SELECT COUNT(DISTINCT tok) AS n_types_after
+  FROM (SELECT unnest(mk) AS tok FROM merged)
+)
+SELECT p.bigram AS merged_pair,
+       replace(p.bigram, ' ', '_') AS new_token,
+       p.n AS pair_count,
+       b.n_tokens_before, a.n_tokens_after,
+       b.n_tokens_before - a.n_tokens_after AS merges_applied,
+       bt.n_types_before, at.n_types_after
+FROM top_pair p
+CROSS JOIN before_stats b CROSS JOIN after_stats a
+CROSS JOIN before_types bt CROSS JOIN after_types at
+"""
+
+
+# ==========================================================================
 # L3 — sequence packing (contiguous-greedy bins per language)
 # ==========================================================================
 _PACK_TAIL = """
@@ -1352,6 +1472,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_training_manifest": ORACLE_TRAINING_MANIFEST,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "corpus_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "corpus_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,

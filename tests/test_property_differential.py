@@ -309,6 +309,10 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         (corpus.zipf_fit, "corpus_zipf_fit"),
         (corpus.source_overlap, "corpus_source_overlap"),
         (llmprep.chunk_documents, "corpus_chunk_documents"),
+        # all-identical corpora produce maximal self-overlapping runs
+        # ("a a a a") — exactly where the two engines' replace()
+        # left-to-right non-overlap semantics must agree
+        (llmprep.bpe_merge_step, "corpus_bpe_merge_step"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
