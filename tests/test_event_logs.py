@@ -1093,3 +1093,42 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     # the corpus exercises both outcomes
     keeps = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
     assert keeps[1] and not keeps[2]
+
+
+def test_dedup_index_roundtrip_and_pairs(spark, tmp_path):
+    """Durable dedup index: write shingles / band keys (partitioned by
+    band_idx) / passage hashes to parquet, then compute D3's near-dup
+    pairs ENTIRELY from the index — result-identical to the live
+    operator, with no document text read in the query phase."""
+    import os
+
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        minhash_lsh_pairs_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(docs, path)
+    # layout: band keys are partition-pruned per band
+    assert sorted(
+        x for x in os.listdir(path + "/band_keys") if x.startswith("band_idx")
+    ) == [f"band_idx={i}" for i in range(dedup.BANDS)]
+    idx = read_dedup_index(spark, path)
+    assert idx["shingles"].columns == ["doc_id", "shingle"]
+    assert set(idx["passages"].columns) == {"doc_id", "pos", "phash"}
+
+    dedup.clear_materialized_caches()
+    live = {tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    from_idx = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert from_idx == live and len(live) > 0
+    # idempotent overwrite
+    write_dedup_index(docs, path)
+    again = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert again == live
