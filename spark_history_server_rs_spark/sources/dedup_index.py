@@ -78,8 +78,68 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
     idx = read_dedup_index(spark, path)
     idx["shingles"].createOrReplaceTempView("_idx_shingles")
     idx["band_keys"].createOrReplaceTempView("_idx_bandkv")
+    # DISTINCT on both relations: a streaming index update retried after
+    # a failure can append a batch's rows twice (at-least-once), and the
+    # Jaccard verification counts shingles per doc — duplicate rows
+    # would inflate set sizes and shift every similarity.
     return spark.sql(
-        "WITH shingles AS (SELECT doc_id, shingle FROM _idx_shingles),\n"
-        "bandkv AS (SELECT doc_id, band_idx, band_key FROM _idx_bandkv),"
+        "WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM _idx_shingles),\n"
+        "bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM _idx_bandkv),"
         + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+    )
+
+
+def stream_update_dedup_index(
+    docs_stream: DataFrame, path: str, checkpoint: str
+):
+    """Streaming INDEX maintenance: as documents arrive, append their
+    derived relations (shingles, band keys, passage hashes) to the
+    persisted index per micro-batch. Cross-batch duplicate pairs then
+    surface from :func:`minhash_lsh_pairs_from_index` with no batch
+    re-index — the arriving doc's band keys collide with keys written
+    batches (or days) ago.
+
+    Semantics: ``foreachBatch`` + parquet append is at-least-once under
+    failures — a retried batch can append its rows twice. The relations
+    are SETS (distinct (doc_id, shingle) / (doc_id, band_idx, band_key)
+    keys), so downstream candidate generation is idempotent to
+    duplicates (``SELECT DISTINCT`` pairs); exact-Jaccard verification
+    reads sizes, so the query path de-duplicates the shingle relation
+    first. For exactly-once, compact the index with a periodic
+    DISTINCT rewrite (the same closed-date maintenance slot as
+    compact_sink_inplace).
+
+    Returns the started StreamingQuery (availableNow-compatible).
+    """
+
+    def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        view = f"_stream_index_docs_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        try:
+            spark.sql(_SHINGLES_SPARK.format(src=view)).write.mode(
+                "append"
+            ).parquet(f"{path}/shingles")
+            spark.sql(
+                "WITH shingles AS ("
+                + _SHINGLES_SPARK.format(src=view)
+                + "),\n"
+                + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+                + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+            ).write.mode("append").partitionBy("band_idx").parquet(
+                f"{path}/band_keys"
+            )
+            spark.sql(_PASSAGE_WINS_SPARK.format(src=view)).write.mode(
+                "append"
+            ).parquet(f"{path}/passages")
+        finally:
+            spark.catalog.dropTempView(view)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_index_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -1132,3 +1132,63 @@ def test_dedup_index_roundtrip_and_pairs(spark, tmp_path):
         tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
     }
     assert again == live
+
+
+def test_stream_dedup_index_maintenance(spark, tmp_path):
+    """Streaming index maintenance: documents arriving across
+    micro-batches append to the persisted dedup index; a later batch's
+    near-duplicate of an earlier batch's doc surfaces as a pair from
+    the index with no re-index. Double-appended rows (at-least-once
+    retry simulation) must not shift any Jaccard value."""
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        minhash_lsh_pairs_from_index,
+        stream_update_dedup_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = {
+        1: base,
+        2: "a completely different document about spark shuffles here",
+        # batch-2 doc: near-verbatim of doc 1 (crosses the batch boundary)
+        7: base + " lambda",
+        8: "another unrelated text mentioning parquet row groups",
+    }
+    src = tmp_path / "idx_docs"
+    _write_doc_files(
+        src,
+        [
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (1, 2)],
+            [{"doc_id": i, "text": corpus[i], "lang": "en"} for i in (7, 8)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    path = str(tmp_path / "stream_index")
+    q = stream_update_dedup_index(stream, path, str(tmp_path / "idx_ckpt"))
+    q.awaitTermination(120)
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert (1, 7) in pairs  # the cross-batch near-dup
+    # at-least-once resilience: double-append one batch's relations and
+    # re-query — DISTINCT reads keep every Jaccard identical
+    docs_b1 = spark.createDataFrame(
+        [(1, corpus[1], "en"), (2, corpus[2], "en")],
+        "doc_id long, text string, lang string",
+    )
+    from spark_history_server_rs_spark.operators.dedup import _SHINGLES_SPARK
+
+    docs_b1.createOrReplaceTempView("_retry_docs")
+    spark.sql(_SHINGLES_SPARK.format(src="_retry_docs")).write.mode(
+        "append"
+    ).parquet(path + "/shingles")
+    pairs_after = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert pairs_after == pairs
