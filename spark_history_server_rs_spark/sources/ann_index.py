@@ -1,0 +1,147 @@
+"""Durable ANN index — persist the IVFADC artifacts to parquet and
+answer queries from the index, reading no corpus vectors.
+
+The IVFADC operator (``operators/similarity.ann_ivf_pq``) states the
+whole system — coarse quantizer, PQ codebook, codes, ADC — as one plan
+over the live embeddings. Production splits it: a nightly INDEX job
+writes the centroids (coarse quantizer), the PQ codebook, and each
+vector's 4-byte code + cell assignment; the QUERY job reads only those
+plus the query vectors. At 100 TB the float corpus (256 B/vector) never
+leaves cold storage at query time — the scan payload is the code table
+(codes partitioned by cell → a cell probe is partition pruning).
+
+Layout::
+
+    path/centroids/  (label, centroid double[])      the coarse quantizer
+    path/codebook/   (codeword, subspace, dim, sv)   PQ codebook elements
+    path/codes/      (vec_id, code_0..code_{M-1}) PARTITIONED BY label
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    _IVF_SPARK,
+    _PQ_CODE_CTES,
+    _PQ_SCALE,
+    _PQ_UNNEST_SPARK,
+    N_QUERIES,
+    NPROBE,
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+    TOP_K,
+)
+from ..operators.dedup import cosine_expr_spark
+
+
+def _pq_ctes() -> str:
+    return _PQ_CODE_CTES.format(
+        scale=_PQ_SCALE,
+        subdim=PQ_SUBDIM,
+        pqk=PQ_K,
+        unnested=_PQ_UNNEST_SPARK,
+    ).strip().rstrip(",")
+
+
+def write_ann_index(emb: DataFrame, path: str) -> None:
+    """INDEX phase: persist coarse centroids, PQ codebook, and per-vector
+    codes (partitioned by cell). Idempotent overwrite."""
+    spark = emb.sparkSession
+    emb.createOrReplaceTempView("_sim_emb")
+    spark.sql(
+        "WITH "
+        + _IVF_SPARK.format(src="_sim_emb").strip().rstrip(",")
+        + "\nSELECT label, centroid FROM centroids"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.sql(
+        "WITH " + _pq_ctes() + "\nSELECT codeword, subspace, dim, sv FROM cb"
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    spark.sql(
+        "WITH "
+        + _pq_ctes()
+        + f""",
+cells AS (SELECT vec_id, label FROM _sim_emb)
+SELECT a.vec_id, c.label,
+       {code_cols}
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+    ).write.mode("overwrite").partitionBy("label").parquet(f"{path}/codes")
+
+
+def ann_ivf_pq_from_index(
+    spark: SparkSession, path: str, queries: DataFrame
+) -> DataFrame:
+    """QUERY phase: IVFADC answered from the persisted index. The only
+    vectors read are the QUERY vectors (asymmetric distance needs them);
+    the corpus side is centroids (tiny), codebook (tiny, broadcast), and
+    the code table pruned to the probed cells. Result-identical to the
+    live ``ann_ivf_pq`` operator on the same data (pinned by test)."""
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(
+        "_annidx_centroids"
+    )
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(
+        "_annidx_cb"
+    )
+    spark.read.parquet(f"{path}/codes").createOrReplaceTempView(
+        "_annidx_codes"
+    )
+    queries.createOrReplaceTempView("_annidx_queries")
+    qc_cos = cosine_expr_spark("q.embedding", "ct.centroid")
+    # unpivot the persisted code columns back to (vec_id, subspace, codeword)
+    code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
+    return spark.sql(f"""
+WITH probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM _annidx_queries q JOIN _annidx_centroids ct ON 1 = 1
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE crank <= {NPROBE}
+),
+qelems AS (
+  SELECT vec_id, pos AS dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE} + 0.5) AS BIGINT) AS sv
+  FROM _annidx_queries LATERAL VIEW posexplode(embedding) t AS pos, v
+  WHERE vec_id < {N_QUERIES}
+),
+dtable AS (
+  -- per-query ADC lookup table over the persisted codebook
+  SELECT q.vec_id AS query_id, c.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(q.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM qelems q JOIN _annidx_cb c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.subspace, c.codeword
+),
+codes AS (
+  SELECT vec_id, label, subspace, codeword
+  FROM _annidx_codes
+  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+),
+adc AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.label AS probed_label,
+         CAST(SUM(d.d) AS BIGINT) AS approx_d
+  FROM codes x
+  JOIN probes p ON p.label = x.label
+  JOIN dtable d ON d.query_id = p.query_id
+              AND d.subspace = x.subspace AND d.codeword = x.codeword
+  WHERE x.vec_id <> p.query_id
+  GROUP BY p.query_id, x.vec_id, x.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, probed_label, neighbor_id, approx_d, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""")

@@ -1192,3 +1192,30 @@ def test_stream_dedup_index_maintenance(spark, tmp_path):
         for r in minhash_lsh_pairs_from_index(spark, path).collect()
     }
     assert pairs_after == pairs
+
+
+def test_ann_index_roundtrip_serves_ivfadc(spark, tmp_path):
+    """Durable ANN index: centroids + PQ codebook + cell-partitioned
+    codes persisted once; IVFADC answered from the index (only QUERY
+    vectors read) must be result-identical to the live one-plan
+    operator."""
+    import os
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path)
+    # codes are partitioned by cell → a probe is partition pruning
+    assert any(
+        x.startswith("label=") for x in os.listdir(path + "/codes")
+    )
+    live = [tuple(r) for r in similarity.ann_ivf_pq(emb).collect()]
+    from_idx = [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ]
+    assert from_idx == live and len(live) > 0
