@@ -317,3 +317,93 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table properties: vector operators on adversarial inputs
+# ---------------------------------------------------------------------------
+@st.composite
+def embedding_rows(draw):
+    dim = 16  # constant per corpus (vector ops require rectangular input)
+    n = draw(st.integers(min_value=0, max_value=20))
+    # with probability ~1/4 every vector is IDENTICAL (zero variance in
+    # every dimension and every centroid distance — stats must not NaN)
+    identical = n > 0 and draw(st.integers(0, 3)) == 0
+    rows = []
+    for i in range(n):
+        if identical and rows:
+            vec = rows[0]["embedding"]
+        else:
+            vec = [
+                draw(
+                    st.floats(
+                        min_value=-1.0,
+                        max_value=1.0,
+                        allow_nan=False,
+                        allow_infinity=False,
+                        width=32,
+                    )
+                )
+                for _ in range(dim)
+            ]
+        rows.append(
+            {
+                "vec_id": i,
+                "embedding": vec,
+                "label": draw(st.integers(0, 3)),
+            }
+        )
+    return rows
+
+
+def _write_embeddings(tmpdir: str, rows: list[dict]) -> None:
+    table = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r["label"] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def prop_emb_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop-emb"))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=embedding_rows())
+def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
+    """Vector-op differential under adversarial embeddings: empty table,
+    single vector, ALL-identical vectors (zero variance everywhere),
+    few-vector corpora where the deterministic seed sets (centroids
+    vec_id<8, codebook vec_id<16) are partially or fully absent."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import llmprep, similarity
+
+    _write_embeddings(prop_emb_dir, rows)
+    emb = spark.read.parquet(f"{prop_emb_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{prop_emb_dir}/embeddings.parquet')"
+    )
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    for fn, name in [
+        (llmprep.embedding_dim_stats, "embedding_dim_stats"),
+        (llmprep.embedding_outliers, "embedding_outliers"),
+        (similarity.ann_pq_codes, "ann_pq_codes"),
+    ]:
+        ok, report = compare(fn(emb), con, oracles[name])
+        assert ok, f"{name} on {len(rows)} random vectors: {report}"
+    con.close()
