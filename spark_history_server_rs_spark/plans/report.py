@@ -55,6 +55,10 @@ SELECTED = [
     ("ann_pq_codes", "broadcast codebook assignment, per-(vec, subspace) rank"),
     ("ann_pq_recall", "ADC lookup-table join vs exact-L2 sampled eval"),
     ("corpus_doremi_reweight", "unigram proxy loss folded to a sources-sized mix"),
+    ("ann_ivf_pq", "IVFADC: cell probe + codebook lookup-table ranking"),
+    ("dedup_passage_index", "cross-doc duplicated-window index, hash-keyed only"),
+    ("events_volume_ewma", "integer-weight EWMA over the calendar-bounded dailies"),
+    ("corpus_bpe_merge_step", "distributed top-pair + broadcast merge projection"),
 ]
 
 
