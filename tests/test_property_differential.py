@@ -407,3 +407,65 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         ok, report = compare(fn(emb), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random vectors: {report}"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# ingest fuzzing: the permissive event-log parser must never crash
+# ---------------------------------------------------------------------------
+_JSONISH_LINE = st.one_of(
+    st.text(max_size=60),  # arbitrary garbage incl. empty lines
+    st.text(alphabet='{}[]":,abcdef0123456789 \t', max_size=60),  # JSON-ish
+    st.builds(
+        lambda ev, ts, extra: json.dumps(
+            {"Event": ev, "Timestamp": ts, **extra}
+        ),
+        ev=st.sampled_from(
+            [
+                "SparkListenerApplicationStart",
+                "SparkListenerTaskEnd",
+                "SparkListenerExecutorAdded",
+                "NotARealEvent",
+                "",
+            ]
+        ),
+        ts=st.one_of(
+            st.integers(-(2**40), 2**40), st.none(), st.text(max_size=8)
+        ),
+        extra=st.dictionaries(
+            st.sampled_from(["App ID", "Stage ID", "Task Info", "junk"]),
+            st.one_of(st.none(), st.integers(-5, 5), st.text(max_size=10)),
+            max_size=3,
+        ),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_JSONISH_LINE, max_size=30))
+def test_event_log_parser_never_crashes(lines, spark, tmp_path_factory):
+    """S6 hardening: the permissive reader must survive ANY byte salad —
+    truncated JSON, wrong types in known fields, null timestamps, alien
+    events — producing rows + reject counts, never an exception; and
+    the whole catalog must still run over whatever was parsed."""
+    from spark_history_server_rs_spark.sources.event_logs import (
+        read_event_logs,
+    )
+
+    d = tmp_path_factory.mktemp("fuzz-logs")
+    appdir = d / "application_fuzz"
+    appdir.mkdir()
+    with open(appdir / "events_1", "w") as f:
+        for line in lines:
+            f.write(line.replace("\n", " ") + "\n")
+    events, rejects = read_event_logs(
+        spark, str(d) + "/*/*", with_rejects=True
+    )
+    n_events, n_rejects = events.count(), rejects.count()
+    assert n_events >= 0 and n_rejects >= 0
+    # catalog queries run on whatever survived (possibly zero rows)
+    assert catalog.applications(events).count() >= 0
+    assert catalog.cross_app_summary(events).count() == 1
