@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": _d(corpus.zipf_fit),
         "corpus_source_overlap": _d(corpus.source_overlap),
         "corpus_doremi_reweight": _d(corpus.doremi_reweight),
+        "corpus_span_leakage": _d(corpus.span_leakage),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---
         "corpus_profile": _d(llmprep.profile_table),

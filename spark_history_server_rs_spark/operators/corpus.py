@@ -1041,6 +1041,83 @@ ORACLE_DOREMI = (
 
 
 # ==========================================================================
+# C14 — span-level cross-split leakage (passage hashes × hash split)
+# ==========================================================================
+#: C9 audits leakage at the near-dup DOCUMENT level; this audits it at
+#: the exact-PASSAGE level (Lee et al. 2022 find verbatim spans that
+#: survive document-level filters): any rolling window whose exact
+#: content appears in two different train/val/test cells is an
+#: evaluation leak, even when the carrying documents are otherwise
+#: unrelated. Diagonal cells (same split, ≥2 docs) report intra-split
+#: duplication for context.
+_SPAN_LEAKAGE_POST = """
+ws AS (
+  SELECT w.phash, s.split, COUNT(DISTINCT w.doc_id) AS nd
+  FROM wins w JOIN splits s ON w.doc_id = s.doc_id
+  WHERE w.phash IS NOT NULL
+  GROUP BY w.phash, s.split
+),
+cells AS (
+  SELECT a.phash, a.split AS split_a, b.split AS split_b
+  FROM ws a JOIN ws b ON a.phash = b.phash
+   AND (a.split < b.split OR (a.split = b.split AND a.nd >= 2))
+)
+SELECT split_a, split_b,
+       COUNT(*) AS n_shared_spans,
+       (split_a <> split_b) AS is_leak
+FROM cells
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
+def span_leakage(docs: DataFrame) -> DataFrame:
+    """C14: exact-span split-leakage audit — every rolling window hash
+    bucketed by the train/val/test cells it appears in; off-diagonal
+    cells are spans shared verbatim across splits (eval leaks C9's
+    document-level Jaccard can miss), diagonal cells are intra-split
+    duplication.
+
+    Scale shape: rides D6/D7's persisted window-hash relation; the
+    per-(hash, split) aggregate and the hash-keyed pair join shuffle
+    only 32-hex hashes and split labels; output is ≤6 cells."""
+    from .dedup import _materialized_view, _PASSAGE_WINS_SPARK
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("_corpus_docs")
+    _materialized_view(
+        spark,
+        "_dedup_passage_wins",
+        docs.semanticHash(),
+        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_corpus_docs")),
+    )
+    bucket = _BUCKET.format(STR="STRING")
+    return spark.sql(
+        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
+        f"splits AS (SELECT doc_id, {_split_case(bucket)} AS split"
+        " FROM _corpus_docs),"
+        + _SPAN_LEAKAGE_POST
+    )
+
+
+def _oracle_span_leakage() -> str:
+    from .dedup import _PASSAGE_WINS_DUCK
+
+    bucket = _BUCKET.format(STR="VARCHAR")
+    return (
+        "WITH wins AS ("
+        + _PASSAGE_WINS_DUCK.format(src="documents")
+        + "),\n"
+        + f"splits AS (SELECT doc_id, {_split_case(bucket)} AS split"
+        " FROM documents),"
+        + _SPAN_LEAKAGE_POST
+    )
+
+
+ORACLE_SPAN_LEAKAGE = _oracle_span_leakage()
+
+
+# ==========================================================================
 # C12 — cross-source overlap matrix (source-pair shingle Jaccard)
 # ==========================================================================
 #: The "how much does snapshot/source A repeat source B" audit every
@@ -1122,5 +1199,6 @@ ORACLE_SQL_CORPUS = {
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,
     "corpus_zipf_fit": ORACLE_ZIPF_FIT,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "corpus_span_leakage": ORACLE_SPAN_LEAKAGE,
     "corpus_doremi_reweight": ORACLE_DOREMI,
 }
