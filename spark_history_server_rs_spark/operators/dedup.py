@@ -717,18 +717,29 @@ def cosine_expr_spark(a: str, b: str) -> str:
     """r6-rounded cosine similarity between two array<float> columns —
     JVM-side higher-order functions, strict left fold (bit-identical to
     DuckDB's ``list_dot_product`` on DOUBLE[], verified over all sf0.01
-    pairs)."""
+    pairs). A zero-norm vector (failed encode — one is enough to exist
+    in any 100 TB corpus) has undefined cosine: defined here as 0.0,
+    because Spark's ANSI mode otherwise throws DIVIDE_BY_ZERO and kills
+    the whole query."""
     dot = _DOT.format(a=a, b=b)
     na = _NORM.format(v=a)
     nb = _NORM.format(v=b)
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
+    return (
+        f"CASE WHEN ({na} * {nb}) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5)"
+        f" / CAST(1000000.0 AS DOUBLE) END"
+    )
 
 
 def cosine_expr_duck(a: str, b: str) -> str:
     dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
+    return (
+        f"CASE WHEN ({na} * {nb}) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5)"
+        f" / CAST(1000000.0 AS DOUBLE) END"
+    )
 
 
 # Pre-normalize once per vector (one norm fold each), then a pair is a
@@ -739,17 +750,23 @@ def cosine_expr_duck(a: str, b: str) -> str:
 # is a nested-loop whose task count follows the left side's partitions).
 # The width is NOT hard-coded: callers fill {parts} from the session's
 # defaultParallelism so the pair loop scales with the cluster.
+# zero-norm vectors normalize to the zero vector (cosine 0 vs anything)
+# instead of an ANSI DIVIDE_BY_ZERO crash
 _NORMED_SPARK = """
 SELECT /*+ REPARTITION({parts}) */ vec_id,
-       transform(embedding, x -> CAST(x AS DOUBLE) / {norm}) AS nv
+       transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(x AS DOUBLE) / {norm} END) AS nv
 FROM {src}
 """.format(norm=_NORM.format(v="embedding"), src="{src}", parts="{parts}")
 
 _NORMED_DUCK = """
 SELECT vec_id,
        list_transform(CAST(embedding AS DOUBLE[]),
-                      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                     CAST(embedding AS DOUBLE[])))) AS nv
+                      x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])) = 0
+                           THEN CAST(0.0 AS DOUBLE)
+                           ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                          CAST(embedding AS DOUBLE[]))) END) AS nv
 FROM {src}
 """
 
@@ -860,7 +877,8 @@ def hamming_cutoff(threshold: float, bits: int = EMBEDDING_SKETCH_BITS) -> int:
 _COS_PREFILTERED_SPARK = """
 WITH sk AS (
   SELECT /*+ REPARTITION({parts}) */ vec_id,
-         transform(embedding, x -> CAST(x AS DOUBLE) / {norm}) AS nv,
+         transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                   ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
          {sketch} AS sketch
   FROM {src}
 )

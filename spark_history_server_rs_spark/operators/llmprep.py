@@ -850,7 +850,7 @@ def kmeans_step(emb: DataFrame) -> DataFrame:
     emb.createOrReplaceTempView("_llm_emb")
     sql = (
         "WITH normed AS (SELECT vec_id,"
-        f" transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM_SPARK}) AS nv"
+        f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
         " FROM _llm_emb),\n"
         + _KMEANS_TAIL.format(k=KMEANS_K, dot=_DOT_SPARK)
     )
@@ -860,8 +860,10 @@ def kmeans_step(emb: DataFrame) -> DataFrame:
 ORACLE_KMEANS_STEP = (
     "WITH normed AS (SELECT vec_id,"
     " list_transform(CAST(embedding AS DOUBLE[]),"
-    " x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
-    " CAST(embedding AS DOUBLE[])))) AS nv FROM embeddings),\n"
+    " x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM embeddings),\n"
     + _KMEANS_TAIL.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
 )
 
@@ -1107,7 +1109,7 @@ def semantic_dedup(emb: DataFrame) -> DataFrame:
         emb.semanticHash(),
         lambda: spark.sql(
             "WITH normed AS (SELECT vec_id,"
-            f" transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM_SPARK}) AS nv"
+            f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
             " FROM _llm_emb),\n"
             + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot=_DOT_SPARK)
             + "\nSELECT vec_id, centroid_id, nv FROM assigned"
@@ -1127,8 +1129,10 @@ def semantic_dedup(emb: DataFrame) -> DataFrame:
 ORACLE_SEMANTIC_DEDUP = (
     "WITH normed AS (SELECT vec_id,"
     " list_transform(CAST(embedding AS DOUBLE[]),"
-    " x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
-    " CAST(embedding AS DOUBLE[])))) AS nv FROM embeddings),\n"
+    " x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM embeddings),\n"
     + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
     + ",\n"
     + _SEM_PRUNE_TAIL.format(

@@ -251,11 +251,17 @@ def ann_ivf(emb: DataFrame) -> DataFrame:
 
 
 def _ivf_duck_cos(a: str, b: str) -> str:
-    # centroid is DOUBLE[] already; embedding needs the cast
+    # centroid is DOUBLE[] already; embedding needs the cast. Zero-norm
+    # guard mirrors cosine_expr_duck: a failed-encode zero vector gets
+    # cosine 0.0 in both engines instead of NULL/crash.
     dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
-    return f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
+    return (
+        f"CASE WHEN ({na} * {nb}) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"FLOOR(({dot} / ({na} * {nb})) * 1000000.0 + 0.5)"
+        f" / CAST(1000000.0 AS DOUBLE) END"
+    )
 
 
 ORACLE_ANN_IVF = (
@@ -514,7 +520,8 @@ def ann_knn_graph(emb: DataFrame) -> DataFrame:
         """
 WITH normed AS (
   SELECT /*+ REPARTITION({parts}) */ vec_id,
-         transform(embedding, x -> CAST(x AS DOUBLE) / {norm}) AS nv,
+         transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                   ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
          {sketch} AS sketch
   FROM _sim_emb
 ),

@@ -469,3 +469,62 @@ def test_event_log_parser_never_crashes(lines, spark, tmp_path_factory):
     # catalog queries run on whatever survived (possibly zero rows)
     assert catalog.applications(events).count() >= 0
     assert catalog.cross_app_summary(events).count() == 1
+
+
+def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
+    """A single zero-norm embedding (failed encode — guaranteed to exist
+    somewhere in a 100 TB corpus) used to throw DIVIDE_BY_ZERO in
+    Spark's ANSI mode and kill the whole query across the entire
+    cosine-family surface. Semantics are now defined: zero-norm vectors
+    normalize to the zero vector and cosine with anything is 0.0 — in
+    BOTH engines, pinned differentially here over a corpus containing a
+    zero vector and an exact duplicate pair."""
+    import random
+
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import (
+        dedup,
+        llmprep,
+        similarity,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        if i == 1:
+            vec = [0.0] * 64
+        elif i == 5:
+            vec = rows[0]["embedding"][:]
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append({"vec_id": i, "embedding": vec, "label": i % 3})
+    d = str(tmp_path_factory.mktemp("zero-emb"))
+    _write_embeddings(d, rows)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    for fn, name in [
+        (similarity.ann_cosine_topk, "ann_cosine_topk"),
+        (similarity.ann_lsh_bucketed, "ann_lsh_bucketed"),
+        (similarity.ann_hamming_rerank, "ann_hamming_rerank"),
+        (similarity.ann_ivf, "ann_ivf"),
+        (similarity.ann_knn_graph, "ann_knn_graph"),
+        (similarity.ann_ivf_pq, "ann_ivf_pq"),
+        (dedup.embedding_cosine_dups, "dedup_embedding_cosine"),
+        (
+            dedup.embedding_cosine_dups_prefiltered,
+            "dedup_embedding_cosine_prefiltered",
+        ),
+        (llmprep.kmeans_step, "embedding_kmeans_step"),
+        (llmprep.semantic_dedup, "embedding_semantic_dedup"),
+    ]:
+        ok, report = compare(fn(emb), con, oracles[name])
+        assert ok, f"{name} with a zero-norm vector: {report}"
+    con.close()
