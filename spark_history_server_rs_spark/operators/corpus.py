@@ -216,10 +216,22 @@ def _quality_ctes(for_spark: bool, src: str) -> str:
             f" len(list_filter({toks}, x -> x IN ({stop}))) AS stop_hits"
         )
         punct = "regexp_replace(text, '[^a-z0-9 ]', '', 'g')"
-    punct_ratio = _R4.format(
-        x=f"CAST(length(text) - length({punct}) AS DOUBLE) / length(text)"
+    # empty/NULL-text guards mirror textprep's T3 exactly (zero-length
+    # text and zero-token docs ratio to 0.0 — Spark's ANSI mode throws
+    # on the raw division; this inlined copy missed the guard once)
+    punct_ratio = (
+        "CASE WHEN length(text) = 0 OR text IS NULL THEN CAST(0.0 AS DOUBLE)"
+        " ELSE "
+        + _R4.format(
+            x=f"CAST(length(text) - length({punct}) AS DOUBLE) / length(text)"
+        )
+        + " END"
     )
-    stop_ratio = _R4.format(x="CAST(stop_hits AS DOUBLE) / n_tokens")
+    stop_ratio = (
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        + _R4.format(x="CAST(stop_hits AS DOUBLE) / n_tokens")
+        + " END"
+    )
     return f"""
 qbase AS (
   SELECT doc_id, {counts}, {punct_ratio} AS punct_ratio FROM {src}

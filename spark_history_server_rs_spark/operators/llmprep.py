@@ -728,7 +728,11 @@ def stem_normalize(docs: DataFrame) -> DataFrame:
         f"size({_TOKENS_SPARK}) AS n_tokens",
         f"""size(filter({_TOKENS_SPARK},
             x -> length(x) > 3 AND x LIKE '%s')) AS n_changed_tokens""",
-        f"md5(array_join({_STEM_SPARK}, ' ')) AS normalized_hash",
+        # COALESCE: NULL text (failed fetch) normalizes like the empty
+        # document — md5('') — instead of a NULL hash; the oracle twin
+        # applies the same COALESCE, so the engines agree on both the
+        # NULL-text and empty-array cases
+        f"md5(COALESCE(array_join({_STEM_SPARK}, ' '), '')) AS normalized_hash",
     ).orderBy("doc_id")
 
 
@@ -1248,12 +1252,18 @@ assigned AS (
 )
 SELECT a.doc_id, a.lang, a.split, q.quality_score,
        COALESCE(c.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id,
+       -- quality_score IS NULL (NULL-text document): low quality. The
+       -- Spark side drops via the bucket (NULL score buckets 'Low'
+       -- through the CASE ELSE); a bare `score < 0.5` here would let
+       -- NULL slip through as keep=true and the engines would disagree.
        (CASE WHEN c.cluster_id IS NOT NULL AND a.doc_id <> c.cluster_id
                THEN 'duplicate'
-             WHEN q.quality_score < 0.5 THEN 'low_quality' END) IS NULL AS keep,
+             WHEN q.quality_score < 0.5 OR q.quality_score IS NULL
+               THEN 'low_quality' END) IS NULL AS keep,
        CASE WHEN c.cluster_id IS NOT NULL AND a.doc_id <> c.cluster_id
               THEN 'duplicate'
-            WHEN q.quality_score < 0.5 THEN 'low_quality' END AS drop_reason
+            WHEN q.quality_score < 0.5 OR q.quality_score IS NULL
+              THEN 'low_quality' END AS drop_reason
 FROM assigned a
 JOIN qscored q ON a.doc_id = q.doc_id
 LEFT JOIN clustered c ON a.doc_id = c.doc_id

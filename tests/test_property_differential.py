@@ -174,13 +174,23 @@ def document_rows(draw):
             # lines) that the no-newline sf tables never touch
             sep = draw(st.sampled_from([" ", "  ", "   ", "\n", "\n\n"]))
             text = sep.join(toks)
+        # NULLs appear in every real corpus (failed fetches, missing
+        # metadata) and in none of the sf tables — the NULL-vs-empty
+        # distinction is where engine semantics (size(NULL), NULL
+        # comparisons in CASE ladders) diverge first
+        if draw(st.integers(0, 9)) == 0:
+            text = None
         rows.append(
             {
                 "doc_id": i,
                 "text": text,
-                "lang": draw(st.sampled_from(["en", "de", "zh"])),
-                "source": draw(st.sampled_from(["web", "books", "code"])),
-                "n_chars": len(text),
+                "lang": draw(
+                    st.sampled_from(["en", "de", "zh", None])
+                ),
+                "source": draw(
+                    st.sampled_from(["web", "books", "code", None])
+                ),
+                "n_chars": len(text) if text is not None else 0,
             }
         )
     return rows
