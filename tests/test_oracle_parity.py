@@ -137,3 +137,77 @@ def test_sf01_parity_spot(name, spark):
     finally:
         dedup.clear_materialized_caches()
         con.close()
+
+
+def test_entire_registry_survives_null_bearing_corpus(
+    spark, tmp_path_factory
+):
+    """Every registered query, one adversarial corpus: NULL text/lang/
+    source, empty docs, exact duplicates (ASCII-only — the multimodal
+    oracles are documented char-based and only valid on ASCII; the
+    Spark side is byte-correct either way). Real corpora contain all of
+    these and the sf tables contain none, so without this sweep a
+    NULL-handling divergence ships silently."""
+    import os
+    import random
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.testing import open_oracle
+
+    src_dir = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("null-sweep"))
+    for f in os.listdir(src_dir):
+        shutil.copy(os.path.join(src_dir, f), d)
+    rng = random.Random(3)
+    words = ["the", "a", "of", "spark", "table", "row", "scan", "fast"]
+    rows = []
+    for i in range(40):
+        r = rng.random()
+        if r < 0.1:
+            text = None
+        elif r < 0.2:
+            text = ""
+        elif r < 0.3 and rows:
+            text = rows[0][1]
+        else:
+            text = " ".join(
+                rng.choice(words) for _ in range(rng.randint(1, 30))
+            )
+        rows.append(
+            (
+                i,
+                text,
+                rng.choice(["en", "de", None]),
+                rng.choice(["web", "books", None]),
+                len(text) if text else 0,
+            )
+        )
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, d + "/documents.parquet")
+    dedup.clear_materialized_caches()
+    con = open_oracle(d)
+    failures = []
+    try:
+        for name, fn in QUERIES.items():
+            try:
+                ok, rep = compare(fn(spark, d), con, ORACLES[name])
+                if not ok:
+                    failures.append((name, rep[:160]))
+            except Exception as e:  # noqa: BLE001 — collect, report all
+                failures.append((name, str(e)[:160]))
+    finally:
+        dedup.clear_materialized_caches()
+        con.close()
+    assert failures == []
