@@ -792,7 +792,7 @@ def embedding_cosine_dups(emb: DataFrame) -> DataFrame:
     :func:`..operators.similarity.ann_lsh_bucketed`.""".format(
         t=COSINE_DUP_THRESHOLD
     )
-    emb.createOrReplaceTempView("_dedup_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_dedup_emb")
     parts = emb.sparkSession.sparkContext.defaultParallelism
     sql = (
         "WITH normed AS ("
@@ -807,7 +807,7 @@ def embedding_cosine_dups(emb: DataFrame) -> DataFrame:
 
 ORACLE_COSINE_DUPS = (
     "WITH normed AS ("
-    + _NORMED_DUCK.format(src="embeddings")
+    + _NORMED_DUCK.format(src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)")
     + ")"
     + _COS_PAIRS_TAIL.format(
         dot="list_dot_product(a.nv, b.nv)", thr=COSINE_DUP_THRESHOLD
@@ -913,7 +913,7 @@ def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
     different plan must produce identical results. Parallelism follows the
     session's defaultParallelism, never a hard-coded width.
     """
-    emb.createOrReplaceTempView("_dedup_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_dedup_emb")
     sql = _COS_PREFILTERED_SPARK.format(
         parts=emb.sparkSession.sparkContext.defaultParallelism,
         norm=_NORM.format(v="embedding"),

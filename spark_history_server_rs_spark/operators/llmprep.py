@@ -784,7 +784,7 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     collapsed-dimension / scale-drift health check run before any ANN
     index build. posexplode + one dim-keyed aggregate; sums run over
     snapped integers so the result is bit-stable at any parallelism."""
-    emb.createOrReplaceTempView("_llm_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
     sql = "WITH " + _DIM_STATS_TAIL.format(
         scale=EMBED_SCALE,
         unnested=(
@@ -799,7 +799,7 @@ ORACLE_EMBEDDING_DIM_STATS = "WITH " + _DIM_STATS_TAIL.format(
     scale=EMBED_SCALE,
     unnested=(
         "SELECT generate_subscripts(embedding, 1) - 1 AS dim,"
-        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     ),
 )
 
@@ -851,7 +851,7 @@ def kmeans_step(emb: DataFrame) -> DataFrame:
     the probe half). The centroid side is {k} rows — broadcast at any
     corpus scale; similarities are snapped to scaled integers before the
     cross-row mean.""".format(k=KMEANS_K, km1=KMEANS_K - 1)
-    emb.createOrReplaceTempView("_llm_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
     sql = (
         "WITH normed AS (SELECT vec_id,"
         f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
@@ -867,7 +867,7 @@ ORACLE_KMEANS_STEP = (
     " x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
     " CAST(embedding AS DOUBLE[])) = 0 THEN CAST(0.0 AS DOUBLE)"
     " ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
-    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM embeddings),\n"
+    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)),\n"
     + _KMEANS_TAIL.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
 )
 
@@ -1014,7 +1014,7 @@ def embedding_outliers(emb: DataFrame) -> DataFrame:
     re-aggregate) and one tiny per-label stats join. Everything wide is
     keyed on vec_id or (label, dim); no window functions, no Python, no
     all-pairs anything.""".format(z=OUTLIER_Z)
-    emb.createOrReplaceTempView("_llm_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
     sql = "WITH " + _OUTLIER_TAIL.format(
         scale=EMBED_SCALE,
         down=_SQD_DOWNSCALE,
@@ -1033,7 +1033,7 @@ ORACLE_EMBEDDING_OUTLIERS = "WITH " + _OUTLIER_TAIL.format(
     z=OUTLIER_Z,
     unnested=(
         "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,"
-        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     ),
 )
 
@@ -1102,7 +1102,7 @@ def semantic_dedup(emb: DataFrame) -> DataFrame:
     from .dedup import _materialized_view
 
     spark = emb.sparkSession
-    emb.createOrReplaceTempView("_llm_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
     # the assigned relation (normed vector + centroid label) feeds the
     # pair-prune self-join (2 refs) AND the final projection — inlined
     # CTEs would re-run the broadcast-assignment 3×, so it serves from
@@ -1136,7 +1136,7 @@ ORACLE_SEMANTIC_DEDUP = (
     " x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
     " CAST(embedding AS DOUBLE[])) = 0 THEN CAST(0.0 AS DOUBLE)"
     " ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
-    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM embeddings),\n"
+    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)),\n"
     + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
     + ",\n"
     + _SEM_PRUNE_TAIL.format(
@@ -1398,7 +1398,7 @@ def embedding_power_iteration(emb: DataFrame) -> DataFrame:
     Integer micro-snapped accumulators make every SUM order-independent,
     so the result is bit-stable under any partitioning.
     """
-    emb.createOrReplaceTempView("_llm_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
     dims = (
         "dims AS (SELECT vec_id, i + 1 AS i, CAST(x AS DOUBLE) AS x FROM "
         "(SELECT vec_id, posexplode(embedding) AS (i, x) FROM _llm_emb))"
@@ -1410,7 +1410,7 @@ def embedding_power_iteration(emb: DataFrame) -> DataFrame:
 def _oracle_power_iteration() -> str:
     dims = (
         "dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
-        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)"
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL))"
     )
     v0 = f"v0 AS (SELECT i, v FROM (VALUES {_power_v0_values()}) AS t(i, v))"
     return "WITH " + dims + ",\n" + v0 + ",\n" + _POWER_TAIL

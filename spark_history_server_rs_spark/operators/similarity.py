@@ -74,7 +74,7 @@ def ann_cosine_topk(emb: DataFrame) -> DataFrame:
     window's sort is per-query over corpus-size rows only at test scale
     (at 100 TB: replace final window with per-partition top-k + global
     TakeOrdered; same semantics).""".format(k=TOP_K, nq=N_QUERIES)
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     sql = "WITH " + _TOPK_TAIL.format(
         cos=cosine_expr_spark("q.embedding", "c.embedding"),
         qsrc="_sim_emb",
@@ -87,8 +87,8 @@ def ann_cosine_topk(emb: DataFrame) -> DataFrame:
 
 ORACLE_ANN_TOPK = "WITH " + _TOPK_TAIL.format(
     cos=cosine_expr_duck("q.embedding", "c.embedding"),
-    qsrc="embeddings",
-    csrc="embeddings",
+    qsrc="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
+    csrc="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
     nq=N_QUERIES,
     k=TOP_K,
 )
@@ -141,7 +141,7 @@ def ann_lsh_bucketed(emb: DataFrame) -> DataFrame:
     """X2: ANN restricted to the query's {nb}-hyperplane sign bucket —
     the scale path: bucket equi-join instead of full scan. Recall vs X1 is
     measurable by diffing the two results.""".format(nb=N_HYPERPLANES)
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     sql = "WITH " + _LSH_TAIL.format(
         bucket=_bucket_expr("embedding", spark=True),
         cos=cosine_expr_spark("q.embedding", "c.embedding"),
@@ -155,7 +155,7 @@ def ann_lsh_bucketed(emb: DataFrame) -> DataFrame:
 ORACLE_ANN_LSH = "WITH " + _LSH_TAIL.format(
     bucket=_bucket_expr("embedding", spark=False),
     cos=cosine_expr_duck("q.embedding", "c.embedding"),
-    src="embeddings",
+    src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
     nq=N_QUERIES,
     k=TOP_K,
 )
@@ -234,7 +234,7 @@ def ann_ivf(emb: DataFrame) -> DataFrame:
     probe the {np} nearest cells and rank only those cells' vectors.
     At 100 TB the corpus is written partitioned by cell id, so the cell
     join becomes partition pruning.""".format(np=NPROBE)
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     sql = (
         "WITH "
         + _IVF_SPARK.format(src="_sim_emb")
@@ -266,11 +266,11 @@ def _ivf_duck_cos(a: str, b: str) -> str:
 
 ORACLE_ANN_IVF = (
     "WITH "
-    + _IVF_DUCK.format(src="embeddings")
+    + _IVF_DUCK.format(src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)")
     + _IVF_TAIL.format(
         qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
         cos=_ivf_duck_cos("q.embedding", "c.embedding"),
-        src="embeddings",
+        src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
         nq=N_QUERIES,
         nprobe=NPROBE,
         k=TOP_K,
@@ -345,7 +345,7 @@ def ann_recall_eval(emb: DataFrame) -> DataFrame:
     recurring sampled-eval job, not a per-query cost.""".format(
         k=TOP_K, nq=N_QUERIES
     )
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     sql = "WITH " + _RECALL_TAIL.format(
         cos=cosine_expr_spark("q.embedding", "c.embedding"),
         bucket=_bucket_expr("embedding", spark=True),
@@ -359,7 +359,7 @@ def ann_recall_eval(emb: DataFrame) -> DataFrame:
 ORACLE_ANN_RECALL = "WITH " + _RECALL_TAIL.format(
     cos=cosine_expr_duck("q.embedding", "c.embedding"),
     bucket=_bucket_expr("embedding", spark=False),
-    src="embeddings",
+    src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
     nq=N_QUERIES,
     k=TOP_K,
 )
@@ -440,7 +440,7 @@ def ann_hamming_rerank(emb: DataFrame) -> DataFrame:
     computed AFTER the radius cut, never for rejected pairs.""".format(
         nb=N_SKETCH_BITS, hmax=HAMMING_MAX
     )
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     sql = "WITH " + _HAMMING_TAIL.format(
         sketch=_sketch_expr("embedding", spark=True),
         xor="q.sketch ^ c.sketch",
@@ -457,7 +457,7 @@ ORACLE_ANN_HAMMING = "WITH " + _HAMMING_TAIL.format(
     sketch=_sketch_expr("embedding", spark=False),
     xor="xor(q.sketch, c.sketch)",
     cos=cosine_expr_duck("q_emb", "c_emb"),
-    src="embeddings",
+    src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
     nq=N_QUERIES,
     hmax=HAMMING_MAX,
     k=TOP_K,
@@ -514,7 +514,7 @@ def ann_knn_graph(emb: DataFrame) -> DataFrame:
         hamming_cutoff,
     )
 
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     parts = emb.sparkSession.sparkContext.defaultParallelism
     sql = (
         """
@@ -567,7 +567,7 @@ def _oracle_knn_graph() -> str:
 
     return (
         "WITH normed AS ("
-        + _NORMED_DUCK.format(src="embeddings")
+        + _NORMED_DUCK.format(src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)")
         + """),
 pairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
@@ -706,7 +706,7 @@ _PQ_UNNEST_SPARK = (
 )
 _PQ_UNNEST_DUCK = (
     "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
-    " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+    " CAST(unnest(embedding) AS DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
 )
 
 
@@ -723,7 +723,7 @@ def ann_pq_codes(emb: DataFrame) -> DataFrame:
     is partitioned per (vector, subspace) — never global.""".format(
         m=PQ_M, km1=PQ_K - 1
     )
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     return emb.sparkSession.sql(
         "WITH "
         + _PQ_CODES_TAIL.format(
@@ -751,7 +751,7 @@ def ann_pq_recall(emb: DataFrame) -> DataFrame:
     of PQ. The exact side stays the bounded sampled-eval scan.""".format(
         k=TOP_K, nq=N_QUERIES
     )
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     return emb.sparkSession.sql(
         "WITH "
         + _PQ_RECALL_TAIL.format(
@@ -819,7 +819,7 @@ def ann_ivf_pq(emb: DataFrame) -> DataFrame:
     the per-candidate cost to {m} integer adds, and the vectors' floats
     are never read after indexing — the Jegou et al. 2011 IVFADC
     system, stated as one declarative plan.""".format(np=NPROBE, m=PQ_M)
-    emb.createOrReplaceTempView("_sim_emb")
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     pq = _PQ_CODE_CTES.format(
         scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
         unnested=_PQ_UNNEST_SPARK,
@@ -846,10 +846,10 @@ def _oracle_ann_ivf_pq() -> str:
     ).strip().rstrip(",")
     return (
         "WITH "
-        + _IVF_DUCK.format(src="embeddings")
+        + _IVF_DUCK.format(src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)")
         + _IVFADC_TAIL.format(
             qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
-            src="embeddings",
+            src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
             nq=N_QUERIES,
             nprobe=NPROBE,
             k=TOP_K,

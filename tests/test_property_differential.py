@@ -341,7 +341,11 @@ def embedding_rows(draw):
     identical = n > 0 and draw(st.integers(0, 3)) == 0
     rows = []
     for i in range(n):
-        if identical and rows:
+        if draw(st.integers(0, 9)) == 0:
+            # NULL embedding (failed encode): dropped at the operator
+            # source in BOTH engines — defined contract, not luck
+            vec = None
+        elif identical and rows:
             vec = rows[0]["embedding"]
         else:
             vec = [
