@@ -1137,10 +1137,15 @@ ORACLE_SPAN_LEAKAGE = _oracle_span_leakage()
 #: CommonCrawl snapshot-vs-snapshot overlap in RefinedWeb, Penedo et al.
 #: 2023, arXiv:2306.01116 §3). Output is |sources|² bounded — a matrix,
 #: not a pair explosion.
-#: shared from `sizes` down; the `ssh` (source, shingle) relation build
-#: differs per engine — Spark folds shingles per doc and projects source
-#: directly (no doc_id join), DuckDB keeps the shingles-join formulation
-#: as the differential twin.
+#: shared from `sizes` down; both engines build `ssh` with the SAME
+#: shingles-join formulation (Spark over the materialized shingle cache,
+#: DuckDB over its recursive-CTE shingles) via one {docsrc} template.
+_SOURCE_OVERLAP_SSH = """
+ssh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN {docsrc} d ON s.doc_id = d.doc_id
+),"""
+
 _SOURCE_OVERLAP_POST = """
 sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
 common AS (
@@ -1176,24 +1181,19 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     materialized_shingles(docs)
     docs.createOrReplaceTempView("_corpus_docs")
-    ssh = """
-ssh AS (
-  SELECT DISTINCT d.source, s.shingle
-  FROM shingles s JOIN _corpus_docs d ON s.doc_id = d.doc_id
-),"""
     return spark.sql(
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",") + "," + ssh + _SOURCE_OVERLAP_POST
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+        + ","
+        + _SOURCE_OVERLAP_SSH.format(docsrc="_corpus_docs")
+        + _SOURCE_OVERLAP_POST
     )
 
 
 ORACLE_SOURCE_OVERLAP = (
     "WITH RECURSIVE shingles AS ("
     + _SHINGLES_DUCK
-    + """),
-ssh AS (
-  SELECT DISTINCT d.source, s.shingle
-  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
-),"""
+    + "),"
+    + _SOURCE_OVERLAP_SSH.format(docsrc="documents")
     + _SOURCE_OVERLAP_POST
 )
 

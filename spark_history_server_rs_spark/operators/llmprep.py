@@ -213,9 +213,19 @@ top_pair AS (
   )
 ),
 merged AS (
+  -- boundary-anchored replace: tokens join with DOUBLE spaces and the
+  -- text gets one-space padding, the pattern ' a  b ' consumes one
+  -- space per side and leaves one, so (1) a match can never start or
+  -- end mid-token ('ca b' does not contain ' a  b ') and (2) adjacent
+  -- occurrences 'a b a b' still all merge. The joiner is chr(31)
+  -- (unit separator) — a character whitespace-split tokens cannot
+  -- contain, so merged types never collide with pre-existing tokens
+  -- the way 'a_b' would on an underscore-bearing corpus.
   SELECT t.doc_id,
-         filter(split(replace(concat_ws(' ', t.tk), p.bigram,
-                              replace(p.bigram, ' ', '_')), ' '),
+         filter(split(replace(concat(' ', concat_ws('  ', t.tk), ' '),
+                              concat(' ', replace(p.bigram, ' ', '  '), ' '),
+                              concat(' ', replace(p.bigram, ' ', chr(31)), ' ')),
+                      ' '),
                 x -> x <> '') AS mk
   FROM toks t CROSS JOIN top_pair p
 ),
@@ -236,7 +246,7 @@ after_types AS (
   FROM (SELECT explode(mk) AS tok FROM merged)
 )
 SELECT p.bigram AS merged_pair,
-       replace(p.bigram, ' ', '_') AS new_token,
+       replace(p.bigram, ' ', chr(31)) AS new_token,
        p.n AS pair_count,
        b.n_tokens_before, a.n_tokens_after,
        b.n_tokens_before - a.n_tokens_after AS merges_applied,
@@ -263,10 +273,12 @@ top_pair AS (
   )
 ),
 merged AS (
+  -- boundary-anchored double-space replace + chr(31) joiner: see the
+  -- Spark twin's comment
   SELECT t.doc_id,
-         list_filter(string_split(replace(array_to_string(t.tk, ' '),
-                                          p.bigram,
-                                          replace(p.bigram, ' ', '_')),
+         list_filter(string_split(replace(' ' || array_to_string(t.tk, '  ') || ' ',
+                                          ' ' || replace(p.bigram, ' ', '  ') || ' ',
+                                          ' ' || replace(p.bigram, ' ', chr(31)) || ' '),
                                   ' '), x -> x <> '') AS mk
   FROM toks t CROSS JOIN top_pair p
 ),
@@ -287,7 +299,7 @@ after_types AS (
   FROM (SELECT unnest(mk) AS tok FROM merged)
 )
 SELECT p.bigram AS merged_pair,
-       replace(p.bigram, ' ', '_') AS new_token,
+       replace(p.bigram, ' ', chr(31)) AS new_token,
        p.n AS pair_count,
        b.n_tokens_before, a.n_tokens_after,
        b.n_tokens_before - a.n_tokens_after AS merges_applied,
@@ -978,7 +990,7 @@ lstats AS (
   -- size and the arithmetic stays exact in both engines.
   SELECT label, COUNT(*) AS n,
          CAST(SUM(sqd) AS BIGINT) AS s1,
-         SUM(CAST(sqd * sqd AS DECIMAL(38, 0))) AS s2
+         SUM(CAST(sqd AS DECIMAL(19, 0)) * CAST(sqd AS DECIMAL(19, 0))) AS s2
   FROM dists GROUP BY label
 ),
 scored AS (

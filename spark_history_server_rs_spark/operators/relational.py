@@ -1006,7 +1006,9 @@ stats AS (
   -- variance, where the leading digits are all that matter).
   SELECT COUNT(*) AS n_days,
          CAST(COALESCE(SUM(n), 0) AS BIGINT) AS s1,
-         COALESCE(SUM(CAST(n * n AS DECIMAL(38, 0))),
+         -- multiply IN decimal (operand cast): n*n computed in BIGINT
+         -- first would overflow before the cast ever ran
+         COALESCE(SUM(CAST(n AS DECIMAL(19, 0)) * CAST(n AS DECIMAL(19, 0))),
                   CAST(0 AS DECIMAL(38, 0))) AS s2
   FROM daily
 ),

@@ -49,7 +49,9 @@ def write_ann_index(emb: DataFrame, path: str) -> None:
     """INDEX phase: persist coarse centroids, PQ codebook, and per-vector
     codes (partitioned by cell). Idempotent overwrite."""
     spark = emb.sparkSession
-    emb.createOrReplaceTempView("_sim_emb")
+    # same source contract as every vector operator: NULL embeddings
+    # (failed encodes) never enter the index
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     spark.sql(
         "WITH "
         + _IVF_SPARK.format(src="_sim_emb").strip().rstrip(",")

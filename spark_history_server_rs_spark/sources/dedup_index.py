@@ -113,29 +113,38 @@ def stream_update_dedup_index(
     """
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # persist: three derived relations read this batch, and the
+        # shingle frame feeds both its own write and the band-key
+        # derivation — without caching, tokenization (the expensive
+        # step) would re-run per consumer on every trigger
+        batch_df = batch_df.persist()
         spark = batch_df.sparkSession
         view = f"_stream_index_docs_{batch_id}"
         batch_df.createOrReplaceTempView(view)
         try:
-            spark.sql(_SHINGLES_SPARK.format(src=view)).write.mode(
-                "append"
-            ).parquet(f"{path}/shingles")
-            spark.sql(
-                "WITH shingles AS ("
-                + _SHINGLES_SPARK.format(src=view)
-                + "),\n"
-                + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
-                + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
-            ).write.mode("append").partitionBy("band_idx").parquet(
-                f"{path}/band_keys"
-            )
+            if not batch_df.take(1):
+                return
+            shingles = spark.sql(_SHINGLES_SPARK.format(src=view)).persist()
+            shingles.write.mode("append").parquet(f"{path}/shingles")
+            sh_view = f"_stream_index_shingles_{batch_id}"
+            shingles.createOrReplaceTempView(sh_view)
+            try:
+                spark.sql(
+                    f"WITH shingles AS (SELECT doc_id, shingle FROM {sh_view}),\n"
+                    + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+                    + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+                ).write.mode("append").partitionBy("band_idx").parquet(
+                    f"{path}/band_keys"
+                )
+            finally:
+                spark.catalog.dropTempView(sh_view)
+                shingles.unpersist()
             spark.sql(_PASSAGE_WINS_SPARK.format(src=view)).write.mode(
                 "append"
             ).parquet(f"{path}/passages")
         finally:
             spark.catalog.dropTempView(view)
+            batch_df.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_index_batch)
