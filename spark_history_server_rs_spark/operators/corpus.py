@@ -979,7 +979,11 @@ ORACLE_ZIPF_FIT = "WITH " + _ZIPF_TAIL.format(
 #: mean surprisal (exact micro-nat integer sums), excess over the
 #: best-scoring source, multiplicative-weights update w ∝ exp(η·excess),
 #: weights snapped to integer micro BEFORE the normalizing sum so both
-#: engines normalize identical values.
+#: engines normalize identical values. The exponent is clamped at 28
+#: nats: exp(28)·1e6 ≈ 1.45e18 stays inside BIGINT (uncapped, a ~43-nat
+#: excess would overflow the CAST — ANSI Spark throws, DuckDB errors
+#: differently), so extreme-excess domains saturate to a dominant
+#: weight instead of killing the query.
 DOREMI_ETA = 1.0
 
 _DOREMI_TAIL = """,
@@ -1000,9 +1004,9 @@ ref AS (SELECT MIN(nll_per_tok_micro) AS base FROM rated),
 wraw AS (
   SELECT r.source, r.n_docs, r.nll_per_tok_micro,
          r.nll_per_tok_micro - f.base AS excess_micro,
-         CAST(FLOOR(exp(CAST(r.nll_per_tok_micro - f.base AS DOUBLE)
-                        / 1000000.0 * {eta}) * 1000000.0 + 0.5) AS BIGINT)
-           AS w_micro
+         CAST(FLOOR(exp(LEAST(CAST(r.nll_per_tok_micro - f.base AS DOUBLE)
+                              / 1000000.0 * {eta}, 28.0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS w_micro
   FROM rated r CROSS JOIN ref f
 ),
 tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wraw)

@@ -218,9 +218,13 @@ merged AS (
   -- space per side and leaves one, so (1) a match can never start or
   -- end mid-token ('ca b' does not contain ' a  b ') and (2) adjacent
   -- occurrences 'a b a b' still all merge. The joiner is chr(31)
-  -- (unit separator) — a character whitespace-split tokens cannot
-  -- contain, so merged types never collide with pre-existing tokens
-  -- the way 'a_b' would on an underscore-bearing corpus.
+  -- (unit separator) — chosen because natural-language corpora do not
+  -- contain it, so merged types do not collide with pre-existing
+  -- tokens the way 'a_b' would on an underscore-bearing corpus. This
+  -- is a corpus assumption, not a guarantee: a source text that
+  -- already contains chr(31) inside a token would conflate that token
+  -- with the merged type in n_types_after (both engines agree, so no
+  -- parity risk — only the type count's interpretation).
   SELECT t.doc_id,
          filter(split(replace(concat(' ', concat_ws('  ', t.tk), ' '),
                               concat(' ', replace(p.bigram, ' ', '  '), ' '),

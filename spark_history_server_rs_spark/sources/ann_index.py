@@ -94,7 +94,12 @@ def ann_ivf_pq_from_index(
     spark.read.parquet(f"{path}/codes").createOrReplaceTempView(
         "_annidx_codes"
     )
-    queries.createOrReplaceTempView("_annidx_queries")
+    # same NULL-drop source contract as every vector entry point —
+    # explicit, not incidental (a NULL query must not rank over NULL
+    # centroid cosines in the probes CTE)
+    queries.where("embedding IS NOT NULL").createOrReplaceTempView(
+        "_annidx_queries"
+    )
     qc_cos = cosine_expr_spark("q.embedding", "ct.centroid")
     # unpivot the persisted code columns back to (vec_id, subspace, codeword)
     code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
