@@ -89,6 +89,66 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: (relation, key columns, partition column) for the three persisted
+#: relations — the keys ARE the full schema, so DISTINCT over them is
+#: the exactly-once repair for at-least-once append duplicates.
+_INDEX_RELATIONS = (
+    ("shingles", ("doc_id", "shingle"), None),
+    ("band_keys", ("doc_id", "band_idx", "band_key"), "band_idx"),
+    ("passages", ("doc_id", "pos", "phash"), None),
+)
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
+    """Periodic DISTINCT compaction of the durable dedup index.
+
+    ``stream_update_dedup_index`` is at-least-once: a micro-batch
+    retried after a failure appends its rows twice, and while the read
+    path de-duplicates (``SELECT DISTINCT`` in
+    :func:`minhash_lsh_pairs_from_index`), the scan cost ratchets up
+    with every retried batch. This is the maintenance pass that resets
+    it: each relation is rewritten as its DISTINCT key set —
+    ``band_keys`` keeps its ``band_idx`` partitioning so band-probe
+    partition pruning survives compaction — sorted within partitions so
+    repeated compaction of an already-compact index rewrites identical
+    content (idempotent, pinned by test).
+
+    The rewrite goes to a ``__compacting`` sibling directory first, then
+    swaps via FileSystem delete+rename (file:// and hdfs:// are atomic
+    renames; on s3a the rename is a copy). Run it in the same
+    closed-date maintenance slot as ``compact_sink_inplace``; the same
+    durability note applies — a crash between delete and rename loses
+    the relation, but the index is always re-derivable from the
+    documents by re-running :func:`write_dedup_index`.
+
+    Returns per-relation stats: (relation, rows_before, rows_after).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    stats = []
+    for rel, keys, part in _INDEX_RELATIONS:
+        src = f"{path}/{rel}"
+        tmp = f"{path}/{rel}__compacting"
+        raw = spark.read.parquet(src).select(*keys)
+        rows_before = raw.count()
+        compacted = raw.distinct().sortWithinPartitions(*keys)
+        rows_after = compacted.count()
+        writer = compacted.write.mode("overwrite")
+        if part is not None:
+            writer = writer.partitionBy(part)
+        writer.parquet(tmp)
+        p_src = jvm.org.apache.hadoop.fs.Path(src)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_src.getFileSystem(conf)
+        fs.delete(p_src, True)
+        if not fs.rename(p_tmp, p_src):
+            raise IOError(f"compact_dedup_index: rename failed for {rel}")
+        stats.append(
+            {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
+        )
+    return stats
+
+
 def stream_update_dedup_index(
     docs_stream: DataFrame, path: str, checkpoint: str
 ):
@@ -105,8 +165,8 @@ def stream_update_dedup_index(
     keys), so downstream candidate generation is idempotent to
     duplicates (``SELECT DISTINCT`` pairs); exact-Jaccard verification
     reads sizes, so the query path de-duplicates the shingle relation
-    first. For exactly-once, compact the index with a periodic
-    DISTINCT rewrite (the same closed-date maintenance slot as
+    first. For exactly-once, run :func:`compact_dedup_index`
+    periodically (the same closed-date maintenance slot as
     compact_sink_inplace).
 
     Returns the started StreamingQuery (availableNow-compatible).

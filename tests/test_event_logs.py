@@ -1194,6 +1194,66 @@ def test_stream_dedup_index_maintenance(spark, tmp_path):
     assert pairs_after == pairs
 
 
+def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
+    """compact_dedup_index: a duplicate-appended index (at-least-once
+    retry simulation) compacts back to the DISTINCT key sets, the
+    band_idx partition layout survives, pair results are identical
+    before/after, and a second compact is a no-op rewriting identical
+    content."""
+    import os
+
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        _INDEX_RELATIONS,
+        compact_dedup_index,
+        minhash_lsh_pairs_from_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "cidx")
+    write_dedup_index(docs, path)
+    clean_counts = {
+        rel: spark.read.parquet(f"{path}/{rel}").count()
+        for rel, _, _ in _INDEX_RELATIONS
+    }
+    # simulate a retried micro-batch: every relation appended twice
+    for rel, keys, part in _INDEX_RELATIONS:
+        dup = spark.read.parquet(f"{path}/{rel}").select(*keys).cache()
+        dup.count()  # materialize before appending to the path being read
+        writer = dup.write.mode("append")
+        if part is not None:
+            writer = writer.partitionBy(part)
+        writer.parquet(f"{path}/{rel}")
+        dup.unpersist()
+    dedup.clear_materialized_caches()
+    pairs_before = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert len(pairs_before) > 0
+
+    stats = {s["relation"]: s for s in compact_dedup_index(spark, path)}
+    for rel, _, _ in _INDEX_RELATIONS:
+        assert stats[rel]["rows_before"] == 2 * clean_counts[rel]
+        assert stats[rel]["rows_after"] == clean_counts[rel]
+    # band-probe partition pruning survives compaction
+    assert sorted(
+        x for x in os.listdir(path + "/band_keys") if x.startswith("band_idx")
+    ) == [f"band_idx={i}" for i in range(dedup.BANDS)]
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == pairs_before
+
+    # idempotent: compacting an already-compact index changes nothing
+    stats2 = {s["relation"]: s for s in compact_dedup_index(spark, path)}
+    for rel, keys, _ in _INDEX_RELATIONS:
+        assert stats2[rel]["rows_before"] == clean_counts[rel]
+        assert stats2[rel]["rows_after"] == clean_counts[rel]
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == pairs_before
+
+
 def test_ann_index_roundtrip_serves_ivfadc(spark, tmp_path):
     """Durable ANN index: centroids + PQ codebook + cell-partitioned
     codes persisted once; IVFADC answered from the index (only QUERY
