@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _e(llmprep.embedding_outliers),
         "corpus_chunk_documents": _d(llmprep.chunk_documents),
         "corpus_bpe_merge_step": _d(llmprep.bpe_merge_step),
+        "corpus_bpe_train": _d(llmprep.bpe_train),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

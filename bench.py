@@ -155,6 +155,10 @@ def main() -> None:
         ("corpus_doremi_reweight", corpus.doremi_reweight, docs),
         ("ann_ivf_pq", similarity.ann_ivf_pq, emb),
         ("dedup_passage_index", dedup.duplicate_passage_index, docs),
+        # round-8 batch (span leakage, BPE step + word-table training)
+        ("corpus_span_leakage", corpus.span_leakage, docs),
+        ("corpus_bpe_merge_step", llmprep.bpe_merge_step, docs),
+        ("corpus_bpe_train", llmprep.bpe_train, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

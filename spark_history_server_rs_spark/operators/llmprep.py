@@ -37,6 +37,7 @@ aggregates integer-valued doubles; division/rounding happens once, after.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .corpus import TRAIN_PCT, VAL_PCT, _BUCKET
 from .dedup import _SHINGLES_DUCK, _SHINGLES_VIEW_CTE, materialized_shingles
@@ -312,6 +313,167 @@ FROM top_pair p
 CROSS JOIN before_stats b CROSS JOIN after_stats a
 CROSS JOIN before_types bt CROSS JOIN after_types at
 """
+
+
+# ==========================================================================
+# L2c — BPE tokenizer TRAINING (word-table loop; corpus touched once)
+# ==========================================================================
+#: Real BPE training (Sennrich et al. 2016, arXiv:1508.07909 §3)
+#: iterates the merge step V times — but over the (word, count)
+#: relation, NOT the corpus: the word table is vocabulary-sized and
+#: corpus-independent, so at 100 TB the corpus is scanned exactly once
+#: (the initial word count) and every one of the k merge iterations is
+#: a pair aggregate + a projection over that tiny persisted relation.
+#: L2b (bpe_merge_step) remains the per-document primitive for applying
+#: a learned merge to the corpus itself. Words are split into
+#: character symbols plus the paper's '</w>' end-of-word marker (same
+#: corpus assumption as L2b's chr(31) joiner: source tokens are taken
+#: not to contain the marker — merged types concatenate, which is the
+#: algorithm's intent). Ties break lexicographically in both engines.
+BPE_TRAIN_MERGES = 8
+
+#: adjacent symbol pairs of the space-joined symbol string
+_BPE_PAIRS_SPARK = """CASE WHEN size(split(sym, ' ')) >= 2
+ THEN transform(sequence(1, size(split(sym, ' ')) - 1),
+                j -> concat_ws(' ', slice(split(sym, ' '), j, 2)))
+ ELSE CAST(array() AS ARRAY<STRING>) END"""
+
+
+def _bpe_pair_ranking(wt: DataFrame) -> DataFrame:
+    """One training iteration's pair ranking: distributed weighted
+    pair-count aggregate + global top-1 (plans as
+    TakeOrderedAndProject, plan-gated — never a single-partition
+    window)."""
+    return (
+        wt.select("cnt", F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+    )
+
+
+def _bpe_word_table(docs: DataFrame) -> DataFrame:
+    """The single corpus scan: (word, cnt) aggregate, words split into
+    character symbols + the '</w>' end-of-word marker."""
+    return (
+        docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+
+
+def bpe_train(docs: DataFrame) -> DataFrame:
+    """L2c: k BPE merge iterations over the (word, count) relation —
+    the scale-correct training loop (one corpus scan total).
+
+    Scale shape: corpus → (word, cnt) is one map-side-combined
+    aggregate; each iteration runs a distributed pair-count aggregate
+    (TakeOrderedAndProject top-1) and a replace projection over the
+    persisted word table. The per-iteration single-row collect is the
+    algorithm's inherent sequential dependency (k rows total cross the
+    driver — merge i+1's counts depend on merge i's rewrite)."""
+    spark = docs.sparkSession
+    wt = _bpe_word_table(docs).persist()
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, BPE_TRAIN_MERGES + 1):
+            top = _bpe_pair_ranking(wt).collect()
+            if not top:
+                break
+            pair, n = top[0]["pair"], top[0]["n"]
+            merges.append((rank, pair, pair.replace(" ", ""), n))
+            # boundary-anchored replace (L2b's double-space trick) over
+            # the symbol string; the merged type is the concatenation
+            merged = wt.select(
+                F.array_join(
+                    F.filter(
+                        F.split(
+                            F.replace(
+                                F.concat(
+                                    F.lit(" "),
+                                    F.replace(
+                                        F.col("sym"), F.lit(" "), F.lit("  ")
+                                    ),
+                                    F.lit(" "),
+                                ),
+                                F.lit(" " + pair.replace(" ", "  ") + " "),
+                                F.lit(" " + pair.replace(" ", "") + " "),
+                            ),
+                            " ",
+                        ),
+                        lambda x: x != F.lit(""),
+                    ),
+                    " ",
+                ).alias("sym"),
+                "cnt",
+            ).persist()
+            merged.count()
+            wt.unpersist()
+            wt = merged
+        return spark.createDataFrame(
+            merges,
+            "merge_rank bigint, pair string, new_token string, "
+            "pair_count bigint",
+        )
+    finally:
+        wt.unpersist()
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """k unrolled CTE steps; each wt{i}/top{i} is MATERIALIZED (each is
+    referenced twice — by the next pair count and the next rewrite /
+    the final union), which keeps the unrolled plan linear in k."""
+    sym0 = "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>'"
+    parts = [
+        "words AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt FROM "
+        f"(SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents) GROUP BY tok)",
+        f"wt0 AS MATERIALIZED (SELECT {sym0} AS sym, cnt FROM words)",
+    ]
+    pairs_tmpl = (
+        "pairs{i} AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM "
+        "(SELECT cnt, unnest(CASE WHEN len(sp) >= 2 "
+        "THEN list_transform(generate_series(1, len(sp) - 1), "
+        "j -> sp[j] || ' ' || sp[j + 1]) "
+        "ELSE [] END) AS pair "
+        "FROM (SELECT cnt, string_split(sym, ' ') AS sp FROM wt{i})) "
+        "GROUP BY pair)"
+    )
+    top_tmpl = (
+        "top{i} AS MATERIALIZED (SELECT pair, n FROM pairs{i} "
+        "ORDER BY n DESC, pair LIMIT 1)"
+    )
+    merge_tmpl = (
+        "wt{j} AS MATERIALIZED (SELECT array_to_string(list_filter("
+        "string_split(replace(' ' || replace(w.sym, ' ', '  ') || ' ', "
+        "' ' || replace(t.pair, ' ', '  ') || ' ', "
+        "' ' || replace(t.pair, ' ', '') || ' '), ' '), x -> x <> ''), ' ') "
+        "AS sym, w.cnt FROM wt{i} w CROSS JOIN top{i} t)"
+    )
+    for i in range(k):
+        parts.append(pairs_tmpl.format(i=i))
+        parts.append(top_tmpl.format(i=i))
+        if i < k - 1:
+            parts.append(merge_tmpl.format(i=i, j=i + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS new_token, n AS pair_count FROM top{i}"
+        for i in range(k)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+ORACLE_BPE_TRAIN = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
 
 # ==========================================================================
@@ -1503,6 +1665,7 @@ ORACLE_SQL_LLMPREP = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "corpus_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "corpus_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
+    "corpus_bpe_train": ORACLE_BPE_TRAIN,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,

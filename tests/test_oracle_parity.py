@@ -121,6 +121,7 @@ def test_entry_smoke(spark):
         "ann_ivf_pq",
         "dedup_passage_index",
         "corpus_doremi_reweight",
+        "corpus_bpe_train",
     ],
 )
 def test_sf01_parity_spot(name, spark):

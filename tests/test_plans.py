@@ -650,3 +650,24 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     ewma = relational.QUERIES["events_volume_ewma"](spark, SF_ORACLE)
     assert not I.has_python_worker(ewma)
     assert I.single_partition_windows(ewma) == 0
+
+
+def test_bpe_train_plan_gates(spark):
+    """L2c gates: the training loop's per-iteration pair ranking is a
+    distributed TakeOrderedAndProject (never a single-partition window),
+    Python-free; the word table is ONE map-side-combined aggregate over
+    the corpus (exactly one Exchange, the groupBy) — at 100 TB the
+    corpus is scanned once and every merge iteration touches only the
+    vocabulary-sized relation."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    wt = llmprep._bpe_word_table(docs)
+    wt_plan = I.explain_str(wt, "simple")
+    assert not I.has_python_worker(wt)
+    assert wt_plan.count("Exchange") == 1  # the word groupBy, nothing else
+    ranking = llmprep._bpe_pair_ranking(wt)
+    assert "TakeOrderedAndProject" in I.explain_str(ranking, "simple")
+    assert I.single_partition_windows(ranking) == 0
+    assert not I.has_python_worker(ranking)

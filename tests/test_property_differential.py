@@ -329,6 +329,105 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
     con.close()
 
 
+# tokens built to attack the BPE string pipeline: regex metacharacters
+# (the char split is regexp_replace '(.)' — they must stay literal),
+# the chr(31) joiner and the '</w>' marker as SOURCE tokens (the
+# documented corpus-assumption collisions — both engines must conflate
+# identically), and 1-char tokens whose symbol sequence is just the
+# marker pair
+_BPE_ATTACK_TOKEN = st.one_of(
+    st.text(alphabet="ab.*+?()[]{}|\\^$-", min_size=1, max_size=4),
+    st.sampled_from(["a", "b", "aa", "</w>", "<", ">", "/w", chr(31)]),
+)
+
+
+@st.composite
+def bpe_adversarial_rows(draw):
+    """Targeted corpora for L2b/L2c/C12: self-pair runs ('x x x x' —
+    left-to-right non-overlapping replace must agree), single-token
+    docs (no pairs), metachar tokens, single-source corpora (C12's
+    pair join has no pairs) and all-shared-text corpora (every shingle
+    in every source)."""
+    n = draw(st.integers(min_value=0, max_value=10))
+    single_source = draw(st.booleans())
+    all_same = n > 0 and draw(st.integers(0, 2)) == 0
+    rows = []
+    for i in range(n):
+        if all_same and rows:
+            text = rows[0]["text"]
+        elif draw(st.integers(0, 9)) == 0:
+            text = None
+        else:
+            shape = draw(st.integers(0, 3))
+            if shape == 0:  # self-pair run
+                t = draw(_BPE_ATTACK_TOKEN)
+                text = " ".join([t] * draw(st.integers(1, 6)))
+            elif shape == 1:  # single-token doc — no adjacent pairs
+                text = draw(_BPE_ATTACK_TOKEN)
+            else:
+                text = " ".join(
+                    draw(_BPE_ATTACK_TOKEN)
+                    for _ in range(draw(st.integers(0, 8)))
+                )
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": "en",
+                "source": "web"
+                if single_source
+                else draw(st.sampled_from(["web", "books"])),
+                "n_chars": len(text) if text is not None else 0,
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def prop_bpe_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop-bpe"))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=bpe_adversarial_rows())
+def test_bpe_and_source_overlap_adversarial_match_oracle(
+    rows, spark, prop_bpe_dir
+):
+    """Round-6 extension (VERDICT #6): the two newest hand-built
+    string/integer pipelines under corpora built to break them — the
+    BPE merge arithmetic (metachar tokens, marker collisions, repeated
+    self-pairs) and the source-overlap matrix (single-source and
+    all-shared-shingle corpora)."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import corpus, dedup, llmprep
+
+    _write_documents(prop_bpe_dir, rows)
+    docs = spark.read.parquet(f"{prop_bpe_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{prop_bpe_dir}/documents.parquet')"
+    )
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    dedup.clear_materialized_caches()
+    for fn, name in [
+        (llmprep.bpe_merge_step, "corpus_bpe_merge_step"),
+        (llmprep.bpe_train, "corpus_bpe_train"),
+        (corpus.source_overlap, "corpus_source_overlap"),
+        (corpus.span_leakage, "corpus_span_leakage"),
+    ]:
+        ok, report = compare(fn(docs), con, oracles[name])
+        assert ok, f"{name} on {len(rows)} adversarial docs: {report}"
+    con.close()
+
+
 # ---------------------------------------------------------------------------
 # embeddings-table properties: vector operators on adversarial inputs
 # ---------------------------------------------------------------------------
