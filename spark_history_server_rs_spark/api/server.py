@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import re
-import threading
 from datetime import datetime, timezone
 from html import escape as html_escape
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,10 +39,6 @@ from pyspark.sql import DataFrame
 from ..operators import catalog
 from ..sources.event_logs import applications_with_attempts, executor_details
 from .circuit_breaker import CircuitBreaker
-
-#: serializes /api/v1/corpus/* computations (fixed temp-view names +
-#: shared materialized caches inside the corpus operators)
-_CORPUS_ROUTE_LOCK = threading.Lock()
 
 VERSION = {"version": "1.0.0", "engine": "pyspark"}
 
@@ -502,15 +497,13 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "sources": corpus.source_overlap,
                 "domain-weights": corpus.doremi_reweight,
             }[m.group(1)]
-            # serialized: unlike the engagement path (per-call unique
-            # views via scoped_temp_view), the corpus operators register
-            # fixed view names and share the module-level materialized
-            # cache — concurrent registration against a different frame
-            # (another pipeline on the same session) or a double cache
-            # miss would race. One lock removes the window; the frame is
-            # the same warm one per server, so contention is benign.
-            with _CORPUS_ROUTE_LOCK:
-                rows = _rows(fn(docs).limit(self._limit(qs, 1000)))
+            # concurrent-safe: these five operators use per-call scoped
+            # views (functions/views.py) over the thread-safe
+            # materialized caches (operators/dedup.py:_materialized_df),
+            # so requests to different corpus endpoints execute in
+            # parallel — no global lock (pinned by
+            # tests/test_api.py::test_corpus_routes_concurrent)
+            rows = _rows(fn(docs).limit(self._limit(qs, 1000)))
             return self._send(200, rows)
 
         if path == "/api/v1/optimization/resource-hogs":

@@ -954,14 +954,18 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
     top-k, and two one-row aggregates cross-joined — nothing wide ever
     passes through a single partition except the <= {k}-row rank window.
     """.format(k=ZIPF_TOP_K)
-    docs.createOrReplaceTempView("_corpus_docs")
-    tokens = (
-        "SELECT doc_id, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-    )
-    return docs.sparkSession.sql(
-        "WITH " + _ZIPF_TAIL.format(tokens=tokens, k=ZIPF_TOP_K)
-    )
+    from ..functions.views import scoped_temp_view
+
+    # per-call scoped view: this operator is served concurrently by the
+    # REST layer (/api/v1/corpus/zipf) — no fixed catalog names
+    with scoped_temp_view(docs, "_corpus_docs") as v:
+        tokens = (
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {v})"
+        )
+        return docs.sparkSession.sql(
+            "WITH " + _ZIPF_TAIL.format(tokens=tokens, k=ZIPF_TOP_K)
+        )
 
 
 ORACLE_ZIPF_FIT = "WITH " + _ZIPF_TAIL.format(
@@ -1018,6 +1022,25 @@ ORDER BY w.source
 """
 
 
+def _materialized_tok_df(docs: DataFrame) -> DataFrame:
+    """The exploded (doc_id, tok) relation, built once and persisted —
+    no catalog names touched (thread-safe for concurrent REST callers).
+    Shares the ``_corpus_tok`` cache slot with the fixed-view callers."""
+    from ..functions.views import scoped_temp_view
+    from .dedup import _materialized_df
+
+    spark = docs.sparkSession
+
+    def build():
+        with scoped_temp_view(docs, "_corpus_docs_src") as v:
+            return spark.sql(
+                "SELECT doc_id, tok FROM (SELECT doc_id, "
+                f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {v})"
+            )
+
+    return _materialized_df(spark, "_corpus_tok", docs.semanticHash(), build)
+
+
 def doremi_reweight(docs: DataFrame) -> DataFrame:
     """C13: one DoReMi Group-DRO update of the domain sampling weights
     (Xie et al. 2023): per-source mean surprisal under the corpus's own
@@ -1028,25 +1051,23 @@ def doremi_reweight(docs: DataFrame) -> DataFrame:
     Scale shape: rides C6's token/LM relations (shared materialized
     cache); everything after per_doc is per-source arithmetic on a
     #sources-row relation. One doc-keyed join against the corpus, no
-    windows."""
-    from .dedup import _materialized_view
+    windows.
+
+    Served concurrently by the REST layer (/api/v1/corpus/domain-weights):
+    per-call scoped views over the thread-safe token cache — no fixed
+    catalog names."""
+    from ..functions.views import scoped_temp_view
 
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    _materialized_view(
-        spark,
-        "_corpus_tok",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, tok FROM (SELECT doc_id, "
-            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-        ),
-    )
-    return spark.sql(
-        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
-        + _UNIGRAM_CTES
-        + _DOREMI_TAIL.format(docsrc="_corpus_docs", eta=DOREMI_ETA)
-    )
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_doremi_tok") as tv, scoped_temp_view(
+        docs, "_doremi_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n"
+            + _UNIGRAM_CTES
+            + _DOREMI_TAIL.format(docsrc=dv, eta=DOREMI_ETA)
+        )
 
 
 ORACLE_DOREMI = (
@@ -1181,16 +1202,24 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     the doc_id join attaches `source`, then everything de-dups to
     (source, shingle) — bounded by vocab × #sources — before the
     shingle-keyed pair join whose per-shingle fan-out is capped by
-    #sources². Document text never shuffles."""
+    #sources². Document text never shuffles.
+
+    Served concurrently by the REST layer (/api/v1/corpus/sources):
+    per-call scoped views over the thread-safe shingle cache — no fixed
+    catalog names."""
+    from ..functions.views import scoped_temp_view
+    from .dedup import materialized_shingles_df
+
     spark = docs.sparkSession
-    materialized_shingles(docs)
-    docs.createOrReplaceTempView("_corpus_docs")
-    return spark.sql(
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-        + ","
-        + _SOURCE_OVERLAP_SSH.format(docsrc="_corpus_docs")
-        + _SOURCE_OVERLAP_POST
-    )
+    sh = materialized_shingles_df(docs)
+    with scoped_temp_view(sh, "_overlap_shingles") as sv, scoped_temp_view(
+        docs, "_overlap_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH shingles AS (SELECT doc_id, shingle FROM {sv}),"
+            + _SOURCE_OVERLAP_SSH.format(docsrc=dv)
+            + _SOURCE_OVERLAP_POST
+        )
 
 
 ORACLE_SOURCE_OVERLAP = (

@@ -27,6 +27,8 @@ float exits through the portable FLOOR-rounding (see
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,36 +96,56 @@ SELECT DISTINCT doc_id, shingle FROM (
 ) WHERE shingle IS NOT NULL
 """
 
-# Last persisted frame per view name, keyed by the input plan's semantic
+# Last persisted frame per cache slot, keyed by the input plan's semantic
 # hash: MinHash / Jaccard / clusters / contamination over the SAME
 # documents frame share one cache instead of each rebuilding it, while a
 # different input (test fixtures, another sf) still invalidates.
 _SHINGLE_CACHE: dict[str, tuple[int, DataFrame]] = {}
+# cache-dict guard + one build lock per slot: a double cache miss from
+# two REST threads must build once, not twice (the loser's persist would
+# leak and clobber the winner's entry). Slot locks are only ever taken
+# AFTER releasing _CACHE_LOCK — no nesting, no ordering deadlock.
+_CACHE_LOCK = _threading.Lock()
+_SLOT_LOCKS: dict[str, _threading.Lock] = {}
+
+
+def _materialized_df(spark, slot: str, key: int, build) -> DataFrame:
+    """Build-once/persist pattern behind every derived-relation cache in
+    this module (shingles, minhash band keys, token explosions), WITHOUT
+    registering any catalog name — thread-safe, so concurrent callers
+    (the REST layer) can share one cache with no global serialization.
+    The eager count fills the cache in a single pass before fan-out
+    reads race to build it; a changed input key (or a new session)
+    invalidates."""
+    with _CACHE_LOCK:
+        lock = _SLOT_LOCKS.setdefault(slot, _threading.Lock())
+    with lock:
+        cached = _SHINGLE_CACHE.get(slot)
+        if (
+            cached is not None
+            and cached[0] == key
+            and cached[1].sparkSession is spark  # not from a stopped session
+        ):
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass  # prior session already gone
+            _SHINGLE_CACHE.pop(slot, None)
+        df = build().persist()
+        df.count()
+        _SHINGLE_CACHE[slot] = (key, df)
+        return df
 
 
 def _materialized_view(spark, view: str, key: int, build) -> DataFrame:
-    """Build-once/persist/register pattern behind every derived-relation
-    cache in this module (shingles, minhash band keys). The eager count
-    fills the cache in a single pass before fan-out reads race to build
-    it; a changed input key (or a new session) invalidates."""
-    cached = _SHINGLE_CACHE.get(view)
-    if (
-        cached is not None
-        and cached[0] == key
-        and cached[1].sparkSession is spark  # not from a stopped session
-    ):
-        cached[1].createOrReplaceTempView(view)
-        return cached[1]
-    if cached is not None:
-        try:
-            cached[1].unpersist()
-        except Exception:
-            pass  # prior session already gone
-        _SHINGLE_CACHE.pop(view, None)
-    df = build().persist()
-    df.count()
+    """Legacy fixed-name registration over :func:`_materialized_df` —
+    single-pipeline callers that share SQL tails referencing the fixed
+    view name. Concurrent-safe operators use ``_materialized_df`` plus
+    a per-call scoped view instead (``functions/views.py``)."""
+    df = _materialized_df(spark, view, key, build)
     df.createOrReplaceTempView(view)
-    _SHINGLE_CACHE[view] = (key, df)
     return df
 
 
@@ -134,12 +156,29 @@ def clear_materialized_caches() -> None:
     files under an unchanged path are rewritten (re-ingest, test fixtures
     overwriting a tmp dir), the key stays equal and the cache would serve
     stale rows — call this after any in-place data change."""
-    for _, df in list(_SHINGLE_CACHE.values()):
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already gone
-    _SHINGLE_CACHE.clear()
+    with _CACHE_LOCK:
+        for _, df in list(_SHINGLE_CACHE.values()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already gone
+        _SHINGLE_CACHE.clear()
+
+
+def materialized_shingles_df(docs: DataFrame) -> DataFrame:
+    """The distinct (doc_id, shingle) relation, built once and persisted
+    — no catalog names touched, so concurrent callers can't race on a
+    registration. Shares the ``_dedup_shingles`` cache slot with
+    :func:`materialized_shingles`."""
+    spark = docs.sparkSession
+
+    def build():
+        from ..functions.views import scoped_temp_view
+
+        with scoped_temp_view(docs, "_dedup_docs_src") as v:
+            return spark.sql(_SHINGLES_SPARK.format(src=v))
+
+    return _materialized_df(spark, "_dedup_shingles", docs.semanticHash(), build)
 
 
 def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
@@ -156,14 +195,10 @@ def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> Dat
     Calls with a semantically-identical input frame reuse the live cache
     (one shingle build serves the whole dedup suite in a session).
     """
-    spark = docs.sparkSession
     docs.createOrReplaceTempView("_dedup_docs")
-    return _materialized_view(
-        spark,
-        view,
-        docs.semanticHash(),
-        lambda: spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs")),
-    )
+    df = materialized_shingles_df(docs)
+    df.createOrReplaceTempView(view)
+    return df
 
 
 # Spark-side CTE header that reads the materialized view; keeps the shared

@@ -636,9 +636,14 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     Scale shape: one whole-stage-codegen projection over the scan — all
     features are higher-order-function lambdas over the token/line
     arrays, zero shuffles, zero Python. The canonical pre-filter a
-    100 TB crawl pipeline runs before any pairwise dedup."""
-    docs.createOrReplaceTempView("_text_docs")
-    return docs.sparkSession.sql(gopher_spark_sql("_text_docs"))
+    100 TB crawl pipeline runs before any pairwise dedup.
+
+    Served concurrently by the REST layer (/api/v1/corpus/quality):
+    per-call scoped view, no fixed catalog names."""
+    from ..functions.views import scoped_temp_view
+
+    with scoped_temp_view(docs, "_text_docs") as v:
+        return docs.sparkSession.sql(gopher_spark_sql(v))
 
 
 def _oracle_gopher_rules() -> str:
