@@ -129,7 +129,13 @@ dtable AS (
   GROUP BY q.vec_id, c.subspace, c.codeword
 ),
 codes AS (
-  SELECT vec_id, label, subspace, codeword
+  -- DISTINCT: a streaming index update retried after a failure can
+  -- append a batch's code rows twice (at-least-once); the ADC sum
+  -- below adds one term per (subspace, codeword) row, so a duplicate
+  -- would double every distance. The dedup key includes vec_id and
+  -- label, and the payload is the 4-byte code — the cheap relation by
+  -- design; compact_ann_index resets the accumulated duplicates.
+  SELECT DISTINCT vec_id, label, subspace, codeword
   FROM _annidx_codes
   LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
 ),
@@ -152,3 +158,131 @@ SELECT query_id, probed_label, neighbor_id, approx_d, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """)
+
+
+#: encode a batch of vectors against a PERSISTED codebook (streaming
+#: maintenance: the codebook/centroids are frozen between re-trains)
+_ENCODE_AGAINST_CB = """
+WITH elems AS (
+  SELECT vec_id, pos AS dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS sv
+  FROM {src} LATERAL VIEW posexplode(embedding) t AS pos, v
+),
+sub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {subdim}.0) AS BIGINT) AS subspace, dim, sv
+  FROM elems
+),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM sub s JOIN {cb} c ON s.subspace = c.subspace AND s.dim = c.dim
+  GROUP BY s.vec_id, s.subspace, c.codeword
+),
+assigned AS (
+  SELECT vec_id, subspace, codeword FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, codeword) AS rnk
+    FROM dists
+  ) WHERE rnk = 1
+),
+cells AS (SELECT vec_id, label FROM {src})
+SELECT a.vec_id, c.label,
+       {code_cols}
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+
+
+def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
+    """Streaming INDEX maintenance (the S14 parity twin of the dedup
+    index's ``stream_update_dedup_index``): arriving embeddings are
+    PQ-encoded against the EXISTING persisted codebook and appended to
+    ``codes/`` per micro-batch, partitioned by cell. A query through
+    :func:`ann_ivf_pq_from_index` then finds neighbors ingested batches
+    ago with no re-index — and still never reads a corpus float.
+
+    Assignment drift: the persisted centroids and codebook are FROZEN
+    between re-trains, so as the distribution shifts, cell means go
+    stale (probe ranking degrades gracefully — recall, not
+    correctness) and codeword assignments become suboptimal
+    (quantization error creeps up). The periodic batch job is
+    :func:`write_ann_index` re-run over the full corpus — the standard
+    IVF/PQ production split (Jégou et al. 2011 train/add separation).
+
+    Semantics: ``foreachBatch`` + parquet append is at-least-once — a
+    retried batch can append its code rows twice. The read path
+    de-duplicates (``SELECT DISTINCT`` over the unpivoted codes), and
+    :func:`compact_ann_index` is the periodic exactly-once repair.
+
+    Returns the started StreamingQuery (availableNow-compatible).
+    """
+
+    def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.where("embedding IS NOT NULL").persist()
+        view = f"_stream_ann_emb_{batch_id}"
+        cb_view = f"_stream_ann_cb_{batch_id}"
+        try:
+            if not batch_df.take(1):
+                return
+            batch_df.createOrReplaceTempView(view)
+            spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(
+                cb_view
+            )
+            code_cols = ",\n       ".join(
+                f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+                for s in range(PQ_M)
+            )
+            spark.sql(
+                _ENCODE_AGAINST_CB.format(
+                    src=view,
+                    cb=cb_view,
+                    scale=_PQ_SCALE,
+                    subdim=PQ_SUBDIM,
+                    code_cols=code_cols,
+                )
+            ).write.mode("append").partitionBy("label").parquet(
+                f"{path}/codes"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+            spark.catalog.dropTempView(cb_view)
+            batch_df.unpersist()
+
+    return (
+        emb_stream.writeStream.foreachBatch(_encode_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Periodic DISTINCT compaction of the streamed code relation — the
+    same exactly-once repair as ``compact_dedup_index``: duplicate code
+    rows from at-least-once retries are rewritten away, the ``label``
+    (cell) partitioning is preserved so a cell probe stays partition
+    pruning, and re-compacting an already-compact index is a no-op.
+    Centroids and codebook are overwrite-only (re-train artifacts) and
+    never need compaction. Returns (rows_before, rows_after)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = f"{path}/codes"
+    tmp = f"{path}/codes__compacting"
+    raw = spark.read.parquet(src)
+    cols = ["vec_id"] + [f"code_{s}" for s in range(PQ_M)] + ["label"]
+    raw = raw.select(*cols)
+    rows_before = raw.count()
+    compacted = raw.distinct().sortWithinPartitions(*cols)
+    rows_after = compacted.count()
+    compacted.write.mode("overwrite").partitionBy("label").parquet(tmp)
+    p_src = jvm.org.apache.hadoop.fs.Path(src)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p_src.getFileSystem(conf)
+    fs.delete(p_src, True)
+    if not fs.rename(p_tmp, p_src):
+        raise IOError("compact_ann_index: rename failed for codes")
+    return {"relation": "codes", "rows_before": rows_before,
+            "rows_after": rows_after}

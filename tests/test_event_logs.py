@@ -1279,3 +1279,97 @@ def test_ann_index_roundtrip_serves_ivfadc(spark, tmp_path):
         tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
     ]
     assert from_idx == live and len(live) > 0
+
+
+def test_stream_ann_index_maintenance(spark, tmp_path):
+    """Streaming ANN-index maintenance (S14 parity with S13): embeddings
+    arriving across micro-batches are PQ-encoded against the EXISTING
+    persisted codebook and appended to codes/ per cell; a query from the
+    index finds neighbors ingested in earlier batches with no re-index.
+    Differential vs a single-pass batch encode of the same arrivals;
+    at-least-once duplicate appends must not shift any distance; compact
+    resets the duplicates idempotently."""
+    from spark_history_server_rs_spark.operators.similarity import PQ_M
+    from spark_history_server_rs_spark.sources.ann_index import (
+        _ENCODE_AGAINST_CB,
+        _PQ_SCALE,
+        PQ_SUBDIM,
+        ann_ivf_pq_from_index,
+        compact_ann_index,
+        stream_update_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    initial = emb.where("vec_id < 100")  # contains codebook ids + queries
+    arriving = emb.where("vec_id >= 100")
+    path = str(tmp_path / "stream_ann")
+    path_batch = str(tmp_path / "batch_ann")
+    write_ann_index(initial, path)
+    write_ann_index(initial, path_batch)
+
+    # stage the arrivals as two parquet files → two micro-batches
+    src = tmp_path / "arriving"
+    arriving.where("vec_id < 300").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    arriving.where("vec_id >= 300").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_update_ann_index(stream, path, str(tmp_path / "ann_ckpt"))
+    q.awaitTermination(180)
+
+    res = [tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()]
+    assert len(res) > 0
+    # the headline property: a vector ingested by the STREAM (vec_id >=
+    # 100) surfaces as a ranked neighbor of a pre-existing query
+    assert any(r[2] >= 100 for r in res), "no cross-batch neighbor found"
+
+    # differential: the same arrivals encoded in ONE batch pass against
+    # the same persisted codebook must yield an identical index answer
+    arriving.createOrReplaceTempView("_batch_arrivals")
+    spark.read.parquet(f"{path_batch}/codebook").createOrReplaceTempView(
+        "_batch_cb"
+    )
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    spark.sql(
+        _ENCODE_AGAINST_CB.format(
+            src="_batch_arrivals", cb="_batch_cb",
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, code_cols=code_cols,
+        )
+    ).write.mode("append").partitionBy("label").parquet(f"{path_batch}/codes")
+    res_batch = [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path_batch, emb).collect()
+    ]
+    assert res_batch == res
+
+    # at-least-once retry: double-append one batch's codes — DISTINCT
+    # reads keep every distance identical
+    dup = spark.read.parquet(f"{path}/codes").where(
+        "vec_id >= 100 AND vec_id < 300"
+    ).cache()
+    n_dup = dup.count()
+    dup.write.mode("append").partitionBy("label").parquet(f"{path}/codes")
+    dup.unpersist()
+    res_dup = [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ]
+    assert res_dup == res
+
+    # compaction: duplicates rewritten away, answers unchanged, no-op
+    # second pass
+    stats = compact_ann_index(spark, path)
+    assert stats["rows_before"] == stats["rows_after"] + n_dup
+    assert [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ] == res
+    stats2 = compact_ann_index(spark, path)
+    assert stats2["rows_before"] == stats2["rows_after"] == stats["rows_after"]
