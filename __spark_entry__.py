@@ -61,59 +61,72 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # round-5 re-checks: the four round-4 hash-fail rows (DuckDB HUGEINT
-    # canonicalization — fixed by CAST(SUM(...) AS BIGINT) in the shared
-    # SQL; values were already identical)
-    "corpus_dsir_select",
-    "corpus_perplexity_buckets",
-    "table_profile_orders",
-    "tpch_q12_ship_delay",
+    # round-6 slot 1-2: the two queries that had never had a driver row
+    # (registered past slot 50 last round; cumulative record closes at
+    # 129/129 when these land green) — span_leakage also rides the
+    # refactored shingle cache, bpe_merge_step's joiner comment changed
+    "corpus_span_leakage",
+    "corpus_bpe_merge_step",
+    # new this round → first driver row
+    "corpus_bpe_train",
+    # changed this round (exp clamp in the shared DoReMi SQL)
+    "corpus_doremi_reweight",
 )
 
-# The last 21 registry entries with no driver row yet (pytest-green every
-# session; three carried the latent HUGEINT/nullable-int hash bug, fixed
-# this round before their first check).
+# Round-6 re-checks, then oldest-green rotation. Re-check groups:
+# (a) ops riding the materialized caches refactored for thread safety
+#     (_materialized_df + scoped views, commit 'De-serialize the corpus
+#     REST routes');
+# (b) vector ops that gained the explicit NOT-NULL source contract late
+#     in round 5 (cac5e1d — after the r05 driver run sampled them);
+# (c) oldest previously-green rows (r02) so no query's last driver check
+#     ages past ~4 rounds.
 _ROTATED_RELATIONAL = (
-    "corpus_training_manifest",
-    "corpus_length_histogram",
-    "corpus_bigram_counts",
-    "corpus_pack_sequences",
-    "corpus_pack_sequences_sharded",
-    "corpus_stratified_sample",
-    "corpus_temperature_sample",
-    "corpus_contamination",
-    "text_stem_normalize",
-    "text_pii_scrub",
-    "embedding_dim_stats",
-    "embedding_kmeans_step",
-    "job_parallelism_report",
-    "text_quality_classifier",
-    "dedup_minhash_eval",
-    "ann_knn_graph",
-    "multimodal_phash_groups",
-    "dedup_keep_canonical",
-    "corpus_unigram_logprob",
-    "corpus_global_shuffle",
-    "embedding_power_iteration",
-    # changed this round (single-partition top-k window rewrite) → re-check
-    "corpus_vocabulary",
-    "corpus_tfidf_top_terms",
-    # changed this round (empty-doc division guards) → re-check
-    "text_quality",
-    # new this round → first driver row
-    "text_gopher_rules",
-    "text_c4_filters",
+    # (a) shingle/token/passage cache riders
     "corpus_zipf_fit",
     "corpus_source_overlap",
-    "events_daily_anomaly",
-    "embedding_outliers",
-    "corpus_chunk_documents",
-    "ann_pq_codes",
-    "ann_pq_recall",
-    "corpus_doremi_reweight",
-    "ann_ivf_pq",
+    "text_gopher_rules",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_minhash_eval",
+    "dedup_simhash",
+    "dedup_repeated_passages",
     "dedup_passage_index",
-    "events_volume_ewma",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "corpus_oov_rate",
+    "corpus_unigram_logprob",
+    "corpus_perplexity_buckets",
+    "corpus_split_leakage",
+    "corpus_dsir_select",
+    "corpus_contamination",
+    "embedding_semantic_dedup",
+    # (b) NOT-NULL-contract vector ops
+    "ann_ivf",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_prefiltered",
+    "embedding_dim_stats",
+    "embedding_kmeans_step",
+    "embedding_power_iteration",
+    "embedding_outliers",
+    # (c) oldest green (r02)
+    "performance_trends",
+    "gc_time_trends",
+    "cpu_utilization",
+    "memory_usage",
+    "task_distribution",
+    "executor_utilization",
+    "resource_utilization_metrics",
+    "top_resource_consumers",
+    "capacity_trends",
+    "cost_optimization",
+    "application_info",
+    "task_duration_percentiles",
+    "event_search",
+    "job_metrics",
+    "task_skew_report",
+    "count_events",
 )
 
 
