@@ -1,0 +1,125 @@
+"""One-off 10x scale probe: the 7-query warm suite + ingest at ~1 M events.
+
+The per-round benchmark (bench.py) runs at sf0.1 (100 K events); the
+100 TB design claims rest on plan shapes (pushdown, map-side combine,
+no single-partition funnels) that should make the suite scale ~linearly
+in data with fixed overheads amortized. This probe pins that with a
+measured 10x data point: the sf0.1 events table replicated 10x with
+shifted ids (10x the apps, 10x the rows/day — how a larger deployment
+actually looks), written as 10 parquet files so the scan has natural
+file parallelism.
+
+Run:  python scale_probe.py        (writes BENCH_SCALE_PROBE.json)
+
+Methodology matches bench.py: ingest = scan->normalize->persist->count;
+queries timed cold then min-of-3 warm on the persisted frame; the
+calibration canaries separate VM drift from real deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.storagelevel import StorageLevel
+
+from spark_history_server_rs_spark.operators import catalog
+from spark_history_server_rs_spark.session import get_spark
+from spark_history_server_rs_spark.sources.generic import load_events
+
+from bench import SUITE
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/sparkgraft_sf1")
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+
+
+def build_corpus(spark) -> None:
+    """Replicate the base events table COPIES times with shifted ids.
+
+    Shifts: event_id namespaced per copy; user_id (the app key) offset so
+    each copy contributes NEW applications (group cardinality scales with
+    data, as in a real larger deployment); timestamps kept (rows/day
+    density scales instead — both axes grow at real scale)."""
+    marker = f"{PROBE_DIR}/_SUCCESS_{COPIES}x"
+    if os.path.exists(marker):
+        return
+    raw = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
+    for c in range(COPIES):
+        (
+            raw.selectExpr(
+                f"event_id + {c} * 100000000 AS event_id",
+                "ts",
+                f"user_id + {c} * 100000 AS user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if c == 0 else "append")
+            .parquet(f"{PROBE_DIR}/events.parquet")
+        )
+    open(marker, "w").close()
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    build_corpus(spark)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    t0 = time.perf_counter()
+    ev = load_events(spark, PROBE_DIR, parallelism=cpus)
+    ev = ev.drop("raw_data").persist(StorageLevel.MEMORY_AND_DISK)
+    n_events = ev.count()
+    ingest_sec = time.perf_counter() - t0
+
+    cold: dict[str, float] = {}
+    warm_t: dict[str, float] = {}
+    total = 0.0
+    for name, fn in SUITE.items():
+        t = time.perf_counter()
+        fn(ev).collect()
+        cold[name] = round(time.perf_counter() - t, 4)
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn(ev).collect()
+            warm.append(time.perf_counter() - t)
+        warm_t[name] = round(min(warm), 4)
+        total += warm_t[name]
+
+    # canaries (same shapes as bench.py) so drift is attributable
+    t = time.perf_counter()
+    spark.range(0, 200_000_000, 1, cpus).selectExpr(
+        "sum(id) s"
+    ).collect()
+    calib_range = round(time.perf_counter() - t, 4)
+    t = time.perf_counter()
+    spark.range(0, 2_000_000, 1, cpus).selectExpr(
+        "id % 1000 k", "id v"
+    ).groupBy("k").sum("v").collect()
+    calib_shuffle = round(time.perf_counter() - t, 4)
+
+    out = {
+        "metric": "scale_probe_seven_query_suite_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": warm_t,
+        "cold": cold,
+        "sf": 1.0,
+        "n_events": n_events,
+        "copies": COPIES,
+        "ingest_sec": round(ingest_sec, 4),
+        "events_per_sec": round(n_events / ingest_sec, 1),
+        "calib_range_sum_sec": calib_range,
+        "calib_shuffle_sec": calib_shuffle,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open("BENCH_SCALE_PROBE.json", "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

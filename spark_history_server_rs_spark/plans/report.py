@@ -59,7 +59,21 @@ SELECTED = [
     ("dedup_passage_index", "cross-doc duplicated-window index, hash-keyed only"),
     ("events_volume_ewma", "integer-weight EWMA over the calendar-bounded dailies"),
     ("corpus_bpe_merge_step", "distributed top-pair + broadcast merge projection"),
+    # round-8 batch
+    ("corpus_span_leakage", "window hashes × split labels, cell-bounded agg"),
+    ("corpus_bpe_train:iteration", "word-table pair rank — the per-merge plan"),
 ]
+
+
+def _bpe_train_iteration_df(spark, sf_dir):
+    """corpus_bpe_train's registered callable returns a driver-local
+    merge table (the loop's plans run inside); the informative plan is
+    one training iteration over the word table — report that."""
+    from ..operators import llmprep
+    from ..sources.generic import load_table
+
+    wt = llmprep._bpe_word_table(load_table(spark, sf_dir, "documents"))
+    return llmprep._bpe_pair_ranking(wt)
 
 
 def main() -> None:
@@ -79,7 +93,10 @@ def main() -> None:
         "",
     ]
     for name, why in SELECTED:
-        df = queries[name](spark, "/root/testdata/sf0.01")
+        if name == "corpus_bpe_train:iteration":
+            df = _bpe_train_iteration_df(spark, "/root/testdata/sf0.01")
+        else:
+            df = queries[name](spark, "/root/testdata/sf0.01")
         simple = I.explain_str(df, "simple")
         out.append(f"## {name}")
         out.append(f"*{why}*")
