@@ -69,6 +69,8 @@ _SENTINELS = (
     "corpus_bpe_merge_step",
     # new this round → first driver row
     "corpus_bpe_train",
+    "corpus_bpe_fertility",
+    "dedup_containment",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
 )
@@ -125,8 +127,9 @@ _ROTATED_RELATIONAL = (
     "task_duration_percentiles",
     "event_search",
     "job_metrics",
-    "task_skew_report",
-    "count_events",
+    # task_skew_report / count_events displaced by the two late-round new
+    # ops (first driver row beats a 4-round-old re-check); both stay
+    # pytest-checked and rotate back next round
 )
 
 
@@ -190,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
         "dedup_ngram_jaccard_capped": _d(dedup.ngram_jaccard_pairs_capped),
+        "dedup_containment": _d(dedup.containment_pairs),
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
         "dedup_minhash_eval": _d(dedup.minhash_estimate_eval),
         "dedup_simhash": _d(dedup.simhash_pairs),
@@ -253,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_documents": _d(llmprep.chunk_documents),
         "corpus_bpe_merge_step": _d(llmprep.bpe_merge_step),
         "corpus_bpe_train": _d(llmprep.bpe_train),
+        "corpus_bpe_fertility": _d(llmprep.bpe_fertility),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

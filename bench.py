@@ -159,6 +159,8 @@ def main() -> None:
         ("corpus_span_leakage", corpus.span_leakage, docs),
         ("corpus_bpe_merge_step", llmprep.bpe_merge_step, docs),
         ("corpus_bpe_train", llmprep.bpe_train, docs),
+        ("corpus_bpe_fertility", llmprep.bpe_fertility, docs),
+        ("dedup_containment", dedup.containment_pairs, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -351,6 +351,76 @@ ORACLE_NGRAM_JACCARD_CAPPED = (
 )
 
 
+# --------------------------------------------------------------------------
+# D2c — asymmetric shingle containment (excerpt/superset detection)
+# --------------------------------------------------------------------------
+#: containment(A in B) = |A∩B| / |A| (Broder 1997 §2 distinguishes it
+#: from resemblance): a short document quoted verbatim inside a long one
+#: scores near 1.0 here while its JACCARD stays tiny (|A∪B| is dominated
+#: by the long side) — the sub-document duplication class D2/D3 cannot
+#: flag at any threshold. Pairs keep both directions; the filter is on
+#: the max.
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_POST = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, shingles_a, shingles_b, common_shingles,
+       containment_a, containment_b
+FROM (
+  SELECT doc_a, doc_b, x.n AS shingles_a, y.n AS shingles_b,
+         common_shingles,
+         FLOOR((CAST(common_shingles AS DOUBLE) / x.n) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS containment_a,
+         FLOOR((CAST(common_shingles AS DOUBLE) / y.n) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS containment_b
+  FROM common
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+)
+WHERE containment_a >= {thr} OR containment_b >= {thr}
+ORDER BY doc_a, doc_b
+"""
+
+
+def containment_pairs(
+    docs: DataFrame, cap: int = HOT_SHINGLE_CAP
+) -> DataFrame:
+    """D2c: directional shingle-containment pairs — candidate generation
+    is D2b's stop-shingle-pruned inverted-index join (same Σ f², f ≤ cap
+    bound), verification computes |A∩B|/|A| and |A∩B|/|B| against the
+    FULL shingle sets; pairs where either direction ≥ {thr} survive.
+    The excerpt-detection complement to D2/D3: containment-high pairs
+    with low Jaccard are quotes/boilerplate-wrapped copies whose union
+    is dominated by the longer side.
+
+    Scale shape: identical to D2b — rides the materialized shingle
+    relation, hash-keyed joins only, text never shuffles.""".format(
+        thr=CONTAINMENT_THRESHOLD
+    )
+    materialized_shingles(docs)
+    sql = (
+        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
+        + ","
+        + _CAPPED_CANDIDATES.format(cap=cap)
+        + _CONTAINMENT_POST.format(thr=CONTAINMENT_THRESHOLD)
+    )
+    return docs.sparkSession.sql(sql)
+
+
+ORACLE_CONTAINMENT = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),"
+    + _CAPPED_CANDIDATES.format(cap=HOT_SHINGLE_CAP)
+    + _CONTAINMENT_POST.format(thr=CONTAINMENT_THRESHOLD)
+)
+
+
 # ==========================================================================
 # D3 — MinHash + LSH (banded) with exact-Jaccard verification
 # ==========================================================================
@@ -1132,6 +1202,7 @@ ORACLE_SQL_DEDUP = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_minhash_eval": ORACLE_MINHASH_EVAL,
     "dedup_simhash": ORACLE_SIMHASH,

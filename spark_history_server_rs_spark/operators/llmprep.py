@@ -339,6 +339,24 @@ _BPE_PAIRS_SPARK = """CASE WHEN size(split(sym, ' ')) >= 2
  ELSE CAST(array() AS ARRAY<STRING>) END"""
 
 
+def _merge_apply_expr(col, pair: str):
+    """Apply one learned merge to a space-joined symbol-string column:
+    L2b's boundary-anchored double-space replace, then re-normalize to
+    single-space joining so the next merge's boundaries hold. The merged
+    type is the concatenation (the algorithm's intent)."""
+    doubled = F.concat(
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    replaced = F.replace(
+        doubled,
+        F.lit(" " + pair.replace(" ", "  ") + " "),
+        F.lit(" " + pair.replace(" ", "") + " "),
+    )
+    return F.array_join(
+        F.filter(F.split(replaced, " "), lambda x: x != F.lit("")), " "
+    )
+
+
 def _bpe_pair_ranking(wt: DataFrame) -> DataFrame:
     """One training iteration's pair ranking: distributed weighted
     pair-count aggregate + global top-1 (plans as
@@ -389,30 +407,8 @@ def bpe_train(docs: DataFrame) -> DataFrame:
                 break
             pair, n = top[0]["pair"], top[0]["n"]
             merges.append((rank, pair, pair.replace(" ", ""), n))
-            # boundary-anchored replace (L2b's double-space trick) over
-            # the symbol string; the merged type is the concatenation
             merged = wt.select(
-                F.array_join(
-                    F.filter(
-                        F.split(
-                            F.replace(
-                                F.concat(
-                                    F.lit(" "),
-                                    F.replace(
-                                        F.col("sym"), F.lit(" "), F.lit("  ")
-                                    ),
-                                    F.lit(" "),
-                                ),
-                                F.lit(" " + pair.replace(" ", "  ") + " "),
-                                F.lit(" " + pair.replace(" ", "") + " "),
-                            ),
-                            " ",
-                        ),
-                        lambda x: x != F.lit(""),
-                    ),
-                    " ",
-                ).alias("sym"),
-                "cnt",
+                _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
             ).persist()
             merged.count()
             wt.unpersist()
@@ -426,15 +422,20 @@ def bpe_train(docs: DataFrame) -> DataFrame:
         wt.unpersist()
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """k unrolled CTE steps; each wt{i}/top{i} is MATERIALIZED (each is
-    referenced twice — by the next pair count and the next rewrite /
-    the final union), which keeps the unrolled plan linear in k."""
+def _bpe_chain_parts(k: int, final_merge: bool = False) -> list[str]:
+    """The unrolled k-step training chain as CTE fragments; each
+    wt{i}/top{i} is MATERIALIZED (each is referenced twice — by the next
+    pair count and the next rewrite / the final union), which keeps the
+    unrolled plan linear in k. ``final_merge`` also applies top{k-1}
+    (producing wt{k}, the fully-merged word table fertility reads).
+    The merge step is a LEFT JOIN so a degenerate corpus whose pair
+    supply dries up early keeps its words with symbols unchanged — the
+    exact twin of the Spark loop's break."""
     sym0 = "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>'"
     parts = [
         "words AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt FROM "
         f"(SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents) GROUP BY tok)",
-        f"wt0 AS MATERIALIZED (SELECT {sym0} AS sym, cnt FROM words)",
+        f"wt0 AS MATERIALIZED (SELECT word, {sym0} AS sym, cnt FROM words)",
     ]
     pairs_tmpl = (
         "pairs{i} AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM "
@@ -450,17 +451,23 @@ def _bpe_train_oracle(k: int) -> str:
         "ORDER BY n DESC, pair LIMIT 1)"
     )
     merge_tmpl = (
-        "wt{j} AS MATERIALIZED (SELECT array_to_string(list_filter("
+        "wt{j} AS MATERIALIZED (SELECT w.word, "
+        "CASE WHEN t.pair IS NULL THEN w.sym ELSE "
+        "array_to_string(list_filter("
         "string_split(replace(' ' || replace(w.sym, ' ', '  ') || ' ', "
         "' ' || replace(t.pair, ' ', '  ') || ' ', "
         "' ' || replace(t.pair, ' ', '') || ' '), ' '), x -> x <> ''), ' ') "
-        "AS sym, w.cnt FROM wt{i} w CROSS JOIN top{i} t)"
+        "END AS sym, w.cnt FROM wt{i} w LEFT JOIN top{i} t ON TRUE)"
     )
     for i in range(k):
         parts.append(pairs_tmpl.format(i=i))
         parts.append(top_tmpl.format(i=i))
-        if i < k - 1:
+        if i < k - 1 or final_merge:
             parts.append(merge_tmpl.format(i=i, j=i + 1))
+    return parts
+
+
+def _bpe_train_oracle(k: int) -> str:
     unions = " UNION ALL ".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, pair, "
         f"replace(pair, ' ', '') AS new_token, n AS pair_count FROM top{i}"
@@ -468,12 +475,99 @@ def _bpe_train_oracle(k: int) -> str:
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_chain_parts(k))
         + f"\nSELECT * FROM ({unions}) ORDER BY merge_rank"
     )
 
 
 ORACLE_BPE_TRAIN = _bpe_train_oracle(BPE_TRAIN_MERGES)
+
+
+# ==========================================================================
+# L2d — tokenizer fertility under the trained BPE vocabulary
+# ==========================================================================
+def bpe_fertility(docs: DataFrame) -> DataFrame:
+    """L2d: per-source tokenizer fertility — subword tokens per
+    whitespace word under L2c's trained merges (the standard
+    tokenizer-quality metric a mix dashboard tracks per domain: high
+    fertility = the vocab fits that source badly, its effective context
+    shrinks and its per-byte training cost grows).
+
+    Scale shape: training runs once (L2c, corpus scanned once); the k
+    learned merges are then applied to the DISTINCT-WORD relation only
+    (vocabulary-sized — never per occurrence), and the corpus-side cost
+    is two map-side-combined aggregates: (source, word) occurrence
+    counts joined to the word table (join bounded by vocab x sources),
+    and a per-source distinct-doc count. No hot-word skew: frequent
+    words aggregate before the join, never fan out through it."""
+    merges = [r["pair"] for r in bpe_train(docs).collect()]
+    vocab = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("word")).distinct()
+    col = F.concat(F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>"))
+    for pair in merges:
+        col = _merge_apply_expr(col, pair)
+    wn = vocab.select("word", F.size(F.split(col, " ")).alias("n_sub"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(_TOKENS_SPARK)).alias("word")
+    )
+    per_word = (
+        tok.groupBy("source", "word")
+        .agg(F.count("*").alias("n_occ"))
+        .join(wn, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sub")).cast("long").alias("n_subwords"),
+        )
+        .alias("pw")
+    )
+    n_docs = (
+        tok.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .alias("nd")
+    )
+    # eqNullSafe: a NULL source is a real group (unattributed crawl) and
+    # must join with itself, not vanish
+    return (
+        n_docs.join(
+            per_word, F.col("nd.source").eqNullSafe(F.col("pw.source"))
+        )
+        .select(
+            F.col("nd.source").alias("source"),
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            (
+                F.floor(
+                    (F.col("n_subwords").cast("double") / F.col("n_words"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BPE_FERTILITY = (
+    "WITH "
+    + ",\n".join(_bpe_chain_parts(BPE_TRAIN_MERGES, final_merge=True))
+    + f""",
+final AS (SELECT word, len(string_split(sym, ' ')) AS n_sub
+          FROM wt{BPE_TRAIN_MERGES}),
+tok AS (SELECT doc_id, source, unnest({_TOKENS_DUCK}) AS word
+        FROM documents)
+SELECT t.source,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(f.n_sub) AS BIGINT) AS n_subwords,
+       FLOOR((CAST(SUM(f.n_sub) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS fertility
+FROM tok t JOIN final f ON t.word = f.word
+GROUP BY t.source
+ORDER BY t.source
+"""
+)
 
 
 # ==========================================================================
@@ -1666,6 +1760,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "corpus_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "corpus_bpe_train": ORACLE_BPE_TRAIN,
+    "corpus_bpe_fertility": ORACLE_BPE_FERTILITY,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -122,6 +122,8 @@ def test_entry_smoke(spark):
         "dedup_passage_index",
         "corpus_doremi_reweight",
         "corpus_bpe_train",
+        "corpus_bpe_fertility",
+        "dedup_containment",
     ],
 )
 def test_sf01_parity_spot(name, spark):
