@@ -71,6 +71,7 @@ _SENTINELS = (
     "corpus_bpe_train",
     "corpus_bpe_fertility",
     "dedup_containment",
+    "ann_truncated_recall",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
 )
@@ -126,10 +127,9 @@ _ROTATED_RELATIONAL = (
     "application_info",
     "task_duration_percentiles",
     "event_search",
-    "job_metrics",
-    # task_skew_report / count_events displaced by the two late-round new
-    # ops (first driver row beats a 4-round-old re-check); both stay
-    # pytest-checked and rotate back next round
+    # job_metrics / task_skew_report / count_events displaced by the
+    # three late-round new ops (a first driver row beats a 4-round-old
+    # re-check); all stay pytest-checked and rotate back next round
 )
 
 
@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": _e(similarity.ann_pq_codes),
         "ann_pq_recall": _e(similarity.ann_pq_recall),
         "ann_ivf_pq": _e(similarity.ann_ivf_pq),
+        "ann_truncated_recall": _e(similarity.ann_truncated_recall),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),

@@ -861,6 +861,93 @@ def _oracle_ann_ivf_pq() -> str:
 ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
 
 
+# ==========================================================================
+# X11 — truncated-dimension recall (Matryoshka-style storage tradeoff)
+# ==========================================================================
+#: Matryoshka representation learning (Kusupati et al. 2022,
+#: arXiv:2205.13147) stores/searches a PREFIX of each embedding; whether
+#: a given corpus's vectors tolerate that is an empirical recall
+#: question. This op answers it: recall@k of cosine top-k computed on
+#: the first TRUNC_DIM dimensions against the full-dimension exact
+#: top-k, per probe query — the same sampled-eval shape as X4/X7, so at
+#: 100 TB it is the recurring storage-sizing job, not a per-query cost.
+TRUNC_DIM = EMBEDDING_DIM // 2
+
+_TRUNC_RECALL_TAIL = """
+base AS (SELECT vec_id, embedding, {trunc} AS trunc FROM {src}),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos_full} AS cosine
+  FROM base q JOIN base c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {k}
+),
+trunc_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos_trunc} AS cosine
+  FROM base q JOIN base c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+trunc_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM trunc_scored
+  ) WHERE rank <= {k}
+),
+overlap AS (
+  SELECT e.query_id,
+         COUNT(*) AS n_exact,
+         COUNT(t.neighbor_id) AS n_overlap
+  FROM exact_k e LEFT JOIN trunc_k t
+    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_exact, n_overlap,
+       FLOOR((CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS recall_at_k
+FROM overlap
+ORDER BY query_id
+"""
+
+
+def ann_truncated_recall(emb: DataFrame) -> DataFrame:
+    """X11: recall@{k} of first-{d}-dims cosine top-k vs the full
+    {full}-dim exact top-k, per probe query — the measurement that
+    decides whether prefix-truncated storage (half the bytes, half the
+    dot-product FLOPs) is acceptable for this corpus.
+
+    Scale: both sides run on the bounded probe set (vec_id < {nq}), the
+    standard sampled-eval job; downstream of the two top-k sets
+    everything is {nq}x{k} rows.""".format(
+        k=TOP_K, d=TRUNC_DIM, full=EMBEDDING_DIM, nq=N_QUERIES
+    )
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
+    sql = "WITH " + _TRUNC_RECALL_TAIL.format(
+        trunc=f"slice(embedding, 1, {TRUNC_DIM})",
+        cos_full=cosine_expr_spark("q.embedding", "c.embedding"),
+        cos_trunc=cosine_expr_spark("q.trunc", "c.trunc"),
+        src="_sim_emb",
+        nq=N_QUERIES,
+        k=TOP_K,
+    )
+    return emb.sparkSession.sql(sql)
+
+
+ORACLE_ANN_TRUNCATED_RECALL = "WITH " + _TRUNC_RECALL_TAIL.format(
+    trunc=f"list_slice(embedding, 1, {TRUNC_DIM})",
+    cos_full=cosine_expr_duck("q.embedding", "c.embedding"),
+    cos_trunc=cosine_expr_duck("q.trunc", "c.trunc"),
+    src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
+    nq=N_QUERIES,
+    k=TOP_K,
+)
+
+
 ORACLE_SQL_SIMILARITY = {
     "ann_knn_graph": ORACLE_ANN_KNN_GRAPH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
@@ -871,4 +958,5 @@ ORACLE_SQL_SIMILARITY = {
     "ann_pq_codes": ORACLE_ANN_PQ_CODES,
     "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
+    "ann_truncated_recall": ORACLE_ANN_TRUNCATED_RECALL,
 }

@@ -89,6 +89,82 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def minhash_lsh_probe_index(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Incremental QUERY phase — the production shape for S13: near-dup
+    pairs between a batch of NEW documents and the indexed corpus (plus
+    new-new pairs), computed without re-indexing and without reading any
+    indexed document's text.
+
+    The new batch is tokenized once (its shingles/band keys derive
+    in-session); candidates are its band keys joined against the
+    persisted ``band_keys`` relation — partition-pruned per band — plus
+    the batch's internal collisions; exact-Jaccard verification reads
+    the persisted shingle sets UNION the batch's. Old-old pairs are
+    never even candidates, so probe cost scales with the BATCH, not the
+    corpus. Result = the full-rebuild pair set restricted to pairs
+    touching a new doc (pinned by test). A doc re-submitted with
+    identical content is harmless (set-UNION semantics); DISTINCT on
+    the index side keeps at-least-once appends harmless as everywhere.
+    """
+    from ..functions.views import scoped_temp_view
+    from ..operators.dedup import _materialized_df, _PAIR_VERIFY_POST
+
+    idx = read_dedup_index(spark, path)
+    # the batch's derived relations go through the module cache (same
+    # persist lifetime/invalidation as every dedup derivation — the
+    # probe's plan reads cached InMemoryRelations instead of
+    # re-tokenizing the batch once per CTE reference)
+    key = hash((new_docs.semanticHash(), path))
+
+    def build_sh():
+        with scoped_temp_view(new_docs, "_probe_docs") as nv:
+            return spark.sql(_SHINGLES_SPARK.format(src=nv))
+
+    new_sh = _materialized_df(spark, "_probe_new_shingles", key, build_sh)
+
+    def build_bk():
+        with scoped_temp_view(new_sh, "_probe_sh_src") as sv:
+            return spark.sql(
+                f"WITH shingles AS (SELECT doc_id, shingle FROM {sv}),\n"
+                + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+                + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+            )
+
+    new_bk = _materialized_df(spark, "_probe_new_bandkv", key, build_bk)
+    with scoped_temp_view(new_sh, "_probe_new_sh") as sv, scoped_temp_view(
+        new_bk, "_probe_new_bk"
+    ) as bv, scoped_temp_view(
+        idx["shingles"], "_probe_idx_sh"
+    ) as isv, scoped_temp_view(
+        idx["band_keys"], "_probe_idx_bk"
+    ) as ibv:
+        return spark.sql(
+            f"""
+WITH shingles AS (
+  SELECT doc_id, shingle FROM {isv}
+  UNION
+  SELECT doc_id, shingle FROM {sv}
+),
+idx_bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM {ibv}),
+new_bandkv AS (SELECT doc_id, band_idx, band_key FROM {bv}),
+candidates AS (
+  SELECT DISTINCT LEAST(n.doc_id, i.doc_id) AS doc_a,
+                  GREATEST(n.doc_id, i.doc_id) AS doc_b
+  FROM new_bandkv n JOIN idx_bandkv i
+    ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+   AND n.doc_id <> i.doc_id
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM new_bandkv a JOIN new_bandkv b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),"""
+            + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
+        )
+
+
 #: (relation, key columns, partition column) for the three persisted
 #: relations — the keys ARE the full schema, so DISTINCT over them is
 #: the exactly-once repair for at-least-once append duplicates.

@@ -1194,6 +1194,48 @@ def test_stream_dedup_index_maintenance(spark, tmp_path):
     assert pairs_after == pairs
 
 
+def test_minhash_probe_index_incremental(spark, tmp_path):
+    """Incremental probe (the S13 production query): near-dup pairs for
+    a NEW batch against the indexed corpus must equal the full-rebuild
+    pair set restricted to pairs touching a new doc — computed without
+    re-indexing, and probe candidates never pair old docs with old
+    docs. Also survives duplicate-appended index rows (at-least-once)."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        minhash_lsh_probe_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old = docs.where("doc_id < 300")
+    new = docs.where("doc_id >= 300")
+    path = str(tmp_path / "probe_idx")
+    write_dedup_index(old, path)
+
+    dedup.clear_materialized_caches()
+    probe = {
+        tuple(r) for r in minhash_lsh_probe_index(spark, path, new).collect()
+    }
+    dedup.clear_materialized_caches()
+    full = {tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    expected = {t for t in full if t[0] >= 300 or t[1] >= 300}
+    assert probe == expected and len(expected) > 0
+    # at-least-once: double-append the index band keys; probe unchanged
+    dup = spark.read.parquet(f"{path}/band_keys").select(
+        "doc_id", "band_key", "band_idx"
+    ).cache()
+    dup.count()
+    dup.write.mode("append").partitionBy("band_idx").parquet(
+        f"{path}/band_keys"
+    )
+    dup.unpersist()
+    dedup.clear_materialized_caches()
+    probe_again = {
+        tuple(r) for r in minhash_lsh_probe_index(spark, path, new).collect()
+    }
+    assert probe_again == expected
+
+
 def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
     """compact_dedup_index: a duplicate-appended index (at-least-once
     retry simulation) compacts back to the DISTINCT key sets, the

@@ -124,6 +124,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_train",
         "corpus_bpe_fertility",
         "dedup_containment",
+        "ann_truncated_recall",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -518,6 +518,9 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         (llmprep.embedding_dim_stats, "embedding_dim_stats"),
         (llmprep.embedding_outliers, "embedding_outliers"),
         (similarity.ann_pq_codes, "ann_pq_codes"),
+        # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
+        # to 1.0 — the degenerate-agreement case worth pinning
+        (similarity.ann_truncated_recall, "ann_truncated_recall"),
     ]:
         ok, report = compare(fn(emb), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random vectors: {report}"
