@@ -72,6 +72,7 @@ _SENTINELS = (
     "corpus_bpe_fertility",
     "dedup_containment",
     "ann_truncated_recall",
+    "text_line_boilerplate",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
 )
@@ -126,10 +127,10 @@ _ROTATED_RELATIONAL = (
     "cost_optimization",
     "application_info",
     "task_duration_percentiles",
-    "event_search",
-    # job_metrics / task_skew_report / count_events displaced by the
-    # three late-round new ops (a first driver row beats a 4-round-old
-    # re-check); all stay pytest-checked and rotate back next round
+    # event_search / job_metrics / task_skew_report / count_events
+    # displaced by the four late-round new ops (a first driver row beats
+    # a 4-round-old re-check); all stay pytest-checked and rotate back
+    # next round
 )
 
 
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": _d(textprep.quality_classifier),
         "text_gopher_rules": _d(textprep.gopher_rules),
         "text_c4_filters": _d(textprep.c4_filters),
+        "text_line_boilerplate": _d(textprep.line_boilerplate),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),

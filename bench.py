@@ -162,6 +162,7 @@ def main() -> None:
         ("corpus_bpe_fertility", llmprep.bpe_fertility, docs),
         ("dedup_containment", dedup.containment_pairs, docs),
         ("ann_truncated_recall", similarity.ann_truncated_recall, emb),
+        ("text_line_boilerplate", textprep.line_boilerplate, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

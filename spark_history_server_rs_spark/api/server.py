@@ -475,7 +475,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send(200, _rows(df))
 
         m = re.fullmatch(
-            r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights)",
+            r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights|fertility|boilerplate)",
             path,
         )
         if m:
@@ -496,6 +496,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "zipf": corpus.zipf_fit,
                 "sources": corpus.source_overlap,
                 "domain-weights": corpus.doremi_reweight,
+                "fertility": llmprep.bpe_fertility,
+                "boilerplate": textprep.line_boilerplate,
             }[m.group(1)]
             # concurrent-safe: these five operators use per-call scoped
             # views (functions/views.py) over the thread-safe
@@ -567,8 +569,9 @@ def serve(
 
     ``documents`` (optional) attaches a corpus frame and enables the
     ``/api/v1/corpus/*`` analytics routes (profile, Gopher quality
-    report, Zipf fit, source-overlap matrix, DoReMi domain weights) —
-    the corpus-health dashboard next to the cluster one."""
+    report, Zipf fit, source-overlap matrix, DoReMi domain weights,
+    BPE tokenizer fertility, CCNet line-boilerplate report) — the
+    corpus-health dashboard next to the cluster one."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:

@@ -747,6 +747,84 @@ ORACLE_C4_FILTERS = _oracle_c4_filters()
 
 
 
+# ==========================================================================
+# T9 — cross-document line boilerplate (CCNet paragraph dedup signal)
+# ==========================================================================
+#: CCNet (Wenzek et al. 2020, arXiv:1911.00359 §3.1) deduplicates at
+#: the PARAGRAPH level: a line whose hash appears in ≥2 distinct
+#: documents is boilerplate (navigation chrome, license headers, cookie
+#: banners) — the pre-filter that removes most crawl noise before any
+#: document-level dedup. Per doc: line counts, boilerplate-line
+#: fraction, and the keep flag at the fraction cap.
+BOILER_MIN_DOCS = 2  # line shared by this many distinct docs = boilerplate
+BOILER_MAX_FRAC = 0.3  # docs above this boilerplate fraction are dropped
+
+_BOILER_TAIL = """
+lhash AS (SELECT doc_id, md5(line) AS lh FROM ({lines})),
+dfreq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS df FROM lhash GROUP BY lh
+),
+per_doc AS (
+  SELECT l.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COALESCE(SUM(CASE WHEN f.df >= {mindocs} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_boiler_lines
+  FROM lhash l JOIN dfreq f ON l.lh = f.lh
+  GROUP BY l.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_boiler_lines, 0) AS n_boiler_lines,
+       CASE WHEN COALESCE(p.n_lines, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(p.n_boiler_lines AS DOUBLE) / p.n_lines)
+                       * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+       END AS boiler_frac,
+       (CASE WHEN COALESCE(p.n_lines, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE FLOOR((CAST(p.n_boiler_lines AS DOUBLE) / p.n_lines)
+                        * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+        END <= {maxfrac}) AS keep
+FROM {docsrc} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def line_boilerplate(docs: DataFrame) -> DataFrame:
+    """T9: cross-document line-boilerplate report — every trimmed
+    non-empty line hashed; lines shared by ≥{m} distinct docs flagged;
+    per-doc boilerplate fraction and keep flag at ≤{f}.
+
+    Scale shape: one line explode (projection), one md5-keyed distinct
+    aggregate (uniform by construction), one hash join back — the same
+    hash-keyed-only discipline as the passage index; document text
+    never shuffles. Docs with no lines (empty/NULL text) keep with
+    fraction 0.0 — line filtering is not an emptiness filter.""".format(
+        m=BOILER_MIN_DOCS, f=BOILER_MAX_FRAC
+    )
+    from ..functions.views import scoped_temp_view
+
+    with scoped_temp_view(docs, "_text_docs") as v:
+        lines = (
+            f"SELECT doc_id, explode({_LINES_SPARK}) AS line FROM {v}"
+        )
+        return docs.sparkSession.sql(
+            "WITH "
+            + _BOILER_TAIL.format(
+                lines=lines,
+                docsrc=v,
+                mindocs=BOILER_MIN_DOCS,
+                maxfrac=BOILER_MAX_FRAC,
+            )
+        )
+
+
+ORACLE_LINE_BOILERPLATE = "WITH " + _BOILER_TAIL.format(
+    lines=f"SELECT doc_id, unnest({_LINES_DUCK}) AS line FROM documents",
+    docsrc="documents",
+    mindocs=BOILER_MIN_DOCS,
+    maxfrac=BOILER_MAX_FRAC,
+)
+
+
 ORACLE_SQL_TEXT = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_language_id": ORACLE_LANGUAGE_ID,
@@ -756,4 +834,5 @@ ORACLE_SQL_TEXT = {
     "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_gopher_rules": ORACLE_GOPHER_RULES,
     "text_c4_filters": ORACLE_C4_FILTERS,
+    "text_line_boilerplate": ORACLE_LINE_BOILERPLATE,
 }

@@ -441,6 +441,12 @@ def test_corpus_endpoints(spark):
         assert abs(sum(r["domain_weight"] for r in weights) - 1.0) < 0.01
         code, prof = _get(base, "/api/v1/corpus/profile")
         assert code == 200 and len(prof) >= 1
+        code, fert = _get(base, "/api/v1/corpus/fertility")
+        assert code == 200 and len(fert) >= 1
+        assert all(r["fertility"] >= 1.0 for r in fert)  # ≥1 subword/word
+        code, boiler = _get(base, "/api/v1/corpus/boilerplate?limit=5")
+        assert code == 200 and 0 < len(boiler) <= 5
+        assert {"n_lines", "boiler_frac", "keep"} <= set(boiler[0])
     finally:
         httpd.shutdown()
 

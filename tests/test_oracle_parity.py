@@ -125,6 +125,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_fertility",
         "dedup_containment",
         "ann_truncated_recall",
+        "text_line_boilerplate",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -316,6 +316,9 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         # here; zipf/chunking see empty and one-token corpora
         (textprep.gopher_rules, "text_gopher_rules"),
         (textprep.c4_filters, "text_c4_filters"),
+        # newline-separated duplicate docs are exactly the shared-line
+        # shape the boilerplate op keys on
+        (textprep.line_boilerplate, "text_line_boilerplate"),
         (corpus.zipf_fit, "corpus_zipf_fit"),
         (corpus.source_overlap, "corpus_source_overlap"),
         (llmprep.chunk_documents, "corpus_chunk_documents"),
