@@ -62,6 +62,10 @@ SELECTED = [
     # round-8 batch
     ("corpus_span_leakage", "window hashes × split labels, cell-bounded agg"),
     ("corpus_bpe_train:iteration", "word-table pair rank — the per-merge plan"),
+    ("dedup_containment", "stop-shingle-pruned candidates, directional verify"),
+    ("corpus_bpe_fertility", "merges on the word table; corpus-side two aggs"),
+    ("ann_truncated_recall", "bounded sampled eval: prefix vs full-dim top-k"),
+    ("text_line_boilerplate", "line explode → md5 distinct agg → hash join back"),
 ]
 
 
