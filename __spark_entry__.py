@@ -73,6 +73,7 @@ _SENTINELS = (
     "dedup_containment",
     "ann_truncated_recall",
     "text_line_boilerplate",
+    "text_quality_prune",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
 )
@@ -126,11 +127,10 @@ _ROTATED_RELATIONAL = (
     "capacity_trends",
     "cost_optimization",
     "application_info",
-    "task_duration_percentiles",
-    # event_search / job_metrics / task_skew_report / count_events
-    # displaced by the four late-round new ops (a first driver row beats
-    # a 4-round-old re-check); all stay pytest-checked and rotate back
-    # next round
+    # task_duration_percentiles / event_search / job_metrics /
+    # task_skew_report / count_events displaced by the five late-round
+    # new ops (a first driver row beats a 4-round-old re-check); all
+    # stay pytest-checked and rotate back next round
 )
 
 
@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _d(textprep.gopher_rules),
         "text_c4_filters": _d(textprep.c4_filters),
         "text_line_boilerplate": _d(textprep.line_boilerplate),
+        "text_quality_prune": _d(textprep.quality_prune),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),

@@ -438,9 +438,12 @@ _QC_LOGIT = _R6.format(
     f" + {QC_W_STOP} * stop5"
 )
 
-_QC_TAIL = f"""
+def _qc_scored_ctes(extra: str = "") -> str:
+    """feats → scored CTEs over a ``base`` relation; ``extra`` passes
+    additional base columns (e.g. ``source,``) through to ``scored``."""
+    return f"""
 feats AS (
-  SELECT doc_id, n_tokens,
+  SELECT {extra} doc_id, n_tokens,
          {_R4.format(x="LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 60.0)")} AS len_score,
          CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
               ELSE {_R4.format(x="CAST(n_distinct_tokens AS DOUBLE) / n_tokens")} END AS diversity,
@@ -451,7 +454,10 @@ feats AS (
 ),
 scored AS (
   SELECT *, {_QC_LOGIT} AS logit FROM feats
-)
+)"""
+
+
+_QC_TAIL = _qc_scored_ctes() + f"""
 SELECT doc_id, n_tokens, len_score, diversity, punct_ratio, stop5, logit,
        {_R6.format(x="1.0 / (1.0 + exp(-logit))")} AS keep_prob,
        ({_R6.format(x="1.0 / (1.0 + exp(-logit))")} >= {QC_KEEP_THRESHOLD}) AS keep
@@ -473,27 +479,32 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     keep the sigmoid branch decisions identical across engines.""".format(
         thr=QC_KEEP_THRESHOLD
     )
-    stop = _in_list(QUALITY_STOPWORDS)
     docs.createOrReplaceTempView("_text_docs")
-    base = f"""
+    return docs.sparkSession.sql(
+        "WITH " + _qc_base_spark("_text_docs") + "," + _QC_TAIL
+    )
+
+
+def _qc_base_spark(src: str, extra: str = "") -> str:
+    stop = _in_list(QUALITY_STOPWORDS)
+    return f"""
 base AS (
-  SELECT doc_id,
+  SELECT {extra} doc_id,
          size({_TOKENS_SPARK}) AS n_tokens,
          size(array_distinct({_TOKENS_SPARK})) AS n_distinct_tokens,
          size(filter({_TOKENS_SPARK}, x -> x IN ({stop}))) AS stop_hits,
          CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
               ELSE {_R4.format(x=("CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS DOUBLE)"
                         " / length(text)"))} END AS punct_ratio
-  FROM _text_docs
+  FROM {src}
 )"""
-    return docs.sparkSession.sql("WITH " + base + "," + _QC_TAIL)
 
 
-def _oracle_quality_classifier() -> str:
+def _qc_base_duck(extra: str = "") -> str:
     stop = _in_list(QUALITY_STOPWORDS)
-    base = f"""
+    return f"""
 base AS (
-  SELECT doc_id,
+  SELECT {extra} doc_id,
          len({_TOKENS_DUCK}) AS n_tokens,
          len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
          len(list_filter({_TOKENS_DUCK}, x -> x IN ({stop}))) AS stop_hits,
@@ -502,10 +513,76 @@ base AS (
                         " / length(text)"))} END AS punct_ratio
   FROM documents
 )"""
-    return "WITH " + base + "," + _QC_TAIL
 
 
-ORACLE_QUALITY_CLASSIFIER = _oracle_quality_classifier()
+ORACLE_QUALITY_CLASSIFIER = "WITH " + _qc_base_duck() + "," + _QC_TAIL
+
+
+# ==========================================================================
+# T8b — per-source quality pruning (top-q% selection by model score)
+# ==========================================================================
+#: The FineWeb/DCLM-style selection step: after scoring, each SOURCE
+#: keeps its top fraction of documents by classifier probability — a
+#: per-domain quota (unlike T6's global threshold) so a clean domain
+#: cannot crowd a noisy-but-needed one out of the mix entirely. Exact
+#: per-source ranking (deterministic, oracle-twinned); the 100 TB
+#: variant that avoids the per-source sort computes an approximate
+#: score threshold per source (percentile sketch) and filters — same
+#: selection, two scans, no window.
+PRUNE_KEEP_FRAC = 0.5
+
+_PRUNE_TAIL = f"""
+prob AS (
+  SELECT doc_id, source,
+         {_R6.format(x="1.0 / (1.0 + exp(-logit))")} AS keep_prob
+  FROM scored
+),
+counts AS (SELECT source, COUNT(*) AS n_src FROM prob GROUP BY source),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY keep_prob DESC, doc_id) AS src_rank
+  FROM prob
+)
+SELECT r.doc_id, r.source, r.keep_prob,
+       CAST(r.src_rank AS BIGINT) AS src_rank,
+       CAST(c.n_src AS BIGINT) AS n_source_docs,
+       (r.src_rank <= FLOOR(c.n_src * {PRUNE_KEEP_FRAC} + 0.5)) AS keep
+FROM ranked r JOIN counts c ON r.source IS NOT DISTINCT FROM c.source
+ORDER BY r.doc_id
+"""
+
+
+def quality_prune(docs: DataFrame) -> DataFrame:
+    """T8b: per-source top-{q}% selection by T6's classifier score —
+    every doc ranked within its source by keep probability (ties break
+    on doc_id), keep = rank within the source's quota.
+
+    Scale shape: one scoring projection (zero-shuffle), a per-source
+    count, and a rank window PARTITIONED by source (never global). A
+    NULL source is a real group (IS NOT DISTINCT FROM join).""".format(
+        q=int(PRUNE_KEEP_FRAC * 100)
+    )
+    from ..functions.views import scoped_temp_view
+
+    with scoped_temp_view(docs, "_text_docs") as v:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _qc_base_spark(v, extra="source,")
+            + ","
+            + _qc_scored_ctes(extra="source,")
+            + ","
+            + _PRUNE_TAIL
+        )
+
+
+ORACLE_QUALITY_PRUNE = (
+    "WITH "
+    + _qc_base_duck(extra="source,")
+    + ","
+    + _qc_scored_ctes(extra="source,")
+    + ","
+    + _PRUNE_TAIL
+)
 
 
 # ==========================================================================
@@ -835,4 +912,5 @@ ORACLE_SQL_TEXT = {
     "text_gopher_rules": ORACLE_GOPHER_RULES,
     "text_c4_filters": ORACLE_C4_FILTERS,
     "text_line_boilerplate": ORACLE_LINE_BOILERPLATE,
+    "text_quality_prune": ORACLE_QUALITY_PRUNE,
 }

@@ -126,6 +126,7 @@ def test_entry_smoke(spark):
         "dedup_containment",
         "ann_truncated_recall",
         "text_line_boilerplate",
+        "text_quality_prune",
     ],
 )
 def test_sf01_parity_spot(name, spark):

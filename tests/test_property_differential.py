@@ -319,6 +319,9 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         # newline-separated duplicate docs are exactly the shared-line
         # shape the boilerplate op keys on
         (textprep.line_boilerplate, "text_line_boilerplate"),
+        # NULL sources + all-tied scores: the per-source quota rank must
+        # agree purely on doc_id tie-breaks
+        (textprep.quality_prune, "text_quality_prune"),
         (corpus.zipf_fit, "corpus_zipf_fit"),
         (corpus.source_overlap, "corpus_source_overlap"),
         (llmprep.chunk_documents, "corpus_chunk_documents"),
