@@ -76,6 +76,8 @@ _SENTINELS = (
     "text_quality_prune",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
+    # new: mix realization over the same DoReMi body
+    "corpus_mix_plan",
 )
 
 # Round-6 re-checks, then oldest-green rotation. Re-check groups:
@@ -126,11 +128,10 @@ _ROTATED_RELATIONAL = (
     "top_resource_consumers",
     "capacity_trends",
     "cost_optimization",
-    "application_info",
-    # task_duration_percentiles / event_search / job_metrics /
-    # task_skew_report / count_events displaced by the five late-round
-    # new ops (a first driver row beats a 4-round-old re-check); all
-    # stay pytest-checked and rotate back next round
+    # application_info / task_duration_percentiles / event_search /
+    # job_metrics / task_skew_report / count_events displaced by the six
+    # late-round new ops (a first driver row beats a 4-round-old
+    # re-check); all stay pytest-checked and rotate back next round
 )
 
 
@@ -238,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": _d(corpus.zipf_fit),
         "corpus_source_overlap": _d(corpus.source_overlap),
         "corpus_doremi_reweight": _d(corpus.doremi_reweight),
+        "corpus_mix_plan": _d(corpus.mix_plan),
         "corpus_span_leakage": _d(corpus.span_leakage),
         # --- LLM training-data prep: profiling, packing, sampling,
         #     decontamination, normalization, embedding health ---

@@ -990,7 +990,7 @@ ORACLE_ZIPF_FIT = "WITH " + _ZIPF_TAIL.format(
 #: weight instead of killing the query.
 DOREMI_ETA = 1.0
 
-_DOREMI_TAIL = """,
+_DOREMI_BODY = """,
 per_src AS (
   SELECT d.source, COUNT(*) AS n_docs,
          CAST(SUM(p.total_nll_micro) AS BIGINT) AS sum_nll_micro,
@@ -1013,7 +1013,9 @@ wraw AS (
               AS BIGINT) AS w_micro
   FROM rated r CROSS JOIN ref f
 ),
-tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wraw)
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wraw)"""
+
+_DOREMI_TAIL = _DOREMI_BODY + """
 SELECT w.source, w.n_docs, w.nll_per_tok_micro, w.excess_micro,
        FLOOR((CAST(w.w_micro AS DOUBLE) / t.tw) * 10000.0 + 0.5)
          / CAST(10000.0 AS DOUBLE) AS domain_weight
@@ -1074,6 +1076,71 @@ ORACLE_DOREMI = (
     f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
     + _UNIGRAM_CTES
     + _DOREMI_TAIL.format(docsrc="documents", eta=DOREMI_ETA)
+)
+
+
+# ==========================================================================
+# C15 — mix realization: per-source sampling plan for a token budget
+# ==========================================================================
+#: C13 answers "what should the domain mix BE"; this realizes it: given
+#: the global training-token budget, each source's target token count
+#: is budget x its DoReMi weight, and its sampling rate is
+#: target / available — >1.0 means the source repeats (epochs), <1.0
+#: means it is subsampled. The artifact a 100 TB run hands to the
+#: sampler: a #sources-row plan, recomputed per mix update, never per
+#: document.
+MIX_TOKEN_BUDGET = 100_000
+
+_MIX_TAIL = """
+SELECT w.source,
+       CAST(s.sum_tokens AS BIGINT) AS n_tokens,
+       FLOOR((CAST(w.w_micro AS DOUBLE) / t.tw) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS domain_weight,
+       CAST(FLOOR({budget} * (CAST(w.w_micro AS DOUBLE) / t.tw)) AS BIGINT)
+         AS target_tokens,
+       CASE WHEN s.sum_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((FLOOR({budget} * (CAST(w.w_micro AS DOUBLE) / t.tw))
+                        / s.sum_tokens) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE)
+       END AS sample_epochs
+FROM wraw w CROSS JOIN tot t
+JOIN per_src s ON w.source IS NOT DISTINCT FROM s.source
+ORDER BY w.source
+"""
+
+
+def mix_plan(docs: DataFrame) -> DataFrame:
+    """C15: the per-source sampling plan realizing C13's DoReMi mix
+    under a {b}-token budget — available tokens, target tokens
+    (budget x weight), and the sampling rate in epochs (>1 = the source
+    repeats; <1 = subsampled).
+
+    Scale shape: rides the same per_doc/per_src aggregates as C13
+    (shared materialized token cache, one doc-keyed join against the
+    corpus); everything after is #sources-row arithmetic. NULL source
+    is a real group (IS NOT DISTINCT FROM join).""".format(
+        b=MIX_TOKEN_BUDGET
+    )
+    from ..functions.views import scoped_temp_view
+
+    spark = docs.sparkSession
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_mix_tok") as tv, scoped_temp_view(
+        docs, "_mix_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n"
+            + _UNIGRAM_CTES
+            + _DOREMI_BODY.format(docsrc=dv, eta=DOREMI_ETA)
+            + _MIX_TAIL.format(budget=MIX_TOKEN_BUDGET)
+        )
+
+
+ORACLE_MIX_PLAN = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _UNIGRAM_CTES
+    + _DOREMI_BODY.format(docsrc="documents", eta=DOREMI_ETA)
+    + _MIX_TAIL.format(budget=MIX_TOKEN_BUDGET)
 )
 
 
@@ -1246,4 +1313,5 @@ ORACLE_SQL_CORPUS = {
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "corpus_span_leakage": ORACLE_SPAN_LEAKAGE,
     "corpus_doremi_reweight": ORACLE_DOREMI,
+    "corpus_mix_plan": ORACLE_MIX_PLAN,
 }

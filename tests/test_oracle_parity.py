@@ -127,6 +127,7 @@ def test_entry_smoke(spark):
         "ann_truncated_recall",
         "text_line_boilerplate",
         "text_quality_prune",
+        "corpus_mix_plan",
     ],
 )
 def test_sf01_parity_spot(name, spark):
