@@ -42,8 +42,11 @@ def build_corpus(spark) -> None:
     each copy contributes NEW applications (group cardinality scales with
     data, as in a real larger deployment); timestamps kept (rows/day
     density scales instead — both axes grow at real scale)."""
-    marker = f"{PROBE_DIR}/_SUCCESS_{COPIES}x"
-    if os.path.exists(marker):
+    # one marker whose CONTENT is the copy count: a rebuild at a
+    # different COPIES invalidates it (a per-COPIES marker name would
+    # leave stale markers that silently reuse a smaller corpus)
+    marker = f"{PROBE_DIR}/_COPIES"
+    if os.path.exists(marker) and open(marker).read().strip() == str(COPIES):
         return
     raw = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
     for c in range(COPIES):
@@ -60,7 +63,8 @@ def build_corpus(spark) -> None:
             .write.mode("overwrite" if c == 0 else "append")
             .parquet(f"{PROBE_DIR}/events.parquet")
         )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(str(COPIES))
 
 
 def main() -> None:

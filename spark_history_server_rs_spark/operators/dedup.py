@@ -149,20 +149,45 @@ def _materialized_view(spark, view: str, key: int, build) -> DataFrame:
     return df
 
 
+#: caches outside this module (e.g. llmprep's learned-merge cache)
+#: register a clearer here so one clear call invalidates everything
+_EXTRA_CACHE_CLEARERS: list = []
+
+
 def clear_materialized_caches() -> None:
     """Drop every cached derived relation (shingles, minhash band keys).
 
     The cache key is the input PLAN's semantic hash, not the data: if the
     files under an unchanged path are rewritten (re-ingest, test fixtures
     overwriting a tmp dir), the key stays equal and the cache would serve
-    stale rows — call this after any in-place data change."""
+    stale rows — call this after any in-place data change.
+
+    Takes each slot's build lock, not just the dict lock: a build in
+    flight on another thread would otherwise insert its (stale-input)
+    entry AFTER the clear, resurrecting exactly the cache this call was
+    meant to invalidate. Holding the slot lock makes the clear wait for
+    the in-flight build and then evict its result."""
     with _CACHE_LOCK:
-        for _, df in list(_SHINGLE_CACHE.values()):
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already gone
+        slot_locks = list(_SLOT_LOCKS.items())
+    for slot, lock in slot_locks:
+        with lock:
+            cached = _SHINGLE_CACHE.pop(slot, None)
+            if cached is not None:
+                try:
+                    cached[1].unpersist()
+                except Exception:
+                    pass  # session already gone
+    # entries whose slot lock was created after the snapshot (new slots)
+    with _CACHE_LOCK:
+        leftovers = list(_SHINGLE_CACHE.items())
         _SHINGLE_CACHE.clear()
+    for _, (_, df) in leftovers:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already gone
+    for clearer in list(_EXTRA_CACHE_CLEARERS):
+        clearer()
 
 
 def materialized_shingles_df(docs: DataFrame) -> DataFrame:
@@ -278,7 +303,11 @@ ORACLE_NGRAM_JACCARD = (
 # Exact-Jaccard verification of a `candidates` (doc_a, doc_b) relation
 # against the FULL shingle sets — shared by capped-jaccard (stop-shingle-
 # pruned candidates) and minhash below (band candidates).
-_PAIR_VERIFY_POST = """
+#: shared exact-intersection verification: per-doc set sizes + the
+#: common-shingle count per candidate pair. Jaccard (below) and
+#: containment (D2c) append different similarity tails to ONE copy of
+#: this counting logic.
+_PAIR_COMMON_CTES = """
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
@@ -286,7 +315,9 @@ common AS (
   JOIN shingles a ON a.doc_id = c.doc_a
   JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+_PAIR_VERIFY_POST = _PAIR_COMMON_CTES + """
 SELECT doc_a, doc_b, common_shingles,
        FLOOR((CAST(common_shingles AS DOUBLE) / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
          / CAST(10000.0 AS DOUBLE) AS jaccard
@@ -362,15 +393,7 @@ ORACLE_NGRAM_JACCARD_CAPPED = (
 #: the max.
 CONTAINMENT_THRESHOLD = 0.8
 
-_CONTAINMENT_POST = """
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
-  FROM candidates c
-  JOIN shingles a ON a.doc_id = c.doc_a
-  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b
-)
+_CONTAINMENT_POST = _PAIR_COMMON_CTES + """
 SELECT doc_a, doc_b, shingles_a, shingles_b, common_shingles,
        containment_a, containment_b
 FROM (

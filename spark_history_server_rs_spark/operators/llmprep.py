@@ -380,11 +380,66 @@ def _bpe_word_table(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(
             F.concat(
-                F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>")
+                F.regexp_replace("word", "(?s)(.)", "$1 "), F.lit("</w>")
             ).alias("sym"),
             "cnt",
         )
     )
+
+
+# learned merges per input-plan hash: training is deterministic, so a
+# repeated call (the /corpus/fertility endpoint, bpe_train + fertility
+# in one session) reuses the k-iteration result instead of re-running
+# ~10 Spark jobs. Invalidated by dedup.clear_materialized_caches()
+# (registered clearer below) — same contract as every derived cache.
+_BPE_MERGE_CACHE: dict[int, list[tuple[int, str, str, int]]] = {}
+_BPE_MERGE_LOCK = None  # initialized lazily to avoid import-order issues
+
+
+def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
+    global _BPE_MERGE_LOCK
+    if _BPE_MERGE_LOCK is None:
+        import threading
+
+        _BPE_MERGE_LOCK = threading.Lock()
+    key = docs.semanticHash()
+    with _BPE_MERGE_LOCK:
+        if key in _BPE_MERGE_CACHE:
+            return _BPE_MERGE_CACHE[key]
+        wt = _bpe_word_table(docs).persist()
+        try:
+            merges: list[tuple[int, str, str, int]] = []
+            for rank in range(1, BPE_TRAIN_MERGES + 1):
+                top = _bpe_pair_ranking(wt).collect()
+                if not top:
+                    break
+                pair, n = top[0]["pair"], top[0]["n"]
+                merges.append((rank, pair, pair.replace(" ", ""), n))
+                merged = wt.select(
+                    _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
+                ).persist()
+                merged.count()
+                wt.unpersist()
+                wt = merged
+        finally:
+            wt.unpersist()
+        _BPE_MERGE_CACHE.clear()  # one corpus at a time (same as _SHINGLE_CACHE)
+        _BPE_MERGE_CACHE[key] = merges
+        return merges
+
+
+def _clear_bpe_cache() -> None:
+    _BPE_MERGE_CACHE.clear()
+
+
+def _register_bpe_clearer() -> None:
+    from .dedup import _EXTRA_CACHE_CLEARERS
+
+    if _clear_bpe_cache not in _EXTRA_CACHE_CLEARERS:
+        _EXTRA_CACHE_CLEARERS.append(_clear_bpe_cache)
+
+
+_register_bpe_clearer()
 
 
 def bpe_train(docs: DataFrame) -> DataFrame:
@@ -397,29 +452,11 @@ def bpe_train(docs: DataFrame) -> DataFrame:
     persisted word table. The per-iteration single-row collect is the
     algorithm's inherent sequential dependency (k rows total cross the
     driver — merge i+1's counts depend on merge i's rewrite)."""
-    spark = docs.sparkSession
-    wt = _bpe_word_table(docs).persist()
-    try:
-        merges: list[tuple[int, str, str, int]] = []
-        for rank in range(1, BPE_TRAIN_MERGES + 1):
-            top = _bpe_pair_ranking(wt).collect()
-            if not top:
-                break
-            pair, n = top[0]["pair"], top[0]["n"]
-            merges.append((rank, pair, pair.replace(" ", ""), n))
-            merged = wt.select(
-                _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
-            ).persist()
-            merged.count()
-            wt.unpersist()
-            wt = merged
-        return spark.createDataFrame(
-            merges,
-            "merge_rank bigint, pair string, new_token string, "
-            "pair_count bigint",
-        )
-    finally:
-        wt.unpersist()
+    return docs.sparkSession.createDataFrame(
+        _learned_merges(docs),
+        "merge_rank bigint, pair string, new_token string, "
+        "pair_count bigint",
+    )
 
 
 def _bpe_chain_parts(k: int, final_merge: bool = False) -> list[str]:
@@ -431,7 +468,7 @@ def _bpe_chain_parts(k: int, final_merge: bool = False) -> list[str]:
     The merge step is a LEFT JOIN so a degenerate corpus whose pair
     supply dries up early keeps its words with symbols unchanged — the
     exact twin of the Spark loop's break."""
-    sym0 = "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>'"
+    sym0 = "regexp_replace(word, '(?s)(.)', '\\1 ', 'g') || '</w>'"
     parts = [
         "words AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt FROM "
         f"(SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents) GROUP BY tok)",
@@ -500,9 +537,9 @@ def bpe_fertility(docs: DataFrame) -> DataFrame:
     counts joined to the word table (join bounded by vocab x sources),
     and a per-source distinct-doc count. No hot-word skew: frequent
     words aggregate before the join, never fan out through it."""
-    merges = [r["pair"] for r in bpe_train(docs).collect()]
+    merges = [m[1] for m in _learned_merges(docs)]
     vocab = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("word")).distinct()
-    col = F.concat(F.regexp_replace("word", "(.)", "$1 "), F.lit("</w>"))
+    col = F.concat(F.regexp_replace("word", "(?s)(.)", "$1 "), F.lit("</w>"))
     for pair in merges:
         col = _merge_apply_expr(col, pair)
     wn = vocab.select("word", F.size(F.split(col, " ")).alias("n_sub"))

@@ -875,28 +875,27 @@ TRUNC_DIM = EMBEDDING_DIM // 2
 
 _TRUNC_RECALL_TAIL = """
 base AS (SELECT vec_id, embedding, {trunc} AS trunc FROM {src}),
-exact_scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos_full} AS cosine
+scored AS (
+  -- ONE probe-vs-corpus pair join computing both cosines (the join is
+  -- the entire cost of this operator; two copy-paste scored CTEs would
+  -- double it)
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_full} AS cos_full, {cos_trunc} AS cos_trunc
   FROM base q JOIN base c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {nq}
 ),
 exact_k AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM exact_scored
+                                 ORDER BY cos_full DESC, neighbor_id) AS rank
+    FROM scored
   ) WHERE rank <= {k}
-),
-trunc_scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos_trunc} AS cosine
-  FROM base q JOIN base c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < {nq}
 ),
 trunc_k AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM trunc_scored
+                                 ORDER BY cos_trunc DESC, neighbor_id) AS rank
+    FROM scored
   ) WHERE rank <= {k}
 ),
 overlap AS (

@@ -70,7 +70,8 @@ def write_ann_index(emb: DataFrame, path: str) -> None:
         + f""",
 cells AS (SELECT vec_id, label FROM _sim_emb)
 SELECT a.vec_id, c.label,
-       {code_cols}
+       {code_cols},
+       CAST(0 AS BIGINT) AS ingest_seq
 FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
 GROUP BY a.vec_id, c.label
 """
@@ -129,15 +130,24 @@ dtable AS (
   GROUP BY q.vec_id, c.subspace, c.codeword
 ),
 codes AS (
-  -- DISTINCT: a streaming index update retried after a failure can
-  -- append a batch's code rows twice (at-least-once); the ADC sum
-  -- below adds one term per (subspace, codeword) row, so a duplicate
-  -- would double every distance. The dedup key includes vec_id and
-  -- label, and the payload is the 4-byte code — the cheap relation by
-  -- design; compact_ann_index resets the accumulated duplicates.
-  SELECT DISTINCT vec_id, label, subspace, codeword
-  FROM _annidx_codes
-  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+  -- latest-wins + DISTINCT: a streaming update retried after a failure
+  -- appends a batch's code rows twice (at-least-once — byte-identical,
+  -- DISTINCT absorbs them), and a vector RE-STREAMED with a changed
+  -- embedding leaves two DIFFERENT codes under the same vec_id — the
+  -- ADC sum adds one term per (subspace, codeword) row, so both
+  -- surviving would corrupt every distance for that vector. Each row
+  -- carries its ingest_seq (0 = the batch index build, batch_id+1 per
+  -- streamed micro-batch); only the newest sequence per vec_id counts.
+  -- The window partitions by vec_id (unskewable), the payload is the
+  -- 4-byte code; compact_ann_index materializes the same rule.
+  SELECT DISTINCT vec_id, label, subspace, codeword FROM (
+    SELECT u.*, MAX(ingest_seq) OVER (PARTITION BY vec_id) AS max_seq
+    FROM (
+      SELECT vec_id, label, ingest_seq, subspace, codeword
+      FROM _annidx_codes
+      LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+    ) u
+  ) WHERE ingest_seq = max_seq
 ),
 adc AS (
   SELECT p.query_id, x.vec_id AS neighbor_id, x.label AS probed_label,
@@ -189,7 +199,8 @@ assigned AS (
 ),
 cells AS (SELECT vec_id, label FROM {src})
 SELECT a.vec_id, c.label,
-       {code_cols}
+       {code_cols},
+       CAST({seq} AS BIGINT) AS ingest_seq
 FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
 GROUP BY a.vec_id, c.label
 """
@@ -242,6 +253,12 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                     scale=_PQ_SCALE,
                     subdim=PQ_SUBDIM,
                     code_cols=code_cols,
+                    # seq 0 is the batch index build; a retried batch
+                    # re-appends the SAME seq (identical rows, absorbed
+                    # by the read path's DISTINCT), a later batch
+                    # re-streaming a changed vector gets a HIGHER seq
+                    # (latest wins)
+                    seq=batch_id + 1,
                 )
             ).write.mode("append").partitionBy("label").parquet(
                 f"{path}/codes"
@@ -260,29 +277,37 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> dict:
-    """Periodic DISTINCT compaction of the streamed code relation — the
-    same exactly-once repair as ``compact_dedup_index``: duplicate code
-    rows from at-least-once retries are rewritten away, the ``label``
-    (cell) partitioning is preserved so a cell probe stays partition
-    pruning, and re-compacting an already-compact index is a no-op.
-    Centroids and codebook are overwrite-only (re-train artifacts) and
-    never need compaction. Returns (rows_before, rows_after)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    """Periodic compaction of the streamed code relation — the same
+    exactly-once repair as ``compact_dedup_index`` (shared swap helper):
+    the read path's latest-wins-per-vector rule is MATERIALIZED (stale
+    codes from re-streamed vectors dropped, byte-duplicate retry rows
+    collapsed), the ``label`` (cell) partitioning is preserved so a cell
+    probe stays partition pruning, and re-compacting an already-compact
+    index is a no-op. Centroids and codebook are overwrite-only
+    (re-train artifacts) and never need compaction. Returns
+    (rows_before, rows_after)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dedup_index import compact_relation_swap
+
     src = f"{path}/codes"
-    tmp = f"{path}/codes__compacting"
-    raw = spark.read.parquet(src)
-    cols = ["vec_id"] + [f"code_{s}" for s in range(PQ_M)] + ["label"]
-    raw = raw.select(*cols)
+    cols = (
+        ["vec_id"]
+        + [f"code_{s}" for s in range(PQ_M)]
+        + ["ingest_seq", "label"]
+    )
+    raw = spark.read.parquet(src).select(*cols)
     rows_before = raw.count()
-    compacted = raw.distinct().sortWithinPartitions(*cols)
-    rows_after = compacted.count()
-    compacted.write.mode("overwrite").partitionBy("label").parquet(tmp)
-    p_src = jvm.org.apache.hadoop.fs.Path(src)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = p_src.getFileSystem(conf)
-    fs.delete(p_src, True)
-    if not fs.rename(p_tmp, p_src):
-        raise IOError("compact_ann_index: rename failed for codes")
+    latest = (
+        raw.withColumn(
+            "max_seq", F.max("ingest_seq").over(Window.partitionBy("vec_id"))
+        )
+        .where("ingest_seq = max_seq")
+        .drop("max_seq")
+    )
+    rows_after = compact_relation_swap(
+        spark, latest.distinct(), src, "label", sort_cols=cols
+    )
     return {"relation": "codes", "rows_before": rows_before,
             "rows_after": rows_after}

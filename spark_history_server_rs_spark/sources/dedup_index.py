@@ -199,30 +199,53 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
 
     Returns per-relation stats: (relation, rows_before, rows_after).
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     stats = []
     for rel, keys, part in _INDEX_RELATIONS:
         src = f"{path}/{rel}"
-        tmp = f"{path}/{rel}__compacting"
         raw = spark.read.parquet(src).select(*keys)
         rows_before = raw.count()
-        compacted = raw.distinct().sortWithinPartitions(*keys)
-        rows_after = compacted.count()
-        writer = compacted.write.mode("overwrite")
-        if part is not None:
-            writer = writer.partitionBy(part)
-        writer.parquet(tmp)
-        p_src = jvm.org.apache.hadoop.fs.Path(src)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = p_src.getFileSystem(conf)
-        fs.delete(p_src, True)
-        if not fs.rename(p_tmp, p_src):
-            raise IOError(f"compact_dedup_index: rename failed for {rel}")
+        rows_after = compact_relation_swap(
+            spark, raw.distinct(), src, part, sort_cols=keys
+        )
         stats.append(
             {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
         )
     return stats
+
+
+def compact_relation_swap(
+    spark: SparkSession,
+    compacted: DataFrame,
+    src: str,
+    part_col: str | None,
+    sort_cols,
+) -> int:
+    """The shared compaction commit: persist the compacted relation
+    (so the count and the write run it once), write to a
+    ``__compacting`` sibling sorted within partitions (repeat
+    compaction of an already-compact relation rewrites identical
+    content), then swap via FileSystem delete+rename. Returns the
+    compacted row count. One copy of the non-atomic delete→rename
+    window — see the durability note on :func:`compact_dedup_index`."""
+    tmp = f"{src}__compacting"
+    compacted = compacted.sortWithinPartitions(*sort_cols).persist()
+    try:
+        rows_after = compacted.count()
+        writer = compacted.write.mode("overwrite")
+        if part_col is not None:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(tmp)
+    finally:
+        compacted.unpersist()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p_src = jvm.org.apache.hadoop.fs.Path(src)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p_src.getFileSystem(conf)
+    fs.delete(p_src, True)
+    if not fs.rename(p_tmp, p_src):
+        raise IOError(f"compaction rename failed for {src}")
+    return rows_after
 
 
 def stream_update_dedup_index(

@@ -1385,7 +1385,7 @@ def test_stream_ann_index_maintenance(spark, tmp_path):
     spark.sql(
         _ENCODE_AGAINST_CB.format(
             src="_batch_arrivals", cb="_batch_cb",
-            scale=_PQ_SCALE, subdim=PQ_SUBDIM, code_cols=code_cols,
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, code_cols=code_cols, seq=1,
         )
     ).write.mode("append").partitionBy("label").parquet(f"{path_batch}/codes")
     res_batch = [
@@ -1415,3 +1415,50 @@ def test_stream_ann_index_maintenance(spark, tmp_path):
     ] == res
     stats2 = compact_ann_index(spark, path)
     assert stats2["rows_before"] == stats2["rows_after"] == stats["rows_after"]
+
+    # re-streamed vector with a CHANGED embedding: the higher ingest_seq
+    # wins on the read path (stale codes must not double ADC distances),
+    # and the answer equals a batch encode of the UPDATED state
+    new_vec = emb.where("vec_id = 450").selectExpr(
+        "CAST(150 AS BIGINT) AS vec_id", "embedding", "label"
+    )
+    new_vec.coalesce(1).write.parquet(str(src / "b3"))
+    q2 = stream_update_ann_index(
+        (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        ),
+        path,
+        str(tmp_path / "ann_ckpt"),
+    )
+    q2.awaitTermination(180)
+    res_updated = [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ]
+    # comparator: fresh initial index + ONE batch encode of the updated
+    # arrival set (vec 150 carrying the new embedding)
+    path3 = str(tmp_path / "updated_ann")
+    write_ann_index(initial, path3)
+    updated_arrivals = arriving.where("vec_id <> 150").unionByName(new_vec)
+    updated_arrivals.createOrReplaceTempView("_upd_arrivals")
+    spark.read.parquet(f"{path3}/codebook").createOrReplaceTempView("_upd_cb")
+    spark.sql(
+        _ENCODE_AGAINST_CB.format(
+            src="_upd_arrivals", cb="_upd_cb",
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, code_cols=code_cols, seq=1,
+        )
+    ).write.mode("append").partitionBy("label").parquet(f"{path3}/codes")
+    assert res_updated == [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path3, emb).collect()
+    ]
+    # compaction materializes latest-wins: the stale vec-150 code row is
+    # gone and the answer is unchanged
+    compact_ann_index(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.where("vec_id = 150").count() == 1
+    assert [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ] == res_updated

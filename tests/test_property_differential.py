@@ -343,7 +343,12 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
 # marker pair
 _BPE_ATTACK_TOKEN = st.one_of(
     st.text(alphabet="ab.*+?()[]{}|\\^$-", min_size=1, max_size=4),
-    st.sampled_from(["a", "b", "aa", "</w>", "<", ">", "/w", chr(31)]),
+    # \r / \n INSIDE tokens (tokens split on ' ' only): Java's regex dot
+    # excludes \r, RE2's excludes \n — the (?s) flag on the char split
+    # is what keeps the two engines' symbol tables identical here
+    st.sampled_from(
+        ["a", "b", "aa", "</w>", "<", ">", "/w", chr(31), "a\rb", "a\nb", "\r"]
+    ),
 )
 
 
