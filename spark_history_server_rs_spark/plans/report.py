@@ -66,6 +66,8 @@ SELECTED = [
     ("corpus_bpe_fertility", "merges on the word table; corpus-side two aggs"),
     ("ann_truncated_recall", "bounded sampled eval: prefix vs full-dim top-k"),
     ("text_line_boilerplate", "line explode → md5 distinct agg → hash join back"),
+    ("text_quality_prune", "score projection + per-source partitioned rank"),
+    ("corpus_mix_plan", "DoReMi body folded to a sources-sized sampling plan"),
 ]
 
 
