@@ -1194,6 +1194,48 @@ def test_stream_dedup_index_maintenance(spark, tmp_path):
     assert pairs_after == pairs
 
 
+def test_cache_clear_waits_for_inflight_build(spark):
+    """clear_materialized_caches must take the slot build locks: a build
+    in flight when clear is called would otherwise insert its
+    (stale-input) entry AFTER the clear. Pin the fix: clear blocks until
+    the in-flight build finishes, then evicts its result."""
+    import threading
+    import time
+
+    from spark_history_server_rs_spark.operators import dedup
+
+    dedup.clear_materialized_caches()
+    started = threading.Event()
+    release = threading.Event()
+
+    def build():
+        started.set()
+        assert release.wait(30)
+        return spark.range(3).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS shingle"
+        )
+
+    result = {}
+
+    def worker():
+        result["df"] = dedup._materialized_df(spark, "_race_slot", 42, build)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    assert started.wait(30)
+    clearer = threading.Thread(target=dedup.clear_materialized_caches)
+    clearer.start()
+    time.sleep(0.3)
+    assert clearer.is_alive()  # blocked on the slot lock, not done early
+    release.set()
+    t.join(30)
+    clearer.join(30)
+    assert not clearer.is_alive()
+    # the in-flight build's entry was evicted, not resurrected
+    assert "_race_slot" not in dedup._SHINGLE_CACHE
+    assert result["df"].count() == 3  # the builder still got its frame
+
+
 def test_minhash_probe_index_incremental(spark, tmp_path):
     """Incremental probe (the S13 production query): near-dup pairs for
     a NEW batch against the indexed corpus must equal the full-rebuild
