@@ -171,9 +171,17 @@ def main() -> None:
         # (measured on dedup_minhash_lsh: identical plan executes in
         # 32.6 → 5.9 → 1.9 → 1.7 s across consecutive runs) and swung
         # r2→r3 by 2.6× on unchanged code.
+        # the BPE ops cache learned merges per input plan — without a
+        # clear per run, the timed runs would measure a dict hit and a
+        # regression in the actual training loop would be invisible
+        is_bpe_training = name in ("corpus_bpe_train", "corpus_bpe_fertility")
+        if is_bpe_training:
+            llmprep._clear_bpe_cache()
         fn(src).collect()  # codegen warmup
         warm = []
         for _ in range(3):
+            if is_bpe_training:
+                llmprep._clear_bpe_cache()
             t = time.perf_counter()
             fn(src).collect()
             warm.append(time.perf_counter() - t)

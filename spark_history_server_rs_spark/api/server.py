@@ -499,12 +499,14 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "fertility": llmprep.bpe_fertility,
                 "boilerplate": textprep.line_boilerplate,
             }[m.group(1)]
-            # concurrent-safe: these five operators use per-call scoped
-            # views (functions/views.py) over the thread-safe
-            # materialized caches (operators/dedup.py:_materialized_df),
-            # so requests to different corpus endpoints execute in
-            # parallel — no global lock (pinned by
-            # tests/test_api.py::test_corpus_routes_concurrent)
+            # concurrent-safe, no global lock (pinned by
+            # tests/test_api.py::test_corpus_routes_concurrent):
+            # zipf/sources/domain-weights/quality/boilerplate use
+            # per-call scoped views (functions/views.py) over the
+            # thread-safe materialized caches
+            # (operators/dedup.py:_materialized_df); profile is pure
+            # DataFrame API; fertility serializes only its training
+            # (module merge-cache lock) and serves cached merges after
             rows = _rows(fn(docs).limit(self._limit(qs, 1000)))
             return self._send(200, rows)
 

@@ -36,6 +36,8 @@ aggregates integer-valued doubles; division/rounding happens once, after.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -393,15 +395,10 @@ def _bpe_word_table(docs: DataFrame) -> DataFrame:
 # ~10 Spark jobs. Invalidated by dedup.clear_materialized_caches()
 # (registered clearer below) — same contract as every derived cache.
 _BPE_MERGE_CACHE: dict[int, list[tuple[int, str, str, int]]] = {}
-_BPE_MERGE_LOCK = None  # initialized lazily to avoid import-order issues
+_BPE_MERGE_LOCK = _threading.Lock()
 
 
 def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
-    global _BPE_MERGE_LOCK
-    if _BPE_MERGE_LOCK is None:
-        import threading
-
-        _BPE_MERGE_LOCK = threading.Lock()
     key = docs.semanticHash()
     with _BPE_MERGE_LOCK:
         if key in _BPE_MERGE_CACHE:
@@ -429,7 +426,11 @@ def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
 
 
 def _clear_bpe_cache() -> None:
-    _BPE_MERGE_CACHE.clear()
+    # takes the build lock: a clear racing an in-flight training run must
+    # wait for it and evict its (stale-input) result, not return early —
+    # the same contract clear_materialized_caches keeps for slot locks
+    with _BPE_MERGE_LOCK:
+        _BPE_MERGE_CACHE.clear()
 
 
 def _register_bpe_clearer() -> None:

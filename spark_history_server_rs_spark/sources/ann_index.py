@@ -92,9 +92,12 @@ def ann_ivf_pq_from_index(
     spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(
         "_annidx_cb"
     )
-    spark.read.parquet(f"{path}/codes").createOrReplaceTempView(
-        "_annidx_codes"
-    )
+    codes_df = spark.read.parquet(f"{path}/codes")
+    if "ingest_seq" not in codes_df.columns:
+        # index persisted before sequence tracking: every row is the
+        # batch build — exactly what seq 0 means
+        codes_df = codes_df.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
+    codes_df.createOrReplaceTempView("_annidx_codes")
     # same NULL-drop source contract as every vector entry point —
     # explicit, not incidental (a NULL query must not rank over NULL
     # centroid cosines in the probes CTE)
@@ -138,16 +141,17 @@ codes AS (
   -- surviving would corrupt every distance for that vector. Each row
   -- carries its ingest_seq (0 = the batch index build, batch_id+1 per
   -- streamed micro-batch); only the newest sequence per vec_id counts.
-  -- The window partitions by vec_id (unskewable), the payload is the
-  -- 4-byte code; compact_ann_index materializes the same rule.
-  SELECT DISTINCT vec_id, label, subspace, codeword FROM (
-    SELECT u.*, MAX(ingest_seq) OVER (PARTITION BY vec_id) AS max_seq
-    FROM (
-      SELECT vec_id, label, ingest_seq, subspace, codeword
-      FROM _annidx_codes
-      LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
-    ) u
-  ) WHERE ingest_seq = max_seq
+  -- The max is computed from the NARROW un-expanded relation (two
+  -- small columns, map-side-combined aggregate), NOT the stacked
+  -- expansion, so the expanded code scan below keeps its label
+  -- partition pruning; after compact_ann_index the aggregate runs
+  -- over already-unique vec_ids. compact materializes the same rule.
+  SELECT DISTINCT c.vec_id, c.label, s.subspace, s.codeword
+  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM _annidx_codes
+        GROUP BY vec_id) m
+  JOIN _annidx_codes c
+    ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
+  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
 ),
 adc AS (
   SELECT p.query_id, x.vec_id AS neighbor_id, x.label AS probed_label,
@@ -297,7 +301,11 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         + [f"code_{s}" for s in range(PQ_M)]
         + ["ingest_seq", "label"]
     )
-    raw = spark.read.parquet(src).select(*cols)
+    raw = spark.read.parquet(src)
+    if "ingest_seq" not in raw.columns:
+        # pre-sequence-tracking index: every row is the batch build
+        raw = raw.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
+    raw = raw.select(*cols)
     rows_before = raw.count()
     latest = (
         raw.withColumn(
