@@ -76,8 +76,9 @@ _SENTINELS = (
     "text_quality_prune",
     # changed this round (exp clamp in the shared DoReMi SQL)
     "corpus_doremi_reweight",
-    # new: mix realization over the same DoReMi body
+    # new: mix realization over the same DoReMi body; cluster audit row
     "corpus_mix_plan",
+    "dedup_cluster_stats",
 )
 
 # Round-6 re-checks, then oldest-green rotation. Re-check groups:
@@ -127,8 +128,7 @@ _ROTATED_RELATIONAL = (
     "resource_utilization_metrics",
     "top_resource_consumers",
     "capacity_trends",
-    "cost_optimization",
-    # application_info / task_duration_percentiles / event_search /
+    # cost_optimization / application_info / task_duration_percentiles / event_search /
     # job_metrics / task_skew_report / count_events displaced by the six
     # late-round new ops (a first driver row beats a 4-round-old
     # re-check); all stay pytest-checked and rotate back next round
@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **relational.QUERIES,
         # --- corpus ops: cluster resolution, split, vocab, tf-idf ---
         "dedup_clusters": _d(corpus.dedup_clusters),
+        "dedup_cluster_stats": _d(corpus.dedup_cluster_stats),
         "dedup_keep_canonical": _d(corpus.dedup_keep_canonical),
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),

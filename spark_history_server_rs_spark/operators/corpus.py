@@ -192,6 +192,63 @@ ORDER BY cluster_id, doc_id
 
 
 # ==========================================================================
+# C1b — dedup-cluster audit summary (one-row dashboard metric)
+# ==========================================================================
+def dedup_cluster_stats(docs: DataFrame) -> DataFrame:
+    """C1b: one-row near-dup audit — corpus size, docs caught in near-dup
+    clusters, cluster count, the largest cluster (a runaway largest
+    cluster is THE dedup-quality alarm: a too-low τ chains the corpus
+    together), redundant docs (what keep-canonical would drop), and the
+    redundant fraction. The number a corpus dashboard tracks per drop.
+
+    Scale shape: rides C1's label propagation (shared shingle/edge
+    caches); the stats are two one-row aggregates cross-joined."""
+    cl = dedup_clusters(docs)
+    cs = cl.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    agg = cs.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_clustered_docs"),
+        F.count("*").cast("long").alias("n_clusters"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("largest_cluster"),
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return tot.crossJoin(agg).selectExpr(
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        "largest_cluster",
+        "n_clustered_docs - n_clusters AS n_redundant_docs",
+        "CASE WHEN n_docs = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE FLOOR((CAST(n_clustered_docs - n_clusters AS DOUBLE) / n_docs)"
+        " * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END AS dup_doc_frac",
+    )
+
+
+ORACLE_DEDUP_CLUSTER_STATS = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+    + ","
+    + CC_ORACLE_CTES
+    + """,
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+cs AS (SELECT cluster_id, COUNT(*) AS n FROM clustered GROUP BY cluster_id),
+agg AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_clustered_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(MAX(n), 0) AS BIGINT) AS largest_cluster
+        FROM cs)
+SELECT t.n_docs, a.n_clustered_docs, a.n_clusters, a.largest_cluster,
+       a.n_clustered_docs - a.n_clusters AS n_redundant_docs,
+       CASE WHEN t.n_docs = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(a.n_clustered_docs - a.n_clusters AS DOUBLE)
+                        / t.n_docs) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS dup_doc_frac
+FROM tot t CROSS JOIN agg a
+"""
+)
+
+
+# ==========================================================================
 # C7 — canonical-document selection (cluster → keep best by quality)
 # ==========================================================================
 def _quality_ctes(for_spark: bool, src: str) -> str:
@@ -1314,4 +1371,5 @@ ORACLE_SQL_CORPUS = {
     "corpus_span_leakage": ORACLE_SPAN_LEAKAGE,
     "corpus_doremi_reweight": ORACLE_DOREMI,
     "corpus_mix_plan": ORACLE_MIX_PLAN,
+    "dedup_cluster_stats": ORACLE_DEDUP_CLUSTER_STATS,
 }

@@ -128,6 +128,7 @@ def test_entry_smoke(spark):
         "text_line_boilerplate",
         "text_quality_prune",
         "corpus_mix_plan",
+        "dedup_cluster_stats",
     ],
 )
 def test_sf01_parity_spot(name, spark):
