@@ -67,9 +67,47 @@ def build_corpus(spark) -> None:
         f.write(str(COPIES))
 
 
+def build_docs_corpus(spark) -> None:
+    """10x documents: each copy's tokens are PREFIXED with a copy tag,
+    so copies are disjoint content (no cross-copy shingle overlap) —
+    the honest 10x shape for dedup ops (a bigger crawl has more
+    DISTINCT content; plain replication would instead measure a
+    pathological everything-is-a-dup corpus where output size, not
+    scan/join scaling, dominates)."""
+    marker = f"{PROBE_DIR}/_DOC_COPIES"
+    if os.path.exists(marker) and open(marker).read().strip() == str(COPIES):
+        return
+    raw = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    for c in range(COPIES):
+        (
+            raw.selectExpr(
+                f"doc_id + {c} * 10000000 AS doc_id",
+                f"regexp_replace(text, '(^| )', '$1c{c}x') AS text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if c == 0 else "append")
+            .parquet(f"{PROBE_DIR}/documents.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(str(COPIES))
+
+
+DOC_SUITE = (
+    "dedup_minhash_lsh",
+    "dedup_passage_index",
+    "corpus_source_overlap",
+    "corpus_zipf_fit",
+    "text_line_boilerplate",
+)
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     build_corpus(spark)
+    build_docs_corpus(spark)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     t0 = time.perf_counter()
@@ -92,6 +130,32 @@ def main() -> None:
             warm.append(time.perf_counter() - t)
         warm_t[name] = round(min(warm), 4)
         total += warm_t[name]
+
+    # dedup/corpus ops over the 10x documents corpus (disjoint-content
+    # replication): cold includes the shingle/band-key cache build, warm
+    # rides it — the index-once/serve-many split measured at 10x
+    from spark_history_server_rs_spark.operators import dedup as dedup_mod
+
+    dedup_mod.clear_materialized_caches()
+    docs10 = {}
+    from __spark_entry__ import queries as _entry_queries
+
+    qmap = _entry_queries()
+    for name in DOC_SUITE:
+        fn = qmap[name]
+        t = time.perf_counter()
+        fn(spark, PROBE_DIR).collect()
+        d_cold = time.perf_counter() - t
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn(spark, PROBE_DIR).collect()
+            warm.append(time.perf_counter() - t)
+        docs10[name] = {
+            "cold": round(d_cold, 4),
+            "warm": round(min(warm), 4),
+        }
+    dedup_mod.clear_materialized_caches()
 
     # canaries (same shapes as bench.py) so drift is attributable
     t = time.perf_counter()
@@ -116,6 +180,7 @@ def main() -> None:
         "copies": COPIES,
         "ingest_sec": round(ingest_sec, 4),
         "events_per_sec": round(n_events / ingest_sec, 1),
+        "docs10": docs10,
         "calib_range_sum_sec": calib_range,
         "calib_shuffle_sec": calib_shuffle,
     }
