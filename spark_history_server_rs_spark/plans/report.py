@@ -68,6 +68,7 @@ SELECTED = [
     ("text_line_boilerplate", "line explode → md5 distinct agg → hash join back"),
     ("text_quality_prune", "score projection + per-source partitioned rank"),
     ("corpus_mix_plan", "DoReMi body folded to a sources-sized sampling plan"),
+    ("dedup_cluster_stats", "cluster labels folded to a one-row audit"),
 ]
 
 
