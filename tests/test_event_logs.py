@@ -618,12 +618,14 @@ def test_executor_details_on_real_logs(spark):
         assert r.add_time_ms is not None
 
 
-def _write_doc_files(d, batches):
-    """Write doc batches as json-lines files (one file per batch)."""
+def _write_doc_files(d, batches, start=0):
+    """Write doc batches as json-lines files (one file per batch);
+    ``start`` offsets the file names so later calls ADD files instead of
+    overwriting batch 0 (checkpoint-resume tests)."""
     import json as _json
 
     d.mkdir(parents=True, exist_ok=True)
-    for i, rows in enumerate(batches):
+    for i, rows in enumerate(batches, start=start):
         with open(d / f"docs_{i}.json", "w") as f:
             for r in rows:
                 f.write(_json.dumps(r) + "\n")
@@ -1336,6 +1338,55 @@ def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
     assert {
         tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
     } == pairs_before
+
+
+def test_stream_dedup_index_checkpoint_resume(spark, tmp_path):
+    """Streaming index maintenance across RESTARTS: a second availableNow
+    run against the same checkpoint processes only files that arrived
+    after the first run — no batch re-appended (row counts prove it),
+    and the cross-restart near-dup pair surfaces from the index."""
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        minhash_lsh_pairs_from_index,
+        stream_update_dedup_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "resume_docs"
+    _write_doc_files(
+        src,
+        [[{"doc_id": 1, "text": base, "lang": "en"},
+          {"doc_id": 2, "text": "something completely different here now",
+           "lang": "en"}]],
+    )
+    path = str(tmp_path / "resume_index")
+    ckpt = str(tmp_path / "resume_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_update_dedup_index(stream, path, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    rows_after_first = spark.read.parquet(f"{path}/shingles").count()
+    # restart with NO new input: nothing reprocessed, nothing re-appended
+    run_once()
+    assert spark.read.parquet(f"{path}/shingles").count() == rows_after_first
+    # a near-dup of doc 1 arrives after the restart boundary
+    _write_doc_files(
+        src,
+        [[{"doc_id": 9, "text": base + " lambda", "lang": "en"}]],
+        start=1,
+    )
+    run_once()
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert (1, 9) in pairs  # found across the restart, no re-index
 
 
 def test_ann_index_roundtrip_serves_ivfadc(spark, tmp_path):
