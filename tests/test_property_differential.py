@@ -322,6 +322,12 @@ def test_random_documents_rank_vocab_manifest_match_oracle(
         # NULL sources + all-tied scores: the per-source quota rank must
         # agree purely on doc_id tie-breaks
         (textprep.quality_prune, "text_quality_prune"),
+        # a source whose every doc has zero tokens exercises the DoReMi
+        # per-source division guards; single-source corpora pin the
+        # one-row weight/plan arithmetic
+        (corpus.doremi_reweight, "corpus_doremi_reweight"),
+        (corpus.mix_plan, "corpus_mix_plan"),
+        (corpus.dedup_cluster_stats, "dedup_cluster_stats"),
         (corpus.zipf_fit, "corpus_zipf_fit"),
         (corpus.source_overlap, "corpus_source_overlap"),
         (llmprep.chunk_documents, "corpus_chunk_documents"),
