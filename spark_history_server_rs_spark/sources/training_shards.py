@@ -1,0 +1,99 @@
+"""S15: deterministic training-shard sink + integrity manifest.
+
+The last mile of the training-data pipeline: after filtering / dedup /
+packing, the corpus ships to the trainer as N shards whose membership
+must be STABLE (re-running the export on a different cluster size, or
+after an idempotent retry, must produce the same shard for every doc —
+data loaders checkpoint by shard and resume mid-epoch). Layout::
+
+    path/shards/shard=<i>/...parquet   (doc rows, xxhash64-assigned)
+    path/manifest/...parquet           (shard, n_docs, n_tokens, content_hash)
+
+Shard assignment is ``pmod(xxhash64(doc_id), n_shards)`` — a pure
+function of the row, independent of partitioning, task order, or
+cluster size. The manifest carries an ORDER-INDEPENDENT content hash
+per shard (sum of per-row 64-bit hashes in DECIMAL(38,0) — commutative,
+so aggregation order cannot change it), which makes the export
+self-verifying: ``validate_training_shards`` recomputes the stats from
+the written files and reports any shard whose counts or content hash
+drifted (partial writes, manual edits, bit rot).
+
+At 100 TB: the export is one hash projection + a partitioned write (no
+global shuffle beyond the shard exchange); validation is one scan of
+the shards with a map-side-combined aggregate per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SHARDS = 8
+
+#: whitespace tokens, as everywhere in the corpus operators
+_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+
+
+def _shard_stats(rows: DataFrame) -> DataFrame:
+    """Per-shard (n_docs, n_tokens, content_hash) — the hash sums
+    per-row xxhash64(doc_id, text) in DECIMAL(38,0) so it is
+    order-independent and cannot overflow at any corpus size."""
+    return rows.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.expr(f"size({_TOKENS})")), F.lit(0)
+        ).cast("long").alias("n_tokens"),
+        F.sum(
+            F.xxhash64("doc_id", "text").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("content_hash"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = N_SHARDS
+) -> None:
+    """Export ``docs`` as ``n_shards`` stable shards + manifest.
+    Idempotent overwrite: re-running produces byte-equivalent shard
+    MEMBERSHIP and an identical manifest."""
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/shards")
+    )
+    # manifest computed from the WRITTEN files, not the input plan —
+    # it attests what landed on disk
+    written = docs.sparkSession.read.parquet(f"{path}/shards")
+    _shard_stats(written).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def validate_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Recompute per-shard stats from the shard files and diff against
+    the manifest. Returns the discrepancy relation — 0 rows = intact;
+    each row names the shard and which of (docs, tokens, content) moved
+    (a shard present only on one side reports NULLs on the other)."""
+    actual = _shard_stats(spark.read.parquet(f"{path}/shards")).alias("a")
+    manifest = spark.read.parquet(f"{path}/manifest").alias("m")
+    joined = actual.join(
+        manifest, F.col("a.shard") == F.col("m.shard"), "full_outer"
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.shard"), F.col("m.shard")).alias("shard"),
+            F.col("a.n_docs").alias("actual_docs"),
+            F.col("m.n_docs").alias("manifest_docs"),
+            F.col("a.n_tokens").alias("actual_tokens"),
+            F.col("m.n_tokens").alias("manifest_tokens"),
+            (
+                F.col("a.content_hash").eqNullSafe(F.col("m.content_hash"))
+            ).alias("content_ok"),
+        )
+        .where(
+            "NOT (content_ok AND actual_docs <=> manifest_docs"
+            " AND actual_tokens <=> manifest_tokens)"
+        )
+        .orderBy("shard")
+    )
