@@ -70,6 +70,51 @@ def write_training_shards(
     _shard_stats(written).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
+def stream_append_training_shards(
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_shards: int = N_SHARDS,
+):
+    """Streaming S15 maintenance: arriving documents land in their
+    stable shard per micro-batch (membership is the same pure row
+    function as the batch writer, so a doc's shard never depends on
+    WHEN it arrived). The manifest is refreshed separately
+    (:func:`refresh_shard_manifest`) — per-batch read-modify-write of a
+    manifest would race with readers and retries.
+
+    Semantics: at-least-once under retries (a re-run batch appends its
+    rows twice); for exactly-once, compact with a DISTINCT-on-doc_id
+    rewrite in the same maintenance slot as the index compactions, then
+    refresh the manifest. Returns the started StreamingQuery."""
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+            )
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(f"{path}/shards")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def refresh_shard_manifest(spark: SparkSession, path: str) -> None:
+    """Recompute the manifest from what is on disk (the maintenance
+    step after streaming appends — validation is only meaningful
+    against a manifest that attests the current shard contents)."""
+    _shard_stats(spark.read.parquet(f"{path}/shards")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/manifest")
+
+
 def validate_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Recompute per-shard stats from the shard files and diff against
     the manifest. Returns the discrepancy relation — 0 rows = intact;

@@ -1246,6 +1246,53 @@ def test_training_shards_roundtrip_and_validation(spark, tmp_path):
     assert bad[0].actual_docs is None and bad[0].manifest_docs > 0
 
 
+def test_stream_append_training_shards(spark, tmp_path):
+    """Streaming S15: docs arriving across micro-batches land in the
+    SAME shard the batch writer would assign (membership independent of
+    arrival time), and after a manifest refresh validation is clean."""
+    from spark_history_server_rs_spark.sources.training_shards import (
+        refresh_shard_manifest,
+        stream_append_training_shards,
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # comparator: one batch export of the same corpus
+    batch_path = str(tmp_path / "batch_shards")
+    write_training_shards(docs, batch_path)
+
+    src = tmp_path / "shard_stream_src"
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    path = str(tmp_path / "stream_shards")
+    q = stream_append_training_shards(
+        stream, path, str(tmp_path / "shard_ckpt")
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.shard, r.doc_id)
+        for r in spark.read.parquet(f"{path}/shards")
+        .select("shard", "doc_id")
+        .collect()
+    }
+    batch = {
+        (r.shard, r.doc_id)
+        for r in spark.read.parquet(f"{batch_path}/shards")
+        .select("shard", "doc_id")
+        .collect()
+    }
+    assert streamed == batch  # arrival time never moves a doc's shard
+    refresh_shard_manifest(spark, path)
+    assert validate_training_shards(spark, path).count() == 0
+
+
 def test_cache_clear_waits_for_inflight_build(spark):
     """clear_materialized_caches must take the slot build locks: a build
     in flight when clear is called would otherwise insert its
