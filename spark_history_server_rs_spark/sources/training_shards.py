@@ -122,8 +122,11 @@ def validate_training_shards(spark: SparkSession, path: str) -> DataFrame:
     (a shard present only on one side reports NULLs on the other)."""
     actual = _shard_stats(spark.read.parquet(f"{path}/shards")).alias("a")
     manifest = spark.read.parquet(f"{path}/manifest").alias("m")
+    # eqNullSafe: a NULL doc_id hashes to a NULL shard (the Hive default
+    # partition) — a real group that must match ITSELF across the two
+    # sides, not report as a phantom discrepancy on both
     joined = actual.join(
-        manifest, F.col("a.shard") == F.col("m.shard"), "full_outer"
+        manifest, F.col("a.shard").eqNullSafe(F.col("m.shard")), "full_outer"
     )
     return (
         joined.select(

@@ -1245,6 +1245,18 @@ def test_training_shards_roundtrip_and_validation(spark, tmp_path):
     assert f"shard={bad[0].shard}" == victim
     assert bad[0].actual_docs is None and bad[0].manifest_docs > 0
 
+    # NULL doc_id → NULL shard (Hive default partition): a real group
+    # that must validate clean, not surface as a phantom discrepancy
+    path3 = str(tmp_path / "shards_null")
+    nullable = docs.limit(2).unionByName(
+        docs.limit(1).selectExpr(
+            "CAST(NULL AS BIGINT) AS doc_id", "text", "lang", "source",
+            "n_chars"
+        )
+    )
+    write_training_shards(nullable, path3)
+    assert validate_training_shards(spark, path3).count() == 0
+
 
 def test_stream_append_training_shards(spark, tmp_path):
     """Streaming S15: docs arriving across micro-batches land in the
