@@ -84,9 +84,10 @@ def stream_append_training_shards(
     manifest would race with readers and retries.
 
     Semantics: at-least-once under retries (a re-run batch appends its
-    rows twice); for exactly-once, compact with a DISTINCT-on-doc_id
-    rewrite in the same maintenance slot as the index compactions, then
-    refresh the manifest. Returns the started StreamingQuery."""
+    rows twice); :func:`compact_training_shards` is the periodic
+    exactly-once repair (run it in the same maintenance slot as the
+    index compactions — it refreshes the manifest itself). Returns the
+    started StreamingQuery."""
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -106,6 +107,49 @@ def stream_append_training_shards(
     )
 
 
+def compact_training_shards(spark: SparkSession, path: str) -> list[dict]:
+    """Periodic DISTINCT compaction of streamed shard appends — the S15
+    twin of ``compact_dedup_index`` / ``compact_ann_index`` (shared
+    ``compact_relation_swap`` commit).
+
+    ``stream_append_training_shards`` is at-least-once: a micro-batch
+    retried after a failure appends its document rows twice — BYTE
+    -IDENTICAL rows, because shard membership and every payload column
+    are pure functions of the document. The repair is therefore a
+    full-row DISTINCT rewrite per shard (for retry duplicates this IS
+    the promised distinct-on-doc_id: duplicate doc_ids carry duplicate
+    payloads), preserving the ``shard=`` partitioning so shard-pruned
+    reads survive compaction, sorted within partitions so a second
+    compaction of an already-compact export rewrites identical content
+    (idempotent, pinned by test). Two rows sharing a doc_id with
+    DIFFERENT payloads are not a retry artifact but an upstream
+    pipeline error — compaction keeps both (a silent arbitrary-winner
+    drop would hide the bug) and the refreshed manifest attests
+    whatever is actually on disk.
+
+    Ends by refreshing the manifest, so ``validate_training_shards``
+    is clean immediately after. Returns per-shard-relation stats
+    ``{relation, rows_before, rows_after}``.
+    """
+    from .dedup_index import compact_relation_swap
+
+    src = f"{path}/shards"
+    raw = spark.read.parquet(src)
+    # shard last: it is the partition column; sort on every column so
+    # the rewrite is deterministic row-for-row
+    cols = [c for c in raw.columns if c != "shard"] + ["shard"]
+    raw = raw.select(*cols)
+    rows_before = raw.count()
+    rows_after = compact_relation_swap(
+        spark, raw.distinct(), src, "shard", sort_cols=cols
+    )
+    refresh_shard_manifest(spark, path)
+    return [
+        {"relation": "shards", "rows_before": rows_before,
+         "rows_after": rows_after}
+    ]
+
+
 def refresh_shard_manifest(spark: SparkSession, path: str) -> None:
     """Recompute the manifest from what is on disk (the maintenance
     step after streaming appends — validation is only meaningful
@@ -122,9 +166,13 @@ def validate_training_shards(spark: SparkSession, path: str) -> DataFrame:
     (a shard present only on one side reports NULLs on the other)."""
     actual = _shard_stats(spark.read.parquet(f"{path}/shards")).alias("a")
     manifest = spark.read.parquet(f"{path}/manifest").alias("m")
-    # eqNullSafe: a NULL doc_id hashes to a NULL shard (the Hive default
-    # partition) — a real group that must match ITSELF across the two
-    # sides, not report as a phantom discrepancy on both
+    # eqNullSafe is defensive full_outer-join hygiene only: a NULL
+    # doc_id does NOT produce a NULL shard — Spark's xxhash64 SKIPS
+    # NULL inputs, so xxhash64(NULL) = 42 (the seed) and NULL doc_ids
+    # land in the concrete shard pmod(42, n_shards). NULL shard values
+    # can therefore only come from a manifest written by an external
+    # tool; matching them to themselves (instead of two phantom
+    # discrepancy rows) is still the right join semantics.
     joined = actual.join(
         manifest, F.col("a.shard").eqNullSafe(F.col("m.shard")), "full_outer"
     )

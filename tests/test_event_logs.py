@@ -1245,8 +1245,9 @@ def test_training_shards_roundtrip_and_validation(spark, tmp_path):
     assert f"shard={bad[0].shard}" == victim
     assert bad[0].actual_docs is None and bad[0].manifest_docs > 0
 
-    # NULL doc_id → NULL shard (Hive default partition): a real group
-    # that must validate clean, not surface as a phantom discrepancy
+    # NULL doc_id → a CONCRETE shard (Spark's xxhash64 skips NULL
+    # inputs, so the hash is the seed, 42, and the row lands in
+    # pmod(42, n)): must validate clean, not surface as a discrepancy
     path3 = str(tmp_path / "shards_null")
     nullable = docs.limit(2).unionByName(
         docs.limit(1).selectExpr(
@@ -1256,6 +1257,97 @@ def test_training_shards_roundtrip_and_validation(spark, tmp_path):
     )
     write_training_shards(nullable, path3)
     assert validate_training_shards(spark, path3).count() == 0
+    # pin the xxhash64-skips-NULL semantics the docstrings now state
+    null_shards = (
+        spark.read.parquet(f"{path3}/shards")
+        .where("doc_id IS NULL")
+        .select("shard")
+        .collect()
+    )
+    assert len(null_shards) == 1 and null_shards[0].shard is not None
+
+
+def test_compact_training_shards_exactly_once(spark, tmp_path):
+    """The full at-least-once → exactly-once S15 arc (the same arc the
+    dedup/ANN indexes have): stream-append shards → simulate a retried
+    micro-batch (one batch's rows appended twice) → the validator
+    correctly FLAGS the drift → compact_training_shards removes the
+    duplicates, preserves the shard= layout, refreshes the manifest
+    (validator clean with no extra step) → a second compact is a no-op
+    rewriting byte-identical shard files."""
+    import hashlib
+    import os
+
+    from spark_history_server_rs_spark.sources.training_shards import (
+        compact_training_shards,
+        refresh_shard_manifest,
+        stream_append_training_shards,
+        validate_training_shards,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "cshard_src"
+    b1 = docs.where("doc_id % 2 = 0")
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    path = str(tmp_path / "cshard_out")
+    q = stream_append_training_shards(stream, path, str(tmp_path / "c_ckpt"))
+    q.awaitTermination(120)
+    refresh_shard_manifest(spark, path)
+    assert validate_training_shards(spark, path).count() == 0
+    n_total, n_b1 = docs.count(), b1.count()
+
+    # retry simulation: batch 1's rows appended a second time, exactly
+    # as the foreachBatch writer would on a post-write retry
+    (
+        b1.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{path}/shards")
+    )
+    # the validator flags the drift (docs/tokens/content all moved)...
+    assert validate_training_shards(spark, path).count() > 0
+    # ...and compaction is the remedy
+    stats = compact_training_shards(spark, path)
+    assert stats == [
+        {"relation": "shards", "rows_before": n_total + n_b1,
+         "rows_after": n_total}
+    ]
+    assert validate_training_shards(spark, path).count() == 0
+    shard_dirs = sorted(
+        x for x in os.listdir(f"{path}/shards") if x.startswith("shard=")
+    )
+    assert shard_dirs and all(d.startswith("shard=") for d in shard_dirs)
+
+    def _content_md5s(root: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            sums = sorted(
+                hashlib.md5(
+                    open(os.path.join(root, d, f), "rb").read()
+                ).hexdigest()
+                for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            )
+            out[d] = sums
+        return out
+
+    before = _content_md5s(f"{path}/shards")
+    stats2 = compact_training_shards(spark, path)
+    assert stats2 == [
+        {"relation": "shards", "rows_before": n_total,
+         "rows_after": n_total}
+    ]
+    assert _content_md5s(f"{path}/shards") == before  # byte-stable
+    assert validate_training_shards(spark, path).count() == 0
 
 
 def test_stream_append_training_shards(spark, tmp_path):
