@@ -139,8 +139,10 @@ codes AS (
   -- embedding leaves two DIFFERENT codes under the same vec_id — the
   -- ADC sum adds one term per (subspace, codeword) row, so both
   -- surviving would corrupt every distance for that vector. Each row
-  -- carries its ingest_seq (0 = the batch index build, batch_id+1 per
-  -- streamed micro-batch); only the newest sequence per vec_id counts.
+  -- carries its ingest_seq (0 = the batch index build; streamed
+  -- micro-batches write 1 + the index's own max, monotonic even
+  -- across checkpoint resets); only the newest sequence per vec_id
+  -- counts.
   -- The max is computed from the NARROW un-expanded relation (two
   -- small columns, map-side-combined aggregate), NOT the stacked
   -- expansion, so the expanded code scan below keeps its label
@@ -250,6 +252,26 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                 f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
                 for s in range(PQ_M)
             )
+            # seq from DURABLE state, never batch_id: batch ids restart
+            # at 0 when a checkpoint directory is reset or replaced, so
+            # a re-streamed vector with a CHANGED embedding could land
+            # at a seq <= its existing rows — at an equal seq both code
+            # sets survive latest-wins + DISTINCT and the ADC sum adds
+            # two terms per subspace, corrupting every distance for that
+            # vector. 1 + max(ingest_seq) over codes/ is monotonic
+            # across checkpoint lineages (0 = the batch index build);
+            # the read is a single-column aggregate the parquet
+            # row-group stats answer without touching code columns. A
+            # retried batch whose first attempt landed re-appends at a
+            # HIGHER seq with identical codes — absorbed by latest-wins,
+            # and a partially-written first attempt is superseded whole.
+            prev = spark.read.parquet(f"{path}/codes")
+            if "ingest_seq" in prev.columns:
+                max_seq = prev.selectExpr(
+                    "max(ingest_seq) AS m"
+                ).first().m
+            else:
+                max_seq = 0  # pre-sequence-tracking index = batch build
             spark.sql(
                 _ENCODE_AGAINST_CB.format(
                     src=view,
@@ -257,12 +279,7 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                     scale=_PQ_SCALE,
                     subdim=PQ_SUBDIM,
                     code_cols=code_cols,
-                    # seq 0 is the batch index build; a retried batch
-                    # re-appends the SAME seq (identical rows, absorbed
-                    # by the read path's DISTINCT), a later batch
-                    # re-streaming a changed vector gets a HIGHER seq
-                    # (latest wins)
-                    seq=batch_id + 1,
+                    seq=(max_seq or 0) + 1,
                 )
             ).write.mode("append").partitionBy("label").parquet(
                 f"{path}/codes"

@@ -1756,3 +1756,89 @@ def test_stream_ann_index_maintenance(spark, tmp_path):
     assert [
         tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
     ] == res_updated
+
+
+def test_stream_ann_index_checkpoint_reset_keeps_seq_monotonic(spark, tmp_path):
+    """ingest_seq must stay monotonic across CHECKPOINT RESETS, not just
+    within one checkpoint lineage: batch ids restart at 0 in a fresh
+    checkpoint dir, so a seq derived from batch_id would let a
+    re-streamed vector with a CHANGED embedding land at a seq equal to
+    its existing rows — both code sets would survive latest-wins and
+    every ADC distance for that vector would double-count. The seq is
+    instead derived from the index's own max, so the reset run lands
+    HIGHER, exactly one code set survives, and the answer equals a
+    batch encode of the updated state."""
+    from spark_history_server_rs_spark.operators.similarity import PQ_M
+    from spark_history_server_rs_spark.sources.ann_index import (
+        _ENCODE_AGAINST_CB,
+        _PQ_SCALE,
+        PQ_SUBDIM,
+        ann_ivf_pq_from_index,
+        stream_update_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    initial = emb.where("vec_id < 100")
+    path = str(tmp_path / "reset_ann")
+    write_ann_index(initial, path)
+
+    schema = "vec_id long, embedding array<float>, label int"
+
+    def run(src_dir, ckpt):
+        q = stream_update_ann_index(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*"),
+            path,
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    # lineage 1: vector 150 arrives with its original embedding
+    old_vec = emb.where("vec_id = 150")
+    src1 = tmp_path / "reset_src1"
+    old_vec.coalesce(1).write.parquet(str(src1 / "b1"))
+    run(src1, str(tmp_path / "reset_ckpt1"))
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.selectExpr("max(ingest_seq) AS m").first().m == 1
+
+    # checkpoint RESET (fresh dir, batch ids restart at 0): the same
+    # vector re-streams with a DIFFERENT embedding (vec 450's payload)
+    new_vec = emb.where("vec_id = 450").selectExpr(
+        "CAST(150 AS BIGINT) AS vec_id", "embedding", "label"
+    )
+    src2 = tmp_path / "reset_src2"
+    new_vec.coalesce(1).write.parquet(str(src2 / "b1"))
+    run(src2, str(tmp_path / "reset_ckpt2"))
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.selectExpr("max(ingest_seq) AS m").first().m == 2
+    # latest-wins leaves exactly ONE code set for vec 150
+    latest = codes.where(
+        "vec_id = 150 AND ingest_seq = 2"
+    ).drop("ingest_seq").distinct()
+    assert latest.count() == 1
+
+    # and the served answer equals a fresh index + one-batch encode of
+    # the UPDATED vector (no doubled ADC terms anywhere)
+    res = [tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()]
+    path2 = str(tmp_path / "reset_cmp")
+    write_ann_index(initial, path2)
+    new_vec.createOrReplaceTempView("_reset_arrivals")
+    spark.read.parquet(f"{path2}/codebook").createOrReplaceTempView(
+        "_reset_cb"
+    )
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    spark.sql(
+        _ENCODE_AGAINST_CB.format(
+            src="_reset_arrivals", cb="_reset_cb",
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, code_cols=code_cols, seq=1,
+        )
+    ).write.mode("append").partitionBy("label").parquet(f"{path2}/codes")
+    assert res == [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path2, emb).collect()
+    ]
