@@ -85,8 +85,11 @@ def build_docs_corpus(spark) -> None:
                 f"regexp_replace(text, '(^| )', '$1c{c}x') AS text",
                 "lang",
                 "source",
-                "n_chars",
             )
+            # recompute n_chars from the REWRITTEN text — copying the
+            # source value would leave the probe corpus internally
+            # inconsistent for any op that reads it
+            .selectExpr("*", "CAST(length(text) AS BIGINT) AS n_chars")
             .coalesce(1)
             .write.mode("overwrite" if c == 0 else "append")
             .parquet(f"{PROBE_DIR}/documents.parquet")

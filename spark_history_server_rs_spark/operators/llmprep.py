@@ -398,28 +398,61 @@ _BPE_MERGE_CACHE: dict[int, list[tuple[int, str, str, int]]] = {}
 _BPE_MERGE_LOCK = _threading.Lock()
 
 
+#: lineage-truncation cadence for the training loop: the rewritten word
+#: table is localCheckpoint'ed (plan cut to a LogicalRDD over cached
+#: blocks) every N merges, so at a production vocabulary (k ≈ 32,000)
+#: the logical plan stays ≤ N projections deep instead of growing one
+#: per merge. Between checkpoints the chain is deliberately UNPERSISTED:
+#: each ranking re-applies ≤ N cheap vocab-sized projections atop the
+#: cached anchor (one Spark job per iteration). Persisting every
+#: iteration — the previous shape — is the trap: each InMemoryRelation's
+#: plan STRING embeds its cached predecessor's, doubling the rendered
+#: plan per merge until AQE's explain OOMs the driver (measured: a 23 MB
+#: plan string by merge 14).
+BPE_CHECKPOINT_EVERY = 16
+
+
+def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
+    """The k-iteration training loop body (uncached — callers hold the
+    cache lock). Bounded-lineage by construction (see
+    ``BPE_CHECKPOINT_EVERY``): exactly one persisted/checkpointed
+    anchor is alive at any time, the corpus is scanned once (the anchor
+    chain starts at the persisted word table), and the final iteration
+    records its top pair without building the never-read k-th rewrite.
+    ``localCheckpoint`` blocks are executor-local; on a cluster where
+    executor loss during training matters, swap for ``checkpoint()``
+    against reliable storage — the cadence logic is unchanged."""
+    wt = _bpe_word_table(docs).persist()
+    anchor = wt  # the one persisted/checkpointed base the chain hangs off
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, k + 1):
+            top = _bpe_pair_ranking(wt).collect()
+            if not top:
+                break
+            pair, n = top[0]["pair"], top[0]["n"]
+            merges.append((rank, pair, pair.replace(" ", ""), n))
+            if rank == k:
+                break  # the k-th rewrite is never read by anything
+            merged = wt.select(
+                _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
+            )
+            if rank % BPE_CHECKPOINT_EVERY == 0:
+                merged = merged.localCheckpoint(eager=True)
+                anchor.unpersist()
+                anchor = merged
+            wt = merged
+        return merges
+    finally:
+        anchor.unpersist()
+
+
 def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
     key = docs.semanticHash()
     with _BPE_MERGE_LOCK:
         if key in _BPE_MERGE_CACHE:
             return _BPE_MERGE_CACHE[key]
-        wt = _bpe_word_table(docs).persist()
-        try:
-            merges: list[tuple[int, str, str, int]] = []
-            for rank in range(1, BPE_TRAIN_MERGES + 1):
-                top = _bpe_pair_ranking(wt).collect()
-                if not top:
-                    break
-                pair, n = top[0]["pair"], top[0]["n"]
-                merges.append((rank, pair, pair.replace(" ", ""), n))
-                merged = wt.select(
-                    _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
-                ).persist()
-                merged.count()
-                wt.unpersist()
-                wt = merged
-        finally:
-            wt.unpersist()
+        merges = _train_merges(docs, BPE_TRAIN_MERGES)
         _BPE_MERGE_CACHE.clear()  # one corpus at a time (same as _SHINGLE_CACHE)
         _BPE_MERGE_CACHE[key] = merges
         return merges
@@ -448,13 +481,28 @@ def bpe_train(docs: DataFrame) -> DataFrame:
     the scale-correct training loop (one corpus scan total).
 
     Scale shape: corpus → (word, cnt) is one map-side-combined
-    aggregate; each iteration runs a distributed pair-count aggregate
-    (TakeOrderedAndProject top-1) and a replace projection over the
-    persisted word table. The per-iteration single-row collect is the
-    algorithm's inherent sequential dependency (k rows total cross the
-    driver — merge i+1's counts depend on merge i's rewrite)."""
+    aggregate; each iteration is ONE Spark job — a distributed
+    pair-count aggregate (TakeOrderedAndProject top-1) over ≤
+    ``BPE_CHECKPOINT_EVERY`` merge projections applied atop the
+    persisted anchor, with a localCheckpoint truncating lineage at that
+    cadence (bounded plan depth at any k; pinned at k=64 by test). The
+    per-iteration single-row collect is the algorithm's inherent
+    sequential dependency (k rows total cross the driver — merge i+1's
+    counts depend on merge i's rewrite)."""
     return docs.sparkSession.createDataFrame(
         _learned_merges(docs),
+        "merge_rank bigint, pair string, new_token string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_train_k(docs: DataFrame, k: int) -> DataFrame:
+    """Uncached L2c training at an arbitrary merge count — the bench /
+    scale entry point for demonstrating the loop at larger k (the
+    registered operator stays at ``BPE_TRAIN_MERGES`` for the oracle
+    twin; result is prefix-stable with it by greedy determinism)."""
+    return docs.sparkSession.createDataFrame(
+        _train_merges(docs, k),
         "merge_rank bigint, pair string, new_token string, "
         "pair_count bigint",
     )

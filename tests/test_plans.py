@@ -671,3 +671,47 @@ def test_bpe_train_plan_gates(spark):
     assert "TakeOrderedAndProject" in I.explain_str(ranking, "simple")
     assert I.single_partition_windows(ranking) == 0
     assert not I.has_python_worker(ranking)
+
+
+def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
+    """The training loop must survive a realistic merge count: plan size
+    is bounded by the localCheckpoint cadence (NOT monotonically growing
+    with k), k=64 completes, and greedy determinism makes the k=64
+    result prefix-stable with the registered-k operator. Measures the
+    optimized plan each iteration through a _bpe_pair_ranking spy — the
+    same plan AQE renders, which is what OOM'd at merge ~14 under the
+    old persist-per-iteration shape (nested InMemoryRelation strings
+    double per merge)."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sizes: list[int] = []
+    orig = llmprep._bpe_pair_ranking
+
+    def spy(wt):
+        sizes.append(
+            len(wt._jdf.queryExecution().optimizedPlan().toString())
+        )
+        return orig(wt)
+
+    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", spy)
+    k, cad = 64, llmprep.BPE_CHECKPOINT_EVERY
+    merges = [tuple(r) for r in llmprep.bpe_train_k(docs, k).collect()]
+    assert len(merges) == k and len(sizes) == k
+    # bounded: the iteration right after each checkpoint sees the SAME
+    # small truncated plan (LogicalRDD + a fresh chain), cycle after
+    # cycle — no growth across cycles
+    post_ckpt = [sizes[i] for i in range(cad, k, cad)]
+    assert len(set(post_ckpt)) <= 2  # identical shape (± literal widths)
+    assert max(post_ckpt) < sizes[cad - 1]  # a checkpoint shrinks the plan
+    # within-cycle growth is linear (≈ the per-merge projection text),
+    # never the doubling of the nested-cache shape
+    per_iter = [b - a for a, b in zip(sizes[1:cad - 1], sizes[2:cad])]
+    assert max(per_iter) < 3 * max(1, min(p for p in per_iter if p > 0))
+    assert max(sizes) < 50_000  # chars; the broken shape hit 23 MB
+    # prefix stability vs the registered operator
+    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", orig)
+    llmprep._clear_bpe_cache()
+    m8 = [tuple(r) for r in llmprep.bpe_train(docs).collect()]
+    assert merges[: llmprep.BPE_TRAIN_MERGES] == m8
