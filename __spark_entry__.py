@@ -61,77 +61,82 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # round-6 slot 1-2: the two queries that had never had a driver row
-    # (registered past slot 50 last round; cumulative record closes at
-    # 129/129 when these land green) — span_leakage also rides the
-    # refactored shingle cache, bpe_merge_step's joiner comment changed
-    "corpus_span_leakage",
-    "corpus_bpe_merge_step",
-    # new this round → first driver row
+    # round-7 slot 1: the six catalog queries displaced from the r06
+    # window (all green earlier, code unchanged — closing the
+    # driver-window debt the r06 verdict flagged)
+    "count_events",
+    "application_info",
+    "task_duration_percentiles",
+    "event_search",
+    "job_metrics",
+    "task_skew_report",
+    # r06 shared-fragment refactor riders never driver-checked on the
+    # refactored code (_qc_scored_ctes), all also scoped-view-migrated
+    "text_quality_classifier",
+    "text_c4_filters",
+    "text_fingerprints",
+    # new this round → first driver row (one-pass nprobe sweep)
+    "ann_nprobe_recall",
+    # training loop rewritten this round (bounded-lineage anchor chain)
     "corpus_bpe_train",
     "corpus_bpe_fertility",
-    "dedup_containment",
-    "ann_truncated_recall",
-    "text_line_boilerplate",
-    "text_quality_prune",
-    # changed this round (exp clamp in the shared DoReMi SQL)
-    "corpus_doremi_reweight",
-    # new: mix realization over the same DoReMi body; cluster audit row
-    "corpus_mix_plan",
-    "dedup_cluster_stats",
 )
 
-# Round-6 re-checks, then oldest-green rotation. Re-check groups:
-# (a) ops riding the materialized caches refactored for thread safety
-#     (_materialized_df + scoped views, commit 'De-serialize the corpus
-#     REST routes');
-# (b) vector ops that gained the explicit NOT-NULL source contract late
-#     in round 5 (cac5e1d — after the r05 driver run sampled them);
-# (c) oldest previously-green rows (r02) so no query's last driver check
-#     ages past ~4 rounds.
+# Round-7 re-checks: the scoped-view migration touched ~60 operators'
+# view plumbing (results unchanged — pinned by the full pytest oracle
+# differential every session), more than one 50-slot window holds. In
+# the window: every dedup/corpus op whose SQL assembly changed shape
+# (shingles_cte / materialized-df accessors), the llmprep/similarity
+# ops with the most structural change, and a 4-query sample of the
+# relational runner's new CTE-prologue binding (incl. tpch_q10, the
+# alias-collision case the migration initially broke). Displaced to
+# 51+ (rotate r08): the remaining migrated llmprep/similarity/
+# relational ops + the r02-green catalog rows (cost_optimization,
+# performance_trends, gc_time_trends, cpu_utilization, memory_usage,
+# task_distribution, executor_utilization,
+# resource_utilization_metrics, top_resource_consumers,
+# capacity_trends) — all pytest-checked every session.
 _ROTATED_RELATIONAL = (
-    # (a) shingle/token/passage cache riders
-    "corpus_zipf_fit",
-    "corpus_source_overlap",
-    "text_gopher_rules",
+    # relational runner sample (CTE-prologue table binding)
+    "tpch_q1_pricing_summary",
+    "tpch_q10_returned_items",
+    "rollup_order_stats",
+    "sessionize_events",
+    # dedup surface (shingles_cte + scoped accessors)
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_minhash_eval",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_prefiltered",
     "dedup_repeated_passages",
     "dedup_passage_index",
+    # corpus surface (scoped tok/feat/wins accessors)
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dedup_cluster_stats",
+    "corpus_vocabulary",
+    "corpus_tfidf_top_terms",
     "corpus_oov_rate",
     "corpus_unigram_logprob",
     "corpus_perplexity_buckets",
     "corpus_split_leakage",
     "corpus_dsir_select",
+    "corpus_span_leakage",
+    # llmprep surface (scoped docs/emb views; semantic dedup's cached
+    # assigned relation moved to _materialized_df)
     "corpus_contamination",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
     "embedding_semantic_dedup",
-    # (b) NOT-NULL-contract vector ops
-    "ann_ivf",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_prefiltered",
-    "embedding_dim_stats",
     "embedding_kmeans_step",
-    "embedding_power_iteration",
-    "embedding_outliers",
-    # (c) oldest green (r02)
-    "performance_trends",
-    "gc_time_trends",
-    "cpu_utilization",
-    "memory_usage",
-    "task_distribution",
-    "executor_utilization",
-    "resource_utilization_metrics",
-    "top_resource_consumers",
-    "capacity_trends",
-    # cost_optimization / application_info / task_duration_percentiles / event_search /
-    # job_metrics / task_skew_report / count_events displaced by the six
-    # late-round new ops (a first driver row beats a 4-round-old
-    # re-check); all stay pytest-checked and rotate back next round
+    "embedding_dim_stats",
+    "corpus_chunk_documents",
+    # similarity surface (scoped emb views, templated PQ unnest)
+    "ann_ivf_pq",
+    "ann_cosine_topk",
 )
 
 
@@ -217,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": _e(similarity.ann_pq_codes),
         "ann_pq_recall": _e(similarity.ann_pq_recall),
         "ann_ivf_pq": _e(similarity.ann_ivf_pq),
+        "ann_nprobe_recall": _e(similarity.ann_nprobe_recall),
         "ann_truncated_recall": _e(similarity.ann_truncated_recall),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),

@@ -162,6 +162,8 @@ def main() -> None:
         ("corpus_bpe_fertility", llmprep.bpe_fertility, docs),
         ("dedup_containment", dedup.containment_pairs, docs),
         ("ann_truncated_recall", similarity.ann_truncated_recall, emb),
+        # round-9 batch (nprobe sweep)
+        ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),
         ("text_line_boilerplate", textprep.line_boilerplate, docs),
         ("text_quality_prune", textprep.quality_prune, docs),
         ("corpus_mix_plan", corpus.mix_plan, docs),

@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _SHINGLES_DUCK, _SHINGLES_VIEW_CTE, _TOKENS_DUCK, _TOKENS_SPARK
-from .dedup import JACCARD_THRESHOLD, materialized_shingles
+from ..functions.views import scoped_temp_view
+from .dedup import _SHINGLES_DUCK, _TOKENS_DUCK, _TOKENS_SPARK
+from .dedup import JACCARD_THRESHOLD, shingles_cte
 
 MAX_CC_ITERATIONS = 20
 CC_CHECKPOINT_EVERY = 5  # localCheckpoint cadence: truncate lineage growth
@@ -74,24 +75,23 @@ def _cluster_labels(docs: DataFrame) -> DataFrame:
     iterative loop per caller would repeat its ~iteration-count Spark
     jobs — label resolution is index-once/serve-many.
     """
-    from .dedup import _materialized_view
+    from .dedup import _materialized_df
 
     spark = docs.sparkSession
     key = docs.semanticHash()
-    cached = _materialized_view(
+    return _materialized_df(
         spark, "_cc_labels_mat", key, lambda: _propagate_labels(docs)
     )
-    return cached
 
 
 def _propagate_labels(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
-    materialized_shingles(docs)
-    edges = spark.sql(
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-        + ",\n"
-        + _EDGES_TAIL.format(thr=JACCARD_THRESHOLD)
-    )
+    with shingles_cte(docs) as hdr:
+        edges = spark.sql(
+            hdr.rstrip().rstrip(",")
+            + ",\n"
+            + _EDGES_TAIL.format(thr=JACCARD_THRESHOLD)
+        )
     # undirected adjacency
     adj = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -334,17 +334,18 @@ def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
     (recursive CTE) — an independent plan checking the iterative result.
     """
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
     labels = _cluster_labels(docs).selectExpr(
         "doc_id", "label AS cluster_id"
     )
-    labels.createOrReplaceTempView("_cc_labels")
-    return spark.sql(
-        "WITH clustered AS (SELECT doc_id, cluster_id FROM _cc_labels),"
-        + _quality_ctes(for_spark=True, src="_corpus_docs")
-        + ","
-        + _CANON_TAIL
-    )
+    with scoped_temp_view(docs, "_corpus_docs") as dv, scoped_temp_view(
+        labels, "_cc_labels"
+    ) as lv:
+        return spark.sql(
+            f"WITH clustered AS (SELECT doc_id, cluster_id FROM {lv}),"
+            + _quality_ctes(for_spark=True, src=dv)
+            + ","
+            + _CANON_TAIL
+        )
 
 
 ORACLE_KEEP_CANONICAL = (
@@ -437,14 +438,14 @@ def vocabulary(docs: DataFrame) -> DataFrame:
     """C3: global token counts + document frequency, top-{k} by count.
     One explode + one groupBy (map-side combine); vocab result is bounded
     by LIMIT regardless of corpus size.""".format(k=VOCAB_TOP_K)
-    docs.createOrReplaceTempView("_corpus_docs")
-    tokens = (
-        "SELECT doc_id, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-    )
-    return docs.sparkSession.sql(
-        "WITH " + _VOCAB_TAIL.format(tokens=tokens, k=VOCAB_TOP_K)
-    )
+    with scoped_temp_view(docs, "_corpus_docs") as dv:
+        tokens = (
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {dv})"
+        )
+        return docs.sparkSession.sql(
+            "WITH " + _VOCAB_TAIL.format(tokens=tokens, k=VOCAB_TOP_K)
+        )
 
 
 ORACLE_VOCABULARY = "WITH " + _VOCAB_TAIL.format(
@@ -482,17 +483,17 @@ def tfidf_top_terms(docs: DataFrame) -> DataFrame:
     """C4: classic TF-IDF, top-{t} terms per document. tf/df are two
     groupBys over the exploded tokens; idf joins the (vocab-sized) df
     table — broadcast at any corpus scale.""".format(t=TFIDF_TOP_TERMS)
-    docs.createOrReplaceTempView("_corpus_docs")
-    tokens = (
-        "SELECT doc_id, tok FROM (SELECT doc_id, "
-        f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-    )
-    return docs.sparkSession.sql(
-        "WITH "
-        + _TFIDF_TAIL.format(
-            tokens=tokens, docsrc="_corpus_docs", top=TFIDF_TOP_TERMS
+    with scoped_temp_view(docs, "_corpus_docs") as dv:
+        tokens = (
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM {dv})"
         )
-    )
+        return docs.sparkSession.sql(
+            "WITH "
+            + _TFIDF_TAIL.format(
+                tokens=tokens, docsrc=dv, top=TFIDF_TOP_TERMS
+            )
+        )
 
 
 ORACLE_TFIDF = "WITH " + _TFIDF_TAIL.format(
@@ -545,26 +546,16 @@ def oov_rate(docs: DataFrame) -> DataFrame:
     inline-recompute the explode otherwise); the vocabulary is top-{k}
     rows → the coverage join broadcasts it. Wide exchanges are keyed on
     token (for the bounded vocab agg) and doc_id only.""".format(k=OOV_VOCAB_K)
-    from .dedup import _materialized_view
-
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
     # keyed cache (not ad-hoc persist): a bare .persist() is matched by
     # Spark's CacheManager on logical-plan equality, which serves stale
     # rows if the same path is rewritten — see dedup.clear_materialized_caches
-    _materialized_view(
-        spark,
-        "_corpus_tok",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, tok FROM (SELECT doc_id, "
-            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-        ),
-    )
-    return spark.sql(
-        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n"
-        + _OOV_TAIL.format(k=OOV_VOCAB_K)
-    )
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_corpus_tok") as tv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n"
+            + _OOV_TAIL.format(k=OOV_VOCAB_K)
+        )
 
 
 ORACLE_OOV_RATE = (
@@ -623,22 +614,12 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     exchanges are keyed on token (bounded vocab agg) and doc_id only —
     document text itself never shuffles.
     """
-    from .dedup import _materialized_view
-
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    _materialized_view(
-        spark,
-        "_corpus_tok",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, tok FROM (SELECT doc_id, "
-            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-        ),
-    )
-    return spark.sql(
-        "WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n" + _UNIGRAM_TAIL
-    )
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_corpus_tok") as tv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n" + _UNIGRAM_TAIL
+        )
 
 
 ORACLE_UNIGRAM_LOGPROB = (
@@ -701,20 +682,12 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     corpus's own unigram LM — the standard quality partitioning a crawl
     pipeline applies before sampling. See the block comment for the
     ranking scheme and determinism invariants."""
-    from .dedup import _materialized_view
-
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    _materialized_view(
-        spark,
-        "_corpus_tok",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, tok FROM (SELECT doc_id, "
-            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-        ),
-    )
-    return spark.sql("WITH tok AS (SELECT doc_id, tok FROM _corpus_tok),\n" + _PPL_TAIL)
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_corpus_tok") as tv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n" + _PPL_TAIL
+        )
 
 
 ORACLE_PPL_BUCKETS = (
@@ -768,16 +741,15 @@ def split_leakage(docs: DataFrame) -> DataFrame:
     by the (unordered) train/val/test cell of their two members;
     off-diagonal cells are evaluation leaks. See the block comment for
     the channel being measured and the 100 TB shape."""
-    from .dedup import _SHINGLES_VIEW_CTE, materialized_shingles
-
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    materialized_shingles(docs)
-    return spark.sql(
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-        + ",\n"
-        + _leak_tail("_corpus_docs", for_spark=True)
-    )
+    with shingles_cte(docs) as hdr, scoped_temp_view(
+        docs, "_corpus_docs"
+    ) as dv:
+        return spark.sql(
+            hdr.rstrip().rstrip(",")
+            + ",\n"
+            + _leak_tail(dv, for_spark=True)
+        )
 
 
 ORACLE_SPLIT_LEAKAGE = (
@@ -908,31 +880,27 @@ def dsir_select(docs: DataFrame) -> DataFrame:
     pass over the corpus runs once, not three times.""".format(
         p=DSIR_KEEP_PCT
     )
-    from .dedup import _materialized_view
+    from .dedup import _materialized_df
 
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    _materialized_view(
-        spark,
-        "_corpus_tok",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, tok FROM (SELECT doc_id, "
-            f"posexplode({_TOKENS_SPARK}) AS (pos, tok) FROM _corpus_docs)"
-        ),
+    tok = _materialized_tok_df(docs)
+
+    def build_feat():
+        with scoped_temp_view(tok, "_corpus_tok_src") as tv:
+            return spark.sql(
+                f"SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM {tv}"
+            )
+
+    feat = _materialized_df(
+        spark, "_corpus_feat", docs.semanticHash(), build_feat
     )
-    _materialized_view(
-        spark,
-        "_corpus_feat",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            f"SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM _corpus_tok"
-        ),
-    )
-    return spark.sql(
-        "WITH feat AS (SELECT doc_id, bucket FROM _corpus_feat),\n"
-        + _dsir_tail("_corpus_docs")
-    )
+    with scoped_temp_view(feat, "_corpus_feat") as fv, scoped_temp_view(
+        docs, "_corpus_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH feat AS (SELECT doc_id, bucket FROM {fv}),\n"
+            + _dsir_tail(dv)
+        )
 
 
 ORACLE_DSIR = (
@@ -1242,23 +1210,20 @@ def span_leakage(docs: DataFrame) -> DataFrame:
     Scale shape: rides D6/D7's persisted window-hash relation; the
     per-(hash, split) aggregate and the hash-keyed pair join shuffle
     only 32-hex hashes and split labels; output is ≤6 cells."""
-    from .dedup import _materialized_view, _PASSAGE_WINS_SPARK
+    from .dedup import materialized_passage_wins_df
 
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_corpus_docs")
-    _materialized_view(
-        spark,
-        "_dedup_passage_wins",
-        docs.semanticHash(),
-        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_corpus_docs")),
-    )
+    wins = materialized_passage_wins_df(docs)
     bucket = _BUCKET.format(STR="STRING")
-    return spark.sql(
-        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
-        f"splits AS (SELECT doc_id, {_split_case(bucket)} AS split"
-        " FROM _corpus_docs),"
-        + _SPAN_LEAKAGE_POST
-    )
+    with scoped_temp_view(wins, "_corpus_wins") as wv, scoped_temp_view(
+        docs, "_corpus_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH wins AS (SELECT doc_id, pos, phash FROM {wv}),\n"
+            f"splits AS (SELECT doc_id, {_split_case(bucket)} AS split"
+            f" FROM {dv}),"
+            + _SPAN_LEAKAGE_POST
+        )
 
 
 def _oracle_span_leakage() -> str:

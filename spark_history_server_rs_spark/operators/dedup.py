@@ -28,9 +28,12 @@ float exits through the portable FLOOR-rounding (see
 from __future__ import annotations
 
 import threading as _threading
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.views import scoped_temp_view
 
 # --- shared constants -----------------------------------------------------
 SHINGLE_K = 3  # words per shingle
@@ -139,16 +142,6 @@ def _materialized_df(spark, slot: str, key: int, build) -> DataFrame:
         return df
 
 
-def _materialized_view(spark, view: str, key: int, build) -> DataFrame:
-    """Legacy fixed-name registration over :func:`_materialized_df` —
-    single-pipeline callers that share SQL tails referencing the fixed
-    view name. Concurrent-safe operators use ``_materialized_df`` plus
-    a per-call scoped view instead (``functions/views.py``)."""
-    df = _materialized_df(spark, view, key, build)
-    df.createOrReplaceTempView(view)
-    return df
-
-
 #: caches outside this module (e.g. llmprep's learned-merge cache)
 #: register a clearer here so one clear call invalidates everything
 _EXTRA_CACHE_CLEARERS: list = []
@@ -193,42 +186,70 @@ def clear_materialized_caches() -> None:
 def materialized_shingles_df(docs: DataFrame) -> DataFrame:
     """The distinct (doc_id, shingle) relation, built once and persisted
     — no catalog names touched, so concurrent callers can't race on a
-    registration. Shares the ``_dedup_shingles`` cache slot with
-    :func:`materialized_shingles`."""
+    registration. SQL consumers go through :func:`shingles_cte`."""
     spark = docs.sparkSession
 
     def build():
-        from ..functions.views import scoped_temp_view
-
         with scoped_temp_view(docs, "_dedup_docs_src") as v:
             return spark.sql(_SHINGLES_SPARK.format(src=v))
 
     return _materialized_df(spark, "_dedup_shingles", docs.semanticHash(), build)
 
 
-def materialized_shingles(docs: DataFrame, view: str = "_dedup_shingles") -> DataFrame:
-    """Compute the distinct (doc_id, shingle) relation ONCE, persist it, and
-    expose it as a temp view.
+@_contextmanager
+def shingles_cte(docs: DataFrame):
+    """Yield the ``WITH shingles AS …,\\n`` SQL header over a PER-CALL
+    scoped view of the cached shingle relation.
 
     Spark inlines SQL CTEs, so a ``shingles`` CTE referenced by ``sigs``,
     ``sizes`` and twice by ``common`` re-runs the whole build sub-plan ~4×
     (measured: dedup_minhash_lsh 11.96 s at sf0.1 pre-materialization).
     Materializing it swaps every reference for a scan of one cached
     InMemoryRelation — the same ingest-once philosophy as the reference's
-    hot-field extraction (duckdb_store.rs:708-757).
+    hot-field extraction (duckdb_store.rs:708-757). Calls with a
+    semantically-identical input frame reuse the live cache (one shingle
+    build serves the whole dedup suite in a session).
 
-    Calls with a semantically-identical input frame reuse the live cache
-    (one shingle build serves the whole dedup suite in a session).
+    The view name is unique per call and dropped on exit (the consuming
+    ``spark.sql`` inlines it at analysis) — no fixed catalog names, so
+    two pipelines over different corpora on one SparkSession can never
+    cross-register, in the library surface exactly as in the REST one.
     """
-    docs.createOrReplaceTempView("_dedup_docs")
     df = materialized_shingles_df(docs)
-    df.createOrReplaceTempView(view)
-    return df
+    with scoped_temp_view(df, "_dedup_shingles") as v:
+        yield f"WITH shingles AS (SELECT doc_id, shingle FROM {v}),\n"
 
 
-# Spark-side CTE header that reads the materialized view; keeps the shared
-# SQL tails (which reference `shingles`) engine-identical below this line.
-_SHINGLES_VIEW_CTE = "WITH shingles AS (SELECT doc_id, shingle FROM _dedup_shingles),\n"
+def materialized_bandkv_df(docs: DataFrame) -> DataFrame:
+    """The (doc_id, band_idx, band_key) MinHash band relation, built once
+    over the cached shingles and persisted — the index a production LSH
+    deployment stores (index-once / probe-many). No catalog names."""
+    spark = docs.sparkSession
+
+    def build():
+        with shingles_cte(docs) as hdr:
+            return spark.sql(
+                hdr
+                + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+                + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+            )
+
+    return _materialized_df(spark, "_dedup_bandkv", docs.semanticHash(), build)
+
+
+def materialized_passage_wins_df(docs: DataFrame) -> DataFrame:
+    """The (doc_id, pos, phash) rolling-window hash relation shared by
+    D6/D7 and C14/C16 — one tokenize+hash pass per corpus, persisted
+    through the keyed cache. No catalog names."""
+    spark = docs.sparkSession
+
+    def build():
+        with scoped_temp_view(docs, "_dedup_docs_src") as v:
+            return spark.sql(_PASSAGE_WINS_SPARK.format(src=v))
+
+    return _materialized_df(
+        spark, "_dedup_passage_wins", docs.semanticHash(), build
+    )
 
 
 # ==========================================================================
@@ -286,9 +307,10 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """D2: exact word-{k}-shingle Jaccard over candidate pairs sharing ≥1
     shingle (inverted index join, the all-pairs-similarity baseline)."""
-    materialized_shingles(docs)
-    sql = _SHINGLES_VIEW_CTE + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
-    return docs.sparkSession.sql(sql)
+    with shingles_cte(docs) as hdr:
+        return docs.sparkSession.sql(
+            hdr + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
+        )
 
 
 ORACLE_NGRAM_JACCARD = (
@@ -365,14 +387,13 @@ def ngram_jaccard_pairs_capped(
     which at τ={t} means boilerplate-only overlap. Candidate cost falls
     from Σ f² over all shingles to Σ f² over f ≤ cap — bounded per
     shingle, unskewable.""".format(t=JACCARD_THRESHOLD)
-    materialized_shingles(docs)
-    sql = (
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-        + ","
-        + _CAPPED_CANDIDATES.format(cap=cap)
-        + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
-    )
-    return docs.sparkSession.sql(sql)
+    with shingles_cte(docs) as hdr:
+        return docs.sparkSession.sql(
+            hdr.rstrip().rstrip(",")
+            + ","
+            + _CAPPED_CANDIDATES.format(cap=cap)
+            + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
+        )
 
 
 ORACLE_NGRAM_JACCARD_CAPPED = (
@@ -427,14 +448,13 @@ def containment_pairs(
     relation, hash-keyed joins only, text never shuffles.""".format(
         thr=CONTAINMENT_THRESHOLD
     )
-    materialized_shingles(docs)
-    sql = (
-        _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-        + ","
-        + _CAPPED_CANDIDATES.format(cap=cap)
-        + _CONTAINMENT_POST.format(thr=CONTAINMENT_THRESHOLD)
-    )
-    return docs.sparkSession.sql(sql)
+    with shingles_cte(docs) as hdr:
+        return docs.sparkSession.sql(
+            hdr.rstrip().rstrip(",")
+            + ","
+            + _CAPPED_CANDIDATES.format(cap=cap)
+            + _CONTAINMENT_POST.format(thr=CONTAINMENT_THRESHOLD)
+        )
 
 
 ORACLE_CONTAINMENT = (
@@ -536,23 +556,13 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         n=NUM_HASHES, b=BANDS, t=JACCARD_THRESHOLD
     )
     spark = docs.sparkSession
-    materialized_shingles(docs)
-    _materialized_view(
-        spark,
-        "_dedup_bandkv",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            _SHINGLES_VIEW_CTE
-            + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
-            + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
-        ),
-    )
-    sql = (
-        _SHINGLES_VIEW_CTE
-        + "bandkv AS (SELECT doc_id, band_idx, band_key FROM _dedup_bandkv),"
-        + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
-    )
-    return spark.sql(sql)
+    bk = materialized_bandkv_df(docs)
+    with shingles_cte(docs) as hdr, scoped_temp_view(bk, "_dedup_bandkv") as bv:
+        return spark.sql(
+            hdr
+            + f"bandkv AS (SELECT doc_id, band_idx, band_key FROM {bv}),"
+            + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+        )
 
 
 ORACLE_MINHASH = (
@@ -632,38 +642,30 @@ def minhash_estimate_eval(docs: DataFrame) -> DataFrame:
     and the exact side declaratively, so the measurement itself is
     cross-checked.""".format(n=NUM_HASHES)
     spark = docs.sparkSession
-    materialized_shingles(docs)
-    _materialized_view(
-        spark,
-        "_dedup_bandkv",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            _SHINGLES_VIEW_CTE
-            + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
-            + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
-        ),
-    )
+    bk = materialized_bandkv_df(docs)
+
     # the signature table is the index a MinHash deployment stores — like
-    # shingles/band keys it serves from the keyed materialized-view cache
+    # shingles/band keys it serves from the keyed materialized cache
     # (one NUM_HASHES-way MIN aggregation pass, not one per eval call)
-    _materialized_view(
-        spark,
-        "_dedup_sigs",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            _SHINGLES_VIEW_CTE.rstrip().rstrip(",")
-            + "\nSELECT doc_id, "
-            + ", ".join(_sig_cols_sql())
-            + " FROM shingles GROUP BY doc_id"
-        ),
-    )
-    sql = (
-        _SHINGLES_VIEW_CTE
-        + "sigs AS (SELECT * FROM _dedup_sigs),"
-        + "bandkv AS (SELECT doc_id, band_idx, band_key FROM _dedup_bandkv),"
-        + _MINHASH_EVAL_POST
-    )
-    return spark.sql(sql)
+    def build_sigs():
+        with shingles_cte(docs) as hdr:
+            return spark.sql(
+                hdr.rstrip().rstrip(",")
+                + "\nSELECT doc_id, "
+                + ", ".join(_sig_cols_sql())
+                + " FROM shingles GROUP BY doc_id"
+            )
+
+    sg = _materialized_df(spark, "_dedup_sigs", docs.semanticHash(), build_sigs)
+    with shingles_cte(docs) as hdr, scoped_temp_view(
+        sg, "_dedup_sigs"
+    ) as sv, scoped_temp_view(bk, "_dedup_bandkv") as bv:
+        return spark.sql(
+            hdr
+            + f"sigs AS (SELECT * FROM {sv}),"
+            + f"bandkv AS (SELECT doc_id, band_idx, band_key FROM {bv}),"
+            + _MINHASH_EVAL_POST
+        )
 
 
 ORACLE_MINHASH_EVAL = (
@@ -788,25 +790,25 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         r=SIMHASH_RADIUS, b=SIMHASH_BLOCKS
     )
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_dedup_docs")
+
     # Materialize the fingerprint relation (keyed cache, same policy as
     # shingles/band-keys): the self-join references `fps` twice and Spark
     # inlines CTEs, so without this the 32-bit fold recomputes per join
     # side — measured 6.2 s → ~1 s at sf0.1. 12 bytes/doc, index-once.
-    _materialized_view(
-        spark,
-        "_dedup_fps",
-        docs.semanticHash(),
-        lambda: spark.sql(
-            "SELECT doc_id, ("
-            + simhash_fp_fold_expr()
-            + f") AS fp FROM _dedup_docs WHERE size({_TOKENS_SPARK}) > 0"
-        ),
-    )
-    sql = "WITH fps AS (SELECT doc_id, fp FROM _dedup_fps),\n" + _simhash_post(
-        "fp_a ^ fp_b", _BLOCKS_SPARK
-    )
-    return spark.sql(sql)
+    def build_fps():
+        with scoped_temp_view(docs, "_dedup_docs_src") as v:
+            return spark.sql(
+                "SELECT doc_id, ("
+                + simhash_fp_fold_expr()
+                + f") AS fp FROM {v} WHERE size({_TOKENS_SPARK}) > 0"
+            )
+
+    fp = _materialized_df(spark, "_dedup_fps", docs.semanticHash(), build_fps)
+    with scoped_temp_view(fp, "_dedup_fps") as fv:
+        return spark.sql(
+            f"WITH fps AS (SELECT doc_id, fp FROM {fv}),\n"
+            + _simhash_post("fp_a ^ fp_b", _BLOCKS_SPARK)
+        )
 
 
 ORACLE_SIMHASH = (
@@ -920,17 +922,18 @@ def embedding_cosine_dups(emb: DataFrame) -> DataFrame:
     :func:`..operators.similarity.ann_lsh_bucketed`.""".format(
         t=COSINE_DUP_THRESHOLD
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_dedup_emb")
     parts = emb.sparkSession.sparkContext.defaultParallelism
-    sql = (
-        "WITH normed AS ("
-        + _NORMED_SPARK.format(src="_dedup_emb", parts=parts)
-        + ")"
-        + _COS_PAIRS_TAIL.format(
-            dot=_DOT.format(a="a.nv", b="b.nv"), thr=COSINE_DUP_THRESHOLD
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_dedup_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH normed AS ("
+            + _NORMED_SPARK.format(src=ev, parts=parts)
+            + ")"
+            + _COS_PAIRS_TAIL.format(
+                dot=_DOT.format(a="a.nv", b="b.nv"), thr=COSINE_DUP_THRESHOLD
+            )
         )
-    )
-    return emb.sparkSession.sql(sql)
 
 
 ORACLE_COSINE_DUPS = (
@@ -1041,17 +1044,20 @@ def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
     different plan must produce identical results. Parallelism follows the
     session's defaultParallelism, never a hard-coded width.
     """
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_dedup_emb")
-    sql = _COS_PREFILTERED_SPARK.format(
-        parts=emb.sparkSession.sparkContext.defaultParallelism,
-        norm=_NORM.format(v="embedding"),
-        sketch=_dedup_sketch_expr("embedding"),
-        src="_dedup_emb",
-        dot=_DOT.format(a="a.nv", b="b.nv"),
-        hmax=hamming_cutoff(COSINE_DUP_THRESHOLD),
-        thr=COSINE_DUP_THRESHOLD,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_dedup_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            _COS_PREFILTERED_SPARK.format(
+                parts=emb.sparkSession.sparkContext.defaultParallelism,
+                norm=_NORM.format(v="embedding"),
+                sketch=_dedup_sketch_expr("embedding"),
+                src=ev,
+                dot=_DOT.format(a="a.nv", b="b.nv"),
+                hmax=hamming_cutoff(COSINE_DUP_THRESHOLD),
+                thr=COSINE_DUP_THRESHOLD,
+            )
+        )
 
 
 # ==========================================================================
@@ -1139,18 +1145,12 @@ def repeated_passage_coverage(docs: DataFrame) -> DataFrame:
     hashes. At 100 TB the dup-hash set is the small side and broadcasts.
     """.format(k=PASSAGE_K)
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_dedup_docs")
-    _materialized_view(
-        spark,
-        "_dedup_passage_wins",
-        docs.semanticHash(),
-        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_dedup_docs")),
-    )
-    sql = (
-        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
-        + _PASSAGE_TAIL
-    )
-    return spark.sql(sql)
+    wins = materialized_passage_wins_df(docs)
+    with scoped_temp_view(wins, "_dedup_passage_wins") as wv:
+        return spark.sql(
+            f"WITH wins AS (SELECT doc_id, pos, phash FROM {wv}),\n"
+            + _PASSAGE_TAIL
+        )
 
 
 ORACLE_REPEATED_PASSAGES = (
@@ -1200,17 +1200,12 @@ def duplicate_passage_index(docs: DataFrame) -> DataFrame:
     unskewable) and only 32-hex hashes + ids move — passage text never
     shuffles.""".format(k=PASSAGE_K)
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_dedup_docs")
-    _materialized_view(
-        spark,
-        "_dedup_passage_wins",
-        docs.semanticHash(),
-        lambda: spark.sql(_PASSAGE_WINS_SPARK.format(src="_dedup_docs")),
-    )
-    return spark.sql(
-        "WITH wins AS (SELECT doc_id, pos, phash FROM _dedup_passage_wins),\n"
-        + _PASSAGE_INDEX_TAIL
-    )
+    wins = materialized_passage_wins_df(docs)
+    with scoped_temp_view(wins, "_dedup_passage_wins") as wv:
+        return spark.sql(
+            f"WITH wins AS (SELECT doc_id, pos, phash FROM {wv}),\n"
+            + _PASSAGE_INDEX_TAIL
+        )
 
 
 ORACLE_PASSAGE_INDEX = (

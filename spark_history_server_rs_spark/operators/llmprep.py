@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .corpus import TRAIN_PCT, VAL_PCT, _BUCKET
-from .dedup import _SHINGLES_DUCK, _SHINGLES_VIEW_CTE, materialized_shingles
+from ..functions.views import scoped_temp_view
+from .dedup import _SHINGLES_DUCK, shingles_cte
 
 _TOKENS_SPARK = "filter(split(text, ' '), x -> x <> '')"
 _TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -96,12 +97,16 @@ def length_histogram(docs: DataFrame) -> DataFrame:
     """L1: token-count histogram per language (fixed CASE-ladder buckets)
     with each bucket's share of its language. The per-corpus length
     profile every data-mix decision starts from."""
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _LENGTH_HIST_TAIL.format(
-        bucket=_bucket_case("n_tokens"),
-        tokens=f"SELECT lang, size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs",
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _LENGTH_HIST_TAIL.format(
+                bucket=_bucket_case("n_tokens"),
+                tokens=(
+                    f"SELECT lang, size({_TOKENS_SPARK}) AS n_tokens FROM {dv}"
+                ),
+            )
+        )
 
 
 ORACLE_LENGTH_HISTOGRAM = "WITH " + _LENGTH_HIST_TAIL.format(
@@ -157,18 +162,18 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     aggregation and the top-k — no per-doc ordering shuffle.""".format(
         k=BIGRAM_TOP_K
     )
-    docs.createOrReplaceTempView("_llm_docs")
-    bigrams = (
-        "bigrams AS (SELECT doc_id, bigram FROM ("
-        " SELECT doc_id, explode(CASE WHEN size(toks) >= 2"
-        " THEN transform(sequence(1, size(toks) - 1),"
-        " i -> concat_ws(' ', slice(toks, i, 2)))"
-        " ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram"
-        f" FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM _llm_docs))),"
-    )
-    return docs.sparkSession.sql(
-        "WITH " + bigrams + _BIGRAM_COUNT_TAIL.format(k=BIGRAM_TOP_K)
-    )
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        bigrams = (
+            "bigrams AS (SELECT doc_id, bigram FROM ("
+            " SELECT doc_id, explode(CASE WHEN size(toks) >= 2"
+            " THEN transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', slice(toks, i, 2)))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END) AS bigram"
+            f" FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM {dv}))),"
+        )
+        return docs.sparkSession.sql(
+            "WITH " + bigrams + _BIGRAM_COUNT_TAIL.format(k=BIGRAM_TOP_K)
+        )
 
 
 ORACLE_BIGRAM_COUNTS = "WITH " + _BIGRAM_TAIL.format(
@@ -199,9 +204,9 @@ def bpe_merge_step(docs: DataFrame) -> DataFrame:
     combined, distributed top-1); the 1-row winner cross-joins
     (broadcast) into a pure replace/split projection; the after-stats
     are one more token aggregate. No windows, no Python."""
-    docs.createOrReplaceTempView("_llm_docs")
-    return docs.sparkSession.sql(f"""
-WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS tk FROM _llm_docs),
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS tk FROM {dv}),
 bigrams AS (
   SELECT explode(CASE WHEN size(tk) >= 2
     THEN transform(sequence(1, size(tk) - 1),
@@ -689,15 +694,17 @@ def pack_sequences(docs: DataFrame) -> DataFrame:
     alternative to first-fit bin packing, whose output depends on arrival
     order. One lang-keyed shuffle for the window, one for the bin
     aggregate.""".format(b=PACK_TOKEN_BUDGET)
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _PACK_TAIL.format(
-        tokens=(
-            "SELECT doc_id, lang,"
-            f" size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs"
-        ),
-        budget=PACK_TOKEN_BUDGET,
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _PACK_TAIL.format(
+                tokens=(
+                    "SELECT doc_id, lang,"
+                    f" size({_TOKENS_SPARK}) AS n_tokens FROM {dv}"
+                ),
+                budget=PACK_TOKEN_BUDGET,
+            )
+        )
 
 
 ORACLE_PACK_SEQUENCES = "WITH " + _PACK_TAIL.format(
@@ -753,17 +760,19 @@ def pack_sequences_sharded(docs: DataFrame) -> DataFrame:
     split-family md5 bucket), shard-namespaced bin ids.""".format(
         s=N_PACK_SHARDS
     )
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _PACK_SHARDED_TAIL.format(
-        tokens=(
-            "SELECT doc_id, lang,"
-            f" size({_TOKENS_SPARK}) AS n_tokens FROM _llm_docs"
-        ),
-        budget=PACK_TOKEN_BUDGET,
-        bucket=_BUCKET.format(STR="STRING"),
-        shards=N_PACK_SHARDS,
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _PACK_SHARDED_TAIL.format(
+                tokens=(
+                    "SELECT doc_id, lang,"
+                    f" size({_TOKENS_SPARK}) AS n_tokens FROM {dv}"
+                ),
+                budget=PACK_TOKEN_BUDGET,
+                bucket=_BUCKET.format(STR="STRING"),
+                shards=N_PACK_SHARDS,
+            )
+        )
 
 
 ORACLE_PACK_SEQUENCES_SHARDED = "WITH " + _PACK_SHARDED_TAIL.format(
@@ -805,13 +814,15 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     across engines/runs/reshards). Returns the per-lang summary +
     checksum of the sampled id set so the *selection* is oracle-checked,
     not just the counts.""".format(r=SAMPLE_PER_CENT)
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _SAMPLE_TAIL.format(
-        bucket=_BUCKET.format(STR="STRING"),
-        rate=SAMPLE_PER_CENT,
-        src="_llm_docs",
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _SAMPLE_TAIL.format(
+                bucket=_BUCKET.format(STR="STRING"),
+                rate=SAMPLE_PER_CENT,
+                src=dv,
+            )
+        )
 
 
 ORACLE_STRATIFIED_SAMPLE = "WITH " + _SAMPLE_TAIL.format(
@@ -911,14 +922,16 @@ def temperature_sample(docs: DataFrame) -> DataFrame:
     across runs, reshards, and engines (no RNG).""".format(
         frac=TEMP_SAMPLE_FRACTION
     )
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _TEMP_SAMPLE_TAIL.format(
-        src="_llm_docs",
-        w=_TEMP_W,
-        frac=TEMP_SAMPLE_FRACTION,
-        u4=_u4("STRING"),
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _TEMP_SAMPLE_TAIL.format(
+                src=dv,
+                w=_TEMP_W,
+                frac=TEMP_SAMPLE_FRACTION,
+                u4=_u4("STRING"),
+            )
+        )
 
 
 ORACLE_TEMPERATURE_SAMPLE = "WITH " + _TEMP_SAMPLE_TAIL.format(
@@ -963,15 +976,19 @@ def contamination(docs: DataFrame) -> DataFrame:
     training. Reuses the materialized shingle relation (built once) and
     the inverted-index join: shuffles carry (doc_id, shingle), never
     text.""".format(m=CONTAMINATION_MIN_SHINGLES)
-    materialized_shingles(docs)
-    sql = _SHINGLES_VIEW_CTE + _CONTAM_TAIL.format(
-        bucket=_BUCKET.format(STR="STRING"),
-        train=TRAIN_PCT,
-        trainval=TRAIN_PCT + VAL_PCT,
-        src="_dedup_docs",
-        minsh=CONTAMINATION_MIN_SHINGLES,
-    )
-    return docs.sparkSession.sql(sql)
+    with shingles_cte(docs) as hdr, scoped_temp_view(
+        docs, "_llm_docs"
+    ) as dv:
+        return docs.sparkSession.sql(
+            hdr
+            + _CONTAM_TAIL.format(
+                bucket=_BUCKET.format(STR="STRING"),
+                train=TRAIN_PCT,
+                trainval=TRAIN_PCT + VAL_PCT,
+                src=dv,
+                minsh=CONTAMINATION_MIN_SHINGLES,
+            )
+        )
 
 
 ORACLE_CONTAMINATION = (
@@ -1036,17 +1053,19 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     whole-stage-codegen pass, zero shuffles; scales linearly and keeps
     scrubbed text out of any exchange. The standard pre-training scrub
     pass a corpus pipeline runs before tokenization."""
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _PII_TAIL.format(
-        src="_llm_docs",
-        email=PII_EMAIL,
-        ipv4=PII_IPV4,
-        num=PII_LONGNUM,
-        g="",
-        sz="size",
-        zero=", 0",
-    )
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _PII_TAIL.format(
+                src=dv,
+                email=PII_EMAIL,
+                ipv4=PII_IPV4,
+                num=PII_LONGNUM,
+                g="",
+                sz="size",
+                zero=", 0",
+            )
+        )
 
 
 ORACLE_PII_SCRUB = "WITH " + _PII_TAIL.format(
@@ -1142,15 +1161,19 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     collapsed-dimension / scale-drift health check run before any ANN
     index build. posexplode + one dim-keyed aggregate; sums run over
     snapped integers so the result is bit-stable at any parallelism."""
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
-    sql = "WITH " + _DIM_STATS_TAIL.format(
-        scale=EMBED_SCALE,
-        unnested=(
-            "SELECT pos AS dim, CAST(v AS DOUBLE) AS v FROM _llm_emb "
-            "LATERAL VIEW posexplode(embedding) t AS pos, v"
-        ),
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _DIM_STATS_TAIL.format(
+                scale=EMBED_SCALE,
+                unnested=(
+                    f"SELECT pos AS dim, CAST(v AS DOUBLE) AS v FROM {ev} "
+                    "LATERAL VIEW posexplode(embedding) t AS pos, v"
+                ),
+            )
+        )
 
 
 ORACLE_EMBEDDING_DIM_STATS = "WITH " + _DIM_STATS_TAIL.format(
@@ -1209,14 +1232,15 @@ def kmeans_step(emb: DataFrame) -> DataFrame:
     the probe half). The centroid side is {k} rows — broadcast at any
     corpus scale; similarities are snapped to scaled integers before the
     cross-row mean.""".format(k=KMEANS_K, km1=KMEANS_K - 1)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
-    sql = (
-        "WITH normed AS (SELECT vec_id,"
-        f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
-        " FROM _llm_emb),\n"
-        + _KMEANS_TAIL.format(k=KMEANS_K, dot=_DOT_SPARK)
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH normed AS (SELECT vec_id,"
+            f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
+            f" FROM {ev}),\n"
+            + _KMEANS_TAIL.format(k=KMEANS_K, dot=_DOT_SPARK)
+        )
 
 
 ORACLE_KMEANS_STEP = (
@@ -1252,10 +1276,10 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     fold-vs-slice spellings differentially check each other.""".format(
         size=CHUNK_SIZE, ov=CHUNK_OVERLAP, stride=_CHUNK_STRIDE
     )
-    docs.createOrReplaceTempView("_llm_docs")
     s = _CHUNK_STRIDE
-    return docs.sparkSession.sql(f"""
-WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS t FROM _llm_docs),
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS t FROM {dv}),
 chunks AS (
   SELECT doc_id, t,
          explode(sequence(0,
@@ -1372,17 +1396,21 @@ def embedding_outliers(emb: DataFrame) -> DataFrame:
     re-aggregate) and one tiny per-label stats join. Everything wide is
     keyed on vec_id or (label, dim); no window functions, no Python, no
     all-pairs anything.""".format(z=OUTLIER_Z)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
-    sql = "WITH " + _OUTLIER_TAIL.format(
-        scale=EMBED_SCALE,
-        down=_SQD_DOWNSCALE,
-        z=OUTLIER_Z,
-        unnested=(
-            "SELECT vec_id, label, pos AS dim, CAST(v AS DOUBLE) AS v"
-            " FROM _llm_emb LATERAL VIEW posexplode(embedding) t AS pos, v"
-        ),
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _OUTLIER_TAIL.format(
+                scale=EMBED_SCALE,
+                down=_SQD_DOWNSCALE,
+                z=OUTLIER_Z,
+                unnested=(
+                    "SELECT vec_id, label, pos AS dim, CAST(v AS DOUBLE) AS v"
+                    f" FROM {ev} LATERAL VIEW posexplode(embedding) t AS pos, v"
+                ),
+            )
+        )
 
 
 ORACLE_EMBEDDING_OUTLIERS = "WITH " + _OUTLIER_TAIL.format(
@@ -1457,35 +1485,38 @@ def semantic_dedup(emb: DataFrame) -> DataFrame:
     the only wide exchange keys on centroid_id, and the pair join touches
     pre-normalized vectors within a cluster partition.
     """
-    from .dedup import _materialized_view
+    from .dedup import _materialized_df
 
     spark = emb.sparkSession
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
+
     # the assigned relation (normed vector + centroid label) feeds the
     # pair-prune self-join (2 refs) AND the final projection — inlined
     # CTEs would re-run the broadcast-assignment 3×, so it serves from
-    # the keyed materialized-view cache like shingles/band keys
-    _materialized_view(
-        spark,
-        "_sem_assigned",
-        emb.semanticHash(),
-        lambda: spark.sql(
-            "WITH normed AS (SELECT vec_id,"
-            f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
-            " FROM _llm_emb),\n"
-            + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot=_DOT_SPARK)
-            + "\nSELECT vec_id, centroid_id, nv FROM assigned"
-        ),
+    # the keyed materialized cache like shingles/band keys
+    def build_assigned():
+        with scoped_temp_view(
+            emb.where("embedding IS NOT NULL"), "_llm_emb"
+        ) as ev:
+            return spark.sql(
+                "WITH normed AS (SELECT vec_id,"
+                f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
+                f" FROM {ev}),\n"
+                + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot=_DOT_SPARK)
+                + "\nSELECT vec_id, centroid_id, nv FROM assigned"
+            )
+
+    assigned = _materialized_df(
+        spark, "_sem_assigned", emb.semanticHash(), build_assigned
     )
-    sql = (
-        "WITH assigned AS (SELECT vec_id, centroid_id, nv FROM _sem_assigned),\n"
-        + _SEM_PRUNE_TAIL.format(
-            dotp="aggregate(zip_with(a.nv, b.nv, (x, y) -> x * y), 0D,"
-            " (acc, x) -> acc + x)",
-            tau_int=int(SEM_DEDUP_TAU * 1_000_000),
+    with scoped_temp_view(assigned, "_sem_assigned") as av:
+        return spark.sql(
+            f"WITH assigned AS (SELECT vec_id, centroid_id, nv FROM {av}),\n"
+            + _SEM_PRUNE_TAIL.format(
+                dotp="aggregate(zip_with(a.nv, b.nv, (x, y) -> x * y), 0D,"
+                " (acc, x) -> acc + x)",
+                tau_int=int(SEM_DEDUP_TAU * 1_000_000),
+            )
         )
-    )
-    return spark.sql(sql)
 
 
 ORACLE_SEMANTIC_DEDUP = (
@@ -1756,13 +1787,17 @@ def embedding_power_iteration(emb: DataFrame) -> DataFrame:
     Integer micro-snapped accumulators make every SUM order-independent,
     so the result is bit-stable under any partitioning.
     """
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_llm_emb")
-    dims = (
-        "dims AS (SELECT vec_id, i + 1 AS i, CAST(x AS DOUBLE) AS x FROM "
-        "(SELECT vec_id, posexplode(embedding) AS (i, x) FROM _llm_emb))"
-    )
-    v0 = f"v0 AS (SELECT i, v FROM (VALUES {_power_v0_values()}) AS t(i, v))"
-    return emb.sparkSession.sql("WITH " + dims + ",\n" + v0 + ",\n" + _POWER_TAIL)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        dims = (
+            "dims AS (SELECT vec_id, i + 1 AS i, CAST(x AS DOUBLE) AS x FROM "
+            f"(SELECT vec_id, posexplode(embedding) AS (i, x) FROM {ev}))"
+        )
+        v0 = f"v0 AS (SELECT i, v FROM (VALUES {_power_v0_values()}) AS t(i, v))"
+        return emb.sparkSession.sql(
+            "WITH " + dims + ",\n" + v0 + ",\n" + _POWER_TAIL
+        )
 
 
 def _oracle_power_iteration() -> str:
@@ -1828,9 +1863,10 @@ def global_shuffle(docs: DataFrame) -> DataFrame:
     (doc_id, key) pairs. Document payloads follow by doc_id join or ride
     the same shuffle; nothing else moves.
     """
-    docs.createOrReplaceTempView("_llm_docs")
-    sql = "WITH " + _SHUFFLE_TAIL.format(str_t="STRING", src="_llm_docs")
-    return docs.sparkSession.sql(sql)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH " + _SHUFFLE_TAIL.format(str_t="STRING", src=dv)
+        )
 
 
 ORACLE_GLOBAL_SHUFFLE = "WITH " + _SHUFFLE_TAIL.format(

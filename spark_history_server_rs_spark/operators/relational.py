@@ -1117,19 +1117,54 @@ _TPCH_TABLES = (
 
 def _tpch_query(sql_template: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        for t in _TPCH_TABLES:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-        return spark.sql(_render(sql_template, _SPARK_SPELL))
+        import re
+        from contextlib import ExitStack
+
+        from ..functions.views import scoped_temp_view
+
+        # per-call scoped views (not the plain table names): two
+        # pipelines over DIFFERENT sf_dirs on one session would
+        # otherwise cross-register `lineitem` etc. The shared SQL text
+        # keeps the canonical names (the DuckDB oracle runs it
+        # verbatim); this Spark runner prepends a CTE prologue binding
+        # each canonical name to its scoped view — CTE names shadow
+        # catalog names at resolution, and nothing in the query body is
+        # rewritten (a token rewrite would also hit same-named column
+        # aliases like `... AS nation`).
+        sql = _render(sql_template, _SPARK_SPELL)
+        with ExitStack() as stack:
+            prolog = ",\n".join(
+                "{t} AS (SELECT * FROM {v})".format(
+                    t=t,
+                    v=stack.enter_context(
+                        scoped_temp_view(
+                            load_table(spark, sf_dir, t), f"_rel_{t}"
+                        )
+                    ),
+                )
+                for t in _TPCH_TABLES
+            )
+            if re.match(r"^\s*WITH\b", sql, re.IGNORECASE):
+                sql = re.sub(
+                    r"^\s*WITH\b", "WITH " + prolog + ",", sql,
+                    count=1, flags=re.IGNORECASE,
+                )
+            else:
+                sql = "WITH " + prolog + "\n" + sql
+            return spark.sql(sql)
 
     return run
 
 
 def _events_query(tail: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        load_events(spark, sf_dir).createOrReplaceTempView("_rel_ev")
-        return spark.sql(
-            "WITH ev AS (SELECT * FROM _rel_ev),\n" + _render(tail, _SPARK_SPELL)
-        )
+        from ..functions.views import scoped_temp_view
+
+        with scoped_temp_view(load_events(spark, sf_dir), "_rel_ev") as v:
+            return spark.sql(
+                f"WITH ev AS (SELECT * FROM {v}),\n"
+                + _render(tail, _SPARK_SPELL)
+            )
 
     return run
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..functions.planes import EMBEDDING_DIM, md5_planes
+from ..functions.views import scoped_temp_view
 from .dedup import cosine_expr_duck, cosine_expr_spark
 
 N_QUERIES = 5  # queries = vec_id < 5
@@ -74,15 +75,19 @@ def ann_cosine_topk(emb: DataFrame) -> DataFrame:
     window's sort is per-query over corpus-size rows only at test scale
     (at 100 TB: replace final window with per-partition top-k + global
     TakeOrdered; same semantics).""".format(k=TOP_K, nq=N_QUERIES)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = "WITH " + _TOPK_TAIL.format(
-        cos=cosine_expr_spark("q.embedding", "c.embedding"),
-        qsrc="_sim_emb",
-        csrc="_sim_emb",
-        nq=N_QUERIES,
-        k=TOP_K,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _TOPK_TAIL.format(
+                cos=cosine_expr_spark("q.embedding", "c.embedding"),
+                qsrc=ev,
+                csrc=ev,
+                nq=N_QUERIES,
+                k=TOP_K,
+            )
+        )
 
 
 ORACLE_ANN_TOPK = "WITH " + _TOPK_TAIL.format(
@@ -141,15 +146,19 @@ def ann_lsh_bucketed(emb: DataFrame) -> DataFrame:
     """X2: ANN restricted to the query's {nb}-hyperplane sign bucket —
     the scale path: bucket equi-join instead of full scan. Recall vs X1 is
     measurable by diffing the two results.""".format(nb=N_HYPERPLANES)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = "WITH " + _LSH_TAIL.format(
-        bucket=_bucket_expr("embedding", spark=True),
-        cos=cosine_expr_spark("q.embedding", "c.embedding"),
-        src="_sim_emb",
-        nq=N_QUERIES,
-        k=TOP_K,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _LSH_TAIL.format(
+                bucket=_bucket_expr("embedding", spark=True),
+                cos=cosine_expr_spark("q.embedding", "c.embedding"),
+                src=ev,
+                nq=N_QUERIES,
+                k=TOP_K,
+            )
+        )
 
 
 ORACLE_ANN_LSH = "WITH " + _LSH_TAIL.format(
@@ -234,20 +243,21 @@ def ann_ivf(emb: DataFrame) -> DataFrame:
     probe the {np} nearest cells and rank only those cells' vectors.
     At 100 TB the corpus is written partitioned by cell id, so the cell
     join becomes partition pruning.""".format(np=NPROBE)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = (
-        "WITH "
-        + _IVF_SPARK.format(src="_sim_emb")
-        + _IVF_TAIL.format(
-            qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
-            cos=cosine_expr_spark("q.embedding", "c.embedding"),
-            src="_sim_emb",
-            nq=N_QUERIES,
-            nprobe=NPROBE,
-            k=TOP_K,
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _IVF_SPARK.format(src=ev)
+            + _IVF_TAIL.format(
+                qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+                cos=cosine_expr_spark("q.embedding", "c.embedding"),
+                src=ev,
+                nq=N_QUERIES,
+                nprobe=NPROBE,
+                k=TOP_K,
+            )
         )
-    )
-    return emb.sparkSession.sql(sql)
 
 
 def _ivf_duck_cos(a: str, b: str) -> str:
@@ -345,15 +355,19 @@ def ann_recall_eval(emb: DataFrame) -> DataFrame:
     recurring sampled-eval job, not a per-query cost.""".format(
         k=TOP_K, nq=N_QUERIES
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = "WITH " + _RECALL_TAIL.format(
-        cos=cosine_expr_spark("q.embedding", "c.embedding"),
-        bucket=_bucket_expr("embedding", spark=True),
-        src="_sim_emb",
-        nq=N_QUERIES,
-        k=TOP_K,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _RECALL_TAIL.format(
+                cos=cosine_expr_spark("q.embedding", "c.embedding"),
+                bucket=_bucket_expr("embedding", spark=True),
+                src=ev,
+                nq=N_QUERIES,
+                k=TOP_K,
+            )
+        )
 
 
 ORACLE_ANN_RECALL = "WITH " + _RECALL_TAIL.format(
@@ -440,17 +454,21 @@ def ann_hamming_rerank(emb: DataFrame) -> DataFrame:
     computed AFTER the radius cut, never for rejected pairs.""".format(
         nb=N_SKETCH_BITS, hmax=HAMMING_MAX
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = "WITH " + _HAMMING_TAIL.format(
-        sketch=_sketch_expr("embedding", spark=True),
-        xor="q.sketch ^ c.sketch",
-        cos=cosine_expr_spark("q_emb", "c_emb"),
-        src="_sim_emb",
-        nq=N_QUERIES,
-        hmax=HAMMING_MAX,
-        k=TOP_K,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _HAMMING_TAIL.format(
+                sketch=_sketch_expr("embedding", spark=True),
+                xor="q.sketch ^ c.sketch",
+                cos=cosine_expr_spark("q_emb", "c_emb"),
+                src=ev,
+                nq=N_QUERIES,
+                hmax=HAMMING_MAX,
+                k=TOP_K,
+            )
+        )
 
 
 ORACLE_ANN_HAMMING = "WITH " + _HAMMING_TAIL.format(
@@ -514,16 +532,18 @@ def ann_knn_graph(emb: DataFrame) -> DataFrame:
         hamming_cutoff,
     )
 
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
     parts = emb.sparkSession.sparkContext.defaultParallelism
-    sql = (
-        """
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        sql = (
+            """
 WITH normed AS (
   SELECT /*+ REPARTITION({parts}) */ vec_id,
          transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
                                    ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
          {sketch} AS sketch
-  FROM _sim_emb
+  FROM {src}
 ),
 half AS (
   -- cosine is symmetric: evaluate each unordered pair once (a < b) and
@@ -550,16 +570,17 @@ pairs AS (
            named_struct('src_id', dst_id, 'dst_id', src_id, 'cosine', cosine)))
   FROM half
 ),""".format(
-            parts=parts,
-            norm=_NORM.format(v="embedding"),
-            sketch=_dedup_sketch_expr("embedding"),
-            dot=_DOT.format(a="a.nv", b="b.nv"),
-            hmax=hamming_cutoff(KNN_GRAPH_TAU),
-            tau=KNN_GRAPH_TAU,
+                parts=parts,
+                src=ev,
+                norm=_NORM.format(v="embedding"),
+                sketch=_dedup_sketch_expr("embedding"),
+                dot=_DOT.format(a="a.nv", b="b.nv"),
+                hmax=hamming_cutoff(KNN_GRAPH_TAU),
+                tau=KNN_GRAPH_TAU,
+            )
+            + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
         )
-        + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
-    )
-    return emb.sparkSession.sql(sql)
+        return emb.sparkSession.sql(sql)
 
 
 def _oracle_knn_graph() -> str:
@@ -700,9 +721,10 @@ FROM overlap
 ORDER BY query_id
 """
 
+#: {src}-parametrized: formatted with the caller's scoped view name
 _PQ_UNNEST_SPARK = (
     "SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v"
-    " FROM _sim_emb LATERAL VIEW posexplode(embedding) t AS pos, v"
+    " FROM {src} LATERAL VIEW posexplode(embedding) t AS pos, v"
 )
 _PQ_UNNEST_DUCK = (
     "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
@@ -723,14 +745,16 @@ def ann_pq_codes(emb: DataFrame) -> DataFrame:
     is partitioned per (vector, subspace) — never global.""".format(
         m=PQ_M, km1=PQ_K - 1
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    return emb.sparkSession.sql(
-        "WITH "
-        + _PQ_CODES_TAIL.format(
-            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
-            unnested=_PQ_UNNEST_SPARK,
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _PQ_CODES_TAIL.format(
+                scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+                unnested=_PQ_UNNEST_SPARK.format(src=ev),
+            )
         )
-    )
 
 
 ORACLE_ANN_PQ_CODES = "WITH " + _PQ_CODES_TAIL.format(
@@ -751,14 +775,17 @@ def ann_pq_recall(emb: DataFrame) -> DataFrame:
     of PQ. The exact side stays the bounded sampled-eval scan.""".format(
         k=TOP_K, nq=N_QUERIES
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    return emb.sparkSession.sql(
-        "WITH "
-        + _PQ_RECALL_TAIL.format(
-            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
-            nq=N_QUERIES, k=TOP_K, unnested=_PQ_UNNEST_SPARK,
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _PQ_RECALL_TAIL.format(
+                scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+                nq=N_QUERIES, k=TOP_K,
+                unnested=_PQ_UNNEST_SPARK.format(src=ev),
+            )
         )
-    )
 
 
 ORACLE_ANN_PQ_RECALL = "WITH " + _PQ_RECALL_TAIL.format(
@@ -819,24 +846,25 @@ def ann_ivf_pq(emb: DataFrame) -> DataFrame:
     the per-candidate cost to {m} integer adds, and the vectors' floats
     are never read after indexing — the Jegou et al. 2011 IVFADC
     system, stated as one declarative plan.""".format(np=NPROBE, m=PQ_M)
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    pq = _PQ_CODE_CTES.format(
-        scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
-        unnested=_PQ_UNNEST_SPARK,
-    ).strip().rstrip(",")
-    sql = (
-        "WITH "
-        + _IVF_SPARK.format(src="_sim_emb")
-        + _IVFADC_TAIL.format(
-            qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
-            src="_sim_emb",
-            nq=N_QUERIES,
-            nprobe=NPROBE,
-            k=TOP_K,
-            pq_ctes=pq,
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        pq = _PQ_CODE_CTES.format(
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+            unnested=_PQ_UNNEST_SPARK.format(src=ev),
+        ).strip().rstrip(",")
+        return emb.sparkSession.sql(
+            "WITH "
+            + _IVF_SPARK.format(src=ev)
+            + _IVFADC_TAIL.format(
+                qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+                src=ev,
+                nq=N_QUERIES,
+                nprobe=NPROBE,
+                k=TOP_K,
+                pq_ctes=pq,
+            )
         )
-    )
-    return emb.sparkSession.sql(sql)
 
 
 def _oracle_ann_ivf_pq() -> str:
@@ -859,6 +887,144 @@ def _oracle_ann_ivf_pq() -> str:
 
 
 ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
+
+
+# ==========================================================================
+# X10b — nprobe quality knob (recall@k vs probed-cell count)
+# ==========================================================================
+#: the operational question IVFADC deployments tune: how many cells must
+#: a probe visit before recall@k is acceptable? One pass answers it for
+#: every nprobe in 1..NPROBE_MAX simultaneously — the probe relation is
+#: built once at the widest setting with each cell's closeness rank, and
+#: narrower settings are crank<=np filters, so the sweep costs one
+#: candidate scan, not NPROBE_MAX of them. Ground truth is the exact
+#: integer-snapped L2 top-k over the full corpus (the same exact side
+#: X7's ADC recall uses), computed once and shared by every sweep level.
+NPROBE_MAX = 3
+
+_NPROBE_RECALL_TAIL = """,
+probes AS (
+  SELECT query_id, label, crank FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM {src} q JOIN centroids ct ON 1 = 1
+    WHERE q.vec_id < {nq}
+  ) WHERE crank <= {npmax}
+),
+{pq_ctes},
+vec_cells AS (SELECT vec_id, label FROM {src}),
+nps AS ({nps}),
+adc AS (
+  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(d.d) AS BIGINT) AS approx_d
+  FROM probes p
+  JOIN nps n ON p.crank <= n.np
+  JOIN vec_cells l ON l.label = p.label
+  JOIN assigned a ON a.vec_id = l.vec_id
+  JOIN dists d ON d.vec_id = p.query_id
+              AND d.subspace = a.subspace AND d.codeword = a.codeword
+  WHERE a.vec_id <> p.query_id
+  GROUP BY n.np, p.query_id, a.vec_id
+),
+adc_k AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                 ORDER BY approx_d, neighbor_id) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         CAST(SUM(CAST(FLOOR(CAST(q.sv - x.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.sv - x.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS exact_d
+  FROM elems q JOIN elems x ON q.dim = x.dim AND q.vec_id <> x.vec_id
+  WHERE q.vec_id < {nq}
+  GROUP BY q.vec_id, x.vec_id
+),
+exact_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY exact_d, cand_id) AS rank
+    FROM exact_pairs
+  ) WHERE rank <= {k}
+),
+overlap AS (
+  SELECT n.np, e.query_id,
+         COUNT(*) AS n_exact, COUNT(a.neighbor_id) AS n_overlap
+  FROM exact_k e JOIN nps n ON 1 = 1
+  LEFT JOIN adc_k a ON a.np = n.np AND a.query_id = e.query_id
+                   AND a.neighbor_id = e.cand_id
+  GROUP BY n.np, e.query_id
+)
+SELECT np AS nprobe, query_id, n_exact, n_overlap,
+       FLOOR((CAST(n_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS recall_at_k
+FROM overlap
+ORDER BY nprobe, query_id
+"""
+
+
+def ann_nprobe_recall(emb: DataFrame) -> DataFrame:
+    """X10b: recall@{k} of IVFADC vs the exact top-{k}, swept over
+    nprobe = 1..{npmax} in one plan — the tuning curve that decides how
+    many cells a production probe visits. The candidate SET grows
+    monotonically with nprobe, but recall@k need not (a new cell can
+    contribute low-ADC false positives that displace true neighbors
+    from the approximate top-k — quantization error, measured here).
+
+    Scale shape: identical to X8 plus the tiny nps relation ({npmax}
+    rows, broadcast); the candidate scan runs ONCE at the widest
+    setting, the exact side is the bounded sampled-eval job, and at
+    100 TB the cell join is still partition pruning over the codes
+    layout (plan-gated).""".format(k=TOP_K, npmax=NPROBE_MAX)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        pq = _PQ_CODE_CTES.format(
+            scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+            unnested=_PQ_UNNEST_SPARK.format(src=ev),
+        ).strip().rstrip(",")
+        return emb.sparkSession.sql(
+            "WITH "
+            + _IVF_SPARK.format(src=ev)
+            + _NPROBE_RECALL_TAIL.format(
+                qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+                src=ev,
+                nq=N_QUERIES,
+                npmax=NPROBE_MAX,
+                k=TOP_K,
+                pq_ctes=pq,
+                nps=f"SELECT explode(sequence(1, {NPROBE_MAX})) AS np",
+            )
+        )
+
+
+def _oracle_ann_nprobe_recall() -> str:
+    pq = _PQ_CODE_CTES.format(
+        scale=_PQ_SCALE, subdim=PQ_SUBDIM, pqk=PQ_K,
+        unnested=_PQ_UNNEST_DUCK,
+    ).strip().rstrip(",")
+    src = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    return (
+        "WITH "
+        + _IVF_DUCK.format(src=src)
+        + _NPROBE_RECALL_TAIL.format(
+            qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
+            src=src,
+            nq=N_QUERIES,
+            npmax=NPROBE_MAX,
+            k=TOP_K,
+            pq_ctes=pq,
+            nps=(
+                f"SELECT unnest(generate_series(1, {NPROBE_MAX})) AS np"
+            ),
+        )
+    )
+
+
+ORACLE_ANN_NPROBE_RECALL = _oracle_ann_nprobe_recall()
 
 
 # ==========================================================================
@@ -925,16 +1091,20 @@ def ann_truncated_recall(emb: DataFrame) -> DataFrame:
     everything is {nq}x{k} rows.""".format(
         k=TOP_K, d=TRUNC_DIM, full=EMBEDDING_DIM, nq=N_QUERIES
     )
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    sql = "WITH " + _TRUNC_RECALL_TAIL.format(
-        trunc=f"slice(embedding, 1, {TRUNC_DIM})",
-        cos_full=cosine_expr_spark("q.embedding", "c.embedding"),
-        cos_trunc=cosine_expr_spark("q.trunc", "c.trunc"),
-        src="_sim_emb",
-        nq=N_QUERIES,
-        k=TOP_K,
-    )
-    return emb.sparkSession.sql(sql)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _TRUNC_RECALL_TAIL.format(
+                trunc=f"slice(embedding, 1, {TRUNC_DIM})",
+                cos_full=cosine_expr_spark("q.embedding", "c.embedding"),
+                cos_trunc=cosine_expr_spark("q.trunc", "c.trunc"),
+                src=ev,
+                nq=N_QUERIES,
+                k=TOP_K,
+            )
+        )
 
 
 ORACLE_ANN_TRUNCATED_RECALL = "WITH " + _TRUNC_RECALL_TAIL.format(
@@ -957,5 +1127,6 @@ ORACLE_SQL_SIMILARITY = {
     "ann_pq_codes": ORACLE_ANN_PQ_CODES,
     "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
+    "ann_nprobe_recall": ORACLE_ANN_NPROBE_RECALL,
     "ann_truncated_recall": ORACLE_ANN_TRUNCATED_RECALL,
 }

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.views import scoped_temp_view
+
 # --- shared constants (single source of truth for Spark AND oracle) -------
 #: language marker vocabularies for the n-gram/stopword language-ID
 #: heuristic. Real-world stopword lists; precedence en>es>de>fr>zh on ties.
@@ -245,8 +247,8 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     posexplode → window formulation (kept on the DuckDB oracle side as
     the differential twin) needed a per-doc ordering shuffle first.
     """
-    docs.createOrReplaceTempView("_text_docs")
-    sql = f"""
+    with scoped_temp_view(docs, "_text_docs") as dv:
+        return docs.sparkSession.sql(f"""
 WITH hs AS (
   SELECT doc_id,
          CASE WHEN size(toks) >= {FP_SHINGLE_K}
@@ -254,7 +256,7 @@ WITH hs AS (
                              i -> substr(md5(concat_ws(' ',
                                     slice(toks, i, {FP_SHINGLE_K}))), 1, 8))
               ELSE CAST(array() AS ARRAY<STRING>) END AS hs
-  FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM _text_docs)
+  FROM (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM {dv})
 ),
 fp AS (
   SELECT doc_id,
@@ -267,8 +269,7 @@ SELECT doc_id,
        COUNT(DISTINCT fp) AS n_fingerprints,
        to_json(sort_array(collect_set(fp))) AS fingerprints
 FROM fp GROUP BY doc_id ORDER BY doc_id
-"""
-    return docs.sparkSession.sql(sql)
+""")
 
 
 ORACLE_DOC_FINGERPRINTS = f"""
@@ -479,10 +480,10 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     keep the sigmoid branch decisions identical across engines.""".format(
         thr=QC_KEEP_THRESHOLD
     )
-    docs.createOrReplaceTempView("_text_docs")
-    return docs.sparkSession.sql(
-        "WITH " + _qc_base_spark("_text_docs") + "," + _QC_TAIL
-    )
+    with scoped_temp_view(docs, "_text_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH " + _qc_base_spark(dv) + "," + _QC_TAIL
+        )
 
 
 def _qc_base_spark(src: str, extra: str = "") -> str:
@@ -562,8 +563,6 @@ def quality_prune(docs: DataFrame) -> DataFrame:
     NULL source is a real group (IS NOT DISTINCT FROM join).""".format(
         q=int(PRUNE_KEEP_FRAC * 100)
     )
-    from ..functions.views import scoped_temp_view
-
     with scoped_temp_view(docs, "_text_docs") as v:
         return docs.sparkSession.sql(
             "WITH "
@@ -717,8 +716,6 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
 
     Served concurrently by the REST layer (/api/v1/corpus/quality):
     per-call scoped view, no fixed catalog names."""
-    from ..functions.views import scoped_temp_view
-
     with scoped_temp_view(docs, "_text_docs") as v:
         return docs.sparkSession.sql(gopher_spark_sql(v))
 
@@ -801,12 +798,12 @@ def c4_filters(docs: DataFrame) -> DataFrame:
     projection; line logic is nested higher-order lambdas over the split
     arrays (JVM-side, no Python, no explode)."""
     tail = _c4_tail(sz="size", flt="filter")
-    docs.createOrReplaceTempView("_text_docs")
-    return docs.sparkSession.sql(
-        "WITH arr AS (SELECT doc_id, text, "
-        f"{_LINES_SPARK} AS lines FROM _text_docs),"
-        + tail
-    )
+    with scoped_temp_view(docs, "_text_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH arr AS (SELECT doc_id, text, "
+            f"{_LINES_SPARK} AS lines FROM {dv}),"
+            + tail
+        )
 
 
 def _oracle_c4_filters() -> str:
@@ -877,8 +874,6 @@ def line_boilerplate(docs: DataFrame) -> DataFrame:
     fraction 0.0 — line filtering is not an emptiness filter.""".format(
         m=BOILER_MIN_DOCS, f=BOILER_MAX_FRAC
     )
-    from ..functions.views import scoped_temp_view
-
     with scoped_temp_view(docs, "_text_docs") as v:
         lines = (
             f"SELECT doc_id, explode({_LINES_SPARK}) AS line FROM {v}"

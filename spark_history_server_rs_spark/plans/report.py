@@ -69,6 +69,8 @@ SELECTED = [
     ("text_quality_prune", "score projection + per-source partitioned rank"),
     ("corpus_mix_plan", "DoReMi body folded to a sources-sized sampling plan"),
     ("dedup_cluster_stats", "cluster labels folded to a one-row audit"),
+    # round-9 batch
+    ("ann_nprobe_recall", "one-pass nprobe sweep: crank filters over one candidate scan"),
 ]
 
 

@@ -36,46 +36,54 @@ from ..operators.similarity import (
 from ..operators.dedup import cosine_expr_spark
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(src: str) -> str:
     return _PQ_CODE_CTES.format(
         scale=_PQ_SCALE,
         subdim=PQ_SUBDIM,
         pqk=PQ_K,
-        unnested=_PQ_UNNEST_SPARK,
+        unnested=_PQ_UNNEST_SPARK.format(src=src),
     ).strip().rstrip(",")
 
 
 def write_ann_index(emb: DataFrame, path: str) -> None:
     """INDEX phase: persist coarse centroids, PQ codebook, and per-vector
     codes (partitioned by cell). Idempotent overwrite."""
+    from ..functions.views import scoped_temp_view
+
     spark = emb.sparkSession
     # same source contract as every vector operator: NULL embeddings
     # (failed encodes) never enter the index
-    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_sim_emb")
-    spark.sql(
-        "WITH "
-        + _IVF_SPARK.format(src="_sim_emb").strip().rstrip(",")
-        + "\nSELECT label, centroid FROM centroids"
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.sql(
-        "WITH " + _pq_ctes() + "\nSELECT codeword, subspace, dim, sv FROM cb"
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
-    code_cols = ",\n       ".join(
-        f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
-        for s in range(PQ_M)
-    )
-    spark.sql(
-        "WITH "
-        + _pq_ctes()
-        + f""",
-cells AS (SELECT vec_id, label FROM _sim_emb)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        spark.sql(
+            "WITH "
+            + _IVF_SPARK.format(src=ev).strip().rstrip(",")
+            + "\nSELECT label, centroid FROM centroids"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.sql(
+            "WITH "
+            + _pq_ctes(ev)
+            + "\nSELECT codeword, subspace, dim, sv FROM cb"
+        ).write.mode("overwrite").parquet(f"{path}/codebook")
+        code_cols = ",\n       ".join(
+            f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+            for s in range(PQ_M)
+        )
+        spark.sql(
+            "WITH "
+            + _pq_ctes(ev)
+            + f""",
+cells AS (SELECT vec_id, label FROM {ev})
 SELECT a.vec_id, c.label,
        {code_cols},
        CAST(0 AS BIGINT) AS ingest_seq
 FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
 GROUP BY a.vec_id, c.label
 """
-    ).write.mode("overwrite").partitionBy("label").parquet(f"{path}/codes")
+        ).write.mode("overwrite").partitionBy("label").parquet(
+            f"{path}/codes"
+        )
 
 
 def ann_ivf_pq_from_index(
@@ -86,41 +94,42 @@ def ann_ivf_pq_from_index(
     the corpus side is centroids (tiny), codebook (tiny, broadcast), and
     the code table pruned to the probed cells. Result-identical to the
     live ``ann_ivf_pq`` operator on the same data (pinned by test)."""
-    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(
-        "_annidx_centroids"
-    )
-    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(
-        "_annidx_cb"
-    )
+    from ..functions.views import scoped_temp_view
+
     codes_df = spark.read.parquet(f"{path}/codes")
     if "ingest_seq" not in codes_df.columns:
         # index persisted before sequence tracking: every row is the
         # batch build — exactly what seq 0 means
         codes_df = codes_df.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
-    codes_df.createOrReplaceTempView("_annidx_codes")
-    # same NULL-drop source contract as every vector entry point —
-    # explicit, not incidental (a NULL query must not rank over NULL
-    # centroid cosines in the probes CTE)
-    queries.where("embedding IS NOT NULL").createOrReplaceTempView(
-        "_annidx_queries"
-    )
     qc_cos = cosine_expr_spark("q.embedding", "ct.centroid")
     # unpivot the persisted code columns back to (vec_id, subspace, codeword)
     code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
-    return spark.sql(f"""
+    # same NULL-drop source contract as every vector entry point —
+    # explicit, not incidental (a NULL query must not rank over NULL
+    # centroid cosines in the probes CTE)
+    with scoped_temp_view(
+        spark.read.parquet(f"{path}/centroids"), "_annidx_centroids"
+    ) as ctv, scoped_temp_view(
+        spark.read.parquet(f"{path}/codebook"), "_annidx_cb"
+    ) as cbv, scoped_temp_view(
+        codes_df, "_annidx_codes"
+    ) as cdv, scoped_temp_view(
+        queries.where("embedding IS NOT NULL"), "_annidx_queries"
+    ) as qv:
+        return spark.sql(f"""
 WITH probes AS (
   SELECT query_id, label FROM (
     SELECT q.vec_id AS query_id, ct.label,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {qc_cos} DESC, ct.label) AS crank
-    FROM _annidx_queries q JOIN _annidx_centroids ct ON 1 = 1
+    FROM {qv} q JOIN {ctv} ct ON 1 = 1
     WHERE q.vec_id < {N_QUERIES}
   ) WHERE crank <= {NPROBE}
 ),
 qelems AS (
   SELECT vec_id, pos AS dim,
          CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE} + 0.5) AS BIGINT) AS sv
-  FROM _annidx_queries LATERAL VIEW posexplode(embedding) t AS pos, v
+  FROM {qv} LATERAL VIEW posexplode(embedding) t AS pos, v
   WHERE vec_id < {N_QUERIES}
 ),
 dtable AS (
@@ -129,7 +138,7 @@ dtable AS (
          CAST(SUM(CAST(FLOOR(CAST(q.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
                   * CAST(FLOOR(CAST(q.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
               AS BIGINT) AS d
-  FROM qelems q JOIN _annidx_cb c ON q.dim = c.dim
+  FROM qelems q JOIN {cbv} c ON q.dim = c.dim
   GROUP BY q.vec_id, c.subspace, c.codeword
 ),
 codes AS (
@@ -149,9 +158,9 @@ codes AS (
   -- partition pruning; after compact_ann_index the aggregate runs
   -- over already-unique vec_ids. compact materializes the same rule.
   SELECT DISTINCT c.vec_id, c.label, s.subspace, s.codeword
-  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM _annidx_codes
+  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
         GROUP BY vec_id) m
-  JOIN _annidx_codes c
+  JOIN {cdv} c
     ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
   LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
 ),
@@ -237,17 +246,13 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
     """
 
     def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.views import scoped_temp_view
+
         spark = batch_df.sparkSession
         batch_df = batch_df.where("embedding IS NOT NULL").persist()
-        view = f"_stream_ann_emb_{batch_id}"
-        cb_view = f"_stream_ann_cb_{batch_id}"
         try:
             if not batch_df.take(1):
                 return
-            batch_df.createOrReplaceTempView(view)
-            spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(
-                cb_view
-            )
             code_cols = ",\n       ".join(
                 f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
                 for s in range(PQ_M)
@@ -272,21 +277,24 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                 ).first().m
             else:
                 max_seq = 0  # pre-sequence-tracking index = batch build
-            spark.sql(
-                _ENCODE_AGAINST_CB.format(
-                    src=view,
-                    cb=cb_view,
-                    scale=_PQ_SCALE,
-                    subdim=PQ_SUBDIM,
-                    code_cols=code_cols,
-                    seq=(max_seq or 0) + 1,
+            with scoped_temp_view(
+                batch_df, "_stream_ann_emb"
+            ) as ev, scoped_temp_view(
+                spark.read.parquet(f"{path}/codebook"), "_stream_ann_cb"
+            ) as cbv:
+                spark.sql(
+                    _ENCODE_AGAINST_CB.format(
+                        src=ev,
+                        cb=cbv,
+                        scale=_PQ_SCALE,
+                        subdim=PQ_SUBDIM,
+                        code_cols=code_cols,
+                        seq=(max_seq or 0) + 1,
+                    )
+                ).write.mode("append").partitionBy("label").parquet(
+                    f"{path}/codes"
                 )
-            ).write.mode("append").partitionBy("label").parquet(
-                f"{path}/codes"
-            )
         finally:
-            spark.catalog.dropTempView(view)
-            spark.catalog.dropTempView(cb_view)
             batch_df.unpersist()
 
     return (

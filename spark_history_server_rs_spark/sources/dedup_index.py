@@ -43,9 +43,12 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
     an independent projection. All three writes are append-free
     overwrites — re-running the index job is idempotent.
     """
+    from ..functions.views import scoped_temp_view
+
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("_dedup_docs")
-    shingles = spark.sql(_SHINGLES_SPARK.format(src="_dedup_docs"))
+    with scoped_temp_view(docs, "_dedup_docs") as dv:
+        shingles = spark.sql(_SHINGLES_SPARK.format(src=dv))
+        passages = spark.sql(_PASSAGE_WINS_SPARK.format(src=dv))
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
     bandkv = spark.sql(
         "WITH shingles AS (SELECT doc_id, shingle FROM "
@@ -56,7 +59,6 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
     bandkv.write.mode("overwrite").partitionBy("band_idx").parquet(
         f"{path}/band_keys"
     )
-    passages = spark.sql(_PASSAGE_WINS_SPARK.format(src="_dedup_docs"))
     passages.write.mode("overwrite").parquet(f"{path}/passages")
 
 
@@ -75,18 +77,21 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
     (partition-pruned per band), exact-Jaccard verification from
     ``shingles``. Result-identical to the live operator (pinned by
     test), but no document text is touched in this session."""
+    from ..functions.views import scoped_temp_view
+
     idx = read_dedup_index(spark, path)
-    idx["shingles"].createOrReplaceTempView("_idx_shingles")
-    idx["band_keys"].createOrReplaceTempView("_idx_bandkv")
     # DISTINCT on both relations: a streaming index update retried after
     # a failure can append a batch's rows twice (at-least-once), and the
     # Jaccard verification counts shingles per doc — duplicate rows
     # would inflate set sizes and shift every similarity.
-    return spark.sql(
-        "WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM _idx_shingles),\n"
-        "bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM _idx_bandkv),"
-        + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
-    )
+    with scoped_temp_view(
+        idx["shingles"], "_idx_shingles"
+    ) as sv, scoped_temp_view(idx["band_keys"], "_idx_bandkv") as bv:
+        return spark.sql(
+            f"WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM {sv}),\n"
+            f"bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM {bv}),"
+            + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+        )
 
 
 def minhash_lsh_probe_index(
@@ -272,37 +277,38 @@ def stream_update_dedup_index(
     """
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.views import scoped_temp_view
+
         # persist: three derived relations read this batch, and the
         # shingle frame feeds both its own write and the band-key
         # derivation — without caching, tokenization (the expensive
         # step) would re-run per consumer on every trigger
         batch_df = batch_df.persist()
         spark = batch_df.sparkSession
-        view = f"_stream_index_docs_{batch_id}"
-        batch_df.createOrReplaceTempView(view)
         try:
             if not batch_df.take(1):
                 return
-            shingles = spark.sql(_SHINGLES_SPARK.format(src=view)).persist()
+            with scoped_temp_view(batch_df, "_stream_index_docs") as dv:
+                shingles = spark.sql(
+                    _SHINGLES_SPARK.format(src=dv)
+                ).persist()
+                passages = spark.sql(_PASSAGE_WINS_SPARK.format(src=dv))
             shingles.write.mode("append").parquet(f"{path}/shingles")
-            sh_view = f"_stream_index_shingles_{batch_id}"
-            shingles.createOrReplaceTempView(sh_view)
             try:
-                spark.sql(
-                    f"WITH shingles AS (SELECT doc_id, shingle FROM {sh_view}),\n"
-                    + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
-                    + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
-                ).write.mode("append").partitionBy("band_idx").parquet(
-                    f"{path}/band_keys"
-                )
+                with scoped_temp_view(
+                    shingles, "_stream_index_shingles"
+                ) as sv:
+                    spark.sql(
+                        f"WITH shingles AS (SELECT doc_id, shingle FROM {sv}),\n"
+                        + _minhash_bandkv_sql(_BANDKV_SPARK).lstrip()
+                        + "\nSELECT doc_id, band_idx, band_key FROM bandkv"
+                    ).write.mode("append").partitionBy("band_idx").parquet(
+                        f"{path}/band_keys"
+                    )
             finally:
-                spark.catalog.dropTempView(sh_view)
                 shingles.unpersist()
-            spark.sql(_PASSAGE_WINS_SPARK.format(src=view)).write.mode(
-                "append"
-            ).parquet(f"{path}/passages")
+            passages.write.mode("append").parquet(f"{path}/passages")
         finally:
-            spark.catalog.dropTempView(view)
             batch_df.unpersist()
 
     return (

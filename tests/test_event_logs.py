@@ -1397,6 +1397,81 @@ def test_stream_append_training_shards(spark, tmp_path):
     assert validate_training_shards(spark, path).count() == 0
 
 
+def test_two_pipelines_one_session_no_cross_registration(spark, tmp_path):
+    """Two library pipelines sharing ONE SparkSession over DIFFERENT
+    corpora: interleaved and concurrent operator calls each compute over
+    their own corpus. This is the scoped-view contract for the library
+    surface (the REST surface has its own concurrency test) — with any
+    fixed temp-view name left in an operator, pipeline B's registration
+    would silently redirect pipeline A's plan. Also pins that no
+    operator leaks a view name into the catalog."""
+    import threading
+
+    from spark_history_server_rs_spark.operators import corpus, dedup, llmprep, textprep
+
+    docs_a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # corpus B: disjoint doc_ids, rewritten text — every op result differs
+    docs_b = docs_a.selectExpr(
+        "doc_id + 5000000 AS doc_id",
+        "regexp_replace(text, '(^| )', '$1zq') AS text",
+        "lang", "source",
+    ).selectExpr("*", "CAST(length(text) AS BIGINT) AS n_chars")
+
+    ops = [
+        ("vocabulary", corpus.vocabulary),
+        ("minhash", dedup.minhash_lsh_pairs),
+        ("quality", textprep.text_quality),
+        ("pack", llmprep.pack_sequences),
+        ("unigram", corpus.unigram_logprob),
+    ]
+    # serial baselines (cache cleared so each corpus builds fresh)
+    dedup.clear_materialized_caches()
+    base_a = {n: [tuple(r) for r in fn(docs_a).collect()] for n, fn in ops}
+    dedup.clear_materialized_caches()
+    base_b = {n: [tuple(r) for r in fn(docs_b).collect()] for n, fn in ops}
+    assert all(base_a[n] != base_b[n] for n, _ in ops)  # honest fixture
+
+    # interleaved: A then B per op, single thread
+    dedup.clear_materialized_caches()
+    for n, fn in ops:
+        assert [tuple(r) for r in fn(docs_a).collect()] == base_a[n], n
+        assert [tuple(r) for r in fn(docs_b).collect()] == base_b[n], n
+
+    # concurrent: one thread per pipeline, all ops
+    dedup.clear_materialized_caches()
+    results: dict[str, dict] = {"a": {}, "b": {}}
+    errors: list = []
+
+    def run(tag, docs):
+        try:
+            for n, fn in ops:
+                results[tag][n] = [tuple(r) for r in fn(docs).collect()]
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append((tag, e))
+
+    ts = [
+        threading.Thread(target=run, args=("a", docs_a)),
+        threading.Thread(target=run, args=("b", docs_b)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert results["a"] == base_a
+    assert results["b"] == base_b
+
+    # nothing leaked into the catalog
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("_corpus", "_dedup", "_llm", "_sim",
+                              "_text", "_rel", "_idx", "_annidx",
+                              "_stream", "_probe", "_sem", "_cc"))
+    ]
+    assert leaked == []
+
+
 def test_cache_clear_waits_for_inflight_build(spark):
     """clear_materialized_caches must take the slot build locks: a build
     in flight when clear is called would otherwise insert its

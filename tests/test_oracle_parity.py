@@ -125,6 +125,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_fertility",
         "dedup_containment",
         "ann_truncated_recall",
+        "ann_nprobe_recall",
         "text_line_boilerplate",
         "text_quality_prune",
         "corpus_mix_plan",

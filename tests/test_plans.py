@@ -673,6 +673,33 @@ def test_bpe_train_plan_gates(spark):
     assert not I.has_python_worker(ranking)
 
 
+def test_ann_index_codes_scan_partition_prunes(spark, tmp_path):
+    """The served IVFADC query must read the cell-partitioned codes/
+    relation with DYNAMIC partition pruning to the probed cells — the
+    property that makes a probe O(cells visited), not O(corpus), at
+    100 TB. (The narrow max-ingest_seq aggregate deliberately scans all
+    cells: it reads two small columns and must see every row.)"""
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "gate_ann")
+    write_ann_index(emb, path)
+    plan = (
+        ann_ivf_pq_from_index(spark, path, emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # codes/ is the only label-partitioned relation in this plan, so a
+    # dynamic-pruning partition filter on `label` can only be its scan
+    # (FileScan metadata truncates long tmp paths, so don't match paths)
+    assert "dynamicpruningexpression(label" in plan, plan[-3000:]
+
+
 def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     """The training loop must survive a realistic merge count: plan size
     is bounded by the localCheckpoint cadence (NOT monotonically growing

@@ -538,6 +538,7 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
         # to 1.0 — the degenerate-agreement case worth pinning
         (similarity.ann_truncated_recall, "ann_truncated_recall"),
+        (similarity.ann_nprobe_recall, "ann_nprobe_recall"),
     ]:
         ok, report = compare(fn(emb), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random vectors: {report}"
