@@ -106,6 +106,46 @@ DOC_SUITE = (
     "text_line_boilerplate",
 )
 
+#: 100x tier: ingest-only at 10 M events — the reference's own
+#: write-performance test scale (tests/write_performance_test.rs:30).
+PROBE100_DIR = os.environ.get(
+    "SPARK_GRAFT_PROBE100_DIR", "/tmp/sparkgraft_sf10"
+)
+COPIES_100X = int(os.environ.get("SPARK_GRAFT_PROBE100_COPIES", "100"))
+
+
+def build_big_events(spark, copies: int, out_dir: str) -> None:
+    """The 100x events corpus in ONE distributed job: explode a
+    copy-index per row and shift ids per copy (same shift scheme as
+    build_corpus — new apps per copy, same days get denser), written as
+    ``copies`` files for natural scan parallelism. The per-copy
+    write-loop the 10x builder uses would be ~copies sequential jobs
+    here."""
+    marker = f"{out_dir}/_COPIES"
+    if os.path.exists(marker) and open(marker).read().strip() == str(copies):
+        return
+    raw = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
+    (
+        raw.selectExpr(
+            "*", f"explode(sequence(CAST(0 AS BIGINT), {copies - 1})) AS c"
+        )
+        .selectExpr(
+            # c must be BIGINT: an INT c * 100000000 overflows under
+            # ANSI mode from copy 22 up
+            "event_id + c * 100000000 AS event_id",
+            "ts",
+            "user_id + c * 100000 AS user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(copies)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(str(copies))
+
 
 def main() -> None:
     spark = get_spark("scale-probe")
@@ -160,6 +200,27 @@ def main() -> None:
         }
     dedup_mod.clear_materialized_caches()
 
+    # 100x ingest-only data point (10 M events): pins ingest linearity
+    # two decades above the per-round benchmark. The query suite is
+    # deliberately skipped at this tier (the 10x suite above already
+    # pins query scaling; a 100x suite would triple probe wall clock
+    # for a third point on an established line).
+    ingest_100x = None
+    if os.environ.get("SPARK_GRAFT_PROBE_100X", "1") == "1":
+        build_big_events(spark, COPIES_100X, PROBE100_DIR)
+        t0 = time.perf_counter()
+        ev100 = load_events(spark, PROBE100_DIR, parallelism=cpus)
+        ev100 = ev100.drop("raw_data").persist(StorageLevel.MEMORY_AND_DISK)
+        n100 = ev100.count()
+        dt = time.perf_counter() - t0
+        ev100.unpersist()
+        ingest_100x = {
+            "n_events": n100,
+            "copies": COPIES_100X,
+            "ingest_sec": round(dt, 4),
+            "events_per_sec": round(n100 / dt, 1),
+        }
+
     # canaries (same shapes as bench.py) so drift is attributable
     t = time.perf_counter()
     spark.range(0, 200_000_000, 1, cpus).selectExpr(
@@ -184,6 +245,7 @@ def main() -> None:
         "ingest_sec": round(ingest_sec, 4),
         "events_per_sec": round(n_events / ingest_sec, 1),
         "docs10": docs10,
+        "ingest_100x": ingest_100x,
         "calib_range_sum_sec": calib_range,
         "calib_shuffle_sec": calib_shuffle,
     }

@@ -510,6 +510,34 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             rows = _rows(fn(docs).limit(self._limit(qs, 1000)))
             return self._send(200, rows)
 
+        m = re.fullmatch(
+            r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers)",
+            path,
+        )
+        if m:
+            # beyond-reference: embedding/ANN health routes served from
+            # an optional warm embeddings frame (serve(...,
+            # embeddings=...)) — the index-sizing dashboard (probe-width
+            # and truncation recall curves, dimension stats, outlier
+            # audit) next to the corpus one. Same concurrency contract
+            # as /corpus/*: every operator uses per-call scoped views.
+            emb = getattr(self.server, "embeddings", None)
+            if emb is None:
+                return self._send(
+                    404,
+                    {"error": "no embeddings frame attached to this server"},
+                )
+            from ..operators import llmprep, similarity
+
+            fn = {
+                "nprobe-recall": similarity.ann_nprobe_recall,
+                "truncated-recall": similarity.ann_truncated_recall,
+                "dim-stats": llmprep.embedding_dim_stats,
+                "outliers": llmprep.embedding_outliers,
+            }[m.group(1)]
+            rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
+            return self._send(200, rows)
+
         if path == "/api/v1/optimization/resource-hogs":
             df = catalog.top_resource_consumers(
                 self._filtered_events(qs), limit=self._limit(qs, 10)
@@ -560,6 +588,7 @@ def serve(
     port: int = 0,
     warmup: bool = True,
     documents: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -573,12 +602,20 @@ def serve(
     ``/api/v1/corpus/*`` analytics routes (profile, Gopher quality
     report, Zipf fit, source-overlap matrix, DoReMi domain weights,
     BPE tokenizer fertility, CCNet line-boilerplate report) — the
-    corpus-health dashboard next to the cluster one."""
+    corpus-health dashboard next to the cluster one.
+
+    ``embeddings`` (optional) likewise enables the ``/api/v1/ann/*``
+    embedding-health routes (nprobe recall sweep, truncated-dim recall,
+    per-dimension stats, centroid-distance outliers) — the index-sizing
+    dashboard."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:
         documents = documents.cache()
         documents.count()
+    if embeddings is not None:
+        embeddings = embeddings.cache()
+        embeddings.count()
     if warmup:
         for fn in (
             lambda ev: catalog.top_resource_consumers(ev, limit=1),
@@ -592,6 +629,7 @@ def serve(
     httpd = ThreadingHTTPServer((host, port), AnalyticsHandler)
     httpd.events = events  # type: ignore[attr-defined]
     httpd.documents = documents  # type: ignore[attr-defined]
+    httpd.embeddings = embeddings  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

@@ -87,13 +87,19 @@ GROUP BY a.vec_id, c.label
 
 
 def ann_ivf_pq_from_index(
-    spark: SparkSession, path: str, queries: DataFrame
+    spark: SparkSession, path: str, queries: DataFrame, nprobe: int = NPROBE
 ) -> DataFrame:
     """QUERY phase: IVFADC answered from the persisted index. The only
     vectors read are the QUERY vectors (asymmetric distance needs them);
     the corpus side is centroids (tiny), codebook (tiny, broadcast), and
     the code table pruned to the probed cells. Result-identical to the
-    live ``ann_ivf_pq`` operator on the same data (pinned by test)."""
+    live ``ann_ivf_pq`` operator on the same data (pinned by test).
+
+    ``nprobe`` is the serving-time recall/cost knob (default matches the
+    live operator): more cells probed = more candidates, and the codes
+    scan stays dynamically partition-pruned to exactly that many cells
+    per query (plan-gated) — ``ann_nprobe_recall`` is the offline sweep
+    that picks the value."""
     from ..functions.views import scoped_temp_view
 
     codes_df = spark.read.parquet(f"{path}/codes")
@@ -124,7 +130,7 @@ WITH probes AS (
                               ORDER BY {qc_cos} DESC, ct.label) AS crank
     FROM {qv} q JOIN {ctv} ct ON 1 = 1
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE crank <= {NPROBE}
+  ) WHERE crank <= {int(nprobe)}
 ),
 qelems AS (
   SELECT vec_id, pos AS dim,

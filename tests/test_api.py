@@ -451,6 +451,48 @@ def test_corpus_endpoints(spark):
         httpd.shutdown()
 
 
+def test_ann_endpoints(spark):
+    """Beyond-reference embedding/ANN health routes: served when an
+    embeddings frame is attached, a helpful 404 when not. The
+    nprobe-recall sweep is the probe-width tuning curve; truncated
+    recall the storage-sizing one."""
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    ev = load_events(spark, SF_SMALL)
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    httpd = serve(ev, warmup=False, embeddings=emb)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, sweep = _get(base, "/api/v1/ann/nprobe-recall")
+        assert code == 200 and len(sweep) >= 3
+        assert {"nprobe", "query_id", "recall_at_k"} <= set(sweep[0])
+        assert sorted({r["nprobe"] for r in sweep}) == [1, 2, 3]
+        code, trunc = _get(base, "/api/v1/ann/truncated-recall")
+        assert code == 200 and all(0.0 <= r["recall_at_k"] <= 1.0 for r in trunc)
+        code, dims = _get(base, "/api/v1/ann/dim-stats?limit=4")
+        assert code == 200 and 0 < len(dims) <= 4
+        code, outl = _get(base, "/api/v1/ann/outliers?limit=5")
+        assert code == 200 and len(outl) <= 5
+        # no documents frame → corpus routes still 404 with the hint
+        code, err = _get(base, "/api/v1/corpus/zipf")
+        assert code == 404 and "documents" in err["error"]
+    finally:
+        httpd.shutdown()
+
+    # events-only server: ann routes 404 with the hint
+    httpd2 = serve(ev, warmup=False)
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+    try:
+        code, err = _get(base2, "/api/v1/ann/nprobe-recall")
+        assert code == 404 and "embeddings" in err["error"]
+    finally:
+        httpd2.shutdown()
+
+
 def test_corpus_routes_concurrent(spark):
     """Round-6 de-serialization (VERDICT #4): different corpus endpoints
     in flight simultaneously return correct results with no global lock

@@ -699,6 +699,25 @@ def test_ann_index_codes_scan_partition_prunes(spark, tmp_path):
     # (FileScan metadata truncates long tmp paths, so don't match paths)
     assert "dynamicpruningexpression(label" in plan, plan[-3000:]
 
+    # the serving-time nprobe knob: pruning survives any width, and a
+    # wider probe can only ADD probed cells per query
+    plan1 = (
+        ann_ivf_pq_from_index(spark, path, emb, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression(label" in plan1
+    cells_1 = {
+        (r.query_id, r.probed_label)
+        for r in ann_ivf_pq_from_index(spark, path, emb, nprobe=1).collect()
+    }
+    cells_3 = {
+        (r.query_id, r.probed_label)
+        for r in ann_ivf_pq_from_index(spark, path, emb, nprobe=3).collect()
+    }
+    assert {c[1] for c in cells_1} <= {c[1] for c in cells_3}
+
 
 def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     """The training loop must survive a realistic merge count: plan size
