@@ -136,7 +136,8 @@ _ROTATED_RELATIONAL = (
     "corpus_chunk_documents",
     # similarity surface (scoped emb views, templated PQ unnest)
     "ann_ivf_pq",
-    "ann_cosine_topk",
+    # new this round → first driver row (cross-table cluster × source)
+    "corpus_semantic_source_mix",
 )
 
 
@@ -266,6 +267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
+        # cross-table: semantic cluster (embeddings) × provenance (docs)
+        "corpus_semantic_source_mix": lambda spark, sf_dir: (
+            llmprep.semantic_source_mix(
+                load_table(spark, sf_dir, "documents"),
+                load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
         "embedding_outliers": _e(llmprep.embedding_outliers),
         "corpus_chunk_documents": _d(llmprep.chunk_documents),
         "corpus_bpe_merge_step": _d(llmprep.bpe_merge_step),

@@ -162,7 +162,8 @@ def main() -> None:
         ("corpus_bpe_fertility", llmprep.bpe_fertility, docs),
         ("dedup_containment", dedup.containment_pairs, docs),
         ("ann_truncated_recall", similarity.ann_truncated_recall, emb),
-        # round-9 batch (nprobe sweep)
+        # round-9 batch (nprobe sweep; cluster × source mix is
+        # cross-table, timed below with the events-SQL ops)
         ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),
         ("text_line_boilerplate", textprep.line_boilerplate, docs),
         ("text_quality_prune", textprep.quality_prune, docs),
@@ -202,6 +203,19 @@ def main() -> None:
     # round-6 events-SQL ops take (spark, sf_dir) — they scan the raw
     # events parquet per run (the realistic serving shape for these)
     from spark_history_server_rs_spark.operators import relational
+
+    # cross-table op (documents × embeddings): timed through its
+    # registry callable like the events-SQL shapes below
+    from __spark_entry__ import queries as _entry_queries
+
+    _mix_fn = _entry_queries()["corpus_semantic_source_mix"]
+    _mix_fn(spark, sf_dir).collect()
+    warm = []
+    for _ in range(3):
+        t = time.perf_counter()
+        _mix_fn(spark, sf_dir).collect()
+        warm.append(time.perf_counter() - t)
+    extended["corpus_semantic_source_mix"] = round(min(warm), 4)
 
     for name in (
         "funnel_conversion",

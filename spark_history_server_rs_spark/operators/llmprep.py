@@ -400,7 +400,13 @@ def _bpe_word_table(docs: DataFrame) -> DataFrame:
 # ~10 Spark jobs. Invalidated by dedup.clear_materialized_caches()
 # (registered clearer below) — same contract as every derived cache.
 _BPE_MERGE_CACHE: dict[int, list[tuple[int, str, str, int]]] = {}
+# dict guard + one build lock per input key (the _materialized_df
+# pattern): two callers training the SAME corpus single-flight, but a
+# multi-job training run no longer serializes callers on a DIFFERENT
+# corpus — the global-lock shape made a cold /corpus/fertility block
+# every other BPE caller for the whole run
 _BPE_MERGE_LOCK = _threading.Lock()
+_BPE_KEY_LOCKS: dict[int, _threading.Lock] = {}
 
 
 #: lineage-truncation cadence for the training loop: the rewritten word
@@ -457,16 +463,32 @@ def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
     with _BPE_MERGE_LOCK:
         if key in _BPE_MERGE_CACHE:
             return _BPE_MERGE_CACHE[key]
+        lock = _BPE_KEY_LOCKS.setdefault(key, _threading.Lock())
+    with lock:
+        # double-check: the loser of a same-corpus race finds the
+        # winner's result here instead of retraining
+        with _BPE_MERGE_LOCK:
+            if key in _BPE_MERGE_CACHE:
+                return _BPE_MERGE_CACHE[key]
         merges = _train_merges(docs, BPE_TRAIN_MERGES)
-        _BPE_MERGE_CACHE.clear()  # one corpus at a time (same as _SHINGLE_CACHE)
-        _BPE_MERGE_CACHE[key] = merges
+        with _BPE_MERGE_LOCK:
+            _BPE_MERGE_CACHE.clear()  # one corpus at a time (same as _SHINGLE_CACHE)
+            _BPE_MERGE_CACHE[key] = merges
         return merges
 
 
 def _clear_bpe_cache() -> None:
-    # takes the build lock: a clear racing an in-flight training run must
-    # wait for it and evict its (stale-input) result, not return early —
-    # the same contract clear_materialized_caches keeps for slot locks
+    # takes every key's build lock, not just the dict guard: a clear
+    # racing an in-flight training run must WAIT for it and evict its
+    # (stale-input) result, not return early — the same contract
+    # clear_materialized_caches keeps for slot locks
+    with _BPE_MERGE_LOCK:
+        key_locks = list(_BPE_KEY_LOCKS.items())
+    for _key, lock in key_locks:
+        with lock:
+            with _BPE_MERGE_LOCK:
+                _BPE_MERGE_CACHE.pop(_key, None)
+    # entries whose key lock appeared after the snapshot
     with _BPE_MERGE_LOCK:
         _BPE_MERGE_CACHE.clear()
 
@@ -1536,6 +1558,85 @@ ORACLE_SEMANTIC_DEDUP = (
 
 
 # ==========================================================================
+# L9b — semantic cluster × source composition (cluster-balance audit)
+# ==========================================================================
+#: The curation question SemDeDup/DCLM-style pipelines ask after
+#: clustering: is any semantic cluster dominated by one source? A topic
+#: owned by a single crawl domain is a contamination/bias risk the
+#: per-source token counts can't see (they ignore topic structure) and
+#: the per-cluster sizes can't see (they ignore provenance). One row per
+#: (cluster, source): doc count, token mass, share of the cluster.
+#: Engine-shared tail; cluster assignment reuses L9's seed-centroid
+#: CTEs. NULL source is a real group (GROUP BY keeps it identically in
+#: both engines); ordering pins NULLS FIRST explicitly because the
+#: engines' defaults differ.
+_SEM_MIX_TAIL = """
+joined AS (
+  SELECT a.centroid_id, d.source, {toksz} AS n_tokens
+  FROM assigned_ids a JOIN {docsrc} d ON d.doc_id = a.vec_id
+),
+per_cell AS (
+  SELECT centroid_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM joined GROUP BY centroid_id, source
+),
+per_cluster AS (
+  SELECT centroid_id, CAST(SUM(n_docs) AS BIGINT) AS cluster_docs
+  FROM per_cell GROUP BY centroid_id
+)
+SELECT c.centroid_id, c.source, c.n_docs, c.n_tokens,
+       FLOOR((CAST(c.n_docs AS DOUBLE) / t.cluster_docs) * 10000.0 + 0.5)
+         / CAST(100.0 AS DOUBLE) AS share_pct
+FROM per_cell c JOIN per_cluster t ON c.centroid_id = t.centroid_id
+ORDER BY c.centroid_id, c.source NULLS FIRST
+"""
+
+
+def semantic_source_mix(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """L9b: per-(semantic cluster, source) composition — every vector
+    assigned to its nearest of the {k} deterministic seed centroids
+    (L9's quantizer), joined to its document's provenance, aggregated to
+    (cluster, source) cells with each cell's share of its cluster.
+
+    Scale shape: the centroid side is {k} rows (broadcast at any corpus
+    size); the only wide exchanges key on vec_id/doc_id and then the
+    (cluster, source)-bounded cells; shares come from a #clusters-row
+    aggregate joined back (broadcast) — no windows over data-sized
+    relations, embeddings never read after assignment, text reduced to
+    a token count in the same scan that joins it.""".format(k=KMEANS_K)
+    spark = emb.sparkSession
+    from ..functions.views import scoped_temp_view
+
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev, scoped_temp_view(docs, "_llm_docs") as dv:
+        return spark.sql(
+            "WITH normed AS (SELECT vec_id,"
+            f" transform(embedding, x -> CASE WHEN {_NORM_SPARK} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) / {_NORM_SPARK} END) AS nv"
+            f" FROM {ev}),\n"
+            + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot=_DOT_SPARK)
+            + ",\n"
+            + _SEM_MIX_TAIL.format(
+                toksz=f"size({_TOKENS_SPARK})", docsrc=dv
+            )
+        )
+
+
+ORACLE_SEMANTIC_SOURCE_MIX = (
+    "WITH normed AS (SELECT vec_id,"
+    " list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) END) AS nv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)),\n"
+    + _SEM_ASSIGN_CTES.format(k=KMEANS_K, dot="list_dot_product(n.nv, c.cv)")
+    + ",\n"
+    + _SEM_MIX_TAIL.format(toksz=f"len({_TOKENS_DUCK})", docsrc="documents")
+)
+
+
+# ==========================================================================
 # L10 — training manifest (the end-to-end keep/drop decision)
 # ==========================================================================
 def training_manifest(docs: DataFrame) -> DataFrame:
@@ -1896,4 +1997,5 @@ ORACLE_SQL_LLMPREP = {
     "embedding_kmeans_step": ORACLE_KMEANS_STEP,
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
 }

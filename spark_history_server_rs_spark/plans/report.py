@@ -71,6 +71,8 @@ SELECTED = [
     ("dedup_cluster_stats", "cluster labels folded to a one-row audit"),
     # round-9 batch
     ("ann_nprobe_recall", "one-pass nprobe sweep: crank filters over one candidate scan"),
+    ("corpus_semantic_source_mix",
+     "broadcast centroids → (cluster, source)-bounded cells, no data windows"),
 ]
 
 

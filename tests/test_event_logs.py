@@ -1472,6 +1472,51 @@ def test_two_pipelines_one_session_no_cross_registration(spark, tmp_path):
     assert leaked == []
 
 
+def test_bpe_concurrent_corpora_train_correctly(spark):
+    """BPE training no longer holds one global lock across its multi-job
+    run: two threads training DIFFERENT corpora concurrently both get
+    the same merges a serial run produces (per-key build locks; the
+    one-corpus-at-a-time cache eviction stays correct — at worst a
+    retrain, never a wrong result)."""
+    import threading
+
+    from spark_history_server_rs_spark.operators import llmprep
+
+    docs_a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs_b = docs_a.selectExpr(
+        "doc_id", "regexp_replace(text, '(^| )', '$1qq') AS text",
+        "lang", "source", "n_chars",
+    )
+    llmprep._clear_bpe_cache()
+    serial_a = [tuple(r) for r in llmprep.bpe_train(docs_a).collect()]
+    llmprep._clear_bpe_cache()
+    serial_b = [tuple(r) for r in llmprep.bpe_train(docs_b).collect()]
+    assert serial_a != serial_b  # honest fixture
+    llmprep._clear_bpe_cache()
+
+    results: dict[str, list] = {}
+    errors: list = []
+
+    def run(tag, docs):
+        try:
+            results[tag] = [tuple(r) for r in llmprep.bpe_train(docs).collect()]
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append((tag, e))
+
+    ts = [
+        threading.Thread(target=run, args=("a", docs_a)),
+        threading.Thread(target=run, args=("b", docs_b)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    llmprep._clear_bpe_cache()
+    assert not errors, errors
+    assert results["a"] == serial_a
+    assert results["b"] == serial_b
+
+
 def test_cache_clear_waits_for_inflight_build(spark):
     """clear_materialized_caches must take the slot build locks: a build
     in flight when clear is called would otherwise insert its

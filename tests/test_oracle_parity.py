@@ -126,6 +126,7 @@ def test_entry_smoke(spark):
         "dedup_containment",
         "ann_truncated_recall",
         "ann_nprobe_recall",
+        "corpus_semantic_source_mix",
         "text_line_boilerplate",
         "text_quality_prune",
         "corpus_mix_plan",
