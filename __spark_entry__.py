@@ -77,9 +77,11 @@ _SENTINELS = (
     "text_fingerprints",
     # new this round → first driver row (one-pass nprobe sweep)
     "ann_nprobe_recall",
-    # training loop rewritten this round (bounded-lineage anchor chain)
+    # training loop rewritten this round (bounded-lineage anchor chain);
+    # bpe_encode is new (first driver row)
     "corpus_bpe_train",
     "corpus_bpe_fertility",
+    "corpus_bpe_encode",
 )
 
 # Round-7 re-checks: the scoped-view migration touched ~60 operators'
@@ -129,7 +131,8 @@ _ROTATED_RELATIONAL = (
     # assigned relation moved to _materialized_df)
     "corpus_contamination",
     "corpus_pack_sequences",
-    "corpus_pack_sequences_sharded",
+    # pack_sequences_sharded displaced to 51+ (shares pack_sequences'
+    # migrated tail; rotate r08)
     "embedding_semantic_dedup",
     "embedding_kmeans_step",
     "embedding_dim_stats",
@@ -279,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merge_step": _d(llmprep.bpe_merge_step),
         "corpus_bpe_train": _d(llmprep.bpe_train),
         "corpus_bpe_fertility": _d(llmprep.bpe_fertility),
+        "corpus_bpe_encode": _d(llmprep.bpe_encode),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

@@ -160,6 +160,7 @@ def main() -> None:
         ("corpus_bpe_merge_step", llmprep.bpe_merge_step, docs),
         ("corpus_bpe_train", llmprep.bpe_train, docs),
         ("corpus_bpe_fertility", llmprep.bpe_fertility, docs),
+        ("corpus_bpe_encode", llmprep.bpe_encode, docs),
         ("dedup_containment", dedup.containment_pairs, docs),
         ("ann_truncated_recall", similarity.ann_truncated_recall, emb),
         # round-9 batch (nprobe sweep; cluster × source mix is
@@ -178,7 +179,9 @@ def main() -> None:
         # the BPE ops cache learned merges per input plan — without a
         # clear per run, the timed runs would measure a dict hit and a
         # regression in the actual training loop would be invisible
-        is_bpe_training = name in ("corpus_bpe_train", "corpus_bpe_fertility")
+        is_bpe_training = name in (
+            "corpus_bpe_train", "corpus_bpe_fertility", "corpus_bpe_encode"
+        )
         if is_bpe_training:
             llmprep._clear_bpe_cache()
         fn(src).collect()  # codegen warmup

@@ -683,6 +683,73 @@ ORDER BY t.source
 )
 
 
+def bpe_encode(docs: DataFrame) -> DataFrame:
+    """L2e: the tokenizer APPLIED — per-document subword token count
+    under L2c's trained merges, with the doc's expansion ratio. This is
+    the number every budget decision actually needs (context packing,
+    epoch sizing, per-source cost) — whitespace counts under-estimate it
+    by exactly the fertility factor, non-uniformly across documents.
+
+    Scale shape: same as L2d with the final aggregate keyed by doc_id
+    instead of source — merges applied to the DISTINCT-word relation
+    only (vocabulary-sized), per-(doc, word) occurrence counts aggregate
+    BEFORE the vocab join (no hot-word fan-out), then one doc_id
+    re-aggregate. Token-less documents emit no row (no words to
+    encode), identically in both engines."""
+    merges = [m[1] for m in _learned_merges(docs)]
+    vocab = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("word")).distinct()
+    col = F.concat(F.regexp_replace("word", "(?s)(.)", "$1 "), F.lit("</w>"))
+    for pair in merges:
+        col = _merge_apply_expr(col, pair)
+    wn = vocab.select("word", F.size(F.split(col, " ")).alias("n_sub"))
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("word"))
+    return (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+        .join(wn, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sub")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.floor(
+                    (F.col("n_bpe_tokens").cast("double") / F.col("n_words"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("expansion"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BPE_ENCODE = (
+    "WITH "
+    + ",\n".join(_bpe_chain_parts(BPE_TRAIN_MERGES, final_merge=True))
+    + f""",
+final AS (SELECT word, len(string_split(sym, ' ')) AS n_sub
+          FROM wt{BPE_TRAIN_MERGES}),
+tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS word FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(f.n_sub) AS BIGINT) AS n_bpe_tokens,
+       FLOOR((CAST(SUM(f.n_sub) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS expansion
+FROM tok t JOIN final f ON t.word = f.word
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+)
+
+
 # ==========================================================================
 # L3 — sequence packing (contiguous-greedy bins per language)
 # ==========================================================================
@@ -1998,4 +2065,5 @@ ORACLE_SQL_LLMPREP = {
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
+    "corpus_bpe_encode": ORACLE_BPE_ENCODE,
 }

@@ -73,6 +73,8 @@ SELECTED = [
     ("ann_nprobe_recall", "one-pass nprobe sweep: crank filters over one candidate scan"),
     ("corpus_semantic_source_mix",
      "broadcast centroids → (cluster, source)-bounded cells, no data windows"),
+    ("corpus_bpe_encode",
+     "merges on DISTINCT words; (doc, word) aggregates before the vocab join"),
 ]
 
 

@@ -127,6 +127,7 @@ def test_entry_smoke(spark):
         "ann_truncated_recall",
         "ann_nprobe_recall",
         "corpus_semantic_source_mix",
+        "corpus_bpe_encode",
         "text_line_boilerplate",
         "text_quality_prune",
         "corpus_mix_plan",

@@ -438,6 +438,7 @@ def test_bpe_and_source_overlap_adversarial_match_oracle(
         (llmprep.bpe_merge_step, "corpus_bpe_merge_step"),
         (llmprep.bpe_train, "corpus_bpe_train"),
         (llmprep.bpe_fertility, "corpus_bpe_fertility"),
+        (llmprep.bpe_encode, "corpus_bpe_encode"),
         (dedup.containment_pairs, "dedup_containment"),
         (corpus.source_overlap, "corpus_source_overlap"),
         (corpus.span_leakage, "corpus_span_leakage"),
