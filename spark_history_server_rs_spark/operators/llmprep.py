@@ -1645,7 +1645,12 @@ joined AS (
 per_cell AS (
   SELECT centroid_id, source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         -- COALESCE: a cell whose every doc has NULL text sums to NULL
+         -- (SUM skips NULL rows; a NULL-text doc contributes 0 tokens
+         -- semantically) — and a nullable BIGINT would also come back
+         -- float64 through the driver's pandas path (hash-class pinned
+         -- by test_no_float_canonicalization_of_integral_columns)
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
   FROM joined GROUP BY centroid_id, source
 ),
 per_cluster AS (
@@ -1673,8 +1678,6 @@ def semantic_source_mix(docs: DataFrame, emb: DataFrame) -> DataFrame:
     relations, embeddings never read after assignment, text reduced to
     a token count in the same scan that joins it.""".format(k=KMEANS_K)
     spark = emb.sparkSession
-    from ..functions.views import scoped_temp_view
-
     with scoped_temp_view(
         emb.where("embedding IS NOT NULL"), "_llm_emb"
     ) as ev, scoped_temp_view(docs, "_llm_docs") as dv:

@@ -222,3 +222,43 @@ def test_entire_registry_survives_null_bearing_corpus(
         dedup.clear_materialized_caches()
         con.close()
     assert failures == []
+
+
+def test_semantic_source_mix_all_null_text_source(spark, tmp_path):
+    """L9b with one source whose EVERY document has NULL text: the
+    (cluster, source) token sum would be NULL (SUM skips NULL rows) —
+    semantically 0 tokens, and a nullable BIGINT would round-trip as
+    float64 through the driver's pandas path (the r04 hash class). The
+    COALESCE sentinel pins both: still oracle-identical, and the
+    affected cells report 0."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_history_server_rs_spark.testing import open_oracle
+
+    d = str(tmp_path)
+    for f in os.listdir("/root/testdata/sf0.001"):
+        shutil.copy(os.path.join("/root/testdata/sf0.001", f), d)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nulled = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN source = 'src1' THEN NULL ELSE text END AS text",
+        "lang", "source", "n_chars",
+    ).toPandas()
+    os.remove(os.path.join(d, "documents.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(nulled), os.path.join(d, "documents.parquet")
+    )
+    name = "corpus_semantic_source_mix"
+    con = open_oracle(d)
+    try:
+        df = QUERIES[name](spark, d)
+        ok, rep = compare(df, con, ORACLES[name])
+        assert ok, rep
+        hit = [r for r in df.collect() if r.source == "src1"]
+        assert hit and all(r.n_tokens == 0 for r in hit)
+    finally:
+        con.close()
