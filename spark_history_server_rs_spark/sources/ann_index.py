@@ -311,6 +311,26 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
     )
 
 
+def refresh_ann_index_manifest(spark: SparkSession, path: str) -> None:
+    """Write/refresh the S14 integrity manifest (per-relation row count
+    + order-independent content hash — see ``index_manifest``); the
+    array-typed centroid/codebook rows hash via their deterministic
+    JSON serialization. :func:`compact_ann_index` refreshes an existing
+    manifest automatically."""
+    from .index_manifest import ANN_INDEX_RELATIONS, refresh_index_manifest
+
+    refresh_index_manifest(spark, path, ANN_INDEX_RELATIONS)
+
+
+def validate_ann_index(spark: SparkSession, path: str) -> DataFrame:
+    """Diff the on-disk index relations against the manifest — 0 rows =
+    intact. Detection only: the repair is re-running
+    :func:`write_ann_index` (or the streaming re-encode for codes)."""
+    from .index_manifest import ANN_INDEX_RELATIONS, validate_index
+
+    return validate_index(spark, path, ANN_INDEX_RELATIONS)
+
+
 def compact_ann_index(spark: SparkSession, path: str) -> dict:
     """Periodic compaction of the streamed code relation — the same
     exactly-once repair as ``compact_dedup_index`` (shared swap helper):
@@ -348,5 +368,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     rows_after = compact_relation_swap(
         spark, latest.distinct(), src, "label", sort_cols=cols
     )
+    from .dedup_index import _manifest_exists
+
+    if _manifest_exists(spark, path):
+        refresh_ann_index_manifest(spark, path)
     return {"relation": "codes", "rows_before": rows_before,
             "rows_after": rows_after}

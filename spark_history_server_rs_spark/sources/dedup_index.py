@@ -180,6 +180,33 @@ _INDEX_RELATIONS = (
 )
 
 
+def refresh_dedup_index_manifest(spark: SparkSession, path: str) -> None:
+    """Write/refresh the S13 integrity manifest (per-relation row count
+    + order-independent content hash — see ``index_manifest``). Run
+    after :func:`write_dedup_index` and after each maintenance slot;
+    :func:`compact_dedup_index` refreshes it automatically when one
+    exists."""
+    from .index_manifest import DEDUP_INDEX_RELATIONS, refresh_index_manifest
+
+    refresh_index_manifest(spark, path, DEDUP_INDEX_RELATIONS)
+
+
+def validate_dedup_index(spark: SparkSession, path: str) -> DataFrame:
+    """Diff the on-disk index relations against the manifest — 0 rows =
+    intact. Detection only: the index is re-derivable, so the repair for
+    a flagged relation is re-running :func:`write_dedup_index`."""
+    from .index_manifest import DEDUP_INDEX_RELATIONS, validate_index
+
+    return validate_index(spark, path, DEDUP_INDEX_RELATIONS)
+
+
+def _manifest_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
+    return p.getFileSystem(conf).exists(p)
+
+
 def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
     """Periodic DISTINCT compaction of the durable dedup index.
 
@@ -215,6 +242,11 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
         stats.append(
             {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
         )
+    # a compaction that changed the relations must leave an EXISTING
+    # manifest attesting the new state (same contract as the shard
+    # sink's compactor); manifest-less legacy layouts stay manifest-less
+    if _manifest_exists(spark, path):
+        refresh_dedup_index_manifest(spark, path)
     return stats
 
 

@@ -1601,6 +1601,72 @@ def test_minhash_probe_index_incremental(spark, tmp_path):
     assert probe_again == expected
 
 
+def test_index_manifests_validate_and_flag_tampering(spark, tmp_path):
+    """S13/S14 integrity manifests (the index twin of the shard sink's
+    self-verification): batch index + refreshed manifest validates
+    clean; deleting a partition/relation is FLAGGED naming the relation;
+    compaction refreshes an existing manifest so validation is clean
+    immediately after the maintenance slot."""
+    import shutil
+    import os
+
+    from spark_history_server_rs_spark.sources.ann_index import (
+        refresh_ann_index_manifest,
+        validate_ann_index,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        compact_dedup_index,
+        refresh_dedup_index_manifest,
+        validate_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dpath = str(tmp_path / "m_dedup")
+    write_dedup_index(docs, dpath)
+    refresh_dedup_index_manifest(spark, dpath)
+    assert validate_dedup_index(spark, dpath).count() == 0
+
+    # at-least-once retry duplicates → manifest drift flagged, then the
+    # compactor both repairs AND refreshes the manifest
+    dup = spark.read.parquet(f"{dpath}/passages").cache()
+    dup.count()
+    dup.write.mode("append").parquet(f"{dpath}/passages")
+    dup.unpersist()
+    bad = validate_dedup_index(spark, dpath).collect()
+    assert [r.relation for r in bad] == ["passages"]
+    assert bad[0].actual_rows == 2 * bad[0].manifest_rows
+    compact_dedup_index(spark, dpath)
+    assert validate_dedup_index(spark, dpath).count() == 0
+
+    # hard tampering: a band partition vanishes
+    victim = sorted(
+        x
+        for x in os.listdir(f"{dpath}/band_keys")
+        if x.startswith("band_idx=")
+    )[0]
+    shutil.rmtree(f"{dpath}/band_keys/{victim}")
+    bad = validate_dedup_index(spark, dpath).collect()
+    assert [r.relation for r in bad] == ["band_keys"]
+    assert bad[0].actual_rows < bad[0].manifest_rows
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    apath = str(tmp_path / "m_ann")
+    write_ann_index(emb, apath)
+    refresh_ann_index_manifest(spark, apath)
+    assert validate_ann_index(spark, apath).count() == 0
+    # corrupt the codebook (overwrite with a truncated copy)
+    cb = spark.read.parquet(f"{apath}/codebook").limit(3).cache()
+    cb.count()
+    cb.write.mode("overwrite").parquet(f"{apath}/codebook__x")
+    shutil.rmtree(f"{apath}/codebook")
+    os.rename(f"{apath}/codebook__x", f"{apath}/codebook")
+    cb.unpersist()
+    bad = validate_ann_index(spark, apath).collect()
+    assert [r.relation for r in bad] == ["codebook"]
+
+
 def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
     """compact_dedup_index: a duplicate-appended index (at-least-once
     retry simulation) compacts back to the DISTINCT key sets, the
