@@ -34,6 +34,23 @@ BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/sparkgraft_sf1")
 COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
 
+#: bump when a builder's OUTPUT changes: the marker content includes it,
+#: so a probe dir built by older code is rebuilt instead of silently
+#: reused (v2: docs corpus recomputes n_chars from the rewritten text)
+_BUILDER_VERSION = "v2"
+
+
+def _marker_ok(marker: str, copies: int) -> bool:
+    return (
+        os.path.exists(marker)
+        and open(marker).read().strip() == f"{copies}:{_BUILDER_VERSION}"
+    )
+
+
+def _write_marker(marker: str, copies: int) -> None:
+    with open(marker, "w") as f:
+        f.write(f"{copies}:{_BUILDER_VERSION}")
+
 
 def build_corpus(spark) -> None:
     """Replicate the base events table COPIES times with shifted ids.
@@ -46,7 +63,7 @@ def build_corpus(spark) -> None:
     # different COPIES invalidates it (a per-COPIES marker name would
     # leave stale markers that silently reuse a smaller corpus)
     marker = f"{PROBE_DIR}/_COPIES"
-    if os.path.exists(marker) and open(marker).read().strip() == str(COPIES):
+    if _marker_ok(marker, COPIES):
         return
     raw = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
     for c in range(COPIES):
@@ -63,8 +80,7 @@ def build_corpus(spark) -> None:
             .write.mode("overwrite" if c == 0 else "append")
             .parquet(f"{PROBE_DIR}/events.parquet")
         )
-    with open(marker, "w") as f:
-        f.write(str(COPIES))
+    _write_marker(marker, COPIES)
 
 
 def build_docs_corpus(spark) -> None:
@@ -75,7 +91,7 @@ def build_docs_corpus(spark) -> None:
     pathological everything-is-a-dup corpus where output size, not
     scan/join scaling, dominates)."""
     marker = f"{PROBE_DIR}/_DOC_COPIES"
-    if os.path.exists(marker) and open(marker).read().strip() == str(COPIES):
+    if _marker_ok(marker, COPIES):
         return
     raw = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
     for c in range(COPIES):
@@ -94,8 +110,7 @@ def build_docs_corpus(spark) -> None:
             .write.mode("overwrite" if c == 0 else "append")
             .parquet(f"{PROBE_DIR}/documents.parquet")
         )
-    with open(marker, "w") as f:
-        f.write(str(COPIES))
+    _write_marker(marker, COPIES)
 
 
 DOC_SUITE = (
@@ -122,7 +137,7 @@ def build_big_events(spark, copies: int, out_dir: str) -> None:
     write-loop the 10x builder uses would be ~copies sequential jobs
     here."""
     marker = f"{out_dir}/_COPIES"
-    if os.path.exists(marker) and open(marker).read().strip() == str(copies):
+    if _marker_ok(marker, copies):
         return
     raw = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
     (
@@ -143,8 +158,7 @@ def build_big_events(spark, copies: int, out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out_dir}/events.parquet")
     )
-    with open(marker, "w") as f:
-        f.write(str(copies))
+    _write_marker(marker, copies)
 
 
 def main() -> None:

@@ -106,8 +106,13 @@ SELECT DISTINCT doc_id, shingle FROM (
 _SHINGLE_CACHE: dict[str, tuple[int, DataFrame]] = {}
 # cache-dict guard + one build lock per slot: a double cache miss from
 # two REST threads must build once, not twice (the loser's persist would
-# leak and clobber the winner's entry). Slot locks are only ever taken
-# AFTER releasing _CACHE_LOCK — no nesting, no ordering deadlock.
+# leak and clobber the winner's entry). Slot locks are only taken AFTER
+# releasing _CACHE_LOCK. Slot locks DO nest — a derived-relation build
+# (bandkv, sigs, labels) calls shingles_cte and so acquires the
+# _dedup_shingles lock while holding its own — but every nesting points
+# ONE WAY, toward the shingle base. Keep it that way: a builder that
+# holds the shingle lock must never call another cached builder, or two
+# REST threads deadlock.
 _CACHE_LOCK = _threading.Lock()
 _SLOT_LOCKS: dict[str, _threading.Lock] = {}
 

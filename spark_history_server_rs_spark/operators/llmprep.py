@@ -423,6 +423,24 @@ _BPE_KEY_LOCKS: dict[int, _threading.Lock] = {}
 BPE_CHECKPOINT_EVERY = 16
 
 
+def _retire_anchor(df: DataFrame) -> None:
+    """Free a retired anchor's storage NOW. ``Dataset.unpersist()`` is a
+    no-op for a localCheckpoint'ed dataset — its blocks belong to the
+    checkpointed RDD, not the CacheManager — so retired checkpoint
+    anchors would otherwise linger until JVM GC + ContextCleaner reap
+    them (measured: 2 dead vocab-sized RDDs still cached after a k=64
+    run; ~2000 would accumulate at a production k). Reaches through the
+    LogicalRDD plan node for the backing RDD; internal API, so failures
+    fall back to the (lazy but correct) ContextCleaner path."""
+    df.unpersist()  # the plain-persist case (the initial word table)
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # ContextCleaner fallback
+
+
 def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     """The k-iteration training loop body (uncached — callers hold the
     cache lock). Bounded-lineage by construction (see
@@ -450,12 +468,12 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
             )
             if rank % BPE_CHECKPOINT_EVERY == 0:
                 merged = merged.localCheckpoint(eager=True)
-                anchor.unpersist()
+                _retire_anchor(anchor)
                 anchor = merged
             wt = merged
         return merges
     finally:
-        anchor.unpersist()
+        _retire_anchor(anchor)
 
 
 def _learned_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
@@ -481,16 +499,25 @@ def _clear_bpe_cache() -> None:
     # takes every key's build lock, not just the dict guard: a clear
     # racing an in-flight training run must WAIT for it and evict its
     # (stale-input) result, not return early — the same contract
-    # clear_materialized_caches keeps for slot locks
-    with _BPE_MERGE_LOCK:
-        key_locks = list(_BPE_KEY_LOCKS.items())
-    for _key, lock in key_locks:
-        with lock:
-            with _BPE_MERGE_LOCK:
-                _BPE_MERGE_CACHE.pop(_key, None)
-    # entries whose key lock appeared after the snapshot
-    with _BPE_MERGE_LOCK:
-        _BPE_MERGE_CACHE.clear()
+    # clear_materialized_caches keeps for slot locks. Loops until no
+    # UNSEEN key lock remains: a trainer registers its lock (under the
+    # dict guard) before reading any data, so any run whose input could
+    # predate this clear is visible to some iteration and waited out;
+    # a single snapshot would miss locks registered just after it.
+    seen: set[int] = set()
+    while True:
+        with _BPE_MERGE_LOCK:
+            pending = [
+                (k, lk) for k, lk in _BPE_KEY_LOCKS.items() if k not in seen
+            ]
+            if not pending:
+                _BPE_MERGE_CACHE.clear()
+                return
+        for k, lk in pending:
+            seen.add(k)
+            with lk:
+                with _BPE_MERGE_LOCK:
+                    _BPE_MERGE_CACHE.pop(k, None)
 
 
 def _register_bpe_clearer() -> None:

@@ -368,9 +368,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     rows_after = compact_relation_swap(
         spark, latest.distinct(), src, "label", sort_cols=cols
     )
-    from .dedup_index import _manifest_exists
+    from .index_manifest import path_exists
 
-    if _manifest_exists(spark, path):
+    if path_exists(spark, f"{path}/manifest"):
         refresh_ann_index_manifest(spark, path)
     return {"relation": "codes", "rows_before": rows_before,
             "rows_after": rows_after}

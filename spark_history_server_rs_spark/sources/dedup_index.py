@@ -201,10 +201,9 @@ def validate_dedup_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _manifest_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
-    return p.getFileSystem(conf).exists(p)
+    from .index_manifest import path_exists
+
+    return path_exists(spark, f"{path}/manifest")
 
 
 def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:

@@ -37,6 +37,14 @@ DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages")
 ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes")
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """FileSystem existence check (works for file://, hdfs://, s3a://)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def _relation_stats(spark: SparkSession, path: str, rel: str) -> DataFrame:
     df = spark.read.parquet(f"{path}/{rel}")
     # sort column names: partition columns (band_idx, label) come back
@@ -73,11 +81,19 @@ def validate_index(
     discrepancy relation — 0 rows = intact; each row names the relation
     and which of (rows, content) moved. A relation present only on one
     side reports NULLs on the other (same shape as the shard
-    validator)."""
+    validator) — including a relation directory that has VANISHED
+    entirely, the bluntest corruption this validator exists to report
+    (it must flag that, not crash on the read)."""
     actual = None
     for rel in relations:
+        if not path_exists(spark, f"{path}/{rel}"):
+            continue  # manifest side reports it with NULL actuals
         stats = _relation_stats(spark, path, rel)
         actual = stats if actual is None else actual.unionByName(stats)
+    if actual is None:
+        actual = spark.createDataFrame(
+            [], "relation string, n_rows long, content_hash decimal(38,0)"
+        )
     actual = actual.alias("a")
     manifest = spark.read.parquet(f"{path}/manifest").alias("m")
     joined = actual.join(

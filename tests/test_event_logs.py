@@ -1461,13 +1461,20 @@ def test_two_pipelines_one_session_no_cross_registration(spark, tmp_path):
     assert results["a"] == base_a
     assert results["b"] == base_b
 
-    # nothing leaked into the catalog
+    # nothing leaked into the catalog: scoped views carry a 32-hex
+    # uuid suffix — match the PATTERN, not a prefix list that silently
+    # goes stale as operators gain new prefixes (_overlap/_doremi/_mix
+    # were missing from the first version of this check)
+    import re as _re
+
     leaked = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith(("_corpus", "_dedup", "_llm", "_sim",
+        if _re.fullmatch(r"_.*_[0-9a-f]{32}", t.name)
+        or t.name.startswith(("_corpus", "_dedup", "_llm", "_sim",
                               "_text", "_rel", "_idx", "_annidx",
-                              "_stream", "_probe", "_sem", "_cc"))
+                              "_stream", "_probe", "_sem", "_cc",
+                              "_overlap", "_doremi", "_mix"))
     ]
     assert leaked == []
 
@@ -1665,6 +1672,14 @@ def test_index_manifests_validate_and_flag_tampering(spark, tmp_path):
     cb.unpersist()
     bad = validate_ann_index(spark, apath).collect()
     assert [r.relation for r in bad] == ["codebook"]
+
+    # the bluntest corruption: a relation directory VANISHES — the
+    # validator must flag it with NULL actuals, not crash on the read
+    shutil.rmtree(f"{apath}/codes")
+    bad = {r.relation: r for r in validate_ann_index(spark, apath).collect()}
+    assert "codes" in bad
+    assert bad["codes"].actual_rows is None
+    assert bad["codes"].manifest_rows > 0
 
 
 def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):

@@ -761,3 +761,15 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     llmprep._clear_bpe_cache()
     m8 = [tuple(r) for r in llmprep.bpe_train(docs).collect()]
     assert merges[: llmprep.BPE_TRAIN_MERGES] == m8
+    # retired anchors must FREE their storage now, not at the next JVM
+    # GC: Dataset.unpersist() is a no-op for localCheckpoint'ed anchors
+    # (blocks belong to the checkpointed RDD, not the CacheManager) —
+    # without the explicit release, ~k/cadence dead word tables linger
+    llmprep._clear_bpe_cache()
+    from spark_history_server_rs_spark.operators import dedup as _dedup
+
+    _dedup.clear_materialized_caches()
+    spark.catalog.clearCache()
+    llmprep._train_merges(docs, 40)  # 2 checkpoints retired + finally
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [i.name() for i in infos]
