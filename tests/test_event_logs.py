@@ -1682,6 +1682,87 @@ def test_index_manifests_validate_and_flag_tampering(spark, tmp_path):
     assert bad["codes"].manifest_rows > 0
 
 
+def test_maintenance_slot_services_all_artifacts(spark, tmp_path):
+    """The one-call maintenance slot: all three durable artifacts
+    duplicate-appended (at-least-once retry simulation) → one
+    run_maintenance_slot → every artifact compacted back to its clean
+    row counts, manifests refreshed (created where absent), every
+    validator clean; a second slot is a no-op."""
+    from pyspark.sql import functions as F
+
+    from spark_history_server_rs_spark.sources.ann_index import write_ann_index
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_maintenance_slot,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dpath = str(tmp_path / "slot_dedup")
+    apath = str(tmp_path / "slot_ann")
+    spath = str(tmp_path / "slot_shards")
+    write_dedup_index(docs, dpath)
+    write_ann_index(emb, apath)
+    write_training_shards(docs, spath)
+
+    # retry-duplicate one relation per artifact
+    for rel, part in (("shingles", None),):
+        dup = spark.read.parquet(f"{dpath}/{rel}").cache()
+        dup.count()
+        dup.write.mode("append").parquet(f"{dpath}/{rel}")
+        dup.unpersist()
+    dupc = spark.read.parquet(f"{apath}/codes").cache()
+    dupc.count()
+    dupc.write.mode("append").partitionBy("label").parquet(f"{apath}/codes")
+    dupc.unpersist()
+    half = docs.where("doc_id % 2 = 0")
+    (
+        half.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{spath}/shards")
+    )
+
+    report = run_maintenance_slot(
+        spark,
+        dedup_index_path=dpath,
+        ann_index_path=apath,
+        training_shards_path=spath,
+    )
+    by = {r["artifact"]: r for r in report}
+    assert set(by) == {"dedup_index", "ann_index", "training_shards"}
+    assert all(r["valid"] for r in report), report
+    sh = {
+        s["relation"]: s for s in by["dedup_index"]["compaction"]
+    }["shingles"]
+    assert sh["rows_before"] == 2 * sh["rows_after"]
+    assert (
+        by["ann_index"]["compaction"]["rows_before"]
+        == 2 * by["ann_index"]["compaction"]["rows_after"]
+    )
+    srow = by["training_shards"]["compaction"][0]
+    assert srow["rows_before"] == docs.count() + half.count()
+    assert srow["rows_after"] == docs.count()
+
+    # idempotent second slot
+    report2 = run_maintenance_slot(
+        spark,
+        dedup_index_path=dpath,
+        ann_index_path=apath,
+        training_shards_path=spath,
+    )
+    assert all(r["valid"] for r in report2)
+    for r in report2:
+        comp = r["compaction"]
+        rows = comp if isinstance(comp, list) else [comp]
+        assert all(s["rows_before"] == s["rows_after"] for s in rows), r
+
+
 def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
     """compact_dedup_index: a duplicate-appended index (at-least-once
     retry simulation) compacts back to the DISTINCT key sets, the
