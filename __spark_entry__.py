@@ -136,7 +136,10 @@ _ROTATED_RELATIONAL = (
     "embedding_semantic_dedup",
     "embedding_kmeans_step",
     "embedding_dim_stats",
-    "corpus_chunk_documents",
+    # new this round → first driver row (int8 quantization audit);
+    # corpus_chunk_documents displaced to 51+ to make the slot (its
+    # migration re-check is pytest-green every session; rotate r08)
+    "embedding_int8_audit",
     # similarity surface (scoped emb views, templated PQ unnest)
     "ann_ivf_pq",
     # new this round → first driver row (cross-table cluster × source)
@@ -267,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stem_normalize": _d(llmprep.stem_normalize),
         "text_pii_scrub": _d(llmprep.pii_scrub),
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
+        "embedding_int8_audit": _e(llmprep.embedding_int8_audit),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),

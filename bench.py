@@ -163,6 +163,7 @@ def main() -> None:
         ("corpus_bpe_encode", llmprep.bpe_encode, docs),
         ("dedup_containment", dedup.containment_pairs, docs),
         ("ann_truncated_recall", similarity.ann_truncated_recall, emb),
+        ("embedding_int8_audit", llmprep.embedding_int8_audit, emb),
         # round-9 batch (nprobe sweep; cluster × source mix is
         # cross-table, timed below with the events-SQL ops)
         ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),

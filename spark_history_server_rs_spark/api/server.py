@@ -511,7 +511,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send(200, rows)
 
         m = re.fullmatch(
-            r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers)",
+            r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
+            r"|int8-audit)",
             path,
         )
         if m:
@@ -533,6 +534,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "nprobe-recall": similarity.ann_nprobe_recall,
                 "truncated-recall": similarity.ann_truncated_recall,
                 "dim-stats": llmprep.embedding_dim_stats,
+                "int8-audit": llmprep.embedding_int8_audit,
                 "outliers": llmprep.embedding_outliers,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))

@@ -1272,6 +1272,98 @@ ORDER BY dim
 """
 
 
+#: L7b — int8 quantization-readiness audit. Serving stacks quantize
+#: embeddings to int8 (4x smaller, SIMD dot products); the accuracy cost
+#: hinges on ONE decision: a single per-tensor scale vs per-channel
+#: (per-dimension) scales. A dimension whose absmax is a fraction of
+#: the global one wastes most of its 127 levels under a tensor scale —
+#: this audit quantifies exactly that: per-dim range utilization and the
+#: measured quantization MSE under each scheme. Everything runs in the
+#: snapped-integer element domain; squared errors snap to integer
+#: micro^2 before the cross-row SUM (DECIMAL(38,0) — exact at any
+#: corpus size), so the audit is bit-stable under any partitioning.
+#: Zero-range dims (and an all-zero corpus) quantize to 0 with 0 error
+#: by definition — guarded, not divided.
+_INT8_AUDIT_TAIL = """
+elems AS (
+  SELECT dim, CAST(FLOOR(v * {scale} + 0.5) AS BIGINT) AS sv
+  FROM ({unnested})
+),
+dims AS (SELECT dim, MAX(ABS(sv)) AS dmax FROM elems GROUP BY dim),
+g AS (SELECT MAX(dmax) AS gmax FROM dims),
+err AS (
+  SELECT e.dim,
+         CAST(FLOOR(POWER(e.sv -
+           (CASE WHEN g.gmax = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE FLOOR(e.sv * 127.0 / g.gmax + 0.5) * g.gmax / 127.0
+            END), 2) + 0.5) AS DECIMAL(38,0)) AS e2_tensor,
+         CAST(FLOOR(POWER(e.sv -
+           (CASE WHEN d.dmax = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE FLOOR(e.sv * 127.0 / d.dmax + 0.5) * d.dmax / 127.0
+            END), 2) + 0.5) AS DECIMAL(38,0)) AS e2_channel
+  FROM elems e
+  JOIN dims d ON e.dim = d.dim
+  JOIN g ON 1 = 1
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(e2_tensor) AS st, SUM(e2_channel) AS sc
+  FROM err GROUP BY dim
+)
+SELECT a.dim,
+       a.n,
+       FLOOR(d.dmax / {scale} * 1000000.0 + 0.5)
+         / CAST(1000000.0 AS DOUBLE) AS absmax,
+       CASE WHEN g.gmax = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(CAST(d.dmax AS DOUBLE) * 10000.0 / g.gmax + 0.5)
+                 / CAST(100.0 AS DOUBLE) END AS range_use_pct,
+       FLOOR(CAST(a.st AS DOUBLE) / a.n / {scale} / {scale}
+             * 1000000000000.0 + 0.5)
+         / CAST(1000000000000.0 AS DOUBLE) AS mse_tensor_scale,
+       FLOOR(CAST(a.sc AS DOUBLE) / a.n / {scale} / {scale}
+             * 1000000000000.0 + 0.5)
+         / CAST(1000000000000.0 AS DOUBLE) AS mse_channel_scale
+FROM agg a
+JOIN dims d ON a.dim = d.dim
+JOIN g ON 1 = 1
+ORDER BY a.dim
+"""
+
+
+def embedding_int8_audit(emb: DataFrame) -> DataFrame:
+    """L7b: per-dimension int8 quantization audit — range utilization
+    under a per-tensor scale and measured round-trip MSE under
+    per-tensor vs per-channel scales. The number that decides how a
+    serving stack quantizes this corpus's vectors.
+
+    Scale shape: one posexplode + three dim-keyed aggregates; ``dims``
+    and ``g`` are dimensionality-sized/1-row (broadcast); the only
+    data-sized exchange keys on dim. No windows, no Python."""
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _INT8_AUDIT_TAIL.format(
+                scale=EMBED_SCALE,
+                unnested=(
+                    "SELECT pos AS dim, CAST(v AS DOUBLE) AS v"
+                    f" FROM {ev} LATERAL VIEW posexplode(embedding) t AS pos, v"
+                ),
+            )
+        )
+
+
+ORACLE_INT8_AUDIT = "WITH " + _INT8_AUDIT_TAIL.format(
+    scale=EMBED_SCALE,
+    unnested=(
+        "SELECT generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v"
+        " FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    ),
+)
+
+
 def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     """L7: per-dimension mean/min/max/std over the embedding column — the
     collapsed-dimension / scale-drift health check run before any ANN
@@ -2091,6 +2183,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_contamination": ORACLE_CONTAMINATION,
     "text_stem_normalize": ORACLE_STEM_NORMALIZE,
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
+    "embedding_int8_audit": ORACLE_INT8_AUDIT,
     "embedding_kmeans_step": ORACLE_KMEANS_STEP,
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,

@@ -75,6 +75,8 @@ SELECTED = [
      "broadcast centroids → (cluster, source)-bounded cells, no data windows"),
     ("corpus_bpe_encode",
      "merges on DISTINCT words; (doc, word) aggregates before the vocab join"),
+    ("embedding_int8_audit",
+     "one unnest, dim-keyed aggregates; dims/global maxima broadcast back"),
 ]
 
 

@@ -475,6 +475,11 @@ def test_ann_endpoints(spark):
         assert code == 200 and 0 < len(dims) <= 4
         code, outl = _get(base, "/api/v1/ann/outliers?limit=5")
         assert code == 200 and len(outl) <= 5
+        code, i8 = _get(base, "/api/v1/ann/int8-audit")
+        assert code == 200 and len(i8) >= 1
+        assert {"dim", "range_use_pct", "mse_tensor_scale",
+                "mse_channel_scale"} <= set(i8[0])
+        assert all(0.0 <= r["range_use_pct"] <= 100.0 for r in i8)
         # no documents frame → corpus routes still 404 with the hint
         code, err = _get(base, "/api/v1/corpus/zipf")
         assert code == 404 and "documents" in err["error"]

@@ -216,6 +216,30 @@ def test_llmprep_plan_shapes(spark):
         assert not I.has_cartesian(df)
 
 
+def test_int8_audit_two_scans_dims_reused(spark):
+    """L7b reads the corpus exactly TWICE in the executed plan — once to
+    build the per-dim maxima, once for the error pass — and every other
+    reference to `dims`/`g` rides a ReusedExchange (the tensor-scale
+    maximum is derived from `dims`, never from a third corpus scan).
+    Without reuse this op would scan 100 TB five times; pin the shape."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    df = llmprep.embedding_int8_audit(
+        load_table(spark, SF_ORACLE, "embeddings")
+    )
+    assert not I.has_python_worker(df)
+    df.collect()  # AQE: reuse decisions land in the final plan
+    s = I.explain_str(df, "formatted")
+    # AQE formatted explain: tree section holds "== Final Plan ==" then
+    # "== Initial Plan ==" — gate on the final (executed) tree only
+    final = s.split("\n\n")[0].split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final
+    assert final.count("ReusedExchange") >= 3, final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
 def test_bucketed_sink_eliminates_exchange(spark, tmp_path_factory):
     """The app_id-bucketed table layout must let groupBy(app_id) and
     app_id-joins plan WITHOUT an Exchange — the write-once pre-shuffle

@@ -534,6 +534,9 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
     oracles = entrymod.oracle_sql()
     for fn, name in [
         (llmprep.embedding_dim_stats, "embedding_dim_stats"),
+        # zero-range dims / an all-zero corpus hit the gmax=0 / dmax=0
+        # quantize-to-zero guards in both engines
+        (llmprep.embedding_int8_audit, "embedding_int8_audit"),
         (llmprep.embedding_outliers, "embedding_outliers"),
         (similarity.ann_pq_codes, "ann_pq_codes"),
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
@@ -665,3 +668,42 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
         ok, report = compare(fn(emb), con, oracles[name])
         assert ok, f"{name} with a zero-norm vector: {report}"
     con.close()
+
+
+def test_int8_audit_all_zero_corpus(spark, tmp_path_factory):
+    """L7b on a corpus where EVERY element is 0: gmax = dmax = 0, the
+    quantize-to-zero guards fire in every row, and the audit reports
+    zero error under both schemes — deterministically pinned because
+    the hypothesis corpus only rarely draws this corner."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import llmprep
+
+    rows = [
+        {"vec_id": i, "embedding": [0.0] * 16, "label": 0} for i in range(5)
+    ]
+    d = str(tmp_path_factory.mktemp("zero-i8"))
+    _write_embeddings(d, rows)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    try:
+        ok, report = compare(
+            llmprep.embedding_int8_audit(emb),
+            con,
+            llmprep.ORACLE_SQL_LLMPREP["embedding_int8_audit"],
+        )
+        assert ok, report
+        out = llmprep.embedding_int8_audit(emb).collect()
+        assert len(out) == 16
+        assert all(
+            r.mse_tensor_scale == 0.0
+            and r.mse_channel_scale == 0.0
+            and r.range_use_pct == 0.0
+            for r in out
+        )
+    finally:
+        con.close()
