@@ -82,6 +82,9 @@ _SENTINELS = (
     "corpus_bpe_train",
     "corpus_bpe_fertility",
     "corpus_bpe_encode",
+    # new this round → first driver row (per-source encoding hygiene);
+    # corpus_pack_sequences displaced to 51+ for the slot (rotate r08)
+    "text_encoding_artifacts",
 )
 
 # Round-7 re-checks: the scoped-view migration touched ~60 operators'
@@ -130,8 +133,7 @@ _ROTATED_RELATIONAL = (
     # llmprep surface (scoped docs/emb views; semantic dedup's cached
     # assigned relation moved to _materialized_df)
     "corpus_contamination",
-    "corpus_pack_sequences",
-    # pack_sequences_sharded displaced to 51+ (shares pack_sequences'
+    # pack_sequences + pack_sequences_sharded displaced to 51+ (shared
     # migrated tail; rotate r08)
     "embedding_semantic_dedup",
     "embedding_kmeans_step",
@@ -205,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filters": _d(textprep.c4_filters),
         "text_line_boilerplate": _d(textprep.line_boilerplate),
         "text_quality_prune": _d(textprep.quality_prune),
+        "text_encoding_artifacts": _d(textprep.encoding_artifacts),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),

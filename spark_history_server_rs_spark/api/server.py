@@ -475,7 +475,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             return self._send(200, _rows(df))
 
         m = re.fullmatch(
-            r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights|fertility|boilerplate)",
+            r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
+            r"|fertility|boilerplate|encoding)",
             path,
         )
         if m:
@@ -498,6 +499,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "domain-weights": corpus.doremi_reweight,
                 "fertility": llmprep.bpe_fertility,
                 "boilerplate": textprep.line_boilerplate,
+                "encoding": textprep.encoding_artifacts,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

@@ -897,6 +897,111 @@ ORACLE_LINE_BOILERPLATE = "WITH " + _BOILER_TAIL.format(
 )
 
 
+# ==========================================================================
+# T10 — encoding-artifact audit (per-source mojibake / control-char rates)
+# ==========================================================================
+#: Classic UTF-8-read-as-Latin-1/cp1252 double-encode markers. Heuristic
+#: by design (a bare 'Ã' is rare in clean text because the legit letters
+#: are precomposed); the audit reports rates, it does not drop docs.
+ENC_MOJIBAKE_MARKERS = ("Ã", "â€", "Â")
+#: Invisible chars that survive scraping and silently inflate token
+#: counts: ZWSP, ZWNJ, ZWJ, BOM-as-ZWNBSP.
+ENC_ZERO_WIDTH = ("​", "‌", "‍", "﻿")
+#: C0 control codes except tab/newline/CR, plus DEL — decode-failure and
+#: binary-contamination tells. chr(n) agrees across engines for n < 128.
+ENC_CONTROL_CODES = tuple(
+    c for c in range(32) if c not in (9, 10, 13)
+) + (127,)
+
+
+def _any_instr(needles: tuple[str, ...]) -> str:
+    return " OR ".join(f"instr(text, '{n}') > 0" for n in needles)
+
+
+_ENC_TAIL = """
+flags AS (
+  SELECT source,
+         text IS NOT NULL AS has_text,
+         ({repl}) AS f_repl,
+         ({ctl}) AS f_ctl,
+         ({moj}) AS f_moj,
+         ({zw}) AS f_zw,
+         CAST({octets} - length(text) AS BIGINT) AS mb_excess,
+         CAST(length(text) AS BIGINT) AS n_chars_m
+  FROM {src}
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_text,
+         CAST(SUM(CASE WHEN f_repl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_replacement,
+         CAST(SUM(CASE WHEN f_ctl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN f_moj THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mojibake,
+         CAST(SUM(CASE WHEN f_zw THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_width,
+         CAST(SUM(CASE WHEN f_repl OR f_ctl OR f_moj OR f_zw
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_any_artifact,
+         CAST(COALESCE(SUM(mb_excess), 0) AS BIGINT) AS multibyte_excess,
+         CAST(COALESCE(SUM(n_chars_m), 0) AS BIGINT) AS n_chars_total
+  FROM flags GROUP BY source
+)
+SELECT source, n_docs, n_docs_text, n_replacement, n_control, n_mojibake,
+       n_zero_width, n_any_artifact,
+       CASE WHEN n_docs_text = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(CAST(n_any_artifact AS DOUBLE) * 1000000.0
+                       / n_docs_text + 0.5) / CAST(1000000.0 AS DOUBLE)
+       END AS artifact_rate,
+       multibyte_excess,
+       CASE WHEN n_chars_total = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(CAST(multibyte_excess AS DOUBLE) * 1000000.0
+                       / n_chars_total + 0.5) / CAST(1000000.0 AS DOUBLE)
+       END AS multibyte_ratio
+FROM agg
+ORDER BY source
+"""
+
+
+def _enc_tail(src: str, octets: str) -> str:
+    return _ENC_TAIL.format(
+        src=src,
+        octets=octets,
+        repl=_any_instr(("�",)),
+        ctl=" OR ".join(
+            f"instr(text, chr({c})) > 0" for c in ENC_CONTROL_CODES
+        ),
+        moj=_any_instr(ENC_MOJIBAKE_MARKERS),
+        zw=_any_instr(ENC_ZERO_WIDTH),
+    )
+
+
+def encoding_artifacts(docs: DataFrame) -> DataFrame:
+    """T10: per-source encoding-hygiene audit — document rates of U+FFFD
+    replacement chars, stray C0/DEL control codes, cp1252-mojibake
+    markers, zero-width chars, plus the multibyte-excess ratio
+    (bytes − chars per char; a double-encoded source inflates it). The
+    report that decides which crawl sources need re-decoding before
+    they poison a tokenizer's vocabulary.
+
+    Scale shape: one projection of fixed-string ``instr`` probes (no
+    regex — engine and codegen friendly) folded by one source-keyed
+    aggregate; output is #sources rows. NULL source is a real group
+    (kept by GROUP BY in both engines); NULL-text docs count in
+    ``n_docs`` but never in artifact numerators or denominators."""
+    with scoped_temp_view(docs, "_text_docs") as v:
+        return docs.sparkSession.sql(
+            "WITH " + _enc_tail(src=v, octets="octet_length(text)")
+        )
+
+
+ORACLE_ENCODING_ARTIFACTS = "WITH " + _enc_tail(
+    src="documents", octets="octet_length(encode(text))"
+)
+
+
 ORACLE_SQL_TEXT = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_language_id": ORACLE_LANGUAGE_ID,
@@ -908,4 +1013,5 @@ ORACLE_SQL_TEXT = {
     "text_c4_filters": ORACLE_C4_FILTERS,
     "text_line_boilerplate": ORACLE_LINE_BOILERPLATE,
     "text_quality_prune": ORACLE_QUALITY_PRUNE,
+    "text_encoding_artifacts": ORACLE_ENCODING_ARTIFACTS,
 }

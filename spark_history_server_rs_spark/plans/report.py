@@ -77,6 +77,8 @@ SELECTED = [
      "merges on DISTINCT words; (doc, word) aggregates before the vocab join"),
     ("embedding_int8_audit",
      "one unnest, dim-keyed aggregates; dims/global maxima broadcast back"),
+    ("text_encoding_artifacts",
+     "fixed-string instr probes, one source-keyed fold — no regex, no joins"),
 ]
 
 

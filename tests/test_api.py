@@ -447,6 +447,9 @@ def test_corpus_endpoints(spark):
         code, boiler = _get(base, "/api/v1/corpus/boilerplate?limit=5")
         assert code == 200 and 0 < len(boiler) <= 5
         assert {"n_lines", "boiler_frac", "keep"} <= set(boiler[0])
+        code, enc = _get(base, "/api/v1/corpus/encoding")
+        assert code == 200 and len(enc) >= 1
+        assert {"source", "artifact_rate", "multibyte_ratio"} <= set(enc[0])
     finally:
         httpd.shutdown()
 

@@ -130,6 +130,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_encode",
         "text_line_boilerplate",
         "text_quality_prune",
+        "text_encoding_artifacts",
         "corpus_mix_plan",
         "dedup_cluster_stats",
     ],

@@ -636,6 +636,15 @@ def test_round7_quality_ops_plan_gates(spark):
         assert not I.has_python_worker(df)
         assert not I.has_cartesian(df)
 
+    # T10: one scan (text+source only), instr probes folded by ONE
+    # source-keyed aggregate — no regex eval, no joins, no Python
+    enc = textprep.encoding_artifacts(docs)
+    plan = I.explain_str(enc, "simple")
+    assert not I.has_python_worker(enc)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "RLike" not in plan
+    assert sorted(I.scan_read_schema(enc)) == ["source", "text"]
+
 
 def test_pq_plan_gates(spark):
     """X6/X7 gates: the PQ codebook side must broadcast (PQ_M x PQ_K x

@@ -670,6 +670,68 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
     con.close()
 
 
+def test_encoding_artifacts_planted_corpus(spark, tmp_path_factory):
+    """T10 on a corpus with every artifact class planted (the sf tables
+    are clean ASCII, so without this the detection branches never run):
+    U+FFFD, a NUL and a BEL control char, cp1252 mojibake, a zero-width
+    space, plus NULL text and NULL source — differentially vs DuckDB,
+    then the flag counts pinned exactly."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import textprep
+
+    rows = [
+        {"doc_id": 0, "text": "clean ascii text", "lang": "en",
+         "source": "web"},
+        {"doc_id": 1, "text": "bad � decode", "lang": "en",
+         "source": "web"},
+        {"doc_id": 2, "text": "nul\x00byte and bel\x07", "lang": "en",
+         "source": "web"},
+        {"doc_id": 3, "text": "double encoded nÃ£o and â€œquotesâ€\x9d",
+         "lang": "pt", "source": "crawl"},
+        {"doc_id": 4, "text": "zero​width", "lang": "en",
+         "source": "crawl"},
+        {"doc_id": 5, "text": None, "lang": None, "source": "crawl"},
+        {"doc_id": 6, "text": "naturally multibyte: héllo wörld",
+         "lang": "de", "source": None},
+    ]
+    for r in rows:
+        r["n_chars"] = len(r["text"]) if r["text"] else 0
+    d = str(tmp_path_factory.mktemp("enc-art"))
+    _write_documents(d, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        ok, report = compare(
+            textprep.encoding_artifacts(docs),
+            con,
+            textprep.ORACLE_SQL_TEXT["text_encoding_artifacts"],
+        )
+        assert ok, report
+        by_src = {
+            r.source: r for r in textprep.encoding_artifacts(docs).collect()
+        }
+        web, crawl = by_src["web"], by_src["crawl"]
+        assert (web.n_replacement, web.n_control, web.n_any_artifact) == (
+            1, 1, 2,
+        )
+        assert (crawl.n_mojibake, crawl.n_zero_width) == (1, 1)
+        # NULL-text doc: in n_docs, out of every artifact denominator
+        assert (crawl.n_docs, crawl.n_docs_text) == (3, 2)
+        assert crawl.artifact_rate == 1.0  # both text-bearing docs flagged
+        # NULL source is a real group; clean multibyte text is not an
+        # artifact but does show up in the multibyte-excess ratio
+        null_grp = by_src[None]
+        assert null_grp.n_any_artifact == 0
+        assert null_grp.multibyte_excess == 2 and null_grp.multibyte_ratio > 0
+    finally:
+        con.close()
+
+
 def test_int8_audit_all_zero_corpus(spark, tmp_path_factory):
     """L7b on a corpus where EVERY element is 0: gmax = dmax = 0, the
     quantize-to-zero guards fire in every row, and the audit reports
