@@ -121,8 +121,10 @@ _ROTATED_RELATIONAL = (
     # corpus surface (scoped tok/feat/wins accessors)
     "dedup_clusters",
     "dedup_keep_canonical",
+    # new this round → first driver row (rides C7's refactored chain);
+    # corpus_vocabulary displaced to 51+ for the slot (rotate r08)
+    "dedup_survivorship",
     "dedup_cluster_stats",
-    "corpus_vocabulary",
     "corpus_tfidf_top_terms",
     "corpus_oov_rate",
     "corpus_unigram_logprob",
@@ -245,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _d(corpus.dedup_clusters),
         "dedup_cluster_stats": _d(corpus.dedup_cluster_stats),
         "dedup_keep_canonical": _d(corpus.dedup_keep_canonical),
+        "dedup_survivorship": _d(corpus.dedup_survivorship),
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),

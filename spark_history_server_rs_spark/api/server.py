@@ -476,7 +476,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
-            r"|fertility|boilerplate|encoding)",
+            r"|fertility|boilerplate|encoding|survivorship)",
             path,
         )
         if m:
@@ -500,6 +500,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "fertility": llmprep.bpe_fertility,
                 "boilerplate": textprep.line_boilerplate,
                 "encoding": textprep.encoding_artifacts,
+                "survivorship": corpus.dedup_survivorship,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

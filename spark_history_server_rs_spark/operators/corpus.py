@@ -297,7 +297,9 @@ qratio AS (SELECT *, {stop_ratio} AS stop_ratio FROM qbase),
 quality AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qratio)"""
 
 
-_CANON_TAIL = """
+#: the C7 ranking chain (assigned/csizes/ranked) — shared by the per-doc
+#: keep report (C7) and the per-source survivorship fold (C7b)
+_CANON_CTES = """
 assigned AS (
   SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
          q.quality_score
@@ -310,11 +312,42 @@ ranked AS (
   SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.cluster_id
                                  ORDER BY a.quality_score DESC, a.doc_id) AS rnk
   FROM assigned a
-)
+)"""
+
+_CANON_TAIL = _CANON_CTES + """
 SELECT r.doc_id, r.cluster_id, s.cluster_size, r.quality_score,
        (r.rnk = 1) AS is_canonical
 FROM ranked r JOIN csizes s ON s.cluster_id = r.cluster_id
 ORDER BY r.doc_id
+"""
+
+_SURV_TAIL = _CANON_CTES + """,
+surv AS (
+  SELECT d.source, r.rnk, q.n_tokens
+  FROM ranked r
+  JOIN {src} d ON r.doc_id = d.doc_id
+  JOIN qratio q ON q.doc_id = r.doc_id
+),
+sagg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN rnk = 1 THEN n_tokens END), 0)
+              AS BIGINT) AS n_tokens_kept
+  FROM surv GROUP BY source
+)
+SELECT source, n_docs, n_docs_kept,
+       FLOOR(CAST(n_docs_kept AS DOUBLE) * 10000.0 / n_docs + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS doc_kept_rate,
+       n_tokens, n_tokens_kept,
+       CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(CAST(n_tokens_kept AS DOUBLE) * 10000.0
+                       / n_tokens + 0.5) / CAST(10000.0 AS DOUBLE)
+       END AS token_kept_rate
+FROM sagg
+ORDER BY source
 """
 
 
@@ -359,6 +392,47 @@ ORACLE_KEEP_CANONICAL = (
     + _quality_ctes(for_spark=False, src="documents")
     + ","
     + _CANON_TAIL
+)
+
+
+def dedup_survivorship(docs: DataFrame) -> DataFrame:
+    """C7b: per-source survivorship under the C7 keep rule — how many
+    documents and whitespace tokens each source retains once every
+    near-dup cluster keeps only its best member. The table a mix
+    planner reads next to C13/C15: a source whose token_kept_rate
+    collapses is mostly recycled content, and its raw size overstates
+    its contribution to the training budget.
+
+    Scale shape: rides C7's chain unchanged (labels exist only for
+    edge-bearing docs; the rank window shuffles id/score triples,
+    never text), then joins the rank relation back to (doc_id, source)
+    and folds to #sources rows. NULL source is a real group."""
+    spark = docs.sparkSession
+    labels = _cluster_labels(docs).selectExpr(
+        "doc_id", "label AS cluster_id"
+    )
+    with scoped_temp_view(docs, "_corpus_docs") as dv, scoped_temp_view(
+        labels, "_cc_labels"
+    ) as lv:
+        return spark.sql(
+            f"WITH clustered AS (SELECT doc_id, cluster_id FROM {lv}),"
+            + _quality_ctes(for_spark=True, src=dv)
+            + ","
+            + _SURV_TAIL.format(src=dv)
+        )
+
+
+ORACLE_DEDUP_SURVIVORSHIP = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),\n"
+    + _EDGE_CTES.format(thr=JACCARD_THRESHOLD)
+    + ","
+    + CC_ORACLE_CTES
+    + ","
+    + _quality_ctes(for_spark=False, src="documents")
+    + ","
+    + _SURV_TAIL.format(src="documents")
 )
 
 
@@ -1328,6 +1402,7 @@ ORACLE_SQL_CORPUS = {
     "corpus_oov_rate": ORACLE_OOV_RATE,
     "corpus_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
+    "dedup_survivorship": ORACLE_DEDUP_SURVIVORSHIP,
     "corpus_dsir_select": ORACLE_DSIR,
     "corpus_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,

@@ -432,11 +432,14 @@ def _retire_anchor(df: DataFrame) -> None:
     run; ~2000 would accumulate at a production k). Reaches through the
     LogicalRDD plan node for the backing RDD; internal API, so failures
     fall back to the (lazy but correct) ContextCleaner path."""
-    df.unpersist()  # the plain-persist case (the initial word table)
+    df.unpersist(blocking=True)  # the plain-persist case (initial table)
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            # blocking: a non-blocking release races any immediate
+            # storage accounting (and the k64 regression test) — the
+            # blocks must be gone when the next iteration allocates
+            plan.rdd().unpersist(True)
     except Exception:
         pass  # ContextCleaner fallback
 

@@ -79,6 +79,8 @@ SELECTED = [
      "one unnest, dim-keyed aggregates; dims/global maxima broadcast back"),
     ("text_encoding_artifacts",
      "fixed-string instr probes, one source-keyed fold — no regex, no joins"),
+    ("dedup_survivorship",
+     "C7 rank relation joined back on doc_id, folded to #sources rows"),
 ]
 
 

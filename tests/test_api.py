@@ -450,6 +450,10 @@ def test_corpus_endpoints(spark):
         code, enc = _get(base, "/api/v1/corpus/encoding")
         assert code == 200 and len(enc) >= 1
         assert {"source", "artifact_rate", "multibyte_ratio"} <= set(enc[0])
+        code, surv = _get(base, "/api/v1/corpus/survivorship")
+        assert code == 200 and len(surv) >= 1
+        assert {"source", "doc_kept_rate", "token_kept_rate"} <= set(surv[0])
+        assert all(r["n_docs_kept"] <= r["n_docs"] for r in surv)
     finally:
         httpd.shutdown()
 

@@ -131,6 +131,7 @@ def test_entry_smoke(spark):
         "text_line_boilerplate",
         "text_quality_prune",
         "text_encoding_artifacts",
+        "dedup_survivorship",
         "corpus_mix_plan",
         "dedup_cluster_stats",
     ],

@@ -645,6 +645,15 @@ def test_round7_quality_ops_plan_gates(spark):
     assert "Join" not in plan and "RLike" not in plan
     assert sorted(I.scan_read_schema(enc)) == ["source", "text"]
 
+    # C7b: rank window stays partitioned by cluster_id (never global),
+    # joins are equi-joins on doc_id, no Python, no cartesian
+    surv = corpus.dedup_survivorship(docs)
+    splan = I.explain_str(surv, "simple")
+    assert not I.has_python_worker(surv)
+    assert not I.has_cartesian(surv)
+    assert I.single_partition_windows(surv) == 0
+    assert "PartitionBy: [cluster_id" in splan or "windowspecdefinition(cluster_id" in splan
+
 
 def test_pq_plan_gates(spark):
     """X6/X7 gates: the PQ codebook side must broadcast (PQ_M x PQ_K x

@@ -262,6 +262,11 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         (corpus.dsir_select, "corpus_dsir_select"),
         (corpus.perplexity_buckets, "corpus_perplexity_buckets"),
         (corpus.split_leakage, "corpus_split_leakage"),
+        # C7b: iterative label propagation + quality rank + per-source
+        # fold vs the oracle's recursive-CTE fixpoint — duplicate docs
+        # across different sources are the interesting corner (the
+        # cluster keeps one; the OTHER source loses the tokens)
+        (corpus.dedup_survivorship, "dedup_survivorship"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
