@@ -128,7 +128,11 @@ _ROTATED_RELATIONAL = (
     "corpus_tfidf_top_terms",
     "corpus_oov_rate",
     "corpus_unigram_logprob",
-    "corpus_perplexity_buckets",
+    # new this round → first driver row (crawl-yield novelty curve);
+    # corpus_perplexity_buckets displaced to 51+ for the slot — its
+    # earlier green row stands and the pytest differential re-checks it
+    # every session (rotate r08)
+    "corpus_novelty_curve",
     "corpus_split_leakage",
     "corpus_dsir_select",
     "corpus_span_leakage",
@@ -258,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_perplexity_buckets": _d(corpus.perplexity_buckets),
         "corpus_zipf_fit": _d(corpus.zipf_fit),
         "corpus_source_overlap": _d(corpus.source_overlap),
+        "corpus_novelty_curve": _d(corpus.novelty_curve),
         "corpus_doremi_reweight": _d(corpus.doremi_reweight),
         "corpus_mix_plan": _d(corpus.mix_plan),
         "corpus_span_leakage": _d(corpus.span_leakage),

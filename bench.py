@@ -166,6 +166,7 @@ def main() -> None:
         ("embedding_int8_audit", llmprep.embedding_int8_audit, emb),
         ("text_encoding_artifacts", textprep.encoding_artifacts, docs),
         ("dedup_survivorship", corpus.dedup_survivorship, docs),
+        ("corpus_novelty_curve", corpus.novelty_curve, docs),
         # round-9 batch (nprobe sweep; cluster × source mix is
         # cross-table, timed below with the events-SQL ops)
         ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),

@@ -476,7 +476,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
-            r"|fertility|boilerplate|encoding|survivorship)",
+            r"|fertility|boilerplate|encoding|survivorship|novelty)",
             path,
         )
         if m:
@@ -501,6 +501,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "boilerplate": textprep.line_boilerplate,
                 "encoding": textprep.encoding_artifacts,
                 "survivorship": corpus.dedup_survivorship,
+                "novelty": corpus.novelty_curve,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

@@ -1394,6 +1394,77 @@ ORACLE_SOURCE_OVERLAP = (
 )
 
 
+# ==========================================================================
+# C16 — crawl novelty curve (is more of this crawl still worth ingesting?)
+# ==========================================================================
+#: ingest-order buckets for the novelty curve; the output is always
+#: exactly this many rows (or fewer on tiny corpora).
+NOVELTY_BUCKETS = 10
+
+_NOVELTY_TAIL = """
+sb AS (
+  SELECT DISTINCT md5(s.shingle) AS sh,
+         CAST(FLOOR(CAST(s.doc_id AS DOUBLE) * {nb} / (m.mx + 1)) AS INT)
+           AS bucket
+  FROM shingles s
+  JOIN (SELECT MAX(doc_id) AS mx FROM {src}) m ON 1 = 1
+),
+firstb AS (SELECT sh, MIN(bucket) AS fb FROM sb GROUP BY sh),
+per AS (
+  SELECT b.bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+         CAST(SUM(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_shingles
+  FROM sb b JOIN firstb f ON b.sh = f.sh
+  GROUP BY b.bucket
+)
+SELECT bucket, n_distinct_shingles, n_new_shingles,
+       FLOOR(CAST(n_new_shingles AS DOUBLE) * 10000.0
+             / n_distinct_shingles + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS novelty_rate,
+       CAST(SUM(n_new_shingles) OVER (ORDER BY bucket) AS BIGINT)
+         AS cumulative_distinct
+FROM per
+ORDER BY bucket
+"""
+
+
+def novelty_curve(docs: DataFrame) -> DataFrame:
+    """C16: the crawl-yield curve — doc_id order read as ingest order,
+    the corpus cut into {nb} equal-width id buckets, and each bucket
+    scored by how many of its distinct shingles were never seen in any
+    earlier bucket. A flattening novelty_rate is the measured answer to
+    "is more of this crawl still worth ingesting?" (the data-scaling
+    dedup curve); cumulative_distinct is the corpus's distinct-content
+    growth.
+
+    Scale shape: rides the shared materialized (doc_id, shingle)
+    relation; shingles are md5'd before any shuffle (fixed-width keys,
+    never 3-word strings); the bucket map is a broadcast 1-row MAX; the
+    two data-sized exchanges key on the hash. The running sum windows
+    over the {nb}-row bucket relation only (allowlisted as provably
+    tiny). Document text never shuffles.""".format(nb=NOVELTY_BUCKETS)
+    from .dedup import materialized_shingles_df
+
+    spark = docs.sparkSession
+    sh = materialized_shingles_df(docs)
+    with scoped_temp_view(sh, "_novelty_shingles") as sv, scoped_temp_view(
+        docs, "_novelty_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH shingles AS (SELECT doc_id, shingle FROM {sv}),"
+            + _NOVELTY_TAIL.format(src=dv, nb=NOVELTY_BUCKETS)
+        )
+
+
+ORACLE_NOVELTY_CURVE = (
+    "WITH RECURSIVE shingles AS ("
+    + _SHINGLES_DUCK
+    + "),"
+    + _NOVELTY_TAIL.format(src="documents", nb=NOVELTY_BUCKETS)
+)
+
+
 ORACLE_SQL_CORPUS = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_split": ORACLE_HASH_SPLIT,
@@ -1408,6 +1479,7 @@ ORACLE_SQL_CORPUS = {
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,
     "corpus_zipf_fit": ORACLE_ZIPF_FIT,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "corpus_novelty_curve": ORACLE_NOVELTY_CURVE,
     "corpus_span_leakage": ORACLE_SPAN_LEAKAGE,
     "corpus_doremi_reweight": ORACLE_DOREMI,
     "corpus_mix_plan": ORACLE_MIX_PLAN,

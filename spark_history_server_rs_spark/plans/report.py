@@ -81,6 +81,8 @@ SELECTED = [
      "fixed-string instr probes, one source-keyed fold — no regex, no joins"),
     ("dedup_survivorship",
      "C7 rank relation joined back on doc_id, folded to #sources rows"),
+    ("corpus_novelty_curve",
+     "md5-keyed first-bucket fold over the shared shingle relation"),
 ]
 
 

@@ -132,6 +132,7 @@ def test_entry_smoke(spark):
         "text_quality_prune",
         "text_encoding_artifacts",
         "dedup_survivorship",
+        "corpus_novelty_curve",
         "corpus_mix_plan",
         "dedup_cluster_stats",
     ],

@@ -591,6 +591,9 @@ def test_no_unbounded_single_partition_windows(spark):
         "corpus_temperature_sample": 2,
         # LAG over the yearly revenue rollup: one row per calendar year
         "yoy_revenue_growth": 1,
+        # running SUM over the bucket relation: NOVELTY_BUCKETS (=10)
+        # rows at any corpus size
+        "corpus_novelty_curve": 1,
     }
     offenders = {}
     for name, fn in entrymod.queries().items():

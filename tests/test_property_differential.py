@@ -267,6 +267,9 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         # across different sources are the interesting corner (the
         # cluster keeps one; the OTHER source loses the tokens)
         (corpus.dedup_survivorship, "dedup_survivorship"),
+        # C16: bucket arithmetic + first-seen fold under empty corpora,
+        # all-<k-token docs (no shingles at all) and duplicated docs
+        (corpus.novelty_curve, "corpus_novelty_curve"),
     ]:
         ok, report = compare(fn(docs), con, oracles[name])
         assert ok, f"{name} on {len(rows)} random docs: {report}"
