@@ -167,6 +167,7 @@ def main() -> None:
         ("text_encoding_artifacts", textprep.encoding_artifacts, docs),
         ("dedup_survivorship", corpus.dedup_survivorship, docs),
         ("corpus_novelty_curve", corpus.novelty_curve, docs),
+        ("corpus_novelty_curve_approx", corpus.novelty_curve_approx, docs),
         # round-9 batch (nprobe sweep; cluster × source mix is
         # cross-table, timed below with the events-SQL ops)
         ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),

@@ -1443,7 +1443,11 @@ def novelty_curve(docs: DataFrame) -> DataFrame:
     never 3-word strings); the bucket map is a broadcast 1-row MAX; the
     two data-sized exchanges key on the hash. The running sum windows
     over the {nb}-row bucket relation only (allowlisted as provably
-    tiny). Document text never shuffles.""".format(nb=NOVELTY_BUCKETS)
+    tiny). Document text never shuffles. At 100 TB prefer
+    :func:`novelty_curve_approx` — same curve from mergeable HLL
+    sketches with NO data-sized shuffle at all.""".format(
+        nb=NOVELTY_BUCKETS
+    )
     from .dedup import materialized_shingles_df
 
     spark = docs.sparkSession
@@ -1463,6 +1467,74 @@ ORACLE_NOVELTY_CURVE = (
     + "),"
     + _NOVELTY_TAIL.format(src="documents", nb=NOVELTY_BUCKETS)
 )
+
+
+#: log2(k) for the HLL sketches in the approximate novelty curve
+#: (lgk=12 → ~1.6 % relative standard error)
+NOVELTY_HLL_LGK = 12
+
+
+def novelty_curve_approx(docs: DataFrame) -> DataFrame:
+    """C16b: the 100 TB path for C16 — the same crawl-yield curve from
+    mergeable HLL sketches (``hll_sketch_agg``/``hll_union_agg``)
+    instead of exact distinct folds. Per-bucket sketches build as
+    map-side partials, so no shuffle ever carries a shingle (C16 moves
+    every distinct md5 key twice); the cumulative union runs over the
+    10-row sketch relation. Estimates carry ~1.6 % relative error at
+    lgk=12 — pytest-pinned against the exact curve (no DuckDB twin
+    exists: sketch estimates are algorithm-specific, so this op is
+    deliberately NOT in the oracle registry).
+
+    Columns mirror C16 with an ``_est`` suffix; ``n_new_est`` is the
+    cumulative-estimate delta and can differ slightly from a direct
+    first-seen count — deltas of a monotone union are the only
+    consistent decomposition a sketch supports."""
+    from .dedup import materialized_shingles_df
+
+    spark = docs.sparkSession
+    sh = materialized_shingles_df(docs)
+    with scoped_temp_view(sh, "_novelty_shingles") as sv, scoped_temp_view(
+        docs, "_novelty_docs"
+    ) as dv:
+        return spark.sql(f"""
+WITH sb AS (
+  SELECT s.shingle,
+         CAST(FLOOR(CAST(s.doc_id AS DOUBLE) * {NOVELTY_BUCKETS}
+                    / (m.mx + 1)) AS INT) AS bucket
+  FROM {sv} s JOIN (SELECT MAX(doc_id) AS mx FROM {dv}) m ON 1 = 1
+),
+pb AS (
+  SELECT bucket, hll_sketch_agg(shingle, {NOVELTY_HLL_LGK}) AS sk
+  FROM sb GROUP BY bucket
+),
+pe AS (
+  SELECT bucket, CAST(hll_sketch_estimate(sk) AS BIGINT) AS n_distinct_est
+  FROM pb
+),
+cum AS (
+  SELECT a.bucket,
+         CAST(hll_sketch_estimate(hll_union_agg(b.sk))
+              AS BIGINT) AS cumulative_distinct_est
+  FROM (SELECT bucket FROM pb) a JOIN pb b ON b.bucket <= a.bucket
+  GROUP BY a.bucket
+),
+curve AS (
+  SELECT c.bucket, e.n_distinct_est,
+         c.cumulative_distinct_est
+           - COALESCE(LAG(c.cumulative_distinct_est)
+                      OVER (ORDER BY c.bucket), 0) AS n_new_est,
+         c.cumulative_distinct_est
+  FROM cum c JOIN pe e ON c.bucket = e.bucket
+)
+SELECT bucket, n_distinct_est, n_new_est,
+       CASE WHEN n_distinct_est = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(CAST(n_new_est AS DOUBLE) * 10000.0
+                       / n_distinct_est + 0.5) / CAST(10000.0 AS DOUBLE)
+       END AS novelty_rate_est,
+       cumulative_distinct_est
+FROM curve
+ORDER BY bucket
+""")
 
 
 ORACLE_SQL_CORPUS = {

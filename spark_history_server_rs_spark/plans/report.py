@@ -83,6 +83,8 @@ SELECTED = [
      "C7 rank relation joined back on doc_id, folded to #sources rows"),
     ("corpus_novelty_curve",
      "md5-keyed first-bucket fold over the shared shingle relation"),
+    ("corpus_novelty_curve_approx",
+     "map-side partial HLL sketches; no shuffle carries a shingle"),
 ]
 
 
@@ -116,6 +118,14 @@ def main() -> None:
     for name, why in SELECTED:
         if name == "corpus_bpe_train:iteration":
             df = _bpe_train_iteration_df(spark, "/root/testdata/sf0.01")
+        elif name == "corpus_novelty_curve_approx":
+            # pytest-pinned (no oracle twin possible) -> not in queries()
+            from ..operators import corpus as _corpus
+            from ..sources.generic import load_table as _lt
+
+            df = _corpus.novelty_curve_approx(
+                _lt(spark, "/root/testdata/sf0.01", "documents")
+            )
         else:
             df = queries[name](spark, "/root/testdata/sf0.01")
         simple = I.explain_str(df, "simple")

@@ -240,6 +240,36 @@ def test_int8_audit_two_scans_dims_reused(spark):
     assert "CartesianProduct" not in final
 
 
+def test_novelty_approx_close_to_exact(spark):
+    """C16b vs C16 at sf0.01: per-bucket distinct estimates within 5 %,
+    the cumulative curve monotone and within 5 % at every bucket, and
+    novelty rates within 5 points — the documented lgk=12 error band
+    (~1.6 % RSE) with slack for union compounding. This pin is C16b's
+    correctness gate: sketch estimates are algorithm-specific, so no
+    DuckDB oracle twin can exist."""
+    from spark_history_server_rs_spark.operators import corpus
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {r.bucket: r for r in corpus.novelty_curve(docs).collect()}
+    approx = {
+        r.bucket: r for r in corpus.novelty_curve_approx(docs).collect()
+    }
+    assert set(exact) == set(approx)
+    prev_cum = 0
+    for b in sorted(exact):
+        e, a = exact[b], approx[b]
+        assert abs(a.n_distinct_est - e.n_distinct_shingles) <= max(
+            0.05 * e.n_distinct_shingles, 2
+        ), (b, e, a)
+        assert abs(a.cumulative_distinct_est - e.cumulative_distinct) <= max(
+            0.05 * e.cumulative_distinct, 2
+        ), (b, e, a)
+        assert a.cumulative_distinct_est >= prev_cum  # union is monotone
+        prev_cum = a.cumulative_distinct_est
+        assert abs(a.novelty_rate_est - e.novelty_rate) <= 0.05, (b, e, a)
+
+
 def test_bucketed_sink_eliminates_exchange(spark, tmp_path_factory):
     """The app_id-bucketed table layout must let groupBy(app_id) and
     app_id-joins plan WITHOUT an Exchange — the write-once pre-shuffle
@@ -647,6 +677,16 @@ def test_round7_quality_ops_plan_gates(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "RLike" not in plan
     assert sorted(I.scan_read_schema(enc)) == ["source", "text"]
+
+    # C16b: the sketch path must fold shingles into PARTIAL HLL
+    # sketches before any exchange — no shuffle may carry a shingle
+    # (that is its whole reason to exist next to the exact C16)
+    nova = corpus.novelty_curve_approx(docs)
+    nplan = I.explain_str(nova, "simple")
+    assert "partial_hll_sketch_agg(shingle" in nplan
+    assert "Exchange hashpartitioning(shingle" not in nplan
+    assert "Exchange hashpartitioning(sh#" not in nplan
+    assert not I.has_python_worker(nova)
 
     # C7b: rank window stays partitioned by cluster_id (never global),
     # joins are equi-joins on doc_id, no Python, no cartesian
