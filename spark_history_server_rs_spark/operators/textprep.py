@@ -965,16 +965,33 @@ ORDER BY source
 """
 
 
-def _enc_tail(src: str, octets: str) -> str:
-    return _ENC_TAIL.format(
-        src=src,
-        octets=octets,
-        repl=_any_instr(("�",)),
-        ctl=" OR ".join(
+def _enc_probes() -> dict[str, str]:
+    return {
+        "repl": _any_instr(("�",)),
+        "ctl": " OR ".join(
             f"instr(text, chr({c})) > 0" for c in ENC_CONTROL_CODES
         ),
-        moj=_any_instr(ENC_MOJIBAKE_MARKERS),
-        zw=_any_instr(ENC_ZERO_WIDTH),
+        "moj": _any_instr(ENC_MOJIBAKE_MARKERS),
+        "zw": _any_instr(ENC_ZERO_WIDTH),
+    }
+
+
+def _enc_tail(src: str, octets: str) -> str:
+    return _ENC_TAIL.format(src=src, octets=octets, **_enc_probes())
+
+
+def encoding_flags_spark_sql(view: str) -> str:
+    """Per-document artifact flags as a pure projection (the T10 `flags`
+    probes with doc_id kept) — the streaming-legal form consumed by
+    :func:`..streaming.ingest.stream_encoding_monitor`; the batch
+    aggregate and the stream share these expression strings verbatim."""
+    p = _enc_probes()
+    return (
+        f"SELECT doc_id, source, text IS NOT NULL AS has_text,"
+        f" ({p['repl']}) AS f_repl, ({p['ctl']}) AS f_ctl,"
+        f" ({p['moj']}) AS f_moj, ({p['zw']}) AS f_zw,"
+        f" CAST(octet_length(text) - length(text) AS BIGINT) AS mb_excess"
+        f" FROM {view}"
     )
 
 

@@ -452,3 +452,24 @@ def stream_quality_gate(docs: DataFrame) -> DataFrame:
 
     with scoped_temp_view(docs, "_stream_text_docs") as view:
         return docs.sparkSession.sql(gopher_spark_sql(view, ordered=False))
+
+
+def stream_encoding_monitor(docs: DataFrame) -> DataFrame:
+    """Beyond-reference: streaming twin of
+    :func:`..operators.textprep.encoding_artifacts` — per-document
+    encoding-artifact flags (U+FFFD, C0 controls, cp1252 mojibake,
+    zero-width chars, multibyte excess) at ingest time, sharing the
+    batch op's probe expressions verbatim. A sink aggregating these by
+    (batch, source) is the live drift alarm that catches a newly broken
+    decoder in the pipeline's next micro-batch instead of its next
+    monthly audit sweep.
+
+    Scale shape: pure projection (stateless, no watermark needed);
+    every micro-batch is map-only work, exactly like the batch `flags`
+    stage before its fold.
+    """
+    from ..functions.views import scoped_temp_view
+    from ..operators.textprep import encoding_flags_spark_sql
+
+    with scoped_temp_view(docs, "_stream_text_docs") as view:
+        return docs.sparkSession.sql(encoding_flags_spark_sql(view))

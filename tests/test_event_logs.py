@@ -1037,6 +1037,77 @@ def test_stream_contamination_guard_matches_batch(spark, tmp_path):
     assert 7 in flagged  # the cross-batch arrival was caught
 
 
+def test_stream_encoding_monitor_matches_batch(spark, tmp_path):
+    """Streaming encoding monitor: per-doc artifact flags across
+    micro-batches, aggregated by source, must reproduce the batch
+    encoding_artifacts numerators on the same corpus — the projection
+    shares the batch probes verbatim, so any divergence is a streaming
+    bug, not a semantics choice."""
+    from spark_history_server_rs_spark.operators.textprep import (
+        encoding_artifacts,
+    )
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_encoding_monitor,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "clean ascii", "source": "web"},
+        {"doc_id": 1, "text": "bad \ufffd decode", "source": "web"},
+        {"doc_id": 2, "text": "bel\u0007 control", "source": "web"},
+        {"doc_id": 3, "text": "n\u00c3\u00a3o mojibake", "source": "crawl"},
+        {"doc_id": 4, "text": "zero\u200bwidth", "source": "crawl"},
+        {"doc_id": 5, "text": None, "source": "crawl"},
+    ]
+    src = tmp_path / "enc_docs"
+    _write_doc_files(src, [rows[:3], rows[3:]])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_encoding_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("enc_monitor")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "enc_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN f_repl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_replacement,
+               CAST(SUM(CASE WHEN f_ctl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_control,
+               CAST(SUM(CASE WHEN f_moj THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mojibake,
+               CAST(SUM(CASE WHEN f_zw THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_width,
+               CAST(COALESCE(SUM(mb_excess), 0) AS BIGINT)
+                 AS multibyte_excess
+        FROM enc_monitor GROUP BY source
+    """)
+    got = {r.source: tuple(r)[1:] for r in streamed.collect()}
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], None, r["source"], 0) for r in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want = {
+        r.source: (
+            r.n_docs, r.n_replacement, r.n_control, r.n_mojibake,
+            r.n_zero_width, r.multibyte_excess,
+        )
+        for r in encoding_artifacts(docs).collect()
+    }
+    assert got == want
+    assert want["web"][1] == 1 and want["web"][2] == 1  # planted artifacts
+    assert want["crawl"][3] == 1 and want["crawl"][4] == 1
+
+
 def test_stream_quality_gate_matches_batch(spark, tmp_path):
     """Streaming Gopher gate: per-doc rule report and keep flag across
     micro-batches must equal the batch gopher_rules computation on the
