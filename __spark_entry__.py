@@ -143,7 +143,10 @@ _ROTATED_RELATIONAL = (
     # migrated tail; rotate r08)
     "embedding_semantic_dedup",
     "embedding_kmeans_step",
-    "embedding_dim_stats",
+    # new this round → first driver row (k-step Lloyd training loop);
+    # embedding_dim_stats displaced to 51+ for the slot (its migration
+    # re-check is pytest-green every session; rotate r08)
+    "embedding_kmeans_train",
     # new this round → first driver row (int8 quantization audit);
     # corpus_chunk_documents displaced to 51+ to make the slot (its
     # migration re-check is pytest-green every session; rotate r08)
@@ -283,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_int8_audit": _e(llmprep.embedding_int8_audit),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
+        "embedding_kmeans_train": _e(llmprep.embedding_kmeans_train),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),
         "embedding_semantic_dedup": _e(llmprep.semantic_dedup),
         # cross-table: semantic cluster (embeddings) × provenance (docs)

@@ -119,6 +119,13 @@ DOC_SUITE = (
     "corpus_source_overlap",
     "corpus_zipf_fit",
     "text_line_boilerplate",
+    # round-7 additions: the exact vs sketch novelty pair is the
+    # interesting 10x read (the sketch path's wall should grow only
+    # with the scan, the exact path also with the distinct shuffle)
+    "corpus_novelty_curve",
+    "corpus_novelty_curve_approx",
+    "dedup_survivorship",
+    "text_encoding_artifacts",
 )
 
 #: 100x tier: ingest-only at 10 M events — the reference's own
@@ -198,6 +205,16 @@ def main() -> None:
     from __spark_entry__ import queries as _entry_queries
 
     qmap = _entry_queries()
+    # the sketch sibling is pytest-pinned (not oracle-registered) but
+    # belongs in the scale probe — it exists FOR this comparison
+    from spark_history_server_rs_spark.operators import corpus as _corpus
+    from spark_history_server_rs_spark.sources.generic import (
+        load_table as _lt,
+    )
+
+    qmap["corpus_novelty_curve_approx"] = lambda s, d: (
+        _corpus.novelty_curve_approx(_lt(s, d, "documents"))
+    )
     for name in DOC_SUITE:
         fn = qmap[name]
         t = time.perf_counter()

@@ -1454,6 +1454,169 @@ def kmeans_step(emb: DataFrame) -> DataFrame:
         )
 
 
+# ==========================================================================
+# L8b — k-step Lloyd training loop (the IVF/PQ codebook trainer)
+# ==========================================================================
+KMEANS_TRAIN_STEPS = 3
+
+_KM_ELEMS_SPARK = (
+    "SELECT vec_id, pos AS dim,"
+    " CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS sv"
+    " FROM {src} LATERAL VIEW posexplode(embedding) t AS pos, v"
+)
+_KM_ELEMS_DUCK = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
+    " CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)"
+    " AS BIGINT) AS sv"
+    " FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+)
+
+
+def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
+    """One Lloyd step over snapped-integer elements: exact squared-L2
+    assignment (BIGINT per pair), per-cluster mean distance (DECIMAL
+    accumulator before the snap), and the per-(cid, dim) centroid
+    update. Shared verbatim between the Spark per-step query and the
+    oracle's unrolled chain — only the centroid relation name, a CTE
+    prefix, and DuckDB's MATERIALIZED keyword vary."""
+    return f"""
+{p}d2 AS {mat}(
+  SELECT e.vec_id, c.cid,
+         CAST(SUM((e.sv - c.cv) * (e.sv - c.cv)) AS BIGINT) AS d2
+  FROM elems e JOIN {cents} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+{p}w AS {mat}(
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rnk
+    FROM {p}d2) rr WHERE rnk = 1
+),
+{p}st AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(FLOOR(CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DOUBLE)
+                    / COUNT(*) + 0.5) AS BIGINT) AS avg_d2
+  FROM {p}w GROUP BY cid
+),
+{p}u AS (
+  SELECT w.cid, e.dim,
+         CAST(FLOOR(CAST(SUM(CAST(e.sv AS DECIMAL(38,0))) AS DOUBLE)
+                    / COUNT(*) + 0.5) AS BIGINT) AS cv
+  FROM {p}w w JOIN elems e ON w.vec_id = e.vec_id
+  GROUP BY w.cid, e.dim
+)"""
+
+
+def _km_train_rows(emb: DataFrame, steps: int) -> list[tuple]:
+    """The Spark-side training loop: per step, ONE SQL query computes
+    assignment stats and the centroid update over literal centroids
+    (k x dims integers — a VALUES relation, broadcast trivially); the
+    driver merges the update (empty clusters keep their centroid) and
+    derives the exact integer shift. Plans are bounded by construction:
+    every step is a fresh query over the base relation plus literals —
+    no lineage chain, no persist bookkeeping. The corpus is scanned
+    twice per step (assignment + update); a production run at extreme
+    scale would persist the snapped-element relation across steps and
+    pay memory instead — the loop body is unchanged either way."""
+    spark = emb.sparkSession
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        elems = _KM_ELEMS_SPARK.format(scale=EMBED_SCALE, src=ev)
+        seed = spark.sql(
+            f"SELECT vec_id AS cid, dim, sv AS cv FROM ({elems}) e"
+            f" WHERE vec_id < {KMEANS_K}"
+        ).collect()
+        cents = {(r.cid, r.dim): r.cv for r in seed}
+        rows: list[tuple] = []
+        for step in range(1, steps + 1):
+            if not cents:
+                break
+            vals = ", ".join(
+                f"({c}, {d}, {v})" for (c, d), v in sorted(cents.items())
+            )
+            got = spark.sql(
+                f"WITH elems AS ({elems}),\n"
+                f"cents AS (SELECT * FROM (VALUES {vals})"
+                f" AS t(cid, dim, cv)),"
+                + _km_step_sql("cents", "")
+                + """
+SELECT u.cid, u.dim, u.cv, s.cluster_size, s.avg_d2
+FROM u JOIN st s ON u.cid = s.cid
+"""
+            ).collect()
+            stats = {r.cid: (r.cluster_size, r.avg_d2) for r in got}
+            new = dict(cents)
+            for r in got:
+                new[(r.cid, r.dim)] = r.cv
+            for cid in sorted(stats):
+                shift2 = sum(
+                    (new[(c, d)] - cents[(c, d)]) ** 2
+                    for (c, d) in cents
+                    if c == cid
+                )
+                rows.append(
+                    (step, cid, stats[cid][0], stats[cid][1], shift2)
+                )
+            cents = new
+        return rows
+
+
+def embedding_kmeans_train(emb: DataFrame) -> DataFrame:
+    """L8b: {n} full Lloyd iterations — the training loop behind every
+    IVF coarse quantizer and PQ codebook in the ANN suite (L8 is one
+    assignment step; this converges the centroids). Per (step,
+    centroid): cluster size, snapped mean squared distance (the
+    within-cluster inertia a training curve tracks), and the exact
+    integer squared shift the update produced — shift2 -> 0 IS
+    convergence. All arithmetic runs in the snapped-integer domain
+    (DECIMAL accumulators), so every value is bit-stable under any
+    partitioning and the oracle's unrolled {n}-step chain matches
+    exactly. Empty clusters keep their centroid (and emit no row, in
+    both engines).""".format(n=KMEANS_TRAIN_STEPS)
+    return emb.sparkSession.createDataFrame(
+        _km_train_rows(emb, KMEANS_TRAIN_STEPS),
+        "step bigint, centroid_id bigint, cluster_size bigint,"
+        " avg_d2 bigint, shift2 bigint",
+    )
+
+
+def _km_train_oracle(steps: int) -> str:
+    elems = _KM_ELEMS_DUCK.format(scale=EMBED_SCALE)
+    parts = [
+        f"WITH elems AS MATERIALIZED ({elems}),",
+        f"cents1 AS MATERIALIZED (SELECT vec_id AS cid, dim, sv AS cv"
+        f" FROM elems WHERE vec_id < {KMEANS_K}),",
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            _km_step_sql(f"cents{s}", f"s{s}", mat="MATERIALIZED ") + ","
+        )
+        parts.append(f"""cents{s + 1} AS MATERIALIZED (
+  SELECT c.cid, c.dim, COALESCE(u.cv, c.cv) AS cv
+  FROM cents{s} c LEFT JOIN s{s}u u ON u.cid = c.cid AND u.dim = c.dim
+),
+s{s}sh AS (
+  SELECT a.cid,
+         CAST(SUM((b.cv - a.cv) * (b.cv - a.cv)) AS BIGINT) AS shift2
+  FROM cents{s} a JOIN cents{s + 1} b
+    ON a.cid = b.cid AND a.dim = b.dim
+  GROUP BY a.cid
+),""")
+    selects = [
+        f"SELECT CAST({s} AS BIGINT) AS step, st.cid AS centroid_id,"
+        f" st.cluster_size, st.avg_d2, sh.shift2"
+        f" FROM s{s}st st JOIN s{s}sh sh ON st.cid = sh.cid"
+        for s in range(1, steps + 1)
+    ]
+    body = "".join(parts)
+    return body.rstrip(",\n") + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step, centroid_id"
+
+
+ORACLE_KMEANS_TRAIN = _km_train_oracle(KMEANS_TRAIN_STEPS)
+
+
 ORACLE_KMEANS_STEP = (
     "WITH normed AS (SELECT vec_id,"
     " list_transform(CAST(embedding AS DOUBLE[]),"
@@ -2188,6 +2351,7 @@ ORACLE_SQL_LLMPREP = {
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     "embedding_int8_audit": ORACLE_INT8_AUDIT,
     "embedding_kmeans_step": ORACLE_KMEANS_STEP,
+    "embedding_kmeans_train": ORACLE_KMEANS_TRAIN,
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,

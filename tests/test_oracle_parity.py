@@ -133,6 +133,7 @@ def test_entry_smoke(spark):
         "text_encoding_artifacts",
         "dedup_survivorship",
         "corpus_novelty_curve",
+        "embedding_kmeans_train",
         "corpus_mix_plan",
         "dedup_cluster_stats",
     ],

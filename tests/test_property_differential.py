@@ -550,6 +550,10 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
         # to 1.0 — the degenerate-agreement case worth pinning
         (similarity.ann_truncated_recall, "ann_truncated_recall"),
+        # L8b: the 3-step Lloyd loop under absent/partial seed sets,
+        # identical vectors (ties resolve by cid) and empty clusters
+        # (centroid carried, no row emitted) — loop vs unrolled chain
+        (llmprep.embedding_kmeans_train, "embedding_kmeans_train"),
         (similarity.ann_nprobe_recall, "ann_nprobe_recall"),
     ]:
         ok, report = compare(fn(emb), con, oracles[name])
