@@ -1508,7 +1508,7 @@ def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
 )"""
 
 
-def _km_train_rows(emb: DataFrame, steps: int) -> list[tuple]:
+def _km_train(emb: DataFrame, steps: int) -> tuple[list[tuple], dict]:
     """The Spark-side training loop: per step, ONE SQL query computes
     assignment stats and the centroid update over literal centroids
     (k x dims integers — a VALUES relation, broadcast trivially); the
@@ -1560,7 +1560,7 @@ FROM u JOIN st s ON u.cid = s.cid
                     (step, cid, stats[cid][0], stats[cid][1], shift2)
                 )
             cents = new
-        return rows
+        return rows, cents
 
 
 def embedding_kmeans_train(emb: DataFrame) -> DataFrame:
@@ -1576,10 +1576,28 @@ def embedding_kmeans_train(emb: DataFrame) -> DataFrame:
     exactly. Empty clusters keep their centroid (and emit no row, in
     both engines).""".format(n=KMEANS_TRAIN_STEPS)
     return emb.sparkSession.createDataFrame(
-        _km_train_rows(emb, KMEANS_TRAIN_STEPS),
+        _km_train(emb, KMEANS_TRAIN_STEPS)[0],
         "step bigint, centroid_id bigint, cluster_size bigint,"
         " avg_d2 bigint, shift2 bigint",
     )
+
+
+def km_trained_centroids(
+    emb: DataFrame, steps: int = KMEANS_TRAIN_STEPS
+) -> list[tuple[int, list[float]]]:
+    """Final Lloyd centroids as ``(cid, double[])`` in the original
+    embedding scale — what :func:`..sources.ann_index.write_ann_index`
+    persists as a TRAINED coarse quantizer in place of the label-mean
+    one. Deterministic: the training arithmetic is all snapped
+    integers; the descale here is one exact division per component."""
+    cents = _km_train(emb, steps)[1]
+    byc: dict[int, dict[int, int]] = {}
+    for (c, d), v in cents.items():
+        byc.setdefault(c, {})[d] = v
+    return [
+        (c, [dims[d] / EMBED_SCALE for d in sorted(dims)])
+        for c, dims in sorted(byc.items())
+    ]
 
 
 def _km_train_oracle(steps: int) -> str:

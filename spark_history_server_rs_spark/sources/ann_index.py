@@ -15,6 +15,14 @@ Layout::
     path/centroids/  (label, centroid double[])      the coarse quantizer
     path/codebook/   (codeword, subspace, dim, sv)   PQ codebook elements
     path/codes/      (vec_id, code_0..code_{M-1}) PARTITIONED BY label
+    path/meta/       (cell_rule, train_steps)        how cells are assigned
+
+``cell_rule`` is ``label`` (original label-mean quantizer) or
+``nearest`` (Lloyd-trained centroids via ``train_steps > 0`` — cells
+are cosine-nearest content cells, which roughly doubles probe recall on
+corpora whose labels carry no geometry; measured in test). Streaming
+maintenance follows the persisted rule, so batch and stream always
+agree on which cell a vector joins.
 """
 
 from __future__ import annotations
@@ -45,9 +53,51 @@ def _pq_ctes(src: str) -> str:
     ).strip().rstrip(",")
 
 
-def write_ann_index(emb: DataFrame, path: str) -> None:
+#: nearest-cell assignment over a persisted centroid relation — shared
+#: by the trained batch build and streaming maintenance on a trained
+#: index, so the two can never disagree on which cell a vector joins
+_NEAREST_CELL_SQL = """
+cand AS (
+  SELECT e.vec_id, ct.label,
+         {cos} AS cs
+  FROM {src} e JOIN {cents} ct ON 1 = 1
+),
+cells AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, label) AS rnk
+    FROM cand) rr WHERE rnk = 1
+)"""
+
+
+def _cell_rule(spark: SparkSession, path: str) -> str:
+    """The index's persisted cell-assignment rule: ``label`` (the
+    original label-mean quantizer) or ``nearest`` (Lloyd-trained
+    centroids, cosine-nearest assignment). Pre-meta indexes are
+    ``label`` by construction."""
+    try:
+        return (
+            spark.read.parquet(f"{path}/meta")
+            .select("cell_rule").first().cell_rule
+        )
+    except Exception:
+        return "label"
+
+
+def write_ann_index(emb: DataFrame, path: str, train_steps: int = 0) -> None:
     """INDEX phase: persist coarse centroids, PQ codebook, and per-vector
-    codes (partitioned by cell). Idempotent overwrite."""
+    codes (partitioned by cell). Idempotent overwrite.
+
+    ``train_steps=0`` (default) keeps the original label-mean coarse
+    quantizer: cells are the stored ``label`` column. ``train_steps>0``
+    replaces it with Lloyd-TRAINED centroids
+    (:func:`..operators.llmprep.km_trained_centroids` — the L8b loop)
+    and assigns every vector to its cosine-nearest trained centroid —
+    content-based cells, which is what makes a cosine cell probe
+    actually find neighbors when labels carry no geometry (pinned by
+    the recall test). The rule lands in ``meta/`` so streaming
+    maintenance assigns arriving vectors the same way."""
     from ..functions.views import scoped_temp_view
 
     spark = emb.sparkSession
@@ -56,11 +106,19 @@ def write_ann_index(emb: DataFrame, path: str) -> None:
     with scoped_temp_view(
         emb.where("embedding IS NOT NULL"), "_sim_emb"
     ) as ev:
-        spark.sql(
-            "WITH "
-            + _IVF_SPARK.format(src=ev).strip().rstrip(",")
-            + "\nSELECT label, centroid FROM centroids"
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        if train_steps > 0:
+            from ..operators.llmprep import km_trained_centroids
+
+            cents = km_trained_centroids(emb, train_steps)
+            spark.createDataFrame(
+                cents, "label bigint, centroid array<double>"
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
+        else:
+            spark.sql(
+                "WITH "
+                + _IVF_SPARK.format(src=ev).strip().rstrip(",")
+                + "\nSELECT label, centroid FROM centroids"
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
         spark.sql(
             "WITH "
             + _pq_ctes(ev)
@@ -70,10 +128,35 @@ def write_ann_index(emb: DataFrame, path: str) -> None:
             f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
             for s in range(PQ_M)
         )
-        spark.sql(
-            "WITH "
-            + _pq_ctes(ev)
-            + f""",
+        if train_steps > 0:
+            with scoped_temp_view(
+                spark.read.parquet(f"{path}/centroids"), "_ann_cents"
+            ) as ctv:
+                cells_cte = _NEAREST_CELL_SQL.format(
+                    src=ev,
+                    cents=ctv,
+                    cos=cosine_expr_spark("e.embedding", "ct.centroid"),
+                ).strip().lstrip()
+                spark.sql(
+                    "WITH "
+                    + _pq_ctes(ev)
+                    + ",\n"
+                    + cells_cte
+                    + f"""
+SELECT a.vec_id, c.label,
+       {code_cols},
+       CAST(0 AS BIGINT) AS ingest_seq
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+                ).write.mode("overwrite").partitionBy("label").parquet(
+                    f"{path}/codes"
+                )
+        else:
+            spark.sql(
+                "WITH "
+                + _pq_ctes(ev)
+                + f""",
 cells AS (SELECT vec_id, label FROM {ev})
 SELECT a.vec_id, c.label,
        {code_cols},
@@ -81,9 +164,13 @@ SELECT a.vec_id, c.label,
 FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
 GROUP BY a.vec_id, c.label
 """
-        ).write.mode("overwrite").partitionBy("label").parquet(
-            f"{path}/codes"
-        )
+            ).write.mode("overwrite").partitionBy("label").parquet(
+                f"{path}/codes"
+            )
+        spark.createDataFrame(
+            [("nearest" if train_steps > 0 else "label", train_steps)],
+            "cell_rule string, train_steps int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ann_ivf_pq_from_index(
@@ -218,7 +305,7 @@ assigned AS (
     FROM dists
   ) WHERE rnk = 1
 ),
-cells AS (SELECT vec_id, label FROM {src})
+{cells_cte}
 SELECT a.vec_id, c.label,
        {code_cols},
        CAST({seq} AS BIGINT) AS ingest_seq
@@ -287,7 +374,26 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                 batch_df, "_stream_ann_emb"
             ) as ev, scoped_temp_view(
                 spark.read.parquet(f"{path}/codebook"), "_stream_ann_cb"
-            ) as cbv:
+            ) as cbv, scoped_temp_view(
+                spark.read.parquet(f"{path}/centroids"), "_stream_ann_ct"
+            ) as ctv:
+                # cell rule follows the index's persisted meta: a
+                # TRAINED index assigns arriving vectors to their
+                # cosine-nearest persisted centroid (same SQL as the
+                # batch build), a label index keeps the stored label —
+                # stream and batch can never disagree on cells
+                if _cell_rule(spark, path) == "nearest":
+                    cells_cte = _NEAREST_CELL_SQL.format(
+                        src=ev,
+                        cents=ctv,
+                        cos=cosine_expr_spark(
+                            "e.embedding", "ct.centroid"
+                        ),
+                    ).strip().lstrip()
+                else:
+                    cells_cte = (
+                        f"cells AS (SELECT vec_id, label FROM {ev})"
+                    )
                 spark.sql(
                     _ENCODE_AGAINST_CB.format(
                         src=ev,
@@ -296,6 +402,7 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                         subdim=PQ_SUBDIM,
                         code_cols=code_cols,
                         seq=(max_seq or 0) + 1,
+                        cells_cte=cells_cte,
                     )
                 ).write.mode("append").partitionBy("label").parquet(
                     f"{path}/codes"

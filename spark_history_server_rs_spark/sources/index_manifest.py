@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 #: relation subdirectories per index layout
 DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages")
-ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes")
+ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes", "meta")
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:
@@ -69,6 +69,8 @@ def refresh_index_manifest(
     compaction / maintenance slot that changed the relations."""
     out = None
     for rel in relations:
+        if not path_exists(spark, f"{path}/{rel}"):
+            continue  # e.g. a pre-`meta/` index: attest what exists
         stats = _relation_stats(spark, path, rel)
         out = stats if out is None else out.unionByName(stats)
     out.write.mode("overwrite").parquet(f"{path}/manifest")
