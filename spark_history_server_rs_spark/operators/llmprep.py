@@ -726,7 +726,16 @@ def bpe_encode(docs: DataFrame) -> DataFrame:
     BEFORE the vocab join (no hot-word fan-out), then one doc_id
     re-aggregate. Token-less documents emit no row (no words to
     encode), identically in both engines."""
-    merges = [m[1] for m in _learned_merges(docs)]
+    return bpe_encode_frozen(docs, [m[1] for m in _learned_merges(docs)])
+
+
+def bpe_encode_frozen(docs: DataFrame, merges: list[str]) -> DataFrame:
+    """L2e's encode body under an explicit FROZEN merge list — the
+    production tokenizer contract (train once, apply everywhere):
+    :func:`bpe_encode` passes the merges it trains on its own corpus;
+    :func:`..streaming.ingest.stream_bpe_encode` passes a
+    reference-corpus tokenizer to each arriving micro-batch, the same
+    frozen-artifact split as the ANN index's codebook."""
     vocab = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("word")).distinct()
     col = F.concat(F.regexp_replace("word", "(?s)(.)", "$1 "), F.lit("</w>"))
     for pair in merges:

@@ -473,3 +473,41 @@ def stream_encoding_monitor(docs: DataFrame) -> DataFrame:
 
     with scoped_temp_view(docs, "_stream_text_docs") as view:
         return docs.sparkSession.sql(encoding_flags_spark_sql(view))
+
+
+def stream_bpe_encode(
+    docs_stream: DataFrame,
+    merges: list[str],
+    path: str,
+    checkpoint: str,
+):
+    """Beyond-reference: tokenize-at-ingest — every arriving document's
+    subword token count under a FROZEN tokenizer (a merge list trained
+    once on a reference corpus, :func:`..operators.llmprep.bpe_train`),
+    appended per micro-batch as ``(doc_id, n_words, n_bpe_tokens,
+    expansion)``. The same frozen-artifact split as the ANN index's
+    codebook: training is a batch job, application is pure per-batch
+    map+aggregate work — and the token counts a budget/packing decision
+    needs exist the moment a document lands, not at the next corpus
+    sweep. A document is wholly contained in its micro-batch, so
+    per-doc aggregation needs no cross-batch state.
+
+    Semantics: at-least-once under retries (re-run batches append
+    byte-identical rows — counts are pure functions of the document);
+    de-duplicate on read or compact with the shared DISTINCT rewrite.
+    Returns the started StreamingQuery (availableNow-compatible)."""
+    from ..operators.llmprep import bpe_encode_frozen
+
+    def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bpe_encode_frozen(batch_df, merges)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_encode_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

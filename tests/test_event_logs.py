@@ -1037,6 +1037,56 @@ def test_stream_contamination_guard_matches_batch(spark, tmp_path):
     assert 7 in flagged  # the cross-batch arrival was caught
 
 
+def test_stream_bpe_encode_matches_batch(spark, tmp_path):
+    """Tokenize-at-ingest: documents streamed in two micro-batches,
+    encoded under a tokenizer trained ONCE on the full corpus, must
+    carry exactly the counts the batch encode computes under the same
+    frozen merges — and a doc split across batches cannot exist (a doc
+    is wholly contained in its batch), so the per-doc aggregate is
+    batch-local by construction."""
+    from spark_history_server_rs_spark.operators.llmprep import (
+        _learned_merges,
+        bpe_encode_frozen,
+    )
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_bpe_encode,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    merges = [m[1] for m in _learned_merges(docs)]
+
+    src = tmp_path / "bpe_docs"
+    half = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    rows0 = [
+        {"doc_id": r.doc_id, "text": r.text} for r in half[0].collect()
+    ]
+    rows1 = [
+        {"doc_id": r.doc_id, "text": r.text} for r in half[1].collect()
+    ]
+    _write_doc_files(src, [rows0, rows1])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "bpe_out")
+    q = stream_bpe_encode(
+        stream, merges, out, str(tmp_path / "bpe_ckpt")
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.expansion)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.expansion)
+        for r in bpe_encode_frozen(docs, merges).collect()
+    }
+    assert streamed == want and len(want) > 0
+
+
 def test_stream_encoding_monitor_matches_batch(spark, tmp_path):
     """Streaming encoding monitor: per-doc artifact flags across
     micro-batches, aggregated by source, must reproduce the batch
