@@ -85,6 +85,9 @@ _SENTINELS = (
     # new this round → first driver row (per-source encoding hygiene);
     # corpus_pack_sequences displaced to 51+ for the slot (rotate r08)
     "text_encoding_artifacts",
+    # new this round → first driver row (rule × classifier confusion);
+    # corpus_contamination displaced to 51+ for the slot (rotate r08)
+    "text_filter_agreement",
 )
 
 # Round-7 re-checks: the scoped-view migration touched ~60 operators'
@@ -138,9 +141,8 @@ _ROTATED_RELATIONAL = (
     "corpus_span_leakage",
     # llmprep surface (scoped docs/emb views; semantic dedup's cached
     # assigned relation moved to _materialized_df)
-    "corpus_contamination",
-    # pack_sequences + pack_sequences_sharded displaced to 51+ (shared
-    # migrated tail; rotate r08)
+    # corpus_contamination + pack_sequences(+_sharded) displaced to 51+
+    # (pytest-green every session; rotate r08)
     "embedding_semantic_dedup",
     "embedding_kmeans_step",
     # new this round → first driver row (k-step Lloyd training loop);
@@ -217,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_boilerplate": _d(textprep.line_boilerplate),
         "text_quality_prune": _d(textprep.quality_prune),
         "text_encoding_artifacts": _d(textprep.encoding_artifacts),
+        "text_filter_agreement": _d(textprep.filter_agreement),
         # --- training-data pipeline: deduplication ---
         "dedup_exact": _d(dedup.dedup_exact),
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),

@@ -169,6 +169,7 @@ def main() -> None:
         ("corpus_novelty_curve", corpus.novelty_curve, docs),
         ("corpus_novelty_curve_approx", corpus.novelty_curve_approx, docs),
         ("embedding_kmeans_train", llmprep.embedding_kmeans_train, emb),
+        ("text_filter_agreement", textprep.filter_agreement, docs),
         # round-9 batch (nprobe sweep; cluster × source mix is
         # cross-table, timed below with the events-SQL ops)
         ("ann_nprobe_recall", similarity.ann_nprobe_recall, emb),

@@ -476,7 +476,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
-            r"|fertility|boilerplate|encoding|survivorship|novelty)",
+            r"|fertility|boilerplate|encoding|survivorship|novelty"
+            r"|filter-agreement)",
             path,
         )
         if m:
@@ -502,6 +503,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "encoding": textprep.encoding_artifacts,
                 "survivorship": corpus.dedup_survivorship,
                 "novelty": corpus.novelty_curve,
+                "filter-agreement": textprep.filter_agreement,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

@@ -1014,6 +1014,62 @@ def encoding_artifacts(docs: DataFrame) -> DataFrame:
         )
 
 
+# ==========================================================================
+# T11 — filter-agreement calibration (rule filter × classifier filter)
+# ==========================================================================
+_AGREE_TAIL = f"""
+agree AS (
+  SELECT s.doc_id,
+         g.keep AS rule_keep,
+         ({_R6.format(x="1.0 / (1.0 + exp(-logit))")} >= {QC_KEEP_THRESHOLD})
+           AS clf_keep
+  FROM scored s JOIN gq g ON s.doc_id = g.doc_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM agree)
+SELECT rule_keep, clf_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(COUNT(*) * 10000.0 / t.n + 0.5) / CAST(10000.0 AS DOUBLE)
+         AS frac
+FROM agree JOIN tot t ON 1 = 1
+GROUP BY rule_keep, clf_keep, t.n
+ORDER BY rule_keep, clf_keep
+"""
+
+
+def filter_agreement(docs: DataFrame) -> DataFrame:
+    """T11: confusion table between the cheap rule filter (T7 Gopher
+    keep) and the model filter (T6 classifier keep) — ≤4 cells with
+    counts and corpus fractions. The calibration read a pipeline does
+    before swapping rules for a model (or before trusting either): the
+    disagreement cells are exactly the documents to audit, and a large
+    rule-keep × model-drop cell is the classic sign of a
+    threshold/feature drift.
+
+    Scale shape: both inputs are shuffle-free projections over the same
+    scan; the only exchanges are the doc_id equi-join of two per-doc
+    flag relations and the final ≤4-cell fold. Output size is constant
+    at any corpus scale."""
+    with scoped_temp_view(docs, "_text_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _qc_base_spark(dv)
+            + ","
+            + _qc_scored_ctes()
+            + f", gq AS ({gopher_spark_sql(dv, ordered=False)}),"
+            + _AGREE_TAIL
+        )
+
+
+ORACLE_FILTER_AGREEMENT = (
+    "WITH "
+    + _qc_base_duck()
+    + ","
+    + _qc_scored_ctes()
+    + f", gq AS ({_oracle_gopher_rules()}),"
+    + _AGREE_TAIL
+)
+
+
 ORACLE_ENCODING_ARTIFACTS = "WITH " + _enc_tail(
     src="documents", octets="octet_length(encode(text))"
 )
@@ -1031,4 +1087,5 @@ ORACLE_SQL_TEXT = {
     "text_line_boilerplate": ORACLE_LINE_BOILERPLATE,
     "text_quality_prune": ORACLE_QUALITY_PRUNE,
     "text_encoding_artifacts": ORACLE_ENCODING_ARTIFACTS,
+    "text_filter_agreement": ORACLE_FILTER_AGREEMENT,
 }

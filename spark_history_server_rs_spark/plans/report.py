@@ -85,6 +85,8 @@ SELECTED = [
      "md5-keyed first-bucket fold over the shared shingle relation"),
     ("corpus_novelty_curve_approx",
      "map-side partial HLL sketches; no shuffle carries a shingle"),
+    ("text_filter_agreement",
+     "two shuffle-free filter projections, doc_id join, 4-cell fold"),
 ]
 
 

@@ -454,6 +454,9 @@ def test_corpus_endpoints(spark):
         assert code == 200 and len(surv) >= 1
         assert {"source", "doc_kept_rate", "token_kept_rate"} <= set(surv[0])
         assert all(r["n_docs_kept"] <= r["n_docs"] for r in surv)
+        code, agr = _get(base, "/api/v1/corpus/filter-agreement")
+        assert code == 200 and 1 <= len(agr) <= 4
+        assert abs(sum(r["frac"] for r in agr) - 1.0) < 0.01
         code, nov = _get(base, "/api/v1/corpus/novelty")
         assert code == 200 and 1 <= len(nov) <= 10
         assert nov[0]["novelty_rate"] == 1.0  # bucket 0 is all-new

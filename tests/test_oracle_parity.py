@@ -134,6 +134,7 @@ def test_entry_smoke(spark):
         "dedup_survivorship",
         "corpus_novelty_curve",
         "embedding_kmeans_train",
+        "text_filter_agreement",
         "corpus_mix_plan",
         "dedup_cluster_stats",
     ],

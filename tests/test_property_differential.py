@@ -267,6 +267,9 @@ def test_random_documents_match_oracle(rows, spark, prop_docs_dir):
         # across different sources are the interesting corner (the
         # cluster keeps one; the OTHER source loses the tokens)
         (corpus.dedup_survivorship, "dedup_survivorship"),
+        # T11: both keep flags + the 4-cell fold under empty/NULL-text
+        # docs (NULL flags are a real confusion cell in both engines)
+        (textprep.filter_agreement, "text_filter_agreement"),
         # C16: bucket arithmetic + first-seen fold under empty corpora,
         # all-<k-token docs (no shingles at all) and duplicated docs
         (corpus.novelty_curve, "corpus_novelty_curve"),
