@@ -855,6 +855,11 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
 
     _dedup.clear_materialized_caches()
     spark.catalog.clearCache()
+    # other suite components may legitimately hold localCheckpoint
+    # blocks at this moment (catalog.clearCache does not reap RDD-level
+    # checkpoints) — the contract under test is that BPE training
+    # retires ITS anchors, i.e. zero NET storage growth across a run
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     llmprep._train_merges(docs, 40)  # 2 checkpoints retired + finally
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [i.name() for i in infos]
+    assert len(infos) <= before, [i.name() for i in infos]
