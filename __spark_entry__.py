@@ -129,7 +129,12 @@ _ROTATED_RELATIONAL = (
     "dedup_survivorship",
     "dedup_cluster_stats",
     "corpus_tfidf_top_terms",
-    "corpus_oov_rate",
+    # new this round → first driver row (order-sensitive bigram-LM
+    # surprisal); corpus_oov_rate displaced to 51+ for the slot — its
+    # scoped-tok-accessor migration is already re-validated in-window by
+    # tfidf_top_terms/unigram_logprob and the pytest differential
+    # re-checks it every session (rotate r08)
+    "corpus_bigram_logprob",
     "corpus_unigram_logprob",
     # new this round → first driver row (crawl-yield novelty curve);
     # corpus_perplexity_buckets displaced to 51+ for the slot — its
@@ -278,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_training_manifest": _d(llmprep.training_manifest),
         "corpus_length_histogram": _d(llmprep.length_histogram),
         "corpus_bigram_counts": _d(llmprep.bigram_counts),
+        "corpus_bigram_logprob": _d(llmprep.bigram_logprob),
         "corpus_pack_sequences": _d(llmprep.pack_sequences),
         "corpus_pack_sequences_sharded": _d(llmprep.pack_sequences_sharded),
         "corpus_global_shuffle": _d(llmprep.global_shuffle),

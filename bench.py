@@ -177,6 +177,7 @@ def main() -> None:
         ("text_quality_prune", textprep.quality_prune, docs),
         ("corpus_mix_plan", corpus.mix_plan, docs),
         ("dedup_cluster_stats", corpus.dedup_cluster_stats, docs),
+        ("corpus_bigram_logprob", llmprep.bigram_logprob, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

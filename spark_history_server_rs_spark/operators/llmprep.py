@@ -187,6 +187,120 @@ ORACLE_BIGRAM_COUNTS = "WITH " + _BIGRAM_TAIL.format(
 
 
 # ==========================================================================
+# L2c — per-document bigram-LM surprisal (order-sensitive quality signal)
+# ==========================================================================
+# C6 scores documents under a unigram model — a bag-of-words signal blind
+# to token ORDER. This is the same CCNet-style self-trained-LM filter one
+# conditioning order up: P(w_i | w_{i-1}) with add-one smoothing over the
+# corpus's own token vocabulary, so shuffled-word salad, keyword-stuffed
+# spam, and template boilerplate (whose unigrams look normal but whose
+# transitions are improbable / degenerate) separate from natural prose.
+# Trained and scored on the same corpus (self-contained, like C6/C10), so
+# every scored bigram is observed — smoothing only shapes the estimate.
+#
+# Determinism (the proven C6 recipe): the ln() argument is the exact
+# small-integer rational (cb+1)/(cu+V), identical doubles in both
+# engines; per-bigram NLL snaps to integer micro-nats BEFORE any
+# cross-row SUM, so float accumulation order never differs; BIGINT casts
+# pin DuckDB's HUGEINT sums.
+#
+# Scale shape: per-doc (doc_id, bigram) multiplicities aggregate FIRST
+# (map-side combined; repeated bigrams in a doc collapse before any
+# join), the bigram- and context-count models aggregate from that same
+# relation, and the scoring joins key on bigram/ctx — document text
+# never shuffles, and the only doc-keyed exchange is the final per-doc
+# SUM. The context model and vocab scalar are vocab-sized (broadcast);
+# the bigram model is the one genuinely large side and joins key-on-key.
+_BIGRAM_LM_TAIL = """
+bstats AS (
+  SELECT doc_id, ctx, bigram, COUNT(*) AS m
+  FROM bigrams GROUP BY doc_id, ctx, bigram
+),
+bcounts AS (
+  SELECT bigram, CAST(SUM(m) AS BIGINT) AS cb FROM bstats GROUP BY bigram
+),
+ccounts AS (
+  SELECT ctx, CAST(SUM(m) AS BIGINT) AS cu FROM bstats GROUP BY ctx
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+scored AS (
+  SELECT s.doc_id, s.m,
+         CAST(FLOOR(-ln(CAST(c.cb + 1 AS DOUBLE)
+                        / CAST(x.cu + v.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+  FROM bstats s
+  JOIN bcounts c ON c.bigram = s.bigram
+  JOIN ccounts x ON x.ctx = s.ctx
+  CROSS JOIN vocab v
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m * nll_micro) AS BIGINT) AS total_nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, total_nll_micro,
+       FLOOR((CAST(total_nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+              / 1000000.0) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)
+         AS avg_nll,
+       FLOOR((CAST(total_nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+              / 1000000.0 / ln(2.0)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS bits_per_bigram
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """L2c: per-document average surprisal under the corpus's own
+    add-one-smoothed bigram LM — C6's quality signal made
+    order-sensitive (see the block comment for why that matters and for
+    the exactness/scale invariants). Documents with fewer than two
+    tokens carry no transition evidence and are excluded (both
+    engines, by construction)."""
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        # Spark bigram body: the L2 shuffle-free slice fold, widened to
+        # carry the left context explicitly (no split_part re-parsing
+        # downstream).
+        return docs.sparkSession.sql(
+            f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SPARK} AS tk FROM {dv}),
+tok AS (SELECT doc_id, explode(tk) AS tok FROM toks),
+bigrams AS (
+  SELECT doc_id, b.ctx AS ctx, b.bigram AS bigram FROM (
+    SELECT doc_id, explode(CASE WHEN size(tk) >= 2
+      THEN transform(sequence(1, size(tk) - 1),
+           i -> named_struct('ctx', element_at(tk, i),
+                             'bigram', concat_ws(' ', slice(tk, i, 2))))
+      ELSE CAST(array() AS ARRAY<STRUCT<ctx: STRING, bigram: STRING>>)
+      END) AS b
+    FROM toks)
+),
+"""
+            + _BIGRAM_LM_TAIL
+        )
+
+
+ORACLE_BIGRAM_LOGPROB = (
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),
+postok AS (
+  SELECT doc_id, generate_subscripts({_TOKENS_DUCK}, 1) AS pos,
+         unnest({_TOKENS_DUCK}) AS tok
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, tok AS ctx, tok || ' ' || next_tok AS bigram FROM (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+    FROM postok
+  ) WHERE next_tok IS NOT NULL
+),
+"""
+    + _BIGRAM_LM_TAIL
+)
+
+
+# ==========================================================================
 # L2b — one BPE merge step (tokenizer-training primitive)
 # ==========================================================================
 #: One iteration of byte-pair-encoding merge learning (Sennrich et al.
@@ -2368,6 +2482,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_bpe_fertility": ORACLE_BPE_FERTILITY,
     "corpus_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
+    "corpus_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_pack_sequences_sharded": ORACLE_PACK_SEQUENCES_SHARDED,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,

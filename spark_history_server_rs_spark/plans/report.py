@@ -87,6 +87,9 @@ SELECTED = [
      "map-side partial HLL sketches; no shuffle carries a shingle"),
     ("text_filter_agreement",
      "two shuffle-free filter projections, doc_id join, 4-cell fold"),
+    ("corpus_bigram_logprob",
+     "per-doc bigram multiplicities aggregate before the LM joins;"
+     " text never shuffles"),
 ]
 
 

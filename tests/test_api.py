@@ -462,6 +462,12 @@ def test_corpus_endpoints(spark):
         assert nov[0]["novelty_rate"] == 1.0  # bucket 0 is all-new
         assert all(r["n_new_shingles"] <= r["n_distinct_shingles"]
                    for r in nov)
+        code, sup = _get(base, "/api/v1/corpus/surprisal?limit=20")
+        assert code == 200 and 1 <= len(sup) <= 20
+        assert {"doc_id", "n_bigrams", "avg_nll", "bits_per_bigram"} <= set(
+            sup[0]
+        )
+        assert all(r["avg_nll"] >= 0.0 for r in sup)  # add-one: p <= 1
     finally:
         httpd.shutdown()
 

@@ -137,6 +137,7 @@ def test_entry_smoke(spark):
         "text_filter_agreement",
         "corpus_mix_plan",
         "dedup_cluster_stats",
+        "corpus_bigram_logprob",
     ],
 )
 def test_sf01_parity_spot(name, spark):

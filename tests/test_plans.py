@@ -523,6 +523,7 @@ def test_round5_plan_gates(spark):
 
     for df in (
         corpus.unigram_logprob(docs),
+        llmprep.bigram_logprob(docs),
         corpus.dedup_keep_canonical(docs),
         dedup.minhash_estimate_eval(docs),
     ):
