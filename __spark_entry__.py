@@ -112,7 +112,6 @@ _ROTATED_RELATIONAL = (
     "sessionize_events",
     # dedup surface (shingles_cte + scoped accessors)
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
     "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_minhash_eval",
@@ -160,6 +159,12 @@ _ROTATED_RELATIONAL = (
     "embedding_int8_audit",
     # similarity surface (scoped emb views, templated PQ unnest)
     "ann_ivf_pq",
+    # new this round → first driver row (residual-encoded IVFADC);
+    # dedup_ngram_jaccard_capped displaced to 51+ for the slot — its
+    # in-window sibling dedup_ngram_jaccard re-validates the shared
+    # shingle/band fragments and the pytest differential re-checks it
+    # every session (rotate r08)
+    "ann_ivf_pq_residual",
     # new this round → first driver row (cross-table cluster × source)
     "corpus_semantic_source_mix",
 )
@@ -249,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": _e(similarity.ann_pq_codes),
         "ann_pq_recall": _e(similarity.ann_pq_recall),
         "ann_ivf_pq": _e(similarity.ann_ivf_pq),
+        "ann_ivf_pq_residual": _e(similarity.ann_ivf_pq_residual),
         "ann_nprobe_recall": _e(similarity.ann_nprobe_recall),
         "ann_truncated_recall": _e(similarity.ann_truncated_recall),
         # --- training-data pipeline: multimodal plumbing ---

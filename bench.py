@@ -178,6 +178,7 @@ def main() -> None:
         ("corpus_mix_plan", corpus.mix_plan, docs),
         ("dedup_cluster_stats", corpus.dedup_cluster_stats, docs),
         ("corpus_bigram_logprob", llmprep.bigram_logprob, docs),
+        ("ann_ivf_pq_residual", similarity.ann_ivf_pq_residual, emb),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

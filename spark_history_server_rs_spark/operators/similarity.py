@@ -890,6 +890,169 @@ ORACLE_ANN_IVF_PQ = _oracle_ann_ivf_pq()
 
 
 # ==========================================================================
+# X8b — IVFADC with RESIDUAL encoding (the paper's actual codec)
+# ==========================================================================
+#: X8 quantizes raw vectors; the Jegou et al. 2011 IVFADC system (§IV.A)
+#: quantizes the RESIDUAL r = x − q1(x) — the offset from the coarse
+#: centroid the vector already paid for by living in that cell. Residuals
+#: concentrate near zero, so the same PQ_M × PQ_K code budget spends its
+#: codewords on a much smaller-variance distribution — finer codes for
+#: identical bytes/vector. The price is query-side only: the ADC lookup
+#: table becomes per-(query, PROBED CELL) because the query's residual
+#: differs per cell — nq × nprobe × M × K entries, still broadcast-sized
+#: at any corpus scale. Corpus-side cost is unchanged (M integer adds
+#: per candidate; floats never read after indexing).
+#:
+#: Exactness: centroid dims re-enter as micro BIGINTs (the same
+#: FLOOR(AVG·1e6+0.5) snap X3's green oracle uses — multiplying the
+#: micro-rounded double back by 1e6 recovers the integer exactly), so
+#: residual elements are exact BIGINT differences; the squared-diff sums
+#: then follow X6's proven milli down-snap.
+_IVFADC_RESIDUAL_TAIL = """,
+elems AS (
+  SELECT vec_id, dim, CAST(FLOOR(v * {scale} + 0.5) AS BIGINT) AS sv
+  FROM ({unnested})
+),
+cdim AS (
+  -- {cdim_off}: the IVF explode is 0-based in Spark (posexplode) but
+  -- 1-based in DuckDB (generate_subscripts); normalize to elems' 0-based
+  SELECT label, i - {cdim_off} AS dim,
+         CAST(FLOOR(c * {scale} + 0.5) AS BIGINT) AS csv
+  FROM centroid_dims
+),
+vec_cells AS (SELECT vec_id, label FROM {src}),
+relems AS (
+  SELECT e.vec_id, e.dim, e.sv - c.csv AS rsv
+  FROM elems e
+  JOIN vec_cells vl ON vl.vec_id = e.vec_id
+  JOIN cdim c ON c.label = vl.label AND c.dim = e.dim
+),
+rsub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {subdim}.0) AS BIGINT) AS subspace,
+         dim, rsv
+  FROM relems
+),
+rcb AS (
+  SELECT vec_id AS codeword, subspace, dim, rsv
+  FROM rsub WHERE vec_id < {pqk}
+),
+rdists AS (
+  SELECT s.vec_id, s.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(s.rsv - c.rsv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(s.rsv - c.rsv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM rsub s JOIN rcb c ON s.subspace = c.subspace AND s.dim = c.dim
+  GROUP BY s.vec_id, s.subspace, c.codeword
+),
+rassigned AS (
+  SELECT vec_id, subspace, codeword, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, codeword) AS rnk
+    FROM rdists
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM {src} q JOIN centroids ct ON 1 = 1
+    WHERE q.vec_id < {nq}
+  ) WHERE crank <= {nprobe}
+),
+qrelems AS (
+  -- the query's residual w.r.t. EACH probed cell's centroid
+  SELECT p.query_id, p.label, e.dim, e.sv - c.csv AS rsv
+  FROM probes p
+  JOIN elems e ON e.vec_id = p.query_id
+  JOIN cdim c ON c.label = p.label AND c.dim = e.dim
+),
+qtab AS (
+  -- per-(query, probed cell) ADC lookup table over the residual codebook
+  SELECT q.query_id, q.label, b.subspace, b.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(q.rsv - b.rsv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.rsv - b.rsv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM qrelems q JOIN rcb b ON b.dim = q.dim
+  GROUP BY q.query_id, q.label, b.subspace, b.codeword
+),
+adc AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id, l.label AS probed_label,
+         CAST(SUM(t.d) AS BIGINT) AS approx_d
+  FROM rassigned a
+  JOIN vec_cells l ON l.vec_id = a.vec_id
+  JOIN qtab t ON t.label = l.label AND t.subspace = a.subspace
+             AND t.codeword = a.codeword
+  WHERE a.vec_id <> t.query_id
+  GROUP BY t.query_id, a.vec_id, l.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, probed_label, neighbor_id, approx_d, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_pq_residual(emb: DataFrame) -> DataFrame:
+    """X8b: IVFADC with residual encoding — X8's probe/ADC composition,
+    but PQ codes quantize r = x − q1(x) instead of x (Jegou et al. 2011
+    §IV.A, the paper's actual production codec). See the block comment
+    for why residuals buy finer codes at identical bytes/vector and
+    what the per-probed-cell query tables cost.
+
+    Scale shape: identical to X8 on the corpus side (cells = partition
+    pruning, M integer adds per candidate, floats never read after
+    indexing); the added centroid-dim join is #cells × dim rows —
+    broadcast; query lookup tables are nq × nprobe × M × K — broadcast.
+    The residual-vs-raw quantization-error win is pinned by pytest
+    (tests/test_property_differential.py::
+    test_residual_pq_reduces_quantization_error)."""
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _IVF_SPARK.format(src=ev)
+            + _IVFADC_RESIDUAL_TAIL.format(
+                qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+                src=ev,
+                scale=_PQ_SCALE,
+                subdim=PQ_SUBDIM,
+                pqk=PQ_K,
+                nq=N_QUERIES,
+                nprobe=NPROBE,
+                k=TOP_K,
+                cdim_off=0,
+                unnested=_PQ_UNNEST_SPARK.format(src=ev),
+            )
+        )
+
+
+ORACLE_ANN_IVF_PQ_RESIDUAL = (
+    "WITH "
+    + _IVF_DUCK.format(
+        src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    )
+    + _IVFADC_RESIDUAL_TAIL.format(
+        qc_cos=_ivf_duck_cos("q.embedding", "ct.centroid"),
+        src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
+        scale=_PQ_SCALE,
+        subdim=PQ_SUBDIM,
+        pqk=PQ_K,
+        nq=N_QUERIES,
+        nprobe=NPROBE,
+        k=TOP_K,
+        cdim_off=1,
+        unnested=_PQ_UNNEST_DUCK,
+    )
+)
+
+
+# ==========================================================================
 # X10b — nprobe quality knob (recall@k vs probed-cell count)
 # ==========================================================================
 #: the operational question IVFADC deployments tune: how many cells must
@@ -1127,6 +1290,7 @@ ORACLE_SQL_SIMILARITY = {
     "ann_pq_codes": ORACLE_ANN_PQ_CODES,
     "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
+    "ann_ivf_pq_residual": ORACLE_ANN_IVF_PQ_RESIDUAL,
     "ann_nprobe_recall": ORACLE_ANN_NPROBE_RECALL,
     "ann_truncated_recall": ORACLE_ANN_TRUNCATED_RECALL,
 }

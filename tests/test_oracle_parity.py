@@ -138,6 +138,7 @@ def test_entry_smoke(spark):
         "corpus_mix_plan",
         "dedup_cluster_stats",
         "corpus_bigram_logprob",
+        "ann_ivf_pq_residual",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -730,6 +730,10 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert not I.has_python_worker(ivfadc)
     assert I.single_partition_windows(ivfadc) == 0
     assert "BroadcastHashJoin" in I.explain_str(ivfadc, "simple")
+    res = similarity.ann_ivf_pq_residual(emb)
+    assert not I.has_python_worker(res)
+    assert I.single_partition_windows(res) == 0
+    assert "BroadcastHashJoin" in I.explain_str(res, "simple")
     pidx = dedup.duplicate_passage_index(docs)
     assert not I.has_python_worker(pidx)
     assert not I.has_cartesian(pidx)

@@ -784,3 +784,38 @@ def test_int8_audit_all_zero_corpus(spark, tmp_path_factory):
         )
     finally:
         con.close()
+
+
+def test_residual_pq_reduces_quantization_error():
+    """X8b's reason to exist: quantizing residuals r = x - q1(x) must
+    spend the same PQ_M x PQ_K code budget on a smaller-variance
+    distribution than raw vectors. Pinned as a strict inequality on the
+    fixed seed-42 corpus at every generated scale.
+
+    Measured on the DuckDB twins (legitimate: the Spark operator is
+    hash-equal to the oracle by test_query_matches_oracle, so the twin
+    IS the operator's arithmetic; DuckDB-side lets this scan three
+    scales without three Spark jobs)."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import similarity as S
+
+    raw_sql = "WITH " + S._PQ_CODE_CTES.format(
+        scale=S._PQ_SCALE, subdim=S.PQ_SUBDIM, pqk=S.PQ_K,
+        unnested=S._PQ_UNNEST_DUCK,
+    ) + " SELECT CAST(SUM(d) AS BIGINT) FROM assigned"
+    res_sql_full = S.ORACLE_ANN_IVF_PQ_RESIDUAL
+    head = res_sql_full[: res_sql_full.index(",\nprobes AS")]
+    res_sql = head + " SELECT CAST(SUM(d) AS BIGINT) FROM rassigned"
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '/root/testdata/{sf}/embeddings.parquet'"
+        )
+        try:
+            raw = con.execute(raw_sql).fetchone()[0]
+            res = con.execute(res_sql).fetchone()[0]
+            assert res < raw, (sf, res, raw)
+        finally:
+            con.close()
