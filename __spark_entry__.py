@@ -82,6 +82,12 @@ _SENTINELS = (
     "corpus_bpe_train",
     "corpus_bpe_fertility",
     "corpus_bpe_encode",
+    # new this round → first driver row (per-(source,lang) tokenizer
+    # compression parity; rides the trained-merge chain just re-checked
+    # above); dedup_embedding_cosine_prefiltered displaced to 51+ for
+    # the slot — its in-window sibling dedup_embedding_cosine
+    # re-validates the shared sketch/rerank fragments (rotate r08)
+    "corpus_bpe_compression",
     # new this round → first driver row (per-source encoding hygiene);
     # corpus_pack_sequences displaced to 51+ for the slot (rotate r08)
     "text_encoding_artifacts",
@@ -117,7 +123,6 @@ _ROTATED_RELATIONAL = (
     "dedup_minhash_eval",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_prefiltered",
     "dedup_repeated_passages",
     "dedup_passage_index",
     # corpus surface (scoped tok/feat/wins accessors)
@@ -317,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_train": _d(llmprep.bpe_train),
         "corpus_bpe_fertility": _d(llmprep.bpe_fertility),
         "corpus_bpe_encode": _d(llmprep.bpe_encode),
+        "corpus_bpe_compression": _d(llmprep.bpe_compression),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

@@ -179,6 +179,7 @@ def main() -> None:
         ("dedup_cluster_stats", corpus.dedup_cluster_stats, docs),
         ("corpus_bigram_logprob", llmprep.bigram_logprob, docs),
         ("ann_ivf_pq_residual", similarity.ann_ivf_pq_residual, emb),
+        ("corpus_bpe_compression", llmprep.bpe_compression, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
@@ -189,7 +190,8 @@ def main() -> None:
         # clear per run, the timed runs would measure a dict hit and a
         # regression in the actual training loop would be invisible
         is_bpe_training = name in (
-            "corpus_bpe_train", "corpus_bpe_fertility", "corpus_bpe_encode"
+            "corpus_bpe_train", "corpus_bpe_fertility", "corpus_bpe_encode",
+            "corpus_bpe_compression"
         )
         if is_bpe_training:
             llmprep._clear_bpe_cache()

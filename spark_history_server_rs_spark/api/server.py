@@ -477,7 +477,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
             r"|fertility|boilerplate|encoding|survivorship|novelty"
-            r"|filter-agreement|surprisal)",
+            r"|filter-agreement|surprisal|compression)",
             path,
         )
         if m:
@@ -505,6 +505,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "novelty": corpus.novelty_curve,
                 "filter-agreement": textprep.filter_agreement,
                 "surprisal": llmprep.bigram_logprob,
+                "compression": llmprep.bpe_compression,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

@@ -904,6 +904,142 @@ ORDER BY t.doc_id
 
 
 # ==========================================================================
+# L2f — tokenizer compression parity (bytes & chars per BPE token)
+# ==========================================================================
+#: The tokenizer-fairness audit (the measurement behind the well-known
+#: result that one tokenizer's cost per byte differs by multiples across
+#: languages/sources — e.g. Petrov et al. 2023, "Language Model
+#: Tokenizers Introduce Unfairness Between Languages", arXiv:2305.15425):
+#: per (source, lang) cell, total UTF-8 bytes, chars, whitespace words
+#: and trained-BPE tokens, with bytes-per-token and chars-per-token —
+#: the number that decides which slice of a mixed corpus is EXPENSIVE to
+#: train on and whether the tokenizer needs retraining before a new
+#: source is admitted.
+def bpe_compression(docs: DataFrame) -> DataFrame:
+    """L2f: per-(source, lang) compression under L2c's trained
+    tokenizer — UTF-8 bytes / chars / whitespace words / BPE tokens and
+    the bytes-per-token, chars-per-token ratios. Cells whose documents
+    have no tokens keep their byte/char mass with zeroed token columns
+    (ratio sentinel 0.0) — an all-whitespace source still costs storage.
+
+    Scale shape: L2e's vocabulary-sized merge application unchanged;
+    the wide aggregate is keyed (source, lang, word) — bounded by
+    #cells × vocabulary, never by corpus rows — and aggregates BEFORE
+    the vocab join (no hot-word fan-out); the byte/char base aggregate
+    is one map-side-combined pass; the final join is #cells × #cells.
+    NULL source/lang are real groups (IS NOT DISTINCT FROM join,
+    NULLS FIRST ordering pinned — engine defaults differ)."""
+    merges = [m[1] for m in _learned_merges(docs)]
+    vocab = docs.select(
+        F.explode(F.expr(_TOKENS_SPARK)).alias("word")
+    ).distinct()
+    col = F.concat(F.regexp_replace("word", "(?s)(.)", "$1 "), F.lit("</w>"))
+    for pair in merges:
+        col = _merge_apply_expr(col, pair)
+    wn = vocab.select("word", F.size(F.split(col, " ")).alias("n_sub"))
+    occ = (
+        docs.select(
+            "source", "lang", F.explode(F.expr(_TOKENS_SPARK)).alias("word")
+        )
+        .groupBy("source", "lang", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    toks = (
+        occ.join(wn, "word")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sub")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    base = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("n_chars_total"),
+        F.sum(F.coalesce(F.octet_length("text"), F.lit(0)))
+        .cast("long")
+        .alias("n_bytes_total"),
+    )
+    j = base.alias("b").join(
+        toks.alias("t"),
+        F.col("b.source").eqNullSafe(F.col("t.source"))
+        & F.col("b.lang").eqNullSafe(F.col("t.lang")),
+        "left",
+    )
+    nbpe = F.coalesce(F.col("t.n_bpe_tokens"), F.lit(0)).cast("long")
+
+    def _ratio(num):
+        return F.when(nbpe == 0, F.lit(0.0)).otherwise(
+            F.floor((num.cast("double") / nbpe.cast("double")) * 10000.0 + 0.5)
+            / 10000.0
+        )
+
+    return (
+        j.select(
+            F.col("b.source").alias("source"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.n_docs").alias("n_docs"),
+            F.coalesce(F.col("t.n_words"), F.lit(0))
+            .cast("long")
+            .alias("n_words"),
+            nbpe.alias("n_bpe_tokens"),
+            F.col("b.n_chars_total").alias("n_chars_total"),
+            F.col("b.n_bytes_total").alias("n_bytes_total"),
+            _ratio(F.col("b.n_bytes_total")).alias("bytes_per_token"),
+            _ratio(F.col("b.n_chars_total")).alias("chars_per_token"),
+        )
+        .orderBy(F.asc_nulls_first("source"), F.asc_nulls_first("lang"))
+    )
+
+
+ORACLE_BPE_COMPRESSION = (
+    "WITH "
+    + ",\n".join(_bpe_chain_parts(BPE_TRAIN_MERGES, final_merge=True))
+    + f""",
+final AS (SELECT word, len(string_split(sym, ' ')) AS n_sub
+          FROM wt{BPE_TRAIN_MERGES}),
+occ AS (
+  SELECT source, lang, word, COUNT(*) AS n_occ
+  FROM (SELECT source, lang, unnest({_TOKENS_DUCK}) AS word FROM documents)
+  GROUP BY source, lang, word
+),
+toks AS (
+  SELECT source, lang, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+         CAST(SUM(n_occ * f.n_sub) AS BIGINT) AS n_bpe_tokens
+  FROM occ o JOIN final f ON o.word = f.word
+  GROUP BY source, lang
+),
+base AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars_total,
+         CAST(SUM(COALESCE(octet_length(encode(text)), 0)) AS BIGINT)
+           AS n_bytes_total
+  FROM documents GROUP BY source, lang
+)
+SELECT b.source, b.lang, b.n_docs,
+       COALESCE(t.n_words, 0) AS n_words,
+       COALESCE(t.n_bpe_tokens, 0) AS n_bpe_tokens,
+       b.n_chars_total, b.n_bytes_total,
+       CASE WHEN COALESCE(t.n_bpe_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(b.n_bytes_total AS DOUBLE)
+                        / CAST(t.n_bpe_tokens AS DOUBLE)) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS bytes_per_token,
+       CASE WHEN COALESCE(t.n_bpe_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(b.n_chars_total AS DOUBLE)
+                        / CAST(t.n_bpe_tokens AS DOUBLE)) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS chars_per_token
+FROM base b LEFT JOIN toks t
+  ON b.source IS NOT DISTINCT FROM t.source
+ AND b.lang IS NOT DISTINCT FROM t.lang
+ORDER BY b.source NULLS FIRST, b.lang NULLS FIRST
+"""
+)
+
+
+# ==========================================================================
 # L3 — sequence packing (contiguous-greedy bins per language)
 # ==========================================================================
 _PACK_TAIL = """
@@ -2498,4 +2634,5 @@ ORACLE_SQL_LLMPREP = {
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
     "corpus_bpe_encode": ORACLE_BPE_ENCODE,
+    "corpus_bpe_compression": ORACLE_BPE_COMPRESSION,
 }

@@ -90,6 +90,8 @@ SELECTED = [
     ("corpus_bigram_logprob",
      "per-doc bigram multiplicities aggregate before the LM joins;"
      " text never shuffles"),
+    ("corpus_bpe_compression",
+     "vocab-sized merge application; wide agg keyed (source, lang, word)"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

@@ -468,6 +468,14 @@ def test_corpus_endpoints(spark):
             sup[0]
         )
         assert all(r["avg_nll"] >= 0.0 for r in sup)  # add-one: p <= 1
+        code, cmp_ = _get(base, "/api/v1/corpus/compression")
+        assert code == 200 and len(cmp_) >= 1
+        assert {"source", "lang", "bytes_per_token", "n_bpe_tokens"} <= set(
+            cmp_[0]
+        )
+        assert all(
+            r["n_bpe_tokens"] >= r["n_words"] for r in cmp_
+        )  # merges never split below one subword per word
     finally:
         httpd.shutdown()
 

@@ -139,6 +139,7 @@ def test_entry_smoke(spark):
         "dedup_cluster_stats",
         "corpus_bigram_logprob",
         "ann_ivf_pq_residual",
+        "corpus_bpe_compression",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -761,6 +761,13 @@ def test_bpe_train_plan_gates(spark):
     assert "TakeOrderedAndProject" in I.explain_str(ranking, "simple")
     assert I.single_partition_windows(ranking) == 0
     assert not I.has_python_worker(ranking)
+    # L2f: the compression audit inherits the encode shape — Python-free,
+    # no cartesian, no corpus-wide window; its wide aggregate keys on
+    # (source, lang, word), so the vocab join sees pre-aggregated rows
+    comp = llmprep.bpe_compression(docs)
+    assert not I.has_python_worker(comp)
+    assert not I.has_cartesian(comp)
+    assert I.single_partition_windows(comp) == 0
 
 
 def test_ann_index_codes_scan_partition_prunes(spark, tmp_path):
