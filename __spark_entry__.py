@@ -119,11 +119,16 @@ _ROTATED_RELATIONAL = (
     # dedup surface (shingles_cte + scoped accessors)
     "dedup_ngram_jaccard",
     "dedup_containment",
+    # new this round → first driver row (one-pass Jaccard-threshold
+    # removal curve; rides D2b's candidates just re-checked above);
+    # dedup_repeated_passages displaced to 51+ for the slot — its
+    # in-window sibling dedup_passage_index re-validates the shared
+    # window-hash relation (rotate r08)
+    "dedup_threshold_sweep",
     "dedup_minhash_lsh",
     "dedup_minhash_eval",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_repeated_passages",
     "dedup_passage_index",
     # corpus surface (scoped tok/feat/wins accessors)
     "dedup_clusters",
@@ -240,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _d(dedup.ngram_jaccard_pairs),
         "dedup_ngram_jaccard_capped": _d(dedup.ngram_jaccard_pairs_capped),
         "dedup_containment": _d(dedup.containment_pairs),
+        "dedup_threshold_sweep": _d(dedup.dedup_threshold_sweep),
         "dedup_minhash_lsh": _d(dedup.minhash_lsh_pairs),
         "dedup_minhash_eval": _d(dedup.minhash_estimate_eval),
         "dedup_simhash": _d(dedup.simhash_pairs),

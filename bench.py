@@ -180,6 +180,7 @@ def main() -> None:
         ("corpus_bigram_logprob", llmprep.bigram_logprob, docs),
         ("ann_ivf_pq_residual", similarity.ann_ivf_pq_residual, emb),
         ("corpus_bpe_compression", llmprep.bpe_compression, docs),
+        ("dedup_threshold_sweep", dedup.dedup_threshold_sweep, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

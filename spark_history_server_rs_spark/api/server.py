@@ -477,7 +477,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
             r"|fertility|boilerplate|encoding|survivorship|novelty"
-            r"|filter-agreement|surprisal|compression)",
+            r"|filter-agreement|surprisal|compression|dedup-sweep)",
             path,
         )
         if m:
@@ -491,6 +491,9 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     {"error": "no documents frame attached to this server"},
                 )
             from ..operators import corpus, llmprep, textprep
+            from ..operators.dedup import (
+                dedup_threshold_sweep as _corpus_dedup_sweep,
+            )
 
             fn = {
                 "profile": llmprep.profile_table,
@@ -506,6 +509,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "filter-agreement": textprep.filter_agreement,
                 "surprisal": llmprep.bigram_logprob,
                 "compression": llmprep.bpe_compression,
+                "dedup-sweep": _corpus_dedup_sweep,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

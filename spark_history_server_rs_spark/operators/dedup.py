@@ -409,6 +409,105 @@ ORACLE_NGRAM_JACCARD_CAPPED = (
 
 
 # --------------------------------------------------------------------------
+# D2d — threshold sweep (the dedup-aggressiveness tuning curve)
+# --------------------------------------------------------------------------
+#: The question every dedup deployment answers before committing a
+#: threshold: how much of the corpus disappears at τ? One pass answers
+#: it for every τ in the sweep simultaneously (the X10b nprobe-sweep
+#: pattern): candidates are generated once (D2b's stop-shingle-pruned
+#: inverted index), exact Jaccard is verified once, and each sweep level
+#: is a `jaccard >= thr` filter over that ONE scored relation — the
+#: sweep costs one candidate scan, not |sweep| of them.
+#:
+#: Removal rule: keep-lowest-doc_id per PAIR (a doc is removed at τ iff
+#: some ≥τ neighbor has a smaller id) — the standard streaming-friendly
+#: LSH-dedup heuristic. It can only over-remove vs D8's exact
+#: connected-component canonicalization (a doc whose smaller-id neighbor
+#: is itself removed still goes), so the curve is a conservative upper
+#: bound on removal volume — the right direction for budget planning.
+#: sweep levels span the two regimes every shingle-candidate corpus has:
+#: the incidental-overlap mass near 0 (shared phrases) and the true
+#: near-dup mode near 1 — low levels size the false-positive exposure of
+#: an aggressive τ, high levels the near-dup volume itself
+SWEEP_THRESHOLDS = (0.05, 0.1, 0.3, 0.5, 0.7, 0.9)
+
+_SWEEP_THRESHOLDS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({t} AS DOUBLE) AS thr" for t in SWEEP_THRESHOLDS
+)
+
+_THRESHOLD_SWEEP_POST = _PAIR_COMMON_CTES + """,
+scored AS (
+  SELECT doc_a, doc_b,
+         FLOOR((CAST(common_shingles AS DOUBLE)
+                / (x.n + y.n - common_shingles)) * 10000.0 + 0.5)
+           / CAST(10000.0 AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+),
+thresholds AS ({thrs}),
+hits AS (
+  SELECT t.thr, s.doc_a, s.doc_b
+  FROM scored s JOIN thresholds t ON s.jaccard >= t.thr
+),
+pair_stats AS (
+  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_removed
+  FROM hits GROUP BY thr
+),
+total AS (SELECT COUNT(*) AS n_docs FROM {docsrc})
+SELECT t.thr AS threshold,
+       CAST(tt.n_docs AS BIGINT) AS n_docs,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(p.n_docs_removed, 0) AS n_docs_removed,
+       CASE WHEN tt.n_docs = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(COALESCE(p.n_docs_removed, 0) AS DOUBLE)
+                        / CAST(tt.n_docs AS DOUBLE)) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS removed_frac
+FROM thresholds t
+LEFT JOIN pair_stats p ON p.thr = t.thr
+CROSS JOIN total tt
+ORDER BY threshold
+"""
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame, cap: int = HOT_SHINGLE_CAP
+) -> DataFrame:
+    """D2d: near-dup pair count, docs removed (keep-lowest-id rule) and
+    removal fraction at every Jaccard threshold in {ts}, from ONE
+    candidate generation + ONE exact verification — see the block
+    comment for the sweep trick and the removal rule's bias direction.
+
+    Scale shape: identical to D2b (stop-shingle-pruned candidates,
+    hash-keyed joins, text never shuffles) plus a |sweep|-row threshold
+    relation broadcast into the scored-pair filter; per-threshold
+    aggregates are ≤ |sweep| × pairs rows folded to |sweep| rows.""".format(
+        ts=SWEEP_THRESHOLDS
+    )
+    with shingles_cte(docs) as hdr, scoped_temp_view(
+        docs, "_dedup_docs"
+    ) as dv:
+        return docs.sparkSession.sql(
+            hdr.rstrip().rstrip(",")
+            + ","
+            + _CAPPED_CANDIDATES.format(cap=cap)
+            + _THRESHOLD_SWEEP_POST.format(
+                thrs=_SWEEP_THRESHOLDS_SQL, docsrc=dv
+            )
+        )
+
+
+ORACLE_THRESHOLD_SWEEP = (
+    "WITH shingles AS (" + _SHINGLES_DUCK + "),"
+    + _CAPPED_CANDIDATES.format(cap=HOT_SHINGLE_CAP)
+    + _THRESHOLD_SWEEP_POST.format(
+        thrs=_SWEEP_THRESHOLDS_SQL, docsrc="documents"
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # D2c — asymmetric shingle containment (excerpt/superset detection)
 # --------------------------------------------------------------------------
 #: containment(A in B) = |A∩B| / |A| (Broder 1997 §2 distinguishes it
@@ -1226,6 +1325,7 @@ ORACLE_SQL_DEDUP = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_containment": ORACLE_CONTAINMENT,
+    "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_minhash_eval": ORACLE_MINHASH_EVAL,
     "dedup_simhash": ORACLE_SIMHASH,

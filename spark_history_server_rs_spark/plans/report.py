@@ -92,6 +92,8 @@ SELECTED = [
      " text never shuffles"),
     ("corpus_bpe_compression",
      "vocab-sized merge application; wide agg keyed (source, lang, word)"),
+    ("dedup_threshold_sweep",
+     "one candidate scan, |sweep| filters — the X10b sweep trick on D2b"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

@@ -476,6 +476,13 @@ def test_corpus_endpoints(spark):
         assert all(
             r["n_bpe_tokens"] >= r["n_words"] for r in cmp_
         )  # merges never split below one subword per word
+        code, sw = _get(base, "/api/v1/corpus/dedup-sweep")
+        assert code == 200 and len(sw) == 6
+        # monotone: a stricter threshold can only drop pairs/removals
+        for lo, hi in zip(sw, sw[1:]):
+            assert lo["threshold"] < hi["threshold"]
+            assert lo["n_pairs"] >= hi["n_pairs"]
+            assert lo["n_docs_removed"] >= hi["n_docs_removed"]
     finally:
         httpd.shutdown()
 

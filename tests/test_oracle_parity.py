@@ -140,6 +140,7 @@ def test_entry_smoke(spark):
         "corpus_bigram_logprob",
         "ann_ivf_pq_residual",
         "corpus_bpe_compression",
+        "dedup_threshold_sweep",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -737,6 +737,15 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     pidx = dedup.duplicate_passage_index(docs)
     assert not I.has_python_worker(pidx)
     assert not I.has_cartesian(pidx)
+    # D2d: the sweep must stay ONE candidate scan — the thresholds
+    # relation broadcasts into the scored-pair filter (never a shuffle),
+    # and no corpus-wide window appears at any sweep width
+    sweep = dedup.dedup_threshold_sweep(docs)
+    assert not I.has_python_worker(sweep)
+    assert I.single_partition_windows(sweep) == 0
+    assert "BroadcastHashJoin" in I.explain_str(sweep, "simple") or (
+        "BroadcastNestedLoopJoin" in I.explain_str(sweep, "simple")
+    )
     ewma = relational.QUERIES["events_volume_ewma"](spark, SF_ORACLE)
     assert not I.has_python_worker(ewma)
     assert I.single_partition_windows(ewma) == 0
