@@ -131,7 +131,6 @@ _ROTATED_RELATIONAL = (
     "dedup_embedding_cosine",
     "dedup_passage_index",
     # corpus surface (scoped tok/feat/wins accessors)
-    "dedup_clusters",
     "dedup_keep_canonical",
     # new this round → first driver row (rides C7's refactored chain);
     # corpus_vocabulary displaced to 51+ for the slot (rotate r08)
@@ -167,6 +166,12 @@ _ROTATED_RELATIONAL = (
     # corpus_chunk_documents displaced to 51+ to make the slot (its
     # migration re-check is pytest-green every session; rotate r08)
     "embedding_int8_audit",
+    # new this round → first driver row (O(n) exact pairwise-cosine
+    # anisotropy audit); dedup_clusters displaced to 51+ for the slot —
+    # its in-window rider dedup_keep_canonical re-validates the shared
+    # cluster-label chain and the pytest differential re-checks it every
+    # session (rotate r08)
+    "embedding_anisotropy",
     # similarity surface (scoped emb views, templated PQ unnest)
     "ann_ivf_pq",
     # new this round → first driver row (residual-encoded IVFADC);
@@ -311,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _d(llmprep.pii_scrub),
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_int8_audit": _e(llmprep.embedding_int8_audit),
+        "embedding_anisotropy": _e(llmprep.embedding_anisotropy),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
         "embedding_kmeans_train": _e(llmprep.embedding_kmeans_train),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),

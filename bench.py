@@ -181,6 +181,7 @@ def main() -> None:
         ("ann_ivf_pq_residual", similarity.ann_ivf_pq_residual, emb),
         ("corpus_bpe_compression", llmprep.bpe_compression, docs),
         ("dedup_threshold_sweep", dedup.dedup_threshold_sweep, docs),
+        ("embedding_anisotropy", llmprep.embedding_anisotropy, emb),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -524,7 +524,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
-            r"|int8-audit)",
+            r"|int8-audit|anisotropy)",
             path,
         )
         if m:
@@ -548,6 +548,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "dim-stats": llmprep.embedding_dim_stats,
                 "int8-audit": llmprep.embedding_int8_audit,
                 "outliers": llmprep.embedding_outliers,
+                "anisotropy": llmprep.embedding_anisotropy,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
             return self._send(200, rows)

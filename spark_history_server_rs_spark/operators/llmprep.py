@@ -1656,6 +1656,123 @@ ORACLE_EMBEDDING_DIM_STATS = "WITH " + _DIM_STATS_TAIL.format(
 
 
 # ==========================================================================
+# L7b — anisotropy audit (exact average pairwise cosine, O(n) not O(n²))
+# ==========================================================================
+#: Contextual/LM embedding spaces are famously ANISOTROPIC — vectors
+#: crowd a narrow cone, so the expected cosine of two random vectors is
+#: far above 0 (Ethayarajh 2019, arXiv:1909.00512) — which silently
+#: inflates every cosine-threshold op in this catalog (semantic dedup,
+#: ANN, outliers) and is fixed by mean-removal (Mu & Viswanath 2018,
+#: "All-but-the-Top", arXiv:1702.01417). This audit measures it with the
+#: sum-vector identity: for unit vectors, ‖Σv̂‖² = n + Σ_{i≠j}cos(i,j),
+#: so the EXACT corpus-average pairwise cosine is
+#: (‖Σv̂‖² − Σ‖v̂‖²) / (n(n−1)) — one pass, per-dim sums, NO pair join.
+#: A quadratic statistic at any corpus size for the price of an
+#: aggregate: at 100 TB this is the difference between an audit you run
+#: per ingest batch and one you cannot run at all.
+#:
+#: Exactness: elements micro-snap before every cross-row SUM; unit
+#: components re-snap after the (per-row deterministic) sqrt division;
+#: per-dim sums down-snap to milli before squaring so the squares stay
+#: in BIGINT range at any n (the PQ down-snap); the only floats are
+#: IEEE sqrt/div over identical inputs.
+_ANISOTROPY_TAIL = """
+elems AS (
+  SELECT vec_id, dim, CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS xi
+  FROM ({unnested})
+),
+vnorm AS (
+  SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS nsq
+  FROM elems GROUP BY vec_id
+),
+counts AS (
+  SELECT COUNT(*) AS n_vecs,
+         CAST(COALESCE(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_zero
+  FROM vnorm
+),
+unit AS (
+  SELECT e.vec_id, e.dim,
+         CAST(FLOOR(CAST(e.xi AS DOUBLE) / sqrt(CAST(v.nsq AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ui
+  FROM elems e JOIN vnorm v ON v.vec_id = e.vec_id
+  WHERE v.nsq > 0
+),
+dimsums AS (
+  SELECT dim, CAST(FLOOR(CAST(SUM(xi) AS DOUBLE) / 1000.0) AS BIGINT) AS sxm
+  FROM elems GROUP BY dim
+),
+udimsums AS (
+  SELECT dim, CAST(FLOOR(CAST(SUM(ui) AS DOUBLE) / 1000.0) AS BIGINT) AS sud
+  FROM unit GROUP BY dim
+),
+stats AS (
+  SELECT
+    (SELECT CAST(COALESCE(SUM(sxm * sxm), 0) AS BIGINT) FROM dimsums)
+      AS meanvec_sq_milli,
+    (SELECT CAST(COALESCE(SUM(sud * sud), 0) AS BIGINT) FROM udimsums)
+      AS s2_milli,
+    (SELECT CAST(COALESCE(SUM(ui * ui), 0) AS BIGINT) FROM unit) AS diag,
+    (SELECT CAST(COALESCE(SUM(CAST(FLOOR(sqrt(CAST(nsq AS DOUBLE)) + 0.5)
+                                   AS BIGINT)), 0) AS BIGINT)
+     FROM vnorm WHERE nsq > 0) AS norm_sum_micro,
+    (SELECT COUNT(*) FROM vnorm WHERE nsq > 0) AS n_unit
+)
+SELECT c.n_vecs, c.n_zero AS n_zero_norm,
+       CASE WHEN s.n_unit = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(s.norm_sum_micro AS DOUBLE) / s.n_unit
+                        / 1000000.0) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS avg_norm,
+       CASE WHEN c.n_vecs = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((sqrt(CAST(s.meanvec_sq_milli AS DOUBLE)) * 1000.0
+                        / 1000000.0 / c.n_vecs) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS mean_vec_norm,
+       CASE WHEN s.n_unit < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(((CAST(s.s2_milli AS DOUBLE) * 1000000.0
+                         - CAST(s.diag AS DOUBLE)) / 1000000000000.0
+                        / (CAST(s.n_unit AS DOUBLE) * (s.n_unit - 1)))
+                       * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS avg_pairwise_cos
+FROM counts c CROSS JOIN stats s
+"""
+
+
+def embedding_anisotropy(emb: DataFrame) -> DataFrame:
+    """L7b: one-row anisotropy audit — vector-norm mean, mean-vector
+    norm (the "common direction" strength All-but-the-Top removes), and
+    the EXACT average pairwise cosine over all C(n,2) pairs computed in
+    one pass via the sum-vector identity (see the block comment). A
+    near-zero avg cosine means cosine thresholds elsewhere in the
+    catalog mean what they say; a large one means they are inflated by
+    the common direction and mean-removal should run first.
+
+    Scale shape: two explode aggregates (vec-keyed, dim-keyed) and
+    dim-sized scalar folds — no pair join EVER exists; zero-norm
+    vectors are counted and excluded from the unit-vector statistics."""
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _ANISOTROPY_TAIL.format(
+                unnested=(
+                    f"SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS x"
+                    f" FROM {ev} LATERAL VIEW posexplode(embedding) t AS pos, v"
+                ),
+            )
+        )
+
+
+ORACLE_EMBEDDING_ANISOTROPY = "WITH " + _ANISOTROPY_TAIL.format(
+    unnested=(
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(unnest(embedding) AS DOUBLE) AS x"
+        " FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    ),
+)
+
+
+# ==========================================================================
 # L8 — one k-means (Lloyd) step over the embeddings
 # ==========================================================================
 KMEANS_K = 8  # centroids = embeddings of vec_id 0..7 (deterministic seed)
@@ -2632,6 +2749,7 @@ ORACLE_SQL_LLMPREP = {
     "embedding_kmeans_train": ORACLE_KMEANS_TRAIN,
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "embedding_anisotropy": ORACLE_EMBEDDING_ANISOTROPY,
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
     "corpus_bpe_encode": ORACLE_BPE_ENCODE,
     "corpus_bpe_compression": ORACLE_BPE_COMPRESSION,

@@ -94,6 +94,8 @@ SELECTED = [
      "vocab-sized merge application; wide agg keyed (source, lang, word)"),
     ("dedup_threshold_sweep",
      "one candidate scan, |sweep| filters — the X10b sweep trick on D2b"),
+    ("embedding_anisotropy",
+     "sum-vector identity: avg pairwise cosine with NO pair join"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

@@ -513,6 +513,10 @@ def test_ann_endpoints(spark):
         assert code == 200 and len(outl) <= 5
         code, i8 = _get(base, "/api/v1/ann/int8-audit")
         assert code == 200 and len(i8) >= 1
+        code, an = _get(base, "/api/v1/ann/anisotropy")
+        assert code == 200 and len(an) == 1
+        assert {"n_vecs", "avg_norm", "avg_pairwise_cos"} <= set(an[0])
+        assert -1.0 <= an[0]["avg_pairwise_cos"] <= 1.0
         assert {"dim", "range_use_pct", "mse_tensor_scale",
                 "mse_channel_scale"} <= set(i8[0])
         assert all(0.0 <= r["range_use_pct"] <= 100.0 for r in i8)

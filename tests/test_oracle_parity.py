@@ -141,6 +141,7 @@ def test_entry_smoke(spark):
         "ann_ivf_pq_residual",
         "corpus_bpe_compression",
         "dedup_threshold_sweep",
+        "embedding_anisotropy",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -524,6 +524,9 @@ def test_round5_plan_gates(spark):
     for df in (
         corpus.unigram_logprob(docs),
         llmprep.bigram_logprob(docs),
+        # L7b: the avg-pairwise-cosine audit must never materialize a
+        # pair join — aggregates and scalar folds only
+        llmprep.embedding_anisotropy(emb),
         corpus.dedup_keep_canonical(docs),
         dedup.minhash_estimate_eval(docs),
     ):

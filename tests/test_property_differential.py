@@ -549,6 +549,9 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         # quantize-to-zero guards in both engines
         (llmprep.embedding_int8_audit, "embedding_int8_audit"),
         (llmprep.embedding_outliers, "embedding_outliers"),
+        # the one-row identity audit under empty/single/identical
+        # corpora (n_unit<2 sentinel, all-equal vectors -> cos 1.0)
+        (llmprep.embedding_anisotropy, "embedding_anisotropy"),
         (similarity.ann_pq_codes, "ann_pq_codes"),
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
         # to 1.0 — the degenerate-agreement case worth pinning
@@ -672,6 +675,8 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
         (similarity.ann_ivf, "ann_ivf"),
         (similarity.ann_knn_graph, "ann_knn_graph"),
         (similarity.ann_ivf_pq, "ann_ivf_pq"),
+        (similarity.ann_ivf_pq_residual, "ann_ivf_pq_residual"),
+        (llmprep.embedding_anisotropy, "embedding_anisotropy"),
         (dedup.embedding_cosine_dups, "dedup_embedding_cosine"),
         (
             dedup.embedding_cosine_dups_prefiltered,
@@ -819,3 +824,38 @@ def test_residual_pq_reduces_quantization_error():
             assert res < raw, (sf, res, raw)
         finally:
             con.close()
+
+
+def test_anisotropy_identity_matches_brute_force():
+    """L7b computes avg pairwise cosine WITHOUT a pair join via
+    ||sum(unit)||^2 = n + sum_{i!=j} cos — pin the identity against the
+    O(n^2) brute force (1225 pairs at sf0.001). Tolerance covers the
+    micro/milli snapping, not the identity (which is exact)."""
+    import duckdb
+
+    from spark_history_server_rs_spark.operators import llmprep as L
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    try:
+        ident = con.execute(
+            L.ORACLE_EMBEDDING_ANISOTROPY
+        ).fetchdf().avg_pairwise_cos[0]
+        brute = con.execute("""
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0)
+SELECT AVG(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+  / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(a.embedding AS DOUBLE[])))
+  / sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))))
+FROM nz a JOIN nz b ON a.vec_id <> b.vec_id""").fetchone()[0]
+        assert abs(ident - brute) < 5e-4, (ident, brute)
+    finally:
+        con.close()
