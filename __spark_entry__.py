@@ -144,12 +144,17 @@ _ROTATED_RELATIONAL = (
     # re-checks it every session (rotate r08)
     "corpus_bigram_logprob",
     "corpus_unigram_logprob",
+    # new this round → first driver row (difficulty-staged sampling
+    # schedule; rides C6's token cache re-checked just above);
+    # corpus_split_leakage displaced to 51+ for the slot — its
+    # in-window sibling corpus_span_leakage re-validates the shared
+    # split/bucket fragments (rotate r08)
+    "corpus_curriculum_stages",
     # new this round → first driver row (crawl-yield novelty curve);
     # corpus_perplexity_buckets displaced to 51+ for the slot — its
     # earlier green row stands and the pytest differential re-checks it
     # every session (rotate r08)
     "corpus_novelty_curve",
-    "corpus_split_leakage",
     "corpus_dsir_select",
     "corpus_span_leakage",
     # llmprep surface (scoped docs/emb views; semantic dedup's cached
@@ -290,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),
         "corpus_oov_rate": _d(corpus.oov_rate),
         "corpus_unigram_logprob": _d(corpus.unigram_logprob),
+        "corpus_curriculum_stages": _d(corpus.curriculum_stages),
         "corpus_dsir_select": _d(corpus.dsir_select),
         "corpus_split_leakage": _d(corpus.split_leakage),
         "corpus_perplexity_buckets": _d(corpus.perplexity_buckets),

@@ -182,6 +182,7 @@ def main() -> None:
         ("corpus_bpe_compression", llmprep.bpe_compression, docs),
         ("dedup_threshold_sweep", dedup.dedup_threshold_sweep, docs),
         ("embedding_anisotropy", llmprep.embedding_anisotropy, emb),
+        ("corpus_curriculum_stages", corpus.curriculum_stages, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -477,7 +477,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         m = re.fullmatch(
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
             r"|fertility|boilerplate|encoding|survivorship|novelty"
-            r"|filter-agreement|surprisal|compression|dedup-sweep)",
+            r"|filter-agreement|surprisal|compression|dedup-sweep"
+            r"|curriculum)",
             path,
         )
         if m:
@@ -510,6 +511,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "surprisal": llmprep.bigram_logprob,
                 "compression": llmprep.bpe_compression,
                 "dedup-sweep": _corpus_dedup_sweep,
+                "curriculum": corpus.curriculum_stages,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

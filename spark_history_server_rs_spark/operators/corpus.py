@@ -771,6 +771,111 @@ ORACLE_PPL_BUCKETS = (
 
 
 # ==========================================================================
+# C16 — curriculum stages (the difficulty-staged sampling schedule)
+# ==========================================================================
+#: Curriculum learning (Bengio et al. 2009, public ICML) orders training
+#: easy→hard; for text the standard difficulty proxy is LM surprisal
+#: (the C6/C10 signal). This op emits the artifact a curriculum run
+#: hands to its sampler: documents exactly-quartiled by per-token
+#: surprisal into {s} stages, folded to per-(stage, source) cells with
+#: doc/token budgets, mean difficulty, and each source's token share
+#: WITHIN its stage — the interaction per-doc buckets (C10) and global
+#: mixes (C13/C15) both miss: "is stage 1 (easy) secretly 90% one
+#: source?", which would make early training a single-domain fit.
+#:
+#: Ranking is the proven two-level exact rank (coarse 0.1-nat bucket
+#: window + bucket-offset fold — never a corpus-wide single-partition
+#: window); stage = ⌊(rank−1)·S/n⌋+1 clamped to S, identical in both
+#: engines (exact small-int products into one double division).
+#: Token-less documents carry no surprisal evidence and are excluded.
+CURRICULUM_STAGES = 4
+
+_CURRICULUM_TAIL = _UNIGRAM_CTES + """,
+permetric AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(CAST(total_nll_micro AS DOUBLE) / n_tokens) AS BIGINT)
+           AS nll_per_tok_micro
+  FROM per_doc
+),
+coarse AS (
+  SELECT *, CAST(FLOOR(CAST(nll_per_tok_micro AS DOUBLE) / 100000.0)
+                 AS BIGINT) AS cb
+  FROM permetric
+),
+bcounts AS (SELECT cb, COUNT(*) AS c FROM coarse GROUP BY cb),
+boffsets AS (
+  SELECT cb, CAST(COALESCE(SUM(c) OVER (ORDER BY cb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM bcounts
+),
+ranked AS (
+  SELECT c.doc_id, c.n_tokens, c.nll_per_tok_micro,
+         ROW_NUMBER() OVER (PARTITION BY c.cb
+                            ORDER BY c.nll_per_tok_micro, c.doc_id) + o.off
+           AS rnk
+  FROM coarse c JOIN boffsets o ON c.cb = o.cb
+),
+tot AS (SELECT COUNT(*) AS n FROM ranked),
+staged AS (
+  SELECT r.doc_id, r.n_tokens, r.nll_per_tok_micro,
+         CAST(LEAST(FLOOR((r.rnk - 1) * {stages}.0 / t.n) + 1, {stages})
+              AS BIGINT) AS stage
+  FROM ranked r CROSS JOIN tot t
+),
+cells AS (
+  SELECT s.stage, d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(s.nll_per_tok_micro) AS BIGINT) AS nll_sum
+  FROM staged s JOIN {docsrc} d ON s.doc_id = d.doc_id
+  GROUP BY s.stage, d.source
+),
+stage_tot AS (
+  SELECT stage, CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
+  FROM cells GROUP BY stage
+)
+SELECT c.stage, c.source, c.n_docs, c.n_tokens,
+       FLOOR((CAST(c.nll_sum AS DOUBLE) / c.n_docs / 1000000.0)
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS mean_difficulty,
+       CASE WHEN st.stage_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(c.n_tokens AS DOUBLE)
+                        / CAST(st.stage_tokens AS DOUBLE)) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS stage_token_share
+FROM cells c JOIN stage_tot st ON c.stage = st.stage
+ORDER BY c.stage, c.source NULLS FIRST
+"""
+
+
+def curriculum_stages(docs: DataFrame) -> DataFrame:
+    """C16: the difficulty-staged sampling schedule — exact surprisal
+    quartiles × source provenance with per-cell doc/token budgets and
+    within-stage token shares (see the block comment for why the
+    stage × source interaction is the audit per-doc buckets and global
+    mixes both miss).
+
+    Scale shape: rides C6's shared materialized token cache; the only
+    corpus-keyed exchanges are the per-doc surprisal SUM and the
+    doc_id provenance join; ranking is the two-level bucket rank (no
+    global window); output is ≤ stages × sources cells."""
+    spark = docs.sparkSession
+    tok = _materialized_tok_df(docs)
+    with scoped_temp_view(tok, "_corpus_tok") as tv, scoped_temp_view(
+        docs, "_corpus_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH tok AS (SELECT doc_id, tok FROM {tv}),\n"
+            + _CURRICULUM_TAIL.format(stages=CURRICULUM_STAGES, docsrc=dv)
+        )
+
+
+ORACLE_CURRICULUM_STAGES = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),\n"
+    + _CURRICULUM_TAIL.format(stages=CURRICULUM_STAGES, docsrc="documents")
+)
+
+
+# ==========================================================================
 # C9 — split-leakage audit (near-dup pairs straddling train/val/test)
 # ==========================================================================
 # The eval-integrity check every pipeline needs after splitting: a
@@ -1544,6 +1649,7 @@ ORACLE_SQL_CORPUS = {
     "corpus_tfidf_top_terms": ORACLE_TFIDF,
     "corpus_oov_rate": ORACLE_OOV_RATE,
     "corpus_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "corpus_curriculum_stages": ORACLE_CURRICULUM_STAGES,
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
     "dedup_survivorship": ORACLE_DEDUP_SURVIVORSHIP,
     "corpus_dsir_select": ORACLE_DSIR,

@@ -96,6 +96,8 @@ SELECTED = [
      "one candidate scan, |sweep| filters — the X10b sweep trick on D2b"),
     ("embedding_anisotropy",
      "sum-vector identity: avg pairwise cosine with NO pair join"),
+    ("corpus_curriculum_stages",
+     "C6 surprisal + two-level exact rank folded to stage x source cells"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

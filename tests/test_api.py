@@ -476,6 +476,20 @@ def test_corpus_endpoints(spark):
         assert all(
             r["n_bpe_tokens"] >= r["n_words"] for r in cmp_
         )  # merges never split below one subword per word
+        code, cur = _get(base, "/api/v1/corpus/curriculum")
+        assert code == 200 and len(cur) >= 4
+        stages = sorted({r["stage"] for r in cur})
+        assert stages == [1, 2, 3, 4]
+        # easy->hard: stage mean difficulties are non-decreasing when
+        # averaged per stage (exact quartiles by per-token surprisal)
+        per_stage = {
+            s_: sum(r["mean_difficulty"] * r["n_docs"] for r in cur
+                    if r["stage"] == s_)
+            / sum(r["n_docs"] for r in cur if r["stage"] == s_)
+            for s_ in stages
+        }
+        assert all(per_stage[a] <= per_stage[b] + 1e-9
+                   for a, b in zip(stages, stages[1:]))
         code, sw = _get(base, "/api/v1/corpus/dedup-sweep")
         assert code == 200 and len(sw) == 6
         # monotone: a stricter threshold can only drop pairs/removals

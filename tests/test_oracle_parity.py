@@ -142,6 +142,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_compression",
         "dedup_threshold_sweep",
         "embedding_anisotropy",
+        "corpus_curriculum_stages",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -527,6 +527,9 @@ def test_round5_plan_gates(spark):
         # L7b: the avg-pairwise-cosine audit must never materialize a
         # pair join — aggregates and scalar folds only
         llmprep.embedding_anisotropy(emb),
+        # C16: two-level bucket rank + provenance join — no corpus-wide
+        # window, no Python, no cartesian
+        corpus.curriculum_stages(docs),
         corpus.dedup_keep_canonical(docs),
         dedup.minhash_estimate_eval(docs),
     ):
