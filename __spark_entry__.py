@@ -88,6 +88,12 @@ _SENTINELS = (
     # the slot — its in-window sibling dedup_embedding_cosine
     # re-validates the shared sketch/rerank fragments (rotate r08)
     "corpus_bpe_compression",
+    # new this round → first driver row (vocab-size vs fertility curve
+    # across merge ranks; rides the same trained chain);
+    # corpus_dsir_select displaced to 51+ for the slot — earlier green
+    # r06 row stands, code unchanged since, pytest re-checks every
+    # session (rotate r08)
+    "corpus_bpe_vocab_curve",
     # new this round → first driver row (per-source encoding hygiene);
     # corpus_pack_sequences displaced to 51+ for the slot (rotate r08)
     "text_encoding_artifacts",
@@ -155,7 +161,6 @@ _ROTATED_RELATIONAL = (
     # earlier green row stands and the pytest differential re-checks it
     # every session (rotate r08)
     "corpus_novelty_curve",
-    "corpus_dsir_select",
     "corpus_span_leakage",
     # llmprep surface (scoped docs/emb views; semantic dedup's cached
     # assigned relation moved to _materialized_df)
@@ -341,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_fertility": _d(llmprep.bpe_fertility),
         "corpus_bpe_encode": _d(llmprep.bpe_encode),
         "corpus_bpe_compression": _d(llmprep.bpe_compression),
+        "corpus_bpe_vocab_curve": _d(llmprep.bpe_vocab_curve),
     }
 
     window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))

@@ -183,6 +183,7 @@ def main() -> None:
         ("dedup_threshold_sweep", dedup.dedup_threshold_sweep, docs),
         ("embedding_anisotropy", llmprep.embedding_anisotropy, emb),
         ("corpus_curriculum_stages", corpus.curriculum_stages, docs),
+        ("corpus_bpe_vocab_curve", llmprep.bpe_vocab_curve, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
@@ -194,7 +195,7 @@ def main() -> None:
         # regression in the actual training loop would be invisible
         is_bpe_training = name in (
             "corpus_bpe_train", "corpus_bpe_fertility", "corpus_bpe_encode",
-            "corpus_bpe_compression"
+            "corpus_bpe_compression", "corpus_bpe_vocab_curve"
         )
         if is_bpe_training:
             llmprep._clear_bpe_cache()

@@ -904,6 +904,116 @@ ORDER BY t.doc_id
 
 
 # ==========================================================================
+# L2g — tokenizer sizing curve (vocab size vs fertility per merge rank)
+# ==========================================================================
+#: The decision curve behind "how many merges is this corpus worth?":
+#: at every merge rank k = 0..{K}, the tokenizer's observed vocabulary
+#: size (distinct subword types across the word table) and the corpus
+#: token count / fertility it buys. Vocab grows ~1 type per merge while
+#: fertility falls with diminishing returns — where the curve flattens
+#: is the vocab size a budget-conscious tokenizer stops at (the
+#: empirical shape behind every "vocab size" hyperparameter sweep in
+#: the BPE literature, Sennrich et al. 2016 §5).
+#:
+#: One chain answers all ranks: the k learned merges are applied
+#: CUMULATIVELY to the DISTINCT-word relation, each rank contributing a
+#: vocab-sized symbol explode to one union — the corpus is scanned once
+#: (word counts) + once for training; ranks the training ran dry before
+#: repeat the last word table unchanged (the oracle's LEFT JOIN no-op
+#: twin, so degenerate corpora agree rank-by-rank).
+def bpe_vocab_curve(docs: DataFrame) -> DataFrame:
+    """L2g: vocab-size-vs-fertility curve at every merge rank 0..{k} —
+    see the block comment for the one-chain construction and the
+    dry-out contract.
+
+    Scale shape: the corpus is scanned once — the (sym, cnt) word table
+    fills the keyed materialized cache and every per-rank branch scans
+    that one vocabulary-sized InMemoryRelation (Spark does not reuse
+    the aggregate exchange across union branches on its own: measured
+    20 parquet scans uncached, 1 cached); the final fold is ≤ k+1
+    rows.""".format(k=BPE_TRAIN_MERGES)
+    from functools import reduce as _reduce
+
+    from .dedup import _materialized_df
+
+    merges = [m[1] for m in _learned_merges(docs)]
+    words = _materialized_df(
+        docs.sparkSession,
+        "_llm_bpe_wt0",
+        docs.semanticHash(),
+        lambda: _bpe_word_table(docs),
+    )
+    col = F.col("sym")
+    frames = []
+    for k in range(BPE_TRAIN_MERGES + 1):
+        if 0 < k <= len(merges):
+            col = _merge_apply_expr(col, merges[k - 1])
+        frames.append(
+            words.select(
+                F.lit(k).cast("long").alias("merge_rank"),
+                "cnt",
+                F.explode(F.split(col, " ")).alias("s"),
+            )
+        )
+    u = _reduce(DataFrame.unionByName, frames)
+    totals = words.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("nw")
+    )
+    per_rank = u.groupBy("merge_rank").agg(
+        F.countDistinct("s").cast("long").alias("n_symbol_types"),
+        F.sum("cnt").cast("long").alias("corpus_tokens"),
+    )
+    return (
+        per_rank.crossJoin(totals)
+        .select(
+            "merge_rank",
+            "n_symbol_types",
+            "corpus_tokens",
+            F.when(F.col("nw") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    (F.col("corpus_tokens").cast("double") / F.col("nw"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            )
+            .alias("fertility"),
+        )
+        .orderBy("merge_rank")
+    )
+
+
+def _oracle_bpe_vocab_curve() -> str:
+    ranks = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank,"
+        f" CAST(COUNT(DISTINCT s) AS BIGINT) AS n_symbol_types,"
+        f" CAST(SUM(cnt) AS BIGINT) AS corpus_tokens"
+        f" FROM (SELECT cnt, unnest(string_split(sym, ' ')) AS s"
+        f" FROM wt{k}) GROUP BY 1"
+        for k in range(BPE_TRAIN_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_chain_parts(BPE_TRAIN_MERGES, final_merge=True))
+        + f""",
+totals AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS nw FROM words),
+ranksu AS ({ranks})
+SELECT r.merge_rank, r.n_symbol_types, r.corpus_tokens,
+       CASE WHEN t.nw = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(r.corpus_tokens AS DOUBLE)
+                        / CAST(t.nw AS DOUBLE)) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS fertility
+FROM ranksu r CROSS JOIN totals t
+ORDER BY r.merge_rank
+"""
+    )
+
+
+ORACLE_BPE_VOCAB_CURVE = _oracle_bpe_vocab_curve()
+
+
+# ==========================================================================
 # L2f — tokenizer compression parity (bytes & chars per BPE token)
 # ==========================================================================
 #: The tokenizer-fairness audit (the measurement behind the well-known
@@ -2753,4 +2863,5 @@ ORACLE_SQL_LLMPREP = {
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
     "corpus_bpe_encode": ORACLE_BPE_ENCODE,
     "corpus_bpe_compression": ORACLE_BPE_COMPRESSION,
+    "corpus_bpe_vocab_curve": ORACLE_BPE_VOCAB_CURVE,
 }

@@ -98,6 +98,8 @@ SELECTED = [
      "sum-vector identity: avg pairwise cosine with NO pair join"),
     ("corpus_curriculum_stages",
      "C6 surprisal + two-level exact rank folded to stage x source cells"),
+    ("corpus_bpe_vocab_curve",
+     "k+1 vocab-sized branches over ONE cached word table; <=k+1 rows out"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

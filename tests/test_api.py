@@ -476,6 +476,14 @@ def test_corpus_endpoints(spark):
         assert all(
             r["n_bpe_tokens"] >= r["n_words"] for r in cmp_
         )  # merges never split below one subword per word
+        code, vc = _get(base, "/api/v1/corpus/vocab-curve")
+        assert code == 200 and len(vc) == 9  # ranks 0..BPE_TRAIN_MERGES
+        # each merge can only shrink the corpus token count, and the
+        # symbol inventory never shrinks by more than it adds
+        for lo, hi in zip(vc, vc[1:]):
+            assert lo["merge_rank"] + 1 == hi["merge_rank"]
+            assert hi["corpus_tokens"] <= lo["corpus_tokens"]
+            assert hi["fertility"] <= lo["fertility"] + 1e-9
         code, cur = _get(base, "/api/v1/corpus/curriculum")
         assert code == 200 and len(cur) >= 4
         stages = sorted({r["stage"] for r in cur})

@@ -143,6 +143,7 @@ def test_entry_smoke(spark):
         "dedup_threshold_sweep",
         "embedding_anisotropy",
         "corpus_curriculum_stages",
+        "corpus_bpe_vocab_curve",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -783,6 +783,17 @@ def test_bpe_train_plan_gates(spark):
     assert not I.has_python_worker(comp)
     assert not I.has_cartesian(comp)
     assert I.single_partition_windows(comp) == 0
+    # L2g: every per-rank branch must scan the CACHED word table, not
+    # re-scan the corpus (Spark does not reuse the aggregate exchange
+    # across union branches — measured 20 parquet scans uncached)
+    curve = llmprep.bpe_vocab_curve(docs)
+    assert not I.has_python_worker(curve)
+    curve_plan = (
+        curve._jdf.queryExecution().executedPlan().toString()
+    )
+    assert curve_plan.count("InMemoryTableScan") >= (
+        llmprep.BPE_TRAIN_MERGES + 1
+    )
 
 
 def test_ann_index_codes_scan_partition_prunes(spark, tmp_path):
