@@ -132,7 +132,6 @@ _ROTATED_RELATIONAL = (
     # window-hash relation (rotate r08)
     "dedup_threshold_sweep",
     "dedup_minhash_lsh",
-    "dedup_minhash_eval",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_passage_index",
@@ -182,6 +181,11 @@ _ROTATED_RELATIONAL = (
     # cluster-label chain and the pytest differential re-checks it every
     # session (rotate r08)
     "embedding_anisotropy",
+    # new this round → first driver row (mean-removal fix measured);
+    # dedup_minhash_eval displaced to 51+ for the slot — its in-window
+    # sibling dedup_minhash_lsh re-validates the shared band/signature
+    # fragments (rotate r08)
+    "embedding_abtt_audit",
     # similarity surface (scoped emb views, templated PQ unnest)
     "ann_ivf_pq",
     # new this round → first driver row (residual-encoded IVFADC);
@@ -328,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _e(llmprep.embedding_dim_stats),
         "embedding_int8_audit": _e(llmprep.embedding_int8_audit),
         "embedding_anisotropy": _e(llmprep.embedding_anisotropy),
+        "embedding_abtt_audit": _e(llmprep.embedding_abtt_audit),
         "embedding_kmeans_step": _e(llmprep.kmeans_step),
         "embedding_kmeans_train": _e(llmprep.embedding_kmeans_train),
         "embedding_power_iteration": _e(llmprep.embedding_power_iteration),

@@ -184,6 +184,7 @@ def main() -> None:
         ("embedding_anisotropy", llmprep.embedding_anisotropy, emb),
         ("corpus_curriculum_stages", corpus.curriculum_stages, docs),
         ("corpus_bpe_vocab_curve", llmprep.bpe_vocab_curve, docs),
+        ("embedding_abtt_audit", llmprep.embedding_abtt_audit, emb),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

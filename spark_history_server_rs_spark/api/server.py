@@ -527,7 +527,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
-            r"|int8-audit|anisotropy)",
+            r"|int8-audit|anisotropy|abtt)",
             path,
         )
         if m:
@@ -552,6 +552,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "int8-audit": llmprep.embedding_int8_audit,
                 "outliers": llmprep.embedding_outliers,
                 "anisotropy": llmprep.embedding_anisotropy,
+                "abtt": llmprep.embedding_abtt_audit,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
             return self._send(200, rows)

@@ -1847,6 +1847,123 @@ FROM counts c CROSS JOIN stats s
 """
 
 
+# --------------------------------------------------------------------------
+# L7c — All-but-the-Top audit (anisotropy before/after mean removal)
+# --------------------------------------------------------------------------
+#: L7b diagnoses anisotropy; this measures the FIX: Mu & Viswanath
+#: 2018's first step (subtract the corpus mean vector) applied, then
+#: both spaces scored with the same exact sum-vector identity — one row
+#: says how much of the cosine inflation the common direction explains
+#: and therefore whether mean-removal is worth a pipeline stage before
+#: the cosine-threshold ops. Per-dim means snap to exact micro ints
+#: (integer sums < 2^53 are exact doubles, so FLOOR(AVG+0.5) is
+#: engine-identical), making centered elements exact BIGINT differences
+#: — the centered pipeline inherits L7b's exactness wholesale.
+def _aniso_cos_ctes(prefix: str, src: str) -> str:
+    """The L7b unit/identity pipeline as prefixed CTEs — instantiated
+    twice by L7c (raw + mean-centered) over different element sources."""
+    return f"""
+{prefix}vnorm AS (
+  SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS nsq
+  FROM {src} GROUP BY vec_id
+),
+{prefix}unit AS (
+  SELECT e.vec_id, e.dim,
+         CAST(FLOOR(CAST(e.xi AS DOUBLE) / sqrt(CAST(v.nsq AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ui
+  FROM {src} e JOIN {prefix}vnorm v ON v.vec_id = e.vec_id
+  WHERE v.nsq > 0
+),
+{prefix}udim AS (
+  SELECT dim, CAST(FLOOR(CAST(SUM(ui) AS DOUBLE) / 1000.0) AS BIGINT) AS sud
+  FROM {prefix}unit GROUP BY dim
+),
+{prefix}stat AS (
+  SELECT
+    (SELECT CAST(COALESCE(SUM(sud * sud), 0) AS BIGINT)
+     FROM {prefix}udim) AS s2_milli,
+    (SELECT CAST(COALESCE(SUM(ui * ui), 0) AS BIGINT)
+     FROM {prefix}unit) AS diag,
+    (SELECT COUNT(*) FROM {prefix}vnorm WHERE nsq > 0) AS n_unit
+)"""
+
+
+_ABTT_COS_EXPR = (
+    "CASE WHEN {p}.n_unit < 2 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE FLOOR(((CAST({p}.s2_milli AS DOUBLE) * 1000000.0"
+    "              - CAST({p}.diag AS DOUBLE)) / 1000000000000.0"
+    "             / (CAST({p}.n_unit AS DOUBLE) * ({p}.n_unit - 1)))"
+    "            * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) END"
+)
+
+_ABTT_TAIL = (
+    """
+elems AS (
+  SELECT vec_id, dim, CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS xi
+  FROM ({unnested})
+),
+dmeans AS (
+  SELECT dim, CAST(FLOOR(AVG(xi) + 0.5) AS BIGINT) AS md
+  FROM elems GROUP BY dim
+),
+celems AS (
+  SELECT e.vec_id, e.dim, e.xi - m.md AS xi
+  FROM elems e JOIN dmeans m ON m.dim = e.dim
+),"""
+    + _aniso_cos_ctes("r", "elems")
+    + ","
+    + _aniso_cos_ctes("c", "celems")
+    + f""",
+counts AS (SELECT COUNT(DISTINCT vec_id) AS n_vecs FROM elems),
+shift AS (
+  SELECT CAST(COALESCE(SUM(md * md), 0) AS BIGINT) AS md_sq FROM dmeans
+)
+SELECT n.n_vecs,
+       {_ABTT_COS_EXPR.format(p="rs")} AS avg_cos_raw,
+       {_ABTT_COS_EXPR.format(p="cs")} AS avg_cos_centered,
+       FLOOR((sqrt(CAST(sh.md_sq AS DOUBLE)) / 1000000.0) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS removed_mean_norm
+FROM counts n
+CROSS JOIN rstat rs CROSS JOIN cstat cs CROSS JOIN shift sh
+"""
+)
+
+
+def embedding_abtt_audit(emb: DataFrame) -> DataFrame:
+    """L7c: the All-but-the-Top fix measured — average pairwise cosine
+    before and after corpus-mean removal (both via L7b's exact
+    sum-vector identity), plus the removed mean's norm. A large
+    raw-vs-centered gap means the common direction explains the cosine
+    inflation and mean removal should precede every cosine-threshold
+    op; a small gap means the anisotropy is higher-rank and needs the
+    full ABTT projection (or is simply absent).
+
+    Scale shape: L7b twice plus one dim-sized mean relation (broadcast
+    into the centering projection) — still aggregates and scalar folds
+    only, no pair join ever exists."""
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            "WITH "
+            + _ABTT_TAIL.format(
+                unnested=(
+                    f"SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS x"
+                    f" FROM {ev} LATERAL VIEW posexplode(embedding) t AS pos, v"
+                ),
+            )
+        )
+
+
+ORACLE_EMBEDDING_ABTT = "WITH " + _ABTT_TAIL.format(
+    unnested=(
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(unnest(embedding) AS DOUBLE) AS x"
+        " FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    ),
+)
+
+
 def embedding_anisotropy(emb: DataFrame) -> DataFrame:
     """L7b: one-row anisotropy audit — vector-norm mean, mean-vector
     norm (the "common direction" strength All-but-the-Top removes), and
@@ -2860,6 +2977,7 @@ ORACLE_SQL_LLMPREP = {
     "embedding_power_iteration": ORACLE_POWER_ITERATION,
     "embedding_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "embedding_anisotropy": ORACLE_EMBEDDING_ANISOTROPY,
+    "embedding_abtt_audit": ORACLE_EMBEDDING_ABTT,
     "corpus_semantic_source_mix": ORACLE_SEMANTIC_SOURCE_MIX,
     "corpus_bpe_encode": ORACLE_BPE_ENCODE,
     "corpus_bpe_compression": ORACLE_BPE_COMPRESSION,

@@ -100,6 +100,8 @@ SELECTED = [
      "C6 surprisal + two-level exact rank folded to stage x source cells"),
     ("corpus_bpe_vocab_curve",
      "k+1 vocab-sized branches over ONE cached word table; <=k+1 rows out"),
+    ("embedding_abtt_audit",
+     "the L7b identity twice (raw + mean-centered); dim-sized mean broadcast"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

@@ -539,6 +539,13 @@ def test_ann_endpoints(spark):
         assert code == 200 and len(an) == 1
         assert {"n_vecs", "avg_norm", "avg_pairwise_cos"} <= set(an[0])
         assert -1.0 <= an[0]["avg_pairwise_cos"] <= 1.0
+        code, ab = _get(base, "/api/v1/ann/abtt")
+        assert code == 200 and len(ab) == 1
+        # mean-centered vectors sum to ~0, so the centered average
+        # pairwise cosine sits near its algebraic floor -1/(n-1)
+        n = ab[0]["n_vecs"]
+        assert ab[0]["avg_cos_centered"] <= ab[0]["avg_cos_raw"] + 1e-9
+        assert abs(ab[0]["avg_cos_centered"] + 1.0 / (n - 1)) < 0.01
         assert {"dim", "range_use_pct", "mse_tensor_scale",
                 "mse_channel_scale"} <= set(i8[0])
         assert all(0.0 <= r["range_use_pct"] <= 100.0 for r in i8)

@@ -144,6 +144,7 @@ def test_entry_smoke(spark):
         "embedding_anisotropy",
         "corpus_curriculum_stages",
         "corpus_bpe_vocab_curve",
+        "embedding_abtt_audit",
     ],
 )
 def test_sf01_parity_spot(name, spark):

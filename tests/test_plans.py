@@ -527,6 +527,7 @@ def test_round5_plan_gates(spark):
         # L7b: the avg-pairwise-cosine audit must never materialize a
         # pair join — aggregates and scalar folds only
         llmprep.embedding_anisotropy(emb),
+        llmprep.embedding_abtt_audit(emb),
         # C16: two-level bucket rank + provenance join — no corpus-wide
         # window, no Python, no cartesian
         corpus.curriculum_stages(docs),

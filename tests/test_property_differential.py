@@ -549,9 +549,11 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         # quantize-to-zero guards in both engines
         (llmprep.embedding_int8_audit, "embedding_int8_audit"),
         (llmprep.embedding_outliers, "embedding_outliers"),
-        # the one-row identity audit under empty/single/identical
-        # corpora (n_unit<2 sentinel, all-equal vectors -> cos 1.0)
+        # the one-row identity audits under empty/single/identical
+        # corpora (n_unit<2 sentinel, all-equal vectors -> cos 1.0;
+        # ABTT: all-equal vectors center to all-zero, n_unit=0 sentinel)
         (llmprep.embedding_anisotropy, "embedding_anisotropy"),
+        (llmprep.embedding_abtt_audit, "embedding_abtt_audit"),
         (similarity.ann_pq_codes, "ann_pq_codes"),
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
         # to 1.0 — the degenerate-agreement case worth pinning
@@ -677,6 +679,7 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
         (similarity.ann_ivf_pq, "ann_ivf_pq"),
         (similarity.ann_ivf_pq_residual, "ann_ivf_pq_residual"),
         (llmprep.embedding_anisotropy, "embedding_anisotropy"),
+        (llmprep.embedding_abtt_audit, "embedding_abtt_audit"),
         (dedup.embedding_cosine_dups, "dedup_embedding_cosine"),
         (
             dedup.embedding_cosine_dups_prefiltered,
