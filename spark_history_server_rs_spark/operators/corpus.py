@@ -830,20 +830,19 @@ cells AS (
          CAST(SUM(s.nll_per_tok_micro) AS BIGINT) AS nll_sum
   FROM staged s JOIN {docsrc} d ON s.doc_id = d.doc_id
   GROUP BY s.stage, d.source
-),
-stage_tot AS (
-  SELECT stage, CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
-  FROM cells GROUP BY stage
 )
-SELECT c.stage, c.source, c.n_docs, c.n_tokens,
-       FLOOR((CAST(c.nll_sum AS DOUBLE) / c.n_docs / 1000000.0)
+SELECT stage, source, n_docs, n_tokens,
+       FLOOR((CAST(nll_sum AS DOUBLE) / n_docs / 1000000.0)
              * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS mean_difficulty,
-       CASE WHEN st.stage_tokens = 0 THEN CAST(0.0 AS DOUBLE)
-            ELSE FLOOR((CAST(c.n_tokens AS DOUBLE)
-                        / CAST(st.stage_tokens AS DOUBLE)) * 10000.0 + 0.5)
-                 / CAST(10000.0 AS DOUBLE) END AS stage_token_share
-FROM cells c JOIN stage_tot st ON c.stage = st.stage
-ORDER BY c.stage, c.source NULLS FIRST
+       -- stage totals via a stage-partitioned window over the tiny cells
+       -- relation (NOT a stage_tot self-join: Spark inlines CTEs, so a
+       -- second reference to `cells` would duplicate the entire upstream
+       -- chain — measured 2x the bucket window + 2x the corpus scans)
+       FLOOR((CAST(n_tokens AS DOUBLE)
+              / CAST(SUM(n_tokens) OVER (PARTITION BY stage) AS DOUBLE))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS stage_token_share
+FROM cells
+ORDER BY stage, source NULLS FIRST
 """
 
 

@@ -632,6 +632,8 @@ def test_no_unbounded_single_partition_windows(spark):
         # running SUM over the bucket relation: NOVELTY_BUCKETS (=10)
         # rows at any corpus size
         "corpus_novelty_curve": 1,
+        # C16 rides the same coarse-bucket offset fold as C10/C8
+        "corpus_curriculum_stages": 1,
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
@@ -765,9 +767,14 @@ def test_bpe_train_plan_gates(spark):
     the corpus (exactly one Exchange, the groupBy) — at 100 TB the
     corpus is scanned once and every merge iteration touches only the
     vocabulary-sized relation."""
-    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.operators import dedup, llmprep
     from spark_history_server_rs_spark.sources.generic import load_table
 
+    # the word-table gate asserts the UNCACHED plan shape; a prior test
+    # (the registry-wide window sweep builds bpe_vocab_curve) may have
+    # filled the _llm_bpe_wt0 cache, and Spark then substitutes the
+    # InMemoryRelation into ANY semantically-equal subplan — clear first
+    dedup.clear_materialized_caches()
     docs = load_table(spark, SF_ORACLE, "documents")
     wt = llmprep._bpe_word_table(docs)
     wt_plan = I.explain_str(wt, "simple")
