@@ -132,7 +132,6 @@ _ROTATED_RELATIONAL = (
     # window-hash relation (rotate r08)
     "dedup_threshold_sweep",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_passage_index",
     # corpus surface (scoped tok/feat/wins accessors)
@@ -194,6 +193,11 @@ _ROTATED_RELATIONAL = (
     # shingle/band fragments and the pytest differential re-checks it
     # every session (rotate r08)
     "ann_ivf_pq_residual",
+    # new this round → first driver row (graph-expansion ANN: bucket
+    # seeds + one kNN-graph hop, seed-vs-graph recall in one pass);
+    # dedup_simhash displaced to 51+ for the slot — its pigeonhole
+    # fragments are pytest-green every session (rotate r08)
+    "ann_graph_expand",
     # new this round → first driver row (cross-table cluster × source)
     "corpus_semantic_source_mix",
 )
@@ -285,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _e(similarity.ann_pq_recall),
         "ann_ivf_pq": _e(similarity.ann_ivf_pq),
         "ann_ivf_pq_residual": _e(similarity.ann_ivf_pq_residual),
+        "ann_graph_expand": _e(similarity.ann_graph_expand),
         "ann_nprobe_recall": _e(similarity.ann_nprobe_recall),
         "ann_truncated_recall": _e(similarity.ann_truncated_recall),
         # --- training-data pipeline: multimodal plumbing ---

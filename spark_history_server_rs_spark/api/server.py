@@ -527,7 +527,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
-            r"|int8-audit|anisotropy|abtt)",
+            r"|int8-audit|anisotropy|abtt|graph-expand)",
             path,
         )
         if m:
@@ -553,6 +553,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "outliers": llmprep.embedding_outliers,
                 "anisotropy": llmprep.embedding_anisotropy,
                 "abtt": llmprep.embedding_abtt_audit,
+                "graph-expand": similarity.ann_graph_expand,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
             return self._send(200, rows)

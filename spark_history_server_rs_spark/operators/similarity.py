@@ -492,14 +492,16 @@ KNN_GRAPH_K = 5
 #: margin (dedup.hamming_cutoff) applies unchanged.
 KNN_GRAPH_TAU = 0.4
 
-_KNN_TAIL = """
+_KNN_EDGE_CTES = """
 edges AS (
   SELECT src_id, dst_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY src_id
                             ORDER BY cosine DESC, dst_id) AS rank
   FROM pairs WHERE cosine >= {tau}
 ),
-topk AS (SELECT * FROM edges WHERE rank <= {k})
+topk AS (SELECT * FROM edges WHERE rank <= {k})"""
+
+_KNN_TAIL = _KNN_EDGE_CTES + """
 SELECT t.src_id, t.dst_id, t.cosine, t.rank,
        (r.src_id IS NOT NULL) AS is_mutual
 FROM topk t LEFT JOIN topk r
@@ -508,36 +510,12 @@ ORDER BY t.src_id, t.rank
 """
 
 
-def ann_knn_graph(emb: DataFrame) -> DataFrame:
-    """X6: the corpus-wide kNN graph — for every vector, its top-{k}
-    neighbors at cosine ≥ {tau}, with the mutual-kNN flag (the edge set
-    SNN/HDBSCAN-style clustering and graph-based near-dup mining consume).
-    Thresholding the graph is what makes it buildable at scale: the k-th
-    neighbor's similarity is unknown a priori, but edges below τ are
-    worthless to the consumers, so the candidate set is exactly the
-    τ-qualifying pairs — which the 32-bit sign-sketch popcount prefilter
-    (shared with dedup D5b, binomial 4σ cutoff) admits without scanning
-    float pairs.
+def _knn_pairs_spark(ev: str, parts: int) -> str:
+    """The sketch-prefiltered half/mirror pair build (X6's optimized
+    Spark header, shared with X12) — ``WITH normed …, half …, pairs …,``."""
+    from .dedup import _DOT, _NORM, _dedup_sketch_expr, hamming_cutoff
 
-    Scale shape: the pair loop runs on (vec_id, 4-byte sketch) inside
-    whole-stage codegen; float folds only for Hamming survivors; the rank
-    window shuffles qualifying edges keyed by src_id; the mutual check is
-    a self-join of the bounded (≤ n·k rows) top-k edge set. The oracle is
-    the ALL-PAIRS form — a different plan must reproduce the graph
-    exactly.""".format(k=KNN_GRAPH_K, tau=KNN_GRAPH_TAU)
-    from .dedup import (
-        _DOT,
-        _NORM,
-        _dedup_sketch_expr,
-        hamming_cutoff,
-    )
-
-    parts = emb.sparkSession.sparkContext.defaultParallelism
-    with scoped_temp_view(
-        emb.where("embedding IS NOT NULL"), "_sim_emb"
-    ) as ev:
-        sql = (
-            """
+    return """
 WITH normed AS (
   SELECT /*+ REPARTITION({parts}) */ vec_id,
          transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
@@ -570,25 +548,23 @@ pairs AS (
            named_struct('src_id', dst_id, 'dst_id', src_id, 'cosine', cosine)))
   FROM half
 ),""".format(
-                parts=parts,
-                src=ev,
-                norm=_NORM.format(v="embedding"),
-                sketch=_dedup_sketch_expr("embedding"),
-                dot=_DOT.format(a="a.nv", b="b.nv"),
-                hmax=hamming_cutoff(KNN_GRAPH_TAU),
-                tau=KNN_GRAPH_TAU,
-            )
-            + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
-        )
-        return emb.sparkSession.sql(sql)
+        parts=parts,
+        src=ev,
+        norm=_NORM.format(v="embedding"),
+        sketch=_dedup_sketch_expr("embedding"),
+        dot=_DOT.format(a="a.nv", b="b.nv"),
+        hmax=hamming_cutoff(KNN_GRAPH_TAU),
+        tau=KNN_GRAPH_TAU,
+    )
 
 
-def _oracle_knn_graph() -> str:
+def _knn_pairs_duck(src: str) -> str:
+    """The all-pairs oracle twin of :func:`_knn_pairs_spark`."""
     from .dedup import _NORMED_DUCK
 
     return (
         "WITH normed AS ("
-        + _NORMED_DUCK.format(src="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)")
+        + _NORMED_DUCK.format(src=src)
         + """),
 pairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
@@ -596,11 +572,190 @@ pairs AS (
            / CAST(1000000.0 AS DOUBLE) AS cosine
   FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
 ),"""
-        + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
     )
 
 
+def ann_knn_graph(emb: DataFrame) -> DataFrame:
+    """X6: the corpus-wide kNN graph — for every vector, its top-{k}
+    neighbors at cosine ≥ {tau}, with the mutual-kNN flag (the edge set
+    SNN/HDBSCAN-style clustering and graph-based near-dup mining consume).
+    Thresholding the graph is what makes it buildable at scale: the k-th
+    neighbor's similarity is unknown a priori, but edges below τ are
+    worthless to the consumers, so the candidate set is exactly the
+    τ-qualifying pairs — which the 32-bit sign-sketch popcount prefilter
+    (shared with dedup D5b, binomial 4σ cutoff) admits without scanning
+    float pairs.
+
+    Scale shape: the pair loop runs on (vec_id, 4-byte sketch) inside
+    whole-stage codegen; float folds only for Hamming survivors; the rank
+    window shuffles qualifying edges keyed by src_id; the mutual check is
+    a self-join of the bounded (≤ n·k rows) top-k edge set. The oracle is
+    the ALL-PAIRS form — a different plan must reproduce the graph
+    exactly.""".format(k=KNN_GRAPH_K, tau=KNN_GRAPH_TAU)
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            _knn_pairs_spark(ev, parts)
+            + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+        )
+
+
+def _oracle_knn_graph() -> str:
+    return _knn_pairs_duck(
+        "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    ) + _KNN_TAIL.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+
+
 ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
+
+
+# ==========================================================================
+# X12 — graph-expansion ANN (bucket seeds + one kNN-graph hop, recall gain)
+# ==========================================================================
+#: The graph-based ANN family (NSW/HNSW's core move — Malkov & Yashunin
+#: 2016, arXiv:1603.09320 — reach better neighbors through neighbors'
+#: neighbors) stated as one declarative plan: seed each query with its
+#: LSH-bucket members (X2's probe), expand ONE hop through X6's
+#: τ-thresholded kNN graph, exact-rerank the union, and report recall
+#: BOTH ways — seeds-only vs graph-expanded — from the same scored
+#: relation, so the row IS the measured value of the graph hop.
+#: Because every ranking uses the same total order (cosine DESC, id),
+#: expanding the candidate set can only improve overlap with the exact
+#: top-k (any displacing candidate outranks the displaced one and is
+#: therefore itself in the exact top-k) — recall_graph ≥ recall_seed is
+#: a THEOREM here, pinned per-row by pytest/REST, not a tendency.
+_GRAPH_EXPAND_BODY = """,
+bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {src}
+),
+seeds AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bucketed q JOIN bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+hop AS (
+  SELECT DISTINCT s.query_id, e.dst_id AS cand_id
+  FROM seeds s JOIN topk e ON e.src_id = s.cand_id
+  WHERE e.dst_id <> s.query_id
+),
+cands AS (
+  SELECT query_id, cand_id, CAST(MAX(is_seed) AS BIGINT) AS is_seed FROM (
+    SELECT query_id, cand_id, 1 AS is_seed FROM seeds
+    UNION ALL
+    SELECT query_id, cand_id, 0 AS is_seed FROM hop
+  ) GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT c.query_id, c.cand_id, c.is_seed, {cos_qc} AS cosine
+  FROM cands c
+  JOIN {src} q ON q.vec_id = c.query_id
+  JOIN {src} x ON x.vec_id = c.cand_id
+),
+graph_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {k}
+),
+seed_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored WHERE is_seed = 1
+  ) WHERE rnk <= {k}
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos_exact} AS cosine
+  FROM {src} q JOIN {src} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {nq}
+),
+exact_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= {k}
+),
+ov AS (
+  SELECT e.query_id,
+         COUNT(*) AS n_exact,
+         COUNT(s.cand_id) AS n_seed_overlap,
+         COUNT(g.cand_id) AS n_graph_overlap
+  FROM exact_k e
+  LEFT JOIN seed_k s ON s.query_id = e.query_id AND s.cand_id = e.cand_id
+  LEFT JOIN graph_k g ON g.query_id = e.query_id AND g.cand_id = e.cand_id
+  GROUP BY e.query_id
+)
+SELECT query_id,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_seed_overlap AS BIGINT) AS n_seed_overlap,
+       CAST(n_graph_overlap AS BIGINT) AS n_graph_overlap,
+       FLOOR((CAST(n_seed_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS recall_seed,
+       FLOOR((CAST(n_graph_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS recall_graph
+FROM ov
+ORDER BY query_id
+"""
+
+
+def ann_graph_expand(emb: DataFrame) -> DataFrame:
+    """X12: graph-expansion ANN — LSH-bucket seeds widened by one hop
+    through the τ-thresholded kNN graph, exact-reranked, with
+    recall@{k} measured seeds-only AND graph-expanded in the same pass
+    (see the block comment: recall_graph ≥ recall_seed is a theorem
+    under the shared tie-break, pinned per-row).
+
+    Scale shape: at 100 TB the graph is the durable artifact (built
+    once by X6's sketch-prefiltered pair loop, stored adjacency-list
+    like the S13/S14 indexes) and a query touches its bucket + ≤
+    bucket×{gk} edge rows — the expansion joins key on cand_id/src_id,
+    floats are read only for the union's exact rerank, and the exact
+    side stays the bounded {nq}-query sampled eval.""".format(
+        k=TOP_K, gk=KNN_GRAPH_K, nq=N_QUERIES
+    )
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    # the traversed graph is EXACTLY X6's artifact (τ, per-node k =
+    # KNN_GRAPH_K); the rerank top-k is the query-side TOP_K
+    edge_ctes = _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            _knn_pairs_spark(ev, parts)
+            + edge_ctes
+            + _GRAPH_EXPAND_BODY.format(
+                k=TOP_K,
+                nq=N_QUERIES,
+                src=ev,
+                bucket=_bucket_expr("embedding", spark=True),
+                cos_qc=cosine_expr_spark("q.embedding", "x.embedding"),
+                cos_exact=cosine_expr_spark("q.embedding", "c.embedding"),
+            )
+        )
+
+
+def _oracle_ann_graph_expand() -> str:
+    src = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    return (
+        _knn_pairs_duck(src)
+        + _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+        + _GRAPH_EXPAND_BODY.format(
+            k=TOP_K,
+            nq=N_QUERIES,
+            src=src,
+            bucket=_bucket_expr("embedding", spark=False),
+            cos_qc=cosine_expr_duck("q.embedding", "x.embedding"),
+            cos_exact=cosine_expr_duck("q.embedding", "c.embedding"),
+        )
+    )
+
+
+ORACLE_ANN_GRAPH_EXPAND = _oracle_ann_graph_expand()
 
 
 # ==========================================================================
@@ -1291,6 +1446,7 @@ ORACLE_SQL_SIMILARITY = {
     "ann_pq_recall": ORACLE_ANN_PQ_RECALL,
     "ann_ivf_pq": ORACLE_ANN_IVF_PQ,
     "ann_ivf_pq_residual": ORACLE_ANN_IVF_PQ_RESIDUAL,
+    "ann_graph_expand": ORACLE_ANN_GRAPH_EXPAND,
     "ann_nprobe_recall": ORACLE_ANN_NPROBE_RECALL,
     "ann_truncated_recall": ORACLE_ANN_TRUNCATED_RECALL,
 }

@@ -102,6 +102,8 @@ SELECTED = [
      "k+1 vocab-sized branches over ONE cached word table; <=k+1 rows out"),
     ("embedding_abtt_audit",
      "the L7b identity twice (raw + mean-centered); dim-sized mean broadcast"),
+    ("ann_graph_expand",
+     "bucket seeds + one kNN-graph hop; seed-vs-graph recall, one pass"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

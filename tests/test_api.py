@@ -539,6 +539,10 @@ def test_ann_endpoints(spark):
         assert code == 200 and len(an) == 1
         assert {"n_vecs", "avg_norm", "avg_pairwise_cos"} <= set(an[0])
         assert -1.0 <= an[0]["avg_pairwise_cos"] <= 1.0
+        code, gx = _get(base, "/api/v1/ann/graph-expand")
+        assert code == 200 and len(gx) >= 1
+        # the documented theorem: one graph hop can only improve recall
+        assert all(r["recall_graph"] >= r["recall_seed"] for r in gx)
         code, ab = _get(base, "/api/v1/ann/abtt")
         assert code == 200 and len(ab) == 1
         # mean-centered vectors sum to ~0, so the centered average

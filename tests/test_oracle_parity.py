@@ -145,6 +145,7 @@ def test_entry_smoke(spark):
         "corpus_curriculum_stages",
         "corpus_bpe_vocab_curve",
         "embedding_abtt_audit",
+        "ann_graph_expand",
     ],
 )
 def test_sf01_parity_spot(name, spark):

@@ -743,6 +743,17 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert not I.has_python_worker(res)
     assert I.single_partition_windows(res) == 0
     assert "BroadcastHashJoin" in I.explain_str(res, "simple")
+    # X12: the graph build keeps the popcount prefilter inside the pair
+    # join; expansion/rerank joins are hash joins, windows partitioned
+    ge = similarity.ann_graph_expand(emb)
+    assert not I.has_python_worker(ge)
+    assert I.single_partition_windows(ge) == 0
+    assert "bit_count" in I.explain_str(ge, "simple")
+    # the theorem the op documents: expanding candidates can only help
+    rows = ge.collect()
+    assert rows and all(
+        r.recall_graph >= r.recall_seed for r in rows
+    )
     pidx = dedup.duplicate_passage_index(docs)
     assert not I.has_python_worker(pidx)
     assert not I.has_cartesian(pidx)
