@@ -1848,6 +1848,124 @@ FROM counts c CROSS JOIN stats s
 
 
 # --------------------------------------------------------------------------
+# L7b streaming twin — decomposable sufficient statistics
+# --------------------------------------------------------------------------
+#: The sum-vector identity is DECOMPOSABLE: every term of L7b's answer
+#: (per-dim raw/unit sums, the unit diagonal, counts, the norm sum) is a
+#: plain SUM over vectors, so a micro-batch can emit its exact partial
+#: BIGINT statistics and the merged corpus answer is bit-identical to
+#: the batch op — the textbook incremental-maintenance shape for a
+#: "quadratic" statistic. Partials are pure functions of the batch
+#: (byte-identical on retry, batch_id included), so the at-least-once
+#: repair is the house DISTINCT-on-read.
+def anisotropy_partials(emb: DataFrame) -> DataFrame:
+    """Per-batch exact partial statistics for L7b: per-dim rows
+    ``(dim, su, sx)`` plus one ``dim = -1`` scalar row carrying
+    ``(diag, n_vecs, n_zero, n_unit, norm_sum)``. Merging = SUM; the
+    milli down-snaps happen at READ time (:func:`read_anisotropy_stats`)
+    so incremental and batch answers match exactly."""
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_llm_emb"
+    ) as ev:
+        return emb.sparkSession.sql(f"""
+WITH elems AS (
+  SELECT vec_id, pos AS dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xi
+  FROM {ev} LATERAL VIEW posexplode(embedding) t AS pos, v
+),
+vnorm AS (
+  SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS nsq
+  FROM elems GROUP BY vec_id
+),
+unit AS (
+  SELECT e.vec_id, e.dim,
+         CAST(FLOOR(CAST(e.xi AS DOUBLE) / sqrt(CAST(v.nsq AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ui
+  FROM elems e JOIN vnorm v ON v.vec_id = e.vec_id
+  WHERE v.nsq > 0
+),
+dimsx AS (SELECT dim, CAST(SUM(xi) AS BIGINT) AS sx FROM elems GROUP BY dim),
+dimsu AS (SELECT dim, CAST(SUM(ui) AS BIGINT) AS su FROM unit GROUP BY dim),
+perdim AS (
+  SELECT x.dim, COALESCE(u.su, CAST(0 AS BIGINT)) AS su, x.sx
+  FROM dimsx x LEFT JOIN dimsu u ON u.dim = x.dim
+),
+scal AS (
+  SELECT
+    (SELECT COUNT(*) FROM vnorm) AS n_vecs,
+    (SELECT CAST(COALESCE(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM vnorm) AS n_zero,
+    (SELECT COUNT(*) FROM vnorm WHERE nsq > 0) AS n_unit,
+    (SELECT CAST(COALESCE(SUM(ui * ui), 0) AS BIGINT) FROM unit) AS diag,
+    (SELECT CAST(COALESCE(SUM(CAST(FLOOR(sqrt(CAST(nsq AS DOUBLE)) + 0.5)
+                                   AS BIGINT)), 0) AS BIGINT)
+     FROM vnorm WHERE nsq > 0) AS norm_sum
+)
+SELECT CAST(dim AS BIGINT) AS dim, su, sx,
+       CAST(0 AS BIGINT) AS diag, CAST(0 AS BIGINT) AS n_vecs,
+       CAST(0 AS BIGINT) AS n_zero, CAST(0 AS BIGINT) AS n_unit,
+       CAST(0 AS BIGINT) AS norm_sum
+FROM perdim
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       diag, n_vecs, n_zero, n_unit, norm_sum
+FROM scal
+""")
+
+
+def read_anisotropy_stats(spark, path: str) -> DataFrame:
+    """Merge streamed partials into the corpus anisotropy row —
+    bit-identical to :func:`embedding_anisotropy` over the union of all
+    streamed batches (pinned differentially). DISTINCT first: a retried
+    micro-batch appends byte-identical (batch_id, …) rows."""
+    stats = spark.read.parquet(path).distinct()
+    with scoped_temp_view(stats, "_llm_aniso_stats") as sv:
+        return spark.sql(f"""
+WITH merged_dim AS (
+  SELECT dim, CAST(SUM(su) AS BIGINT) AS su, CAST(SUM(sx) AS BIGINT) AS sx
+  FROM {sv} WHERE dim >= 0 GROUP BY dim
+),
+ms AS (
+  SELECT CAST(COALESCE(SUM(n_vecs), 0) AS BIGINT) AS n_vecs,
+         CAST(COALESCE(SUM(n_zero), 0) AS BIGINT) AS n_zero,
+         CAST(COALESCE(SUM(n_unit), 0) AS BIGINT) AS n_unit,
+         CAST(COALESCE(SUM(diag), 0) AS BIGINT) AS diag,
+         CAST(COALESCE(SUM(norm_sum), 0) AS BIGINT) AS norm_sum
+  FROM {sv} WHERE dim = -1
+),
+md AS (
+  SELECT
+    (SELECT CAST(COALESCE(SUM(CAST(FLOOR(CAST(sx AS DOUBLE) / 1000.0)
+                                   AS BIGINT)
+                              * CAST(FLOOR(CAST(sx AS DOUBLE) / 1000.0)
+                                     AS BIGINT)), 0) AS BIGINT)
+     FROM merged_dim) AS meanvec_sq_milli,
+    (SELECT CAST(COALESCE(SUM(CAST(FLOOR(CAST(su AS DOUBLE) / 1000.0)
+                                   AS BIGINT)
+                              * CAST(FLOOR(CAST(su AS DOUBLE) / 1000.0)
+                                     AS BIGINT)), 0) AS BIGINT)
+     FROM merged_dim) AS s2_milli
+)
+SELECT s.n_vecs, s.n_zero AS n_zero_norm,
+       CASE WHEN s.n_unit = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((CAST(s.norm_sum AS DOUBLE) / s.n_unit
+                        / 1000000.0) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS avg_norm,
+       CASE WHEN s.n_vecs = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR((sqrt(CAST(d.meanvec_sq_milli AS DOUBLE)) * 1000.0
+                        / 1000000.0 / s.n_vecs) * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS mean_vec_norm,
+       CASE WHEN s.n_unit < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(((CAST(d.s2_milli AS DOUBLE) * 1000000.0
+                         - CAST(s.diag AS DOUBLE)) / 1000000000000.0
+                        / (CAST(s.n_unit AS DOUBLE) * (s.n_unit - 1)))
+                       * 10000.0 + 0.5)
+                 / CAST(10000.0 AS DOUBLE) END AS avg_pairwise_cos
+FROM ms s CROSS JOIN md d
+""")
+
+
+# --------------------------------------------------------------------------
 # L7c — All-but-the-Top audit (anisotropy before/after mean removal)
 # --------------------------------------------------------------------------
 #: L7b diagnoses anisotropy; this measures the FIX: Mu & Viswanath

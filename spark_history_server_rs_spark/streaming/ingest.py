@@ -475,6 +475,45 @@ def stream_encoding_monitor(docs: DataFrame) -> DataFrame:
         return docs.sparkSession.sql(encoding_flags_spark_sql(view))
 
 
+def stream_anisotropy_monitor(
+    emb_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Beyond-reference: streaming twin of
+    :func:`..operators.llmprep.embedding_anisotropy` — every arriving
+    micro-batch of embeddings appends its EXACT partial sufficient
+    statistics (the sum-vector identity is decomposable: per-dim sums,
+    unit diagonal, counts — all plain SUMs), and
+    :func:`..operators.llmprep.read_anisotropy_stats` merges them into
+    a corpus anisotropy row BIT-IDENTICAL to the batch op. The
+    embedding-health dashboard stays current per ingest batch with
+    per-batch cost O(batch x dim), never a corpus rescan.
+
+    Semantics: at-least-once under retries — partials are pure
+    functions of the batch, so a re-run appends byte-identical
+    (batch_id, ...) rows and the reader's DISTINCT repairs exactly.
+    Returns the started StreamingQuery (availableNow-compatible)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.llmprep import anisotropy_partials
+
+    def _stats_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            anisotropy_partials(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(_stats_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_bpe_encode(
     docs_stream: DataFrame,
     merges: list[str],

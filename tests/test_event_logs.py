@@ -2362,3 +2362,54 @@ def test_stream_ann_index_checkpoint_reset_keeps_seq_monotonic(spark, tmp_path):
     assert res == [
         tuple(r) for r in ann_ivf_pq_from_index(spark, path2, emb).collect()
     ]
+
+
+def test_stream_anisotropy_monitor_matches_batch(spark, tmp_path):
+    """L7b's streaming twin: embeddings streamed in three micro-batches
+    emit exact partial statistics; the merged reader must be
+    BIT-IDENTICAL to the batch anisotropy row over the full corpus (the
+    sum-vector identity is decomposable — every term is a plain SUM).
+    Then simulate an at-least-once retry by re-appending one batch's
+    partial rows: the reader's DISTINCT repair must leave the answer
+    unchanged."""
+    from spark_history_server_rs_spark.operators.llmprep import (
+        embedding_anisotropy,
+        read_anisotropy_stats,
+    )
+    from spark_history_server_rs_spark.streaming.ingest import (
+        stream_anisotropy_monitor,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(36)
+    src = tmp_path / "aniso_emb"
+    src.mkdir()
+    # three arrival files, FLAT in the watched dir (a nested subdir can
+    # list 0 rows — see the streaming-source note in conftest history)
+    for i in range(3):
+        emb.where(f"vec_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "aniso_stats")
+    q = stream_anisotropy_monitor(stream, out, str(tmp_path / "aniso_ckpt"))
+    q.awaitTermination(120)
+
+    want = [r.asDict() for r in embedding_anisotropy(emb).collect()]
+    got = [r.asDict() for r in read_anisotropy_stats(spark, out).collect()]
+    assert got == want and want[0]["n_vecs"] == 36
+
+    # at-least-once retry: re-append one batch's byte-identical partials
+    dup = spark.read.parquet(out).where("batch_id = 0")
+    dup.write.mode("append").parquet(out)
+    got_after = [
+        r.asDict() for r in read_anisotropy_stats(spark, out).collect()
+    ]
+    assert got_after == want
