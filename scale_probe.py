@@ -126,7 +126,18 @@ DOC_SUITE = (
     "corpus_novelty_curve_approx",
     "dedup_survivorship",
     "text_encoding_artifacts",
+    # round-7 third-session additions: the threshold sweep must stay
+    # ~one-candidate-scan at 10x (its whole point); the bigram LM adds
+    # a bigram-keyed exchange the unigram ops don't have; the
+    # anisotropy audit is the O(n)-identity claim measured at 10x
+    "dedup_threshold_sweep",
+    "corpus_bigram_logprob",
 )
+
+#: 10x embeddings ops ride the same probe (embeddings corpus is copied
+#: alongside documents) — the identity audit's wall should track the
+#: one corpus scan
+EMB_SUITE = ("embedding_anisotropy",)
 
 #: 100x tier: ingest-only at 10 M events — the reference's own
 #: write-performance test scale (tests/write_performance_test.rs:30).
@@ -168,10 +179,35 @@ def build_big_events(spark, copies: int, out_dir: str) -> None:
     _write_marker(marker, copies)
 
 
+def build_emb_corpus(spark) -> None:
+    """10x embeddings for the EMB_SUITE timing tier: vec_id/label
+    shifted per copy, vector payloads reused verbatim — the audits out
+    here are one-row aggregates whose cost is the scan+fold, so content
+    duplication cannot distort the measured scaling (unlike dedup ops,
+    where build_docs_corpus must keep copies disjoint)."""
+    marker = f"{PROBE_DIR}/_EMB_COPIES"
+    if _marker_ok(marker, COPIES):
+        return
+    raw = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    for c in range(COPIES):
+        (
+            raw.selectExpr(
+                f"vec_id + {c} * 10000000 AS vec_id",
+                "embedding",
+                "label",
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if c == 0 else "append")
+            .parquet(f"{PROBE_DIR}/embeddings.parquet")
+        )
+    _write_marker(marker, COPIES)
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     build_corpus(spark)
     build_docs_corpus(spark)
+    build_emb_corpus(spark)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     t0 = time.perf_counter()
@@ -216,6 +252,20 @@ def main() -> None:
         _corpus.novelty_curve_approx(_lt(s, d, "documents"))
     )
     for name in DOC_SUITE:
+        fn = qmap[name]
+        t = time.perf_counter()
+        fn(spark, PROBE_DIR).collect()
+        d_cold = time.perf_counter() - t
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn(spark, PROBE_DIR).collect()
+            warm.append(time.perf_counter() - t)
+        docs10[name] = {
+            "cold": round(d_cold, 4),
+            "warm": round(min(warm), 4),
+        }
+    for name in EMB_SUITE:
         fn = qmap[name]
         t = time.perf_counter()
         fn(spark, PROBE_DIR).collect()
