@@ -554,6 +554,11 @@ def test_random_embeddings_match_oracle(rows, spark, prop_emb_dir):
         # ABTT: all-equal vectors center to all-zero, n_unit=0 sentinel)
         (llmprep.embedding_anisotropy, "embedding_anisotropy"),
         (llmprep.embedding_abtt_audit, "embedding_abtt_audit"),
+        # ann_graph_expand is NOT here for the same reason as
+        # ann_lsh_bucketed / ann_knn_graph: the hyperplane/sketch
+        # constants are 64-dim and this suite generates 16-dim corpora
+        # (DuckDB's list_dot_product rejects the mismatch); its
+        # degenerate coverage lives in the 64-dim zero-norm sweep
         (similarity.ann_pq_codes, "ann_pq_codes"),
         # dim=16 < TRUNC_DIM: both engines' slice clamps, recall pins
         # to 1.0 — the degenerate-agreement case worth pinning
