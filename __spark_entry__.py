@@ -120,8 +120,12 @@ _ROTATED_RELATIONAL = (
     # relational runner sample (CTE-prologue table binding)
     "tpch_q1_pricing_summary",
     "tpch_q10_returned_items",
-    "rollup_order_stats",
     "sessionize_events",
+    # new this round → first driver row (SEQ_LEN fragmentation audit
+    # riding L3's cumsum); rollup_order_stats displaced to 51+ for the
+    # slot — the relational runner's CTE-prologue binding stays
+    # re-validated by the three remaining samples (rotate r08)
+    "corpus_pack_fragmentation",
     # dedup surface (shingles_cte + scoped accessors)
     "dedup_ngram_jaccard",
     "dedup_containment",
@@ -327,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_counts": _d(llmprep.bigram_counts),
         "corpus_bigram_logprob": _d(llmprep.bigram_logprob),
         "corpus_pack_sequences": _d(llmprep.pack_sequences),
+        "corpus_pack_fragmentation": _d(llmprep.pack_fragmentation),
         "corpus_pack_sequences_sharded": _d(llmprep.pack_sequences_sharded),
         "corpus_global_shuffle": _d(llmprep.global_shuffle),
         "corpus_stratified_sample": _d(llmprep.stratified_sample),

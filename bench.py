@@ -186,6 +186,7 @@ def main() -> None:
         ("corpus_bpe_vocab_curve", llmprep.bpe_vocab_curve, docs),
         ("embedding_abtt_audit", llmprep.embedding_abtt_audit, emb),
         ("ann_graph_expand", similarity.ann_graph_expand, emb),
+        ("corpus_pack_fragmentation", llmprep.pack_fragmentation, docs),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -478,7 +478,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             r"/api/v1/corpus/(profile|quality|zipf|sources|domain-weights"
             r"|fertility|boilerplate|encoding|survivorship|novelty"
             r"|filter-agreement|surprisal|compression|dedup-sweep"
-            r"|curriculum|vocab-curve)",
+            r"|curriculum|vocab-curve|fragmentation)",
             path,
         )
         if m:
@@ -513,6 +513,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "dedup-sweep": _corpus_dedup_sweep,
                 "curriculum": corpus.curriculum_stages,
                 "vocab-curve": llmprep.bpe_vocab_curve,
+                "fragmentation": llmprep.pack_fragmentation,
             }[m.group(1)]
             # concurrent-safe, no global lock (pinned by
             # tests/test_api.py::test_corpus_routes_concurrent):

@@ -1204,6 +1204,83 @@ ORACLE_PACK_SEQUENCES = "WITH " + _PACK_TAIL.format(
 )
 
 
+# --- L3c: packing fragmentation audit --------------------------------------
+#: L3's contiguous-greedy packer always realizes the OPTIMAL bin count
+#: (bins are cumsum÷budget by construction), so the cost that remains is
+#: FRAGMENTATION: a document whose token span straddles a budget
+#: boundary is split across training sequences — its cross-boundary
+#: tokens lose attention to each other (the packing trade the
+#: best-practice literature tunes SEQ_LEN against). This audit reports,
+#: per language, how many documents fragment at the configured budget
+#: and how many tokens sit in fragmented documents — the two numbers a
+#: SEQ_LEN decision needs.
+_PACK_FRAG_TAIL = """
+sized AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM ({tokens})
+),
+flagged AS (
+  SELECT lang, n_tokens,
+         CASE WHEN CAST(FLOOR((cum_tokens - n_tokens) / {budget}.0)
+                   AS BIGINT)
+               <> CAST(FLOOR((cum_tokens - 1) / {budget}.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS frag
+  FROM sized WHERE n_tokens > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((CAST(SUM(n_tokens) AS DOUBLE) - 1) / {budget}.0) + 1
+            AS BIGINT) AS n_bins,
+       CAST(SUM(frag) AS BIGINT) AS fragmented_docs,
+       CAST(SUM(frag * n_tokens) AS BIGINT) AS fragmented_tokens,
+       FLOOR((CAST(SUM(frag) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS fragmented_doc_frac,
+       FLOOR((CAST(SUM(frag * n_tokens) AS DOUBLE)
+              / CAST(SUM(n_tokens) AS DOUBLE)) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS fragmented_token_frac
+FROM flagged
+GROUP BY lang
+ORDER BY lang NULLS FIRST
+"""
+
+
+def pack_fragmentation(docs: DataFrame) -> DataFrame:
+    """L3c: per-language fragmentation under L3's contiguous packing at
+    the {b}-token budget — documents whose span straddles a budget
+    boundary (start bin ≠ end bin on the same cumsum L3 bins by), with
+    doc/token counts and fractions. See the block comment for why this
+    (not bin count) is the packing cost a SEQ_LEN decision weighs.
+
+    Scale shape: L3's lang-partitioned cumsum window (sharded variant
+    available as L3b for skewed language mixes), then one lang-keyed
+    fold — no joins, ≤ #languages rows out. Token-less documents carry
+    no span and are excluded, exactly as L3 excludes them from
+    bins.""".format(b=PACK_TOKEN_BUDGET)
+    with scoped_temp_view(docs, "_llm_docs") as dv:
+        return docs.sparkSession.sql(
+            "WITH "
+            + _PACK_FRAG_TAIL.format(
+                tokens=(
+                    "SELECT doc_id, lang,"
+                    f" size({_TOKENS_SPARK}) AS n_tokens FROM {dv}"
+                ),
+                budget=PACK_TOKEN_BUDGET,
+            )
+        )
+
+
+ORACLE_PACK_FRAGMENTATION = "WITH " + _PACK_FRAG_TAIL.format(
+    tokens=(
+        "SELECT doc_id, lang,"
+        f" len({_TOKENS_DUCK}) AS n_tokens FROM documents"
+    ),
+    budget=PACK_TOKEN_BUDGET,
+)
+
+
 # --- L3b: sharded packing — the 100 TB variant -----------------------------
 # The plain packer's window partitions on lang alone: a 5-language corpus
 # gives 5 reducers no matter the cluster size (each language's cumsum is
@@ -3082,6 +3159,7 @@ ORACLE_SQL_LLMPREP = {
     "corpus_bigram_counts": ORACLE_BIGRAM_COUNTS,
     "corpus_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_pack_fragmentation": ORACLE_PACK_FRAGMENTATION,
     "corpus_pack_sequences_sharded": ORACLE_PACK_SEQUENCES_SHARDED,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "corpus_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,

@@ -104,6 +104,8 @@ SELECTED = [
      "the L7b identity twice (raw + mean-centered); dim-sized mean broadcast"),
     ("ann_graph_expand",
      "bucket seeds + one kNN-graph hop; seed-vs-graph recall, one pass"),
+    ("corpus_pack_fragmentation",
+     "L3's cumsum window + one lang fold; #languages rows out"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),

@@ -476,6 +476,11 @@ def test_corpus_endpoints(spark):
         assert all(
             r["n_bpe_tokens"] >= r["n_words"] for r in cmp_
         )  # merges never split below one subword per word
+        code, fr = _get(base, "/api/v1/corpus/fragmentation")
+        assert code == 200 and len(fr) >= 1
+        # each budget boundary is crossed by at most one doc, so
+        # fragmented_docs <= n_bins - 1 is a theorem per language
+        assert all(r["fragmented_docs"] < r["n_bins"] for r in fr)
         code, vc = _get(base, "/api/v1/corpus/vocab-curve")
         assert code == 200 and len(vc) == 9  # ranks 0..BPE_TRAIN_MERGES
         # each merge can only shrink the corpus token count, and the

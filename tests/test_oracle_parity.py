@@ -146,6 +146,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_vocab_curve",
         "embedding_abtt_audit",
         "ann_graph_expand",
+        "corpus_pack_fragmentation",
     ],
 )
 def test_sf01_parity_spot(name, spark):

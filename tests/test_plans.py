@@ -531,6 +531,8 @@ def test_round5_plan_gates(spark):
         # C16: two-level bucket rank + provenance join — no corpus-wide
         # window, no Python, no cartesian
         corpus.curriculum_stages(docs),
+        # L3c: lang-partitioned cumsum + one fold, no joins
+        llmprep.pack_fragmentation(docs),
         corpus.dedup_keep_canonical(docs),
         dedup.minhash_estimate_eval(docs),
     ):
