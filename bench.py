@@ -90,6 +90,7 @@ def main() -> None:
         dedup,
         llmprep,
         multimodal,
+        relational,
         similarity,
         textprep,
     )
@@ -187,6 +188,8 @@ def main() -> None:
         ("embedding_abtt_audit", llmprep.embedding_abtt_audit, emb),
         ("ann_graph_expand", similarity.ann_graph_expand, emb),
         ("corpus_pack_fragmentation", llmprep.pack_fragmentation, docs),
+        ("rolling_active_users_approx",
+         relational.rolling_active_users_approx, ev),
     ]:
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp

@@ -1227,6 +1227,66 @@ EVENTS_TAILS: dict[str, str] = {
 }
 
 
+# --------------------------------------------------------------------------
+# R33b — sketch-path active users (the 100 TB DAU/WAU)
+# --------------------------------------------------------------------------
+#: log2(k) for the DAU/WAU HLL sketches (lgk=12 → ~1.6 % RSE), matching
+#: the novelty sketch tier
+ACTIVE_USERS_HLL_LGK = 12
+
+
+def rolling_active_users_approx(ev: DataFrame) -> DataFrame:
+    """R33b: the 100 TB path for R33 — DAU/WAU/stickiness from
+    mergeable per-day HLL sketches (``hll_sketch_agg`` /
+    ``hll_union_agg``) instead of exact distinct folds. ONE pass over
+    events builds a #days-row sketch relation (map-side partial
+    sketches — no shuffle ever carries an app id, where R33 moves every
+    distinct (app, day) pair through the dedup exchange AND expands it
+    7×); DAU estimates read each day's sketch, WAU unions the 7
+    trailing sketches per day — sketch algebra over a days-sized
+    relation. Estimates carry ~1.6 % relative error at lgk={lgk} —
+    pytest-pinned against the exact twin (sketch estimates are
+    algorithm-specific, so no DuckDB oracle twin can exist and this op
+    is deliberately NOT in the oracle registry).
+
+    Columns mirror R33 with an ``_est`` suffix.""".format(
+        lgk=ACTIVE_USERS_HLL_LGK
+    )
+    from ..functions.views import scoped_temp_view
+
+    with scoped_temp_view(ev, "_rel_ev_hll") as view:
+        return ev.sparkSession.sql(f"""
+WITH days AS (
+  SELECT CAST(FLOOR(CAST(unix_millis(CAST(event_ts AS TIMESTAMP))
+                         AS DOUBLE) / 86400000.0) AS BIGINT) AS day,
+         app_id
+  FROM {view}
+),
+sk AS (
+  SELECT day, hll_sketch_agg(app_id, {ACTIVE_USERS_HLL_LGK}) AS sk
+  FROM days GROUP BY day
+),
+offsets AS (SELECT off
+            FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) AS t(off)),
+expanded AS (
+  SELECT s.day + o.off AS day, s.sk FROM sk s JOIN offsets o ON 1 = 1
+),
+wau AS (
+  SELECT day, CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+           AS wau_est
+  FROM expanded GROUP BY day
+),
+dau AS (
+  SELECT day, CAST(hll_sketch_estimate(sk) AS BIGINT) AS dau_est FROM sk
+)
+SELECT d.day AS epoch_day, d.dau_est, w.wau_est,
+       FLOOR((CAST(d.dau_est AS DOUBLE) / w.wau_est) * 10000.0 + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS stickiness_est
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY epoch_day
+""")
+
+
 def run_events_tail(ev: DataFrame, name: str) -> DataFrame:
     """Run a registered events-SQL analytics shape against an
     already-normalized events DataFrame — the REST serving path (no

@@ -106,6 +106,8 @@ SELECTED = [
      "bucket seeds + one kNN-graph hop; seed-vs-graph recall, one pass"),
     ("corpus_pack_fragmentation",
      "L3's cumsum window + one lang fold; #languages rows out"),
+    ("rolling_active_users_approx",
+     "per-day HLL sketches; DAU/WAU via sketch algebra, no distinct expand"),
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),
@@ -142,6 +144,14 @@ def main() -> None:
     for name, why in SELECTED:
         if name == "corpus_bpe_train:iteration":
             df = _bpe_train_iteration_df(spark, "/root/testdata/sf0.01")
+        elif name == "rolling_active_users_approx":
+            # pytest-pinned sketch sibling (no oracle twin possible)
+            from ..operators import relational as _rel
+            from ..sources.generic import load_events as _le
+
+            df = _rel.rolling_active_users_approx(
+                _le(spark, "/root/testdata/sf0.01")
+            )
         elif name == "corpus_novelty_curve_approx":
             # pytest-pinned (no oracle twin possible) -> not in queries()
             from ..operators import corpus as _corpus

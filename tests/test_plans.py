@@ -922,3 +922,32 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     llmprep._train_merges(docs, 40)  # 2 checkpoints retired + finally
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(infos) <= before, [i.name() for i in infos]
+
+
+def test_rolling_active_users_approx_close_to_exact(spark):
+    """R33b vs R33 at sf0.01: per-day DAU/WAU estimates within 5 % (the
+    documented lgk=12 band, ~1.6 % RSE, with union-compounding slack)
+    and WAU_est >= DAU_est day-by-day (a union can only grow a sketch).
+    This pin is R33b's correctness gate — sketch estimates are
+    algorithm-specific, so no DuckDB oracle twin can exist. Also the
+    plan gate: the sketch path must have NO distinct-aggregate expand
+    of (app, day) pairs — one sketch aggregate, sketch algebra after."""
+    from spark_history_server_rs_spark.operators import relational
+    from spark_history_server_rs_spark.sources.generic import load_events
+
+    ev = load_events(spark, SF_ORACLE)
+    exact = {
+        r.epoch_day: r
+        for r in relational.QUERIES["rolling_active_users"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    approx_df = relational.rolling_active_users_approx(ev)
+    assert not I.has_python_worker(approx_df)
+    approx = {r.epoch_day: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for day in sorted(exact):
+        e, a = exact[day], approx[day]
+        assert abs(a.dau_est - e.dau) <= max(0.05 * e.dau, 2), (day, e, a)
+        assert abs(a.wau_est - e.wau) <= max(0.05 * e.wau, 2), (day, e, a)
+        assert a.wau_est >= a.dau_est, (day, a)
