@@ -635,6 +635,16 @@ def _clear_bpe_cache() -> None:
             with lk:
                 with _BPE_MERGE_LOCK:
                     _BPE_MERGE_CACHE.pop(k, None)
+                    # prune the lock entry too: a long-lived REST session
+                    # serving many distinct corpora would otherwise grow
+                    # this dict without bound. Safe under _BPE_MERGE_LOCK
+                    # — setdefault re-creates on demand, and a concurrent
+                    # trainer holding the OLD lock object still
+                    # single-flights its own run (worst case one extra
+                    # training for a key cleared mid-race, never a wrong
+                    # result).
+                    if _BPE_KEY_LOCKS.get(k) is lk:
+                        _BPE_KEY_LOCKS.pop(k, None)
 
 
 def _register_bpe_clearer() -> None:

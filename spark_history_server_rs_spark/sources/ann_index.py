@@ -452,8 +452,14 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     from pyspark.sql import functions as F
 
     from .dedup_index import compact_relation_swap
+    from .index_manifest import path_exists
 
     src = f"{path}/codes"
+    if not path_exists(spark, src):
+        # vanished codes relation: nothing to compact — leave the stale
+        # manifest as the validator's evidence (flag, not crash)
+        return {"relation": "codes", "rows_before": None,
+                "rows_after": None}
     cols = (
         ["vec_id"]
         + [f"code_{s}" for s in range(PQ_M)]

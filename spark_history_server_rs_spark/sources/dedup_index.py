@@ -230,9 +230,20 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
 
     Returns per-relation stats: (relation, rows_before, rows_after).
     """
+    from .index_manifest import path_exists
+
     stats = []
     for rel, keys, part in _INDEX_RELATIONS:
         src = f"{path}/{rel}"
+        if not path_exists(spark, src):
+            # vanished relation (wiped path, bit rot): nothing to
+            # compact — leave the stale manifest in place so the
+            # maintenance slot's validator FLAGS the loss instead of
+            # this read crashing the whole slot
+            stats.append(
+                {"relation": rel, "rows_before": None, "rows_after": None}
+            )
+            continue
         raw = spark.read.parquet(src).select(*keys)
         rows_before = raw.count()
         rows_after = compact_relation_swap(

@@ -73,6 +73,18 @@ def refresh_index_manifest(
             continue  # e.g. a pre-`meta/` index: attest what exists
         stats = _relation_stats(spark, path, rel)
         out = stats if out is None else out.unionByName(stats)
+    if out is None:
+        # nothing on disk (index path wiped or mistyped): NEVER overwrite
+        # an existing manifest with emptiness — the stale manifest is
+        # precisely the evidence the validator needs to flag every
+        # relation as vanished (the maintenance slot refreshes before
+        # validating, so attesting the wipe would hide it). A truly
+        # fresh path gets an empty manifest so reads don't crash.
+        if path_exists(spark, f"{path}/manifest"):
+            return
+        out = spark.createDataFrame(
+            [], "relation string, n_rows long, content_hash decimal(38,0)"
+        )
     out.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
@@ -97,7 +109,17 @@ def validate_index(
             [], "relation string, n_rows long, content_hash decimal(38,0)"
         )
     actual = actual.alias("a")
-    manifest = spark.read.parquet(f"{path}/manifest").alias("m")
+    if path_exists(spark, f"{path}/manifest"):
+        manifest = spark.read.parquet(f"{path}/manifest")
+    else:
+        # the manifest itself vanished — the same bit-rot class this
+        # validator detects. 'Flag, not crash': every on-disk relation
+        # comes back as a discrepancy with NULL manifest-side values
+        # (a legacy pre-manifest index reads the same way).
+        manifest = spark.createDataFrame(
+            [], "relation string, n_rows long, content_hash decimal(38,0)"
+        )
+    manifest = manifest.alias("m")
     joined = actual.join(
         manifest, F.col("a.relation") == F.col("m.relation"), "full_outer"
     )

@@ -132,8 +132,16 @@ def compact_training_shards(spark: SparkSession, path: str) -> list[dict]:
     ``{relation, rows_before, rows_after}``.
     """
     from .dedup_index import compact_relation_swap
+    from .index_manifest import path_exists
 
     src = f"{path}/shards"
+    if not path_exists(spark, src):
+        # vanished export: nothing to compact, and the manifest is NOT
+        # refreshed — it stays as the validator's evidence of what the
+        # export should have contained (flag, not crash)
+        return [
+            {"relation": "shards", "rows_before": None, "rows_after": None}
+        ]
     raw = spark.read.parquet(src)
     # shard last: it is the partition column; sort on every column so
     # the rewrite is deterministic row-for-row
@@ -164,8 +172,23 @@ def validate_training_shards(spark: SparkSession, path: str) -> DataFrame:
     the manifest. Returns the discrepancy relation — 0 rows = intact;
     each row names the shard and which of (docs, tokens, content) moved
     (a shard present only on one side reports NULLs on the other)."""
-    actual = _shard_stats(spark.read.parquet(f"{path}/shards")).alias("a")
-    manifest = spark.read.parquet(f"{path}/manifest").alias("m")
+    from .index_manifest import path_exists
+
+    _empty = "shard bigint, n_docs long, n_tokens long, content_hash decimal(38,0)"
+    if path_exists(spark, f"{path}/shards"):
+        actual = _shard_stats(spark.read.parquet(f"{path}/shards"))
+    else:
+        # the whole export vanished: every manifest row becomes a
+        # discrepancy with NULL actuals (flag, not crash)
+        actual = spark.createDataFrame([], _empty)
+    actual = actual.alias("a")
+    if path_exists(spark, f"{path}/manifest"):
+        manifest = spark.read.parquet(f"{path}/manifest")
+    else:
+        # missing/never-written manifest: every on-disk shard reports
+        # with NULL manifest-side values
+        manifest = spark.createDataFrame([], _empty)
+    manifest = manifest.alias("m")
     # eqNullSafe is defensive full_outer-join hygiene only: a NULL
     # doc_id does NOT produce a NULL shard — Spark's xxhash64 SKIPS
     # NULL inputs, so xxhash64(NULL) = 42 (the seed) and NULL doc_ids

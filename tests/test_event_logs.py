@@ -1884,6 +1884,120 @@ def test_maintenance_slot_services_all_artifacts(spark, tmp_path):
         assert all(s["rows_before"] == s["rows_after"] for s in rows), r
 
 
+def test_maintenance_slot_flags_vanished_artifacts(spark, tmp_path):
+    """ADVICE r07: a fully-VANISHED artifact (index path wiped, export
+    deleted) must surface from the maintenance slot as a validation
+    discrepancy — compactors skip the missing relations, the manifest
+    refresh keeps the STALE manifest as evidence, and the validator
+    flags every attested relation with NULL actuals. The slot reports
+    valid=False instead of crashing on a None dereference /
+    AnalysisException."""
+    import shutil
+
+    from spark_history_server_rs_spark.sources.ann_index import write_ann_index
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        refresh_dedup_index_manifest,
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        refresh_index_manifest,
+    )
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_maintenance_slot,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dpath = str(tmp_path / "van_dedup")
+    apath = str(tmp_path / "van_ann")
+    spath = str(tmp_path / "van_shards")
+    write_dedup_index(docs, dpath)
+    refresh_dedup_index_manifest(spark, dpath)
+    write_ann_index(emb, apath)
+    from spark_history_server_rs_spark.sources.ann_index import (
+        refresh_ann_index_manifest,
+    )
+
+    refresh_ann_index_manifest(spark, apath)
+    write_training_shards(docs, spath)
+
+    # wipe every relation but leave each manifest standing
+    for p, rels in (
+        (dpath, ("shingles", "band_keys", "passages")),
+        (apath, ("centroids", "codebook", "codes", "meta")),
+        (spath, ("shards",)),
+    ):
+        for rel in rels:
+            shutil.rmtree(f"{p}/{rel}")
+
+    report = run_maintenance_slot(
+        spark,
+        dedup_index_path=dpath,
+        ann_index_path=apath,
+        training_shards_path=spath,
+    )
+    by = {r["artifact"]: r for r in report}
+    assert not any(r["valid"] for r in report), report
+    # dedup: all three relations flagged with NULL actuals
+    assert {d["relation"] for d in by["dedup_index"]["discrepancies"]} == {
+        "shingles", "band_keys", "passages"
+    }
+    assert all(
+        d["actual_rows"] is None for d in by["dedup_index"]["discrepancies"]
+    )
+    assert {d["relation"] for d in by["ann_index"]["discrepancies"]} >= {
+        "centroids", "codebook", "codes"
+    }
+    assert len(by["training_shards"]["discrepancies"]) > 0
+    assert all(
+        d["actual_docs"] is None
+        for d in by["training_shards"]["discrepancies"]
+    )
+
+    # a refresh over a truly EMPTY path (no manifest either) writes an
+    # empty manifest rather than crashing; validation is then clean
+    empty = str(tmp_path / "van_empty")
+    refresh_index_manifest(spark, empty, ("centroids", "codes"))
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        validate_index,
+    )
+
+    assert validate_index(spark, empty, ("centroids", "codes")).count() == 0
+
+    # a manifest that itself vanished: validator flags every on-disk
+    # relation with NULL manifest-side values instead of raising
+    write_ann_index(emb, apath)  # rebuild relations
+    shutil.rmtree(f"{apath}/manifest")
+    from spark_history_server_rs_spark.sources.ann_index import (
+        validate_ann_index,
+    )
+
+    bad = {r.relation: r for r in validate_ann_index(spark, apath).collect()}
+    assert set(bad) == {"centroids", "codebook", "codes", "meta"}
+    assert all(r.manifest_rows is None for r in bad.values())
+
+
+def test_bpe_key_locks_pruned_on_clear():
+    """ADVICE r07: _clear_bpe_cache must prune the per-corpus lock dict
+    too — a long-lived REST session serving many distinct corpora would
+    otherwise grow it without bound."""
+    import threading
+
+    from spark_history_server_rs_spark.operators import llmprep
+
+    with llmprep._BPE_MERGE_LOCK:
+        llmprep._BPE_MERGE_CACHE[111] = [(0, "a", "b", 1)]
+        llmprep._BPE_KEY_LOCKS[111] = threading.Lock()
+        llmprep._BPE_KEY_LOCKS[222] = threading.Lock()
+    llmprep._clear_bpe_cache()
+    with llmprep._BPE_MERGE_LOCK:
+        assert llmprep._BPE_MERGE_CACHE == {}
+        assert llmprep._BPE_KEY_LOCKS == {}
+
+
 def test_compact_dedup_index_restores_exactly_once(spark, tmp_path):
     """compact_dedup_index: a duplicate-appended index (at-least-once
     retry simulation) compacts back to the DISTINCT key sets, the
