@@ -224,6 +224,14 @@ def main() -> None:
     llmprep.bpe_train_k(docs, 64).collect()
     extended["corpus_bpe_train_k64"] = round(time.perf_counter() - t, 4)
 
+    # k=64 Lloyd training (VERDICT r07 #2): the de-literalized trainer at
+    # 8× the registered codebook size — centroids travel as a DataFrame,
+    # driver sees per-step scalars only. Single timed run, same rationale
+    # as the BPE k64 row.
+    t = time.perf_counter()
+    llmprep.kmeans_train_k(emb, 4, 64).collect()
+    extended["embedding_kmeans_train_k64"] = round(time.perf_counter() - t, 4)
+
     # round-6 events-SQL ops take (spark, sf_dir) — they scan the raw
     # events parquet per run (the realistic serving shape for these)
     from spark_history_server_rs_spark.operators import relational
@@ -286,11 +294,19 @@ def main() -> None:
         ).groupBy("k").count().collect()
         calib_shuf.append(time.perf_counter() - t)
 
+    calib_shuffle = min(calib_shuf)
     out = {
         "metric": "seven_query_suite_total",
         "value": round(total, 4),
         "calib_range_sum_sec": round(min(calib_cpu), 4),
-        "calib_shuffle_sec": round(min(calib_shuf), 4),
+        "calib_shuffle_sec": round(calib_shuffle, 4),
+        # drift-normalized headline: warm suite total in units of the
+        # shuffle-canary latency. Round-over-round regressions that show
+        # in the RAW total but NOT here are machine drift (VM contention
+        # moved both); a jump HERE is attributable to code.
+        "suite_per_shuffle_canary": (
+            round(total / calib_shuffle, 2) if calib_shuffle else None
+        ),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -312,11 +328,15 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "calib_range_sum_sec", "calib_shuffle_sec",
+            "suite_per_shuffle_canary",
             "unit", "queries", "sf", "events", "cold_total_sec",
             "ingest_sec", "ingest_events_per_sec",
         )
     }
     headline["bpe_train_k64_sec"] = extended.get("corpus_bpe_train_k64")
+    headline["kmeans_train_k64_sec"] = extended.get(
+        "embedding_kmeans_train_k64"
+    )
     print(json.dumps(headline), flush=True)
     spark.stop()
 

@@ -2316,59 +2316,96 @@ def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
 )"""
 
 
-def _km_train(emb: DataFrame, steps: int) -> tuple[list[tuple], dict]:
-    """The Spark-side training loop: per step, ONE SQL query computes
-    assignment stats and the centroid update over literal centroids
-    (k x dims integers — a VALUES relation, broadcast trivially); the
-    driver merges the update (empty clusters keep their centroid) and
-    derives the exact integer shift. Plans are bounded by construction:
-    every step is a fresh query over the base relation plus literals —
-    no lineage chain, no persist bookkeeping. The corpus is scanned
-    twice per step (assignment + update); a production run at extreme
-    scale would persist the snapped-element relation across steps and
-    pay memory instead — the loop body is unchanged either way."""
+def _km_train(
+    emb: DataFrame, steps: int, k: int = KMEANS_K
+) -> tuple[list[tuple], DataFrame]:
+    """The Spark-side training loop, DataFrame-centroid form: centroids
+    live in a (cid, dim, cv) DataFrame joined into each step's query
+    through a scoped temp view (a broadcast-sized relation at any k —
+    never SQL literals), and the driver collects only per-step
+    per-cluster SCALARS (cluster_size, avg_d2, shift2): k rows a step,
+    never k × dims values. The previous shape shipped the centroids as
+    a VALUES literal and collected the k × dims update each step — fine
+    at k=8 × d=64, but a production IVF codebook (k=4096-65536,
+    d=512-1024) makes the per-step SQL string and the collect 10⁶-10⁷
+    literals: the same driver-bottleneck class the BPE loop's plan
+    blowup was (pinned here by
+    tests/test_plans.py::test_kmeans_train_bounded_driver_payload_at_k64).
+
+    Plan/lineage bounds: the snapped-element relation is built once and
+    persisted across steps (one corpus explode total — the old form
+    re-scanned twice per step); each step's merged-centroid relation is
+    ``localCheckpoint``'ed (plan cut to a LogicalRDD), and exactly one
+    retired anchor is released per step (the BPE anchor discipline —
+    see ``BPE_CHECKPOINT_EVERY``'s block comment for why persisting
+    every iteration is the trap).
+
+    Returns (stats rows, final-centroid DataFrame (cid, dim, cv) —
+    checkpointed, so it outlives the scoped views; callers that keep it
+    must eventually :func:`_retire_anchor` it)."""
     spark = emb.sparkSession
+    rows: list[tuple] = []
     with scoped_temp_view(
         emb.where("embedding IS NOT NULL"), "_llm_emb"
     ) as ev:
-        elems = _KM_ELEMS_SPARK.format(scale=EMBED_SCALE, src=ev)
-        seed = spark.sql(
-            f"SELECT vec_id AS cid, dim, sv AS cv FROM ({elems}) e"
-            f" WHERE vec_id < {KMEANS_K}"
-        ).collect()
-        cents = {(r.cid, r.dim): r.cv for r in seed}
-        rows: list[tuple] = []
-        for step in range(1, steps + 1):
-            if not cents:
-                break
-            vals = ", ".join(
-                f"({c}, {d}, {v})" for (c, d), v in sorted(cents.items())
+        elems_df = spark.sql(
+            _KM_ELEMS_SPARK.format(scale=EMBED_SCALE, src=ev)
+        ).persist()
+        try:
+            anchor = (
+                elems_df.where(f"vec_id < {k}")
+                .selectExpr("vec_id AS cid", "dim", "sv AS cv")
+                .localCheckpoint(eager=True)
             )
-            got = spark.sql(
-                f"WITH elems AS ({elems}),\n"
-                f"cents AS (SELECT * FROM (VALUES {vals})"
-                f" AS t(cid, dim, cv)),"
-                + _km_step_sql("cents", "")
-                + """
-SELECT u.cid, u.dim, u.cv, s.cluster_size, s.avg_d2
-FROM u JOIN st s ON u.cid = s.cid
+            if not anchor.take(1):  # empty corpus: no centroids, no steps
+                return rows, anchor
+            for step in range(1, steps + 1):
+                with scoped_temp_view(
+                    elems_df, "_km_elems"
+                ) as elv, scoped_temp_view(anchor, "_km_cents") as ctv:
+                    # one job per step: assignment stats, the
+                    # COALESCE-merged centroid update (empty clusters
+                    # keep their centroid), and the old value per (cid,
+                    # dim) for the exact integer shift — all checkpointed
+                    # as the next step's anchor
+                    combined = spark.sql(
+                        f"WITH elems AS (SELECT vec_id, dim, sv FROM {elv}),"
+                        + _km_step_sql(ctv, "")
+                        + f"""
+SELECT c.cid, c.dim, COALESCE(u.cv, c.cv) AS cv, c.cv AS old_cv,
+       s.cluster_size, s.avg_d2
+FROM {ctv} c
+LEFT JOIN u ON u.cid = c.cid AND u.dim = c.dim
+LEFT JOIN st s ON s.cid = c.cid
 """
-            ).collect()
-            stats = {r.cid: (r.cluster_size, r.avg_d2) for r in got}
-            new = dict(cents)
-            for r in got:
-                new[(r.cid, r.dim)] = r.cv
-            for cid in sorted(stats):
-                shift2 = sum(
-                    (new[(c, d)] - cents[(c, d)]) ** 2
-                    for (c, d) in cents
-                    if c == cid
+                    ).localCheckpoint(eager=True)
+                _retire_anchor(anchor)
+                anchor = combined
+                # per-step driver payload: k scalar rows (empty clusters
+                # emit no row, as in the oracle's unrolled chain)
+                stats = (
+                    combined.where("cluster_size IS NOT NULL")
+                    .groupBy("cid", "cluster_size", "avg_d2")
+                    .agg(
+                        F.sum(
+                            (F.col("cv") - F.col("old_cv"))
+                            * (F.col("cv") - F.col("old_cv"))
+                        )
+                        .cast("bigint")
+                        .alias("shift2")
+                    )
+                    .collect()
                 )
-                rows.append(
-                    (step, cid, stats[cid][0], stats[cid][1], shift2)
-                )
-            cents = new
-        return rows, cents
+                for r in sorted(stats, key=lambda r: r.cid):
+                    rows.append(
+                        (step, r.cid, r.cluster_size, r.avg_d2, r.shift2)
+                    )
+            # the anchor itself (a LogicalRDD — _retire_anchor-able by
+            # callers), carrying at least (cid, dim, cv); steps >= 1
+            # anchors also carry the step's stat columns
+            return rows, anchor
+        finally:
+            elems_df.unpersist()
 
 
 def embedding_kmeans_train(emb: DataFrame) -> DataFrame:
@@ -2383,29 +2420,67 @@ def embedding_kmeans_train(emb: DataFrame) -> DataFrame:
     partitioning and the oracle's unrolled {n}-step chain matches
     exactly. Empty clusters keep their centroid (and emit no row, in
     both engines).""".format(n=KMEANS_TRAIN_STEPS)
+    return kmeans_train_k(emb, KMEANS_TRAIN_STEPS, KMEANS_K)
+
+
+def kmeans_train_k(emb: DataFrame, steps: int, k: int) -> DataFrame:
+    """L8b at caller-chosen (steps, k) — the codebook-scale form (the
+    bench runs k=64; production IVF codebooks run k=4096+). Same
+    bounded contract at any size: centroids join as a DataFrame, the
+    driver sees only per-step scalars (pinned by
+    tests/test_plans.py::test_kmeans_train_bounded_driver_payload_at_k64)."""
+    rows, cents_df = _km_train(emb, steps, k)
+    _retire_anchor(cents_df)  # stats-only caller: free the final anchor
     return emb.sparkSession.createDataFrame(
-        _km_train(emb, KMEANS_TRAIN_STEPS)[0],
+        rows,
         "step bigint, centroid_id bigint, cluster_size bigint,"
         " avg_d2 bigint, shift2 bigint",
     )
 
 
+def km_trained_centroids_df(
+    emb: DataFrame, steps: int = KMEANS_TRAIN_STEPS, k: int = KMEANS_K
+) -> DataFrame:
+    """Final Lloyd centroids as a ``(label, centroid double[])``
+    DataFrame in the original embedding scale — what
+    :func:`..sources.ann_index.write_ann_index` persists as a TRAINED
+    coarse quantizer in place of the label-mean one. The centroids
+    never round-trip through the driver (the k × dims payload stays
+    executor-side end to end — index builds write this frame straight
+    to parquet). Deterministic: the training arithmetic is all snapped
+    integers; the descale is one exact double division per component,
+    identical to the former driver-side ``/ EMBED_SCALE``."""
+    _, cents_df = _km_train(emb, steps, k)
+    out = (
+        cents_df.selectExpr("cid", "dim", "cv")
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))),"
+                f" s -> CAST(s.cv AS DOUBLE) / {EMBED_SCALE})"
+            ).alias("centroid")
+        )
+        .selectExpr("CAST(cid AS BIGINT) AS label", "centroid")
+        # k rows: checkpoint the folded form so the (k × dims)-row
+        # training anchor can be released NOW instead of riding along
+        # under every downstream consumer
+        .localCheckpoint(eager=True)
+    )
+    _retire_anchor(cents_df)
+    return out
+
+
 def km_trained_centroids(
     emb: DataFrame, steps: int = KMEANS_TRAIN_STEPS
 ) -> list[tuple[int, list[float]]]:
-    """Final Lloyd centroids as ``(cid, double[])`` in the original
-    embedding scale — what :func:`..sources.ann_index.write_ann_index`
-    persists as a TRAINED coarse quantizer in place of the label-mean
-    one. Deterministic: the training arithmetic is all snapped
-    integers; the descale here is one exact division per component."""
-    cents = _km_train(emb, steps)[1]
-    byc: dict[int, dict[int, int]] = {}
-    for (c, d), v in cents.items():
-        byc.setdefault(c, {})[d] = v
-    return [
-        (c, [dims[d] / EMBED_SCALE for d in sorted(dims)])
-        for c, dims in sorted(byc.items())
-    ]
+    """Driver-side ``(cid, double[])`` view of
+    :func:`km_trained_centroids_df` — kept for tests/small-k callers;
+    index builds use the DataFrame form directly."""
+    df = km_trained_centroids_df(emb, steps)
+    try:
+        return [(r.label, list(r.centroid)) for r in df.orderBy("label").collect()]
+    finally:
+        _retire_anchor(df)
 
 
 def _km_train_oracle(steps: int) -> str:

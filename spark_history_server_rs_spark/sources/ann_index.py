@@ -107,12 +107,15 @@ def write_ann_index(emb: DataFrame, path: str, train_steps: int = 0) -> None:
         emb.where("embedding IS NOT NULL"), "_sim_emb"
     ) as ev:
         if train_steps > 0:
-            from ..operators.llmprep import km_trained_centroids
+            from ..operators.llmprep import _retire_anchor, km_trained_centroids_df
 
-            cents = km_trained_centroids(emb, train_steps)
-            spark.createDataFrame(
-                cents, "label bigint, centroid array<double>"
-            ).write.mode("overwrite").parquet(f"{path}/centroids")
+            # the trained quantizer stays executor-side end to end: the
+            # Lloyd loop joins centroids as a DataFrame (no SQL literals,
+            # no k × dims driver collect) and the final frame writes
+            # straight to parquet
+            cents_df = km_trained_centroids_df(emb, train_steps)
+            cents_df.write.mode("overwrite").parquet(f"{path}/centroids")
+            _retire_anchor(cents_df)
         else:
             spark.sql(
                 "WITH "

@@ -924,6 +924,86 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     assert len(infos) <= before, [i.name() for i in infos]
 
 
+def test_kmeans_train_bounded_driver_payload_at_k64(spark, monkeypatch):
+    """The Lloyd trainer at a non-toy codebook size (k=64): centroids
+    must travel as a DataFrame (scoped-view join), NEVER as SQL VALUES
+    literals, and the driver must collect only per-step scalars (k rows
+    a step, never k × dims values) — the same driver-bottleneck class
+    as the BPE plan blowup, pinned the same way. Also: per-step plans
+    are bounded (fresh query over cached elems + a LogicalRDD anchor),
+    the run is deterministic, and retired anchors free their storage
+    (zero net cached-RDD growth)."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    DataFrame = type(emb)  # the concrete class (classic.DataFrame)
+    k, steps = 64, 4
+
+    sql_lens: list[int] = []
+    orig_sql = spark.sql
+
+    def sql_spy(query, *a, **kw):
+        sql_lens.append(len(query))
+        return orig_sql(query, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", sql_spy)
+
+    collect_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def collect_spy(self):
+        out = orig_collect(self)
+        collect_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", collect_spy)
+
+    ckpt_plans: list[int] = []
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def ckpt_spy(self, eager=True):
+        ckpt_plans.append(
+            len(self._jdf.queryExecution().optimizedPlan().toString())
+        )
+        return orig_ckpt(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", ckpt_spy)
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    rows, anchor = llmprep._km_train(emb, steps, k=k)
+    llmprep._retire_anchor(anchor)
+
+    # every SQL string is centroid-free: the old VALUES shape at k=64 ×
+    # d=64 would be ~4096 integer triples (>> 50 KB); the view-join
+    # shape stays template-sized at ANY k
+    assert max(sql_lens) < 10_000, max(sql_lens)
+    # driver payload per collect is O(k) scalar rows, never k × dims
+    assert max(collect_sizes) <= k, collect_sizes
+    # one stats collect per step (+ the seed's 1-row emptiness probe,
+    # whose take() routes through collect)
+    assert len(collect_sizes) <= steps + 1
+    # per-step checkpointed plans are flat across steps (entries:
+    # seed, step 1..steps — each a fresh query over the same two views)
+    step_plans = ckpt_plans[1:]
+    assert max(step_plans) < 2 * min(step_plans), ckpt_plans
+    assert max(ckpt_plans) < 60_000
+    # all 64 seeds produce rows each step (sf0.01: 500 vectors ≥ 64
+    # non-empty clusters is not guaranteed — but every step's sizes must
+    # sum to the corpus size)
+    n_vec = emb.where("embedding IS NOT NULL").count()
+    for s in range(1, steps + 1):
+        assert sum(r[2] for r in rows if r[0] == s) == n_vec
+    # deterministic re-run
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    rows2, anchor2 = llmprep._km_train(emb, steps, k=k)
+    llmprep._retire_anchor(anchor2)
+    assert rows == rows2
+    # zero net storage growth: anchors + elems all released
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) <= before, [i.name() for i in infos]
+
+
 def test_rolling_active_users_approx_close_to_exact(spark):
     """R33b vs R33 at sf0.01: per-day DAU/WAU estimates within 5 % (the
     documented lgk=12 band, ~1.6 % RSE, with union-compounding slack)
