@@ -546,6 +546,21 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 )
             from ..operators import llmprep, similarity
 
+            knng = getattr(self.server, "knn_graph_path", None)
+            if m.group(1) == "graph-expand" and knng is not None:
+                # served from the durable S16 adjacency (no inline graph
+                # rebuild — the pair loop ran once, at index time); the
+                # live-op fallback below keeps the route available on
+                # index-less servers
+                from ..sources.knn_graph import ann_graph_expand_from_index
+
+                df = ann_graph_expand_from_index(
+                    emb.sparkSession, knng, emb
+                )
+                return self._send(
+                    200, _rows(df.limit(self._limit(qs, 1000)))
+                )
+
             fn = {
                 "nprobe-recall": similarity.ann_nprobe_recall,
                 "truncated-recall": similarity.ann_truncated_recall,
@@ -610,6 +625,7 @@ def serve(
     warmup: bool = True,
     documents: DataFrame | None = None,
     embeddings: DataFrame | None = None,
+    knn_graph_path: str | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -628,7 +644,12 @@ def serve(
     ``embeddings`` (optional) likewise enables the ``/api/v1/ann/*``
     embedding-health routes (nprobe recall sweep, truncated-dim recall,
     per-dimension stats, centroid-distance outliers) — the index-sizing
-    dashboard."""
+    dashboard.
+
+    ``knn_graph_path`` (optional, requires ``embeddings``) points the
+    ``/api/v1/ann/graph-expand`` route at a durable S16 kNN-graph index
+    (``sources.knn_graph.write_knn_graph``) so serving reads persisted
+    adjacency instead of rebuilding the graph per cold call."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:
@@ -651,6 +672,7 @@ def serve(
     httpd.events = events  # type: ignore[attr-defined]
     httpd.documents = documents  # type: ignore[attr-defined]
     httpd.embeddings = embeddings  # type: ignore[attr-defined]
+    httpd.knn_graph_path = knn_graph_path  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

@@ -501,13 +501,18 @@ edges AS (
 ),
 topk AS (SELECT * FROM edges WHERE rank <= {k})"""
 
-_KNN_TAIL = _KNN_EDGE_CTES + """
+#: the mutual-flag projection over a ``topk`` CTE — shared by the live
+#: X6 operator, its oracle, and the S16 index's serving twin
+#: (``sources/knn_graph.py``), so all three state the same edge list
+_KNN_MUTUAL_SELECT = """
 SELECT t.src_id, t.dst_id, t.cosine, t.rank,
        (r.src_id IS NOT NULL) AS is_mutual
 FROM topk t LEFT JOIN topk r
   ON r.src_id = t.dst_id AND r.dst_id = t.src_id
 ORDER BY t.src_id, t.rank
 """
+
+_KNN_TAIL = _KNN_EDGE_CTES + _KNN_MUTUAL_SELECT
 
 
 def _knn_pairs_spark(ev: str, parts: int) -> str:
@@ -626,7 +631,10 @@ ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
 #: top-k (any displacing candidate outranks the displaced one and is
 #: therefore itself in the exact top-k) — recall_graph ≥ recall_seed is
 #: a THEOREM here, pinned per-row by pytest/REST, not a tendency.
-_GRAPH_EXPAND_BODY = """,
+#: seed CTEs split out so the S16 serving twin can define `seeds`
+#: BEFORE its edge-scan CTEs (the probed-bucket partition filter on the
+#: persisted edges references seeds — see ``sources/knn_graph.py``)
+_GRAPH_EXPAND_SEEDS = """
 bucketed AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM {src}
 ),
@@ -635,7 +643,9 @@ seeds AS (
   FROM bucketed q JOIN bucketed c
     ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {nq}
-),
+)"""
+
+_GRAPH_EXPAND_AFTER = """,
 hop AS (
   SELECT DISTINCT s.query_id, e.dst_id AS cand_id
   FROM seeds s JOIN topk e ON e.src_id = s.cand_id
@@ -701,6 +711,8 @@ SELECT query_id,
 FROM ov
 ORDER BY query_id
 """
+
+_GRAPH_EXPAND_BODY = "," + _GRAPH_EXPAND_SEEDS + _GRAPH_EXPAND_AFTER
 
 
 def ann_graph_expand(emb: DataFrame) -> DataFrame:

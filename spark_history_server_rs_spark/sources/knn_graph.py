@@ -1,0 +1,407 @@
+"""S16: durable kNN-graph index — persist X6's τ-thresholded adjacency
+once, serve graph queries (X6 itself and X12's graph-expansion ANN) from
+the persisted edge list, and maintain it incrementally from a stream.
+
+The live :func:`..operators.similarity.ann_graph_expand` rebuilds the
+whole kNN graph inline per call — the sketch-prefiltered pair loop is
+the priciest extended op in the catalog (~4.5 s at sf0.1, quadratic
+candidate work at any scale). Production graph-ANN systems (NSW/HNSW —
+Malkov & Yashunin 2016, arXiv:1603.09320) never do that: the graph IS
+the index, built once and traversed many times. This module is that
+split, with the same durable-artifact arc as S13/S14 (reference analog:
+the persistent cache at ``src/persistent_cache.rs:33-51`` — warm
+restarts instead of recompute):
+
+    path/nodes/  (vec_id, nv double[], sketch)      normalized vectors +
+                                                    32-bit sign sketches
+    path/edges/  (src_id, dst_id, cosine) PARTITIONED BY src_bucket
+    path/meta/   (tau, k)
+
+``nodes/`` is what makes the graph MAINTAINABLE: appending a vector to
+a kNN graph requires comparing it against the corpus, so the index
+stores each vector's normalized form (every graph-ANN index stores its
+vectors — HNSW keeps them in layer 0) plus its dedup-family sketch so
+the arriving-batch pair loop keeps the popcount prefilter. Edge cosines
+are folds over the STORED ``nv`` arrays — bit-identical to the batch
+build's, which is what makes stream-appended edges indistinguishable
+from rebuilt ones (pinned by test).
+
+Edge-set semantics under appends: edges only ever ACCUMULATE (no
+deletes), and an edge whose build-time rank exceeded k can only rank
+WORSE as new edges arrive — so per-src top-k truncation at build time
+loses nothing, and the read path recomputing ``ROW_NUMBER`` per src
+over (persisted ∪ appended) edges always yields the exact current
+top-k. A vector re-streamed with a CHANGED embedding is the same
+caveat as S13's changed-text case: re-run :func:`write_knn_graph`
+(documented repair), the stream handles identical re-submissions and
+at-least-once retries (byte-identical rows → DISTINCT absorbs).
+
+At 100 TB: ``edges/`` is ≤ n·k rows of three scalars (no floats ever
+shuffle at query time), partitioned by ``src_bucket = pmod(src_id,
+{nb})`` so a graph hop reads only the probed buckets (dynamic partition
+pruning, plan-gated); ``nodes/`` is touched only by maintenance and the
+final exact rerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    _GRAPH_EXPAND_AFTER,
+    _GRAPH_EXPAND_SEEDS,
+    _KNN_MUTUAL_SELECT,
+    _bucket_expr,
+    _knn_pairs_spark,
+    KNN_GRAPH_K,
+    KNN_GRAPH_TAU,
+    N_QUERIES,
+    TOP_K,
+)
+from ..operators.dedup import cosine_expr_spark
+
+#: src_id-keyed edge partitioning: a one-hop expansion from b seed
+#: candidates touches at most min(b, N_GRAPH_BUCKETS) partitions
+N_GRAPH_BUCKETS = 16
+
+KNN_GRAPH_RELATIONS = ("nodes", "edges", "meta")
+
+#: the stored-node projection: r6-normalized vector + the dedup-family
+#: 32-bit sign sketch (same expressions as the live pair loop's
+#: ``normed`` CTE, so stored and recomputed values are identical)
+_NODES_SQL = """
+SELECT vec_id,
+       transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
+       {sketch} AS sketch
+FROM {src}
+"""
+
+#: τ-qualifying pairs between an arriving batch and the stored nodes
+#: (both directions), plus the batch's internal pairs — the SAME
+#: popcount-prefiltered, fold-after-survivor shape as the batch build's
+#: half/mirror loop, but keyed new-vs-all so cost scales with the batch.
+_STREAM_EDGES_SQL = """
+WITH newn AS (SELECT vec_id, nv, sketch FROM {newv}),
+oldn AS (
+  SELECT vec_id, nv, sketch FROM {nodes}
+  WHERE vec_id NOT IN (SELECT vec_id FROM {newv})
+),
+cross_half AS (
+  -- new × old: every pair once, mirrored below (conjunct order is
+  -- load-bearing — popcount before the float fold, as in the batch op)
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
+  FROM newn a JOIN oldn b
+    ON bit_count(a.sketch ^ b.sketch) <= {hmax}
+   AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {tau}
+),
+new_half AS (
+  -- new × new (a < b), mirrored below
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
+  FROM newn a JOIN newn b
+    ON a.vec_id < b.vec_id
+   AND bit_count(a.sketch ^ b.sketch) <= {hmax}
+   AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {tau}
+),
+mirrored AS (
+  SELECT inline(array(
+           named_struct('src_id', src_id, 'dst_id', dst_id, 'cosine', cosine),
+           named_struct('src_id', dst_id, 'dst_id', src_id, 'cosine', cosine)))
+  FROM (SELECT * FROM cross_half UNION ALL SELECT * FROM new_half)
+)
+SELECT src_id, dst_id, cosine, pmod(src_id, {nb}) AS src_bucket
+FROM mirrored
+"""
+
+
+def _edges_topk_ctes(edges_view: str, probe_filter: str = "") -> str:
+    """``eset …, eranked …, topk`` CTEs over the persisted edge relation:
+    DISTINCT (at-least-once retry rows are byte-identical), then the
+    per-src rank recompute that makes appended edges first-class (see
+    the module doc for why build-time truncation is lossless).
+
+    ``probe_filter`` restricts the SCAN to the probed src buckets before
+    the rank window — semantically lossless (rank partitions by src_id,
+    and a bucket is a pure function of src_id, so pruning whole buckets
+    never splits a rank partition) and what turns the hop into a
+    partition-pruned read instead of a full edge scan (plan-gated)."""
+    return f"""
+eset AS (
+  SELECT DISTINCT src_id, dst_id, cosine FROM {edges_view}{probe_filter}
+),
+eranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY cosine DESC, dst_id) AS rank
+  FROM eset
+),
+topk AS (SELECT * FROM eranked WHERE rank <= {KNN_GRAPH_K})"""
+
+
+def write_knn_graph(emb: DataFrame, path: str) -> None:
+    """INDEX phase: persist X6's τ-thresholded top-k adjacency (edges,
+    partitioned by src bucket), the normalized node table the stream
+    maintains against, and the (τ, k) meta row. Idempotent overwrite.
+
+    One run of the sketch-prefiltered pair loop — the cost every serving
+    call previously paid — amortized across every subsequent
+    :func:`ann_graph_expand_from_index` / :func:`ann_knn_graph_from_index`
+    call and every streamed append."""
+    from ..functions.views import scoped_temp_view
+    from ..operators.similarity import _KNN_EDGE_CTES
+
+    spark = emb.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        spark.sql(
+            _NODES_SQL.format(
+                src=ev,
+                norm=_node_norm_expr(),
+                sketch=_node_sketch_expr(),
+            )
+        ).write.mode("overwrite").parquet(f"{path}/nodes")
+        spark.sql(
+            _knn_pairs_spark(ev, parts)
+            + _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+            + f"""
+SELECT src_id, dst_id, cosine, pmod(src_id, {N_GRAPH_BUCKETS}) AS src_bucket
+FROM topk
+"""
+        ).write.mode("overwrite").partitionBy("src_bucket").parquet(
+            f"{path}/edges"
+        )
+    spark.createDataFrame(
+        [(float(KNN_GRAPH_TAU), int(KNN_GRAPH_K))], "tau double, k int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _node_norm_expr() -> str:
+    from ..operators.dedup import _NORM
+
+    return _NORM.format(v="embedding")
+
+
+def _node_sketch_expr() -> str:
+    from ..operators.dedup import _dedup_sketch_expr
+
+    return _dedup_sketch_expr("embedding")
+
+
+def ann_knn_graph_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """QUERY phase twin of X6: the full (src, dst, cosine, rank,
+    is_mutual) edge list re-stated from the persisted adjacency — no
+    pair loop, no embedding reads at all. Result-identical to the live
+    ``ann_knn_graph`` over the same corpus (pinned by test), including
+    after streamed appends (rank and mutuality recomputed per read)."""
+    from ..functions.views import scoped_temp_view
+
+    edges = spark.read.parquet(f"{path}/edges")
+    with scoped_temp_view(edges, "_knng_edges") as ev:
+        return spark.sql(
+            "WITH " + _edges_topk_ctes(ev).lstrip() + _KNN_MUTUAL_SELECT
+        )
+
+
+def ann_graph_expand_from_index(
+    spark: SparkSession, path: str, emb: DataFrame
+) -> DataFrame:
+    """QUERY phase twin of X12: LSH-bucket seeds widened one hop through
+    the PERSISTED graph, exact-reranked, seed-vs-graph recall measured —
+    result-identical to the live ``ann_graph_expand`` (pinned by test)
+    without rebuilding the graph (the 4.5 s pair loop disappears from
+    the serving path).
+
+    Reads: the query-side embeddings (seeds + the bounded exact-rerank
+    eval — unavoidable, recall is measured against the exact top-k) and
+    the edge relation pruned to the hopped src buckets (the hop join
+    carries ``src_bucket = pmod(cand_id, {nb})``, so the scan is
+    dynamically partition-pruned — plan-gated). Floats never join the
+    hop; adjacency rows are three scalars.""".format(nb=N_GRAPH_BUCKETS)
+    from ..functions.views import scoped_temp_view
+
+    edges = spark.read.parquet(f"{path}/edges")
+    probe_filter = (
+        f"\n  WHERE src_bucket IN"
+        f" (SELECT DISTINCT pmod(cand_id, {N_GRAPH_BUCKETS}) FROM seeds)"
+    )
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev, scoped_temp_view(edges, "_knng_edges") as egv:
+        # seeds are defined FIRST so the edge scan's partition filter
+        # (probed buckets) can reference them — the rank window then
+        # runs over pruned buckets only (lossless: see _edges_topk_ctes)
+        return spark.sql(
+            "WITH "
+            + _GRAPH_EXPAND_SEEDS.format(
+                src=ev,
+                bucket=_bucket_expr("embedding", spark=True),
+                nq=N_QUERIES,
+            ).lstrip()
+            + ","
+            + _edges_topk_ctes(egv, probe_filter)
+            + _GRAPH_EXPAND_AFTER.format(
+                k=TOP_K,
+                nq=N_QUERIES,
+                src=ev,
+                cos_qc=cosine_expr_spark("q.embedding", "x.embedding"),
+                cos_exact=cosine_expr_spark("q.embedding", "c.embedding"),
+            )
+        )
+
+
+def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
+    """Streaming INDEX maintenance (the S16 parity twin of S13/S14's
+    stream updaters): arriving vectors are normalized + sketched, their
+    τ-qualifying edges against the STORED node table (and within the
+    batch) are appended both-directions per micro-batch, then the nodes
+    themselves are appended. A graph query through
+    :func:`ann_graph_expand_from_index` then hops through edges written
+    batches ago with no rebuild.
+
+    Cost scales with the batch: the pair loop is (batch × nodes) with
+    the popcount prefilter inside codegen — never nodes × nodes.
+
+    Semantics: ``foreachBatch`` + parquet append is at-least-once — a
+    retried batch appends byte-identical edge/node rows (cosines are
+    folds over stored ``nv``, deterministic), which the read path's
+    DISTINCT absorbs and :func:`compact_knn_graph` materializes away.
+    A vector re-streamed with a CHANGED embedding requires a re-index
+    (same caveat as S13's changed-text case). Returns the started
+    StreamingQuery (availableNow-compatible)."""
+    from ..operators.dedup import hamming_cutoff, _DOT
+
+    def _graph_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.views import scoped_temp_view
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.where("embedding IS NOT NULL").persist()
+        try:
+            if not batch_df.take(1):
+                return
+            with scoped_temp_view(batch_df, "_stream_knng_batch") as bv:
+                new_nodes = spark.sql(
+                    _NODES_SQL.format(
+                        src=bv,
+                        norm=_node_norm_expr(),
+                        sketch=_node_sketch_expr(),
+                    )
+                ).persist()
+                new_nodes.count()
+            with scoped_temp_view(
+                new_nodes, "_stream_knng_new"
+            ) as nv, scoped_temp_view(
+                spark.read.parquet(f"{path}/nodes"), "_stream_knng_nodes"
+            ) as ov:
+                try:
+                    # edges first, nodes second: a crash between the two
+                    # writes re-runs the batch (at-least-once), and
+                    # edge-before-node ordering means a half-applied
+                    # batch never serves a node whose edges are missing
+                    spark.sql(
+                        _STREAM_EDGES_SQL.format(
+                            newv=nv,
+                            nodes=ov,
+                            dot=_DOT.format(a="a.nv", b="b.nv"),
+                            hmax=hamming_cutoff(KNN_GRAPH_TAU),
+                            tau=KNN_GRAPH_TAU,
+                            nb=N_GRAPH_BUCKETS,
+                        )
+                    ).write.mode("append").partitionBy("src_bucket").parquet(
+                        f"{path}/edges"
+                    )
+                    new_nodes.write.mode("append").parquet(f"{path}/nodes")
+                finally:
+                    new_nodes.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        emb_stream.writeStream.foreachBatch(_graph_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def refresh_knn_graph_manifest(spark: SparkSession, path: str) -> None:
+    """Write/refresh the S16 integrity manifest (per-relation row count
+    + order-independent content hash — see ``index_manifest``)."""
+    from .index_manifest import refresh_index_manifest
+
+    refresh_index_manifest(spark, path, KNN_GRAPH_RELATIONS)
+
+
+def validate_knn_graph(spark: SparkSession, path: str) -> DataFrame:
+    """Diff the on-disk graph relations against the manifest — 0 rows =
+    intact. Detection only: the repair is re-running
+    :func:`write_knn_graph` (the graph is re-derivable from source)."""
+    from .index_manifest import validate_index
+
+    return validate_index(spark, path, KNN_GRAPH_RELATIONS)
+
+
+def compact_knn_graph(spark: SparkSession, path: str) -> list[dict]:
+    """Periodic compaction — the S16 exactly-once repair: the read
+    path's DISTINCT + per-src top-k rule is MATERIALIZED (retry
+    duplicates collapsed, edges displaced below rank k by streamed
+    arrivals dropped), ``src_bucket`` partitioning preserved so hop
+    pruning survives, nodes de-duplicated; idempotent on an
+    already-compact graph. Refreshes an existing manifest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dedup_index import compact_relation_swap
+    from .index_manifest import path_exists
+
+    stats: list[dict] = []
+
+    nsrc = f"{path}/nodes"
+    if path_exists(spark, nsrc):
+        raw = spark.read.parquet(nsrc).selectExpr(
+            "vec_id", "nv", "sketch"
+        )
+        rows_before = raw.count()
+        rows_after = compact_relation_swap(
+            spark, raw.distinct(), nsrc, None, sort_cols=["vec_id"]
+        )
+        stats.append({"relation": "nodes", "rows_before": rows_before,
+                      "rows_after": rows_after})
+    else:
+        stats.append({"relation": "nodes", "rows_before": None,
+                      "rows_after": None})
+
+    esrc = f"{path}/edges"
+    if path_exists(spark, esrc):
+        raw = spark.read.parquet(esrc).select(
+            "src_id", "dst_id", "cosine", "src_bucket"
+        )
+        rows_before = raw.count()
+        latest = (
+            raw.distinct()
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("src_id").orderBy(
+                        F.col("cosine").desc(), F.col("dst_id")
+                    )
+                ),
+            )
+            .where(f"rank <= {KNN_GRAPH_K}")
+            .drop("rank")
+        )
+        rows_after = compact_relation_swap(
+            spark, latest, esrc, "src_bucket",
+            sort_cols=["src_id", "dst_id", "cosine", "src_bucket"],
+        )
+        stats.append({"relation": "edges", "rows_before": rows_before,
+                      "rows_after": rows_after})
+    else:
+        stats.append({"relation": "edges", "rows_before": None,
+                      "rows_after": None})
+
+    if path_exists(spark, f"{path}/manifest"):
+        refresh_knn_graph_manifest(spark, path)
+    return stats

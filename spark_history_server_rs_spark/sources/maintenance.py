@@ -12,6 +12,7 @@ compactors and three manifest refreshes in the right order:
 - ANN index (S14):    ``compact_ann_index``   → manifest → validator
 - training shards (S15): ``compact_training_shards`` (refreshes its own
   manifest) → validator
+- kNN graph (S16):    ``compact_knn_graph``   → manifest → validator
 
 Per artifact the slot returns ``{artifact, compaction, valid,
 discrepancies}``; ``valid`` is the validator verdict AFTER compaction +
@@ -33,6 +34,7 @@ def run_maintenance_slot(
     dedup_index_path: str | None = None,
     ann_index_path: str | None = None,
     training_shards_path: str | None = None,
+    knn_graph_path: str | None = None,
 ) -> list[dict]:
     """Service every attached durable artifact: compact, refresh its
     manifest, validate. Returns one report dict per artifact."""
@@ -45,6 +47,11 @@ def run_maintenance_slot(
         compact_dedup_index,
         refresh_dedup_index_manifest,
         validate_dedup_index,
+    )
+    from .knn_graph import (
+        compact_knn_graph,
+        refresh_knn_graph_manifest,
+        validate_knn_graph,
     )
     from .training_shards import (
         compact_training_shards,
@@ -90,5 +97,12 @@ def run_maintenance_slot(
             lambda: compact_training_shards(spark, training_shards_path),
             None,  # its compactor refreshes the shard manifest itself
             lambda: validate_training_shards(spark, training_shards_path),
+        )
+    if knn_graph_path is not None:
+        _entry(
+            "knn_graph",
+            lambda: compact_knn_graph(spark, knn_graph_path),
+            lambda: refresh_knn_graph_manifest(spark, knn_graph_path),
+            lambda: validate_knn_graph(spark, knn_graph_path),
         )
     return report

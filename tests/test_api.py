@@ -564,6 +564,26 @@ def test_ann_endpoints(spark):
     finally:
         httpd.shutdown()
 
+    # S16-backed serving: the same route over a durable kNN-graph index
+    # returns IDENTICAL rows without the inline graph rebuild
+    import tempfile
+
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        write_knn_graph,
+    )
+
+    gpath = tempfile.mkdtemp() + "/knng"
+    write_knn_graph(emb, gpath)
+    httpd_idx = serve(ev, warmup=False, embeddings=emb, knn_graph_path=gpath)
+    t_idx = threading.Thread(target=httpd_idx.serve_forever, daemon=True)
+    t_idx.start()
+    base_idx = f"http://127.0.0.1:{httpd_idx.server_address[1]}"
+    try:
+        code, gx_idx = _get(base_idx, "/api/v1/ann/graph-expand")
+        assert code == 200 and gx_idx == gx
+    finally:
+        httpd_idx.shutdown()
+
     # events-only server: ann routes 404 with the hint
     httpd2 = serve(ev, warmup=False)
     t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)

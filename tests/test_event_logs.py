@@ -2527,3 +2527,156 @@ def test_stream_anisotropy_monitor_matches_batch(spark, tmp_path):
         r.asDict() for r in read_anisotropy_stats(spark, out).collect()
     ]
     assert got_after == want
+
+
+def test_knn_graph_index_serves_batch_and_stream(spark, tmp_path):
+    """S16 durable kNN graph: the persisted adjacency serves X6 and X12
+    result-identically to the live operators — after the batch build,
+    after STREAMED appends (the graph grows without a rebuild), after
+    at-least-once duplicate appends, and after compaction (idempotent).
+    The stream-vs-rebuild identity is the core S16 theorem: edges only
+    accumulate, so build-time top-k truncation + read-time rank
+    recompute always equals a from-scratch build."""
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand_from_index,
+        ann_knn_graph_from_index,
+        compact_knn_graph,
+        refresh_knn_graph_manifest,
+        stream_update_knn_graph,
+        validate_knn_graph,
+        write_knn_graph,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "knng")
+
+    # batch build over the full corpus: both serving twins identical
+    write_knn_graph(emb, path)
+    live_g = [tuple(r) for r in similarity.ann_knn_graph(emb).collect()]
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ] == live_g
+    live_x = [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
+    idx_x = [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path, emb).collect()
+    ]
+    assert idx_x == live_x and len(idx_x) == similarity.N_QUERIES
+
+    # incremental arc: index a subset, STREAM the rest in two
+    # micro-batches, then both twins must equal the live ops on the FULL
+    # corpus — edges written batches ago join edges written now
+    path2 = str(tmp_path / "knng_inc")
+    initial = emb.where("vec_id < 350")
+    arriving = emb.where("vec_id >= 350")
+    write_knn_graph(initial, path2)
+    src = tmp_path / "knng_arrivals"
+    arriving.where("vec_id < 420").coalesce(1).write.parquet(str(src / "b1"))
+    arriving.where("vec_id >= 420").coalesce(1).write.parquet(str(src / "b2"))
+
+    def run_stream(ckpt):
+        q = stream_update_knn_graph(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*"),
+            path2,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run_stream("knng_ckpt")
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path2).collect()
+    ] == live_g
+    assert [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path2, emb).collect()
+    ] == live_x
+
+    # at-least-once retry: replay BOTH batches under a fresh checkpoint
+    # (byte-identical rows re-appended) — answers unchanged
+    run_stream("knng_ckpt_retry")
+    rows_dup = spark.read.parquet(f"{path2}/edges").count()
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path2).collect()
+    ] == live_g
+
+    # compaction: duplicates + displaced-below-k edges materialized away,
+    # partition layout preserved, answers unchanged, second pass no-op
+    refresh_knn_graph_manifest(spark, path2)
+    stats = {s["relation"]: s for s in compact_knn_graph(spark, path2)}
+    assert stats["edges"]["rows_before"] == rows_dup
+    assert stats["edges"]["rows_after"] < rows_dup
+    assert validate_knn_graph(spark, path2).count() == 0
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path2).collect()
+    ] == live_g
+    assert [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path2, emb).collect()
+    ] == live_x
+    stats2 = {s["relation"]: s for s in compact_knn_graph(spark, path2)}
+    assert (
+        stats2["edges"]["rows_before"]
+        == stats2["edges"]["rows_after"]
+        == stats["edges"]["rows_after"]
+    )
+
+    # compacted edge relation keeps the src_bucket partition layout
+    import os
+
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        N_GRAPH_BUCKETS,
+    )
+
+    parts = {
+        x
+        for x in os.listdir(f"{path2}/edges")
+        if x.startswith("src_bucket=")
+    }
+    assert parts and all(
+        int(p.split("=")[1]) < N_GRAPH_BUCKETS for p in parts
+    )
+
+
+def test_maintenance_slot_services_knn_graph(spark, tmp_path):
+    """S16 rides the same one-call maintenance slot as S13/S14/S15:
+    duplicate-appended graph → compacted, manifest refreshed (created),
+    validator clean; vanished graph → flagged, not crashed."""
+    import shutil
+
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        write_knn_graph,
+    )
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_maintenance_slot,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gpath = str(tmp_path / "slot_knng")
+    write_knn_graph(emb, gpath)
+    dup = spark.read.parquet(f"{gpath}/edges").cache()
+    n = dup.count()
+    dup.write.mode("append").partitionBy("src_bucket").parquet(
+        f"{gpath}/edges"
+    )
+    dup.unpersist()
+
+    report = run_maintenance_slot(spark, knn_graph_path=gpath)
+    assert [r["artifact"] for r in report] == ["knn_graph"]
+    assert report[0]["valid"], report
+    edges = {
+        s["relation"]: s for s in report[0]["compaction"]
+    }["edges"]
+    assert edges["rows_before"] == 2 * n and edges["rows_after"] == n
+
+    for rel in ("nodes", "edges", "meta"):
+        shutil.rmtree(f"{gpath}/{rel}")
+    report2 = run_maintenance_slot(spark, knn_graph_path=gpath)
+    assert not report2[0]["valid"]
+    assert {d["relation"] for d in report2[0]["discrepancies"]} == {
+        "nodes", "edges", "meta"
+    }

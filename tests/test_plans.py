@@ -924,6 +924,41 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     assert len(infos) <= before, [i.name() for i in infos]
 
 
+def test_knn_graph_index_scan_partition_prunes(spark, tmp_path):
+    """The served graph expansion must read the src_bucket-partitioned
+    edges/ relation pruned to the probed buckets (the IN-subquery over
+    seed candidates is a dynamic partition filter) — the property that
+    makes a graph hop O(buckets probed), not O(edge list), at 100 TB.
+    Also: the serving plan contains NO pair-loop join (the popcount
+    prefilter fold belongs to the INDEX build, never the query)."""
+    from spark_history_server_rs_spark.sources.generic import load_table
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand_from_index,
+        write_knn_graph,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "gate_knng")
+    write_knn_graph(emb, path)
+    df = ann_graph_expand_from_index(spark, path, emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the edges scan carries a subquery partition filter on src_bucket
+    # (rendered as dynamicpruning/subquery inside PartitionFilters)
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "src_bucket" in ln
+    ]
+    assert scan_lines, plan[-3000:]
+    assert any(
+        "dynamicpruning" in ln.lower() or "subquery" in ln.lower()
+        for ln in scan_lines
+    ), scan_lines
+    # no sketch-prefilter pair loop in the serving plan: bit_count is
+    # the build-time popcount — its presence here would mean the graph
+    # was rebuilt inline after all
+    assert "bit_count" not in plan
+
+
 def test_kmeans_train_bounded_driver_payload_at_k64(spark, monkeypatch):
     """The Lloyd trainer at a non-toy codebook size (k=64): centroids
     must travel as a DataFrame (scoped-view join), NEVER as SQL VALUES
