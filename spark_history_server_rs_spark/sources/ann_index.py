@@ -71,33 +71,112 @@ cells AS (
 )"""
 
 
-def _cell_rule(spark: SparkSession, path: str) -> str:
-    """The index's persisted cell-assignment rule: ``label`` (the
-    original label-mean quantizer) or ``nearest`` (Lloyd-trained
-    centroids, cosine-nearest assignment). Pre-meta indexes are
-    ``label`` by construction."""
+def _index_meta(spark: SparkSession, path: str) -> dict:
+    """The index's persisted build parameters with back-compat defaults:
+    ``cell_rule`` — ``label`` (label-mean quantizer) or ``nearest``
+    (Lloyd-trained centroids, cosine-nearest assignment); ``encoding``
+    — ``raw`` (PQ over x) or ``residual`` (PQ over r = x − q1(x), the
+    Jégou et al. 2011 §IV.A codec). Pre-meta indexes are label/raw by
+    construction."""
     try:
-        return (
-            spark.read.parquet(f"{path}/meta")
-            .select("cell_rule").first().cell_rule
-        )
+        row = spark.read.parquet(f"{path}/meta").first().asDict()
     except Exception:
-        return "label"
+        row = {}
+    return {
+        "cell_rule": row.get("cell_rule", "label"),
+        "train_steps": row.get("train_steps", 0),
+        "encoding": row.get("encoding", "raw"),
+    }
 
 
-def write_ann_index(emb: DataFrame, path: str, train_steps: int = 0) -> None:
+def _cell_rule(spark: SparkSession, path: str) -> str:
+    return _index_meta(spark, path)["cell_rule"]
+
+
+#: residual codebook + per-vector residual codes over (elems, cdim,
+#: cells) CTEs — the Jégou et al. 2011 §IV.A codec persisted: PQ
+#: quantizes r = x − q1(x) instead of x, spending the identical
+#: PQ_M × PQ_K byte budget on the much smaller-variance residual
+#: distribution (strictly lower quantization error at equal bytes —
+#: pinned at the index level by test). Integer discipline matches the
+#: live X8b operator exactly: centroid dims re-enter as micro BIGINTs
+#: (FLOOR(c·1e6+0.5) recovers the snap exactly), residual elements are
+#: exact BIGINT differences, squared-diff sums use the proven milli
+#: down-snap.
+_RESIDUAL_CODE_CTES = """
+relems AS (
+  SELECT e.vec_id, e.dim, e.sv - c.csv AS rsv
+  FROM elems e
+  JOIN cells vl ON vl.vec_id = e.vec_id
+  JOIN cdim c ON c.label = vl.label AND c.dim = e.dim
+),
+rsub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {subdim}.0) AS BIGINT) AS subspace,
+         dim, rsv
+  FROM relems
+),
+rcb AS ({rcb}),
+rdists AS (
+  SELECT s.vec_id, s.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(s.rsv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(s.rsv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM rsub s JOIN rcb c ON s.subspace = c.subspace AND s.dim = c.dim
+  GROUP BY s.vec_id, s.subspace, c.codeword
+),
+assigned AS (
+  SELECT vec_id, subspace, codeword FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, codeword) AS rnk
+    FROM rdists
+  ) WHERE rnk = 1
+)"""
+
+#: the codebook's own rows stated as residual subvectors of the seed
+#: vectors (vec_id < PQ_K) — used at build time; streaming re-encodes
+#: read the PERSISTED codebook instead
+_RCB_FROM_RSUB = (
+    "SELECT vec_id AS codeword, subspace, dim, rsv AS sv"
+    " FROM rsub WHERE vec_id < {pqk}"
+)
+
+_ELEMS_CTE = (
+    "elems AS (SELECT vec_id, pos AS dim,"
+    " CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS sv"
+    " FROM {src} LATERAL VIEW posexplode(embedding) t AS pos, v)"
+)
+
+#: micro-int centroid dims from the persisted (label, centroid double[])
+#: relation — posexplode is 0-based, matching elems' dim
+_CDIM_CTE = (
+    "cdim AS (SELECT label, pos AS dim,"
+    " CAST(FLOOR(c * {scale} + 0.5) AS BIGINT) AS csv"
+    " FROM {cents} LATERAL VIEW posexplode(centroid) t AS pos, c)"
+)
+
+
+def write_ann_index(
+    emb: DataFrame, path: str, train_steps: int = 0, residual: bool = False
+) -> None:
     """INDEX phase: persist coarse centroids, PQ codebook, and per-vector
     codes (partitioned by cell). Idempotent overwrite.
 
     ``train_steps=0`` (default) keeps the original label-mean coarse
     quantizer: cells are the stored ``label`` column. ``train_steps>0``
     replaces it with Lloyd-TRAINED centroids
-    (:func:`..operators.llmprep.km_trained_centroids` — the L8b loop)
+    (:func:`..operators.llmprep.km_trained_centroids_df` — the L8b loop)
     and assigns every vector to its cosine-nearest trained centroid —
     content-based cells, which is what makes a cosine cell probe
     actually find neighbors when labels carry no geometry (pinned by
-    the recall test). The rule lands in ``meta/`` so streaming
-    maintenance assigns arriving vectors the same way."""
+    the recall test).
+
+    ``residual=True`` persists the paper-faithful IVFADC codec (Jégou
+    et al. 2011 §IV.A): the codebook and codes quantize the residual
+    r = x − q1(x) instead of x — strictly finer codes at identical
+    bytes/vector (pinned at the index level), served by
+    :func:`ann_ivf_pq_residual_from_index`. Both the rule and the
+    encoding land in ``meta/`` so streaming maintenance encodes
+    arriving vectors the same way."""
     from ..functions.views import scoped_temp_view
 
     spark = emb.sparkSession
@@ -122,24 +201,56 @@ def write_ann_index(emb: DataFrame, path: str, train_steps: int = 0) -> None:
                 + _IVF_SPARK.format(src=ev).strip().rstrip(",")
                 + "\nSELECT label, centroid FROM centroids"
             ).write.mode("overwrite").parquet(f"{path}/centroids")
-        spark.sql(
-            "WITH "
-            + _pq_ctes(ev)
-            + "\nSELECT codeword, subspace, dim, sv FROM cb"
-        ).write.mode("overwrite").parquet(f"{path}/codebook")
         code_cols = ",\n       ".join(
             f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
             for s in range(PQ_M)
         )
-        if train_steps > 0:
-            with scoped_temp_view(
-                spark.read.parquet(f"{path}/centroids"), "_ann_cents"
-            ) as ctv:
+        with scoped_temp_view(
+            spark.read.parquet(f"{path}/centroids"), "_ann_cents"
+        ) as ctv:
+            if train_steps > 0:
                 cells_cte = _NEAREST_CELL_SQL.format(
                     src=ev,
                     cents=ctv,
                     cos=cosine_expr_spark("e.embedding", "ct.centroid"),
                 ).strip().lstrip()
+            else:
+                cells_cte = f"cells AS (SELECT vec_id, label FROM {ev})"
+            if residual:
+                common = (
+                    "WITH "
+                    + _ELEMS_CTE.format(scale=_PQ_SCALE, src=ev)
+                    + ",\n"
+                    + _CDIM_CTE.format(scale=_PQ_SCALE, cents=ctv)
+                    + ",\n"
+                    + cells_cte
+                    + ","
+                    + _RESIDUAL_CODE_CTES.format(
+                        subdim=PQ_SUBDIM,
+                        rcb=_RCB_FROM_RSUB.format(pqk=PQ_K),
+                    )
+                )
+                spark.sql(
+                    common + "\nSELECT codeword, subspace, dim, sv FROM rcb"
+                ).write.mode("overwrite").parquet(f"{path}/codebook")
+                spark.sql(
+                    common
+                    + f"""
+SELECT a.vec_id, c.label,
+       {code_cols},
+       CAST(0 AS BIGINT) AS ingest_seq
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+                ).write.mode("overwrite").partitionBy("label").parquet(
+                    f"{path}/codes"
+                )
+            else:
+                spark.sql(
+                    "WITH "
+                    + _pq_ctes(ev)
+                    + "\nSELECT codeword, subspace, dim, sv FROM cb"
+                ).write.mode("overwrite").parquet(f"{path}/codebook")
                 spark.sql(
                     "WITH "
                     + _pq_ctes(ev)
@@ -155,24 +266,13 @@ GROUP BY a.vec_id, c.label
                 ).write.mode("overwrite").partitionBy("label").parquet(
                     f"{path}/codes"
                 )
-        else:
-            spark.sql(
-                "WITH "
-                + _pq_ctes(ev)
-                + f""",
-cells AS (SELECT vec_id, label FROM {ev})
-SELECT a.vec_id, c.label,
-       {code_cols},
-       CAST(0 AS BIGINT) AS ingest_seq
-FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
-GROUP BY a.vec_id, c.label
-"""
-            ).write.mode("overwrite").partitionBy("label").parquet(
-                f"{path}/codes"
-            )
         spark.createDataFrame(
-            [("nearest" if train_steps > 0 else "label", train_steps)],
-            "cell_rule string, train_steps int",
+            [(
+                "nearest" if train_steps > 0 else "label",
+                train_steps,
+                "residual" if residual else "raw",
+            )],
+            "cell_rule string, train_steps int, encoding string",
         ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -192,6 +292,14 @@ def ann_ivf_pq_from_index(
     that picks the value."""
     from ..functions.views import scoped_temp_view
 
+    meta = _index_meta(spark, path)
+    if meta["encoding"] != "raw":
+        # a residual codebook fed into raw ADC tables would return
+        # plausible-looking garbage — fail loud instead
+        raise ValueError(
+            f"index at {path} is '{meta['encoding']}'-encoded; serve it"
+            " with ann_ivf_pq_residual_from_index"
+        )
     codes_df = spark.read.parquet(f"{path}/codes")
     if "ingest_seq" not in codes_df.columns:
         # index persisted before sequence tracking: every row is the
@@ -269,6 +377,101 @@ adc AS (
               AND d.subspace = x.subspace AND d.codeword = x.codeword
   WHERE x.vec_id <> p.query_id
   GROUP BY p.query_id, x.vec_id, x.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, probed_label, neighbor_id, approx_d, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""")
+
+
+def ann_ivf_pq_residual_from_index(
+    spark: SparkSession, path: str, queries: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """QUERY phase for a ``residual=True`` index: IVFADC with residual
+    encoding answered from the persisted artifacts — result-identical to
+    the live ``ann_ivf_pq_residual`` operator on the same data (pinned
+    by test). Corpus-side reads are identical to the raw path (codes
+    pruned to probed cells, floats never read); the query side builds
+    its ADC tables per (query, PROBED CELL) because the query's residual
+    differs per cell — nq × nprobe × M × K entries, broadcast-sized."""
+    from ..functions.views import scoped_temp_view
+
+    meta = _index_meta(spark, path)
+    if meta["encoding"] != "residual":
+        raise ValueError(
+            f"index at {path} is '{meta['encoding']}'-encoded; serve it"
+            " with ann_ivf_pq_from_index (or rebuild with residual=True)"
+        )
+    codes_df = spark.read.parquet(f"{path}/codes")
+    qc_cos = cosine_expr_spark("q.embedding", "ct.centroid")
+    code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
+    with scoped_temp_view(
+        spark.read.parquet(f"{path}/centroids"), "_annidx_centroids"
+    ) as ctv, scoped_temp_view(
+        spark.read.parquet(f"{path}/codebook"), "_annidx_cb"
+    ) as cbv, scoped_temp_view(
+        codes_df, "_annidx_codes"
+    ) as cdv, scoped_temp_view(
+        queries.where("embedding IS NOT NULL"), "_annidx_queries"
+    ) as qv:
+        return spark.sql(f"""
+WITH probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, ct.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc_cos} DESC, ct.label) AS crank
+    FROM {qv} q JOIN {ctv} ct ON 1 = 1
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE crank <= {int(nprobe)}
+),
+qelems AS (
+  SELECT vec_id, pos AS dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE} + 0.5) AS BIGINT) AS sv
+  FROM {qv} LATERAL VIEW posexplode(embedding) t AS pos, v
+  WHERE vec_id < {N_QUERIES}
+),
+{_CDIM_CTE.format(scale=_PQ_SCALE, cents=ctv)},
+qrelems AS (
+  -- the query's residual w.r.t. EACH probed cell's centroid
+  SELECT p.query_id, p.label, e.dim, e.sv - c.csv AS rsv
+  FROM probes p
+  JOIN qelems e ON e.vec_id = p.query_id
+  JOIN cdim c ON c.label = p.label AND c.dim = e.dim
+),
+qtab AS (
+  -- per-(query, probed cell) ADC table over the persisted residual
+  -- codebook
+  SELECT q.query_id, q.label, b.subspace, b.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(q.rsv - b.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.rsv - b.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM qrelems q JOIN {cbv} b ON b.dim = q.dim
+  GROUP BY q.query_id, q.label, b.subspace, b.codeword
+),
+codes AS (
+  -- latest-wins + DISTINCT: identical at-least-once semantics to the
+  -- raw serving path (see ann_ivf_pq_from_index's block comment)
+  SELECT DISTINCT c.vec_id, c.label, s.subspace, s.codeword
+  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
+        GROUP BY vec_id) m
+  JOIN {cdv} c
+    ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
+  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+),
+adc AS (
+  SELECT t.query_id, x.vec_id AS neighbor_id, x.label AS probed_label,
+         CAST(SUM(t.d) AS BIGINT) AS approx_d
+  FROM codes x
+  JOIN probes p ON p.label = x.label
+  JOIN qtab t ON t.query_id = p.query_id AND t.label = x.label
+             AND t.subspace = x.subspace AND t.codeword = x.codeword
+  WHERE x.vec_id <> t.query_id
+  GROUP BY t.query_id, x.vec_id, x.label
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -380,12 +583,15 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
             ) as cbv, scoped_temp_view(
                 spark.read.parquet(f"{path}/centroids"), "_stream_ann_ct"
             ) as ctv:
-                # cell rule follows the index's persisted meta: a
-                # TRAINED index assigns arriving vectors to their
-                # cosine-nearest persisted centroid (same SQL as the
-                # batch build), a label index keeps the stored label —
-                # stream and batch can never disagree on cells
-                if _cell_rule(spark, path) == "nearest":
+                # cell rule AND encoding follow the index's persisted
+                # meta: a TRAINED index assigns arriving vectors to
+                # their cosine-nearest persisted centroid (same SQL as
+                # the batch build), a label index keeps the stored
+                # label; a RESIDUAL index encodes the residual against
+                # the frozen codebook — stream and batch can never
+                # disagree on cells or codec
+                meta = _index_meta(spark, path)
+                if meta["cell_rule"] == "nearest":
                     cells_cte = _NEAREST_CELL_SQL.format(
                         src=ev,
                         cents=ctv,
@@ -397,8 +603,32 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                     cells_cte = (
                         f"cells AS (SELECT vec_id, label FROM {ev})"
                     )
-                spark.sql(
-                    _ENCODE_AGAINST_CB.format(
+                if meta["encoding"] == "residual":
+                    sql = (
+                        "WITH "
+                        + _ELEMS_CTE.format(scale=_PQ_SCALE, src=ev)
+                        + ",\n"
+                        + _CDIM_CTE.format(scale=_PQ_SCALE, cents=ctv)
+                        + ",\n"
+                        + cells_cte
+                        + ","
+                        + _RESIDUAL_CODE_CTES.format(
+                            subdim=PQ_SUBDIM,
+                            rcb=(
+                                "SELECT codeword, subspace, dim, sv"
+                                f" FROM {cbv}"
+                            ),
+                        )
+                        + f"""
+SELECT a.vec_id, c.label,
+       {code_cols},
+       CAST({(max_seq or 0) + 1} AS BIGINT) AS ingest_seq
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+                    )
+                else:
+                    sql = _ENCODE_AGAINST_CB.format(
                         src=ev,
                         cb=cbv,
                         scale=_PQ_SCALE,
@@ -407,9 +637,9 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                         seq=(max_seq or 0) + 1,
                         cells_cte=cells_cte,
                     )
-                ).write.mode("append").partitionBy("label").parquet(
-                    f"{path}/codes"
-                )
+                spark.sql(sql).write.mode("append").partitionBy(
+                    "label"
+                ).parquet(f"{path}/codes")
         finally:
             batch_df.unpersist()
 

@@ -2680,3 +2680,209 @@ def test_maintenance_slot_services_knn_graph(spark, tmp_path):
     assert {d["relation"] for d in report2[0]["discrepancies"]} == {
         "nodes", "edges", "meta"
     }
+
+
+def _index_quant_err(spark, path: str, emb, residual: bool) -> int:
+    """Total quantization error of a persisted S14 index, recomputed
+    from its own relations (codes + codebook + centroids): per vector,
+    the milli-snapped squared distance between its (residual) subvectors
+    and its ASSIGNED codewords — the index-level decode error."""
+    from spark_history_server_rs_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
+    emb.where("embedding IS NOT NULL").createOrReplaceTempView("_err_emb")
+    spark.read.parquet(f"{path}/codes").createOrReplaceTempView("_err_codes")
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView("_err_cb")
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(
+        "_err_cents"
+    )
+    if residual:
+        base = """
+base AS (
+  SELECT e.vec_id, e.dim, e.sv - c.csv AS val
+  FROM elems e
+  JOIN (SELECT DISTINCT vec_id, label FROM _err_codes) vl
+    ON vl.vec_id = e.vec_id
+  JOIN cdim c ON c.label = vl.label AND c.dim = e.dim
+)"""
+    else:
+        base = "base AS (SELECT vec_id, dim, sv AS val FROM elems)"
+    out = spark.sql(f"""
+WITH elems AS (
+  SELECT vec_id, pos AS dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sv
+  FROM _err_emb LATERAL VIEW posexplode(embedding) t AS pos, v
+),
+cdim AS (
+  SELECT label, pos AS dim,
+         CAST(FLOOR(c * 1000000.0 + 0.5) AS BIGINT) AS csv
+  FROM _err_cents LATERAL VIEW posexplode(centroid) t AS pos, c
+),
+{base},
+sub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {PQ_SUBDIM}.0) AS BIGINT) AS subspace,
+         dim, val
+  FROM base
+),
+assigned AS (
+  SELECT vec_id, s.subspace, s.codeword
+  FROM _err_codes LATERAL VIEW stack({PQ_M}, {code_pairs})
+       s AS subspace, codeword
+)
+SELECT CAST(SUM(CAST(FLOOR(CAST(s.val - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                * CAST(FLOOR(CAST(s.val - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+            AS BIGINT) AS err
+FROM sub s
+JOIN assigned a ON a.vec_id = s.vec_id AND a.subspace = s.subspace
+JOIN _err_cb c ON c.codeword = a.codeword AND c.subspace = s.subspace
+              AND c.dim = s.dim
+""").first().err
+    for v in ("_err_emb", "_err_codes", "_err_cb", "_err_cents"):
+        spark.catalog.dropTempView(v)
+    return out
+
+
+def test_residual_ann_index_parity_and_error_win(spark, tmp_path):
+    """S14 with residual=True persists the paper-faithful IVFADC codec:
+    (a) the serving twin is result-identical to the live
+    ann_ivf_pq_residual operator; (b) the persisted residual codes
+    decode with STRICTLY lower total quantization error than the raw
+    index at identical bytes/vector — the Jégou §IV.A claim re-pinned
+    at the INDEX level; (c) encoding mismatches fail loud both ways."""
+    import pytest
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        ann_ivf_pq_residual_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rpath = str(tmp_path / "res_ann")
+    xpath = str(tmp_path / "raw_ann")
+    write_ann_index(emb, rpath, residual=True)
+    write_ann_index(emb, xpath)
+
+    live = [tuple(r) for r in similarity.ann_ivf_pq_residual(emb).collect()]
+    idx = [
+        tuple(r)
+        for r in ann_ivf_pq_residual_from_index(spark, rpath, emb).collect()
+    ]
+    assert idx == live and len(idx) > 0
+
+    err_res = _index_quant_err(spark, rpath, emb, residual=True)
+    err_raw = _index_quant_err(spark, xpath, emb, residual=False)
+    assert err_res < err_raw, (err_res, err_raw)
+
+    with pytest.raises(ValueError):
+        ann_ivf_pq_from_index(spark, rpath, emb)
+    with pytest.raises(ValueError):
+        ann_ivf_pq_residual_from_index(spark, xpath, emb)
+
+
+def test_stream_residual_ann_index_maintenance(spark, tmp_path):
+    """Streaming maintenance on a residual index: arrivals are
+    residual-encoded against the FROZEN persisted centroids + residual
+    codebook (meta-driven — stream and batch can never disagree on the
+    codec), cross-batch neighbors surface, the stream equals a one-pass
+    batch encode of the same arrivals, at-least-once duplicates never
+    shift a distance, and compaction resets them idempotently."""
+    from spark_history_server_rs_spark.operators.similarity import PQ_M
+    from spark_history_server_rs_spark.sources.ann_index import (
+        _CDIM_CTE,
+        _ELEMS_CTE,
+        _PQ_SCALE,
+        _RESIDUAL_CODE_CTES,
+        PQ_SUBDIM,
+        ann_ivf_pq_residual_from_index,
+        compact_ann_index,
+        stream_update_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    initial = emb.where("vec_id < 100")  # contains codebook ids + queries
+    arriving = emb.where("vec_id >= 100")
+    path = str(tmp_path / "stream_res")
+    path_batch = str(tmp_path / "batch_res")
+    write_ann_index(initial, path, residual=True)
+    write_ann_index(initial, path_batch, residual=True)
+
+    src = tmp_path / "res_arriving"
+    arriving.where("vec_id < 300").coalesce(1).write.parquet(str(src / "b1"))
+    arriving.where("vec_id >= 300").coalesce(1).write.parquet(str(src / "b2"))
+    q = stream_update_ann_index(
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        path,
+        str(tmp_path / "res_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    res = [
+        tuple(r)
+        for r in ann_ivf_pq_residual_from_index(spark, path, emb).collect()
+    ]
+    assert len(res) > 0
+    assert any(r[2] >= 100 for r in res), "no cross-batch neighbor found"
+
+    # differential: one batch encode of the same arrivals against the
+    # same persisted artifacts must answer identically
+    arriving.createOrReplaceTempView("_res_arrivals")
+    spark.read.parquet(f"{path_batch}/codebook").createOrReplaceTempView(
+        "_res_cb"
+    )
+    spark.read.parquet(f"{path_batch}/centroids").createOrReplaceTempView(
+        "_res_ct"
+    )
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    spark.sql(
+        "WITH "
+        + _ELEMS_CTE.format(scale=_PQ_SCALE, src="_res_arrivals")
+        + ",\n"
+        + _CDIM_CTE.format(scale=_PQ_SCALE, cents="_res_ct")
+        + ",\ncells AS (SELECT vec_id, label FROM _res_arrivals),"
+        + _RESIDUAL_CODE_CTES.format(
+            subdim=PQ_SUBDIM,
+            rcb="SELECT codeword, subspace, dim, sv FROM _res_cb",
+        )
+        + f"""
+SELECT a.vec_id, c.label,
+       {code_cols},
+       CAST(1 AS BIGINT) AS ingest_seq
+FROM assigned a JOIN cells c ON a.vec_id = c.vec_id
+GROUP BY a.vec_id, c.label
+"""
+    ).write.mode("append").partitionBy("label").parquet(f"{path_batch}/codes")
+    assert [
+        tuple(r)
+        for r in ann_ivf_pq_residual_from_index(
+            spark, path_batch, emb
+        ).collect()
+    ] == res
+
+    # at-least-once + compaction
+    dup = spark.read.parquet(f"{path}/codes").where("vec_id >= 100").cache()
+    n_dup = dup.count()
+    dup.write.mode("append").partitionBy("label").parquet(f"{path}/codes")
+    dup.unpersist()
+    assert [
+        tuple(r)
+        for r in ann_ivf_pq_residual_from_index(spark, path, emb).collect()
+    ] == res
+    stats = compact_ann_index(spark, path)
+    assert stats["rows_before"] == stats["rows_after"] + n_dup
+    assert [
+        tuple(r)
+        for r in ann_ivf_pq_residual_from_index(spark, path, emb).collect()
+    ] == res
+    for v in ("_res_arrivals", "_res_cb", "_res_ct"):
+        spark.catalog.dropTempView(v)
