@@ -496,6 +496,23 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 dedup_threshold_sweep as _corpus_dedup_sweep,
             )
 
+            didx = getattr(self.server, "dedup_index_path", None)
+            if m.group(1) == "dedup-sweep" and didx is not None:
+                # served from the durable S13 index: the sweep reads
+                # persisted shingles (no re-tokenization per cold call);
+                # the live-op fallback below keeps the route available
+                # on index-less servers
+                from ..sources.dedup_index import (
+                    dedup_threshold_sweep_from_index,
+                )
+
+                df = dedup_threshold_sweep_from_index(
+                    docs.sparkSession, didx, docs
+                )
+                return self._send(
+                    200, _rows(df.limit(self._limit(qs, 1000)))
+                )
+
             fn = {
                 "profile": llmprep.profile_table,
                 "quality": textprep.gopher_rules,
@@ -626,6 +643,7 @@ def serve(
     documents: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     knn_graph_path: str | None = None,
+    dedup_index_path: str | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -649,7 +667,12 @@ def serve(
     ``knn_graph_path`` (optional, requires ``embeddings``) points the
     ``/api/v1/ann/graph-expand`` route at a durable S16 kNN-graph index
     (``sources.knn_graph.write_knn_graph``) so serving reads persisted
-    adjacency instead of rebuilding the graph per cold call."""
+    adjacency instead of rebuilding the graph per cold call.
+
+    ``dedup_index_path`` (optional, requires ``documents``) points the
+    ``/api/v1/corpus/dedup-sweep`` route at a durable S13 dedup index
+    (``sources.dedup_index.write_dedup_index``) so the τ-sweep reads
+    persisted shingles instead of re-tokenizing per cold call."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:
@@ -673,6 +696,7 @@ def serve(
     httpd.documents = documents  # type: ignore[attr-defined]
     httpd.embeddings = embeddings  # type: ignore[attr-defined]
     httpd.knn_graph_path = knn_graph_path  # type: ignore[attr-defined]
+    httpd.dedup_index_path = dedup_index_path  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

@@ -20,12 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    HOT_SHINGLE_CAP,
     JACCARD_THRESHOLD,
+    _CAPPED_CANDIDATES,
     _MINHASH_POST,
     _PASSAGE_WINS_SPARK,
     _BANDKV_SPARK,
     _minhash_bandkv_sql,
     _SHINGLES_SPARK,
+    _SWEEP_THRESHOLDS_SQL,
+    _THRESHOLD_SWEEP_POST,
 )
 
 
@@ -91,6 +95,35 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
             f"WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM {sv}),\n"
             f"bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM {bv}),"
             + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+        )
+
+
+def dedup_threshold_sweep_from_index(
+    spark: SparkSession, path: str, docs: DataFrame,
+    cap: int = HOT_SHINGLE_CAP,
+) -> DataFrame:
+    """D2d (the dedup-aggressiveness tuning curve) served from the S13
+    index: candidate generation AND exact-Jaccard verification read the
+    persisted ``shingles/`` relation (DISTINCT — at-least-once appends
+    absorbed), so a warm sweep never re-tokenizes a document. The
+    ``docs`` frame contributes ONLY its row count for the removed_frac
+    denominator — a column-pruned count(*) the parquet footers answer,
+    no text is read. Result-identical to the live
+    ``dedup_threshold_sweep`` over the indexed corpus (pinned by test)."""
+    from ..functions.views import scoped_temp_view
+
+    idx = read_dedup_index(spark, path)
+    with scoped_temp_view(
+        idx["shingles"], "_idx_shingles"
+    ) as sv, scoped_temp_view(
+        docs.select("doc_id"), "_sweep_docs"
+    ) as dv:
+        return spark.sql(
+            f"WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM {sv}),"
+            + _CAPPED_CANDIDATES.format(cap=cap)
+            + _THRESHOLD_SWEEP_POST.format(
+                thrs=_SWEEP_THRESHOLDS_SQL, docsrc=dv
+            )
         )
 
 

@@ -694,3 +694,39 @@ def test_corpus_endpoints_events_only_404(spark):
         assert code == 404 and "documents" in body["error"]
     finally:
         httpd2.shutdown()
+
+
+def test_dedup_sweep_route_served_from_index(spark):
+    """/api/v1/corpus/dedup-sweep over a durable S13 index returns rows
+    identical to the live-operator route — the sweep reads persisted
+    shingles instead of re-tokenizing the corpus per cold call."""
+    import tempfile
+
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    ev = load_events(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    dpath = tempfile.mkdtemp() + "/didx"
+    write_dedup_index(docs, dpath)
+    dedup.clear_materialized_caches()
+
+    live_httpd = serve(ev, warmup=False, documents=docs)
+    idx_httpd = serve(
+        ev, warmup=False, documents=docs, dedup_index_path=dpath
+    )
+    for h in (live_httpd, idx_httpd):
+        threading.Thread(target=h.serve_forever, daemon=True).start()
+    try:
+        base_live = f"http://127.0.0.1:{live_httpd.server_address[1]}"
+        base_idx = f"http://127.0.0.1:{idx_httpd.server_address[1]}"
+        code_l, sw_live = _get(base_live, "/api/v1/corpus/dedup-sweep")
+        code_i, sw_idx = _get(base_idx, "/api/v1/corpus/dedup-sweep")
+        assert code_l == 200 and code_i == 200
+        assert sw_idx == sw_live and len(sw_idx) == 6
+    finally:
+        live_httpd.shutdown()
+        idx_httpd.shutdown()

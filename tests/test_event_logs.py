@@ -2886,3 +2886,34 @@ GROUP BY a.vec_id, c.label
     ] == res
     for v in ("_res_arrivals", "_res_cb", "_res_ct"):
         spark.catalog.dropTempView(v)
+
+
+def test_dedup_threshold_sweep_from_index(spark, tmp_path):
+    """The τ-sweep served from the S13 index must equal the live
+    operator over the indexed corpus — no re-tokenization per call —
+    and stay identical under at-least-once duplicate appends."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        dedup_threshold_sweep_from_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "sweep_idx")
+    write_dedup_index(docs, path)
+    dedup.clear_materialized_caches()
+    live = [tuple(r) for r in dedup.dedup_threshold_sweep(docs).collect()]
+    idx = [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path, docs).collect()
+    ]
+    assert idx == live and len(idx) == len(dedup.SWEEP_THRESHOLDS)
+
+    dup = spark.read.parquet(f"{path}/shingles").cache()
+    dup.count()
+    dup.write.mode("append").parquet(f"{path}/shingles")
+    dup.unpersist()
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path, docs).collect()
+    ] == live
