@@ -61,6 +61,72 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
+    # --- round 8 window ------------------------------------------------
+    # changed THIS round → re-check on the new code:
+    #   embedding_kmeans_train — trainer rewritten (DataFrame centroids,
+    #   scalar-only driver traffic, localCheckpoint anchors);
+    #   ann_knn_graph / ann_graph_expand — the graph-expansion SQL body
+    #   was split into seeds/after fragments for the S16 index twin
+    #   (same assembled text, but the assembly changed — verify it)
+    "embedding_kmeans_train",
+    "ann_knn_graph",
+    "ann_graph_expand",
+    # VERDICT r07 #4 rotation: ops whose modules were rewritten in the
+    # r07 scoped-view migration but whose latest driver row is pre-r07
+    "dedup_simhash",
+    "dedup_repeated_passages",
+    "dedup_ngram_jaccard_capped",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "ann_pq_codes",
+    "ann_pq_recall",
+    "corpus_dsir_select",
+    "corpus_source_overlap",
+    "corpus_split_leakage",
+    "text_gopher_rules",
+    "text_pii_scrub",
+    "embedding_power_iteration",
+    "corpus_oov_rate",
+    # catalog stragglers whose latest driver row is r02-r05 (code
+    # untouched since round 5 — close the stale-green debt)
+    "resource_usage_summary",
+    "cost_optimization",
+    "performance_trends",
+    "gc_time_trends",
+    "cpu_utilization",
+    "memory_usage",
+    "task_distribution",
+    "executor_utilization",
+    "resource_utilization_metrics",
+    "top_resource_consumers",
+    "capacity_trends",
+    # remaining displaced-in-r07 backlog (oldest debt first)
+    "corpus_chunk_documents",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
+    "corpus_vocabulary",
+    "corpus_perplexity_buckets",
+    "embedding_dim_stats",
+    "dedup_embedding_cosine_prefiltered",
+    "dedup_clusters",
+    "dedup_minhash_eval",
+    "rollup_order_stats",
+    "corpus_contamination",
+    # textprep ops not driver-checked since their r07 migration
+    "text_token_stats",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_line_boilerplate",
+    "text_quality_prune",
+    "text_stem_normalize",
+)
+
+#: rounds 1-7 window history (kept for the audit trail; these names are
+#: all driver-green on their current code and rotate behind the r08
+#: window above — every one of them is still pytest-oracle-checked per
+#: session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
     # round-7 slot 1: the six catalog queries displaced from the r06
     # window (all green earlier, code unchanged — closing the
     # driver-window debt the r06 verdict flagged)
@@ -364,7 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_vocab_curve": _d(llmprep.bpe_vocab_curve),
     }
 
-    window = tuple(dict.fromkeys(_SENTINELS + _ROTATED_RELATIONAL))
+    window = tuple(
+        dict.fromkeys(_SENTINELS + _PRIOR_WINDOWS + _ROTATED_RELATIONAL)
+    )
     ordered = {name: all_queries[name] for name in window}
     ordered.update(
         (name, fn) for name, fn in all_queries.items() if name not in ordered
