@@ -119,7 +119,13 @@ _SENTINELS = (
     "text_repetition",
     "text_line_boilerplate",
     "text_quality_prune",
-    "text_stem_normalize",
+    # new this round → first driver row (X13 search-depth curve:
+    # recall at seeds / 1 hop / 2 hops from one scored relation);
+    # text_stem_normalize displaced to 51+ for the slot — its scoped
+    # migration is re-validated in-window by the six textprep siblings
+    # above and the pytest differential re-checks it every session
+    # (rotate r09)
+    "ann_graph_expand2",
 )
 
 #: rounds 1-7 window history (kept for the audit trail; these names are
@@ -360,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": _e(similarity.ann_ivf_pq),
         "ann_ivf_pq_residual": _e(similarity.ann_ivf_pq_residual),
         "ann_graph_expand": _e(similarity.ann_graph_expand),
+        "ann_graph_expand2": _e(similarity.ann_graph_expand2),
         "ann_nprobe_recall": _e(similarity.ann_nprobe_recall),
         "ann_truncated_recall": _e(similarity.ann_truncated_recall),
         # --- training-data pipeline: multimodal plumbing ---

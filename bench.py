@@ -187,6 +187,7 @@ def main() -> None:
         ("corpus_bpe_vocab_curve", llmprep.bpe_vocab_curve, docs),
         ("embedding_abtt_audit", llmprep.embedding_abtt_audit, emb),
         ("ann_graph_expand", similarity.ann_graph_expand, emb),
+        ("ann_graph_expand2", similarity.ann_graph_expand2, emb),
         ("corpus_pack_fragmentation", llmprep.pack_fragmentation, docs),
         ("rolling_active_users_approx",
          relational.rolling_active_users_approx, ev),
@@ -246,6 +247,46 @@ def main() -> None:
         ann_graph_expand_from_index(spark, gpath, emb).collect()
         warm.append(time.perf_counter() - t)
     extended["ann_graph_expand_from_index"] = round(min(warm), 4)
+
+    # the full durable-serving family at one glance: S14 raw + residual
+    # IVFADC and the S13-backed dedup sweep — what a warm query pays
+    # when the index already exists (the production steady state)
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        ann_ivf_pq_residual_from_index,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        dedup_threshold_sweep_from_index,
+        write_dedup_index,
+    )
+
+    for row, builder, server in (
+        (
+            "ann_ivf_pq_from_index",
+            lambda p: write_ann_index(emb, p),
+            lambda p: ann_ivf_pq_from_index(spark, p, emb),
+        ),
+        (
+            "ann_ivf_pq_residual_from_index",
+            lambda p: write_ann_index(emb, p, residual=True),
+            lambda p: ann_ivf_pq_residual_from_index(spark, p, emb),
+        ),
+        (
+            "dedup_threshold_sweep_from_index",
+            lambda p: write_dedup_index(docs, p),
+            lambda p: dedup_threshold_sweep_from_index(spark, p, docs),
+        ),
+    ):
+        p = tempfile.mkdtemp() + "/idx"
+        builder(p)
+        server(p).collect()
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            server(p).collect()
+            warm.append(time.perf_counter() - t)
+        extended[row] = round(min(warm), 4)
 
     # k=64 Lloyd training (VERDICT r07 #2): the de-literalized trainer at
     # 8× the registered codebook size — centroids travel as a DataFrame,

@@ -1,4 +1,6 @@
-"""One-off 10x scale probe: the 7-query warm suite + ingest at ~1 M events.
+"""Scale probe: the 7-query warm suite + ingest at 10x (~1 M events),
+plus a 100x tier (~10 M events) pinning ingest linearity AND warm query
+sublinearity at the reference's own write-performance scale.
 
 The per-round benchmark (bench.py) runs at sf0.1 (100 K events); the
 100 TB design claims rest on plan shapes (pushdown, map-side combine,
@@ -281,12 +283,13 @@ def main() -> None:
         }
     dedup_mod.clear_materialized_caches()
 
-    # 100x ingest-only data point (10 M events): pins ingest linearity
-    # two decades above the per-round benchmark. The query suite is
-    # deliberately skipped at this tier (the 10x suite above already
-    # pins query scaling; a 100x suite would triple probe wall clock
-    # for a third point on an established line).
+    # 100x tier (10 M events — the reference's own write-performance
+    # scale): ingest linearity two decades above the per-round
+    # benchmark, PLUS the warm 7-query suite on the ingested frame
+    # (VERDICT r07 #5) — the third point that pins query sublinearity
+    # on the established 1x/10x line.
     ingest_100x = None
+    queries_100x = None
     if os.environ.get("SPARK_GRAFT_PROBE_100X", "1") == "1":
         build_big_events(spark, COPIES_100X, PROBE100_DIR)
         t0 = time.perf_counter()
@@ -294,13 +297,28 @@ def main() -> None:
         ev100 = ev100.drop("raw_data").persist(StorageLevel.MEMORY_AND_DISK)
         n100 = ev100.count()
         dt = time.perf_counter() - t0
-        ev100.unpersist()
         ingest_100x = {
             "n_events": n100,
             "copies": COPIES_100X,
             "ingest_sec": round(dt, 4),
             "events_per_sec": round(n100 / dt, 1),
         }
+        q100: dict[str, float] = {}
+        total100 = 0.0
+        for name, fn in SUITE.items():
+            fn(ev100).collect()  # codegen/JIT warm
+            warm = []
+            for _ in range(3):
+                t = time.perf_counter()
+                fn(ev100).collect()
+                warm.append(time.perf_counter() - t)
+            q100[name] = round(min(warm), 4)
+            total100 += q100[name]
+        queries_100x = {
+            "total_sec": round(total100, 4),
+            "queries": q100,
+        }
+        ev100.unpersist()
 
     # canaries (same shapes as bench.py) so drift is attributable
     t = time.perf_counter()
@@ -327,6 +345,7 @@ def main() -> None:
         "events_per_sec": round(n_events / ingest_sec, 1),
         "docs10": docs10,
         "ingest_100x": ingest_100x,
+        "queries_100x": queries_100x,
         "calib_range_sum_sec": calib_range,
         "calib_shuffle_sec": calib_shuffle,
     }

@@ -545,7 +545,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
-            r"|int8-audit|anisotropy|abtt|graph-expand)",
+            r"|int8-audit|anisotropy|abtt|graph-expand|graph-depth)",
             path,
         )
         if m:
@@ -587,6 +587,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "anisotropy": llmprep.embedding_anisotropy,
                 "abtt": llmprep.embedding_abtt_audit,
                 "graph-expand": similarity.ann_graph_expand,
+                "graph-depth": similarity.ann_graph_expand2,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
             return self._send(200, rows)

@@ -111,6 +111,16 @@ SELECTED = [
     ("ann_ivf_pq_residual",
      "residual IVFADC: broadcast centroid dims + per-probed-cell query"
      " tables; corpus side reads codes only"),
+    ("ann_graph_expand2",
+     "X13 depth curve: 2 bounded adjacency hops, min-hop-level scored"
+     " once, three recall filters"),
+    # round-10 batch (durable serving twins — index built by the report)
+    ("ann_graph_expand_from_index",
+     "S16 serving: persisted adjacency, hop pruned to probed src"
+     " buckets — no pair loop in the query plan"),
+    ("ann_ivf_pq_residual_from_index",
+     "S14 residual serving: per-(query, probed cell) ADC tables over the"
+     " persisted residual codebook; codes scan cell-pruned"),
 ]
 
 
@@ -160,6 +170,32 @@ def main() -> None:
             df = _corpus.novelty_curve_approx(
                 _lt(spark, "/root/testdata/sf0.01", "documents")
             )
+        elif name == "ann_graph_expand_from_index":
+            import tempfile
+
+            from ..sources.generic import load_table as _lt
+            from ..sources.knn_graph import (
+                ann_graph_expand_from_index,
+                write_knn_graph,
+            )
+
+            emb = _lt(spark, "/root/testdata/sf0.01", "embeddings")
+            p = tempfile.mkdtemp() + "/knng"
+            write_knn_graph(emb, p)
+            df = ann_graph_expand_from_index(spark, p, emb)
+        elif name == "ann_ivf_pq_residual_from_index":
+            import tempfile
+
+            from ..sources.ann_index import (
+                ann_ivf_pq_residual_from_index,
+                write_ann_index,
+            )
+            from ..sources.generic import load_table as _lt
+
+            emb = _lt(spark, "/root/testdata/sf0.01", "embeddings")
+            p = tempfile.mkdtemp() + "/resann"
+            write_ann_index(emb, p, residual=True)
+            df = ann_ivf_pq_residual_from_index(spark, p, emb)
         else:
             df = queries[name](spark, "/root/testdata/sf0.01")
         simple = I.explain_str(df, "simple")

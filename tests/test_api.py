@@ -548,6 +548,16 @@ def test_ann_endpoints(spark):
         assert code == 200 and len(gx) >= 1
         # the documented theorem: one graph hop can only improve recall
         assert all(r["recall_graph"] >= r["recall_seed"] for r in gx)
+        code, gd = _get(base, "/api/v1/ann/graph-depth")
+        assert code == 200 and len(gd) >= 1
+        # the depth curve extends the theorem, and its 1-hop level must
+        # agree with the graph-expand route row-by-row
+        assert all(
+            r["recall_hop2"] >= r["recall_hop1"] >= r["recall_seed"]
+            for r in gd
+        )
+        gx_by_q = {r["query_id"]: r["recall_graph"] for r in gx}
+        assert all(gx_by_q[r["query_id"]] == r["recall_hop1"] for r in gd)
         code, ab = _get(base, "/api/v1/ann/abtt")
         assert code == 200 and len(ab) == 1
         # mean-centered vectors sum to ~0, so the centered average

@@ -76,15 +76,16 @@ def test_no_float_canonicalization_of_integral_columns(spark, oracle):
 
 def test_driver_window_composition():
     """The driver's harness checks only the first 50 registrations; pin the
-    window so rotation stays deliberate: sentinels first, then the round-4
-    rotation of previously-unchecked ops."""
+    window so rotation stays deliberate: as of round 8, _SENTINELS IS the
+    full 50-entry window (core sentinels + this round's changed queries +
+    the rotation), and every prior-window name stays registered behind
+    it."""
     keys = list(QUERIES)
     window = keys[:50]
     assert len(set(keys)) == len(keys)
-    for sentinel in entrymod._SENTINELS:
-        assert sentinel in window[: len(entrymod._SENTINELS)]
-    for name in entrymod._ROTATED_RELATIONAL:
-        assert name in window
+    assert window == list(dict.fromkeys(entrymod._SENTINELS))[:50]
+    for name in entrymod._PRIOR_WINDOWS + entrymod._ROTATED_RELATIONAL:
+        assert name in keys
 
 
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLES))
@@ -146,6 +147,7 @@ def test_entry_smoke(spark):
         "corpus_bpe_vocab_curve",
         "embedding_abtt_audit",
         "ann_graph_expand",
+        "ann_graph_expand2",
         "corpus_pack_fragmentation",
     ],
 )

@@ -756,6 +756,17 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert rows and all(
         r.recall_graph >= r.recall_seed for r in rows
     )
+    # X13: the depth curve shares the shape and extends the theorem
+    # across the whole curve — and its 1-hop level must agree with X12
+    ge2 = similarity.ann_graph_expand2(emb)
+    assert not I.has_python_worker(ge2)
+    assert I.single_partition_windows(ge2) == 0
+    rows2 = ge2.collect()
+    assert rows2 and all(
+        r.recall_hop2 >= r.recall_hop1 >= r.recall_seed for r in rows2
+    )
+    hop1_by_q = {r.query_id: r.recall_hop1 for r in rows2}
+    assert all(hop1_by_q[r.query_id] == r.recall_graph for r in rows)
     pidx = dedup.duplicate_passage_index(docs)
     assert not I.has_python_worker(pidx)
     assert not I.has_cartesian(pidx)

@@ -684,6 +684,7 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
         (similarity.ann_ivf_pq, "ann_ivf_pq"),
         (similarity.ann_ivf_pq_residual, "ann_ivf_pq_residual"),
         (similarity.ann_graph_expand, "ann_graph_expand"),
+        (similarity.ann_graph_expand2, "ann_graph_expand2"),
         (llmprep.embedding_anisotropy, "embedding_anisotropy"),
         (llmprep.embedding_abtt_audit, "embedding_abtt_audit"),
         (dedup.embedding_cosine_dups, "dedup_embedding_cosine"),
