@@ -240,13 +240,21 @@ def main() -> None:
     t = time.perf_counter()
     write_knn_graph(emb, gpath)
     extended["knn_graph_index_build"] = round(time.perf_counter() - t, 4)
-    ann_graph_expand_from_index(spark, gpath, emb).collect()
-    warm = []
-    for _ in range(3):
-        t = time.perf_counter()
-        ann_graph_expand_from_index(spark, gpath, emb).collect()
-        warm.append(time.perf_counter() - t)
-    extended["ann_graph_expand_from_index"] = round(min(warm), 4)
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand2_from_index,
+    )
+
+    for row, served in (
+        ("ann_graph_expand_from_index", ann_graph_expand_from_index),
+        ("ann_graph_expand2_from_index", ann_graph_expand2_from_index),
+    ):
+        served(spark, gpath, emb).collect()
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            served(spark, gpath, emb).collect()
+            warm.append(time.perf_counter() - t)
+        extended[row] = round(min(warm), 4)
 
     # the full durable-serving family at one glance: S14 raw + residual
     # IVFADC and the S13-backed dedup sweep — what a warm query pays

@@ -564,16 +564,21 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             from ..operators import llmprep, similarity
 
             knng = getattr(self.server, "knn_graph_path", None)
-            if m.group(1) == "graph-expand" and knng is not None:
+            if m.group(1) in ("graph-expand", "graph-depth") and knng is not None:
                 # served from the durable S16 adjacency (no inline graph
                 # rebuild — the pair loop ran once, at index time); the
-                # live-op fallback below keeps the route available on
+                # live-op fallback below keeps the routes available on
                 # index-less servers
-                from ..sources.knn_graph import ann_graph_expand_from_index
-
-                df = ann_graph_expand_from_index(
-                    emb.sparkSession, knng, emb
+                from ..sources.knn_graph import (
+                    ann_graph_expand2_from_index,
+                    ann_graph_expand_from_index,
                 )
+
+                served = {
+                    "graph-expand": ann_graph_expand_from_index,
+                    "graph-depth": ann_graph_expand2_from_index,
+                }[m.group(1)]
+                df = served(emb.sparkSession, knng, emb)
                 return self._send(
                     200, _rows(df.limit(self._limit(qs, 1000)))
                 )

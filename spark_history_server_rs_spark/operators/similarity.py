@@ -909,17 +909,27 @@ def ann_graph_expand2(emb: DataFrame) -> DataFrame:
     persisted bucket-pruned adjacency.""".format(
         k=TOP_K, gk=KNN_GRAPH_K, nq=N_QUERIES
     )
+    topk_df = materialized_knn_topk_df(emb)
+    return _graph_expand2_over_topk(emb, lambda prev: topk_df)
+
+
+def _graph_expand2_over_topk(emb: DataFrame, hop_edges) -> DataFrame:
+    """X13's body over a caller-supplied edge source: ``hop_edges(prev)``
+    returns the top-k edge relation (src_id, dst_id, …) to hop from the
+    candidate set ``prev`` — the live op returns the in-session cached
+    graph; the S16 serving twin returns the persisted adjacency pruned
+    to ``prev``'s src buckets (``sources/knn_graph.py``).
+
+    DataFrame-composed + a WITH-free final SQL, NOT the oracle's CTE
+    template: the cache manager does not substitute InMemoryRelations
+    anywhere in a plan containing a WithCTE node, so ANY ``WITH`` in
+    the consuming query silently re-runs the whole cached pair loop per
+    ``topk`` reference (measured: 13.8 s vs 2.1 s warm at sf0.1). The
+    oracle keeps the single CTE spelling, so the two formulations
+    differentially check each other."""
     from pyspark.sql import functions as F
 
     spark = emb.sparkSession
-    topk_df = materialized_knn_topk_df(emb)
-    # Spark side is DataFrame-composed + a WITH-free final SQL, NOT the
-    # oracle's CTE template: the cache manager does not substitute
-    # InMemoryRelations anywhere in a plan containing a WithCTE node,
-    # so ANY `WITH` in the consuming query silently re-runs the whole
-    # cached pair loop per `topk` reference (measured: 13.8 s vs 2.1 s
-    # warm at sf0.1). The oracle keeps the single CTE spelling, so the
-    # two formulations differentially check each other.
     e = emb.where("embedding IS NOT NULL")
     bucketed = e.selectExpr(
         "vec_id",
@@ -944,7 +954,7 @@ def ann_graph_expand2(emb: DataFrame) -> DataFrame:
         return (
             prev.alias("s")
             .join(
-                topk_df.alias("e"),
+                hop_edges(prev).alias("e"),
                 F.col("e.src_id") == F.col("s.cand_id"),
             )
             .where(F.col("e.dst_id") != F.col("s.query_id"))

@@ -252,6 +252,54 @@ def ann_graph_expand_from_index(
         )
 
 
+def ann_graph_expand2_from_index(
+    spark: SparkSession, path: str, emb: DataFrame
+) -> DataFrame:
+    """QUERY phase twin of X13: the 2-hop search-depth curve served from
+    the persisted adjacency, result-identical to the live
+    ``ann_graph_expand2`` (pinned by test). Each hop reads ONLY the
+    probed src buckets: the previous round's candidate set projects to
+    at most {nb} distinct bucket ids (collected to the driver — ≤ {nb}
+    ints, the nprobe-style probe-planning round-trip), which filter the
+    edge scan as STATIC partition predicates before the rank-recompute
+    window. Pruning whole buckets before ranking is lossless (rank
+    partitions by src_id; a bucket is a function of src_id).""".format(
+        nb=N_GRAPH_BUCKETS
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _graph_expand2_over_topk
+
+    edges = spark.read.parquet(f"{path}/edges")
+
+    def hop_edges(prev: DataFrame) -> DataFrame:
+        buckets = [
+            r.b
+            for r in prev.selectExpr(
+                f"pmod(cand_id, {N_GRAPH_BUCKETS}) AS b"
+            )
+            .distinct()
+            .collect()
+        ]
+        return (
+            edges.where(F.col("src_bucket").isin(buckets))
+            .select("src_id", "dst_id", "cosine")
+            .distinct()  # at-least-once retry rows
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("src_id").orderBy(
+                        F.col("cosine").desc(), F.col("dst_id")
+                    )
+                ),
+            )
+            .where(f"rank <= {KNN_GRAPH_K}")
+        )
+
+    return _graph_expand2_over_topk(emb, hop_edges)
+
+
 def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
     """Streaming INDEX maintenance (the S16 parity twin of S13/S14's
     stream updaters): arriving vectors are normalized + sketched, their

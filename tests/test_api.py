@@ -591,6 +591,8 @@ def test_ann_endpoints(spark):
     try:
         code, gx_idx = _get(base_idx, "/api/v1/ann/graph-expand")
         assert code == 200 and gx_idx == gx
+        code, gd_idx = _get(base_idx, "/api/v1/ann/graph-depth")
+        assert code == 200 and gd_idx == gd
     finally:
         httpd_idx.shutdown()
 

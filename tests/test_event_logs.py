@@ -2539,6 +2539,7 @@ def test_knn_graph_index_serves_batch_and_stream(spark, tmp_path):
     recompute always equals a from-scratch build."""
     from spark_history_server_rs_spark.operators import similarity
     from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand2_from_index,
         ann_graph_expand_from_index,
         ann_knn_graph_from_index,
         compact_knn_graph,
@@ -2551,7 +2552,7 @@ def test_knn_graph_index_serves_batch_and_stream(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     path = str(tmp_path / "knng")
 
-    # batch build over the full corpus: both serving twins identical
+    # batch build over the full corpus: all three serving twins identical
     write_knn_graph(emb, path)
     live_g = [tuple(r) for r in similarity.ann_knn_graph(emb).collect()]
     assert [
@@ -2563,6 +2564,11 @@ def test_knn_graph_index_serves_batch_and_stream(spark, tmp_path):
         for r in ann_graph_expand_from_index(spark, path, emb).collect()
     ]
     assert idx_x == live_x and len(idx_x) == similarity.N_QUERIES
+    live_x2 = [tuple(r) for r in similarity.ann_graph_expand2(emb).collect()]
+    assert [
+        tuple(r)
+        for r in ann_graph_expand2_from_index(spark, path, emb).collect()
+    ] == live_x2
 
     # incremental arc: index a subset, STREAM the rest in two
     # micro-batches, then both twins must equal the live ops on the FULL
@@ -2595,6 +2601,10 @@ def test_knn_graph_index_serves_batch_and_stream(spark, tmp_path):
         tuple(r)
         for r in ann_graph_expand_from_index(spark, path2, emb).collect()
     ] == live_x
+    assert [
+        tuple(r)
+        for r in ann_graph_expand2_from_index(spark, path2, emb).collect()
+    ] == live_x2
 
     # at-least-once retry: replay BOTH batches under a fresh checkpoint
     # (byte-identical rows re-appended) — answers unchanged
