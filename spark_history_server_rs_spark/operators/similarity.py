@@ -913,20 +913,43 @@ def ann_graph_expand2(emb: DataFrame) -> DataFrame:
     return _graph_expand2_over_topk(emb, lambda prev: topk_df)
 
 
+#: per-depth output columns: (count alias, recall alias, hop_level
+#: predicate — None = all levels). X12 reports (seed, graph); X13 the
+#: full three-point curve. The SQL is generated from these, so both ops
+#: share one body and their overlapping columns are computed identically.
+_DEPTH_LEVELS_X12 = (
+    ("n_seed_overlap", "recall_seed", "hop_level = 0"),
+    ("n_graph_overlap", "recall_graph", None),
+)
+_DEPTH_LEVELS_X13 = (
+    ("n_seed_overlap", "recall_seed", "hop_level = 0"),
+    ("n_hop1_overlap", "recall_hop1", "hop_level <= 1"),
+    ("n_hop2_overlap", "recall_hop2", None),
+)
+
+
 def _graph_expand2_over_topk(emb: DataFrame, hop_edges) -> DataFrame:
-    """X13's body over a caller-supplied edge source: ``hop_edges(prev)``
-    returns the top-k edge relation (src_id, dst_id, …) to hop from the
-    candidate set ``prev`` — the live op returns the in-session cached
-    graph; the S16 serving twin returns the persisted adjacency pruned
-    to ``prev``'s src buckets (``sources/knn_graph.py``).
+    """X13's body over a caller-supplied edge source (see
+    :func:`_graph_depth_recall`)."""
+    return _graph_depth_recall(emb, hop_edges, _DEPTH_LEVELS_X13)
+
+
+def _graph_depth_recall(emb: DataFrame, hop_edges, levels) -> DataFrame:
+    """Shared X12/X13 body over a caller-supplied edge source:
+    ``hop_edges(prev)`` returns the top-k edge relation (src_id,
+    dst_id, …) to hop from the candidate set ``prev`` — the live ops
+    pass the in-session cached graph; the S16 serving twins pass the
+    persisted adjacency pruned to ``prev``'s src buckets
+    (``sources/knn_graph.py``). ``levels`` defines the reported depth
+    points (len(levels) − 1 hops are taken).
 
     DataFrame-composed + a WITH-free final SQL, NOT the oracle's CTE
     template: the cache manager does not substitute InMemoryRelations
     anywhere in a plan containing a WithCTE node, so ANY ``WITH`` in
     the consuming query silently re-runs the whole cached pair loop per
-    ``topk`` reference (measured: 13.8 s vs 2.1 s warm at sf0.1). The
-    oracle keeps the single CTE spelling, so the two formulations
-    differentially check each other."""
+    ``topk`` reference (measured: 13.8 s vs 2.1 s warm at sf0.1 on
+    X13). The oracle keeps the single CTE spelling, so the two
+    formulations differentially check each other."""
     from pyspark.sql import functions as F
 
     spark = emb.sparkSession
@@ -965,40 +988,69 @@ def _graph_expand2_over_topk(emb: DataFrame, hop_edges) -> DataFrame:
             .distinct()
         )
 
-    hop1 = one_hop(seeds)
-    hop2 = one_hop(hop1)
+    frontier = seeds
+    tiers = [seeds.select("query_id", "cand_id", F.lit(0).alias("lvl"))]
+    for lvl in range(1, len(levels)):
+        frontier = one_hop(frontier)
+        tiers.append(
+            frontier.select("query_id", "cand_id", F.lit(lvl).alias("lvl"))
+        )
+    from functools import reduce as _reduce
+
     cands = (
-        seeds.select("query_id", "cand_id", F.lit(0).alias("lvl"))
-        .unionAll(hop1.select("query_id", "cand_id", F.lit(1).alias("lvl")))
-        .unionAll(hop2.select("query_id", "cand_id", F.lit(2).alias("lvl")))
+        _reduce(DataFrame.unionAll, tiers)
         .groupBy("query_id", "cand_id")
         .agg(F.min("lvl").cast("bigint").alias("hop_level"))
     )
     cos_qc = cosine_expr_spark("q.embedding", "x.embedding")
     cos_exact = cosine_expr_spark("q.embedding", "c.embedding")
+    # one conditional rank column per depth point (shared partition key
+    # → one exchange, no per-depth re-inline of the scored relation);
+    # rows outside a depth sort after every in-depth row, so in-depth
+    # ranks are deterministic and the tail's numbering is never read
+    rank_cols = []
+    count_cols = []
+    out_counts = []
+    out_recalls = []
+    for i, (n_col, r_col, cond) in enumerate(levels):
+        if cond is None:
+            rank_cols.append(
+                f"           ROW_NUMBER() OVER (PARTITION BY query_id\n"
+                f"             ORDER BY cosine DESC, cand_id) AS r{i}"
+            )
+            count_cols.append(
+                f"         COUNT(CASE WHEN r.r{i} <= {TOP_K} THEN 1 END)"
+                f" AS {n_col}"
+            )
+        else:
+            rank_cols.append(
+                f"           ROW_NUMBER() OVER (PARTITION BY query_id\n"
+                f"             ORDER BY CASE WHEN {cond} THEN cosine END"
+                f" DESC NULLS LAST,\n"
+                f"                      CASE WHEN {cond} THEN cand_id END"
+                f" NULLS LAST) AS r{i}"
+            )
+            count_cols.append(
+                f"         COUNT(CASE WHEN r.{cond}"
+                f" AND r.r{i} <= {TOP_K} THEN 1 END) AS {n_col}"
+            )
+        out_counts.append(f"       CAST({n_col} AS BIGINT) AS {n_col}")
+        out_recalls.append(
+            f"       FLOOR((CAST({n_col} AS DOUBLE) / n_exact) * 10000.0 + 0.5)\n"
+            f"         / CAST(10000.0 AS DOUBLE) AS {r_col}"
+        )
     with scoped_temp_view(e, "_sim_emb") as ev, scoped_temp_view(
-        cands, "_x13_cands"
+        cands, "_xgraph_cands"
     ) as cv:
         return spark.sql(f"""
 SELECT query_id,
        CAST(n_exact AS BIGINT) AS n_exact,
-       CAST(n_seed_overlap AS BIGINT) AS n_seed_overlap,
-       CAST(n_hop1_overlap AS BIGINT) AS n_hop1_overlap,
-       CAST(n_hop2_overlap AS BIGINT) AS n_hop2_overlap,
-       FLOOR((CAST(n_seed_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
-         / CAST(10000.0 AS DOUBLE) AS recall_seed,
-       FLOOR((CAST(n_hop1_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
-         / CAST(10000.0 AS DOUBLE) AS recall_hop1,
-       FLOOR((CAST(n_hop2_overlap AS DOUBLE) / n_exact) * 10000.0 + 0.5)
-         / CAST(10000.0 AS DOUBLE) AS recall_hop2
+{",".join(out_counts)},
+{",".join(out_recalls)}
 FROM (
   SELECT e.query_id,
          COUNT(*) AS n_exact,
-         COUNT(CASE WHEN r.hop_level = 0 AND r.r0 <= {TOP_K} THEN 1 END)
-           AS n_seed_overlap,
-         COUNT(CASE WHEN r.hop_level <= 1 AND r.r1 <= {TOP_K} THEN 1 END)
-           AS n_hop1_overlap,
-         COUNT(CASE WHEN r.r2 <= {TOP_K} THEN 1 END) AS n_hop2_overlap
+{",".join(count_cols)}
   FROM (
     SELECT query_id, cand_id FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -1010,14 +1062,7 @@ FROM (
   ) e
   LEFT JOIN (
     SELECT query_id, cand_id, hop_level,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY CASE WHEN hop_level = 0 THEN cosine END DESC NULLS LAST,
-                      CASE WHEN hop_level = 0 THEN cand_id END NULLS LAST) AS r0,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY CASE WHEN hop_level <= 1 THEN cosine END DESC NULLS LAST,
-                      CASE WHEN hop_level <= 1 THEN cand_id END NULLS LAST) AS r1,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, cand_id) AS r2
+{",".join(rank_cols)}
     FROM (
       SELECT c.query_id, c.cand_id, c.hop_level, {cos_qc} AS cosine
       FROM {cv} c
@@ -1072,28 +1117,16 @@ def ann_graph_expand(emb: DataFrame) -> DataFrame:
     query touches its bucket + ≤ bucket×{gk} edge rows — the expansion
     joins key on cand_id/src_id, floats are read only for the union's
     exact rerank, and the exact side stays the bounded {nq}-query
-    sampled eval.""".format(
+    sampled eval. In-session, the traversed graph is the MATERIALIZED
+    edge relation (:func:`materialized_knn_topk_df` — EXACTLY X6's
+    artifact: τ, per-node k = KNN_GRAPH_K), built once per corpus and
+    shared with X13; the rerank top-k is the query-side TOP_K.""".format(
         k=TOP_K, gk=KNN_GRAPH_K, nq=N_QUERIES
     )
-    parts = emb.sparkSession.sparkContext.defaultParallelism
-    # the traversed graph is EXACTLY X6's artifact (τ, per-node k =
-    # KNN_GRAPH_K); the rerank top-k is the query-side TOP_K
-    edge_ctes = _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
-    with scoped_temp_view(
-        emb.where("embedding IS NOT NULL"), "_sim_emb"
-    ) as ev:
-        return emb.sparkSession.sql(
-            _knn_pairs_spark(ev, parts)
-            + edge_ctes
-            + _GRAPH_EXPAND_BODY.format(
-                k=TOP_K,
-                nq=N_QUERIES,
-                src=ev,
-                bucket=_bucket_expr("embedding", spark=True),
-                cos_qc=cosine_expr_spark("q.embedding", "x.embedding"),
-                cos_exact=cosine_expr_spark("q.embedding", "c.embedding"),
-            )
-        )
+    topk_df = materialized_knn_topk_df(emb)
+    return _graph_depth_recall(
+        emb, lambda prev: topk_df, _DEPTH_LEVELS_X12
+    )
 
 
 def _oracle_ann_graph_expand() -> str:

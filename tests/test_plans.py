@@ -745,12 +745,21 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert not I.has_python_worker(res)
     assert I.single_partition_windows(res) == 0
     assert "BroadcastHashJoin" in I.explain_str(res, "simple")
-    # X12: the graph build keeps the popcount prefilter inside the pair
-    # join; expansion/rerank joins are hash joins, windows partitioned
+    # X6 (the graph BUILD) keeps the popcount prefilter inside the pair
+    # join — that is where the bit_count belongs
+    knng = similarity.ann_knn_graph(emb)
+    assert "bit_count" in I.explain_str(knng, "simple")
+    # X12: the expansion now rides the materialized in-session graph —
+    # its serving plan must scan the cached edge relation and contain
+    # NO pair loop; expansion/rerank joins are hash joins, windows
+    # partitioned
+    similarity.materialized_knn_topk_df(emb)  # ensure the cache is warm
     ge = similarity.ann_graph_expand(emb)
     assert not I.has_python_worker(ge)
     assert I.single_partition_windows(ge) == 0
-    assert "bit_count" in I.explain_str(ge, "simple")
+    ge_exec = ge._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" not in ge_exec
+    assert "InMemoryTableScan" in ge_exec
     # the theorem the op documents: expanding candidates can only help
     rows = ge.collect()
     assert rows and all(
