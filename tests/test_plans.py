@@ -746,20 +746,31 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert I.single_partition_windows(res) == 0
     assert "BroadcastHashJoin" in I.explain_str(res, "simple")
     # X6 (the graph BUILD) keeps the popcount prefilter inside the pair
-    # join — that is where the bit_count belongs
+    # join — that is where the bit_count belongs. Clear first: a warm
+    # topk cache from an earlier test would substitute into X6's plan
+    # (the cached relation IS X6's subplan) and hide the loop.
+    dedup.clear_materialized_caches()
     knng = similarity.ann_knn_graph(emb)
     assert "bit_count" in I.explain_str(knng, "simple")
-    # X12: the expansion now rides the materialized in-session graph —
-    # its serving plan must scan the cached edge relation and contain
-    # NO pair loop; expansion/rerank joins are hash joins, windows
-    # partitioned
+    # X12: the expansion rides the materialized in-session graph — its
+    # analyzed plan must substitute the cached edge relation for its
+    # single topk reference (checked STRUCTURALLY via withCachedData:
+    # string probes like "bit_count not in plan" are unreliable because
+    # InMemoryRelation RENDERS its cached child, and long plans truncate
+    # nondeterministically). Expansion/rerank joins are hash joins,
+    # windows partitioned.
     similarity.materialized_knn_topk_df(emb)  # ensure the cache is warm
     ge = similarity.ann_graph_expand(emb)
     assert not I.has_python_worker(ge)
     assert I.single_partition_windows(ge) == 0
-    ge_exec = ge._jdf.queryExecution().executedPlan().toString()
-    assert "bit_count" not in ge_exec
-    assert "InMemoryTableScan" in ge_exec
+    ge_cached = ge._jdf.queryExecution().withCachedData().toString()
+    assert ge_cached.count("InMemoryRelation") == 1, ge_cached[:2000]
+    # X13 hops twice through the SAME cached relation: the hop1 tier
+    # references it once, and the hop2 tier nests hop1's reference plus
+    # its own — three cached-leaf occurrences, zero rebuilt pair loops
+    ge2 = similarity.ann_graph_expand2(emb)
+    ge2_cached = ge2._jdf.queryExecution().withCachedData().toString()
+    assert ge2_cached.count("InMemoryRelation") == 3, ge2_cached[:2000]
     # the theorem the op documents: expanding candidates can only help
     rows = ge.collect()
     assert rows and all(
