@@ -501,7 +501,13 @@ def executor_utilization(ev: DataFrame, limit: int = 20) -> DataFrame:
         .agg(
             F.count("*").alias("total_tasks"),
             r4(F.sum("duration_ms")).alias("total_duration_ms"),
-            F.countDistinct("app_id").alias("distinct_apps"),
+            # size(collect_set) instead of countDistinct: the set is
+            # collected anyway for apps_served, and a countDistinct next
+            # to other aggregates forces an Expand that doubles every
+            # task row through the exchange — measured the worst scaler
+            # of the 7-query suite at the 100x tier (plan-gated: no
+            # Expand). Identical semantics: both ignore NULLs.
+            F.size(F.collect_set("app_id")).cast("long").alias("distinct_apps"),
             count_if(F.col("locality").isin("PROCESS_LOCAL", "NODE_LOCAL")).alias(
                 "locality_hits"
             ),
@@ -724,7 +730,12 @@ def capacity_trends(ev: DataFrame, limit: int = 30) -> DataFrame:
             r4(F.sum(F.coalesce(F.col("peak_memory_mb"), z)) / 1024.0).alias(
                 "total_memory_gb"
             ),
-            F.countDistinct("app_id").alias("active_apps"),
+            # size(collect_set), not countDistinct: a distinct aggregate
+            # next to plain ones forces an Expand that doubles every task
+            # row through the exchange (same fix as A11 — plan-gated);
+            # the per-day app set is bounded by the deployment's app
+            # count, so the set aggregate is map-side-combined and tiny
+            F.size(F.collect_set("app_id")).cast("long").alias("active_apps"),
             F.count("*").alias("total_tasks"),
             r4(F.avg(F.coalesce(F.col("cpu_ms"), z)) / 1000.0).alias("avg_cpu_s"),
         )

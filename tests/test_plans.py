@@ -608,6 +608,17 @@ def test_cross_app_summary_no_expand(spark, ev):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_executor_utilization_and_capacity_trends_no_expand(spark, ev):
+    """A11/A15 gate: distinct app counts come from size(collect_set) —
+    a countDistinct next to plain aggregates plans an Expand that
+    doubles every task row through the exchange (measured: A11 was the
+    worst scaler of the 7-query suite at the 100x tier, 5.3 s -> 1.0 s
+    at 10 M events from this change alone)."""
+    for fn in (catalog.executor_utilization, catalog.capacity_trends):
+        plan = I.explain_str(fn(ev), "simple")
+        assert "Expand" not in plan, fn.__name__
+
+
 def test_no_unbounded_single_partition_windows(spark):
     """The 100 TB scale-killer class from round 4 (VERDICT.md "What's
     wrong" #2): an unpartitioned ranking window funnels its entire input
