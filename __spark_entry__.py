@@ -44,6 +44,24 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
     return lambda spark, sf_dir: fn(load_table(spark, sf_dir, "embeddings"))
 
 
+#: The registered queries whose IMPLEMENTATION changed (or whose shared
+#: SQL fragments changed shape) since the last driver round. The window
+#: rule below requires every entry here to sit in the first 50
+#: registrations — enforced mechanically by
+#: tests/test_plans.py::test_driver_window_invariant, so the class of
+#: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
+#: outside the window) fails the suite instead of relying on review.
+#: Round 9: the three r08 two-phase-top-k riders that missed the r08
+#: window (carried in per VERDICT r08 #2); no registered operator's
+#: implementation changes in r09 itself (the S16 build/stream rewrite
+#: and S14-served REST routes are pytest-pinned serving twins, not
+#: registered queries).
+_CHANGED_THIS_ROUND = (
+    "ann_cosine_topk",
+    "ann_recall_eval",
+    "ann_hamming_rerank",
+)
+
 # The driver's correctness harness checks the FIRST 50 registrations only.
 # Registration order is therefore a coverage schedule, not cosmetics:
 #   sentinels   — 4 core-surface regression canaries (kept in-window every
@@ -61,18 +79,80 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 8 window ------------------------------------------------
-    # changed THIS round → re-check on the new code:
-    #   embedding_kmeans_train — trainer rewritten (DataFrame centroids,
-    #   scalar-only driver traffic, localCheckpoint anchors);
-    #   ann_knn_graph / ann_graph_expand — the graph-expansion SQL body
-    #   was split into seeds/after fragments for the S16 index twin
-    #   (same assembled text, but the assembly changed — verify it)
+    # --- round 9 window ------------------------------------------------
+    # VERDICT r08 "What's wrong #2" riders first: the r08 two-phase
+    # top-k rewrite changed ann_cosine_topk's exact-top-k fragment
+    # (shared by ann_recall_eval / ann_hamming_rerank) but none entered
+    # the r08 window — re-check all three on the current code (their
+    # DuckDB oracles deliberately keep the single-window form, so this
+    # is a genuine cross-plan equivalence check)
+    "ann_cosine_topk",
+    "ann_recall_eval",
+    "ann_hamming_rerank",
+    # displaced from the r08 window for X13's slot
+    "text_stem_normalize",
+    # oldest driver debt: every remaining r03 row
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "semi_join_urgent_customers",
+    "anti_join_no_urgent_customers",
+    "dedup_exact",
+    "multimodal_image_decode",
+    "multimodal_frame_sample",
+    "multimodal_audio_windows",
+    # then every remaining r04 row
+    "tpch_q2_min_price_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "asof_join_task_executor_config",
+    "range_join_live_executors",
+    "topk_tasks_per_app",
+    "cube_order_stats",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "set_ops_user_segments",
+    "rolling_active_users",
+    "task_percentile_standing",
+    "events_daily_gapfill",
+    "yoy_revenue_growth",
+    "corpus_hash_split",
+    "corpus_profile",
+    # oldest r05 rows to fill the window (remaining r05 debt —
+    # corpus_bigram_counts/global_shuffle/length_histogram/
+    # stratified_sample/temperature_sample/training_manifest,
+    # events_daily_anomaly, events_volume_ewma, job_parallelism_report,
+    # table_profile_orders — rotates r10)
+    "applications_time_window",
+    "applications_app_window",
+    "applications_status_completed",
+    "multimodal_phash_groups",
+    "tpch_q12_ship_delay",
+)
+
+#: rounds 1-7 window history (kept for the audit trail; these names are
+#: all driver-green on their current code and rotate behind the r08
+#: window above — every one of them is still pytest-oracle-checked per
+#: session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-8 window (all driver-green in CORRECTNESS_r08.json on
+    # code unchanged since; pytest-oracle-checked every session) -------
     "embedding_kmeans_train",
     "ann_knn_graph",
     "ann_graph_expand",
-    # VERDICT r07 #4 rotation: ops whose modules were rewritten in the
-    # r07 scoped-view migration but whose latest driver row is pre-r07
+    "ann_graph_expand2",
     "dedup_simhash",
     "dedup_repeated_passages",
     "dedup_ngram_jaccard_capped",
@@ -87,8 +167,6 @@ _SENTINELS = (
     "text_pii_scrub",
     "embedding_power_iteration",
     "corpus_oov_rate",
-    # catalog stragglers whose latest driver row is r02-r05 (code
-    # untouched since round 5 — close the stale-green debt)
     "resource_usage_summary",
     "cost_optimization",
     "performance_trends",
@@ -100,7 +178,6 @@ _SENTINELS = (
     "resource_utilization_metrics",
     "top_resource_consumers",
     "capacity_trends",
-    # remaining displaced-in-r07 backlog (oldest debt first)
     "corpus_chunk_documents",
     "corpus_pack_sequences",
     "corpus_pack_sequences_sharded",
@@ -112,27 +189,12 @@ _SENTINELS = (
     "dedup_minhash_eval",
     "rollup_order_stats",
     "corpus_contamination",
-    # textprep ops not driver-checked since their r07 migration
     "text_token_stats",
     "text_language_id",
     "text_quality",
     "text_repetition",
     "text_line_boilerplate",
     "text_quality_prune",
-    # new this round → first driver row (X13 search-depth curve:
-    # recall at seeds / 1 hop / 2 hops from one scored relation);
-    # text_stem_normalize displaced to 51+ for the slot — its scoped
-    # migration is re-validated in-window by the six textprep siblings
-    # above and the pytest differential re-checks it every session
-    # (rotate r09)
-    "ann_graph_expand2",
-)
-
-#: rounds 1-7 window history (kept for the audit trail; these names are
-#: all driver-green on their current code and rotate behind the r08
-#: window above — every one of them is still pytest-oracle-checked per
-#: session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # round-7 slot 1: the six catalog queries displaced from the r06
     # window (all green earlier, code unchanged — closing the
     # driver-window debt the r06 verdict flagged)

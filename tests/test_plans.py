@@ -1108,3 +1108,25 @@ def test_rolling_active_users_approx_close_to_exact(spark):
         assert abs(a.dau_est - e.dau) <= max(0.05 * e.dau, 2), (day, e, a)
         assert abs(a.wau_est - e.wau) <= max(0.05 * e.wau, 2), (day, e, a)
         assert a.wau_est >= a.dau_est, (day, a)
+
+
+def test_driver_window_invariant():
+    """The registry's window rule, mechanically (VERDICT r08 #7): the
+    driver checks the FIRST 50 registrations only, so (a) the declared
+    window is exactly 50 names and IS the first 50 registrations, (b)
+    every query declared changed-this-round (_CHANGED_THIS_ROUND) sits
+    inside it — the class of miss r08 flagged (a rewrite shipping
+    outside the window) now fails the suite — and (c) every registered
+    query has a DuckDB oracle twin (a registered no-oracle op records a
+    permanently-red driver row)."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    window = list(dict.fromkeys(entrymod._SENTINELS))
+    assert len(window) == 50, len(window)
+    assert names[:50] == window
+    missing = set(entrymod._CHANGED_THIS_ROUND) - set(window)
+    assert not missing, f"changed-this-round queries outside window: {missing}"
+    oracles = entrymod.oracle_sql()
+    no_oracle = [n for n in names if n not in oracles]
+    assert not no_oracle, no_oracle
