@@ -506,8 +506,19 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     dedup_threshold_sweep_from_index,
                 )
 
+                # docs=None: the denominator comes from the index's own
+                # doc_ids membership, so the reported fractions are
+                # self-consistent with the indexed pairs even if the
+                # server's docs frame has drifted from the index (a
+                # legacy pre-doc_ids index falls back to the frame)
+                from ..sources.index_manifest import path_exists
+
                 df = dedup_threshold_sweep_from_index(
-                    docs.sparkSession, didx, docs
+                    docs.sparkSession,
+                    didx,
+                    None
+                    if path_exists(docs.sparkSession, f"{didx}/doc_ids")
+                    else docs,
                 )
                 return self._send(
                     200, _rows(df.limit(self._limit(qs, 1000)))

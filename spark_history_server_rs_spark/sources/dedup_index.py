@@ -41,11 +41,15 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         path/shingles/     (doc_id, shingle)             zstd parquet
         path/band_keys/    (doc_id, band_key) PARTITIONED BY band_idx
         path/passages/     (doc_id, pos, phash)
+        path/doc_ids/      (doc_id)   the indexed corpus membership
 
     One pass over the text builds shingles; band keys aggregate from the
     shingles plan (Catalyst reuses the projection); passage windows are
-    an independent projection. All three writes are append-free
-    overwrites — re-running the index job is idempotent.
+    an independent projection. ``doc_ids`` records WHICH corpus the
+    index describes — a doc with no qualifying shingles still counts
+    toward denominators (removed_frac), so the membership relation
+    cannot be recovered from ``shingles`` alone. All writes are
+    append-free overwrites — re-running the index job is idempotent.
     """
     from ..functions.views import scoped_temp_view
 
@@ -53,6 +57,7 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
     with scoped_temp_view(docs, "_dedup_docs") as dv:
         shingles = spark.sql(_SHINGLES_SPARK.format(src=dv))
         passages = spark.sql(_PASSAGE_WINS_SPARK.format(src=dv))
+    docs.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
     bandkv = spark.sql(
         "WITH shingles AS (SELECT doc_id, shingle FROM "
@@ -99,25 +104,54 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def dedup_threshold_sweep_from_index(
-    spark: SparkSession, path: str, docs: DataFrame,
+    spark: SparkSession, path: str, docs: DataFrame | None = None,
     cap: int = HOT_SHINGLE_CAP,
 ) -> DataFrame:
     """D2d (the dedup-aggressiveness tuning curve) served from the S13
     index: candidate generation AND exact-Jaccard verification read the
     persisted ``shingles/`` relation (DISTINCT — at-least-once appends
     absorbed), so a warm sweep never re-tokenizes a document. The
-    ``docs`` frame contributes ONLY its row count for the removed_frac
-    denominator — a column-pruned count(*) the parquet footers answer,
-    no text is read. Result-identical to the live
-    ``dedup_threshold_sweep`` over the indexed corpus (pinned by test)."""
+    removed_frac denominator comes from the index's own ``doc_ids/``
+    membership relation (DISTINCT for the same at-least-once reason) —
+    the sweep can never silently mix a drifted caller corpus with the
+    indexed pairs. When a ``docs`` frame IS passed, it is a drift
+    ASSERTION: its doc count must match the indexed membership, else
+    this raises instead of reporting fractions over the wrong corpus
+    (the repair is re-indexing or probing the delta —
+    ``minhash_lsh_probe_index``). A pre-``doc_ids`` legacy index
+    requires ``docs`` and keeps the old caller-supplied denominator.
+    Result-identical to the live ``dedup_threshold_sweep`` over the
+    indexed corpus (pinned by test)."""
     from ..functions.views import scoped_temp_view
+    from .index_manifest import path_exists
 
     idx = read_dedup_index(spark, path)
+    has_membership = path_exists(spark, f"{path}/doc_ids")
+    if not has_membership and docs is None:
+        raise ValueError(
+            f"dedup index at {path} has no doc_ids/ relation (legacy "
+            "layout) — pass the indexed docs frame, or re-run "
+            "write_dedup_index to persist corpus membership"
+        )
+    if has_membership:
+        denom = spark.read.parquet(f"{path}/doc_ids").select(
+            "doc_id"
+        ).distinct()
+        if docs is not None:
+            n_caller = docs.select("doc_id").count()
+            n_indexed = denom.count()
+            if n_caller != n_indexed:
+                raise ValueError(
+                    f"docs frame ({n_caller} docs) does not match the "
+                    f"indexed corpus ({n_indexed} docs) at {path} — "
+                    "re-index or probe the delta instead of sweeping a "
+                    "drifted corpus"
+                )
+    else:
+        denom = docs.select("doc_id")
     with scoped_temp_view(
         idx["shingles"], "_idx_shingles"
-    ) as sv, scoped_temp_view(
-        docs.select("doc_id"), "_sweep_docs"
-    ) as dv:
+    ) as sv, scoped_temp_view(denom, "_sweep_docs") as dv:
         return spark.sql(
             f"WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM {sv}),"
             + _CAPPED_CANDIDATES.format(cap=cap)
@@ -210,6 +244,7 @@ _INDEX_RELATIONS = (
     ("shingles", ("doc_id", "shingle"), None),
     ("band_keys", ("doc_id", "band_idx", "band_key"), "band_idx"),
     ("passages", ("doc_id", "pos", "phash"), None),
+    ("doc_ids", ("doc_id",), None),
 )
 
 
@@ -358,11 +393,20 @@ def stream_update_dedup_index(
         # shingle frame feeds both its own write and the band-key
         # derivation — without caching, tokenization (the expensive
         # step) would re-run per consumer on every trigger
+        from .index_manifest import path_exists
+
         batch_df = batch_df.persist()
         spark = batch_df.sparkSession
         try:
             if not batch_df.take(1):
                 return
+            # decide BEFORE this batch's writes: a pre-doc_ids legacy
+            # index (shingles exist, membership doesn't) stays legacy —
+            # appending a partial membership would be worse than none.
+            # A fresh stream-only index starts the relation at batch 1.
+            legacy = path_exists(spark, f"{path}/shingles") and not (
+                path_exists(spark, f"{path}/doc_ids")
+            )
             with scoped_temp_view(batch_df, "_stream_index_docs") as dv:
                 shingles = spark.sql(
                     _SHINGLES_SPARK.format(src=dv)
@@ -383,6 +427,12 @@ def stream_update_dedup_index(
             finally:
                 shingles.unpersist()
             passages.write.mode("append").parquet(f"{path}/passages")
+            # corpus membership rides along so index-derived
+            # denominators (removed_frac) track streamed growth
+            if not legacy:
+                batch_df.select("doc_id").write.mode("append").parquet(
+                    f"{path}/doc_ids"
+                )
         finally:
             batch_df.unpersist()
 

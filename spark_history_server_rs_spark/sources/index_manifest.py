@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: relation subdirectories per index layout
-DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages")
+DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages", "doc_ids")
 ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes", "meta")
 
 
@@ -66,22 +66,35 @@ def refresh_index_manifest(
 ) -> None:
     """Recompute the manifest from what is on disk (one scan per
     relation). Run after the batch index build, and after each
-    compaction / maintenance slot that changed the relations."""
+    compaction / maintenance slot that changed the relations.
+
+    Never attest a wipe: a relation the layout expects but the disk no
+    longer has keeps its PREVIOUS manifest row — that stale row is
+    precisely the evidence the validator needs to flag the loss with
+    NULL actuals (the maintenance slot refreshes before validating, so
+    re-attesting only the survivors would hide a partial wipe exactly
+    the way r08's hardening stopped total wipes from hiding). A
+    relation the old manifest never attested (legacy layout predating
+    it) simply stays unattested until it exists."""
+    stale: dict[str, tuple] = {}
+    if path_exists(spark, f"{path}/manifest"):
+        for r in spark.read.parquet(f"{path}/manifest").collect():
+            stale[r["relation"]] = (r["relation"], r["n_rows"], r["content_hash"])
     out = None
+    carried = []
     for rel in relations:
         if not path_exists(spark, f"{path}/{rel}"):
+            if rel in stale:
+                carried.append(stale[rel])
             continue  # e.g. a pre-`meta/` index: attest what exists
         stats = _relation_stats(spark, path, rel)
         out = stats if out is None else out.unionByName(stats)
+    if carried:
+        kept = spark.createDataFrame(
+            carried, "relation string, n_rows long, content_hash decimal(38,0)"
+        )
+        out = kept if out is None else out.unionByName(kept)
     if out is None:
-        # nothing on disk (index path wiped or mistyped): NEVER overwrite
-        # an existing manifest with emptiness — the stale manifest is
-        # precisely the evidence the validator needs to flag every
-        # relation as vanished (the maintenance slot refreshes before
-        # validating, so attesting the wipe would hide it). A truly
-        # fresh path gets an empty manifest so reads don't crash.
-        if path_exists(spark, f"{path}/manifest"):
-            return
         out = spark.createDataFrame(
             [], "relation string, n_rows long, content_hash decimal(38,0)"
         )

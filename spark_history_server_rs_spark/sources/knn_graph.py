@@ -84,8 +84,11 @@ FROM {src}
 _STREAM_EDGES_SQL = """
 WITH newn AS (SELECT vec_id, nv, sketch FROM {newv}),
 oldn AS (
-  SELECT vec_id, nv, sketch FROM {nodes}
-  WHERE vec_id NOT IN (SELECT vec_id FROM {newv})
+  -- anti-join, NOT `vec_id NOT IN (...)`: under three-valued logic a
+  -- single NULL vec_id in the batch would turn NOT IN into UNKNOWN for
+  -- every stored node and silently drop ALL new-vs-stored edges
+  SELECT o.vec_id, o.nv, o.sketch FROM {nodes} o
+  WHERE NOT EXISTS (SELECT 1 FROM {newv} n WHERE n.vec_id = o.vec_id)
 ),
 cross_half AS (
   -- new × old: every pair once, mirrored below (conjunct order is
@@ -114,6 +117,37 @@ mirrored AS (
 SELECT src_id, dst_id, cosine, pmod(src_id, {nb}) AS src_bucket
 FROM mirrored
 """
+
+
+def check_knn_graph_meta(spark: SparkSession, path: str) -> None:
+    """Fail loud when a persisted graph's (τ, k) disagree with the
+    module constants every read/maintenance path computes with — the
+    S16 mirror of the ANN index's encoding check (serving an index
+    under mismatched parameters is a silent-wrong-answer class, not a
+    crash class, so it must be refused). A graph with no ``meta/`` at
+    all is NOT refused here: the manifest validator is what reports a
+    vanished relation (detection, not a crash), and every
+    :func:`write_knn_graph` layout has meta."""
+    if not _meta_path_exists(spark, path):
+        return
+    row = spark.read.parquet(f"{path}/meta").collect()
+    if not row:
+        return
+    tau, k = float(row[0]["tau"]), int(row[0]["k"])
+    if tau != float(KNN_GRAPH_TAU) or k != int(KNN_GRAPH_K):
+        raise ValueError(
+            f"kNN-graph index at {path} was built with (tau={tau}, "
+            f"k={k}) but this build computes with "
+            f"(tau={KNN_GRAPH_TAU}, k={KNN_GRAPH_K}) — serving or "
+            "maintaining it would silently mix parameters; re-run "
+            "write_knn_graph"
+        )
+
+
+def _meta_path_exists(spark: SparkSession, path: str) -> bool:
+    from .index_manifest import path_exists
+
+    return path_exists(spark, f"{path}/meta")
 
 
 def _edges_topk_ctes(edges_view: str, probe_filter: str = "") -> str:
@@ -153,8 +187,12 @@ def write_knn_graph(emb: DataFrame, path: str) -> None:
 
     spark = emb.sparkSession
     parts = spark.sparkContext.defaultParallelism
+    # vec_id IS NOT NULL: a NULL-id vector is unaddressable in a graph
+    # and can never edge anyway (the pair loop's a.vec_id < b.vec_id is
+    # NULL for it) — excluding it from nodes/ keeps the stored corpus
+    # exactly the addressable one the stream maintains against
     with scoped_temp_view(
-        emb.where("embedding IS NOT NULL"), "_sim_emb"
+        emb.where("embedding IS NOT NULL AND vec_id IS NOT NULL"), "_sim_emb"
     ) as ev:
         spark.sql(
             _NODES_SQL.format(
@@ -198,6 +236,7 @@ def ann_knn_graph_from_index(spark: SparkSession, path: str) -> DataFrame:
     after streamed appends (rank and mutuality recomputed per read)."""
     from ..functions.views import scoped_temp_view
 
+    check_knn_graph_meta(spark, path)
     edges = spark.read.parquet(f"{path}/edges")
     with scoped_temp_view(edges, "_knng_edges") as ev:
         return spark.sql(
@@ -222,6 +261,7 @@ def ann_graph_expand_from_index(
     hop; adjacency rows are three scalars.""".format(nb=N_GRAPH_BUCKETS)
     from ..functions.views import scoped_temp_view
 
+    check_knn_graph_meta(spark, path)
     edges = spark.read.parquet(f"{path}/edges")
     probe_filter = (
         f"\n  WHERE src_bucket IN"
@@ -271,6 +311,7 @@ def ann_graph_expand2_from_index(
 
     from ..operators.similarity import _graph_expand2_over_topk
 
+    check_knn_graph_meta(spark, path)
     edges = spark.read.parquet(f"{path}/edges")
 
     def hop_edges(prev: DataFrame) -> DataFrame:
@@ -321,11 +362,19 @@ def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
     StreamingQuery (availableNow-compatible)."""
     from ..operators.dedup import hamming_cutoff, _DOT
 
+    check_knn_graph_meta(emb_stream.sparkSession, path)
+
     def _graph_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.views import scoped_temp_view
 
         spark = batch_df.sparkSession
-        batch_df = batch_df.where("embedding IS NOT NULL").persist()
+        # NULL vec_ids are dropped for the same reason the batch build
+        # drops them (unaddressable; and a NULL id would emit NULL-src
+        # edges through the new-vs-stored cross join, which the batch
+        # semantics never produce)
+        batch_df = batch_df.where(
+            "embedding IS NOT NULL AND vec_id IS NOT NULL"
+        ).persist()
         try:
             if not batch_df.take(1):
                 return
@@ -404,6 +453,7 @@ def compact_knn_graph(spark: SparkSession, path: str) -> list[dict]:
     from .dedup_index import compact_relation_swap
     from .index_manifest import path_exists
 
+    check_knn_graph_meta(spark, path)
     stats: list[dict] = []
 
     nsrc = f"{path}/nodes"

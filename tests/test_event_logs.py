@@ -2927,3 +2927,119 @@ def test_dedup_threshold_sweep_from_index(spark, tmp_path):
         tuple(r)
         for r in dedup_threshold_sweep_from_index(spark, path, docs).collect()
     ] == live
+
+    # the denominator comes from the index's own membership relation:
+    # no docs frame needed at all, same answer
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path).collect()
+    ] == live
+    # and a drifted caller corpus is REFUSED, not silently mixed into
+    # the indexed pairs' fractions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not match the indexed"):
+        dedup_threshold_sweep_from_index(spark, path, docs.limit(10))
+
+    # legacy pre-doc_ids layout: caller-supplied denominator still works,
+    # membership-less calls fail loud instead of guessing
+    import shutil
+
+    shutil.rmtree(f"{path}/doc_ids")
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path, docs).collect()
+    ] == live
+    with _pytest.raises(ValueError, match="no doc_ids"):
+        dedup_threshold_sweep_from_index(spark, path)
+
+
+def test_knn_graph_meta_mismatch_fails_loud(spark, tmp_path):
+    """S16 parameter safety (ADVICE r08): a persisted graph whose meta
+    (τ, k) disagree with the module constants is REFUSED by every
+    serving/maintenance path — serving it would silently mix parameters
+    (the ANN index's encoding check, mirrored). A missing/empty meta is
+    the manifest validator's job, not a crash here."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.sources import knn_graph as kg
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).where("vec_id < 120")
+    path = str(tmp_path / "knng_meta")
+    kg.write_knn_graph(emb, path)
+    # sanity: matching meta serves fine
+    assert kg.ann_knn_graph_from_index(spark, path).count() >= 0
+
+    spark.createDataFrame(
+        [(float(kg.KNN_GRAPH_TAU) + 0.1, int(kg.KNN_GRAPH_K))],
+        "tau double, k int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    for fn in (
+        lambda: kg.ann_knn_graph_from_index(spark, path),
+        lambda: kg.ann_graph_expand_from_index(spark, path, emb),
+        lambda: kg.ann_graph_expand2_from_index(spark, path, emb),
+        lambda: kg.compact_knn_graph(spark, path),
+        lambda: kg.stream_update_knn_graph(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(str((tmp_path / "meta_src").mkdir() or tmp_path / "meta_src")),
+            path,
+            str(tmp_path / "meta_ckpt"),
+        ),
+    ):
+        with _pytest.raises(ValueError, match="tau"):
+            fn()
+
+    # empty meta (vanished content): not refused here — detection is the
+    # manifest validator's contract
+    spark.createDataFrame([], "tau double, k int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    assert kg.ann_knn_graph_from_index(spark, path).count() >= 0
+
+
+def test_knn_graph_stream_null_vec_id_batch(spark, tmp_path):
+    """ADVICE r08: a NULL vec_id in an arriving micro-batch must not
+    poison the new-vs-stored edge derivation (the old `NOT IN` form went
+    UNKNOWN for every stored node under three-valued logic, silently
+    emptying the old side). NULL-id vectors are unaddressable in a graph
+    — batch semantics already never edge them (a.vec_id < b.vec_id is
+    NULL) — so the streamed graph must equal the live graph over the
+    non-NULL corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources import knn_graph as kg
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).where("vec_id < 200")
+    path = str(tmp_path / "knng_null")
+    kg.write_knn_graph(emb.where("vec_id < 150"), path)
+
+    # arriving batch: the rest of the corpus PLUS one NULL-id row
+    arriving = emb.where("vec_id >= 150").unionByName(
+        emb.limit(1).select(
+            F.lit(None).cast("long").alias("vec_id"), "embedding", "label"
+        )
+    )
+    src = tmp_path / "knng_null_arrivals"
+    arriving.coalesce(1).write.parquet(str(src))
+    q = kg.stream_update_knn_graph(
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(str(src)),
+        path,
+        str(tmp_path / "knng_null_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    live = [tuple(r) for r in similarity.ann_knn_graph(emb).collect()]
+    assert [
+        tuple(r) for r in kg.ann_knn_graph_from_index(spark, path).collect()
+    ] == live
+    # cross-half edges (new vs stored) exist — the regression this pins
+    served = kg.ann_knn_graph_from_index(spark, path)
+    assert served.where("src_id < 150 AND dst_id >= 150").count() > 0
