@@ -3043,3 +3043,74 @@ def test_knn_graph_stream_null_vec_id_batch(spark, tmp_path):
     # cross-half edges (new vs stored) exist — the regression this pins
     served = kg.ann_knn_graph_from_index(spark, path)
     assert served.where("src_id < 150 AND dst_id >= 150").count() > 0
+
+
+def test_knn_graph_compact_between_inflight_appends(spark, tmp_path):
+    """VERDICT r08 #6: the maintenance slot's S16 compaction running
+    between micro-batches of a STILL-IN-FLIGHT stream (checkpoint live,
+    more arrivals pending) must leave the read path result-identical —
+    before, between, and after the interleaved appends — and the
+    post-compaction appends must keep working against the rewritten
+    (swap-renamed) relations. Mirrors the S13/S14 compact-mid-stream
+    pins."""
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources import knn_graph as kg
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_maintenance_slot,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "knng_ic")
+    ckpt = str(tmp_path / "knng_ic_ckpt")
+    src = tmp_path / "knng_ic_arrivals"
+    kg.write_knn_graph(emb.where("vec_id < 300"), path)
+    kg.refresh_knn_graph_manifest(spark, path)
+
+    def run_stream():
+        q = kg.stream_update_knn_graph(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            path,
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    # batch 1 arrives and is applied; the stream has more coming
+    emb.where("vec_id >= 300 AND vec_id < 400").coalesce(1).write.parquet(
+        str(src)
+    )
+    run_stream()
+    live_mid = [
+        tuple(r)
+        for r in similarity.ann_knn_graph(
+            emb.where("vec_id < 400")
+        ).collect()
+    ]
+    assert [
+        tuple(r) for r in kg.ann_knn_graph_from_index(spark, path).collect()
+    ] == live_mid
+
+    # the maintenance slot fires BETWEEN the stream's micro-batches
+    report = run_maintenance_slot(spark, knn_graph_path=path)
+    assert all(r["valid"] for r in report), report
+    assert [
+        tuple(r) for r in kg.ann_knn_graph_from_index(spark, path).collect()
+    ] == live_mid
+
+    # the stream resumes from its live checkpoint onto the compacted
+    # (delete+rename-swapped) relations
+    emb.where("vec_id >= 400").coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_stream()
+    live_full = [tuple(r) for r in similarity.ann_knn_graph(emb).collect()]
+    assert [
+        tuple(r) for r in kg.ann_knn_graph_from_index(spark, path).collect()
+    ] == live_full
+    assert [
+        tuple(r)
+        for r in kg.ann_graph_expand_from_index(spark, path, emb).collect()
+    ] == [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
