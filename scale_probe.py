@@ -320,6 +320,95 @@ def main() -> None:
         }
         ev100.unpersist()
 
+    # ANN/graph family at the 10x embeddings tier (VERDICT r08 #3):
+    # the S16 build (the vectorized block kernel), one streamed
+    # maintenance batch against the 10x index, and the index-served
+    # X12 / IVFADC-residual paths cold+warm. The exact τ=0.4 contract
+    # makes pair FLOPs quadratic by necessity (see functions/blockpair)
+    # — what this tier pins is that the TOPOLOGY absorbs it: balanced
+    # groups, bounded tasks, wall growing far below the 100x pair count.
+    ann10 = None
+    if os.environ.get("SPARK_GRAFT_PROBE_ANN", "1") == "1":
+        from spark_history_server_rs_spark.sources import knn_graph as _kg
+        from spark_history_server_rs_spark.sources.ann_index import (
+            ann_ivf_pq_residual_from_index as _res_serve,
+            write_ann_index as _write_ann,
+        )
+
+        emb1 = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+        emb10 = spark.read.parquet(f"{PROBE_DIR}/embeddings.parquet")
+        n1, n10 = emb1.count(), emb10.count()
+        g1, g10 = "/tmp/sparkgraft_knng1", "/tmp/sparkgraft_knng10"
+        t = time.perf_counter()
+        _kg.write_knn_graph(emb1, g1)
+        build1 = round(time.perf_counter() - t, 4)
+        t = time.perf_counter()
+        _kg.write_knn_graph(emb10, g10)
+        build10 = round(time.perf_counter() - t, 4)
+
+        # one synthetic maintenance batch (1% of the 10x corpus, fresh
+        # ids) streamed against the 10x index
+        batch = emb1.limit(max(1, n10 // 100)).selectExpr(
+            "vec_id + 900000000 AS vec_id", "embedding", "label"
+        )
+        bdir = "/tmp/sparkgraft_knng10_batch"
+        batch.coalesce(1).write.mode("overwrite").parquet(bdir)
+        t = time.perf_counter()
+        q = _kg.stream_update_knn_graph(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            ).parquet(bdir),
+            g10,
+            "/tmp/sparkgraft_knng10_ckpt",
+        )
+        q.awaitTermination(600)
+        stream10 = round(time.perf_counter() - t, 4)
+
+        def _cold_warm(fn):
+            t = time.perf_counter()
+            fn().collect()
+            c = round(time.perf_counter() - t, 4)
+            warm = []
+            for _ in range(3):
+                t = time.perf_counter()
+                fn().collect()
+                warm.append(time.perf_counter() - t)
+            return {"cold": c, "warm": round(min(warm), 4)}
+
+        expand10 = _cold_warm(
+            lambda: _kg.ann_graph_expand_from_index(spark, g10, emb10)
+        )
+        a10 = "/tmp/sparkgraft_ann10"
+        t = time.perf_counter()
+        _write_ann(emb10, a10, residual=True)
+        ann_build10 = round(time.perf_counter() - t, 4)
+        res10 = _cold_warm(lambda: _res_serve(spark, a10, emb10))
+        ann10 = {
+            "n_vectors_1x": n1,
+            "n_vectors_10x": n10,
+            "knn_graph_build_1x_sec": build1,
+            "knn_graph_build_10x_sec": build10,
+            "build_wall_growth": round(build10 / build1, 2),
+            "pair_count_growth": round((n10 / n1) ** 2, 1),
+            "stream_batch_10x_sec": stream10,
+            "graph_expand_from_index_10x": expand10,
+            "ann_index_build_residual_10x_sec": ann_build10,
+            "ivf_pq_residual_from_index_10x": res10,
+        }
+        # optional honest baseline: the r08 build's engine (the live
+        # all-pairs SQL loop X6 rides) timed at 10x — expensive
+        # (~minutes), run once for the record with PROBE_BNLJ=1
+        if os.environ.get("SPARK_GRAFT_PROBE_BNLJ", "0") == "1":
+            from spark_history_server_rs_spark.operators import (
+                similarity as _sim,
+            )
+
+            t = time.perf_counter()
+            _sim.ann_knn_graph(emb10).collect()
+            ann10["bnlj_pair_loop_10x_sec"] = round(
+                time.perf_counter() - t, 4
+            )
+
     # canaries (same shapes as bench.py) so drift is attributable
     t = time.perf_counter()
     spark.range(0, 200_000_000, 1, cpus).selectExpr(
@@ -344,8 +433,17 @@ def main() -> None:
         "ingest_sec": round(ingest_sec, 4),
         "events_per_sec": round(n_events / ingest_sec, 1),
         "docs10": docs10,
+        "ann10": ann10,
         "ingest_100x": ingest_100x,
         "queries_100x": queries_100x,
+        # drift-normalized 100x headline (VERDICT r08 #5): warm 100x
+        # suite total divided by the same-run shuffle canary, comparable
+        # across machine-drift episodes like bench.py's headline
+        "queries_100x_per_shuffle_canary": (
+            round(queries_100x["total_sec"] / calib_shuffle, 4)
+            if queries_100x
+            else None
+        ),
         "calib_range_sum_sec": calib_range,
         "calib_shuffle_sec": calib_shuffle,
     }

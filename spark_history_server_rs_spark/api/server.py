@@ -594,6 +594,47 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     200, _rows(df.limit(self._limit(qs, 1000)))
                 )
 
+            aidx = getattr(self.server, "ann_index_path", None)
+            if aidx is not None and m.group(1) == "nprobe-recall":
+                # served from the durable S14 index: centroids/codebook/
+                # codes read from parquet — no per-cold-call IVFADC
+                # rebuild. Only a (label, raw) index states the same
+                # system as the live sweep; anything else falls through
+                # to the live operator below (identity over novelty).
+                from ..sources.ann_index import (
+                    _index_meta,
+                    ann_nprobe_recall_from_index,
+                )
+
+                meta = _index_meta(emb.sparkSession, aidx)
+                if meta["cell_rule"] == "label" and meta["encoding"] == "raw":
+                    df = ann_nprobe_recall_from_index(
+                        emb.sparkSession, aidx, emb
+                    )
+                    return self._send(
+                        200, _rows(df.limit(self._limit(qs, 1000)))
+                    )
+            if aidx is not None and m.group(1) in (
+                "int8-audit", "anisotropy", "abtt"
+            ):
+                # persisted corpus-scan audits (write_ann_audits): the
+                # dashboard reads parquet instead of re-scanning the
+                # corpus per cold call; audit-less indexes fall through
+                # to the live operators
+                from ..sources.ann_index import (
+                    has_ann_audit,
+                    read_ann_audit,
+                )
+
+                name = m.group(1).replace("int8-audit", "int8_audit").replace(
+                    "-", "_"
+                )
+                if has_ann_audit(emb.sparkSession, aidx, name):
+                    df = read_ann_audit(emb.sparkSession, aidx, name)
+                    return self._send(
+                        200, _rows(df.limit(self._limit(qs, 1000)))
+                    )
+
             fn = {
                 "nprobe-recall": similarity.ann_nprobe_recall,
                 "truncated-recall": similarity.ann_truncated_recall,
@@ -661,6 +702,7 @@ def serve(
     embeddings: DataFrame | None = None,
     knn_graph_path: str | None = None,
     dedup_index_path: str | None = None,
+    ann_index_path: str | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -689,7 +731,15 @@ def serve(
     ``dedup_index_path`` (optional, requires ``documents``) points the
     ``/api/v1/corpus/dedup-sweep`` route at a durable S13 dedup index
     (``sources.dedup_index.write_dedup_index``) so the τ-sweep reads
-    persisted shingles instead of re-tokenizing per cold call."""
+    persisted shingles instead of re-tokenizing per cold call.
+
+    ``ann_index_path`` (optional, requires ``embeddings``) points the
+    ``/api/v1/ann/nprobe-recall`` route at a durable S14 index (label/
+    raw builds only — identity with the live sweep) and the
+    ``/api/v1/ann/{int8-audit,anisotropy,abtt}`` routes at its
+    persisted ``audits/`` relations (``write_ann_audits``); routes fall
+    back to the live operators when the index doesn't carry the needed
+    artifact."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:
@@ -714,6 +764,7 @@ def serve(
     httpd.embeddings = embeddings  # type: ignore[attr-defined]
     httpd.knn_graph_path = knn_graph_path  # type: ignore[attr-defined]
     httpd.dedup_index_path = dedup_index_path  # type: ignore[attr-defined]
+    httpd.ann_index_path = ann_index_path  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

@@ -520,6 +520,135 @@ GROUP BY a.vec_id, c.label
 """
 
 
+def ann_nprobe_recall_from_index(
+    spark: SparkSession, path: str, emb: DataFrame
+) -> DataFrame:
+    """X10b (the nprobe tuning sweep) served from the persisted S14
+    index: the candidate side — coarse centroids, PQ codebook, and the
+    per-vector codes — reads the index (latest-wins + DISTINCT over
+    ``ingest_seq``, the same at-least-once repair as the other serving
+    twins), so a cold sweep no longer rebuilds the whole IVFADC from
+    the corpus. Only the query vectors and the exact-eval side read
+    ``emb`` — unavoidable, the curve MEASURES recall against the exact
+    top-k. Result-identical to the live ``ann_nprobe_recall`` (pinned
+    by test, REST-level too).
+
+    Identity only holds when the index states the same system the live
+    sweep states: label-mean cells, raw encoding. A trained or
+    residual index would produce a DIFFERENT (usually better) curve —
+    serving that as "the" sweep would silently mix systems, so this
+    fails loud instead (the REST route falls back to the live
+    operator)."""
+    from ..functions.views import scoped_temp_view
+    from ..operators.similarity import _NPROBE_RECALL_TAIL, NPROBE_MAX
+
+    meta = _index_meta(spark, path)
+    if meta["encoding"] != "raw" or meta["cell_rule"] != "label":
+        raise ValueError(
+            f"index at {path} is (cell_rule={meta['cell_rule']}, "
+            f"encoding={meta['encoding']}); the nprobe sweep's exact "
+            "twin is defined for (label, raw) — serve the live operator"
+        )
+    codes_df = spark.read.parquet(f"{path}/codes")
+    if "ingest_seq" not in codes_df.columns:
+        codes_df = codes_df.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
+    code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
+    with scoped_temp_view(
+        spark.read.parquet(f"{path}/centroids"), "_annidx_centroids"
+    ) as ctv, scoped_temp_view(
+        spark.read.parquet(f"{path}/codebook"), "_annidx_cb"
+    ) as cbv, scoped_temp_view(
+        codes_df, "_annidx_codes"
+    ) as cdv, scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_annidx_queries"
+    ) as qv:
+        # the live tail unchanged; only its `pq_ctes` hole is filled
+        # with index-backed relations — `elems` stays corpus-wide (the
+        # exact side needs it), `dists` restricts to the query rows the
+        # tail ever joins, `assigned` unpivots the persisted codes
+        pq_idx = f"""elems AS (
+  SELECT vec_id, dim,
+         CAST(FLOOR(v * {_PQ_SCALE} + 0.5) AS BIGINT) AS sv
+  FROM ({_PQ_UNNEST_SPARK.format(src=qv)})
+),
+qsub AS (
+  SELECT vec_id, CAST(FLOOR(dim / {PQ_SUBDIM}.0) AS BIGINT) AS subspace,
+         dim, sv
+  FROM elems WHERE vec_id < {N_QUERIES}
+),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(s.sv - c.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM qsub s JOIN {cbv} c ON s.subspace = c.subspace AND s.dim = c.dim
+  GROUP BY s.vec_id, s.subspace, c.codeword
+),
+assigned AS (
+  SELECT DISTINCT c.vec_id, s.subspace, s.codeword
+  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
+        GROUP BY vec_id) m
+  JOIN {cdv} c ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
+  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+)"""
+        return spark.sql(
+            f"WITH centroids AS (SELECT label, centroid FROM {ctv})"
+            + _NPROBE_RECALL_TAIL.format(
+                qc_cos=cosine_expr_spark("q.embedding", "ct.centroid"),
+                src=qv,
+                nq=N_QUERIES,
+                npmax=NPROBE_MAX,
+                k=TOP_K,
+                pq_ctes=pq_idx,
+                nps=f"SELECT explode(sequence(1, {NPROBE_MAX})) AS np",
+            )
+        )
+
+
+#: the embedding-health audits the S14 layout can persist alongside the
+#: IVFADC artifacts — full-corpus scans a dashboard should read as
+#: parquet, not recompute per cold call
+ANN_AUDIT_NAMES = ("int8_audit", "anisotropy", "abtt")
+
+
+def write_ann_audits(emb: DataFrame, path: str) -> None:
+    """Persist the corpus-scan embedding-health audits (L7b int8
+    quantization audit, the exact pairwise-cosine anisotropy audit, the
+    ABTT mean-removal audit) under ``path/audits/`` — each is the live
+    operator's own output written verbatim, so an audit-serving route
+    is row-identical to the live one by construction (pinned at REST
+    level). Re-run in the same slot as the index build; audits describe
+    the corpus AT INDEX TIME (that staleness is the same contract as
+    the codes themselves)."""
+    from ..operators.llmprep import (
+        embedding_abtt_audit,
+        embedding_anisotropy,
+        embedding_int8_audit,
+    )
+
+    for name, fn in (
+        ("int8_audit", embedding_int8_audit),
+        ("anisotropy", embedding_anisotropy),
+        ("abtt", embedding_abtt_audit),
+    ):
+        fn(emb).write.mode("overwrite").parquet(f"{path}/audits/{name}")
+
+
+def read_ann_audit(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """One persisted audit relation, in the live operator's row order
+    (int8 is per-dimension — re-sorted by dim; the others are one-row)."""
+    if name not in ANN_AUDIT_NAMES:
+        raise ValueError(f"unknown audit {name!r}; have {ANN_AUDIT_NAMES}")
+    df = spark.read.parquet(f"{path}/audits/{name}")
+    return df.orderBy("dim") if name == "int8_audit" else df
+
+
+def has_ann_audit(spark: SparkSession, path: str, name: str) -> bool:
+    from .index_manifest import path_exists
+
+    return path_exists(spark, f"{path}/audits/{name}")
+
+
 def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
     """Streaming INDEX maintenance (the S14 parity twin of the dedup
     index's ``stream_update_dedup_index``): arriving embeddings are

@@ -742,3 +742,60 @@ def test_dedup_sweep_route_served_from_index(spark):
     finally:
         live_httpd.shutdown()
         idx_httpd.shutdown()
+
+
+def test_ann_stats_routes_served_from_index(spark):
+    """VERDICT r08 #4: /api/v1/ann/nprobe-recall over a durable (label,
+    raw) S14 index and /api/v1/ann/{int8-audit,anisotropy,abtt} over its
+    persisted audits/ relations return rows IDENTICAL to the live-
+    operator routes — no per-cold-call IVFADC rebuild / corpus rescan.
+    A trained or residual index falls back to the live sweep (identity
+    over novelty), and an audit-less index falls back to the live
+    audits — same answers either way."""
+    import tempfile
+
+    from spark_history_server_rs_spark.sources.ann_index import (
+        write_ann_audits,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    ev = load_events(spark, SF_SMALL)
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    apath = tempfile.mkdtemp() + "/aidx"
+    write_ann_index(emb, apath)
+    write_ann_audits(emb, apath)
+
+    live_httpd = serve(ev, warmup=False, embeddings=emb)
+    idx_httpd = serve(ev, warmup=False, embeddings=emb, ann_index_path=apath)
+    for h in (live_httpd, idx_httpd):
+        threading.Thread(target=h.serve_forever, daemon=True).start()
+    try:
+        base_live = f"http://127.0.0.1:{live_httpd.server_address[1]}"
+        base_idx = f"http://127.0.0.1:{idx_httpd.server_address[1]}"
+        live_by_route = {}
+        for route in ("nprobe-recall", "int8-audit", "anisotropy", "abtt"):
+            code_l, live = _get(base_live, f"/api/v1/ann/{route}")
+            code_i, idx = _get(base_idx, f"/api/v1/ann/{route}")
+            assert code_l == 200 and code_i == 200, route
+            assert idx == live, route
+            live_by_route[route] = live
+    finally:
+        live_httpd.shutdown()
+        idx_httpd.shutdown()
+
+    # a residual-encoded index must NOT serve "the" sweep (different
+    # system) — the route falls back to the live operator transparently
+    rpath = tempfile.mkdtemp() + "/aidx_res"
+    write_ann_index(emb, rpath, residual=True)
+    res_httpd = serve(ev, warmup=False, embeddings=emb, ann_index_path=rpath)
+    threading.Thread(target=res_httpd.serve_forever, daemon=True).start()
+    try:
+        base_res = f"http://127.0.0.1:{res_httpd.server_address[1]}"
+        code_r, res_rows = _get(base_res, "/api/v1/ann/nprobe-recall")
+        assert code_r == 200 and res_rows == live_by_route["nprobe-recall"]
+        # audit-less index: audits fall back live, same answer
+        code_a, rows_a = _get(base_res, "/api/v1/ann/anisotropy")
+        assert code_a == 200 and rows_a == live_by_route["anisotropy"]
+    finally:
+        res_httpd.shutdown()

@@ -3114,3 +3114,48 @@ def test_knn_graph_compact_between_inflight_appends(spark, tmp_path):
         tuple(r)
         for r in kg.ann_graph_expand_from_index(spark, path, emb).collect()
     ] == [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
+
+
+def test_ann_nprobe_recall_from_index(spark, tmp_path):
+    """The nprobe tuning sweep served from the persisted S14 index must
+    equal the live operator row-for-row (the candidate side reads
+    centroids/codebook/codes from parquet; only queries + the exact
+    eval read vectors), stay identical under at-least-once duplicate
+    code appends, and REFUSE an index stating a different system
+    (trained cells or residual encoding — serving those as "the" sweep
+    would silently mix quantizers)."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_nprobe_recall_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "np_idx")
+    write_ann_index(emb, path)
+    live = [tuple(r) for r in similarity.ann_nprobe_recall(emb).collect()]
+    idx = [
+        tuple(r)
+        for r in ann_nprobe_recall_from_index(spark, path, emb).collect()
+    ]
+    assert idx == live and len(idx) > 0
+
+    # at-least-once retry: duplicate the code rows — answers unchanged
+    dup = spark.read.parquet(f"{path}/codes")
+    dup.write.mode("append").partitionBy("label").parquet(f"{path}/codes")
+    assert [
+        tuple(r)
+        for r in ann_nprobe_recall_from_index(spark, path, emb).collect()
+    ] == live
+
+    # mismatched systems fail loud
+    res = str(tmp_path / "np_idx_res")
+    write_ann_index(emb, res, residual=True)
+    with _pytest.raises(ValueError, match="encoding=residual"):
+        ann_nprobe_recall_from_index(spark, res, emb)
+    trained = str(tmp_path / "np_idx_tr")
+    write_ann_index(emb, trained, train_steps=2)
+    with _pytest.raises(ValueError, match="cell_rule=nearest"):
+        ann_nprobe_recall_from_index(spark, trained, emb)
