@@ -121,6 +121,13 @@ SELECTED = [
     ("ann_ivf_pq_residual_from_index",
      "S14 residual serving: per-(query, probed cell) ADC tables over the"
      " persisted residual codebook; codes scan cell-pruned"),
+    # round-9: the S16 build engine (exact tau=0.4 pair work is
+    # irreducibly quadratic — see functions/blockpair — so the plan to
+    # audit is the TOPOLOGY: balanced block-pair groups + Arrow kernel,
+    # no BroadcastNestedLoopJoin, no corpus broadcast)
+    ("knn_graph_build_edges",
+     "S16 build: block-pair equi-join groups -> vectorized Arrow kernel;"
+     " python worker expected HERE (the one sanctioned kernel)"),
 ]
 
 
@@ -196,6 +203,19 @@ def main() -> None:
             p = tempfile.mkdtemp() + "/resann"
             write_ann_index(emb, p, residual=True)
             df = ann_ivf_pq_residual_from_index(spark, p, emb)
+        elif name == "knn_graph_build_edges":
+            import tempfile
+
+            from ..sources.generic import load_table as _lt
+            from ..sources.knn_graph import (
+                knn_graph_edges_df,
+                write_knn_graph,
+            )
+
+            emb = _lt(spark, "/root/testdata/sf0.01", "embeddings")
+            p = tempfile.mkdtemp() + "/knngb"
+            write_knn_graph(emb, p)
+            df = knn_graph_edges_df(spark.read.parquet(f"{p}/nodes"))
         else:
             df = queries[name](spark, "/root/testdata/sf0.01")
         simple = I.explain_str(df, "simple")
