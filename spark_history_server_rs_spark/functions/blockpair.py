@@ -146,13 +146,25 @@ def _qualifying(pdf, tau, hmax, self_pair):
     if not mask.any():
         return _empty_edges()
     ii, jj = np.nonzero(mask)
-    # the τ fold runs only on popcount survivors, mirroring the SQL
-    # loop's load-bearing conjunct order (here it also skips the
-    # full-matrix FLOPs when the prefilter bites, e.g. tight-τ callers)
-    dots = np.zeros(len(ii), dtype=np.float64)
-    Asel, Bsel = A[ii], Bm[jj]
-    for d in range(A.shape[1]):
-        dots += Asel[:, d] * Bsel[:, d]
+    # Two bit-identical layouts for the survivor folds (per element the
+    # operation sequence is the same: one product rounding per dim,
+    # float64 accumulation strictly left-to-right over dims):
+    # - dense survivors (loose τ — the graph's 0.4 cutoff admits ~99 %):
+    #   fold the whole (|A| × |B|) matrix; gathering per-pair rows here
+    #   would materialize |survivors| × dims temporaries (measured 6×
+    #   slower + GB-scale allocations at 2000²)
+    # - sparse survivors (tight-τ callers where the popcount bites):
+    #   gather and fold only survivor rows
+    if len(ii) * 8 > A.shape[0] * Bm.shape[0]:
+        dot = np.zeros((A.shape[0], Bm.shape[0]), dtype=np.float64)
+        for d in range(A.shape[1]):
+            dot += A[:, d, None] * Bm[None, :, d]
+        dots = dot[ii, jj]
+    else:
+        dots = np.zeros(len(ii), dtype=np.float64)
+        Asel, Bsel = A[ii], Bm[jj]
+        for d in range(A.shape[1]):
+            dots += Asel[:, d] * Bsel[:, d]
     cos = np.floor(dots * 1000000.0 + 0.5) / 1000000.0
     keep = cos >= tau
     ii, jj, cos = ii[keep], jj[keep], cos[keep]
@@ -189,7 +201,16 @@ def pair_edges_blocked(
     spark = nodes.sparkSession
     big = right if right is not None else nodes
     n_big = big.count()
-    B = max(1, math.ceil(n_big / rows_per_block))
+    # block count: bounded task memory (rows_per_block cap) AND enough
+    # groups to occupy the cluster — a 2,000-row corpus under the cap
+    # alone would run as ONE task on one core. The parallelism floor is
+    # gentle (≤ 8 blocks → ≤ 36 groups) because replication cost is
+    # n·B rows; the memory cap dominates as n grows.
+    B = max(
+        math.ceil(n_big / rows_per_block),
+        min(8, math.ceil(n_big / 64)),
+        1,
+    )
     big_blocked = big.withColumn(
         "g", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int")
     )
