@@ -156,9 +156,19 @@ def _qualifying(pdf, tau, hmax, self_pair):
     # - sparse survivors (tight-τ callers where the popcount bites):
     #   gather and fold only survivor rows
     if len(ii) * 8 > A.shape[0] * Bm.shape[0]:
-        dot = np.zeros((A.shape[0], Bm.shape[0]), dtype=np.float64)
-        for d in range(A.shape[1]):
-            dot += A[:, d, None] * Bm[None, :, d]
+        # row-chunked so the accumulator stays cache-resident across the
+        # 64 dim passes (chunking over ROWS cannot change any element's
+        # accumulation order) — the un-chunked fold re-streams the whole
+        # matrix per dim and is memory-bandwidth-bound precisely when
+        # every executor core is running a block pair at once
+        dot = np.empty((A.shape[0], Bm.shape[0]), dtype=np.float64)
+        chunk = max(1, (1 << 21) // (8 * max(1, Bm.shape[0])))
+        for lo in range(0, A.shape[0], chunk):
+            hi = min(lo + chunk, A.shape[0])
+            acc = np.zeros((hi - lo, Bm.shape[0]), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[lo:hi, d, None] * Bm[None, :, d]
+            dot[lo:hi] = acc
         dots = dot[ii, jj]
     else:
         dots = np.zeros(len(ii), dtype=np.float64)
