@@ -329,6 +329,9 @@ def main() -> None:
     # groups, bounded tasks, wall growing far below the 100x pair count.
     ann10 = None
     if os.environ.get("SPARK_GRAFT_PROBE_ANN", "1") == "1":
+        # the events frame is done serving its tiers — release its
+        # storage before the python-worker-heavy kernel measurements
+        ev.unpersist(blocking=True)
         from spark_history_server_rs_spark.sources import knn_graph as _kg
         from spark_history_server_rs_spark.sources.ann_index import (
             ann_ivf_pq_residual_from_index as _res_serve,

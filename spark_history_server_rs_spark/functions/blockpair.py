@@ -43,9 +43,13 @@ spread evenly over B(B+1)/2 independent tasks (no driver-side
 broadcast of the corpus, no single giant task), per-task memory is
 bounded by rows_per_block², the shuffle carries each row exactly B
 times (n·B rows total — O(n^1.5·√d) at the balanced block count), and
-the inner loop is BLAS-vectorized instead of one Catalyst fold per
-pair (measured ~19× on the 10× embeddings tier; see
-BENCH_SCALE_PROBE.json).
+the inner loop is vectorized numpy instead of one Catalyst fold per
+pair. Measured at the 10× embeddings tier (20,000 vectors, 2×10⁸
+pairs — BENCH_SCALE_PROBE.json ann10): the old BroadcastNestedLoopJoin
+engine needs 118 s where the full kernel BUILD (including node/edge
+writes and the rank window) takes 46 s same-run under heavy external
+VM load, 14 s warm in a quiet window — and build wall grows ~4.6× for
+a 100× pair-count growth, the topology absorbing the quadratic.
 
 Bit-identity contract: results must be indistinguishable from the SQL
 pair loop's (the S16 serving twins are pinned result-identical to the

@@ -51,9 +51,11 @@ What IS fixable is the topology, and r09 fixed it: candidate
 enumeration now runs as balanced block-pair groups with a vectorized
 numpy kernel (equi-join shuffle, bounded task memory, no
 BroadcastNestedLoopJoin, no corpus broadcast), bit-identical to the
-SQL fold and ~19× faster at the 10× embeddings tier; the stream
-updater ships the stored corpus through the shuffle once per
-micro-batch.
+SQL fold; at the 10× embeddings tier the full build (writes included)
+runs 2.6× faster than the bare nested-loop pair scan same-run and the
+build wall grows ~4.6× for 100× the pair count
+(BENCH_SCALE_PROBE.json ann10); the stream updater ships the stored
+corpus through the shuffle once per micro-batch.
 """
 
 from __future__ import annotations
