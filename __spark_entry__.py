@@ -52,14 +52,16 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
 #: Round 9: the three r08 two-phase-top-k riders that missed the r08
-#: window (carried in per VERDICT r08 #2); no registered operator's
-#: implementation changes in r09 itself (the S16 build/stream rewrite
-#: and S14-served REST routes are pytest-pinned serving twins, not
+#: window (carried in per VERDICT r08 #2), plus D5b — its pair engine
+#: moved from the corpus-broadcast BroadcastNestedLoopJoin to the
+#: block-pair kernel this round (the S16 build/stream rewrite and
+#: S14-served REST routes are pytest-pinned serving twins, not
 #: registered queries).
 _CHANGED_THIS_ROUND = (
     "ann_cosine_topk",
     "ann_recall_eval",
     "ann_hamming_rerank",
+    "dedup_embedding_cosine_prefiltered",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -89,6 +91,10 @@ _SENTINELS = (
     "ann_cosine_topk",
     "ann_recall_eval",
     "ann_hamming_rerank",
+    # changed THIS round: pair engine moved to the block-pair kernel
+    # (bit-identical by construction; verify it against the all-pairs
+    # oracle on the driver too)
+    "dedup_embedding_cosine_prefiltered",
     # displaced from the r08 window for X13's slot
     "text_stem_normalize",
     # oldest driver debt: every remaining r03 row
@@ -131,6 +137,7 @@ _SENTINELS = (
     "corpus_hash_split",
     "corpus_profile",
     # oldest r05 rows to fill the window (remaining r05 debt —
+    # tpch_q12_ship_delay displaced for D5b's changed-engine slot, plus
     # corpus_bigram_counts/global_shuffle/length_histogram/
     # stratified_sample/temperature_sample/training_manifest,
     # events_daily_anomaly, events_volume_ewma, job_parallelism_report,
@@ -139,7 +146,6 @@ _SENTINELS = (
     "applications_app_window",
     "applications_status_completed",
     "multimodal_phash_groups",
-    "tpch_q12_ship_delay",
 )
 
 #: rounds 1-7 window history (kept for the audit trail; these names are

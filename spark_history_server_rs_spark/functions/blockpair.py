@@ -124,8 +124,10 @@ def _empty_edges():
     )
 
 
-def _qualifying(pdf, tau, hmax, self_pair):
-    """Edge rows (both directions) for one block pair."""
+def _qualifying(pdf, tau, hmax, self_pair, mirror=True):
+    """Edge rows for one block pair — both directions when ``mirror``
+    (the graph shape), one row per unordered pair when not (the dedup
+    pair-report shape, a < b by id)."""
     import numpy as np
     import pandas as pd
 
@@ -182,6 +184,13 @@ def _qualifying(pdf, tau, hmax, self_pair):
     cos = np.floor(dots * 1000000.0 + 0.5) / 1000000.0
     keep = cos >= tau
     ii, jj, cos = ii[keep], jj[keep], cos[keep]
+    if not mirror:
+        # one row per unordered pair, smaller id first (off-diagonal
+        # blocks can see either orientation — the hash blocks don't
+        # order ids)
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame({"src_id": lo, "dst_id": hi, "cosine": cos})
     return pd.DataFrame(
         {
             "src_id": np.concatenate([ida[ii], idb[jj]]),
@@ -197,16 +206,19 @@ def pair_edges_blocked(
     hmax: int,
     right: DataFrame | None = None,
     rows_per_block: int = ROWS_PER_BLOCK,
+    mirror: bool = True,
 ) -> DataFrame:
-    """All τ-and-popcount-qualifying cosine edges, BOTH directions, over
-    ``(vec_id, nv, sketch)`` relations.
+    """All τ-and-popcount-qualifying cosine edges over
+    ``(vec_id, nv, sketch)`` relations — both directions when
+    ``mirror`` (graph adjacency), one ``src_id < dst_id`` row per
+    unordered pair when not (dedup pair reports).
 
     Self mode (``right is None``): every unordered pair of ``nodes``
-    once, mirrored — the batch-build shape. Cross mode: every
-    (nodes × right) pair, mirrored — the stream-maintenance shape,
-    where ``nodes`` is the arriving batch and ``right`` the stored
-    corpus; only the big side is blocked, the batch ships to every
-    block (cost scales with batch × corpus, never corpus²).
+    once — the batch-build shape. Cross mode: every (nodes × right)
+    pair — the stream-maintenance shape, where ``nodes`` is the
+    arriving batch and ``right`` the stored corpus; only the big side
+    is blocked, the batch ships to every block (cost scales with
+    batch × corpus, never corpus²).
 
     The count() here is one column-pruned parquet-footer action to size
     the block count — the same bounded-driver-payload class as the
@@ -252,7 +264,7 @@ def pair_edges_blocked(
             # empty hash block would make a gi<gj group look diagonal
             # and double-emit block i's internal pairs
             self_pair = bool(pdf["gi"].iat[0] == pdf["gj"].iat[0])
-            return _qualifying(pdf, tau, hmax, self_pair)
+            return _qualifying(pdf, tau, hmax, self_pair, mirror)
 
         return rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
 
@@ -273,6 +285,6 @@ def pair_edges_blocked(
     rep = a_side.unionByName(b_side)
 
     def kernel_cross(pdf):
-        return _qualifying(pdf, tau, hmax, self_pair=False)
+        return _qualifying(pdf, tau, hmax, self_pair=False, mirror=mirror)
 
     return rep.groupBy("gj").applyInPandas(kernel_cross, out_schema)

@@ -1011,7 +1011,8 @@ FROM normed a JOIN normed b
   -- ON-clause conjunct order matters on the Spark side: with the
   -- threshold as an outer WHERE, Catalyst pushes it into the join ahead
   -- of the id ordering and the fold runs on all n² pairs instead of
-  -- n²/2 (see _COS_PREFILTERED_SPARK for the measured variant)
+  -- n²/2 (measured 2.3× on the prefiltered variant D5b carried
+  -- before its r09 move to the block kernel)
   ON a.vec_id < b.vec_id
  AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {thr}
 ORDER BY vec_a, vec_b
@@ -1109,59 +1110,67 @@ def hamming_cutoff(threshold: float, bits: int = EMBEDDING_SKETCH_BITS) -> int:
     return min(bits, math.ceil(bits * p + 4.0 * math.sqrt(bits * p * (1.0 - p))))
 
 
-_COS_PREFILTERED_SPARK = """
-WITH sk AS (
-  SELECT /*+ REPARTITION({parts}) */ vec_id,
-         transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
-                                   ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
-         {sketch} AS sketch
-  FROM {src}
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) AS cosine
-FROM sk a JOIN sk b
-  -- conjunct order is load-bearing: BroadcastNestedLoopJoin evaluates
-  -- the condition left-to-right with && short-circuiting, and Catalyst
-  -- keeps the ON-clause order. Writing the threshold as an outer WHERE
-  -- instead lets the optimizer push it into the join AHEAD of the cheap
-  -- predicates — the 128-dim fold then runs on every one of the n²/2
-  -- pairs and the popcount prefilter is defeated (measured 2.3× slower).
-  ON a.vec_id < b.vec_id
- AND bit_count(a.sketch ^ b.sketch) <= {hmax}
- AND FLOOR(({dot}) * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE) >= {thr}
-ORDER BY vec_a, vec_b
-"""
 
 
 def embedding_cosine_dups_prefiltered(emb: DataFrame) -> DataFrame:
     """D5b: cosine near-dup with a popcount Hamming prefilter — the
     registry default / 100 TB path for D5.
 
-    The pair loop runs on (vec_id, 4-byte sketch): integer XOR+popcount
-    inside whole-stage codegen rejects pairs before any per-pair float
-    fold, and at ingest the sketch column persists at ~1.5% the footprint
-    of the float embeddings, so the prefilter scan is column-pruned to
-    almost nothing. The cutoff comes from :func:`hamming_cutoff` (binomial
-    mean + 4σ), which bounds per-pair drop probability at ~3e-5 (see
-    :func:`hamming_cutoff` — probabilistic) — this function is differentially
-    checked against the ALL-PAIRS oracle (ORACLE_COSINE_DUPS), i.e. a
-    different plan must produce identical results. Parallelism follows the
-    session's defaultParallelism, never a hard-coded width.
+    r09 engine: the pair loop runs through the vectorized block-pair
+    kernel (``functions/blockpair`` — the same topology as the S16
+    graph build): nodes hash into bounded blocks, candidates enumerate
+    as balanced block-pair groups over an equi-join shuffle, and each
+    group's popcount prefilter + survivor cosine folds run in one
+    Arrow-batched numpy task. vs the previous single
+    BroadcastNestedLoopJoin this removes the corpus broadcast (the BNLJ
+    ships one ENTIRE side to every executor — a driver/executor memory
+    wall long before 100 TB), bounds per-task memory by the block size,
+    and replaces per-pair Catalyst folds with vectorized batches
+    (measured 2.4× same-run at the 10× embeddings tier for the graph
+    twin of this loop, BENCH_SCALE_PROBE.json ann10).
+
+    Semantics are unchanged and still differentially checked against
+    the ALL-PAIRS oracle (ORACLE_COSINE_DUPS — a different plan must
+    produce identical rows): the kernel reproduces ``_DOT``'s strict
+    left fold bit-for-bit, applies the same r6 snap, and the SAME
+    :func:`hamming_cutoff` (binomial mean + 4σ, per-pair drop
+    probability ~3e-5 — probabilistic) rejects pairs before any float
+    fold. The sketch column still persists at ~1.5 % of the float
+    footprint, so candidate enumeration reads almost nothing.
     """
+    from ..functions.blockpair import pair_edges_blocked
+
+    # vec_id IS NOT NULL mirrors the SQL form's semantics exactly: a
+    # NULL id could never satisfy `a.vec_id < b.vec_id`, so it never
+    # reached the output there either — here it must not reach the
+    # kernel's int64 id arrays
     with scoped_temp_view(
-        emb.where("embedding IS NOT NULL"), "_dedup_emb"
+        emb.where("embedding IS NOT NULL AND vec_id IS NOT NULL"),
+        "_dedup_emb",
     ) as ev:
-        return emb.sparkSession.sql(
-            _COS_PREFILTERED_SPARK.format(
-                parts=emb.sparkSession.sparkContext.defaultParallelism,
+        nodes = emb.sparkSession.sql(
+            """
+SELECT vec_id,
+       transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
+       {sketch} AS sketch
+FROM {src}
+""".format(
                 norm=_NORM.format(v="embedding"),
                 sketch=_dedup_sketch_expr("embedding"),
                 src=ev,
-                dot=_DOT.format(a="a.nv", b="b.nv"),
-                hmax=hamming_cutoff(COSINE_DUP_THRESHOLD),
-                thr=COSINE_DUP_THRESHOLD,
             )
         )
+    return (
+        pair_edges_blocked(
+            nodes,
+            COSINE_DUP_THRESHOLD,
+            hamming_cutoff(COSINE_DUP_THRESHOLD),
+            mirror=False,
+        )
+        .selectExpr("src_id AS vec_a", "dst_id AS vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # ==========================================================================

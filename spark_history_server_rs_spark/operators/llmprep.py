@@ -2735,7 +2735,8 @@ dropped AS (
     -- non-equi residual runs interpreted per matched pair in written
     -- order, and a WHERE-form threshold gets merged in FIRST — the fold
     -- then runs before the cheap id check (measured 1.8×; same family
-    -- as the BNLJ rule in dedup._COS_PREFILTERED_SPARK)
+    -- as the BNLJ conjunct rule dedup's pair loops carried before the
+    -- r09 block kernel; dedup._COS_PAIRS_TAIL keeps the measured note)
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
    AND CAST(FLOOR(({dotp}) * 1000000.0 + 0.5) AS BIGINT) >= {tau_int}
 )

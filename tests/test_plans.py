@@ -456,25 +456,29 @@ def test_tpch_round2_batch3_plan_gates(spark):
 
 
 def test_cosine_dedup_repartition_scales_with_cluster(spark):
-    """D5/D5b gate: the quadratic pair loop's parallelism must follow the
-    session's defaultParallelism — a fixed-width repartition (the old
-    REPARTITION(16)) caps a 1000-executor cluster at 16 tasks."""
+    """D5/D5b scale gates. D5 (the exact all-pairs BASELINE_ONLY op):
+    pair-loop parallelism must follow the session's defaultParallelism —
+    a fixed-width repartition (the old REPARTITION(16)) caps a
+    1000-executor cluster at 16 tasks. D5b (the registry default):
+    since r09 it rides the block-pair kernel — the plan must show the
+    grouped-pandas exchange and NO BroadcastNestedLoopJoin (the old
+    form broadcast the whole corpus to every executor); the popcount
+    prefilter moved inside the kernel with the same binomial-4σ
+    cutoff."""
     from spark_history_server_rs_spark.operators import dedup
     from spark_history_server_rs_spark.sources.generic import load_table
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
     expected = f"RoundRobinPartitioning({spark.sparkContext.defaultParallelism})"
-    for fn in (dedup.embedding_cosine_dups, dedup.embedding_cosine_dups_prefiltered):
-        df = fn(emb)
-        plan = I.explain_str(df, "simple")
-        assert expected in plan, f"{fn.__name__}: want {expected}"
-        assert "RoundRobinPartitioning(16)" not in plan or expected.endswith("(16)")
+    df = dedup.embedding_cosine_dups(emb)
+    plan = I.explain_str(df, "simple")
+    assert expected in plan, f"want {expected}"
+    assert "RoundRobinPartitioning(16)" not in plan or expected.endswith("(16)")
 
-    # D5b: the popcount prefilter is part of the JOIN condition (rejects
-    # pairs before any float fold), and the cutoff follows the binomial
-    # mean + 4σ rule (drop probability ~3e-5/pair)
     pre = dedup.embedding_cosine_dups_prefiltered(emb)
-    assert "bit_count" in I.explain_str(pre, "simple")
+    pplan = I.explain_str(pre, "formatted")
+    assert "BroadcastNestedLoopJoin" not in pplan
+    assert "FlatMapGroupsInPandas" in pplan
     assert dedup.hamming_cutoff(0.4) == 23
     assert dedup.hamming_cutoff(0.9) <= 14  # production regime: selective
 
