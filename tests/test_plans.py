@@ -1173,3 +1173,76 @@ def test_knn_graph_build_plan_block_kernel(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in ss, ss
     # stored-side exclusion of the arriving ids is a real anti-join
     assert "LeftAnti" in ss, ss
+
+
+def test_blockpair_kernel_modes_agree(spark):
+    """The block-pair kernel's four mode combinations state one pair
+    set: self+mirror (graph adjacency) is exactly the mirrored closure
+    of self+unmirrored (dedup pair reports), and cross mode over a
+    split corpus reproduces exactly the cross-split subset — at several
+    block sizes, so diagonal/off-diagonal group handling and the
+    empty-block guard all get exercised."""
+    from spark_history_server_rs_spark.functions.blockpair import (
+        pair_edges_blocked,
+    )
+    from spark_history_server_rs_spark.operators.dedup import (
+        _NORM,
+        _dedup_sketch_expr,
+        hamming_cutoff,
+    )
+    from spark_history_server_rs_spark.functions.views import scoped_temp_view
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(
+        "embedding IS NOT NULL AND vec_id IS NOT NULL"
+    )
+    with scoped_temp_view(emb, "_bp_emb") as ev:
+        nodes = spark.sql(
+            """
+SELECT vec_id,
+       transform(embedding, x -> CASE WHEN {n} = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(x AS DOUBLE) / {n} END) AS nv,
+       {s} AS sketch
+FROM {src}
+""".format(n=_NORM.format(v="embedding"), s=_dedup_sketch_expr("embedding"),
+           src=ev)
+        ).cache()
+        nodes.count()
+    tau, hmax = 0.4, hamming_cutoff(0.4)
+    base = None
+    for rpb in (4096, 97):
+        half = sorted(
+            tuple(r)
+            for r in pair_edges_blocked(
+                nodes, tau, hmax, rows_per_block=rpb, mirror=False
+            ).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in pair_edges_blocked(
+                nodes, tau, hmax, rows_per_block=rpb
+            ).collect()
+        )
+        assert len(half) > 0
+        mirrored = sorted(
+            half + [(b, a, c) for (a, b, c) in half]
+        )
+        assert full == mirrored, rpb
+        if base is None:
+            base = half
+        else:
+            assert half == base  # block size cannot change the pair set
+
+        new = nodes.where("vec_id >= 400")
+        old = nodes.where("vec_id < 400")
+        cross_half = sorted(
+            tuple(r)
+            for r in pair_edges_blocked(
+                new, tau, hmax, right=old, rows_per_block=rpb, mirror=False
+            ).collect()
+        )
+        expected = sorted(
+            t for t in base if (t[0] >= 400) != (t[1] >= 400)
+        )
+        assert cross_half == expected, rpb
+    nodes.unpersist()
