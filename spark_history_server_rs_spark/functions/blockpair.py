@@ -124,26 +124,40 @@ def _empty_edges():
     )
 
 
+def _side_arrays(frame):
+    """(nv-matrix, id-vector, sketch-vector) from a pandas side."""
+    import numpy as np
+
+    A = np.array([np.asarray(v, dtype=np.float64) for v in frame["nv"]])
+    return (
+        A,
+        frame["vec_id"].to_numpy(dtype=np.int64),
+        frame["sketch"].to_numpy(dtype=np.int64),
+    )
+
+
 def _qualifying(pdf, tau, hmax, self_pair, mirror=True):
     """Edge rows for one block pair — both directions when ``mirror``
     (the graph shape), one row per unordered pair when not (the dedup
     pair-report shape, a < b by id)."""
-    import numpy as np
-    import pandas as pd
-
     a = pdf[pdf["side"] == 0]
     b = a if self_pair else pdf[pdf["side"] == 1]
     if a.empty or b.empty:
         return _empty_edges()
-    A = np.array([np.asarray(v, dtype=np.float64) for v in a["nv"]])
-    ida = a["vec_id"].to_numpy(dtype=np.int64)
-    ska = a["sketch"].to_numpy(dtype=np.int64)
+    A, ida, ska = _side_arrays(a)
     if self_pair:
         Bm, idb, skb = A, ida, ska
     else:
-        Bm = np.array([np.asarray(v, dtype=np.float64) for v in b["nv"]])
-        idb = b["vec_id"].to_numpy(dtype=np.int64)
-        skb = b["sketch"].to_numpy(dtype=np.int64)
+        Bm, idb, skb = _side_arrays(b)
+    return _edges_from_arrays(
+        A, ida, ska, Bm, idb, skb, tau, hmax, self_pair, mirror
+    )
+
+
+def _edges_from_arrays(A, ida, ska, Bm, idb, skb, tau, hmax, self_pair, mirror):
+    import numpy as np
+    import pandas as pd
+
     mask = _hamming(ska, skb) <= hmax
     if self_pair:
         # each unordered pair once (a < b), mirrored on emit — the
@@ -288,3 +302,50 @@ def pair_edges_blocked(
         return _qualifying(pdf, tau, hmax, self_pair=False, mirror=mirror)
 
     return rep.groupBy("gj").applyInPandas(kernel_cross, out_schema)
+
+
+def pair_edges_broadcast_cross(
+    small: DataFrame, big: DataFrame, tau: float, hmax: int
+) -> DataFrame:
+    """Cross-mode edges (both directions) with the SMALL side broadcast
+    — the streaming-maintenance topology: a bounded micro-batch against
+    an unbounded stored corpus.
+
+    The blocked cross form ships the batch to every stored block, which
+    is batch × (corpus / block-size) replicated rows per micro-batch —
+    fine at test scale, quadratic-adjacent at 100 TB. Here the batch's
+    (id, nv, sketch) arrays ride a torrent broadcast (the same
+    small-side-broadcast assumption the pre-r09 BroadcastNestedLoopJoin
+    form made implicitly, now explicit and bounded by the micro-batch
+    trigger), and the stored corpus is consumed by ``mapInPandas`` —
+    a NARROW plan: no shuffle, no replication, one pass over the
+    stored partitions per micro-batch (plan-gated). Emission is
+    src=small / dst=stored plus the mirror, exactly the blocked cross
+    mode's output (pinned identical by test)."""
+    import numpy as np
+
+    rows = small.select("vec_id", "nv", "sketch").collect()
+    if not rows:
+        empty = "src_id long, dst_id long, cosine double"
+        return small.sparkSession.createDataFrame([], empty)
+    A = np.array([np.asarray(r["nv"], dtype=np.float64) for r in rows])
+    ida = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    ska = np.array([r["sketch"] for r in rows], dtype=np.int64)
+    bc = small.sparkSession.sparkContext.broadcast((A, ida, ska))
+
+    def gen(batches):
+        A, ida, ska = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Bm, idb, skb = _side_arrays(pdf)
+            out = _edges_from_arrays(
+                A, ida, ska, Bm, idb, skb, tau, hmax,
+                self_pair=False, mirror=True,
+            )
+            if len(out):
+                yield out
+
+    return big.select("vec_id", "nv", "sketch").mapInPandas(
+        gen, "src_id long, dst_id long, cosine double"
+    )

@@ -93,21 +93,33 @@ FROM {src}
 
 def _stream_edges_df(new_nodes: DataFrame, stored: DataFrame) -> DataFrame:
     """τ-qualifying edges an arriving batch adds: new × stored (the
-    stored side excludes the batch's own ids — LEFT ANTI, never NOT IN,
-    which goes UNKNOWN for every stored node if one NULL id arrives)
-    plus the batch's internal pairs, both directions, through the same
-    vectorized block kernel as the batch build (bit-identical cosines —
-    see ``functions/blockpair``). Cost scales with batch × corpus
-    (the exact contract's floor — see the kernel module doc for why no
-    sound index can prune the stored side at τ = {tau}), with the
-    corpus crossing the shuffle exactly once and never as a nested
-    loop.""".format(tau=KNN_GRAPH_TAU)
-    from ..functions.blockpair import pair_edges_blocked
+    stored side excludes the batch's own ids — broadcast LEFT ANTI,
+    never NOT IN, which goes UNKNOWN for every stored node if one NULL
+    id arrives) plus the batch's internal pairs, both directions,
+    through the same vectorized kernel as the batch build
+    (bit-identical cosines — see ``functions/blockpair``). Cost scales
+    with batch × corpus (the exact contract's floor — see the kernel
+    module doc for why no sound index can prune the stored side at
+    τ = {tau}), and the TOPOLOGY is the streaming one: the bounded
+    batch broadcasts, the stored corpus is read ONCE per micro-batch
+    with no shuffle and no replication (``pair_edges_broadcast_cross``,
+    plan-gated narrow).""".format(tau=KNN_GRAPH_TAU)
+    from pyspark.sql import functions as F
+
+    from ..functions.blockpair import (
+        pair_edges_blocked,
+        pair_edges_broadcast_cross,
+    )
     from ..operators.dedup import hamming_cutoff
 
-    old = stored.join(new_nodes.select("vec_id"), "vec_id", "left_anti")
+    # the batch is the bounded side twice over: broadcast-hinted into
+    # the stored-side anti-join (narrow) and array-broadcast into the
+    # cross kernel — the stored corpus is read once, shuffle-free
+    old = stored.join(
+        F.broadcast(new_nodes.select("vec_id")), "vec_id", "left_anti"
+    )
     hmax = hamming_cutoff(KNN_GRAPH_TAU)
-    cross = pair_edges_blocked(new_nodes, KNN_GRAPH_TAU, hmax, right=old)
+    cross = pair_edges_broadcast_cross(new_nodes, old, KNN_GRAPH_TAU, hmax)
     internal = pair_edges_blocked(new_nodes, KNN_GRAPH_TAU, hmax)
     return (
         cross.unionByName(internal)

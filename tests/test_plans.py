@@ -1170,9 +1170,33 @@ def test_knn_graph_build_plan_block_kernel(spark, tmp_path):
     )
     ss = I.explain_str(stream, "formatted")
     assert "BroadcastNestedLoopJoin" not in ss, ss
+    # batch-internal pairs ride the blocked self kernel...
     assert "FlatMapGroupsInPandas" in ss, ss
-    # stored-side exclusion of the arriving ids is a real anti-join
+    # ...while the batch × stored cross rides the BROADCAST kernel: the
+    # stored corpus is consumed by a narrow MapInPandas — no shuffle
+    # anywhere on its path (the only exchanges in the stream plan belong
+    # to the tiny batch-internal group-by)
+    assert "MapInPandas" in ss, ss
+    # stored-side exclusion of the arriving ids is a broadcast anti-join
     assert "LeftAnti" in ss, ss
+
+    from spark_history_server_rs_spark.functions.blockpair import (
+        pair_edges_broadcast_cross,
+    )
+    from spark_history_server_rs_spark.operators.dedup import hamming_cutoff
+    from spark_history_server_rs_spark.operators.similarity import (
+        KNN_GRAPH_TAU,
+    )
+
+    cross_only = pair_edges_broadcast_cross(
+        nodes.where("vec_id >= 400"),
+        nodes.where("vec_id < 400"),
+        KNN_GRAPH_TAU,
+        hamming_cutoff(KNN_GRAPH_TAU),
+    )
+    sc = I.explain_str(cross_only, "formatted")
+    assert "MapInPandas" in sc, sc
+    assert "Exchange" not in sc, sc  # narrow end to end
 
 
 def test_blockpair_kernel_modes_agree(spark):
@@ -1245,4 +1269,22 @@ FROM {src}
             t for t in base if (t[0] >= 400) != (t[1] >= 400)
         )
         assert cross_half == expected, rpb
+
+    # the streaming topology (small side broadcast, stored side narrow)
+    # states the same cross pair set as the blocked form, mirrored
+    from spark_history_server_rs_spark.functions.blockpair import (
+        pair_edges_broadcast_cross,
+    )
+
+    new = nodes.where("vec_id >= 400")
+    old = nodes.where("vec_id < 400")
+    bcast = sorted(
+        tuple(r)
+        for r in pair_edges_broadcast_cross(new, old, tau, hmax).collect()
+    )
+    expected_m = sorted(
+        [(a, b, c) for (a, b, c) in expected] +
+        [(b, a, c) for (a, b, c) in expected]
+    )
+    assert bcast == expected_m
     nodes.unpersist()
