@@ -54,8 +54,9 @@ BroadcastNestedLoopJoin, no corpus broadcast), bit-identical to the
 SQL fold; at the 10× embeddings tier the full build (writes included)
 runs 2.6× faster than the bare nested-loop pair scan same-run and the
 build wall grows ~4.6× for 100× the pair count
-(BENCH_SCALE_PROBE.json ann10); the stream updater ships the stored
-corpus through the shuffle once per micro-batch.
+(BENCH_SCALE_PROBE.json ann10); the stream updater broadcasts the
+bounded micro-batch and reads the stored corpus SHUFFLE-FREE (narrow
+``mapInPandas``, plan-gated).
 """
 
 from __future__ import annotations
