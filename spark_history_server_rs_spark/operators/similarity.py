@@ -604,6 +604,64 @@ pairs AS (
     )
 
 
+#: the (vec_id, nv, sketch) node projection every kernel-backed graph
+#: build derives from the embeddings — the SAME normalization/sketch
+#: expressions as the SQL pair loop's ``normed`` CTE (one source of
+#: truth: ``dedup._NORM`` / ``dedup._dedup_sketch_expr``), so kernel
+#: and SQL folds see identical inputs. NULL vec_ids are excluded: the
+#: SQL pair loop's ``a.vec_id < b.vec_id`` silently drops them from
+#: every edge, so excluding them up front is result-identical (and the
+#: kernel's int64 id arrays require it). Shared with the S16 index
+#: build (``sources/knn_graph.py``).
+_KNN_NODES_SQL = """
+SELECT vec_id,
+       transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
+       {sketch} AS sketch
+FROM {src}
+"""
+
+
+def _knn_nodes_df(emb: DataFrame) -> DataFrame:
+    """The kernel's node relation derived from a raw embeddings frame."""
+    from .dedup import _NORM, _dedup_sketch_expr
+
+    with scoped_temp_view(
+        emb.where("embedding IS NOT NULL AND vec_id IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        return emb.sparkSession.sql(
+            _KNN_NODES_SQL.format(
+                src=ev,
+                norm=_NORM.format(v="embedding"),
+                sketch=_dedup_sketch_expr("embedding"),
+            )
+        )
+
+
+def _knn_topk_from_nodes(nodes: DataFrame) -> DataFrame:
+    """X6's τ-thresholded top-k edge relation (src_id, dst_id, cosine,
+    rank) from a ``(vec_id, nv, sketch)`` node relation, with candidate
+    enumeration through the vectorized block-pair kernel
+    (``functions/blockpair``) — result-identical to the SQL pair loop
+    (the kernel reproduces its float64 fold bit-for-bit; pinned by
+    ``test_blockpair_kernel_modes_agree`` and the S16 identity pins)
+    but distributed as balanced equi-join groups instead of one
+    BroadcastNestedLoopJoin evaluating O(n²) Catalyst folds. Shared by
+    the in-session materialized cache below and the S16 index build."""
+    from ..functions.blockpair import pair_edges_blocked
+    from .dedup import hamming_cutoff
+
+    pairs = pair_edges_blocked(
+        nodes, KNN_GRAPH_TAU, hamming_cutoff(KNN_GRAPH_TAU)
+    )
+    with scoped_temp_view(pairs, "_sim_knn_pairs") as pv:
+        return nodes.sparkSession.sql(
+            f"WITH pairs AS (SELECT src_id, dst_id, cosine FROM {pv}),"
+            + _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
+            + "\nSELECT src_id, dst_id, cosine, rank FROM topk"
+        )
+
+
 def _knn_pairs_duck(src: str) -> str:
     """The all-pairs oracle twin of :func:`_knn_pairs_spark`."""
     from .dedup import _NORMED_DUCK
@@ -632,21 +690,21 @@ def materialized_knn_topk_df(emb: DataFrame) -> DataFrame:
     sketch-prefiltered pair loop per reference — measured 13.8 s vs
     4.4 s for the single-reference X12 at sf0.1. The durable
     cross-session form of this cache is the S16 index
-    (``sources/knn_graph.py``)."""
+    (``sources/knn_graph.py``).
+
+    The BUILD runs through the vectorized block-pair kernel
+    (:func:`_knn_topk_from_nodes`) — the same topology as the S16
+    index build, no BroadcastNestedLoopJoin (plan-gated). The
+    registered ``ann_knn_graph`` keeps the SQL pair-loop form as the
+    cross-check lattice's spec member (DuckDB oracle ↔ popcount-BNLJ
+    SQL ↔ block kernel); this cache, which every live X12/X13 call
+    rides, gets the scale topology."""
     from .dedup import _materialized_df
 
     spark = emb.sparkSession
 
     def build():
-        parts = spark.sparkContext.defaultParallelism
-        with scoped_temp_view(
-            emb.where("embedding IS NOT NULL"), "_sim_emb"
-        ) as ev:
-            return spark.sql(
-                _knn_pairs_spark(ev, parts)
-                + _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
-                + "\nSELECT src_id, dst_id, cosine, rank FROM topk"
-            )
+        return _knn_topk_from_nodes(_knn_nodes_df(emb))
 
     return _materialized_df(
         spark, "_sim_knn_topk", emb.semanticHash(), build
@@ -687,6 +745,16 @@ def _oracle_knn_graph() -> str:
 
 
 ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
+
+#: Registry metadata mirroring ``dedup.BASELINE_ONLY``: registered ops
+#: whose catalog form is the SQL spec of the cross-check lattice (kept
+#: runnable at oracle scale), while production serving rides a durable
+#: index — the value names the (build, serve) pair in
+#: ``sources/knn_graph.py`` a catalog user should reach for at scale.
+#: tests/test_oracle_parity.py pins keys registered + siblings existing.
+INDEX_SERVED: dict[str, tuple[str, str]] = {
+    "ann_knn_graph": ("write_knn_graph", "ann_knn_graph_from_index"),
+}
 
 
 # ==========================================================================

@@ -68,23 +68,55 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in s
 
 
+_PY_WORKER_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+)
+
+
 def has_python_worker(df: DataFrame) -> bool:
     """True if the plan spawns a Python worker (row-at-a-time UDF, Pandas
     UDF, mapInPandas/applyInPandas, ...). The hot-path operators are gated
     on this being False — Python in the plan means Arrow/pickle transfer
     and a second runtime per executor core."""
     s = explain_str(df, "simple")
-    return any(
-        marker in s
-        for marker in (
-            "BatchEvalPython",
-            "ArrowEvalPython",
-            "MapInPandas",
-            "FlatMapGroupsInPandas",
-            "PythonMapInArrow",
-            "MapInArrow",
-        )
-    )
+    return any(marker in s for marker in _PY_WORKER_MARKERS)
+
+
+def strip_cached_subtrees(text: str) -> str:
+    """Plan text with every ``InMemoryRelation``'s rendered child
+    removed. A cached relation renders its BUILD plan inline, but that
+    plan ran once when the cache was populated — it is not this query's
+    serving-time work, so gates about a query's own plan must not see
+    markers from inside the cache (e.g. the sanctioned Arrow kernel
+    that builds the materialized kNN graph)."""
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    out = []
+    skip_deeper_than = None
+    for line in text.splitlines():
+        d = depth(line)
+        if skip_deeper_than is not None:
+            if d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_deeper_than = d
+    return "\n".join(out)
+
+
+def has_python_worker_outside_cache(df: DataFrame) -> bool:
+    """:func:`has_python_worker`, ignoring cached relations' rendered
+    build plans — the gate for queries SERVED from a populated cache."""
+    s = strip_cached_subtrees(explain_str(df, "simple"))
+    return any(marker in s for marker in _PY_WORKER_MARKERS)
 
 
 def single_partition_windows(df: DataFrame) -> int:

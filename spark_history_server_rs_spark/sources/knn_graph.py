@@ -67,6 +67,8 @@ from ..operators.similarity import (
     _GRAPH_EXPAND_AFTER,
     _GRAPH_EXPAND_SEEDS,
     _KNN_MUTUAL_SELECT,
+    _KNN_NODES_SQL,
+    _knn_topk_from_nodes,
     _bucket_expr,
     KNN_GRAPH_K,
     KNN_GRAPH_TAU,
@@ -83,14 +85,10 @@ KNN_GRAPH_RELATIONS = ("nodes", "edges", "meta")
 
 #: the stored-node projection: r6-normalized vector + the dedup-family
 #: 32-bit sign sketch (same expressions as the live pair loop's
-#: ``normed`` CTE, so stored and recomputed values are identical)
-_NODES_SQL = """
-SELECT vec_id,
-       transform(embedding, x -> CASE WHEN {norm} = 0 THEN CAST(0.0 AS DOUBLE)
-                                 ELSE CAST(x AS DOUBLE) / {norm} END) AS nv,
-       {sketch} AS sketch
-FROM {src}
-"""
+#: ``normed`` CTE, so stored and recomputed values are identical —
+#: shared with the in-session materialized graph cache in
+#: ``operators/similarity.py``)
+_NODES_SQL = _KNN_NODES_SQL
 
 def _stream_edges_df(new_nodes: DataFrame, stored: DataFrame) -> DataFrame:
     """τ-qualifying edges an arriving batch adds: new × stored (the
@@ -193,21 +191,12 @@ def knn_graph_edges_df(nodes: DataFrame) -> DataFrame:
     rounding bit-for-bit, see ``functions/blockpair``), but distributed
     as B(B+1)/2 balanced equi-join groups instead of one
     BroadcastNestedLoopJoin evaluating O(n²) Catalyst folds
-    (plan-gated: no BNLJ anywhere in the build)."""
-    from ..functions.blockpair import pair_edges_blocked
-    from ..functions.views import scoped_temp_view
-    from ..operators.dedup import hamming_cutoff
-    from ..operators.similarity import _KNN_EDGE_CTES
-
-    pairs = pair_edges_blocked(
-        nodes, KNN_GRAPH_TAU, hamming_cutoff(KNN_GRAPH_TAU)
+    (plan-gated: no BNLJ anywhere in the build). The kernel wiring
+    lives in ``operators/similarity._knn_topk_from_nodes`` — one
+    implementation for this build and the in-session cache."""
+    return _knn_topk_from_nodes(nodes).select(
+        "src_id", "dst_id", "cosine"
     )
-    with scoped_temp_view(pairs, "_knng_pairs") as pv:
-        return nodes.sparkSession.sql(
-            f"WITH pairs AS (SELECT src_id, dst_id, cosine FROM {pv}),"
-            + _KNN_EDGE_CTES.format(tau=KNN_GRAPH_TAU, k=KNN_GRAPH_K)
-            + "\nSELECT src_id, dst_id, cosine FROM topk"
-        )
 
 
 def write_knn_graph(emb: DataFrame, path: str) -> None:

@@ -51,6 +51,20 @@ def test_baseline_only_ops_have_registered_scale_siblings():
         assert baseline in QUERIES, baseline
         assert sibling in QUERIES, sibling
 
+    # INDEX_SERVED is the same contract for ops whose scale sibling is
+    # a durable-index (build, serve) pair rather than a registered
+    # query: the key must be registered (it IS the lattice's SQL spec
+    # form) and both named functions must exist in sources/knn_graph
+    from spark_history_server_rs_spark.operators.similarity import (
+        INDEX_SERVED,
+    )
+    from spark_history_server_rs_spark.sources import knn_graph
+
+    for spec_op, (build_fn, serve_fn) in INDEX_SERVED.items():
+        assert spec_op in QUERIES, spec_op
+        assert callable(getattr(knn_graph, build_fn)), build_fn
+        assert callable(getattr(knn_graph, serve_fn)), serve_fn
+
 
 def test_no_float_canonicalization_of_integral_columns(spark, oracle):
     """The driver fetches DuckDB results via pandas, where HUGEINT (any
