@@ -257,8 +257,18 @@ def pair_edges_blocked(
     out_schema = "src_id long, dst_id long, cosine double"
 
     if right is None:
-        pair_list = [(i, j) for i in range(B) for j in range(i, B)]
-        pairs_df = spark.createDataFrame(pair_list, "gi int, gj int")
+        # the B(B+1)/2 (gi, gj) block pairs, generated DISTRIBUTIVELY
+        # (one range row per gi, exploded to its gj tail): at the block
+        # counts the module doc targets (B ≈ n/2048) a driver-side
+        # Python list would be O((n/2048)²) driver memory before any
+        # executor work starts. The broadcast hint on the join stays —
+        # the pair relation is small relative to the replicated nodes.
+        pairs_df = spark.range(B).select(
+            F.col("id").cast("int").alias("gi"),
+            F.explode(
+                F.sequence(F.col("id").cast("int"), F.lit(B - 1))
+            ).alias("gj"),
+        )
         # side 0 = the gi block, side 1 = the gj block; the diagonal
         # (gi == gj) ships its block once and the kernel self-pairs it.
         # Each row participates in (B - g) pairs as side 0 and g pairs

@@ -81,6 +81,17 @@ from ..operators.dedup import cosine_expr_spark
 #: candidates touches at most min(b, N_GRAPH_BUCKETS) partitions
 N_GRAPH_BUCKETS = 16
 
+#: micro-batch rows above which the stream edge derivation abandons the
+#: driver-collect broadcast topology for the blocked cross kernel. The
+#: broadcast form assumes a BOUNDED batch (it collects the batch's
+#: arrays onto the driver) — but with ``trigger(availableNow=True)``
+#: and no ``maxFilesPerTrigger``, the FIRST batch of a large backlog is
+#: the whole backlog. At this cap the driver payload is ≤ 64 Ki rows ×
+#: (64 dims × 8 B + 16 B) ≈ 34 MB — torrent-broadcast territory;
+#: anything bigger routes through ``pair_edges_blocked`` cross mode,
+#: which needs no collect (pinned result-identical by test).
+STREAM_BROADCAST_MAX_ROWS = 65536
+
 KNN_GRAPH_RELATIONS = ("nodes", "edges", "meta")
 
 #: the stored-node projection: r6-normalized vector + the dedup-family
@@ -102,7 +113,13 @@ def _stream_edges_df(new_nodes: DataFrame, stored: DataFrame) -> DataFrame:
     τ = {tau}), and the TOPOLOGY is the streaming one: the bounded
     batch broadcasts, the stored corpus is read ONCE per micro-batch
     with no shuffle and no replication (``pair_edges_broadcast_cross``,
-    plan-gated narrow).""".format(tau=KNN_GRAPH_TAU)
+    plan-gated narrow). The broadcast assumption is ENFORCED, not
+    assumed: a batch above ``STREAM_BROADCAST_MAX_ROWS`` (e.g. the
+    whole backlog arriving as availableNow's first trigger) never
+    reaches the driver — it routes through the blocked cross kernel
+    instead (no collect, result-identical, pinned by test).""".format(
+        tau=KNN_GRAPH_TAU
+    )
     from pyspark.sql import functions as F
 
     from ..functions.blockpair import (
@@ -118,7 +135,14 @@ def _stream_edges_df(new_nodes: DataFrame, stored: DataFrame) -> DataFrame:
         F.broadcast(new_nodes.select("vec_id")), "vec_id", "left_anti"
     )
     hmax = hamming_cutoff(KNN_GRAPH_TAU)
-    cross = pair_edges_broadcast_cross(new_nodes, old, KNN_GRAPH_TAU, hmax)
+    if new_nodes.count() <= STREAM_BROADCAST_MAX_ROWS:
+        cross = pair_edges_broadcast_cross(
+            new_nodes, old, KNN_GRAPH_TAU, hmax
+        )
+    else:
+        cross = pair_edges_blocked(
+            new_nodes, KNN_GRAPH_TAU, hmax, right=old
+        )
     internal = pair_edges_blocked(new_nodes, KNN_GRAPH_TAU, hmax)
     return (
         cross.unionByName(internal)
@@ -376,7 +400,11 @@ def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
     Cost scales with the batch: the pair work is (batch × nodes)
     through the vectorized block kernel — never nodes × nodes, never a
     nested loop, and the stored corpus crosses the shuffle once per
-    micro-batch (see :func:`_stream_edges_df`).
+    micro-batch (see :func:`_stream_edges_df`). Batches above
+    ``STREAM_BROADCAST_MAX_ROWS`` (availableNow's first trigger over a
+    large backlog, absent a ``maxFilesPerTrigger`` bound on the source)
+    skip the driver-collect broadcast and ride the blocked cross
+    kernel — the first batch of a 100 TB backlog cannot OOM the driver.
 
     Semantics: ``foreachBatch`` + parquet append is at-least-once — a
     retried batch appends byte-identical edge/node rows (cosines are

@@ -1208,6 +1208,54 @@ def test_knn_graph_build_plan_block_kernel(spark, tmp_path):
     assert "Exchange" not in sc, sc  # narrow end to end
 
 
+def test_knn_graph_stream_batch_guard(spark, tmp_path, monkeypatch):
+    """The S16 stream's broadcast topology collects the micro-batch onto
+    the driver — sound only while the batch is bounded. Above
+    STREAM_BROADCAST_MAX_ROWS (availableNow's first trigger over a big
+    backlog) the edge derivation must route through the blocked cross
+    kernel instead: same edge set (pinned row-for-row against the
+    broadcast path), NO MapInPandas (the broadcast path's marker — the
+    guarded plan's python stages are all grouped-kernel), and the
+    streamed index still equals the batch rebuild end to end."""
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources import knn_graph as kg
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "knng_guard")
+    kg.write_knn_graph(emb, path)
+    nodes = spark.read.parquet(f"{path}/nodes")
+    batch, stored = nodes.where("vec_id >= 400"), nodes
+
+    small = sorted(
+        tuple(r) for r in kg._stream_edges_df(batch, stored).collect()
+    )
+    monkeypatch.setattr(kg, "STREAM_BROADCAST_MAX_ROWS", 0)
+    guarded_df = kg._stream_edges_df(batch, stored)
+    s = I.explain_str(guarded_df, "formatted")
+    assert "MapInPandas" not in s, s
+    assert "FlatMapGroupsInPandas" in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert sorted(tuple(r) for r in guarded_df.collect()) == small
+
+    # end to end: an incremental index whose one streamed batch exceeds
+    # the guard serves the same graph as the live operator
+    path2 = str(tmp_path / "knng_guard_inc")
+    kg.write_knn_graph(emb.where("vec_id < 350"), path2)
+    src = tmp_path / "knng_guard_arrivals"
+    emb.where("vec_id >= 350").coalesce(1).write.parquet(str(src))
+    q = kg.stream_update_knn_graph(
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(str(src)),
+        path2,
+        str(tmp_path / "knng_guard_ckpt"),
+    )
+    q.awaitTermination(180)
+    assert [
+        tuple(r) for r in kg.ann_knn_graph_from_index(spark, path2).collect()
+    ] == [tuple(r) for r in similarity.ann_knn_graph(emb).collect()]
+
+
 def test_blockpair_kernel_modes_agree(spark):
     """The block-pair kernel's four mode combinations state one pair
     set: self+mirror (graph adjacency) is exactly the mirrored closure
