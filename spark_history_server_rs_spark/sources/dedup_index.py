@@ -42,14 +42,20 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         path/band_keys/    (doc_id, band_key) PARTITIONED BY band_idx
         path/passages/     (doc_id, pos, phash)
         path/doc_ids/      (doc_id)   the indexed corpus membership
+        path/meta/         (n_docs)   pre-counted distinct membership
 
     One pass over the text builds shingles; band keys aggregate from the
     shingles plan (Catalyst reuses the projection); passage windows are
     an independent projection. ``doc_ids`` records WHICH corpus the
     index describes — a doc with no qualifying shingles still counts
     toward denominators (removed_frac), so the membership relation
-    cannot be recovered from ``shingles`` alone. All writes are
-    append-free overwrites — re-running the index job is idempotent.
+    cannot be recovered from ``shingles`` alone. ``meta`` caches the
+    COUNT(DISTINCT doc_id) the sweep's denominator needs, so a warm
+    sweep reads ONE row instead of re-counting membership per call;
+    it is written here and at compact time, and INVALIDATED (deleted)
+    by the stream updater before membership grows — a stale count can
+    never serve. All writes are append-free overwrites — re-running
+    the index job is idempotent.
     """
     from ..functions.views import scoped_temp_view
 
@@ -58,6 +64,7 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         shingles = spark.sql(_SHINGLES_SPARK.format(src=dv))
         passages = spark.sql(_PASSAGE_WINS_SPARK.format(src=dv))
     docs.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
+    _write_meta_n_docs(spark, path)
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
     bandkv = spark.sql(
         "WITH shingles AS (SELECT doc_id, shingle FROM "
@@ -69,6 +76,42 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         f"{path}/band_keys"
     )
     passages.write.mode("overwrite").parquet(f"{path}/passages")
+
+
+def _write_meta_n_docs(spark: SparkSession, path: str) -> None:
+    """Persist the one-row denominator cache from the CURRENT
+    ``doc_ids`` relation (write/compact time only — the stream updater
+    deletes this instead of maintaining it)."""
+    n = (
+        spark.read.parquet(f"{path}/doc_ids")
+        .select("doc_id").distinct().count()
+    )
+    spark.createDataFrame([(n,)], "n_docs bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def _delete_path(spark: SparkSession, target: str) -> None:
+    """FileSystem-level recursive delete (file://, hdfs://, s3a) —
+    the meta-invalidation primitive."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(target)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+
+
+def _meta_n_docs(spark: SparkSession, path: str) -> int | None:
+    """The pre-counted distinct membership, or None when no (valid)
+    meta relation exists."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/meta"):
+        return None
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    if not rows or "n_docs" not in rows[0].asDict():
+        return None
+    return int(rows[0]["n_docs"])
 
 
 def read_dedup_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
@@ -105,23 +148,32 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
 
 def dedup_threshold_sweep_from_index(
     spark: SparkSession, path: str, docs: DataFrame | None = None,
-    cap: int = HOT_SHINGLE_CAP,
+    cap: int = HOT_SHINGLE_CAP, verify_membership: bool = False,
 ) -> DataFrame:
     """D2d (the dedup-aggressiveness tuning curve) served from the S13
     index: candidate generation AND exact-Jaccard verification read the
     persisted ``shingles/`` relation (DISTINCT — at-least-once appends
     absorbed), so a warm sweep never re-tokenizes a document. The
-    removed_frac denominator comes from the index's own ``doc_ids/``
-    membership relation (DISTINCT for the same at-least-once reason) —
-    the sweep can never silently mix a drifted caller corpus with the
-    indexed pairs. When a ``docs`` frame IS passed, it is a drift
-    ASSERTION: its doc count must match the indexed membership, else
-    this raises instead of reporting fractions over the wrong corpus
-    (the repair is re-indexing or probing the delta —
+    removed_frac denominator is the index's own membership: the
+    pre-counted ``meta/n_docs`` row when present (one-row read — the
+    warm serving path never rescans ``doc_ids``; write/compact maintain
+    the count, the stream updater deletes it before membership grows,
+    so a stale count can never serve), else COUNT(DISTINCT) over
+    ``doc_ids/`` in-plan. When a ``docs`` frame IS passed, it is a
+    drift ASSERTION: by default a COUNT-BASED check (its row count must
+    match the indexed membership count — cheap, but an equal-size
+    different-membership corpus passes; results remain index-consistent
+    either way since the denominator never comes from ``docs``), or an
+    exact set-membership check with ``verify_membership=True`` (one
+    full-outer anti-probe over the distinct id sets). On drift this
+    raises instead of reporting fractions over the wrong corpus (the
+    repair is re-indexing or probing the delta —
     ``minhash_lsh_probe_index``). A pre-``doc_ids`` legacy index
     requires ``docs`` and keeps the old caller-supplied denominator.
     Result-identical to the live ``dedup_threshold_sweep`` over the
     indexed corpus (pinned by test)."""
+    from pyspark.sql import functions as F
+
     from ..functions.views import scoped_temp_view
     from .index_manifest import path_exists
 
@@ -134,19 +186,50 @@ def dedup_threshold_sweep_from_index(
             "write_dedup_index to persist corpus membership"
         )
     if has_membership:
-        denom = spark.read.parquet(f"{path}/doc_ids").select(
-            "doc_id"
-        ).distinct()
+        n_indexed = _meta_n_docs(spark, path)
+        if n_indexed is not None:
+            # warm path: the denominator is the pre-counted meta row —
+            # COUNT(*) over a Range, no membership rescan in the plan
+            denom = spark.range(n_indexed).select(
+                F.col("id").alias("doc_id")
+            )
+        else:
+            denom = spark.read.parquet(f"{path}/doc_ids").select(
+                "doc_id"
+            ).distinct()
         if docs is not None:
-            n_caller = docs.select("doc_id").count()
-            n_indexed = denom.count()
-            if n_caller != n_indexed:
-                raise ValueError(
-                    f"docs frame ({n_caller} docs) does not match the "
-                    f"indexed corpus ({n_indexed} docs) at {path} — "
-                    "re-index or probe the delta instead of sweeping a "
-                    "drifted corpus"
+            if verify_membership:
+                indexed = spark.read.parquet(f"{path}/doc_ids").select(
+                    "doc_id"
+                ).distinct()
+                drift = (
+                    docs.select("doc_id").distinct()
+                    .withColumn("c", F.lit(1))
+                    .join(
+                        indexed.withColumn("i", F.lit(1)),
+                        "doc_id", "full_outer",
+                    )
+                    .where("c IS NULL OR i IS NULL")
+                    .count()
                 )
+                if drift:
+                    raise ValueError(
+                        f"docs frame does not match the indexed corpus "
+                        f"at {path} ({drift} doc_ids differ) — re-index "
+                        "or probe the delta instead of sweeping a "
+                        "drifted corpus"
+                    )
+            else:
+                n_caller = docs.select("doc_id").count()
+                if n_indexed is None:
+                    n_indexed = denom.count()
+                if n_caller != n_indexed:
+                    raise ValueError(
+                        f"docs frame ({n_caller} docs) does not match "
+                        f"the indexed corpus ({n_indexed} docs) at "
+                        f"{path} — re-index or probe the delta instead "
+                        "of sweeping a drifted corpus"
+                    )
     else:
         denom = docs.select("doc_id")
     with scoped_temp_view(
@@ -320,6 +403,16 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
         stats.append(
             {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
         )
+    # restore the pre-counted sweep denominator the stream updater
+    # invalidated: the compacted doc_ids relation IS its distinct set,
+    # so its rows_after is COUNT(DISTINCT) — no extra job
+    n_docs = next(
+        s["rows_after"] for s in stats if s["relation"] == "doc_ids"
+    )
+    if n_docs is not None:
+        spark.createDataFrame([(n_docs,)], "n_docs bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
     # a compaction that changed the relations must leave an EXISTING
     # manifest attesting the new state (same contract as the shard
     # sink's compactor); manifest-less legacy layouts stay manifest-less
@@ -412,6 +505,20 @@ def stream_update_dedup_index(
                     _SHINGLES_SPARK.format(src=dv)
                 ).persist()
                 passages = spark.sql(_PASSAGE_WINS_SPARK.format(src=dv))
+            # membership FIRST (crash-safe ordering for the legacy
+            # probe above: a retry after a crash mid-batch must never
+            # see shingles-without-doc_ids on a fresh stream-built
+            # index, which would permanently classify it legacy), and
+            # the pre-counted meta denominator is DELETED before
+            # membership grows — a crash between the two leaves no
+            # meta (sweeps fall back to counting doc_ids), never a
+            # stale count
+            if not legacy:
+                if path_exists(spark, f"{path}/meta"):
+                    _delete_path(spark, f"{path}/meta")
+                batch_df.select("doc_id").write.mode("append").parquet(
+                    f"{path}/doc_ids"
+                )
             shingles.write.mode("append").parquet(f"{path}/shingles")
             try:
                 with scoped_temp_view(
@@ -427,12 +534,6 @@ def stream_update_dedup_index(
             finally:
                 shingles.unpersist()
             passages.write.mode("append").parquet(f"{path}/passages")
-            # corpus membership rides along so index-derived
-            # denominators (removed_frac) track streamed growth
-            if not legacy:
-                batch_df.select("doc_id").write.mode("append").parquet(
-                    f"{path}/doc_ids"
-                )
         finally:
             batch_df.unpersist()
 

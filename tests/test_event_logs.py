@@ -2929,7 +2929,16 @@ def test_dedup_threshold_sweep_from_index(spark, tmp_path):
     ] == live
 
     # the denominator comes from the index's own membership relation:
-    # no docs frame needed at all, same answer
+    # no docs frame needed at all, same answer — and the warm path
+    # reads the PRE-COUNTED meta row, not a membership rescan
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        _meta_n_docs,
+        compact_dedup_index,
+        stream_update_dedup_index,
+    )
+
+    n_docs = docs.select("doc_id").distinct().count()
+    assert _meta_n_docs(spark, path) == n_docs
     assert [
         tuple(r)
         for r in dedup_threshold_sweep_from_index(spark, path).collect()
@@ -2941,6 +2950,75 @@ def test_dedup_threshold_sweep_from_index(spark, tmp_path):
     with _pytest.raises(ValueError, match="does not match the indexed"):
         dedup_threshold_sweep_from_index(spark, path, docs.limit(10))
 
+    # the default drift check is COUNT-based (documented): an
+    # equal-size different-membership corpus passes it — the exact
+    # set check is the verify_membership opt-in
+    from pyspark.sql import functions as F
+
+    drifted = docs.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(-987654)).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(
+            spark, path, drifted
+        ).collect()
+    ] == live
+    with _pytest.raises(ValueError, match="doc_ids differ"):
+        dedup_threshold_sweep_from_index(
+            spark, path, drifted, verify_membership=True
+        )
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(
+            spark, path, docs, verify_membership=True
+        ).collect()
+    ] == live
+
+    # stream maintenance DELETES the pre-counted denominator before
+    # membership grows (a stale count can never serve), the sweep falls
+    # back to counting doc_ids and tracks the grown corpus, and
+    # compaction restores the meta row
+    newdoc = (
+        1000001,
+        "wholly invented nonce lexemes overlapping nothing indexed",
+        "en",
+    )
+    src = tmp_path / "sweep_stream_docs"
+    _write_doc_files(
+        src,
+        [[{"doc_id": newdoc[0], "text": newdoc[1], "lang": newdoc[2]}]],
+    )
+    q = stream_update_dedup_index(
+        spark.readStream.schema(
+            "doc_id long, text string, lang string"
+        ).json(str(src)),
+        path,
+        str(tmp_path / "sweep_stream_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert _meta_n_docs(spark, path) is None  # invalidated, not stale
+    full = docs.select("doc_id", "text", "lang").unionByName(
+        spark.createDataFrame([newdoc], "doc_id long, text string, lang string")
+    )
+    dedup.clear_materialized_caches()
+    live_full = [
+        tuple(r) for r in dedup.dedup_threshold_sweep(full).collect()
+    ]
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path).collect()
+    ] == live_full
+    compact_dedup_index(spark, path)
+    assert _meta_n_docs(spark, path) == n_docs + 1
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path).collect()
+    ] == live_full
+
     # legacy pre-doc_ids layout: caller-supplied denominator still works,
     # membership-less calls fail loud instead of guessing
     import shutil
@@ -2948,8 +3026,8 @@ def test_dedup_threshold_sweep_from_index(spark, tmp_path):
     shutil.rmtree(f"{path}/doc_ids")
     assert [
         tuple(r)
-        for r in dedup_threshold_sweep_from_index(spark, path, docs).collect()
-    ] == live
+        for r in dedup_threshold_sweep_from_index(spark, path, full).collect()
+    ] == live_full
     with _pytest.raises(ValueError, match="no doc_ids"):
         dedup_threshold_sweep_from_index(spark, path)
 
