@@ -596,24 +596,26 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
             aidx = getattr(self.server, "ann_index_path", None)
             if aidx is not None and m.group(1) == "nprobe-recall":
-                # served from the durable S14 index: centroids/codebook/
-                # codes read from parquet — no per-cold-call IVFADC
-                # rebuild. Only a (label, raw) index states the same
-                # system as the live sweep; anything else falls through
-                # to the live operator below (identity over novelty).
+                # served from the durable S14 index for EVERY
+                # configuration (label/raw, trained cells, residual
+                # codec — the sweep states the index's own system):
+                # centroids/codebook/codes read from parquet, no
+                # per-cold-call IVFADC rebuild. Only a legacy or
+                # corpus-drifted index (the serving twin's loud
+                # refusals) falls through to the live operator.
                 from ..sources.ann_index import (
-                    _index_meta,
                     ann_nprobe_recall_from_index,
                 )
 
-                meta = _index_meta(emb.sparkSession, aidx)
-                if meta["cell_rule"] == "label" and meta["encoding"] == "raw":
+                try:
                     df = ann_nprobe_recall_from_index(
                         emb.sparkSession, aidx, emb
                     )
                     return self._send(
                         200, _rows(df.limit(self._limit(qs, 1000)))
                     )
+                except ValueError:
+                    pass  # drifted/legacy index — live sweep below
             if aidx is not None and m.group(1) in (
                 "int8-audit", "anisotropy", "abtt"
             ):
@@ -734,12 +736,13 @@ def serve(
     persisted shingles instead of re-tokenizing per cold call.
 
     ``ann_index_path`` (optional, requires ``embeddings``) points the
-    ``/api/v1/ann/nprobe-recall`` route at a durable S14 index (label/
-    raw builds only — identity with the live sweep) and the
+    ``/api/v1/ann/nprobe-recall`` route at a durable S14 index — every
+    configuration (label/raw identical to the live sweep; trained/
+    residual state the index's own system) — and the
     ``/api/v1/ann/{int8-audit,anisotropy,abtt}`` routes at its
     persisted ``audits/`` relations (``write_ann_audits``); routes fall
     back to the live operators when the index doesn't carry the needed
-    artifact."""
+    artifact (or the sweep refuses a drifted/legacy index)."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:

@@ -1678,6 +1678,23 @@ ORACLE_ANN_IVF_PQ_RESIDUAL = (
 #: X7's ADC recall uses), computed once and shared by every sweep level.
 NPROBE_MAX = 3
 
+#: the candidate-accumulation CTE body for a RAW-encoded system: one
+#: per-query ADC table (``dists``) reused across every probed cell —
+#: the default ``{adc}`` fill. A residual-encoded system swaps in a
+#: per-(query, probed cell) table join (``sources/ann_index.py``).
+_NPROBE_ADC_RAW = """
+  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(d.d) AS BIGINT) AS approx_d
+  FROM probes p
+  JOIN nps n ON p.crank <= n.np
+  JOIN vec_cells l ON l.label = p.label
+  JOIN assigned a ON a.vec_id = l.vec_id
+  JOIN dists d ON d.vec_id = p.query_id
+              AND d.subspace = a.subspace AND d.codeword = a.codeword
+  WHERE a.vec_id <> p.query_id
+  GROUP BY n.np, p.query_id, a.vec_id
+"""
+
 _NPROBE_RECALL_TAIL = """,
 probes AS (
   SELECT query_id, label, crank FROM (
@@ -1689,20 +1706,9 @@ probes AS (
   ) WHERE crank <= {npmax}
 ),
 {pq_ctes},
-vec_cells AS (SELECT vec_id, label FROM {src}),
+vec_cells AS ({vec_cells}),
 nps AS ({nps}),
-adc AS (
-  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
-         CAST(SUM(d.d) AS BIGINT) AS approx_d
-  FROM probes p
-  JOIN nps n ON p.crank <= n.np
-  JOIN vec_cells l ON l.label = p.label
-  JOIN assigned a ON a.vec_id = l.vec_id
-  JOIN dists d ON d.vec_id = p.query_id
-              AND d.subspace = a.subspace AND d.codeword = a.codeword
-  WHERE a.vec_id <> p.query_id
-  GROUP BY n.np, p.query_id, a.vec_id
-),
+adc AS ({adc}),
 adc_k AS (
   SELECT np, query_id, neighbor_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
@@ -1772,6 +1778,8 @@ def ann_nprobe_recall(emb: DataFrame) -> DataFrame:
                 npmax=NPROBE_MAX,
                 k=TOP_K,
                 pq_ctes=pq,
+                vec_cells=f"SELECT vec_id, label FROM {ev}",
+                adc=_NPROBE_ADC_RAW,
                 nps=f"SELECT explode(sequence(1, {NPROBE_MAX})) AS np",
             )
         )
@@ -1793,6 +1801,8 @@ def _oracle_ann_nprobe_recall() -> str:
             npmax=NPROBE_MAX,
             k=TOP_K,
             pq_ctes=pq,
+            vec_cells=f"SELECT vec_id, label FROM {src}",
+            adc=_NPROBE_ADC_RAW,
             nps=(
                 f"SELECT unnest(generate_series(1, {NPROBE_MAX})) AS np"
             ),

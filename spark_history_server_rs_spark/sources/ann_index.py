@@ -520,38 +520,68 @@ GROUP BY a.vec_id, c.label
 """
 
 
+#: the candidate-accumulation CTE body for a RESIDUAL-encoded system:
+#: the ADC table is per-(query, probed cell) — the query's residual
+#: differs per cell — so the table join carries the probed label
+#: (mirrors ``ann_ivf_pq_residual_from_index``'s adc, swept over np)
+_NPROBE_ADC_RESIDUAL = """
+  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(t.d) AS BIGINT) AS approx_d
+  FROM probes p
+  JOIN nps n ON p.crank <= n.np
+  JOIN vec_cells l ON l.label = p.label
+  JOIN assigned a ON a.vec_id = l.vec_id
+  JOIN qtab t ON t.query_id = p.query_id AND t.label = p.label
+             AND t.subspace = a.subspace AND t.codeword = a.codeword
+  WHERE a.vec_id <> p.query_id
+  GROUP BY n.np, p.query_id, a.vec_id
+"""
+
+
 def ann_nprobe_recall_from_index(
     spark: SparkSession, path: str, emb: DataFrame
 ) -> DataFrame:
     """X10b (the nprobe tuning sweep) served from the persisted S14
-    index: the candidate side — coarse centroids, PQ codebook, and the
-    per-vector codes — reads the index (latest-wins + DISTINCT over
-    ``ingest_seq``, the same at-least-once repair as the other serving
-    twins), so a cold sweep no longer rebuilds the whole IVFADC from
-    the corpus. Only the query vectors and the exact-eval side read
-    ``emb`` — unavoidable, the curve MEASURES recall against the exact
-    top-k. Result-identical to the live ``ann_nprobe_recall`` (pinned
-    by test, REST-level too).
+    index, for EVERY index configuration — (label, raw), Lloyd-trained
+    cells, residual encoding: the candidate side — coarse centroids,
+    PQ codebook, per-vector codes AND cell assignments — reads the
+    index (latest-wins + DISTINCT over ``ingest_seq``, the same
+    at-least-once repair as the other serving twins), so a cold sweep
+    never rebuilds an IVFADC from the corpus. Only the query vectors
+    and the exact-eval side read ``emb`` — unavoidable, the curve
+    MEASURES recall against the exact top-k. The curve states the
+    INDEX's own system: for (label, raw) that is result-identical to
+    the live ``ann_nprobe_recall`` (pinned by test, REST-level too);
+    for trained/residual builds every per-np level is pinned against
+    the already-identity-pinned fixed-np serving twins plus an
+    independent exact side (no live twin states those systems).
 
-    Identity only holds when the index states the same system the live
-    sweep states: label-mean cells, raw encoding. A trained or
-    residual index would produce a DIFFERENT (usually better) curve —
-    serving that as "the" sweep would silently mix systems, so this
-    fails loud instead (the REST route falls back to the live
-    operator)."""
+    Corpus drift fails loud: if ``emb`` has grown (or shrunk) past the
+    indexed codes, the candidate side would silently miss vectors the
+    exact side ranks — the same refusal class as the S13 sweep's
+    membership assertion. The repair is re-indexing or streaming the
+    delta; the REST route falls back to the live operator."""
     from ..functions.views import scoped_temp_view
-    from ..operators.similarity import _NPROBE_RECALL_TAIL, NPROBE_MAX
+    from ..operators.similarity import (
+        _NPROBE_ADC_RAW,
+        _NPROBE_RECALL_TAIL,
+        NPROBE_MAX,
+    )
 
     meta = _index_meta(spark, path)
-    if meta["encoding"] != "raw" or meta["cell_rule"] != "label":
-        raise ValueError(
-            f"index at {path} is (cell_rule={meta['cell_rule']}, "
-            f"encoding={meta['encoding']}); the nprobe sweep's exact "
-            "twin is defined for (label, raw) — serve the live operator"
-        )
     codes_df = spark.read.parquet(f"{path}/codes")
     if "ingest_seq" not in codes_df.columns:
         codes_df = codes_df.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
+    corpus = emb.where("embedding IS NOT NULL")
+    n_emb = corpus.count()
+    n_codes = codes_df.select("vec_id").distinct().count()
+    if n_emb != n_codes:
+        raise ValueError(
+            f"ann index at {path} codes {n_codes} vectors but the "
+            f"corpus frame has {n_emb} — sweeping would mix an exact "
+            "side over one corpus with a candidate side over another; "
+            "re-run write_ann_index or stream the delta first"
+        )
     code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
     with scoped_temp_view(
         spark.read.parquet(f"{path}/centroids"), "_annidx_centroids"
@@ -560,17 +590,48 @@ def ann_nprobe_recall_from_index(
     ) as cbv, scoped_temp_view(
         codes_df, "_annidx_codes"
     ) as cdv, scoped_temp_view(
-        emb.where("embedding IS NOT NULL"), "_annidx_queries"
+        corpus, "_annidx_queries"
     ) as qv:
-        # the live tail unchanged; only its `pq_ctes` hole is filled
-        # with index-backed relations — `elems` stays corpus-wide (the
-        # exact side needs it), `dists` restricts to the query rows the
-        # tail ever joins, `assigned` unpivots the persisted codes
-        pq_idx = f"""elems AS (
+        # the live tail unchanged; its `pq_ctes` hole is filled with
+        # index-backed relations — `elems` stays corpus-wide (the exact
+        # side needs it), the ADC tables restrict to the query rows the
+        # tail ever joins, `latest`/`assigned` unpivot the persisted
+        # codes, `vec_cells` reads the INDEX's cell assignments (the
+        # sweep states the persisted system, whatever its cell rule)
+        common = f"""elems AS (
   SELECT vec_id, dim,
          CAST(FLOOR(v * {_PQ_SCALE} + 0.5) AS BIGINT) AS sv
   FROM ({_PQ_UNNEST_SPARK.format(src=qv)})
 ),
+latest AS (
+  SELECT c.* FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
+                   GROUP BY vec_id) m
+  JOIN {cdv} c ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
+),
+assigned AS (
+  SELECT DISTINCT vec_id, s.subspace, s.codeword
+  FROM latest LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
+)"""
+        if meta["encoding"] == "residual":
+            pq_idx = common + f""",
+{_CDIM_CTE.format(scale=_PQ_SCALE, cents=ctv)},
+qrelems AS (
+  SELECT p.query_id, p.label, e.dim, e.sv - c.csv AS rsv
+  FROM probes p
+  JOIN elems e ON e.vec_id = p.query_id
+  JOIN cdim c ON c.label = p.label AND c.dim = e.dim
+),
+qtab AS (
+  SELECT q.query_id, q.label, b.subspace, b.codeword,
+         CAST(SUM(CAST(FLOOR(CAST(q.rsv - b.sv AS DOUBLE) / 1000.0) AS BIGINT)
+                  * CAST(FLOOR(CAST(q.rsv - b.sv AS DOUBLE) / 1000.0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM qrelems q JOIN {cbv} b ON b.dim = q.dim
+  GROUP BY q.query_id, q.label, b.subspace, b.codeword
+)"""
+            adc = _NPROBE_ADC_RESIDUAL
+        else:
+            pq_idx = common + f""",
 qsub AS (
   SELECT vec_id, CAST(FLOOR(dim / {PQ_SUBDIM}.0) AS BIGINT) AS subspace,
          dim, sv
@@ -583,14 +644,8 @@ dists AS (
               AS BIGINT) AS d
   FROM qsub s JOIN {cbv} c ON s.subspace = c.subspace AND s.dim = c.dim
   GROUP BY s.vec_id, s.subspace, c.codeword
-),
-assigned AS (
-  SELECT DISTINCT c.vec_id, s.subspace, s.codeword
-  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
-        GROUP BY vec_id) m
-  JOIN {cdv} c ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
-  LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
 )"""
+            adc = _NPROBE_ADC_RAW
         return spark.sql(
             f"WITH centroids AS (SELECT label, centroid FROM {ctv})"
             + _NPROBE_RECALL_TAIL.format(
@@ -600,6 +655,8 @@ assigned AS (
                 npmax=NPROBE_MAX,
                 k=TOP_K,
                 pq_ctes=pq_idx,
+                vec_cells="SELECT DISTINCT vec_id, label FROM latest",
+                adc=adc,
                 nps=f"SELECT explode(sequence(1, {NPROBE_MAX})) AS np",
             )
         )

@@ -745,16 +745,20 @@ def test_dedup_sweep_route_served_from_index(spark):
 
 
 def test_ann_stats_routes_served_from_index(spark):
-    """VERDICT r08 #4: /api/v1/ann/nprobe-recall over a durable (label,
-    raw) S14 index and /api/v1/ann/{int8-audit,anisotropy,abtt} over its
-    persisted audits/ relations return rows IDENTICAL to the live-
-    operator routes — no per-cold-call IVFADC rebuild / corpus rescan.
-    A trained or residual index falls back to the live sweep (identity
-    over novelty), and an audit-less index falls back to the live
-    audits — same answers either way."""
+    """VERDICT r08 #4 + r09 #4: /api/v1/ann/nprobe-recall over a
+    durable S14 index and /api/v1/ann/{int8-audit,anisotropy,abtt} over
+    its persisted audits/ relations — no per-cold-call IVFADC rebuild /
+    corpus rescan. A (label, raw) index returns rows IDENTICAL to the
+    live-operator route; trained and residual indexes serve their OWN
+    system's curve from the index (pinned against the direct serving
+    twin, which the differential suite pins against the fixed-np
+    twins); only a corpus-DRIFTED index falls back to the live sweep,
+    and an audit-less index falls back to the live audits."""
+    import json as _json
     import tempfile
 
     from spark_history_server_rs_spark.sources.ann_index import (
+        ann_nprobe_recall_from_index,
         write_ann_audits,
         write_ann_index,
     )
@@ -784,8 +788,8 @@ def test_ann_stats_routes_served_from_index(spark):
         live_httpd.shutdown()
         idx_httpd.shutdown()
 
-    # a residual-encoded index must NOT serve "the" sweep (different
-    # system) — the route falls back to the live operator transparently
+    # a residual-encoded index serves ITS system's curve from the index
+    # (row-identical to the direct serving twin at the REST boundary)
     rpath = tempfile.mkdtemp() + "/aidx_res"
     write_ann_index(emb, rpath, residual=True)
     res_httpd = serve(ev, warmup=False, embeddings=emb, ann_index_path=rpath)
@@ -793,9 +797,35 @@ def test_ann_stats_routes_served_from_index(spark):
     try:
         base_res = f"http://127.0.0.1:{res_httpd.server_address[1]}"
         code_r, res_rows = _get(base_res, "/api/v1/ann/nprobe-recall")
-        assert code_r == 200 and res_rows == live_by_route["nprobe-recall"]
+        expect = _json.loads(
+            _json.dumps(
+                [
+                    r.asDict()
+                    for r in ann_nprobe_recall_from_index(
+                        spark, rpath, emb
+                    ).collect()
+                ]
+            )
+        )
+        assert code_r == 200 and res_rows == expect
         # audit-less index: audits fall back live, same answer
         code_a, rows_a = _get(base_res, "/api/v1/ann/anisotropy")
         assert code_a == 200 and rows_a == live_by_route["anisotropy"]
     finally:
         res_httpd.shutdown()
+
+    # corpus drift (index covers a subset of the attached frame): the
+    # route's serving twin refuses loud and the route transparently
+    # falls back to the LIVE sweep over the attached corpus
+    dpath = tempfile.mkdtemp() + "/aidx_drift"
+    write_ann_index(emb.where("vec_id >= 5"), dpath)
+    drift_httpd = serve(
+        ev, warmup=False, embeddings=emb, ann_index_path=dpath
+    )
+    threading.Thread(target=drift_httpd.serve_forever, daemon=True).start()
+    try:
+        base_d = f"http://127.0.0.1:{drift_httpd.server_address[1]}"
+        code_d, rows_d = _get(base_d, "/api/v1/ann/nprobe-recall")
+        assert code_d == 200 and rows_d == live_by_route["nprobe-recall"]
+    finally:
+        drift_httpd.shutdown()

@@ -3194,18 +3194,81 @@ def test_knn_graph_compact_between_inflight_appends(spark, tmp_path):
     ] == [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
 
 
+def _exact_topk_by_query(emb):
+    """Independent numpy oracle for the sweep's exact side: the
+    integer-snapped L2 top-k over the full corpus, same snaps and
+    (distance, id) tie-break as the SQL — computed OUTSIDE Spark and
+    DuckDB, so the three-way lattice gains a third engine."""
+    import math
+
+    import numpy as np
+
+    from spark_history_server_rs_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    pdf = (
+        emb.where("embedding IS NOT NULL")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    sv = np.floor(V * 1e6 + 0.5)
+    out = {}
+    for qi in np.nonzero(ids < N_QUERIES)[0]:
+        diff = np.floor((sv[qi][None, :] - sv) / 1000.0)
+        d = (diff * diff).sum(axis=1)
+        order = sorted(
+            (int(d[j]), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != ids[qi]
+        )
+        out[int(ids[qi])] = [c for _, c in order[:TOP_K]]
+    return out
+
+
+def _expected_sweep_rows(exact_k, server_at_np):
+    """The sweep rows implied by the already-identity-pinned fixed-np
+    serving twins + the numpy exact side."""
+    import math
+
+    from spark_history_server_rs_spark.operators.similarity import (
+        NPROBE_MAX,
+    )
+
+    rows = []
+    for np_ in range(1, NPROBE_MAX + 1):
+        topk = {}
+        for r in server_at_np(np_).collect():
+            topk.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q in sorted(exact_k):
+            n_exact = len(exact_k[q])
+            ov = len(set(exact_k[q]) & topk.get(q, set()))
+            rec = math.floor(ov / n_exact * 10000.0 + 0.5) / 10000.0
+            rows.append((np_, q, n_exact, ov, rec))
+    return rows
+
+
 def test_ann_nprobe_recall_from_index(spark, tmp_path):
-    """The nprobe tuning sweep served from the persisted S14 index must
-    equal the live operator row-for-row (the candidate side reads
-    centroids/codebook/codes from parquet; only queries + the exact
-    eval read vectors), stay identical under at-least-once duplicate
-    code appends, and REFUSE an index stating a different system
-    (trained cells or residual encoding — serving those as "the" sweep
-    would silently mix quantizers)."""
+    """The nprobe tuning sweep served from the persisted S14 index:
+    for a (label, raw) build it must equal the live operator
+    row-for-row (the candidate side reads centroids/codebook/codes
+    from parquet; only queries + the exact eval read vectors) and stay
+    identical under at-least-once duplicate code appends. Trained and
+    residual builds — which have NO live twin — are pinned per-np
+    against the fixed-np serving twins (themselves identity-pinned to
+    the live operators) plus an independent numpy exact side. A
+    corpus-drifted frame is REFUSED, not silently swept."""
     import pytest as _pytest
+
+    from pyspark.sql import functions as F
 
     from spark_history_server_rs_spark.operators import similarity
     from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        ann_ivf_pq_residual_from_index,
         ann_nprobe_recall_from_index,
         write_ann_index,
     )
@@ -3228,12 +3291,39 @@ def test_ann_nprobe_recall_from_index(spark, tmp_path):
         for r in ann_nprobe_recall_from_index(spark, path, emb).collect()
     ] == live
 
-    # mismatched systems fail loud
-    res = str(tmp_path / "np_idx_res")
-    write_ann_index(emb, res, residual=True)
-    with _pytest.raises(ValueError, match="encoding=residual"):
-        ann_nprobe_recall_from_index(spark, res, emb)
+    # the raw curve also matches the lattice recomputation (validates
+    # the harness the trained/residual pins below rely on)
+    exact_k = _exact_topk_by_query(emb)
+    assert live == _expected_sweep_rows(
+        exact_k, lambda np_: ann_ivf_pq_from_index(spark, path, emb, np_)
+    )
+
+    # trained cells and residual codec now SERVE from the index — each
+    # curve pinned against its own fixed-np serving twins
     trained = str(tmp_path / "np_idx_tr")
     write_ann_index(emb, trained, train_steps=2)
-    with _pytest.raises(ValueError, match="cell_rule=nearest"):
-        ann_nprobe_recall_from_index(spark, trained, emb)
+    assert [
+        tuple(r)
+        for r in ann_nprobe_recall_from_index(spark, trained, emb).collect()
+    ] == _expected_sweep_rows(
+        exact_k, lambda np_: ann_ivf_pq_from_index(spark, trained, emb, np_)
+    )
+    res = str(tmp_path / "np_idx_res")
+    write_ann_index(emb, res, residual=True)
+    assert [
+        tuple(r)
+        for r in ann_nprobe_recall_from_index(spark, res, emb).collect()
+    ] == _expected_sweep_rows(
+        exact_k,
+        lambda np_: ann_ivf_pq_residual_from_index(spark, res, emb, np_),
+    )
+
+    # corpus drift fails loud in BOTH directions: a frame grown past
+    # the indexed codes, and one missing indexed vectors
+    grown = emb.unionByName(
+        emb.limit(1).withColumn("vec_id", F.col("vec_id") + 1000000)
+    )
+    with _pytest.raises(ValueError, match="corpus frame has"):
+        ann_nprobe_recall_from_index(spark, path, grown)
+    with _pytest.raises(ValueError, match="corpus frame has"):
+        ann_nprobe_recall_from_index(spark, path, emb.where("vec_id >= 5"))
