@@ -51,17 +51,20 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 9: the three r08 two-phase-top-k riders that missed the r08
-#: window (carried in per VERDICT r08 #2), plus D5b — its pair engine
-#: moved from the corpus-broadcast BroadcastNestedLoopJoin to the
-#: block-pair kernel this round (the S16 build/stream rewrite and
-#: S14-served REST routes are pytest-pinned serving twins, not
-#: registered queries).
+#: Round 10: the X6 family's in-session serving path changed — the
+#: materialized top-k cache every live X12/X13 call rides now BUILDS
+#: through the block-pair kernel (ann_knn_graph itself keeps the SQL
+#: spec form, re-checked per VERDICT r09 #1; ann_graph_expand/expand2
+#: consume the re-engined cache), and ann_nprobe_recall's tail grew
+#: the vec_cells/adc holes (renders byte-identical — verified — but
+#: the shared fragment changed shape, so it re-checks). The S13
+#: meta/denominator and S14 trained/residual sweep changes are
+#: pytest-pinned serving twins, not registered queries.
 _CHANGED_THIS_ROUND = (
-    "ann_cosine_topk",
-    "ann_recall_eval",
-    "ann_hamming_rerank",
-    "dedup_embedding_cosine_prefiltered",
+    "ann_knn_graph",
+    "ann_graph_expand",
+    "ann_graph_expand2",
+    "ann_nprobe_recall",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -81,23 +84,87 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 9 window ------------------------------------------------
-    # VERDICT r08 "What's wrong #2" riders first: the r08 two-phase
-    # top-k rewrite changed ann_cosine_topk's exact-top-k fragment
-    # (shared by ann_recall_eval / ann_hamming_rerank) but none entered
-    # the r08 window — re-check all three on the current code (their
-    # DuckDB oracles deliberately keep the single-window form, so this
-    # is a genuine cross-plan equivalence check)
+    # --- round 10 window -----------------------------------------------
+    # changed THIS round (see _CHANGED_THIS_ROUND): the X6 family's
+    # serving path moved onto the kernel-built materialized cache, and
+    # the nprobe tail's fragment shape changed
+    "ann_knn_graph",
+    "ann_graph_expand",
+    "ann_graph_expand2",
+    "ann_nprobe_recall",
+    # oldest driver debt: ALL remaining r05 rows (tpch_q12 was displaced
+    # from the r09 window for D5b's changed-engine slot)
+    "tpch_q12_ship_delay",
+    "corpus_bigram_counts",
+    "corpus_global_shuffle",
+    "corpus_length_histogram",
+    "corpus_stratified_sample",
+    "corpus_temperature_sample",
+    "corpus_training_manifest",
+    "events_daily_anomaly",
+    "events_volume_ewma",
+    "job_parallelism_report",
+    "table_profile_orders",
+    # then ALL remaining r06 rows — after this round no registry row's
+    # latest driver check predates r07
+    "ann_truncated_recall",
+    "corpus_bpe_merge_step",
+    "corpus_doremi_reweight",
+    "corpus_mix_plan",
+    "corpus_zipf_fit",
+    "embedding_outliers",
+    # oldest-green re-checks (r07 rows), fragment-family neighbors of
+    # this round's changes first: the raw/residual ADC fragments now
+    # also feed the index-served sweep, the threshold sweep shares the
+    # S13 denominator family, D5 shares the cosine fold the kernel
+    # reproduces — then alphabetical r07 backlog
+    "ann_ivf_pq",
+    "ann_ivf_pq_residual",
+    "dedup_threshold_sweep",
+    "dedup_embedding_cosine",
+    "application_info",
+    "corpus_bigram_logprob",
+    "corpus_bpe_compression",
+    "corpus_bpe_encode",
+    "corpus_bpe_fertility",
+    "corpus_bpe_train",
+    "corpus_bpe_vocab_curve",
+    "corpus_curriculum_stages",
+    "corpus_novelty_curve",
+    "corpus_pack_fragmentation",
+    "corpus_semantic_source_mix",
+    "corpus_span_leakage",
+    "corpus_tfidf_top_terms",
+    "corpus_unigram_logprob",
+    "count_events",
+    "dedup_cluster_stats",
+    "dedup_containment",
+    "dedup_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_passage_index",
+    # r11 rotation queue (r07 rows remaining after this window):
+    # dedup_survivorship, embedding_abtt_audit, embedding_anisotropy,
+    # embedding_int8_audit, embedding_kmeans_step,
+    # embedding_semantic_dedup, event_search, job_metrics,
+    # sessionize_events, task_duration_percentiles, task_skew_report,
+    # text_c4_filters, text_encoding_artifacts, text_filter_agreement,
+    # text_fingerprints, text_quality_classifier,
+    # tpch_q10_returned_items, tpch_q1_pricing_summary
+)
+
+#: rounds 1-9 window history (kept for the audit trail; these names are
+#: all driver-green on their current code and rotate behind the r10
+#: window above — every one of them is still pytest-oracle-checked per
+#: session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-9 window (all 50 driver-green in CORRECTNESS_r09.json;
+    # pytest-oracle-checked every session) -----------------------------
     "ann_cosine_topk",
     "ann_recall_eval",
     "ann_hamming_rerank",
-    # changed THIS round: pair engine moved to the block-pair kernel
-    # (bit-identical by construction; verify it against the all-pairs
-    # oracle on the driver too)
     "dedup_embedding_cosine_prefiltered",
-    # displaced from the r08 window for X13's slot
     "text_stem_normalize",
-    # oldest driver debt: every remaining r03 row
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
     "semi_join_urgent_customers",
@@ -106,7 +173,6 @@ _SENTINELS = (
     "multimodal_image_decode",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
-    # then every remaining r04 row
     "tpch_q2_min_price_supplier",
     "tpch_q4_priority_check",
     "tpch_q6_forecast_revenue",
@@ -136,23 +202,10 @@ _SENTINELS = (
     "yoy_revenue_growth",
     "corpus_hash_split",
     "corpus_profile",
-    # oldest r05 rows to fill the window (remaining r05 debt —
-    # tpch_q12_ship_delay displaced for D5b's changed-engine slot, plus
-    # corpus_bigram_counts/global_shuffle/length_histogram/
-    # stratified_sample/temperature_sample/training_manifest,
-    # events_daily_anomaly, events_volume_ewma, job_parallelism_report,
-    # table_profile_orders — rotates r10)
     "applications_time_window",
     "applications_app_window",
     "applications_status_completed",
     "multimodal_phash_groups",
-)
-
-#: rounds 1-7 window history (kept for the audit trail; these names are
-#: all driver-green on their current code and rotate behind the r08
-#: window above — every one of them is still pytest-oracle-checked per
-#: session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # --- round-8 window (all driver-green in CORRECTNESS_r08.json on
     # code unchanged since; pytest-oracle-checked every session) -------
     "embedding_kmeans_train",
