@@ -31,7 +31,9 @@ SELECTED = [
     ("dedup_ngram_jaccard_capped", "stop-shingle pruned candidates, full-set verify"),
     ("text_quality_classifier", "model scoring as pure projection — no shuffle"),
     ("corpus_global_shuffle", "one total-order exchange for the training order"),
-    ("ann_knn_graph", "sketch-prefiltered pair loop + bounded mutual join"),
+    ("ann_knn_graph",
+     "sketch-prefiltered pair loop + bounded mutual join (the SQL spec"
+     " form — serving rides the kernel-built cache / S16 index)"),
     ("dedup_keep_canonical", "cluster labels joined to quality, rank window"),
     ("corpus_unigram_logprob", "broadcast vocab-sized LM scoring join"),
     ("funnel_conversion", "chained tiny-side step joins, windowed funnel"),
