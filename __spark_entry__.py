@@ -60,11 +60,15 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: the shared fragment changed shape, so it re-checks). The S13
 #: meta/denominator and S14 trained/residual sweep changes are
 #: pytest-pinned serving twins, not registered queries.
+#: ann_crossencoder_rerank is NEW this round (X14, the retrieve-then-
+#: rerank serving stage with the cross-encoder extension point) —
+#: first driver row.
 _CHANGED_THIS_ROUND = (
     "ann_knn_graph",
     "ann_graph_expand",
     "ann_graph_expand2",
     "ann_nprobe_recall",
+    "ann_crossencoder_rerank",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -86,12 +90,14 @@ _SENTINELS = (
     "cross_app_summary",
     # --- round 10 window -----------------------------------------------
     # changed THIS round (see _CHANGED_THIS_ROUND): the X6 family's
-    # serving path moved onto the kernel-built materialized cache, and
-    # the nprobe tail's fragment shape changed
+    # serving path moved onto the kernel-built materialized cache, the
+    # nprobe tail's fragment shape changed, and X14 is new (first
+    # driver row)
     "ann_knn_graph",
     "ann_graph_expand",
     "ann_graph_expand2",
     "ann_nprobe_recall",
+    "ann_crossencoder_rerank",
     # oldest driver debt: ALL remaining r05 rows (tpch_q12 was displaced
     # from the r09 window for D5b's changed-engine slot)
     "tpch_q12_ship_delay",
@@ -142,8 +148,12 @@ _SENTINELS = (
     "dedup_keep_canonical",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_passage_index",
+    # dedup_passage_index displaced to the r11 queue for X14's slot
+    # (its in-window sibling dedup_repeated_passages' window-hash
+    # relation is r09-green and the pytest differential re-checks it
+    # every session)
     # r11 rotation queue (r07 rows remaining after this window):
+    # dedup_passage_index,
     # dedup_survivorship, embedding_abtt_audit, embedding_anisotropy,
     # embedding_int8_audit, embedding_kmeans_step,
     # embedding_semantic_dedup, event_search, job_metrics,
@@ -490,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_graph_expand2": _e(similarity.ann_graph_expand2),
         "ann_nprobe_recall": _e(similarity.ann_nprobe_recall),
         "ann_truncated_recall": _e(similarity.ann_truncated_recall),
+        "ann_crossencoder_rerank": _e(similarity.ann_crossencoder_rerank),
         # --- training-data pipeline: multimodal plumbing ---
         "multimodal_image_decode": _d(multimodal.image_decode),
         "multimodal_frame_sample": _d(multimodal.frame_sample),

@@ -188,6 +188,7 @@ def main() -> None:
         ("embedding_abtt_audit", llmprep.embedding_abtt_audit, emb),
         ("ann_graph_expand", similarity.ann_graph_expand, emb),
         ("ann_graph_expand2", similarity.ann_graph_expand2, emb),
+        ("ann_crossencoder_rerank", similarity.ann_crossencoder_rerank, emb),
         ("corpus_pack_fragmentation", llmprep.pack_fragmentation, docs),
         ("rolling_active_users_approx",
          relational.rolling_active_users_approx, ev),

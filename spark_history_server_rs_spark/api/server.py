@@ -556,7 +556,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/ann/(nprobe-recall|truncated-recall|dim-stats|outliers"
-            r"|int8-audit|anisotropy|abtt|graph-expand|graph-depth)",
+            r"|int8-audit|anisotropy|abtt|graph-expand|graph-depth|rerank)",
             path,
         )
         if m:
@@ -616,6 +616,20 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     )
                 except ValueError:
                     pass  # drifted/legacy index — live sweep below
+            if aidx is not None and m.group(1) == "rerank":
+                # X14 served from the durable index: the shortlist
+                # reads persisted codes (raw or residual per meta),
+                # the refine scorer touches only the nq × k pairs
+                from ..sources.ann_index import (
+                    ann_crossencoder_rerank_from_index,
+                )
+
+                df = ann_crossencoder_rerank_from_index(
+                    emb.sparkSession, aidx, emb
+                )
+                return self._send(
+                    200, _rows(df.limit(self._limit(qs, 1000)))
+                )
             if aidx is not None and m.group(1) in (
                 "int8-audit", "anisotropy", "abtt"
             ):
@@ -647,6 +661,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "abtt": llmprep.embedding_abtt_audit,
                 "graph-expand": similarity.ann_graph_expand,
                 "graph-depth": similarity.ann_graph_expand2,
+                "rerank": similarity.ann_crossencoder_rerank,
             }[m.group(1)]
             rows = _rows(fn(emb).limit(self._limit(qs, 1000)))
             return self._send(200, rows)

@@ -1903,7 +1903,169 @@ ORACLE_ANN_TRUNCATED_RECALL = "WITH " + _TRUNC_RECALL_TAIL.format(
 )
 
 
+# ==========================================================================
+# X14 — retrieve-then-rerank (cross-encoder extension point on serving)
+# ==========================================================================
+#: the rerank stage's input/output contract — shared by the default
+#: (exact-refine) scorer and the Arrow-batched model extension point,
+#: so a real cross-encoder is a body-only swap
+_RERANK_SCORED_SCHEMA = (
+    "query_id long, neighbor_id long, approx_rank int, cross_score double"
+)
+
+_RERANK_SCORED_SQL = """
+SELECT c.query_id, c.neighbor_id, CAST(c.rank AS INT) AS approx_rank,
+       {cos} AS cross_score
+FROM {cand} c
+JOIN {src} q ON q.vec_id = c.query_id
+JOIN {src} x ON x.vec_id = c.neighbor_id
+"""
+
+
+def _rerank_over_scored(scored: DataFrame) -> DataFrame:
+    """The shared post-scorer tail: re-rank each query's shortlist by
+    the cross score (DESC, id tie-break) and report the displacement
+    against the retrieval order — identical plumbing whichever scorer
+    produced ``cross_score``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cross_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w))
+        .withColumn(
+            "displacement", F.col("approx_rank") - F.col("rerank_rank")
+        )
+        .orderBy("query_id", "rerank_rank")
+    )
+
+
+def ann_crossencoder_rerank(
+    emb: DataFrame, use_scorer: bool = False
+) -> DataFrame:
+    """X14: the two-stage retrieve-then-rerank serving topology every
+    production retrieval system deploys (bi-encoder ANN shortlist →
+    expensive pairwise re-scorer; Nogueira & Cho 2019,
+    arXiv:1901.04085): candidates are IVFADC's top-{k} per query (X8 —
+    the fast approximate stage), then ONLY those nq × {k} pairs are
+    re-scored against the raw feature vectors and re-ranked, with the
+    displacement between retrieval rank and re-ranked rank reported
+    per pair.
+
+    The default scorer is the exact r6-snapped cosine over the full
+    embeddings — the FAISS-style "refine" stage, fully SQL-expressible
+    and therefore DuckDB-oracle-checked. ``use_scorer=True`` switches
+    to the Arrow-batched model extension point
+    (:func:`_crossencoder_scorer_pairs` + ``mapInPandas``), where a
+    real cross-encoder drops in as a body-only swap — same input
+    relation, same output schema, same rerank tail.
+
+    Scale shape: the expensive stage touches exactly nq × {k} rows no
+    matter the corpus size — the candidate join is two broadcast hash
+    joins against the bounded shortlist, the rerank window partitions
+    by query — so at 100 TB the model inference cost is set by the
+    shortlist width, never the corpus.""".format(k=TOP_K)
+    if use_scorer:
+        return _rerank_over_scored(_crossencoder_scorer_scored(emb))
+    from .dedup import cosine_expr_spark
+
+    cand = ann_ivf_pq(emb)
+    with scoped_temp_view(
+        cand, "_sim_rerank_cand"
+    ) as cv, scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_sim_emb"
+    ) as ev:
+        scored = emb.sparkSession.sql(
+            _RERANK_SCORED_SQL.format(
+                cand=cv,
+                src=ev,
+                cos=cosine_expr_spark("q.embedding", "x.embedding"),
+            )
+        )
+        return _rerank_over_scored(scored)
+
+
+def _crossencoder_scorer_scored(emb: DataFrame) -> DataFrame:
+    """Real-model extension point: the bounded shortlist pair relation —
+    query and candidate feature vectors side by side, nq × k rows —
+    feeds an Arrow-batched ``mapInPandas`` scorer (the multimodal
+    ``use_codec`` pattern). Raises until a cross-encoder model ships;
+    the batch shape, schema, and downstream rerank tail are real and
+    tested."""
+    cand = ann_ivf_pq(emb)
+    live = emb.where("embedding IS NOT NULL")
+    pairs = (
+        cand.selectExpr(
+            "query_id", "neighbor_id", "CAST(rank AS INT) AS approx_rank"
+        )
+        .join(
+            live.selectExpr(
+                "vec_id AS query_id", "embedding AS q_embedding"
+            ),
+            "query_id",
+        )
+        .join(
+            live.selectExpr(
+                "vec_id AS neighbor_id", "embedding AS c_embedding"
+            ),
+            "neighbor_id",
+        )
+    )
+
+    # NOTE: the closure must be self-contained (locals + in-function
+    # imports only) — module-level references would make cloudpickle
+    # import this driver-side-only package on executor workers.
+    def score(batches):
+        for pdf in batches:
+            # Body-only change once a model ships: batch the
+            # (q_embedding, c_embedding) pairs through the
+            # cross-encoder here and emit its scores.
+            raise NotImplementedError(
+                "no cross-encoder model is available in this "
+                "environment; use ann_crossencoder_rerank("
+                "use_scorer=False) — the exact-refine default"
+            )
+            yield pdf  # pragma: no cover — generator shape
+
+    return pairs.mapInPandas(score, _RERANK_SCORED_SCHEMA)
+
+
+_RERANK_TAIL_SQL = """
+SELECT query_id, neighbor_id, approx_rank, cross_score,
+       rerank_rank,
+       approx_rank - rerank_rank AS displacement
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cross_score DESC, neighbor_id)
+              AS rerank_rank
+  FROM scored
+)
+ORDER BY query_id, rerank_rank
+"""
+
+
+def _oracle_ann_crossencoder_rerank() -> str:
+    from .dedup import cosine_expr_duck
+
+    return (
+        f"WITH cand AS ({ORACLE_ANN_IVF_PQ}),\nscored AS ("
+        + _RERANK_SCORED_SQL.format(
+            cand="cand",
+            src="embeddings",
+            cos=cosine_expr_duck("q.embedding", "x.embedding"),
+        )
+        + ")"
+        + _RERANK_TAIL_SQL
+    )
+
+
+ORACLE_ANN_CROSSENCODER_RERANK = _oracle_ann_crossencoder_rerank()
+
+
 ORACLE_SQL_SIMILARITY = {
+    "ann_crossencoder_rerank": ORACLE_ANN_CROSSENCODER_RERANK,
     "ann_knn_graph": ORACLE_ANN_KNN_GRAPH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,

@@ -123,6 +123,12 @@ SELECTED = [
     ("ann_ivf_pq_residual_from_index",
      "S14 residual serving: per-(query, probed cell) ADC tables over the"
      " persisted residual codebook; codes scan cell-pruned"),
+    # round-10: X14 retrieve-then-rerank — the expensive stage touches
+    # exactly the nq x k shortlist pairs regardless of corpus size
+    ("ann_crossencoder_rerank",
+     "X14: IVFADC shortlist -> exact-refine scorer over nq x k pairs;"
+     " hash joins + per-query rerank window, JVM-side (the model"
+     " extension point swaps in an Arrow scorer)"),
     # round-9: the S16 build engine (exact tau=0.4 pair work is
     # irreducibly quadratic — see functions/blockpair — so the plan to
     # audit is the TOPOLOGY: balanced block-pair groups + Arrow kernel,

@@ -662,6 +662,45 @@ dists AS (
         )
 
 
+def ann_crossencoder_rerank_from_index(
+    spark: SparkSession, path: str, emb: DataFrame
+) -> DataFrame:
+    """X14's serving twin: the retrieval shortlist comes from the
+    persisted S14 index — raw or residual, whichever system the index
+    states (the meta dispatch the fixed-np servers enforce) — and the
+    rerank stage (exact-refine scorer + displacement tail) is the SAME
+    code the live operator runs, so for a (label, raw) index the
+    output is result-identical to the live ``ann_crossencoder_rerank``
+    (pinned by test). Only the shortlist's nq × k pair rows ever reach
+    the scorer — the index supplies the candidates without reading a
+    corpus float, and the scorer joins back exactly 2·nq·k vectors."""
+    from ..functions.views import scoped_temp_view
+    from ..operators.dedup import cosine_expr_spark
+    from ..operators.similarity import (
+        _RERANK_SCORED_SQL,
+        _rerank_over_scored,
+    )
+
+    meta = _index_meta(spark, path)
+    if meta["encoding"] == "residual":
+        cand = ann_ivf_pq_residual_from_index(spark, path, emb)
+    else:
+        cand = ann_ivf_pq_from_index(spark, path, emb)
+    with scoped_temp_view(
+        cand, "_annidx_rerank_cand"
+    ) as cv, scoped_temp_view(
+        emb.where("embedding IS NOT NULL"), "_annidx_rerank_emb"
+    ) as ev:
+        scored = spark.sql(
+            _RERANK_SCORED_SQL.format(
+                cand=cv,
+                src=ev,
+                cos=cosine_expr_spark("q.embedding", "x.embedding"),
+            )
+        )
+        return _rerank_over_scored(scored)
+
+
 #: the embedding-health audits the S14 layout can persist alongside the
 #: IVFADC artifacts — full-corpus scans a dashboard should read as
 #: parquet, not recompute per cold call

@@ -778,7 +778,9 @@ def test_ann_stats_routes_served_from_index(spark):
         base_live = f"http://127.0.0.1:{live_httpd.server_address[1]}"
         base_idx = f"http://127.0.0.1:{idx_httpd.server_address[1]}"
         live_by_route = {}
-        for route in ("nprobe-recall", "int8-audit", "anisotropy", "abtt"):
+        for route in (
+            "nprobe-recall", "int8-audit", "anisotropy", "abtt", "rerank"
+        ):
             code_l, live = _get(base_live, f"/api/v1/ann/{route}")
             code_i, idx = _get(base_idx, f"/api/v1/ann/{route}")
             assert code_l == 200 and code_i == 200, route

@@ -2898,6 +2898,63 @@ GROUP BY a.vec_id, c.label
         spark.catalog.dropTempView(v)
 
 
+def test_ann_crossencoder_rerank_from_index(spark, tmp_path):
+    """X14 retrieve-then-rerank: the from-index twin over a (label,
+    raw) S14 index must equal the live operator row-for-row; a residual
+    index reranks ITS shortlist (each query's rerank ranks are a
+    permutation of its shortlist, ordered by the exact refine score);
+    and the cross-encoder extension point raises its documented
+    NotImplementedError through the real Arrow batch plumbing."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_crossencoder_rerank_from_index,
+        ann_ivf_pq_residual_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    live = [
+        tuple(r) for r in similarity.ann_crossencoder_rerank(emb).collect()
+    ]
+    assert live and len({r[0] for r in live}) == similarity.N_QUERIES
+    # displacement is rank movement: per query it sums to zero
+    by_q = {}
+    for r in live:
+        by_q.setdefault(r[0], []).append(r)
+    for q, rows in by_q.items():
+        assert sum(r[5] for r in rows) == 0, q
+        assert sorted(r[4] for r in rows) == list(range(1, len(rows) + 1))
+
+    path = str(tmp_path / "rr_idx")
+    write_ann_index(emb, path)
+    assert [
+        tuple(r)
+        for r in ann_crossencoder_rerank_from_index(spark, path, emb).collect()
+    ] == live
+
+    res = str(tmp_path / "rr_idx_res")
+    write_ann_index(emb, res, residual=True)
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_pq_residual_from_index(spark, res, emb).collect()
+    }
+    rr = ann_crossencoder_rerank_from_index(spark, res, emb).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rr} == shortlist
+    for q in {r.query_id for r in rr}:
+        rows = sorted(
+            (r for r in rr if r.query_id == q), key=lambda r: r.rerank_rank
+        )
+        scores = [r.cross_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    # extension point: the Arrow scorer's plumbing is real; the body
+    # raises until a model ships
+    with _pytest.raises(Exception, match="no cross-encoder model"):
+        similarity.ann_crossencoder_rerank(emb, use_scorer=True).collect()
+
+
 def test_dedup_threshold_sweep_from_index(spark, tmp_path):
     """The τ-sweep served from the S13 index must equal the live
     operator over the indexed corpus — no re-tokenization per call —

@@ -760,6 +760,16 @@ def test_ivfadc_and_passage_index_plan_gates(spark):
     assert not I.has_python_worker(res)
     assert I.single_partition_windows(res) == 0
     assert "BroadcastHashJoin" in I.explain_str(res, "simple")
+    # X14: the rerank stage joins the bounded shortlist back to the
+    # vectors, the rerank window partitions by query, and the default
+    # exact-refine scorer is JVM-side end to end; the model extension
+    # point's plan carries the Arrow scorer over the same pair relation
+    rr = similarity.ann_crossencoder_rerank(emb)
+    assert not I.has_python_worker(rr)
+    assert I.single_partition_windows(rr) == 0
+    assert "BroadcastHashJoin" in I.explain_str(rr, "simple")
+    rrs = similarity.ann_crossencoder_rerank(emb, use_scorer=True)
+    assert "MapInPandas" in I.explain_str(rrs, "simple")
     # X6 (the graph BUILD) keeps the popcount prefilter inside the pair
     # join — that is where the bit_count belongs. Clear first: a warm
     # topk cache from an earlier test would substitute into X6's plan

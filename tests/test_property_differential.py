@@ -685,6 +685,7 @@ def test_zero_norm_vectors_survive_every_cosine_op(spark, tmp_path_factory):
         (similarity.ann_ivf_pq_residual, "ann_ivf_pq_residual"),
         (similarity.ann_graph_expand, "ann_graph_expand"),
         (similarity.ann_graph_expand2, "ann_graph_expand2"),
+        (similarity.ann_crossencoder_rerank, "ann_crossencoder_rerank"),
         (llmprep.embedding_anisotropy, "embedding_anisotropy"),
         (llmprep.embedding_abtt_audit, "embedding_abtt_audit"),
         (dedup.embedding_cosine_dups, "dedup_embedding_cosine"),
