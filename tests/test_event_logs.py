@@ -2898,6 +2898,57 @@ GROUP BY a.vec_id, c.label
         spark.catalog.dropTempView(v)
 
 
+def test_stream_dedup_index_crash_artifact_not_legacy(spark, tmp_path):
+    """ADVICE r09: the stream updater appends membership BEFORE
+    shingles, so the worst crash artifact a retried first batch can see
+    on a fresh stream-built index is doc_ids-without-shingles — which
+    the legacy probe (shingles-without-doc_ids) correctly treats as
+    NON-legacy, so membership keeps being recorded and index-only
+    sweeps work. Simulate the artifact and retry."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        dedup_threshold_sweep_from_index,
+        stream_update_dedup_index,
+    )
+
+    docs_rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta",
+         "lang": "en"},
+        {"doc_id": 2, "text": "one two three four five six seven",
+         "lang": "en"},
+    ]
+    path = str(tmp_path / "crash_index")
+    # the crash artifact: batch 1 appended doc_ids, crashed before
+    # shingles (the write order the fix guarantees)
+    spark.createDataFrame(
+        [(r["doc_id"],) for r in docs_rows], "doc_id long"
+    ).write.parquet(f"{path}/doc_ids")
+
+    src = tmp_path / "crash_docs"
+    _write_doc_files(src, [docs_rows])
+    q = stream_update_dedup_index(
+        spark.readStream.schema(
+            "doc_id long, text string, lang string"
+        ).json(str(src)),
+        path,
+        str(tmp_path / "crash_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    # the retry recorded membership (duplicate rows absorbed by the
+    # DISTINCT read paths) and the index-only sweep works — no
+    # permanent legacy classification
+    docs_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in docs_rows],
+        "doc_id long, text string, lang string",
+    )
+    dedup.clear_materialized_caches()
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path).collect()
+    ] == [tuple(r) for r in dedup.dedup_threshold_sweep(docs_df).collect()]
+
+
 def test_ann_crossencoder_rerank_from_index(spark, tmp_path):
     """X14 retrieve-then-rerank: the from-index twin over a (label,
     raw) S14 index must equal the live operator row-for-row; a residual
