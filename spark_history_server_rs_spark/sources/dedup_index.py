@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import (
     HOT_SHINGLE_CAP,
     JACCARD_THRESHOLD,
-    _MINHASH_POST,
     _PASSAGE_WINS_SPARK,
     _BANDKV_SPARK,
     _minhash_bandkv_sql,
@@ -99,48 +98,96 @@ def _delete_path(spark: SparkSession, target: str) -> None:
 
 
 def _relation_fingerprint(spark: SparkSession, target: str):
-    """Driver-side file-listing fingerprint (name, size, mtime) of a
-    persisted relation — the STALENESS key for per-path materialized
-    caches. A parquet scan's semanticHash never changes when the files
-    under the unchanged path do (stream appends, compaction swaps), so
-    plan-keyed caching would silently serve a stale index; the listing
-    changes with every append/compact."""
+    """Driver-side recursive file-listing fingerprint (path, size,
+    mtime) of a persisted relation — the STALENESS key for per-path
+    materialized caches. A parquet scan's semanticHash never changes
+    when the files under the unchanged path do (stream appends,
+    compaction swaps), so plan-keyed caching would silently serve a
+    stale index; the listing changes with every append/compact
+    (recursive, so files landing inside partition subdirectories —
+    band_keys appends — change it too)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(target)
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return ()
-    return tuple(
-        sorted(
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        out.append(
             (
-                st.getPath().getName(),
+                st.getPath().toString(),
                 st.getLen(),
                 st.getModificationTime(),
             )
-            for st in fs.listStatus(p)
         )
-    )
+    return tuple(sorted(out))
 
 
-def _materialized_index_shingles(spark: SparkSession, path: str) -> DataFrame:
-    """The index's DISTINCT shingle relation, persisted through the
-    dedup module cache (thread-safe, unpersist-on-key-change). Spark
-    inlines SQL CTEs, so the sweep's ~6 ``shingles`` references would
-    re-run the parquet scan + DISTINCT per reference (measured 2.8 s →
-    2.1 s at sf0.1 when materialized); the cache key is the FILE
+def _materialized_index_relation(
+    spark: SparkSession, path: str, rel: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """A persisted index relation's DISTINCT key set, persisted through
+    the dedup module cache (thread-safe, unpersist-on-key-change).
+    Spark inlines SQL CTEs — and refuses cache substitution anywhere in
+    a WithCTE plan — so the serving twins' repeated references would
+    re-run the parquet scan + DISTINCT per reference (measured: the
+    sweep made 8 parquet scans per call); the composed serving twins
+    read this one cached relation instead. The cache key is the FILE
     LISTING fingerprint, so a streamed append or compaction swap
     invalidates it where a plan hash would not."""
     from ..operators.dedup import _materialized_df
 
-    key = hash((path, _relation_fingerprint(spark, f"{path}/shingles")))
+    key = hash((path, rel, _relation_fingerprint(spark, f"{path}/{rel}")))
     return _materialized_df(
         spark,
-        "_idx_sweep_shingles",
+        f"_idx_{rel}",
         key,
-        lambda: spark.read.parquet(f"{path}/shingles")
-        .select("doc_id", "shingle")
+        lambda: spark.read.parquet(f"{path}/{rel}")
+        .select(*cols)
         .distinct(),
+    )
+
+
+def _materialized_index_shingles(spark: SparkSession, path: str) -> DataFrame:
+    return _materialized_index_relation(
+        spark, path, "shingles", ("doc_id", "shingle")
+    )
+
+
+def _materialized_index_bandkv(spark: SparkSession, path: str) -> DataFrame:
+    return _materialized_index_relation(
+        spark, path, "band_keys", ("doc_id", "band_idx", "band_key")
+    )
+
+
+def _scored_pairs_composed(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """The shared exact-Jaccard verification, DataFrame-composed:
+    ``(doc_a, doc_b, common_shingles, jaccard)`` over FULL shingle sets
+    — the same expressions ``_PAIR_VERIFY_POST`` states in SQL (the
+    FLOOR snap is the oracle contract, pinned by the identity tests)."""
+    from pyspark.sql import functions as F
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        candidates
+        .join(sh.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    return (
+        common
+        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "common_shingles",
+            "FLOOR((CAST(common_shingles AS DOUBLE)"
+            " / (na + nb - common_shingles)) * 10000.0 + 0.5)"
+            " / CAST(10000.0 AS DOUBLE) AS jaccard",
+        )
     )
 
 
@@ -168,25 +215,38 @@ def read_dedup_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
 def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
     """QUERY phase: D3's near-dup pairs computed ENTIRELY from the
-    persisted index — band-collision candidates from ``band_keys``
-    (partition-pruned per band), exact-Jaccard verification from
-    ``shingles``. Result-identical to the live operator (pinned by
-    test), but no document text is touched in this session."""
-    from ..functions.views import scoped_temp_view
+    persisted index — band-collision candidates from ``band_keys``,
+    exact-Jaccard verification from ``shingles``. Result-identical to
+    the live operator (pinned by test), but no document text is touched
+    in this session.
 
-    idx = read_dedup_index(spark, path)
-    # DISTINCT on both relations: a streaming index update retried after
-    # a failure can append a batch's rows twice (at-least-once), and the
-    # Jaccard verification counts shingles per doc — duplicate rows
-    # would inflate set sizes and shift every similarity.
-    with scoped_temp_view(
-        idx["shingles"], "_idx_shingles"
-    ) as sv, scoped_temp_view(idx["band_keys"], "_idx_bandkv") as bv:
-        return spark.sql(
-            f"WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM {sv}),\n"
-            f"bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM {bv}),"
-            + _MINHASH_POST.format(thr=JACCARD_THRESHOLD)
+    DISTINCT on both relations: a streaming index update retried after
+    a failure can append a batch's rows twice (at-least-once), and the
+    Jaccard verification counts shingles per doc — duplicate rows would
+    inflate set sizes and shift every similarity. DataFrame-composed
+    (not a WITH query) so both distinct relations materialize ONCE per
+    index state and every reference reads the cache — the CTE spelling
+    re-scanned the index parquet per reference (see
+    :func:`_materialized_index_relation`)."""
+    from pyspark.sql import functions as F
+
+    sh = _materialized_index_shingles(spark, path)
+    bk = _materialized_index_bandkv(spark, path)
+    candidates = (
+        bk.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
+        .join(
+            bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key"),
+            ["band_idx", "band_key"],
         )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _scored_pairs_composed(sh, candidates)
+        .where(f"jaccard >= {JACCARD_THRESHOLD}")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def dedup_threshold_sweep_from_index(
@@ -299,24 +359,8 @@ def dedup_threshold_sweep_from_index(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        candidates
-        .join(sh.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
-        .join(sh.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common_shingles"))
-    )
-    scored = (
-        common
-        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
-        .selectExpr(
-            "doc_a", "doc_b",
-            "FLOOR((CAST(common_shingles AS DOUBLE)"
-            " / (na + nb - common_shingles)) * 10000.0 + 0.5)"
-            " / CAST(10000.0 AS DOUBLE) AS jaccard",
-        )
+    scored = _scored_pairs_composed(sh, candidates).select(
+        "doc_a", "doc_b", "jaccard"
     )
     thresholds = spark.createDataFrame(
         [(float(t),) for t in SWEEP_THRESHOLDS], "thr double"
@@ -355,24 +399,27 @@ def minhash_lsh_probe_index(
     indexed document's text.
 
     The new batch is tokenized once (its shingles/band keys derive
-    in-session); candidates are its band keys joined against the
-    persisted ``band_keys`` relation — partition-pruned per band — plus
-    the batch's internal collisions; exact-Jaccard verification reads
-    the persisted shingle sets UNION the batch's. Old-old pairs are
-    never even candidates, so probe cost scales with the BATCH, not the
-    corpus. Result = the full-rebuild pair set restricted to pairs
-    touching a new doc (pinned by test). A doc re-submitted with
+    in-session and persist through the module cache); candidates are
+    its band keys joined against the persisted ``band_keys`` relation
+    plus the batch's internal collisions; exact-Jaccard verification
+    reads the persisted shingle sets UNION the batch's. Old-old pairs
+    are never even candidates, so probe cost scales with the BATCH,
+    not the corpus. Result = the full-rebuild pair set restricted to
+    pairs touching a new doc (pinned by test). A doc re-submitted with
     identical content is harmless (set-UNION semantics); DISTINCT on
     the index side keeps at-least-once appends harmless as everywhere.
-    """
-    from ..functions.views import scoped_temp_view
-    from ..operators.dedup import _materialized_df, _PAIR_VERIFY_POST
 
-    idx = read_dedup_index(spark, path)
+    DataFrame-composed like the other serving twins: the WITH spelling
+    disabled cache substitution plan-wide, so the probe re-tokenized
+    the batch AND re-scanned the index parquet per CTE reference
+    (measured 13 parquet scans per probe)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.views import scoped_temp_view
+    from ..operators.dedup import _materialized_df
+
     # the batch's derived relations go through the module cache (same
-    # persist lifetime/invalidation as every dedup derivation — the
-    # probe's plan reads cached InMemoryRelations instead of
-    # re-tokenizing the batch once per CTE reference)
+    # persist lifetime/invalidation as every dedup derivation)
     key = hash((new_docs.semanticHash(), path))
 
     def build_sh():
@@ -390,36 +437,45 @@ def minhash_lsh_probe_index(
             )
 
     new_bk = _materialized_df(spark, "_probe_new_bandkv", key, build_bk)
-    with scoped_temp_view(new_sh, "_probe_new_sh") as sv, scoped_temp_view(
-        new_bk, "_probe_new_bk"
-    ) as bv, scoped_temp_view(
-        idx["shingles"], "_probe_idx_sh"
-    ) as isv, scoped_temp_view(
-        idx["band_keys"], "_probe_idx_bk"
-    ) as ibv:
-        return spark.sql(
-            f"""
-WITH shingles AS (
-  SELECT doc_id, shingle FROM {isv}
-  UNION
-  SELECT doc_id, shingle FROM {sv}
-),
-idx_bandkv AS (SELECT DISTINCT doc_id, band_idx, band_key FROM {ibv}),
-new_bandkv AS (SELECT doc_id, band_idx, band_key FROM {bv}),
-candidates AS (
-  SELECT DISTINCT LEAST(n.doc_id, i.doc_id) AS doc_a,
-                  GREATEST(n.doc_id, i.doc_id) AS doc_b
-  FROM new_bandkv n JOIN idx_bandkv i
-    ON n.band_idx = i.band_idx AND n.band_key = i.band_key
-   AND n.doc_id <> i.doc_id
-  UNION
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM new_bandkv a JOIN new_bandkv b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),"""
-            + _PAIR_VERIFY_POST.format(thr=JACCARD_THRESHOLD)
+    idx_sh = _materialized_index_shingles(spark, path)
+    idx_bk = _materialized_index_bandkv(spark, path)
+    # the verification relation (indexed ∪ batch shingle sets) is
+    # referenced three times downstream — materialize it once per
+    # (batch, index-state) so the union/distinct shuffle runs once
+    sh_union = _materialized_df(
+        spark,
+        "_probe_union_shingles",
+        hash((key, _relation_fingerprint(spark, f"{path}/shingles"))),
+        lambda: idx_sh.unionByName(
+            new_sh.select("doc_id", "shingle")
+        ).distinct(),
+    )
+    cross = (
+        new_bk.selectExpr("doc_id AS n_id", "band_idx", "band_key")
+        .join(
+            idx_bk.selectExpr("doc_id AS i_id", "band_idx", "band_key"),
+            ["band_idx", "band_key"],
         )
+        .where(F.col("n_id") != F.col("i_id"))
+        .selectExpr(
+            "LEAST(n_id, i_id) AS doc_a", "GREATEST(n_id, i_id) AS doc_b"
+        )
+    )
+    newnew = (
+        new_bk.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
+        .join(
+            new_bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    candidates = cross.unionByName(newnew).distinct()
+    return (
+        _scored_pairs_composed(sh_union, candidates)
+        .where(f"jaccard >= {JACCARD_THRESHOLD}")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 #: (relation, key columns, partition column) for the three persisted

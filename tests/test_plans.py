@@ -1218,6 +1218,37 @@ def test_knn_graph_build_plan_block_kernel(spark, tmp_path):
     assert "Exchange" not in sc, sc  # narrow end to end
 
 
+def test_dedup_index_serving_twins_ride_cached_relations(spark, tmp_path):
+    """The S13 serving twins (pairs, probe, sweep) are DataFrame-
+    composed so the distinct index relations materialize once per
+    index state and every downstream reference reads the cache — the
+    WITH spelling disabled InMemoryRelation substitution plan-wide and
+    re-scanned the index parquet per CTE reference (measured 6-13
+    scans per call). Gate: each twin's executed plan carries
+    InMemoryTableScan nodes."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        dedup_threshold_sweep_from_index,
+        minhash_lsh_pairs_from_index,
+        minhash_lsh_probe_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "twin_cache_idx")
+    write_dedup_index(docs.where("doc_id < 450"), path)
+    dedup.clear_materialized_caches()
+    for df in (
+        minhash_lsh_pairs_from_index(spark, path),
+        minhash_lsh_probe_index(spark, path, docs.where("doc_id >= 450")),
+        dedup_threshold_sweep_from_index(spark, path),
+    ):
+        ex = I.executed_plan(df)
+        assert "InMemoryTableScan" in ex, ex[:1500]
+        assert df.count() >= 0
+    dedup.clear_materialized_caches()
+
+
 def test_knn_graph_stream_batch_guard(spark, tmp_path, monkeypatch):
     """The S16 stream's broadcast topology collects the micro-batch onto
     the driver — sound only while the batch is bounded. Above
