@@ -163,25 +163,52 @@ def _materialized_index_bandkv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: broadcast a materialized dimension relation into the serving-twin
+#: joins when its ACTUAL row count says it fits comfortably (shingle
+#: rows ≈ 50 B → the cap is ~400 MB of broadcast). The LIVE operators
+#: get the same broadcast plans from Catalyst's optimistic
+#: source-plan estimates; the serving twins run on accurate cache
+#: stats, which would otherwise flip every verify join to
+#: SortMergeJoin at sizes where a broadcast is still the right call
+#: on either a 32-core box or a real cluster (measured at the 10x
+#: docs tier: sweep 24 s all-SMJ vs 9 s broadcast). Past the cap the
+#: twins stay on the shuffle path — the only sound choice when the
+#: dimension side is corpus-sized.
+DIM_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _dim_fits(cached: DataFrame) -> bool:
+    """True when a MATERIALIZED (persisted) relation is small enough to
+    broadcast — count on a cached frame is metadata-cheap."""
+    return cached.count() <= DIM_BROADCAST_MAX_ROWS
+
+
 def _scored_pairs_composed(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """The shared exact-Jaccard verification, DataFrame-composed:
     ``(doc_a, doc_b, common_shingles, jaccard)`` over FULL shingle sets
     — the same expressions ``_PAIR_VERIFY_POST`` states in SQL (the
-    FLOOR snap is the oracle contract, pinned by the identity tests)."""
+    FLOOR snap is the oracle contract, pinned by the identity tests).
+    ``sh`` must be the materialized shingle relation; it (and the
+    per-doc sizes derived from it) broadcast into the verify joins
+    when the real size fits (see ``DIM_BROADCAST_MAX_ROWS``)."""
     from pyspark.sql import functions as F
 
+    dim = F.broadcast if _dim_fits(sh) else (lambda df: df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         candidates
-        .join(sh.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
-        .join(sh.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"])
+        .join(dim(sh.selectExpr("doc_id AS doc_a", "shingle")), "doc_a")
+        .join(
+            dim(sh.selectExpr("doc_id AS doc_b", "shingle")),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_shingles"))
     )
     return (
         common
-        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .join(dim(sizes.selectExpr("doc_id AS doc_a", "n AS na")), "doc_a")
+        .join(dim(sizes.selectExpr("doc_id AS doc_b", "n AS nb")), "doc_b")
         .selectExpr(
             "doc_a", "doc_b", "common_shingles",
             "FLOOR((CAST(common_shingles AS DOUBLE)"
@@ -232,10 +259,11 @@ def minhash_lsh_pairs_from_index(spark: SparkSession, path: str) -> DataFrame:
 
     sh = _materialized_index_shingles(spark, path)
     bk = _materialized_index_bandkv(spark, path)
+    dim = F.broadcast if _dim_fits(bk) else (lambda df: df)
     candidates = (
         bk.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
         .join(
-            bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key"),
+            dim(bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key")),
             ["band_idx", "band_key"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -345,16 +373,19 @@ def dedup_threshold_sweep_from_index(
 
     # the same relations the shared SQL fragments state, composed as
     # DataFrames (expressions copied verbatim — the FLOOR snaps and
-    # tie rules are the oracle contract, pinned by test)
+    # tie rules are the oracle contract, pinned by test); the derived
+    # dimension sides broadcast under the same size check as the
+    # verify joins (hot and pruned are subsets of sh)
+    dim = F.broadcast if _dim_fits(sh) else (lambda df: df)
     hot = (
         sh.groupBy("shingle").agg(F.count("*").alias("c"))
         .where(F.col("c") > cap).select("shingle")
     )
-    pruned = sh.join(hot, "shingle", "left_anti")
+    pruned = sh.join(dim(hot), "shingle", "left_anti")
     cand_a = pruned.selectExpr("doc_id AS doc_a", "shingle")
     cand_b = pruned.selectExpr("doc_id AS doc_b", "shingle")
     candidates = (
-        cand_a.join(cand_b, "shingle")
+        cand_a.join(dim(cand_b), "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -450,10 +481,14 @@ def minhash_lsh_probe_index(
             new_sh.select("doc_id", "shingle")
         ).distinct(),
     )
+    # the BATCH side broadcasts into both candidate joins under the
+    # same size check — the probe's whole point is that the arriving
+    # batch is the bounded side
+    bdim = F.broadcast if _dim_fits(new_bk) else (lambda df: df)
     cross = (
-        new_bk.selectExpr("doc_id AS n_id", "band_idx", "band_key")
+        idx_bk.selectExpr("doc_id AS i_id", "band_idx", "band_key")
         .join(
-            idx_bk.selectExpr("doc_id AS i_id", "band_idx", "band_key"),
+            bdim(new_bk.selectExpr("doc_id AS n_id", "band_idx", "band_key")),
             ["band_idx", "band_key"],
         )
         .where(F.col("n_id") != F.col("i_id"))
@@ -464,7 +499,7 @@ def minhash_lsh_probe_index(
     newnew = (
         new_bk.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
         .join(
-            new_bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key"),
+            bdim(new_bk.selectExpr("doc_id AS doc_b", "band_idx", "band_key")),
             ["band_idx", "band_key"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
