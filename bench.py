@@ -267,8 +267,16 @@ def main() -> None:
     )
     from spark_history_server_rs_spark.sources.dedup_index import (
         dedup_threshold_sweep_from_index,
+        minhash_lsh_pairs_from_index,
+        minhash_lsh_probe_index,
         write_dedup_index,
     )
+
+    # one shared S13 index for the three dedup serving rows (probe's
+    # batch = the last 1% of doc ids, indexed side = the rest)
+    dedup_idx_path = tempfile.mkdtemp() + "/dedup_idx"
+    probe_batch = docs.where("pmod(doc_id, 100) = 0")
+    write_dedup_index(docs.where("pmod(doc_id, 100) <> 0"), dedup_idx_path)
 
     for row, builder, server in (
         (
@@ -285,6 +293,18 @@ def main() -> None:
             "dedup_threshold_sweep_from_index",
             lambda p: write_dedup_index(docs, p),
             lambda p: dedup_threshold_sweep_from_index(spark, p, docs),
+        ),
+        (
+            "minhash_lsh_pairs_from_index",
+            lambda p: None,
+            lambda p: minhash_lsh_pairs_from_index(spark, dedup_idx_path),
+        ),
+        (
+            "minhash_lsh_probe_index",
+            lambda p: None,
+            lambda p: minhash_lsh_probe_index(
+                spark, dedup_idx_path, probe_batch
+            ),
         ),
     ):
         p = tempfile.mkdtemp() + "/idx"
