@@ -10,9 +10,11 @@ the index — document text is never re-tokenized, never even read.
 
 At 100 TB this is the production layout: the index is a small multiple
 of the doc-id space (hashes + ids, no text), band keys are written
-partitioned by ``band_idx`` so a band-collision probe prunes to one
-partition per band, and every downstream join is keyed on uniform
-md5-derived values (unskewable by construction).
+partitioned by ``band_idx`` (selective single-band scans prune to one
+partition; the serving twins instead materialize the full distinct
+relation once per index state and serve every call from the cache —
+see ``_materialized_index_relation``), and every downstream join is
+keyed on uniform md5-derived values (unskewable by construction).
 """
 
 from __future__ import annotations
