@@ -130,12 +130,16 @@ def _stream_edges_df(new_nodes: DataFrame, stored: DataFrame) -> DataFrame:
 
     # the batch is the bounded side twice over: broadcast-hinted into
     # the stored-side anti-join (narrow) and array-broadcast into the
-    # cross kernel — the stored corpus is read once, shuffle-free
+    # cross kernel — the stored corpus is read once, shuffle-free.
+    # BOTH broadcasts ride the same size guard: an oversized batch
+    # neither collects onto the driver nor broadcasts its id column.
+    small = new_nodes.count() <= STREAM_BROADCAST_MAX_ROWS
+    ids = new_nodes.select("vec_id")
     old = stored.join(
-        F.broadcast(new_nodes.select("vec_id")), "vec_id", "left_anti"
+        F.broadcast(ids) if small else ids, "vec_id", "left_anti"
     )
     hmax = hamming_cutoff(KNN_GRAPH_TAU)
-    if new_nodes.count() <= STREAM_BROADCAST_MAX_ROWS:
+    if small:
         cross = pair_edges_broadcast_cross(
             new_nodes, old, KNN_GRAPH_TAU, hmax
         )
