@@ -619,17 +619,21 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             if aidx is not None and m.group(1) == "rerank":
                 # X14 served from the durable index: the shortlist
                 # reads persisted codes (raw or residual per meta),
-                # the refine scorer touches only the nq × k pairs
+                # the refine scorer touches only the nq × k pairs;
+                # a drifted/legacy index falls back to the live op
                 from ..sources.ann_index import (
                     ann_crossencoder_rerank_from_index,
                 )
 
-                df = ann_crossencoder_rerank_from_index(
-                    emb.sparkSession, aidx, emb
-                )
-                return self._send(
-                    200, _rows(df.limit(self._limit(qs, 1000)))
-                )
+                try:
+                    df = ann_crossencoder_rerank_from_index(
+                        emb.sparkSession, aidx, emb
+                    )
+                    return self._send(
+                        200, _rows(df.limit(self._limit(qs, 1000)))
+                    )
+                except ValueError:
+                    pass  # drifted index — live rerank below
             if aidx is not None and m.group(1) in (
                 "int8-audit", "anisotropy", "abtt"
             ):

@@ -520,6 +520,30 @@ GROUP BY a.vec_id, c.label
 """
 
 
+def _check_codes_cover_corpus(
+    spark: SparkSession, path: str, corpus: DataFrame, why: str
+) -> DataFrame:
+    """Fail loud when a caller's corpus frame has grown (or shrunk)
+    past the indexed codes — the shared drift refusal for serving twins
+    whose result would otherwise silently bend (the S13 sweep's
+    membership assertion, mirrored). Returns the codes frame
+    (``ingest_seq`` defaulted for pre-sequence-tracking indexes)."""
+    codes_df = spark.read.parquet(f"{path}/codes")
+    if "ingest_seq" not in codes_df.columns:
+        codes_df = codes_df.selectExpr(
+            "*", "CAST(0 AS BIGINT) AS ingest_seq"
+        )
+    n_emb = corpus.count()
+    n_codes = codes_df.select("vec_id").distinct().count()
+    if n_emb != n_codes:
+        raise ValueError(
+            f"ann index at {path} codes {n_codes} vectors but the "
+            f"corpus frame has {n_emb} — {why}; re-run write_ann_index "
+            "or stream the delta first"
+        )
+    return codes_df
+
+
 #: the candidate-accumulation CTE body for a RESIDUAL-encoded system:
 #: the ADC table is per-(query, probed cell) — the query's residual
 #: differs per cell — so the table join carries the probed label
@@ -569,19 +593,12 @@ def ann_nprobe_recall_from_index(
     )
 
     meta = _index_meta(spark, path)
-    codes_df = spark.read.parquet(f"{path}/codes")
-    if "ingest_seq" not in codes_df.columns:
-        codes_df = codes_df.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
     corpus = emb.where("embedding IS NOT NULL")
-    n_emb = corpus.count()
-    n_codes = codes_df.select("vec_id").distinct().count()
-    if n_emb != n_codes:
-        raise ValueError(
-            f"ann index at {path} codes {n_codes} vectors but the "
-            f"corpus frame has {n_emb} — sweeping would mix an exact "
-            "side over one corpus with a candidate side over another; "
-            "re-run write_ann_index or stream the delta first"
-        )
+    codes_df = _check_codes_cover_corpus(
+        spark, path, corpus,
+        "sweeping would mix an exact side over one corpus with a "
+        "candidate side over another",
+    )
     code_pairs = ", ".join(f"{s}, code_{s}" for s in range(PQ_M))
     with scoped_temp_view(
         spark.read.parquet(f"{path}/centroids"), "_annidx_centroids"
@@ -673,7 +690,12 @@ def ann_crossencoder_rerank_from_index(
     output is result-identical to the live ``ann_crossencoder_rerank``
     (pinned by test). Only the shortlist's nq × k pair rows ever reach
     the scorer — the index supplies the candidates without reading a
-    corpus float, and the scorer joins back exactly 2·nq·k vectors."""
+    corpus float, and the scorer joins back exactly 2·nq·k vectors.
+
+    Corpus drift fails loud (same refusal as the nprobe sweep): the
+    scorer joins shortlist ids back to ``emb``, so an index covering a
+    different corpus would silently DROP drifted pairs and re-rank the
+    remainder; the REST route falls back to the live operator."""
     from ..functions.views import scoped_temp_view
     from ..operators.dedup import cosine_expr_spark
     from ..operators.similarity import (
@@ -682,6 +704,11 @@ def ann_crossencoder_rerank_from_index(
     )
 
     meta = _index_meta(spark, path)
+    _check_codes_cover_corpus(
+        spark, path, emb.where("embedding IS NOT NULL"),
+        "the rerank joins shortlist ids back to the corpus frame and "
+        "would silently drop drifted pairs",
+    )
     if meta["encoding"] == "residual":
         cand = ann_ivf_pq_residual_from_index(spark, path, emb)
     else:

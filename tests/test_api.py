@@ -829,5 +829,9 @@ def test_ann_stats_routes_served_from_index(spark):
         base_d = f"http://127.0.0.1:{drift_httpd.server_address[1]}"
         code_d, rows_d = _get(base_d, "/api/v1/ann/nprobe-recall")
         assert code_d == 200 and rows_d == live_by_route["nprobe-recall"]
+        # the rerank route refuses the drifted index the same way and
+        # falls back to the live operator
+        code_rr, rows_rr = _get(base_d, "/api/v1/ann/rerank")
+        assert code_rr == 200 and rows_rr == live_by_route["rerank"]
     finally:
         drift_httpd.shutdown()

@@ -3000,6 +3000,13 @@ def test_ann_crossencoder_rerank_from_index(spark, tmp_path):
         scores = [r.cross_score for r in rows]
         assert scores == sorted(scores, reverse=True)
 
+    # corpus drift fails loud (the inner join would silently drop
+    # drifted pairs otherwise) — same refusal family as the sweep
+    with _pytest.raises(ValueError, match="corpus frame has"):
+        ann_crossencoder_rerank_from_index(
+            spark, path, emb.where("vec_id >= 5")
+        )
+
     # extension point: the Arrow scorer's plumbing is real; the body
     # raises until a model ships
     with _pytest.raises(Exception, match="no cross-encoder model"):
