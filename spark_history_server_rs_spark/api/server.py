@@ -589,10 +589,13 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     "graph-expand": ann_graph_expand_from_index,
                     "graph-depth": ann_graph_expand2_from_index,
                 }[m.group(1)]
-                df = served(emb.sparkSession, knng, emb)
-                return self._send(
-                    200, _rows(df.limit(self._limit(qs, 1000)))
-                )
+                try:
+                    df = served(emb.sparkSession, knng, emb)
+                    return self._send(
+                        200, _rows(df.limit(self._limit(qs, 1000)))
+                    )
+                except ValueError:
+                    pass  # drifted graph index — live operator below
 
             aidx = getattr(self.server, "ann_index_path", None)
             if aidx is not None and m.group(1) == "nprobe-recall":

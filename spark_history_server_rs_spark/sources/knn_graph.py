@@ -188,6 +188,32 @@ def _meta_path_exists(spark: SparkSession, path: str) -> bool:
     return path_exists(spark, f"{path}/meta")
 
 
+def _check_nodes_cover_corpus(
+    spark: SparkSession, path: str, corpus: DataFrame
+) -> None:
+    """Fail loud when the caller's embeddings frame has grown (or
+    shrunk) past the graph's stored nodes — the S16 twin of the ANN
+    index's codes-coverage refusal: the expansion twins measure recall
+    against an exact side over ``corpus``, so a graph covering a
+    different corpus would quietly bend every recall row. The repair
+    is re-indexing or streaming the delta; the REST routes fall back
+    to the live operators."""
+    # NULL vec_ids never enter nodes/ (unaddressable — see
+    # write_knn_graph), so they don't count toward coverage either
+    n_emb = corpus.where("vec_id IS NOT NULL").count()
+    n_nodes = (
+        spark.read.parquet(f"{path}/nodes")
+        .select("vec_id").distinct().count()
+    )
+    if n_emb != n_nodes:
+        raise ValueError(
+            f"kNN-graph index at {path} stores {n_nodes} nodes but the "
+            f"corpus frame has {n_emb} vectors — the expansion would "
+            "hop a graph over one corpus while measuring recall over "
+            "another; re-run write_knn_graph or stream the delta first"
+        )
+
+
 def _edges_topk_ctes(edges_view: str, probe_filter: str = "") -> str:
     """``eset …, eranked …, topk`` CTEs over the persisted edge relation:
     DISTINCT (at-least-once retry rows are byte-identical), then the
@@ -309,10 +335,15 @@ def ann_graph_expand_from_index(
     the edge relation pruned to the hopped src buckets (the hop join
     carries ``src_bucket = pmod(cand_id, {nb})``, so the scan is
     dynamically partition-pruned — plan-gated). Floats never join the
-    hop; adjacency rows are three scalars.""".format(nb=N_GRAPH_BUCKETS)
+    hop; adjacency rows are three scalars. A corpus frame drifted past
+    the stored nodes is REFUSED (see :func:`_check_nodes_cover_corpus`).
+    """.format(nb=N_GRAPH_BUCKETS)
     from ..functions.views import scoped_temp_view
 
     check_knn_graph_meta(spark, path)
+    _check_nodes_cover_corpus(
+        spark, path, emb.where("embedding IS NOT NULL")
+    )
     edges = spark.read.parquet(f"{path}/edges")
     probe_filter = (
         f"\n  WHERE src_bucket IN"
@@ -354,7 +385,9 @@ def ann_graph_expand2_from_index(
     ints, the nprobe-style probe-planning round-trip), which filter the
     edge scan as STATIC partition predicates before the rank-recompute
     window. Pruning whole buckets before ranking is lossless (rank
-    partitions by src_id; a bucket is a function of src_id).""".format(
+    partitions by src_id; a bucket is a function of src_id). A corpus
+    frame drifted past the stored nodes is REFUSED (see
+    :func:`_check_nodes_cover_corpus`).""".format(
         nb=N_GRAPH_BUCKETS
     )
     from pyspark.sql import Window
@@ -363,6 +396,9 @@ def ann_graph_expand2_from_index(
     from ..operators.similarity import _graph_expand2_over_topk
 
     check_knn_graph_meta(spark, path)
+    _check_nodes_cover_corpus(
+        spark, path, emb.where("embedding IS NOT NULL")
+    )
     edges = spark.read.parquet(f"{path}/edges")
 
     def hop_edges(prev: DataFrame) -> DataFrame:

@@ -3165,6 +3165,16 @@ def test_knn_graph_meta_mismatch_fails_loud(spark, tmp_path):
     # sanity: matching meta serves fine
     assert kg.ann_knn_graph_from_index(spark, path).count() >= 0
 
+    # corpus drift refusal (round 10): the expansion twins measure
+    # recall over the passed frame, so a graph covering a different
+    # corpus fails loud instead of quietly bending the curve
+    full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert kg.ann_graph_expand_from_index(spark, path, emb).count() > 0
+    with _pytest.raises(ValueError, match="corpus frame has"):
+        kg.ann_graph_expand_from_index(spark, path, full)
+    with _pytest.raises(ValueError, match="corpus frame has"):
+        kg.ann_graph_expand2_from_index(spark, path, full)
+
     spark.createDataFrame(
         [(float(kg.KNN_GRAPH_TAU) + 0.1, int(kg.KNN_GRAPH_K))],
         "tau double, k int",
