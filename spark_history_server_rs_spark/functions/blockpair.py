@@ -295,10 +295,15 @@ def pair_edges_blocked(
     # cross mode: batch rows fan out to every stored block (a bounded
     # batch × B replication via explode — a Generate, no join at all);
     # stored rows stay in their own block — the shuffle carries the
-    # corpus ONCE.
+    # corpus ONCE. The block ids come from explode(sequence(0, B-1)) —
+    # ONE expression whatever B is — not a B-literal array: B scales
+    # with the STORED corpus (ceil(n/2048)), and the stream guard
+    # routes whole-backlog batches here precisely at large-corpus
+    # scale, so an O(B)-literal plan would re-open the plan-string /
+    # driver blowup class the self mode's range+sequence form closed.
     a_side = nodes.select(
         F.explode(
-            F.array(*[F.lit(j) for j in range(B)])
+            F.sequence(F.lit(0), F.lit(B - 1))
         ).alias("gj"),
         F.lit(0).alias("side"), "vec_id", "nv", "sketch",
     )
