@@ -43,6 +43,23 @@ SUITE = {
 }
 
 
+def _shuffle_canary(spark) -> float:
+    """The tiny 32-partition shuffle round-trip, min-of-3 — the
+    scheduling/stage-overhead floor. Sampled BETWEEN bench groups (not
+    only at the end) so per-op deltas late in the ~160-op sequence are
+    attributable: if an untouched op slows while its group's canary
+    slows too, that is session/VM drift, not a plan regression
+    (VERDICT r10 'What's wrong #3')."""
+    vals = []
+    for _ in range(3):
+        t = time.perf_counter()
+        spark.range(0, 10_000).repartition(32).selectExpr(
+            "id % 13 AS k"
+        ).groupBy("k").count().collect()
+        vals.append(time.perf_counter() - t)
+    return round(min(vals), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
@@ -83,6 +100,8 @@ def main() -> None:
         dt = min(warm)
         timings[name] = round(dt, 4)
         total += dt
+
+    group_canaries: dict[str, float] = {"after_suite": _shuffle_canary(spark)}
 
     # extended (beyond-reference) operator timings over documents/embeddings
     from spark_history_server_rs_spark.operators import (
@@ -193,6 +212,14 @@ def main() -> None:
         ("rolling_active_users_approx",
          relational.rolling_active_users_approx, ev),
     ]:
+        # canary sample every 20 extended ops: the late-registry rows
+        # run after ~150 ops' worth of session cache/GC accumulation,
+        # and without an in-sequence canary a creep there is
+        # indistinguishable from a plan regression
+        if len(extended) and len(extended) % 20 == 0:
+            group_canaries[f"extended_after_{len(extended)}"] = (
+                _shuffle_canary(spark)
+            )
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
         # (measured on dedup_minhash_lsh: identical plan executes in
@@ -216,6 +243,8 @@ def main() -> None:
             fn(src).collect()
             warm.append(time.perf_counter() - t)
         extended[name] = round(min(warm), 4)
+
+    group_canaries["after_extended"] = _shuffle_canary(spark)
 
     # k=64 training demonstration (VERDICT r06 #1): the bounded-lineage
     # loop at 8× the registered merge count. Single timed run — the loop
@@ -325,6 +354,8 @@ def main() -> None:
     llmprep.kmeans_train_k(emb, 4, 64).collect()
     extended["embedding_kmeans_train_k64"] = round(time.perf_counter() - t, 4)
 
+    group_canaries["after_index_family"] = _shuffle_canary(spark)
+
     # round-6 events-SQL ops take (spark, sf_dir) — they scan the raw
     # events parquet per run (the realistic serving shape for these)
     from spark_history_server_rs_spark.operators import relational
@@ -400,6 +431,11 @@ def main() -> None:
         "suite_per_shuffle_canary": (
             round(total / calib_shuffle, 2) if calib_shuffle else None
         ),
+        # in-sequence canaries per bench group (same tiny-shuffle
+        # probe): attribute late-registry per-op creep to session/VM
+        # drift vs plan regressions — compare an op's delta against its
+        # OWN group's canary, not just the end-of-run pair above
+        "group_canaries": group_canaries,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -421,7 +457,7 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "calib_range_sum_sec", "calib_shuffle_sec",
-            "suite_per_shuffle_canary",
+            "suite_per_shuffle_canary", "group_canaries",
             "unit", "queries", "sf", "events", "cold_total_sec",
             "ingest_sec", "ingest_events_per_sec",
         )

@@ -28,6 +28,7 @@ cores — matching the reference's one-router/many-DB-workers shape.
 from __future__ import annotations
 
 import json
+import logging
 import re
 from datetime import datetime, timezone
 from html import escape as html_escape
@@ -38,9 +39,22 @@ from pyspark.sql import DataFrame
 
 from ..operators import catalog
 from ..sources.event_logs import applications_with_attempts, executor_details
+from ..sources.index_manifest import CorpusDriftError
 from .circuit_breaker import CircuitBreaker
 
 VERSION = {"version": "1.0.0", "engine": "pyspark"}
+
+_fallback_log = logging.getLogger("spark_history_server_rs_spark.api")
+
+
+def _log_index_fallback(route: str, ex: CorpusDriftError) -> None:
+    """Record WHY a durable-index serving twin degraded to the live
+    operator — the refusal is intentional (drifted corpus / stale
+    parameters), but a silent permanent fallback would hide that the
+    index needs a re-build or a delta stream."""
+    _fallback_log.warning(
+        "index-serving fallback on %s: %s", route, ex
+    )
 
 
 def parse_date_param(v: str) -> int | None:
@@ -594,8 +608,12 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     return self._send(
                         200, _rows(df.limit(self._limit(qs, 1000)))
                     )
-                except ValueError:
-                    pass  # drifted graph index — live operator below
+                except CorpusDriftError as ex:
+                    # drifted graph index — live operator below. ONLY
+                    # the typed refusal degrades; a genuine bug in the
+                    # twin (any other error) must surface, not be
+                    # silently converted into serving the live op
+                    _log_index_fallback("knn-graph", ex)
 
             aidx = getattr(self.server, "ann_index_path", None)
             if aidx is not None and m.group(1) == "nprobe-recall":
@@ -617,8 +635,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     return self._send(
                         200, _rows(df.limit(self._limit(qs, 1000)))
                     )
-                except ValueError:
-                    pass  # drifted/legacy index — live sweep below
+                except CorpusDriftError as ex:
+                    _log_index_fallback("ann-nprobe", ex)  # live sweep
             if aidx is not None and m.group(1) == "rerank":
                 # X14 served from the durable index: the shortlist
                 # reads persisted codes (raw or residual per meta),
@@ -635,8 +653,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     return self._send(
                         200, _rows(df.limit(self._limit(qs, 1000)))
                     )
-                except ValueError:
-                    pass  # drifted index — live rerank below
+                except CorpusDriftError as ex:
+                    _log_index_fallback("ann-rerank", ex)  # live rerank
             if aidx is not None and m.group(1) in (
                 "int8-audit", "anisotropy", "abtt"
             ):

@@ -64,6 +64,21 @@ BASELINE_ONLY: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_prefiltered",
 }
 
+#: The S13 half of ``similarity.INDEX_SERVED``: registered ops whose
+#: catalog form stays the oracle-checked SQL spec while production
+#: serving rides the durable dedup index — each value names the
+#: (sources module, build fn, serve fn) triple to reach for at scale.
+#: Same test pin as the similarity map.
+INDEX_SERVED: dict[str, tuple[str, str, str]] = {
+    "dedup_minhash_lsh": (
+        "dedup_index", "write_dedup_index", "minhash_lsh_pairs_from_index"
+    ),
+    "dedup_threshold_sweep": (
+        "dedup_index", "write_dedup_index",
+        "dedup_threshold_sweep_from_index",
+    ),
+}
+
 # The distinct (doc_id, shingle) set. Spark builds it SHUFFLE-FREE: word
 # k-grams via slice() over the token array inside one projection (no
 # posexplode→window ordering exchange), de-duplicated per doc with

@@ -85,13 +85,19 @@ def _binary_payload(docs: DataFrame) -> DataFrame:
 # ==========================================================================
 # M1 — image decode (default: pure column expressions; codec: mapInPandas)
 # ==========================================================================
-def image_decode(docs: DataFrame, use_codec: bool = False) -> DataFrame:
+def image_decode(
+    docs: DataFrame, use_codec: bool = False, decode_fn=None
+) -> DataFrame:
     """M1: decode opaque image payloads into typed features. The fake
     geometry (``n_bytes % 640/480``) and checksum are built-in expressions —
     no Python worker in the plan; ``use_codec=True`` switches to the
-    Arrow-batched real-codec path."""
+    Arrow-batched real-codec path. ``decode_fn`` is the codec body — a
+    self-contained ``(payload: bytes) -> (width, height)`` callable
+    (see :func:`fake_geometry_decode`, the deterministic stand-in
+    pinned result-identical to the column-expression default);
+    ``None`` keeps the raise-through-plumbing contract."""
     if use_codec:
-        return _image_decode_codec(docs)
+        return _image_decode_codec(docs, decode_fn)
     n_bytes = F.length("payload").cast("long")
     return (
         _binary_payload(docs)
@@ -107,23 +113,61 @@ def image_decode(docs: DataFrame, use_codec: bool = False) -> DataFrame:
     )
 
 
-def _image_decode_codec(docs: DataFrame) -> DataFrame:
+def fake_geometry_decode():
+    """Deterministic stand-in codec body: the column-expression
+    default's fake geometry (``n_bytes % 640/480``) computed in Python
+    — exists so the codec extension point's ENTIRE path (Arrow batch
+    transfer, per-payload decode, schema, presentation sort) executes
+    and is pinned result-identical to the default plan, not just
+    raise-checked. Factory-built closure so cloudpickle ships it by
+    value (see the note in :func:`_image_decode_codec`)."""
+
+    def decode_fn(payload: bytes):
+        n = len(payload)
+        return n % 640, n % 480
+
+    return decode_fn
+
+
+def _image_decode_codec(docs: DataFrame, decode_fn=None) -> DataFrame:
     """Real-codec extension point: Arrow-batched ``mapInPandas`` with the
-    same output schema; raises until an image codec is installed."""
+    same output schema. ``decode_fn`` is the codec body — a
+    SELF-CONTAINED ``(payload: bytes) -> (width, height)`` callable
+    (it is cloudpickled to executors); ``None`` raises until an image
+    codec is installed."""
+    cols = [f.name for f in DECODE_SCHEMA.fields]
 
     # NOTE: the closure must be self-contained (locals + in-function imports
     # only). Referencing module-level symbols would make cloudpickle import
     # this package on every executor's Python worker — which fails when the
     # package is driver-side-only (sys.path injection, no --py-files).
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
-            # Body-only change once a codec ships: parse real width/height
-            # from the payload header here.
-            raise NotImplementedError(
-                "image codecs (PIL/opencv) are not available in this "
-                "environment; use image_decode(use_codec=False)"
-            )
-            yield pdf  # pragma: no cover — generator shape
+            if decode_fn is None:
+                # Body-only change once a codec ships: parse real
+                # width/height from the payload header here (see
+                # fake_geometry_decode for the executed contract).
+                raise NotImplementedError(
+                    "image codecs (PIL/opencv) are not available in this "
+                    "environment; use image_decode(use_codec=False)"
+                )
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload)
+                width, height = decode_fn(data)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["n_bytes"].append(len(data))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["checksum"].append(_hashlib.md5(data).hexdigest())
+            yield _pd.DataFrame(out)
 
     return (
         _binary_payload(docs).mapInPandas(decode, DECODE_SCHEMA).orderBy("doc_id")

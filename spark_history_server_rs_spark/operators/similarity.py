@@ -749,11 +749,33 @@ ORACLE_ANN_KNN_GRAPH = _oracle_knn_graph()
 #: Registry metadata mirroring ``dedup.BASELINE_ONLY``: registered ops
 #: whose catalog form is the SQL spec of the cross-check lattice (kept
 #: runnable at oracle scale), while production serving rides a durable
-#: index — the value names the (build, serve) pair in
-#: ``sources/knn_graph.py`` a catalog user should reach for at scale.
-#: tests/test_oracle_parity.py pins keys registered + siblings existing.
-INDEX_SERVED: dict[str, tuple[str, str]] = {
-    "ann_knn_graph": ("write_knn_graph", "ann_knn_graph_from_index"),
+#: index — each value names the (sources module, build fn, serve fn)
+#: triple a catalog user should reach for at scale: S16 (knn_graph)
+#: for the graph family, S14 (ann_index) for the IVFADC family.
+#: tests/test_oracle_parity.py pins keys registered + siblings existing;
+#: ``dedup.INDEX_SERVED`` is the S13 half of the same contract.
+INDEX_SERVED: dict[str, tuple[str, str, str]] = {
+    "ann_knn_graph": (
+        "knn_graph", "write_knn_graph", "ann_knn_graph_from_index"
+    ),
+    "ann_graph_expand": (
+        "knn_graph", "write_knn_graph", "ann_graph_expand_from_index"
+    ),
+    "ann_graph_expand2": (
+        "knn_graph", "write_knn_graph", "ann_graph_expand2_from_index"
+    ),
+    "ann_ivf_pq": (
+        "ann_index", "write_ann_index", "ann_ivf_pq_from_index"
+    ),
+    "ann_ivf_pq_residual": (
+        "ann_index", "write_ann_index", "ann_ivf_pq_residual_from_index"
+    ),
+    "ann_nprobe_recall": (
+        "ann_index", "write_ann_index", "ann_nprobe_recall_from_index"
+    ),
+    "ann_crossencoder_rerank": (
+        "ann_index", "write_ann_index", "ann_crossencoder_rerank_from_index"
+    ),
 }
 
 
@@ -1943,7 +1965,7 @@ def _rerank_over_scored(scored: DataFrame) -> DataFrame:
 
 
 def ann_crossencoder_rerank(
-    emb: DataFrame, use_scorer: bool = False
+    emb: DataFrame, use_scorer: bool = False, scorer=None
 ) -> DataFrame:
     """X14: the two-stage retrieve-then-rerank serving topology every
     production retrieval system deploys (bi-encoder ANN shortlist →
@@ -1958,9 +1980,14 @@ def ann_crossencoder_rerank(
     embeddings — the FAISS-style "refine" stage, fully SQL-expressible
     and therefore DuckDB-oracle-checked. ``use_scorer=True`` switches
     to the Arrow-batched model extension point
-    (:func:`_crossencoder_scorer_pairs` + ``mapInPandas``), where a
+    (:func:`_crossencoder_scorer_scored` + ``mapInPandas``), where a
     real cross-encoder drops in as a body-only swap — same input
-    relation, same output schema, same rerank tail.
+    relation, same output schema, same rerank tail. ``scorer`` is that
+    body: a self-contained callable ``(Q, C) -> scores`` over the
+    batch's float64 pair matrices (see :func:`exact_refine_scorer`,
+    the deterministic stand-in pinned result-identical to the SQL
+    refine default); ``scorer=None`` keeps the raise-through-plumbing
+    contract for environments with no model.
 
     Scale shape: the expensive stage touches exactly nq × {k} rows no
     matter the corpus size — the candidate join is two broadcast hash
@@ -1968,7 +1995,7 @@ def ann_crossencoder_rerank(
     by query — so at 100 TB the model inference cost is set by the
     shortlist width, never the corpus.""".format(k=TOP_K)
     if use_scorer:
-        return _rerank_over_scored(_crossencoder_scorer_scored(emb))
+        return _rerank_over_scored(_crossencoder_scorer_scored(emb, scorer))
     from .dedup import cosine_expr_spark
 
     cand = ann_ivf_pq(emb)
@@ -1987,13 +2014,55 @@ def ann_crossencoder_rerank(
         return _rerank_over_scored(scored)
 
 
-def _crossencoder_scorer_scored(emb: DataFrame) -> DataFrame:
+def exact_refine_scorer():
+    """A deterministic stand-in cross-encoder: the exact r6-snapped
+    cosine computed in numpy with the SAME per-element op sequence as
+    the SQL refine default (float32→float64 element cast, one product
+    rounding per dim, strict left-to-right float64 accumulation, then
+    ``floor(dot/(na·nc)·1e6+0.5)/1e6`` — the ``cosine_expr_spark``
+    contract, the same bit-identity discipline as
+    ``functions/blockpair``). Exists so the model extension point's
+    ENTIRE path — Arrow batch transfer, scorer execution, schema,
+    rerank tail — executes and is pinned result-identical to the SQL
+    default (use_scorer=False), not just shape-checked at the raise.
+
+    Returned as a factory-built closure with in-function imports so
+    cloudpickle ships it by VALUE (a module-level function would be
+    pickled by reference and require this driver-side-only package on
+    executor workers)."""
+
+    def scorer(Q, C):
+        import numpy as np
+
+        dot = np.zeros(Q.shape[0], dtype=np.float64)
+        na = np.zeros(Q.shape[0], dtype=np.float64)
+        nc = np.zeros(Q.shape[0], dtype=np.float64)
+        for d in range(Q.shape[1]):
+            dot += Q[:, d] * C[:, d]
+            na += Q[:, d] * Q[:, d]
+            nc += C[:, d] * C[:, d]
+        denom = np.sqrt(na) * np.sqrt(nc)
+        out = np.zeros(Q.shape[0], dtype=np.float64)
+        nz = denom != 0  # zero-norm pair: cosine defined as 0.0
+        out[nz] = (
+            np.floor((dot[nz] / denom[nz]) * 1000000.0 + 0.5) / 1000000.0
+        )
+        return out
+
+    return scorer
+
+
+def _crossencoder_scorer_scored(emb: DataFrame, scorer=None) -> DataFrame:
     """Real-model extension point: the bounded shortlist pair relation —
     query and candidate feature vectors side by side, nq × k rows —
     feeds an Arrow-batched ``mapInPandas`` scorer (the multimodal
-    ``use_codec`` pattern). Raises until a cross-encoder model ships;
-    the batch shape, schema, and downstream rerank tail are real and
-    tested."""
+    ``use_codec`` pattern). ``scorer`` is the model body: a
+    SELF-CONTAINED callable (closure over locals with in-function
+    imports only — it is cloudpickled to executors) taking the batch's
+    (nq×d, nq×d) float64 query/candidate matrices and returning one
+    float64 score per pair. ``None`` raises through the Arrow plumbing
+    until a cross-encoder model ships; the batch shape, schema, and
+    downstream rerank tail are identical either way."""
     cand = ann_ivf_pq(emb)
     live = emb.where("embedding IS NOT NULL")
     pairs = (
@@ -2016,18 +2085,39 @@ def _crossencoder_scorer_scored(emb: DataFrame) -> DataFrame:
 
     # NOTE: the closure must be self-contained (locals + in-function
     # imports only) — module-level references would make cloudpickle
-    # import this driver-side-only package on executor workers.
+    # import this driver-side-only package on executor workers. The
+    # scorer callable ships by value inside the closure.
     def score(batches):
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
-            # Body-only change once a model ships: batch the
-            # (q_embedding, c_embedding) pairs through the
-            # cross-encoder here and emit its scores.
-            raise NotImplementedError(
-                "no cross-encoder model is available in this "
-                "environment; use ann_crossencoder_rerank("
-                "use_scorer=False) — the exact-refine default"
+            if scorer is None:
+                # Model slot: pass a scorer (see exact_refine_scorer
+                # for the executed contract) once one ships.
+                raise NotImplementedError(
+                    "no cross-encoder model is available in this "
+                    "environment; use ann_crossencoder_rerank("
+                    "use_scorer=False) — the exact-refine default"
+                )
+            if pdf.empty:
+                continue
+            Q = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["q_embedding"]]
             )
-            yield pdf  # pragma: no cover — generator shape
+            C = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_embedding"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "approx_rank": pdf["approx_rank"].to_numpy(np.int32),
+                    "cross_score": np.asarray(
+                        scorer(Q, C), dtype=np.float64
+                    ),
+                }
+            )
 
     return pairs.mapInPandas(score, _RERANK_SCORED_SCHEMA)
 

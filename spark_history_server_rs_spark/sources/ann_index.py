@@ -178,8 +178,14 @@ def write_ann_index(
     encoding land in ``meta/`` so streaming maintenance encodes
     arriving vectors the same way."""
     from ..functions.views import scoped_temp_view
+    from .dedup_index import invalidate_count_row, write_count_row
 
     spark = emb.sparkSession
+    # stale-count-never-serves, across this builder's own crash
+    # windows: delete any previous build's pre-counted membership
+    # BEFORE the codes are overwritten; rewrite it at the end (the
+    # write_dedup_index meta ordering, mirrored)
+    invalidate_count_row(spark, path)
     # same source contract as every vector operator: NULL embeddings
     # (failed encodes) never enter the index
     with scoped_temp_view(
@@ -274,6 +280,15 @@ GROUP BY a.vec_id, c.label
             )],
             "cell_rule string, train_steps int, encoding string",
         ).write.mode("overwrite").parquet(f"{path}/meta")
+    # the serving twins' drift refusal reads this one row instead of
+    # distinct-scanning codes/ per call — same DISTINCT non-NULL
+    # semantics as the check itself
+    write_count_row(
+        spark, path, "n_codes",
+        spark.read.parquet(f"{path}/codes")
+        .where("vec_id IS NOT NULL")
+        .select("vec_id").distinct().count(),
+    )
 
 
 def ann_ivf_pq_from_index(
@@ -527,16 +542,34 @@ def _check_codes_cover_corpus(
     past the indexed codes — the shared drift refusal for serving twins
     whose result would otherwise silently bend (the S13 sweep's
     membership assertion, mirrored). Returns the codes frame
-    (``ingest_seq`` defaulted for pre-sequence-tracking indexes)."""
+    (``ingest_seq`` defaulted for pre-sequence-tracking indexes).
+
+    Cost shape (VERDICT r10 #1): the INDEX side never re-scans the
+    codes on a warm call — the count is meta-served
+    (``counts/n_codes``, written at build/compact time, deleted by the
+    stream updater before membership grows) behind the file-listing
+    fingerprint cache, so an unchanged index costs zero Spark jobs
+    here and only the bounded caller-frame count runs per call. Both
+    sides count the same thing — DISTINCT non-NULL vec_ids — so
+    duplicate or NULL-id rows in the caller frame can't trigger a
+    spurious refusal against the index's DISTINCT semantics."""
+    from .dedup_index import indexed_distinct_count
+    from .index_manifest import CorpusDriftError
+
     codes_df = spark.read.parquet(f"{path}/codes")
     if "ingest_seq" not in codes_df.columns:
         codes_df = codes_df.selectExpr(
             "*", "CAST(0 AS BIGINT) AS ingest_seq"
         )
-    n_emb = corpus.count()
-    n_codes = codes_df.select("vec_id").distinct().count()
+    n_emb = (
+        corpus.where("vec_id IS NOT NULL")
+        .select("vec_id").distinct().count()
+    )
+    n_codes = indexed_distinct_count(
+        spark, path, "codes", "vec_id", "n_codes"
+    )
     if n_emb != n_codes:
-        raise ValueError(
+        raise CorpusDriftError(
             f"ann index at {path} codes {n_codes} vectors but the "
             f"corpus frame has {n_emb} — {why}; re-run write_ann_index "
             "or stream the delta first"
@@ -798,12 +831,18 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
 
     def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.views import scoped_temp_view
+        from .dedup_index import invalidate_count_row
 
         spark = batch_df.sparkSession
         batch_df = batch_df.where("embedding IS NOT NULL").persist()
         try:
             if not batch_df.take(1):
                 return
+            # the pre-counted membership is DELETED before the codes
+            # grow (S13's meta ordering): a crash between the delete
+            # and the append leaves no count — the drift refusal falls
+            # back to counting codes/ — never a stale one
+            invalidate_count_row(spark, path)
             code_cols = ",\n       ".join(
                 f"MAX(CASE WHEN subspace = {s} THEN codeword END) AS code_{s}"
                 for s in range(PQ_M)
@@ -965,6 +1004,17 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     )
     rows_after = compact_relation_swap(
         spark, latest.distinct(), src, "label", sort_cols=cols
+    )
+    # restore the pre-counted membership the stream updater
+    # invalidated (one count over the freshly compacted relation —
+    # same DISTINCT non-NULL semantics as the drift refusal)
+    from .dedup_index import write_count_row
+
+    write_count_row(
+        spark, path, "n_codes",
+        spark.read.parquet(src)
+        .where("vec_id IS NOT NULL")
+        .select("vec_id").distinct().count(),
     )
     from .index_manifest import path_exists
 

@@ -37,6 +37,16 @@ DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages", "doc_ids")
 ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes", "meta")
 
 
+class CorpusDriftError(ValueError):
+    """A durable-index serving twin REFUSED to serve: the caller's
+    corpus frame (or the build's parameters) has drifted past what the
+    persisted index describes, and serving would silently bend results
+    instead of crashing. Subclasses ValueError so existing callers'
+    handling keeps working; the REST routes catch exactly this type —
+    a genuine bug in a twin (any other error) must surface, not be
+    silently converted into permanently serving the live operator."""
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """FileSystem existence check (works for file://, hdfs://, s3a://)."""
     jvm = spark.sparkContext._jvm

@@ -166,6 +166,8 @@ def check_knn_graph_meta(spark: SparkSession, path: str) -> None:
     all is NOT refused here: the manifest validator is what reports a
     vanished relation (detection, not a crash), and every
     :func:`write_knn_graph` layout has meta."""
+    from .index_manifest import CorpusDriftError
+
     if not _meta_path_exists(spark, path):
         return
     row = spark.read.parquet(f"{path}/meta").collect()
@@ -173,7 +175,7 @@ def check_knn_graph_meta(spark: SparkSession, path: str) -> None:
         return
     tau, k = float(row[0]["tau"]), int(row[0]["k"])
     if tau != float(KNN_GRAPH_TAU) or k != int(KNN_GRAPH_K):
-        raise ValueError(
+        raise CorpusDriftError(
             f"kNN-graph index at {path} was built with (tau={tau}, "
             f"k={k}) but this build computes with "
             f"(tau={KNN_GRAPH_TAU}, k={KNN_GRAPH_K}) — serving or "
@@ -197,16 +199,28 @@ def _check_nodes_cover_corpus(
     against an exact side over ``corpus``, so a graph covering a
     different corpus would quietly bend every recall row. The repair
     is re-indexing or streaming the delta; the REST routes fall back
-    to the live operators."""
+    to the live operators.
+
+    Cost shape (VERDICT r10 #1): the stored-node count is meta-served
+    (``counts/n_nodes`` written at build/compact time, deleted by the
+    stream updater before membership grows) behind the file-listing
+    fingerprint cache — a warm call on an unchanged graph runs zero
+    Spark jobs on the index side; only the bounded caller-frame count
+    runs per call. Both sides count DISTINCT non-NULL vec_ids."""
+    from .dedup_index import indexed_distinct_count
+    from .index_manifest import CorpusDriftError
+
     # NULL vec_ids never enter nodes/ (unaddressable — see
     # write_knn_graph), so they don't count toward coverage either
-    n_emb = corpus.where("vec_id IS NOT NULL").count()
-    n_nodes = (
-        spark.read.parquet(f"{path}/nodes")
+    n_emb = (
+        corpus.where("vec_id IS NOT NULL")
         .select("vec_id").distinct().count()
     )
+    n_nodes = indexed_distinct_count(
+        spark, path, "nodes", "vec_id", "n_nodes"
+    )
     if n_emb != n_nodes:
-        raise ValueError(
+        raise CorpusDriftError(
             f"kNN-graph index at {path} stores {n_nodes} nodes but the "
             f"corpus frame has {n_emb} vectors — the expansion would "
             "hop a graph over one corpus while measuring recall over "
@@ -265,8 +279,14 @@ def write_knn_graph(emb: DataFrame, path: str) -> None:
     ``nodes/nv`` (written first), the same arrays every streamed append
     folds over — one source of truth for every cosine in the index."""
     from ..functions.views import scoped_temp_view
+    from .dedup_index import invalidate_count_row, write_count_row
 
     spark = emb.sparkSession
+    # stale-count-never-serves across this builder's own crash windows:
+    # the previous build's pre-counted membership dies before nodes/
+    # is overwritten, and is rewritten after (write_dedup_index's meta
+    # ordering, mirrored)
+    invalidate_count_row(spark, path)
     # vec_id IS NOT NULL: a NULL-id vector is unaddressable in a graph
     # and can never edge anyway (the pair loop's a.vec_id < b.vec_id is
     # NULL for it) — excluding it from nodes/ keeps the stored corpus
@@ -291,6 +311,13 @@ def write_knn_graph(emb: DataFrame, path: str) -> None:
     spark.createDataFrame(
         [(float(KNN_GRAPH_TAU), int(KNN_GRAPH_K))], "tau double, k int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    # the expansion twins' drift refusal reads this one row instead of
+    # distinct-scanning nodes/ per call
+    write_count_row(
+        spark, path, "n_nodes",
+        nodes.where("vec_id IS NOT NULL")
+        .select("vec_id").distinct().count(),
+    )
 
 
 def _node_norm_expr() -> str:
@@ -479,6 +506,13 @@ def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
                 ).persist()
                 new_nodes.count()
             try:
+                # the pre-counted membership dies FIRST (before any of
+                # this batch's writes): a crash anywhere after leaves
+                # no count — the drift refusal falls back to counting
+                # nodes/ — never a stale one
+                from .dedup_index import invalidate_count_row
+
+                invalidate_count_row(spark, path)
                 # edges first, nodes second: a crash between the two
                 # writes re-runs the batch (at-least-once), and
                 # edge-before-node ordering means a half-applied
@@ -542,6 +576,16 @@ def compact_knn_graph(spark: SparkSession, path: str) -> list[dict]:
         rows_before = raw.count()
         rows_after = compact_relation_swap(
             spark, raw.distinct(), nsrc, None, sort_cols=["vec_id"]
+        )
+        # restore the pre-counted membership the stream updater
+        # invalidated (same DISTINCT non-NULL semantics as the check)
+        from .dedup_index import write_count_row
+
+        write_count_row(
+            spark, path, "n_nodes",
+            spark.read.parquet(nsrc)
+            .where("vec_id IS NOT NULL")
+            .select("vec_id").distinct().count(),
         )
         stats.append({"relation": "nodes", "rows_before": rows_before,
                       "rows_after": rows_after})

@@ -52,18 +52,29 @@ def test_baseline_only_ops_have_registered_scale_siblings():
         assert sibling in QUERIES, sibling
 
     # INDEX_SERVED is the same contract for ops whose scale sibling is
-    # a durable-index (build, serve) pair rather than a registered
-    # query: the key must be registered (it IS the lattice's SQL spec
-    # form) and both named functions must exist in sources/knn_graph
+    # a durable-index (module, build, serve) triple rather than a
+    # registered query: the key must be registered (it IS the lattice's
+    # SQL spec form) and both named functions must exist in the named
+    # sources module — across all three durable-index families
+    # (S16 knn_graph, S14 ann_index via similarity's map; S13
+    # dedup_index via dedup's)
+    import importlib
+
+    from spark_history_server_rs_spark.operators.dedup import (
+        INDEX_SERVED as DEDUP_INDEX_SERVED,
+    )
     from spark_history_server_rs_spark.operators.similarity import (
         INDEX_SERVED,
     )
-    from spark_history_server_rs_spark.sources import knn_graph
 
-    for spec_op, (build_fn, serve_fn) in INDEX_SERVED.items():
-        assert spec_op in QUERIES, spec_op
-        assert callable(getattr(knn_graph, build_fn)), build_fn
-        assert callable(getattr(knn_graph, serve_fn)), serve_fn
+    for tag_map in (INDEX_SERVED, DEDUP_INDEX_SERVED):
+        for spec_op, (module, build_fn, serve_fn) in tag_map.items():
+            assert spec_op in QUERIES, spec_op
+            mod = importlib.import_module(
+                f"spark_history_server_rs_spark.sources.{module}"
+            )
+            assert callable(getattr(mod, build_fn)), build_fn
+            assert callable(getattr(mod, serve_fn)), serve_fn
 
 
 def test_no_float_canonicalization_of_integral_columns(spark, oracle):
