@@ -51,24 +51,17 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 10: the X6 family's in-session serving path changed — the
-#: materialized top-k cache every live X12/X13 call rides now BUILDS
-#: through the block-pair kernel (ann_knn_graph itself keeps the SQL
-#: spec form, re-checked per VERDICT r09 #1; ann_graph_expand/expand2
-#: consume the re-engined cache), and ann_nprobe_recall's tail grew
-#: the vec_cells/adc holes (renders byte-identical — verified — but
-#: the shared fragment changed shape, so it re-checks). The S13
-#: meta/denominator and S14 trained/residual sweep changes are
-#: pytest-pinned serving twins, not registered queries.
-#: ann_crossencoder_rerank is NEW this round (X14, the retrieve-then-
-#: rerank serving stage with the cross-encoder extension point) —
-#: first driver row.
+#: Round 11: ann_crossencoder_rerank gained the executable `scorer`
+#: extension-point plumbing (its registered default path is the same
+#: SQL refine, but the operator's implementation changed shape) and
+#: multimodal_image_decode gained the executable `decode_fn` codec
+#: body (same reasoning) — both re-check. Everything else this round
+#: is serving-twin/maintenance surface (S14/S16 meta-served coverage
+#: counts, CorpusDriftError typing, S14 tombstone deletion, blockpair
+#: cross fan-out), all pytest-pinned, none registered.
 _CHANGED_THIS_ROUND = (
-    "ann_knn_graph",
-    "ann_graph_expand",
-    "ann_graph_expand2",
-    "ann_nprobe_recall",
     "ann_crossencoder_rerank",
+    "multimodal_image_decode",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -88,18 +81,81 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 10 window -----------------------------------------------
-    # changed THIS round (see _CHANGED_THIS_ROUND): the X6 family's
-    # serving path moved onto the kernel-built materialized cache, the
-    # nprobe tail's fragment shape changed, and X14 is new (first
-    # driver row)
+    # --- round 11 window -----------------------------------------------
+    # changed THIS round (see _CHANGED_THIS_ROUND): both gained
+    # executable extension-point plumbing
+    "ann_crossencoder_rerank",
+    "multimodal_image_decode",
+    # the full r11 rotation queue the r10 verdict prescribed — ALL 19
+    # remaining r07 rows; after this window no registry row's latest
+    # driver check predates r08
+    "dedup_passage_index",
+    "dedup_survivorship",
+    "embedding_abtt_audit",
+    "embedding_anisotropy",
+    "embedding_int8_audit",
+    "embedding_kmeans_step",
+    "embedding_semantic_dedup",
+    "event_search",
+    "job_metrics",
+    "sessionize_events",
+    "task_duration_percentiles",
+    "task_skew_report",
+    "text_c4_filters",
+    "text_encoding_artifacts",
+    "text_filter_agreement",
+    "text_fingerprints",
+    "text_quality_classifier",
+    "tpch_q10_returned_items",
+    "tpch_q1_pricing_summary",
+    # oldest remaining debt: 25 of the 42 r08 rows (alphabetical; the
+    # remaining 17 r08 rows are the head of the r12 queue below)
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "ann_pq_codes",
+    "ann_pq_recall",
+    "capacity_trends",
+    "corpus_chunk_documents",
+    "corpus_contamination",
+    "corpus_dsir_select",
+    "corpus_oov_rate",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
+    "corpus_perplexity_buckets",
+    "corpus_source_overlap",
+    "corpus_split_leakage",
+    "corpus_vocabulary",
+    "cost_optimization",
+    "cpu_utilization",
+    "dedup_clusters",
+    "dedup_minhash_eval",
+    "dedup_ngram_jaccard_capped",
+    "dedup_repeated_passages",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_kmeans_train",
+    "embedding_power_iteration",
+    # r12 rotation queue (the 17 r08 rows remaining after this window):
+    # executor_utilization, gc_time_trends, memory_usage,
+    # performance_trends, resource_usage_summary,
+    # resource_utilization_metrics, rollup_order_stats,
+    # task_distribution, text_gopher_rules, text_language_id,
+    # text_line_boilerplate, text_pii_scrub, text_quality,
+    # text_quality_prune, text_repetition, text_token_stats,
+    # top_resource_consumers — then the r09 rows
+)
+
+#: rounds 1-10 window history (kept for the audit trail; these names
+#: are all driver-green on their current code and rotate behind the
+#: r11 window above — every one of them is still pytest-oracle-checked
+#: per session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-10 window (all 50 driver-green in CORRECTNESS_r10.json;
+    # pytest-oracle-checked every session) -----------------------------
     "ann_knn_graph",
     "ann_graph_expand",
     "ann_graph_expand2",
     "ann_nprobe_recall",
-    "ann_crossencoder_rerank",
-    # oldest driver debt: ALL remaining r05 rows (tpch_q12 was displaced
-    # from the r09 window for D5b's changed-engine slot)
     "tpch_q12_ship_delay",
     "corpus_bigram_counts",
     "corpus_global_shuffle",
@@ -111,19 +167,12 @@ _SENTINELS = (
     "events_volume_ewma",
     "job_parallelism_report",
     "table_profile_orders",
-    # then ALL remaining r06 rows — after this round no registry row's
-    # latest driver check predates r07
     "ann_truncated_recall",
     "corpus_bpe_merge_step",
     "corpus_doremi_reweight",
     "corpus_mix_plan",
     "corpus_zipf_fit",
     "embedding_outliers",
-    # oldest-green re-checks (r07 rows), fragment-family neighbors of
-    # this round's changes first: the raw/residual ADC fragments now
-    # also feed the index-served sweep, the threshold sweep shares the
-    # S13 denominator family, D5 shares the cosine fold the kernel
-    # reproduces — then alphabetical r07 backlog
     "ann_ivf_pq",
     "ann_ivf_pq_residual",
     "dedup_threshold_sweep",
@@ -148,26 +197,6 @@ _SENTINELS = (
     "dedup_keep_canonical",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    # dedup_passage_index displaced to the r11 queue for X14's slot
-    # (its in-window sibling dedup_repeated_passages' window-hash
-    # relation is r09-green and the pytest differential re-checks it
-    # every session)
-    # r11 rotation queue (r07 rows remaining after this window):
-    # dedup_passage_index,
-    # dedup_survivorship, embedding_abtt_audit, embedding_anisotropy,
-    # embedding_int8_audit, embedding_kmeans_step,
-    # embedding_semantic_dedup, event_search, job_metrics,
-    # sessionize_events, task_duration_percentiles, task_skew_report,
-    # text_c4_filters, text_encoding_artifacts, text_filter_agreement,
-    # text_fingerprints, text_quality_classifier,
-    # tpch_q10_returned_items, tpch_q1_pricing_summary
-)
-
-#: rounds 1-9 window history (kept for the audit trail; these names are
-#: all driver-green on their current code and rotate behind the r10
-#: window above — every one of them is still pytest-oracle-checked per
-#: session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # --- round-9 window (all 50 driver-green in CORRECTNESS_r09.json;
     # pytest-oracle-checked every session) -----------------------------
     "ann_cosine_topk",

@@ -16,6 +16,8 @@ Layout::
     path/codebook/   (codeword, subspace, dim, sv)   PQ codebook elements
     path/codes/      (vec_id, code_0..code_{M-1}) PARTITIONED BY label
     path/meta/       (cell_rule, train_steps)        how cells are assigned
+    path/counts/     (n_codes)                 pre-counted live membership
+    path/tombstones/ (vec_id, tombstone_seq)   deletions awaiting compaction
 
 ``cell_rule`` is ``label`` (original label-mean quantizer) or
 ``nearest`` (Lloyd-trained centroids via ``train_steps > 0`` — cells
@@ -376,9 +378,10 @@ codes AS (
   -- expansion, so the expanded code scan below keeps its label
   -- partition pruning; after compact_ann_index the aggregate runs
   -- over already-unique vec_ids. compact materializes the same rule.
+  -- Tombstoned vectors (delete_from_ann_index) are filtered by the
+  -- same subquery when a tombstones/ relation exists.
   SELECT DISTINCT c.vec_id, c.label, s.subspace, s.codeword
-  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
-        GROUP BY vec_id) m
+  FROM {_latest_seq_subquery(spark, path, cdv)} m
   JOIN {cdv} c
     ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
   LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
@@ -469,11 +472,10 @@ qtab AS (
   GROUP BY q.query_id, q.label, b.subspace, b.codeword
 ),
 codes AS (
-  -- latest-wins + DISTINCT: identical at-least-once semantics to the
-  -- raw serving path (see ann_ivf_pq_from_index's block comment)
+  -- latest-wins + DISTINCT + tombstone filter: identical semantics to
+  -- the raw serving path (see ann_ivf_pq_from_index's block comment)
   SELECT DISTINCT c.vec_id, c.label, s.subspace, s.codeword
-  FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
-        GROUP BY vec_id) m
+  FROM {_latest_seq_subquery(spark, path, cdv)} m
   JOIN {cdv} c
     ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
   LATERAL VIEW stack({PQ_M}, {code_pairs}) s AS subspace, codeword
@@ -535,6 +537,121 @@ GROUP BY a.vec_id, c.label
 """
 
 
+def _tombstones_exist(spark: SparkSession, path: str) -> bool:
+    from .index_manifest import path_exists
+
+    return path_exists(spark, f"{path}/tombstones")
+
+
+def _latest_seq_subquery(spark: SparkSession, path: str, cdv: str) -> str:
+    """The per-vector latest-ingest subquery the serving twins key
+    their latest-wins rule on — tombstone-aware when a ``tombstones/``
+    relation exists: a vector whose newest code row is not newer than
+    its newest tombstone is DEAD and never reaches the ADC join. With
+    no tombstones (every index between compactions that followed a
+    delete, and every pre-deletion index) the SQL is byte-identical to
+    the original form, so existing plans don't change shape."""
+    if not _tombstones_exist(spark, path):
+        return (
+            f"(SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}\n"
+            "        GROUP BY vec_id)"
+        )
+    return (
+        "(SELECT m0.vec_id, m0.max_seq\n"
+        f"   FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}\n"
+        "         GROUP BY vec_id) m0\n"
+        "   LEFT JOIN (SELECT vec_id, MAX(tombstone_seq) AS ts\n"
+        f"              FROM parquet.`{path}/tombstones`\n"
+        "              GROUP BY vec_id) tb\n"
+        "     ON tb.vec_id = m0.vec_id\n"
+        "   WHERE tb.vec_id IS NULL OR m0.max_seq > tb.ts)"
+    )
+
+
+def _live_vec_ids(spark: SparkSession, path: str) -> DataFrame:
+    """The index's LIVE membership: distinct non-NULL vec_ids whose
+    newest code row out-sequences any tombstone — the DataFrame twin of
+    :func:`_latest_seq_subquery`, used for the drift-refusal counts."""
+    from pyspark.sql import functions as F
+
+    codes = spark.read.parquet(f"{path}/codes")
+    if "ingest_seq" not in codes.columns:
+        codes = codes.selectExpr("*", "CAST(0 AS BIGINT) AS ingest_seq")
+    m = (
+        codes.where("vec_id IS NOT NULL")
+        .groupBy("vec_id")
+        .agg(F.max("ingest_seq").alias("max_seq"))
+    )
+    if not _tombstones_exist(spark, path):
+        return m.select("vec_id")
+    tb = (
+        spark.read.parquet(f"{path}/tombstones")
+        .groupBy("vec_id")
+        .agg(F.max("tombstone_seq").alias("ts"))
+    )
+    return (
+        m.join(tb, "vec_id", "left")
+        .where("ts IS NULL OR max_seq > ts")
+        .select("vec_id")
+    )
+
+
+def delete_from_ann_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """DELETE phase — the index-lifecycle piece appends alone can't
+    give (real pipelines remove vectors: GDPR erasure, dedup-driven
+    retention, expired crawls; the reference's own metadata store
+    prunes vanished files, ``metadata_store.rs:91-134``). ``ids`` is a
+    ``(vec_id)`` frame; each id gets a TOMBSTONE row at the next
+    ingest sequence — the same monotonic counter the stream updater
+    uses, so adds and deletes share one total order per vector:
+    latest wins, whichever kind it is. A vector re-streamed AFTER its
+    deletion serves again (its new code rows out-sequence the
+    tombstone); deleting then re-running the delete is idempotent
+    (byte-different seq, same suppression).
+
+    Readers honor tombstones declaratively (see
+    :func:`_latest_seq_subquery`) — no rewrite happens here, so a
+    delete is O(|ids|) — and :func:`compact_ann_index` is where the
+    dead rows physically leave the code table (tombstones drop with
+    them: after a compaction every surviving row out-sequences every
+    tombstone by construction). The pre-counted ``counts/n_codes``
+    follows the same crash-safe ordering as every membership change:
+    invalidated BEFORE the tombstones land, rewritten (live count)
+    after. Returns the number of ids tombstoned."""
+    from .dedup_index import invalidate_count_row, write_count_row
+
+    codes = spark.read.parquet(f"{path}/codes")
+    if "ingest_seq" in codes.columns:
+        max_code = codes.selectExpr("max(ingest_seq) AS m").first().m or 0
+    else:
+        max_code = 0  # pre-sequence-tracking index = batch build (seq 0)
+    max_tomb = 0
+    if _tombstones_exist(spark, path):
+        max_tomb = (
+            spark.read.parquet(f"{path}/tombstones")
+            .selectExpr("max(tombstone_seq) AS m").first().m or 0
+        )
+    seq = max(int(max_code), int(max_tomb)) + 1
+    invalidate_count_row(spark, path)
+    tomb = (
+        ids.where("vec_id IS NOT NULL")
+        .select("vec_id").distinct()
+        .selectExpr("vec_id", f"CAST({seq} AS BIGINT) AS tombstone_seq")
+        .persist()
+    )
+    try:
+        n_ids = tomb.count()
+        tomb.write.mode("append").parquet(f"{path}/tombstones")
+    finally:
+        tomb.unpersist()
+    write_count_row(
+        spark, path, "n_codes", _live_vec_ids(spark, path).count()
+    )
+    return n_ids
+
+
 def _check_codes_cover_corpus(
     spark: SparkSession, path: str, corpus: DataFrame, why: str
 ) -> DataFrame:
@@ -566,7 +683,12 @@ def _check_codes_cover_corpus(
         .select("vec_id").distinct().count()
     )
     n_codes = indexed_distinct_count(
-        spark, path, "codes", "vec_id", "n_codes"
+        spark, path, "codes", "vec_id", "n_codes",
+        # a deletion changes the LIVE set without touching codes/ —
+        # tombstones join the staleness fingerprint, and the no-counts
+        # fallback counts live ids, not raw code rows
+        extra_rels=("tombstones",),
+        fallback=lambda: _live_vec_ids(spark, path).count(),
     )
     if n_emb != n_codes:
         raise CorpusDriftError(
@@ -654,8 +776,9 @@ def ann_nprobe_recall_from_index(
   FROM ({_PQ_UNNEST_SPARK.format(src=qv)})
 ),
 latest AS (
-  SELECT c.* FROM (SELECT vec_id, MAX(ingest_seq) AS max_seq FROM {cdv}
-                   GROUP BY vec_id) m
+  -- latest-wins + the tombstone filter (delete_from_ann_index) — the
+  -- sweep states the index's LIVE system
+  SELECT c.* FROM {_latest_seq_subquery(spark, path, cdv)} m
   JOIN {cdv} c ON c.vec_id = m.vec_id AND c.ingest_seq = m.max_seq
 ),
 assigned AS (
@@ -867,6 +990,15 @@ def stream_update_ann_index(emb_stream: DataFrame, path: str, checkpoint: str):
                 ).first().m
             else:
                 max_seq = 0  # pre-sequence-tracking index = batch build
+            # tombstones share the per-vector sequence total order: a
+            # vector re-streamed AFTER its deletion must land at a seq
+            # ABOVE its tombstone, or it would stay dead
+            if _tombstones_exist(spark, path):
+                max_tomb = (
+                    spark.read.parquet(f"{path}/tombstones")
+                    .selectExpr("max(tombstone_seq) AS m").first().m
+                )
+                max_seq = max(int(max_seq or 0), int(max_tomb or 0))
             with scoped_temp_view(
                 batch_df, "_stream_ann_emb"
             ) as ev, scoped_temp_view(
@@ -967,10 +1099,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     exactly-once repair as ``compact_dedup_index`` (shared swap helper):
     the read path's latest-wins-per-vector rule is MATERIALIZED (stale
     codes from re-streamed vectors dropped, byte-duplicate retry rows
-    collapsed), the ``label`` (cell) partitioning is preserved so a cell
-    probe stays partition pruning, and re-compacting an already-compact
-    index is a no-op. Centroids and codebook are overwrite-only
-    (re-train artifacts) and never need compaction. Returns
+    collapsed, tombstoned vectors physically removed and their
+    tombstones retired — see :func:`delete_from_ann_index`), the
+    ``label`` (cell) partitioning is preserved so a cell probe stays
+    partition pruning, and re-compacting an already-compact index is a
+    no-op. Centroids and codebook are overwrite-only (re-train
+    artifacts) and never need compaction. Returns
     (rows_before, rows_after)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1002,9 +1136,30 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         .where("ingest_seq = max_seq")
         .drop("max_seq")
     )
+    if _tombstones_exist(spark, path):
+        # materialize the tombstone suppression (delete_from_ann_index):
+        # dead vectors' rows leave the code table here, and the
+        # tombstones drop WITH them — post-compaction every surviving
+        # row out-sequences every tombstone by construction, so keeping
+        # them would only re-suppress nothing (a re-streamed vector
+        # re-enters at 1 + max regardless)
+        tmax = (
+            spark.read.parquet(f"{path}/tombstones")
+            .groupBy("vec_id")
+            .agg(F.max("tombstone_seq").alias("__ts"))
+        )
+        latest = (
+            latest.join(tmax, "vec_id", "left")
+            .where("__ts IS NULL OR ingest_seq > __ts")
+            .drop("__ts")
+        )
     rows_after = compact_relation_swap(
         spark, latest.distinct(), src, "label", sort_cols=cols
     )
+    if _tombstones_exist(spark, path):
+        from .dedup_index import _delete_path
+
+        _delete_path(spark, f"{path}/tombstones")
     # restore the pre-counted membership the stream updater
     # invalidated (one count over the freshly compacted relation —
     # same DISTINCT non-NULL semantics as the drift refusal)

@@ -195,7 +195,13 @@ def _read_count_row(spark: SparkSession, path: str, col: str) -> int | None:
 
 
 def indexed_distinct_count(
-    spark: SparkSession, path: str, rel: str, key_col: str, count_col: str
+    spark: SparkSession,
+    path: str,
+    rel: str,
+    key_col: str,
+    count_col: str,
+    extra_rels: tuple[str, ...] = (),
+    fallback=None,
 ) -> int:
     """The persisted relation's COUNT(DISTINCT non-NULL key) — the
     index side of the S14/S16 drift refusals, served WITHOUT a per-call
@@ -205,21 +211,33 @@ def indexed_distinct_count(
     write/compact time, deleted by the stream updaters before
     membership grows), and only a legacy or mid-stream index falls back
     to the distinct-count scan — whose result is then cached under the
-    current fingerprint."""
+    current fingerprint.
+
+    ``extra_rels`` joins further relation subdirectories into the
+    fingerprint when membership depends on more than ``rel`` (the ANN
+    index's tombstones: a deletion changes the live set without
+    touching ``codes/``). ``fallback`` overrides the plain
+    distinct-count scan for the same reason (the live count must
+    exclude tombstoned keys)."""
     fp = _relation_fingerprint(spark, f"{path}/{rel}")
+    for extra in extra_rels:
+        fp = fp + _relation_fingerprint(spark, f"{path}/{extra}")
     with _count_cache_lock():
         hit = _COUNT_CACHE.get((path, rel))
         if hit is not None and hit[0] == fp:
             return hit[1]
     n = _read_count_row(spark, path, count_col)
     if n is None:
-        n = (
-            spark.read.parquet(f"{path}/{rel}")
-            .where(f"{key_col} IS NOT NULL")
-            .select(key_col)
-            .distinct()
-            .count()
-        )
+        if fallback is not None:
+            n = fallback()
+        else:
+            n = (
+                spark.read.parquet(f"{path}/{rel}")
+                .where(f"{key_col} IS NOT NULL")
+                .select(key_col)
+                .distinct()
+                .count()
+            )
     with _count_cache_lock():
         _COUNT_CACHE[(path, rel)] = (fp, n)
     return int(n)

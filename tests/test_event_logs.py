@@ -3013,6 +3013,119 @@ def test_ann_crossencoder_rerank_from_index(spark, tmp_path):
         similarity.ann_crossencoder_rerank(emb, use_scorer=True).collect()
 
 
+def test_ann_index_delete_tombstone_lifecycle(spark, tmp_path):
+    """delete_from_ann_index completes the S14 lifecycle (build →
+    stream-append → DELETE → compact → re-add): tombstoned vectors
+    disappear from every serving twin's candidates; serving the FULL
+    corpus frame against a shrunk index is REFUSED (the coverage count
+    is live-membership, not raw rows); compaction physically removes
+    the dead rows + retires the tombstones with output unchanged; and
+    re-streaming the deleted vectors restores the exact pre-delete
+    output (adds and deletes share one per-vector sequence order)."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        ann_nprobe_recall_from_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        stream_update_ann_index,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        CorpusDriftError,
+        path_exists,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "del_idx")
+    write_ann_index(emb, path)
+    pre = [tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()]
+    assert pre
+
+    # delete a slice of non-query ids, some of which ARE current
+    # neighbors (so suppression is observable)
+    deleted = sorted({r[2] for r in pre if r[2] >= 100})[:8]
+    assert deleted
+    ids = spark.createDataFrame([(i,) for i in deleted], "vec_id bigint")
+    assert delete_from_ann_index(spark, path, ids) == len(deleted)
+
+    emb_live = emb.where(
+        "vec_id NOT IN (" + ",".join(str(i) for i in deleted) + ")"
+    )
+    # the full frame no longer matches the live membership → refusal
+    with _pytest.raises(CorpusDriftError):
+        ann_nprobe_recall_from_index(spark, path, emb)
+    # the matching frame serves, and no deleted id survives anywhere
+    post = [
+        tuple(r)
+        for r in ann_ivf_pq_from_index(spark, path, emb_live).collect()
+    ]
+    assert post and not {r[2] for r in post} & set(deleted)
+    # every query keeps a full shortlist: rank-(k+1) candidates promote
+    assert {r[0] for r in post} == {r[0] for r in pre}
+    sweep_post = ann_nprobe_recall_from_index(spark, path, emb_live)
+    assert sweep_post.count() > 0
+
+    # the membership count is meta-served even with tombstones: the
+    # counts row exists and matches live membership; and the fallback
+    # (counts wiped, cache cleared) agrees — it must count LIVE ids
+    n_live = emb_live.count()
+    assert DI._read_count_row(spark, path, "n_codes") == n_live
+    DI._delete_path(spark, f"{path}/counts")
+    with DI._count_cache_lock():
+        DI._COUNT_CACHE.clear()
+    assert [
+        tuple(r)
+        for r in ann_ivf_pq_from_index(spark, path, emb_live).collect()
+    ] == post
+
+    # compaction: dead rows leave, tombstones retire, output unchanged
+    stats = compact_ann_index(spark, path)
+    assert stats["rows_after"] == n_live
+    assert not path_exists(spark, f"{path}/tombstones")
+    assert [
+        tuple(r)
+        for r in ann_ivf_pq_from_index(spark, path, emb_live).collect()
+    ] == post
+
+    # re-add the deleted vectors through streaming maintenance: the
+    # index serves the FULL corpus again, byte-identical to pre-delete
+    src = tmp_path / "readd_src"
+    emb.where(
+        "vec_id IN (" + ",".join(str(i) for i in deleted) + ")"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src))
+    q = stream_update_ann_index(
+        stream, path, str(tmp_path / "readd_ckpt")
+    )
+    q.awaitTermination(120)
+    assert [
+        tuple(r) for r in ann_ivf_pq_from_index(spark, path, emb).collect()
+    ] == pre
+
+    # the residual codec's serving path honors tombstones through the
+    # same latest-wins subquery
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_residual_from_index,
+    )
+
+    rpath = str(tmp_path / "del_idx_res")
+    write_ann_index(emb, rpath, residual=True)
+    rpre = ann_ivf_pq_residual_from_index(spark, rpath, emb).collect()
+    rdel = sorted({r.neighbor_id for r in rpre if r.neighbor_id >= 100})[:3]
+    delete_from_ann_index(
+        spark, rpath,
+        spark.createDataFrame([(i,) for i in rdel], "vec_id bigint"),
+    )
+    rlive = emb.where(
+        "vec_id NOT IN (" + ",".join(str(i) for i in rdel) + ")"
+    )
+    rpost = ann_ivf_pq_residual_from_index(spark, rpath, rlive).collect()
+    assert rpost and not {r.neighbor_id for r in rpost} & set(rdel)
+
+
 def test_crossencoder_standin_scorer_executes_arrow_path(spark):
     """The cross-encoder extension point must EXECUTE a scoring body
     end-to-end — Arrow batch transfer, scorer call, schema, rerank
