@@ -424,8 +424,13 @@ def main() -> None:
                 warm.append(time.perf_counter() - t)
             return {"cold": c, "warm": round(min(warm), 4)}
 
+        # serve with the POST-stream corpus: the graph now covers
+        # emb10 ∪ batch, and the serving twin refuses a drifted frame
+        # by design (the r10 coverage refusal) — the probe must hand
+        # it the corpus the index actually describes
+        emb10_live = emb10.unionByName(batch)
         expand10 = _cold_warm(
-            lambda: _kg.ann_graph_expand_from_index(spark, g10, emb10)
+            lambda: _kg.ann_graph_expand_from_index(spark, g10, emb10_live)
         )
         a10 = "/tmp/sparkgraft_ann10"
         t = time.perf_counter()

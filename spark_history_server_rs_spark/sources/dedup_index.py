@@ -40,7 +40,9 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         path/band_keys/    (doc_id, band_key) PARTITIONED BY band_idx
         path/passages/     (doc_id, pos, phash)
         path/doc_ids/      (doc_id)   the indexed corpus membership
-        path/meta/         (n_docs)   pre-counted distinct membership
+        path/meta/         (n_docs)   pre-counted distinct LIVE membership
+        path/deleted_ids/  (doc_id)   tombstones (see
+                                      :func:`delete_from_dedup_index`)
 
     One pass over the text builds shingles; band keys aggregate from the
     shingles plan (Catalyst reuses the projection); passage windows are
@@ -71,6 +73,20 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
     # instead of pairing the old count with the new membership
     if path_exists(spark, f"{path}/meta"):
         _delete_path(spark, f"{path}/meta")
+    # a rebuild is ground truth: tombstones from the PREVIOUS build
+    # retire (to an empty, still-attestable set) before membership is
+    # overwritten — a doc deleted then re-indexed must serve. A crash
+    # mid-rebuild leaves mixed relations either way; the repair is the
+    # documented one (re-run this idempotent builder), and the
+    # stale-count-never-serves invariant holds throughout (meta died
+    # first).
+    if _tombstoned_doc_ids(spark, path) is not None:
+        compact_relation_swap(
+            spark,
+            spark.read.parquet(f"{path}/deleted_ids")
+            .select("doc_id").limit(0),
+            f"{path}/deleted_ids", None, sort_cols=["doc_id"],
+        )
     docs.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
     _write_meta_n_docs(spark, path)
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
@@ -87,16 +103,108 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
 
 
 def _write_meta_n_docs(spark: SparkSession, path: str) -> None:
-    """Persist the one-row denominator cache from the CURRENT
-    ``doc_ids`` relation (write/compact time only — the stream updater
-    deletes this instead of maintaining it)."""
-    n = (
-        spark.read.parquet(f"{path}/doc_ids")
-        .select("doc_id").distinct().count()
-    )
+    """Persist the one-row denominator cache from the CURRENT LIVE
+    membership — ``doc_ids`` minus tombstones (write/compact/delete
+    time only; the stream updater deletes this instead of maintaining
+    it)."""
+    n = _live_doc_ids(spark, path).count()
     spark.createDataFrame([(n,)], "n_docs bigint").write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
+
+
+def _tombstoned_doc_ids(spark: SparkSession, path: str) -> DataFrame | None:
+    """The S13 tombstone set (``deleted_ids/``), or None when no
+    deletion has ever touched this index. An EMPTY relation (what
+    compaction retires tombstones to) reads as an empty set — the
+    anti-joins below are then identity, and the relation stays
+    attestable by the manifest (deleting it outright would read as a
+    wipe to the validator)."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/deleted_ids"):
+        return None
+    return (
+        spark.read.parquet(f"{path}/deleted_ids")
+        .select("doc_id").distinct()
+    )
+
+
+def _suppress_deleted(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """Anti-join a ``doc_id``-keyed relation against the tombstone set.
+    Every read of a persisted S13 relation goes through this (directly
+    or via :func:`_materialized_index_relation`), which is what makes
+    tombstone deletion EXACT for the dedup family: shingles, band
+    keys, and passages are per-doc independent, so suppressing a doc's
+    rows is indistinguishable from never having indexed it — unlike
+    the kNN graph, whose cross-entity edges need eager repair (see
+    ``knn_graph.delete_from_knn_graph``)."""
+    tomb = _tombstoned_doc_ids(spark, path)
+    if tomb is None:
+        return df
+    return df.join(tomb, "doc_id", "left_anti")
+
+
+def _live_doc_ids(spark: SparkSession, path: str) -> DataFrame:
+    """DISTINCT live membership: ``doc_ids`` minus tombstones."""
+    return _suppress_deleted(
+        spark, path,
+        spark.read.parquet(f"{path}/doc_ids").select("doc_id").distinct(),
+    )
+
+
+def delete_from_dedup_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """DELETE phase — the S13 index-lifecycle piece (GDPR erasure,
+    retention, retracted documents; reference analog: the metadata
+    store pruning vanished files, ``metadata_store.rs:91-134``).
+    ``ids`` is a ``(doc_id)`` frame; each id lands in the
+    ``deleted_ids/`` tombstone set and every serving read anti-joins
+    it (see :func:`_suppress_deleted`) — a delete is O(|ids|), no
+    relation rewrite. :func:`compact_dedup_index` is where dead rows
+    physically leave the relations (tombstones retire to an EMPTY set
+    with them). A deleted doc re-arriving through
+    :func:`stream_update_dedup_index` REVIVES (the updater retires its
+    tombstone before appending — latest wins), with the same
+    changed-text caveat as any re-submission: identical content is
+    absorbed by set-union, changed content requires a re-index.
+
+    The pre-counted sweep denominator follows the crash-safe ordering
+    every membership change uses: ``meta/`` is invalidated BEFORE the
+    tombstones land and rewritten (live count) after — a crash between
+    the two leaves no count (readers fall back to counting live
+    membership), never a stale one. Double-delete is idempotent
+    (DISTINCT tombstone set). Returns the number of ids tombstoned.
+
+    Requires a membership-bearing index (``doc_ids/``): a legacy
+    layout has no denominator to keep honest, and its serving calls
+    take the caller's docs frame as truth — delete from the CORPUS and
+    re-index instead."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/doc_ids"):
+        raise ValueError(
+            f"dedup index at {path} has no doc_ids/ relation (legacy "
+            "layout) — tombstone deletion needs persisted membership; "
+            "re-run write_dedup_index first"
+        )
+    if path_exists(spark, f"{path}/meta"):
+        _delete_path(spark, f"{path}/meta")
+    tomb = (
+        ids.where("doc_id IS NOT NULL")
+        .select("doc_id").distinct().persist()
+    )
+    try:
+        n_ids = tomb.count()
+        if n_ids:
+            tomb.write.mode("append").parquet(f"{path}/deleted_ids")
+    finally:
+        tomb.unpersist()
+    _write_meta_n_docs(spark, path)
+    return n_ids
 
 
 def _delete_path(spark: SparkSession, target: str) -> None:
@@ -257,14 +365,24 @@ def _materialized_index_relation(
     invalidates it where a plan hash would not."""
     from ..operators.dedup import _materialized_df
 
-    key = hash((path, rel, _relation_fingerprint(spark, f"{path}/{rel}")))
+    # the tombstone set joins the staleness key: a deletion changes
+    # what this relation SERVES without touching its files (the S14
+    # extra_rels reasoning), and the suppression anti-join runs once
+    # per index state inside the cached build, not per call
+    key = hash((
+        path,
+        rel,
+        _relation_fingerprint(spark, f"{path}/{rel}"),
+        _relation_fingerprint(spark, f"{path}/deleted_ids"),
+    ))
     return _materialized_df(
         spark,
         f"_idx_{rel}",
         key,
-        lambda: spark.read.parquet(f"{path}/{rel}")
-        .select(*cols)
-        .distinct(),
+        lambda: _suppress_deleted(
+            spark, path,
+            spark.read.parquet(f"{path}/{rel}").select(*cols),
+        ).distinct(),
     )
 
 
@@ -349,7 +467,10 @@ def _meta_n_docs(spark: SparkSession, path: str) -> int | None:
 
 
 def read_dedup_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Open the three persisted relations."""
+    """Open the three persisted relations — RAW (pre-suppression)
+    access for inspection/maintenance; the serving twins read through
+    :func:`_materialized_index_relation`, which applies the tombstone
+    anti-join (see :func:`delete_from_dedup_index`)."""
     return {
         "shingles": spark.read.parquet(f"{path}/shingles"),
         "band_keys": spark.read.parquet(f"{path}/band_keys"),
@@ -449,16 +570,12 @@ def dedup_threshold_sweep_from_index(
         n_docs = _meta_n_docs(spark, path)
         if n_docs is None:
             # no pre-counted meta (stream-appended index awaiting its
-            # compaction slot): count the membership once, driver-side
-            n_docs = (
-                spark.read.parquet(f"{path}/doc_ids")
-                .select("doc_id").distinct().count()
-            )
+            # compaction slot): count the LIVE membership once,
+            # driver-side (doc_ids minus tombstones)
+            n_docs = _live_doc_ids(spark, path).count()
         if docs is not None:
             if verify_membership:
-                indexed = spark.read.parquet(f"{path}/doc_ids").select(
-                    "doc_id"
-                ).distinct()
+                indexed = _live_doc_ids(spark, path)
                 drift = (
                     docs.select("doc_id").distinct()
                     .withColumn("c", F.lit(1))
@@ -593,7 +710,13 @@ def minhash_lsh_probe_index(
     sh_union = _materialized_df(
         spark,
         "_probe_union_shingles",
-        hash((key, _relation_fingerprint(spark, f"{path}/shingles"))),
+        # tombstones join the key: a deletion changes idx_sh's content
+        # without touching shingles/ files
+        hash((
+            key,
+            _relation_fingerprint(spark, f"{path}/shingles"),
+            _relation_fingerprint(spark, f"{path}/deleted_ids"),
+        )),
         lambda: idx_sh.unionByName(
             new_sh.select("doc_id", "shingle")
         ).distinct(),
@@ -707,11 +830,36 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
             continue
         raw = spark.read.parquet(src).select(*keys)
         rows_before = raw.count()
+        # tombstoned docs physically leave every relation here — the
+        # read-path suppression anti-join materialized (all four
+        # relations are doc_id-keyed)
         rows_after = compact_relation_swap(
-            spark, raw.distinct(), src, part, sort_cols=keys
+            spark,
+            _suppress_deleted(spark, path, raw).distinct(),
+            src, part, sort_cols=keys,
         )
         stats.append(
             {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
+        )
+    # retire the tombstones the rewrites just materialized: swap in an
+    # EMPTY set rather than deleting the relation (stays attestable by
+    # the manifest — a vanished relation reads as a wipe). Ordering is
+    # crash-safe: tombstones retire only AFTER every relation rewrote
+    # without them; a crash before this point leaves tombstones that
+    # match nothing (suppression is identity), never a resurrected doc.
+    tomb = _tombstoned_doc_ids(spark, path)
+    if tomb is not None:
+        n_tomb = tomb.count()
+        if n_tomb:
+            compact_relation_swap(
+                spark,
+                spark.read.parquet(f"{path}/deleted_ids")
+                .select("doc_id").limit(0),
+                f"{path}/deleted_ids", None, sort_cols=["doc_id"],
+            )
+        stats.append(
+            {"relation": "deleted_ids", "rows_before": n_tomb,
+             "rows_after": 0}
         )
     # restore the pre-counted sweep denominator the stream updater
     # invalidated: the compacted doc_ids relation IS its distinct set,
@@ -826,6 +974,27 @@ def stream_update_dedup_index(
             if not legacy:
                 if path_exists(spark, f"{path}/meta"):
                     _delete_path(spark, f"{path}/meta")
+                # a deleted doc re-arriving REVIVES: its tombstone
+                # retires BEFORE its rows append (latest wins — the
+                # S14 sequence-ordering semantics, expressible here as
+                # set subtraction because S13 relations carry no
+                # sequence). Probe first: the rewrite only runs when
+                # the batch actually intersects the tombstone set
+                # (one bounded semi-join against the small set), and a
+                # crash between retire and append just re-runs the
+                # batch (at-least-once).
+                tomb = _tombstoned_doc_ids(spark, path)
+                if tomb is not None:
+                    batch_ids = batch_df.select("doc_id").distinct()
+                    if tomb.join(batch_ids, "doc_id", "left_semi").take(1):
+                        compact_relation_swap(
+                            spark,
+                            spark.read.parquet(f"{path}/deleted_ids")
+                            .select("doc_id").distinct()
+                            .join(batch_ids, "doc_id", "left_anti"),
+                            f"{path}/deleted_ids", None,
+                            sort_cols=["doc_id"],
+                        )
                 batch_df.select("doc_id").write.mode("append").parquet(
                     f"{path}/doc_ids"
                 )

@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: relation subdirectories per index layout
-DEDUP_INDEX_RELATIONS = ("shingles", "band_keys", "passages", "doc_ids")
+DEDUP_INDEX_RELATIONS = (
+    "shingles", "band_keys", "passages", "doc_ids", "deleted_ids"
+)
 ANN_INDEX_RELATIONS = ("centroids", "codebook", "codes", "meta")
 
 

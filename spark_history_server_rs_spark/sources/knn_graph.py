@@ -535,6 +535,146 @@ def stream_update_knn_graph(emb_stream: DataFrame, path: str, checkpoint: str):
     )
 
 
+def delete_from_knn_graph(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> dict:
+    """DELETE phase — the S16 index-lifecycle piece, with EAGER
+    adjacency repair where S13/S14 use tombstone read-suppression.
+
+    The difference is forced by the data model, not taste: shingle and
+    code rows are per-entity independent, so suppressing an entity's
+    rows is exactly a smaller index — but the graph's edges are
+    CROSS-entity, truncated per src at build time. Deleting node X
+    from src S's stored top-k should PROMOTE S's rank-(k+1) edge,
+    which build-time truncation already discarded; suppression alone
+    would silently under-fill S's neighborhood forever (a recall hole
+    no refusal can see). So a delete repairs the affected adjacency
+    eagerly, against the stored ``nodes/`` vectors:
+
+    1. ``dead``     = stored nodes ∩ ``ids`` (absent ids are a no-op —
+       idempotent double-delete).
+    2. ``affected`` = live srcs with ANY stored edge into ``dead``
+       (regardless of stored rank: streamed appends are un-truncated,
+       and only rows above a promoted edge matter — a src with no
+       stored row into ``dead`` cannot change, since removals can
+       only promote).
+    3. Edges rewrite = (stored edges minus dead-src, dead-dst, and
+       affected-src rows) ∪ (affected × live re-paired through the
+       same vectorized block kernel as build/stream — cost scales
+       with |affected| × corpus, the stream micro-batch shape, never
+       corpus²). Repair rows are un-truncated τ-qualifying, exactly
+       like streamed appends — the read path's rank recompute
+       normalizes (see :func:`_edges_topk_ctes`).
+    4. ``nodes/`` rewrites without ``dead``; the pre-counted
+       ``counts/n_nodes`` follows the crash-safe ordering (invalidated
+       first, rewritten live after); an existing manifest refreshes.
+
+    Crash windows fail LOUD or safe, never silently wrong: edges swap
+    BEFORE nodes, so a crash between the two serves the post-delete
+    graph (correct) while the coverage refusal still compares callers
+    against the old node count — the repair is re-running this delete
+    (idempotent: ``dead`` recomputes from what is still stored). A
+    vector re-streamed after deletion revives naturally (it is simply
+    a new node to the stream updater). Returns per-step stats."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import hamming_cutoff
+    from ..functions.blockpair import pair_edges_blocked
+    from .dedup_index import (
+        compact_relation_swap,
+        invalidate_count_row,
+        write_count_row,
+    )
+    from .index_manifest import path_exists
+
+    check_knn_graph_meta(spark, path)
+    nodes = spark.read.parquet(f"{path}/nodes").select(
+        "vec_id", "nv", "sketch"
+    ).distinct()
+    dead_ids = (
+        ids.where("vec_id IS NOT NULL").select("vec_id").distinct()
+        .join(nodes.select("vec_id"), "vec_id", "left_semi")
+        .persist()
+    )
+    try:
+        n_dead = dead_ids.count()
+        if n_dead == 0:
+            return {"n_deleted": 0, "n_affected_srcs": 0,
+                    "edges_after": None, "nodes_after": None}
+        # the delete batch is the bounded side of every join below
+        bdead = F.broadcast(dead_ids)
+        edges = spark.read.parquet(f"{path}/edges").select(
+            "src_id", "dst_id", "cosine", "src_bucket"
+        )
+        affected_ids = (
+            edges.join(
+                bdead.selectExpr("vec_id AS dst_id"), "dst_id", "left_semi"
+            )
+            .join(bdead.selectExpr("vec_id AS src_id"), "src_id", "left_anti")
+            .select("src_id").distinct()
+            .persist()
+        )
+        try:
+            n_affected = affected_ids.count()
+            invalidate_count_row(spark, path)
+            live = nodes.join(bdead, "vec_id", "left_anti")
+            keep = (
+                edges
+                .join(bdead.selectExpr("vec_id AS src_id"),
+                      "src_id", "left_anti")
+                .join(bdead.selectExpr("vec_id AS dst_id"),
+                      "dst_id", "left_anti")
+                .join(affected_ids, "src_id", "left_anti")
+            )
+            if n_affected:
+                aff_nodes = live.join(
+                    affected_ids.selectExpr("src_id AS vec_id"),
+                    "vec_id", "left_semi",
+                )
+                others = live.join(
+                    affected_ids.selectExpr("src_id AS vec_id"),
+                    "vec_id", "left_anti",
+                )
+                hmax = hamming_cutoff(KNN_GRAPH_TAU)
+                repaired = (
+                    pair_edges_blocked(
+                        aff_nodes, KNN_GRAPH_TAU, hmax, right=others
+                    )
+                    .unionByName(
+                        pair_edges_blocked(aff_nodes, KNN_GRAPH_TAU, hmax)
+                    )
+                    .join(affected_ids, "src_id", "left_semi")
+                    .selectExpr(
+                        "src_id", "dst_id", "cosine",
+                        f"pmod(src_id, {N_GRAPH_BUCKETS}) AS src_bucket",
+                    )
+                )
+                new_edges = keep.unionByName(repaired)
+            else:
+                new_edges = keep
+            edges_after = compact_relation_swap(
+                spark, new_edges, f"{path}/edges", "src_bucket",
+                sort_cols=["src_id", "dst_id", "cosine", "src_bucket"],
+            )
+            nodes_after = compact_relation_swap(
+                spark, live, f"{path}/nodes", None, sort_cols=["vec_id"]
+            )
+        finally:
+            affected_ids.unpersist()
+    finally:
+        dead_ids.unpersist()
+    write_count_row(
+        spark, path, "n_nodes",
+        spark.read.parquet(f"{path}/nodes")
+        .where("vec_id IS NOT NULL")
+        .select("vec_id").distinct().count(),
+    )
+    if path_exists(spark, f"{path}/manifest"):
+        refresh_knn_graph_manifest(spark, path)
+    return {"n_deleted": n_dead, "n_affected_srcs": n_affected,
+            "edges_after": edges_after, "nodes_after": nodes_after}
+
+
 def refresh_knn_graph_manifest(spark: SparkSession, path: str) -> None:
     """Write/refresh the S16 integrity manifest (per-relation row count
     + order-independent content hash — see ``index_manifest``)."""

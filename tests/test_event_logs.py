@@ -3587,3 +3587,281 @@ def test_ann_nprobe_recall_from_index(spark, tmp_path):
         ann_nprobe_recall_from_index(spark, path, grown)
     with _pytest.raises(ValueError, match="corpus frame has"):
         ann_nprobe_recall_from_index(spark, path, emb.where("vec_id >= 5"))
+
+
+def test_dedup_index_delete_tombstone_lifecycle(spark, tmp_path):
+    """delete_from_dedup_index completes the S13 lifecycle (build →
+    DELETE → revive-by-restream → delete again → compact → rebuild):
+    tombstoned docs disappear from every serving twin EXACTLY as if the
+    index had been built without them (per-doc relations make
+    suppression exact — the module-doc taxonomy); the sweep's
+    denominator and drift refusals track LIVE membership; compaction
+    physically removes dead rows and retires the tombstones to an
+    empty (still-attestable) set; a rebuild is ground truth."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        compact_dedup_index,
+        dedup_threshold_sweep_from_index,
+        delete_from_dedup_index,
+        minhash_lsh_pairs_from_index,
+        minhash_lsh_probe_index,
+        refresh_dedup_index_manifest,
+        validate_dedup_index,
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        CorpusDriftError,
+        path_exists,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "del_dedup")
+    write_dedup_index(docs, path)
+    dedup.clear_materialized_caches()
+    pre_pairs = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert pre_pairs
+
+    # delete docs that currently PAIR (suppression must be observable)
+    deleted = sorted({r[0] for r in pre_pairs})[:3]
+    ids = spark.createDataFrame([(i,) for i in deleted], "doc_id bigint")
+    assert delete_from_dedup_index(spark, path, ids) == len(deleted)
+    not_deleted = "doc_id NOT IN (" + ",".join(map(str, deleted)) + ")"
+    docs_live = docs.where(not_deleted)
+
+    # ground truth: an index that never saw the deleted docs
+    truth = str(tmp_path / "truth_dedup")
+    write_dedup_index(docs_live, truth)
+    truth_pairs = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, truth).collect()
+    }
+    post_pairs = {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    }
+    assert post_pairs == truth_pairs
+    assert not {r[0] for r in post_pairs} & set(deleted)
+    assert not {r[1] for r in post_pairs} & set(deleted)
+
+    # sweep: live membership is the denominator (meta-served), the live
+    # frame passes both drift checks, the full frame is REFUSED by both
+    n_live = docs_live.count()
+    assert DI._meta_n_docs(spark, path) == n_live
+    sweep_post = [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(
+            spark, path, docs_live, verify_membership=True
+        ).collect()
+    ]
+    assert sweep_post == [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, truth).collect()
+    ]
+    with _pytest.raises(CorpusDriftError):
+        dedup_threshold_sweep_from_index(spark, path, docs)
+    with _pytest.raises(CorpusDriftError):
+        dedup_threshold_sweep_from_index(
+            spark, path, docs, verify_membership=True
+        )
+    # the meta-less fallback counts LIVE membership too
+    DI._delete_path(spark, f"{path}/meta")
+    assert [
+        tuple(r)
+        for r in dedup_threshold_sweep_from_index(spark, path).collect()
+    ] == sweep_post
+    DI._write_meta_n_docs(spark, path)
+
+    # incremental probe: a new batch against the tombstoned index pairs
+    # exactly as against the ground-truth index — deleted docs are not
+    # candidates, not verifiers, not anything
+    new_batch = docs.where("doc_id < 5").selectExpr(
+        "doc_id + 10000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    probe_t = {
+        tuple(r)
+        for r in minhash_lsh_probe_index(spark, path, new_batch).collect()
+    }
+    assert probe_t == {
+        tuple(r)
+        for r in minhash_lsh_probe_index(spark, truth, new_batch).collect()
+    }
+
+    # REVIVE by re-streaming the deleted docs (before any compaction):
+    # the stream updater retires their tombstones, and the index serves
+    # the full corpus again, identical to pre-delete
+    src = tmp_path / "revive_src"
+    docs.where(
+        "doc_id IN (" + ",".join(map(str, deleted)) + ")"
+    ).write.json(str(src))
+    q = DI.stream_update_dedup_index(
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).json(str(src)),
+        path,
+        str(tmp_path / "revive_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(f"{path}/deleted_ids").count() == 0
+    )  # retired, relation kept attestable
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == pre_pairs
+    assert DI._meta_n_docs(spark, path) is None  # stream invalidated it
+
+    # delete again; double-delete is idempotent
+    assert delete_from_dedup_index(spark, path, ids) == len(deleted)
+    assert delete_from_dedup_index(spark, path, ids) == len(deleted)
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == post_pairs
+
+    # compact: dead rows physically leave, tombstones retire to an
+    # EMPTY attested set, output unchanged, manifest validates green
+    refresh_dedup_index_manifest(spark, path)
+    stats = {s["relation"]: s for s in compact_dedup_index(spark, path)}
+    assert stats["doc_ids"]["rows_after"] == n_live
+    assert stats["deleted_ids"]["rows_after"] == 0
+    assert path_exists(spark, f"{path}/deleted_ids")
+    assert spark.read.parquet(f"{path}/deleted_ids").count() == 0
+    assert stats["shingles"]["rows_after"] < stats["shingles"]["rows_before"]
+    assert validate_dedup_index(spark, path).count() == 0
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == post_pairs
+    assert DI._meta_n_docs(spark, path) == n_live
+
+    # a REBUILD over the full corpus is ground truth: stale tombstones
+    # from before the rebuild must not suppress re-indexed docs
+    delete_from_dedup_index(spark, path, ids)
+    write_dedup_index(docs, path)
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
+    } == pre_pairs
+
+    # legacy layout (no doc_ids/) refuses tombstone deletion
+    legacy = str(tmp_path / "legacy_dedup")
+    write_dedup_index(docs, legacy)
+    DI._delete_path(spark, f"{legacy}/doc_ids")
+    with _pytest.raises(ValueError, match="legacy"):
+        delete_from_dedup_index(spark, legacy, ids)
+
+
+def test_knn_graph_delete_eager_repair_lifecycle(spark, tmp_path):
+    """delete_from_knn_graph completes the S16 lifecycle with EAGER
+    adjacency repair: deleting nodes that sit in other nodes' stored
+    top-k must PROMOTE their build-time-truncated replacements — the
+    post-delete graph is pinned identical to a from-scratch build over
+    the live corpus (the exactness theorem tombstone suppression could
+    not give for cross-entity edges). Refusals track live membership,
+    double-delete is a no-op, the manifest refreshes, and a deleted
+    vector re-streamed through maintenance revives the exact
+    pre-delete graph."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand2_from_index,
+        ann_graph_expand_from_index,
+        ann_knn_graph_from_index,
+        delete_from_knn_graph,
+        refresh_knn_graph_manifest,
+        stream_update_knn_graph,
+        validate_knn_graph,
+        write_knn_graph,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        CorpusDriftError,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "del_knng")
+    write_knn_graph(emb, path)
+    refresh_knn_graph_manifest(spark, path)
+    pre_g = [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ]
+    assert pre_g
+
+    # delete non-query nodes that appear as stored DSTs (so the
+    # affected-src repair actually runs)
+    deleted = sorted({r[1] for r in pre_g if r[1] >= 100})[:5]
+    assert deleted
+    ids = spark.createDataFrame([(i,) for i in deleted], "vec_id bigint")
+    stats = delete_from_knn_graph(spark, path, ids)
+    assert stats["n_deleted"] == len(deleted)
+    assert stats["n_affected_srcs"] > 0
+    emb_live = emb.where(
+        "vec_id NOT IN (" + ",".join(map(str, deleted)) + ")"
+    )
+
+    # the exactness theorem: post-delete == from-scratch over live
+    truth = str(tmp_path / "truth_knng")
+    write_knn_graph(emb_live, truth)
+    post_g = [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ]
+    assert post_g == [
+        tuple(r) for r in ann_knn_graph_from_index(spark, truth).collect()
+    ]
+    assert post_g == [
+        tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()
+    ]
+    assert not {r[0] for r in post_g} & set(deleted)
+    assert not {r[1] for r in post_g} & set(deleted)
+
+    # both expansion twins serve the live frame identically to the
+    # live operators; the full frame is REFUSED (live membership)
+    assert [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path, emb_live).collect()
+    ] == [tuple(r) for r in similarity.ann_graph_expand(emb_live).collect()]
+    assert [
+        tuple(r)
+        for r in ann_graph_expand2_from_index(
+            spark, path, emb_live
+        ).collect()
+    ] == [tuple(r) for r in similarity.ann_graph_expand2(emb_live).collect()]
+    with _pytest.raises(CorpusDriftError):
+        ann_graph_expand_from_index(spark, path, emb)
+    # the live count is meta-served
+    n_live = emb_live.count()
+    assert DI._read_count_row(spark, path, "n_nodes") == n_live
+    # the delete refreshed the existing manifest — validates green
+    assert validate_knn_graph(spark, path).count() == 0
+
+    # double-delete (and deleting never-indexed ids) is a no-op
+    assert delete_from_knn_graph(spark, path, ids)["n_deleted"] == 0
+    assert delete_from_knn_graph(
+        spark, path,
+        spark.createDataFrame([(999999,)], "vec_id bigint"),
+    )["n_deleted"] == 0
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ] == post_g
+
+    # revival: re-stream the deleted vectors — the graph serves the
+    # full corpus again, identical to pre-delete (edge cosines fold
+    # over stored nv, so streamed and built edges are byte-identical)
+    src = tmp_path / "knng_revive_src"
+    emb.where(
+        "vec_id IN (" + ",".join(map(str, deleted)) + ")"
+    ).write.parquet(str(src))
+    q = stream_update_knn_graph(
+        spark.readStream.schema(emb.schema).parquet(str(src)),
+        path,
+        str(tmp_path / "knng_revive_ckpt"),
+    )
+    q.awaitTermination(180)
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ] == pre_g
+    assert [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path, emb).collect()
+    ] == [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
