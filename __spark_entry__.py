@@ -62,6 +62,9 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 _CHANGED_THIS_ROUND = (
     "ann_crossencoder_rerank",
     "multimodal_image_decode",
+    # late r11: NEW op — the C7 keep rule's drop side, the (doc_id)
+    # frame run_retention_pass feeds to the three index deletion APIs
+    "dedup_retention_ids",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -108,8 +111,13 @@ _SENTINELS = (
     "text_quality_classifier",
     "tpch_q10_returned_items",
     "tpch_q1_pricing_summary",
-    # oldest remaining debt: 25 of the 42 r08 rows (alphabetical; the
-    # remaining 17 r08 rows are the head of the r12 queue below)
+    # new this round → first driver row (C7c: the keep rule's drop
+    # side; its in-window rider dedup_survivorship re-validates the
+    # shared C7 ranking chain); embedding_power_iteration displaced to
+    # the r12 queue for the slot (pytest-green every session)
+    "dedup_retention_ids",
+    # oldest remaining debt: 24 of the 42 r08 rows (alphabetical; the
+    # remaining 18 r08 rows are the head of the r12 queue below)
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_codes",
@@ -134,9 +142,9 @@ _SENTINELS = (
     "dedup_simhash",
     "embedding_dim_stats",
     "embedding_kmeans_train",
-    "embedding_power_iteration",
-    # r12 rotation queue (the 17 r08 rows remaining after this window):
-    # executor_utilization, gc_time_trends, memory_usage,
+    # r12 rotation queue (the 18 r08 rows remaining after this window):
+    # embedding_power_iteration, executor_utilization, gc_time_trends,
+    # memory_usage,
     # performance_trends, resource_usage_summary,
     # resource_utilization_metrics, rollup_order_stats,
     # task_distribution, text_gopher_rules, text_language_id,
@@ -542,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": _d(corpus.dedup_cluster_stats),
         "dedup_keep_canonical": _d(corpus.dedup_keep_canonical),
         "dedup_survivorship": _d(corpus.dedup_survivorship),
+        "dedup_retention_ids": _d(corpus.dedup_retention_ids),
         "corpus_hash_split": _d(corpus.hash_split),
         "corpus_vocabulary": _d(corpus.vocabulary),
         "corpus_tfidf_top_terms": _d(corpus.tfidf_top_terms),

@@ -422,6 +422,35 @@ def dedup_survivorship(docs: DataFrame) -> DataFrame:
         )
 
 
+def dedup_retention_ids(docs: DataFrame) -> DataFrame:
+    """C7c: the DROP side of the C7 keep rule — the ``(doc_id)`` set of
+    near-dup cluster LOSERS (every clustered doc except its cluster's
+    highest-quality member). This is the frame a real pipeline feeds to
+    the index deletion APIs after a dedup decision:
+    ``sources.maintenance.run_retention_pass`` hands it to
+    ``delete_from_dedup_index`` / ``delete_from_ann_index`` /
+    ``delete_from_knn_graph`` so every durable index forgets exactly
+    what the corpus dropped.
+
+    Scale shape: C7's chain unchanged (labels exist only for edge-
+    bearing docs; the rank window shuffles id/score triples, never
+    text) with a rank>1 filter — singletons and canonicals never
+    surface, so the result is bounded by the clustered fraction."""
+    return (
+        dedup_keep_canonical(docs)
+        .where("NOT is_canonical")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RETENTION_IDS = (
+    "SELECT doc_id FROM ("
+    + ORACLE_KEEP_CANONICAL
+    + ") WHERE NOT is_canonical ORDER BY doc_id"
+)
+
+
 ORACLE_DEDUP_SURVIVORSHIP = (
     "WITH RECURSIVE shingles AS ("
     + _SHINGLES_DUCK
@@ -1651,6 +1680,7 @@ ORACLE_SQL_CORPUS = {
     "corpus_curriculum_stages": ORACLE_CURRICULUM_STAGES,
     "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
     "dedup_survivorship": ORACLE_DEDUP_SURVIVORSHIP,
+    "dedup_retention_ids": ORACLE_RETENTION_IDS,
     "corpus_dsir_select": ORACLE_DSIR,
     "corpus_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "corpus_perplexity_buckets": ORACLE_PPL_BUCKETS,

@@ -29,6 +29,57 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def run_retention_pass(
+    spark: SparkSession,
+    losers,
+    dedup_index_path: str | None = None,
+    ann_index_path: str | None = None,
+    knn_graph_path: str | None = None,
+) -> dict:
+    """The dedup-driven retention step — the reason the index deletion
+    APIs exist: after a dedup decision drops documents from the corpus,
+    every durable index must forget them too, or serving twins refuse
+    (coverage counts drift) and recall evals quietly measure against
+    ghosts. ``losers`` is a ``(doc_id)`` frame — typically
+    ``operators.corpus.dedup_retention_ids`` (the C7 keep rule's drop
+    side), but any retention decision (TTL, GDPR erasure, expired
+    crawl) fits the same contract. For the vector indexes the same ids
+    are the ``vec_id`` key (the shared id space the testdata models:
+    a document's embedding row carries its doc_id).
+
+    Each attached index takes its family's delete: S13 tombstone
+    suppression, S14 sequenced tombstones, S16 eager adjacency repair
+    — every one exact, every one crash-safe per its own contract. Run
+    this BEFORE :func:`run_maintenance_slot` in the same quiesced
+    slot, so the compactors materialize the deletions and retire the
+    tombstones in one pass. Returns per-index deletion stats."""
+    losers = losers.select("doc_id").distinct().persist()
+    try:
+        out: dict = {"n_losers": losers.count()}
+        if dedup_index_path is not None:
+            from .dedup_index import delete_from_dedup_index
+
+            out["dedup_index_deleted"] = delete_from_dedup_index(
+                spark, dedup_index_path, losers
+            )
+        vec_ids = losers.selectExpr("doc_id AS vec_id")
+        if ann_index_path is not None:
+            from .ann_index import delete_from_ann_index
+
+            out["ann_index_deleted"] = delete_from_ann_index(
+                spark, ann_index_path, vec_ids
+            )
+        if knn_graph_path is not None:
+            from .knn_graph import delete_from_knn_graph
+
+            out["knn_graph"] = delete_from_knn_graph(
+                spark, knn_graph_path, vec_ids
+            )
+    finally:
+        losers.unpersist()
+    return out
+
+
 def run_maintenance_slot(
     spark: SparkSession,
     dedup_index_path: str | None = None,

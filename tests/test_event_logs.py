@@ -3865,3 +3865,116 @@ def test_knn_graph_delete_eager_repair_lifecycle(spark, tmp_path):
         tuple(r)
         for r in ann_graph_expand_from_index(spark, path, emb).collect()
     ] == [tuple(r) for r in similarity.ann_graph_expand(emb).collect()]
+
+
+def test_retention_pass_all_indexes_forget_dedup_losers(spark, tmp_path):
+    """The dedup-driven retention arc end-to-end — the production story
+    the deletion APIs exist for: the C7 keep rule decides which near-dup
+    cluster members drop (`dedup_retention_ids`), `run_retention_pass`
+    feeds that one frame to all three index deletions, and afterwards
+    every durable index serves the SURVIVOR corpus exactly (pinned
+    against live operators over the survivors) while refusing the full
+    frame; the following maintenance slot materializes the deletions
+    and leaves every index attested and valid."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import corpus, similarity
+    from spark_history_server_rs_spark.operators.corpus import (
+        dedup_retention_ids,
+    )
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_ivf_pq_from_index,
+        refresh_ann_index_manifest,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        minhash_lsh_pairs_from_index,
+        refresh_dedup_index_manifest,
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        CorpusDriftError,
+    )
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_knn_graph_from_index,
+        refresh_knn_graph_manifest,
+        write_knn_graph,
+    )
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_maintenance_slot,
+        run_retention_pass,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    p13 = str(tmp_path / "ret_s13")
+    p14 = str(tmp_path / "ret_s14")
+    p16 = str(tmp_path / "ret_s16")
+    write_dedup_index(docs, p13)
+    write_ann_index(emb, p14)
+    write_knn_graph(emb, p16)
+    refresh_dedup_index_manifest(spark, p13)
+    refresh_ann_index_manifest(spark, p14)
+    refresh_knn_graph_manifest(spark, p16)
+
+    losers = dedup_retention_ids(docs)
+    loser_ids = sorted(r.doc_id for r in losers.collect())
+    assert loser_ids  # the corpus has near-dup clusters by construction
+    report = run_retention_pass(
+        spark, losers,
+        dedup_index_path=p13, ann_index_path=p14, knn_graph_path=p16,
+    )
+    assert report["n_losers"] == len(loser_ids)
+    assert report["dedup_index_deleted"] == len(loser_ids)
+    assert report["ann_index_deleted"] == len(loser_ids)
+    # only losers that are indexed vectors count as graph deletions
+    assert report["knn_graph"]["n_deleted"] == emb.where(
+        "vec_id IN (" + ",".join(map(str, loser_ids)) + ")"
+    ).count()
+
+    not_lost = "NOT IN (" + ",".join(map(str, loser_ids)) + ")"
+    docs_live = docs.where(f"doc_id {not_lost}")
+    emb_live = emb.where(f"vec_id {not_lost}")
+
+    # S13 serves the survivor corpus exactly (== live operator over it)
+    from spark_history_server_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, p13).collect()
+    } == {tuple(r) for r in minhash_lsh_pairs(docs_live).collect()}
+    # S16 likewise; S14's serving twin takes the survivor frame and no
+    # deleted id surfaces as a neighbor; all three REFUSE the full frame
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, p16).collect()
+    ] == [tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()]
+    ivf_post = ann_ivf_pq_from_index(spark, p14, emb_live).collect()
+    assert ivf_post and not {r[2] for r in ivf_post} & set(loser_ids)
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_nprobe_recall_from_index,
+    )
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand_from_index,
+    )
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        dedup_threshold_sweep_from_index,
+    )
+
+    with _pytest.raises(CorpusDriftError):
+        dedup_threshold_sweep_from_index(spark, p13, docs)
+    with _pytest.raises(CorpusDriftError):
+        ann_nprobe_recall_from_index(spark, p14, emb)
+    with _pytest.raises(CorpusDriftError):
+        ann_graph_expand_from_index(spark, p16, emb)
+
+    # the maintenance slot materializes the deletions: every artifact
+    # compacts, refreshes, and validates green; outputs unchanged
+    slot = run_maintenance_slot(
+        spark, dedup_index_path=p13, ann_index_path=p14, knn_graph_path=p16
+    )
+    assert all(e["valid"] for e in slot), slot
+    assert {
+        tuple(r) for r in minhash_lsh_pairs_from_index(spark, p13).collect()
+    } == {tuple(r) for r in minhash_lsh_pairs(docs_live).collect()}
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, p16).collect()
+    ] == [tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()]
