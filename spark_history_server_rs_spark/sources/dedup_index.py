@@ -885,6 +885,7 @@ def compact_relation_swap(
     src: str,
     part_col: str | None,
     sort_cols,
+    tmp: str | None = None,
 ) -> int:
     """The shared compaction commit: persist the compacted relation
     (so the count and the write run it once), write to a
@@ -892,8 +893,15 @@ def compact_relation_swap(
     compaction of an already-compact relation rewrites identical
     content), then swap via FileSystem delete+rename. Returns the
     compacted row count. One copy of the non-atomic delete→rename
-    window — see the durability note on :func:`compact_dedup_index`."""
-    tmp = f"{src}__compacting"
+    window — see the durability note on :func:`compact_dedup_index`.
+
+    ``tmp`` overrides the staging location for targets whose SIBLING
+    must not be polluted: a partition directory inside a Hive-layout
+    relation (``shards/shard=3``) cannot stage at
+    ``shards/shard=3__compacting`` — a crash would leave a directory
+    that breaks partition discovery for every subsequent reader."""
+    if tmp is None:
+        tmp = f"{src}__compacting"
     compacted = compacted.sortWithinPartitions(*sort_cols).persist()
     try:
         rows_after = compacted.count()

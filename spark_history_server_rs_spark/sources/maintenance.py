@@ -35,6 +35,7 @@ def run_retention_pass(
     dedup_index_path: str | None = None,
     ann_index_path: str | None = None,
     knn_graph_path: str | None = None,
+    training_shards_path: str | None = None,
 ) -> dict:
     """The dedup-driven retention step — the reason the index deletion
     APIs exist: after a dedup decision drops documents from the corpus,
@@ -47,9 +48,12 @@ def run_retention_pass(
     are the ``vec_id`` key (the shared id space the testdata models:
     a document's embedding row carries its doc_id).
 
-    Each attached index takes its family's delete: S13 tombstone
-    suppression, S14 sequenced tombstones, S16 eager adjacency repair
-    — every one exact, every one crash-safe per its own contract. Run
+    Each attached artifact takes its family's delete: S13 tombstone
+    suppression, S14 sequenced tombstones, S16 eager adjacency repair,
+    S15 partition-pruned shard rewrite (shard membership is a pure
+    function of doc_id, so only the shards actually holding retracted
+    docs rewrite) — every one exact, every one crash-safe per its own
+    contract. Run
     this BEFORE :func:`run_maintenance_slot` in the same quiesced
     slot, so the compactors materialize the deletions and retire the
     tombstones in one pass. Returns per-index deletion stats."""
@@ -74,6 +78,12 @@ def run_retention_pass(
 
             out["knn_graph"] = delete_from_knn_graph(
                 spark, knn_graph_path, vec_ids
+            )
+        if training_shards_path is not None:
+            from .training_shards import retract_from_training_shards
+
+            out["training_shards"] = retract_from_training_shards(
+                spark, training_shards_path, losers
             )
     finally:
         losers.unpersist()

@@ -158,6 +158,127 @@ def compact_training_shards(spark: SparkSession, path: str) -> list[dict]:
     ]
 
 
+def _list_shard_ids(spark: SparkSession, path: str) -> list[int]:
+    """The shard ids present on disk (FS listing of ``shard=<i>``
+    child directories — no file footers touched)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/shards")
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("shard="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def retract_from_training_shards(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    n_shards: int | None = None,
+) -> dict:
+    """DELETE phase for the shard export — the GDPR-erasure arc the
+    other durable artifacts already have, shaped by S15's one design
+    invariant: shard membership is a PURE FUNCTION of ``doc_id``
+    (``pmod(xxhash64(doc_id), n_shards)``), so the shards a retraction
+    touches compute from the ids alone — no scan, no manifest lookup —
+    and only those partitions rewrite. Cost scales with
+    |affected shards| × shard size, never the export; a retraction of
+    one document rewrites exactly one shard.
+
+    Per affected shard: anti-join the retracted ids and swap the
+    rewritten partition in (the shared ``compact_relation_swap``
+    commit — sorted, so retracting already-absent ids rewrites
+    identical content: idempotent). A shard left EMPTY keeps its
+    (empty, readable) directory; its manifest row drops with its
+    stats, which is exactly how the validator reads an empty shard.
+    The manifest rewrites LAST — unaffected rows carried, affected
+    rows recomputed from the rewritten partitions — so a crash
+    mid-retraction leaves a stale manifest the validator FLAGS
+    (detection, the S15 contract) rather than attesting a
+    half-applied erasure; the repair is re-running the retraction.
+
+    ``n_shards`` defaults to the on-disk layout (max ``shard=`` dir
+    + 1); pass it explicitly for an export written with a custom count
+    whose top shards might be empty. Returns per-step stats."""
+    from .dedup_index import compact_relation_swap
+    from .index_manifest import path_exists
+
+    disk_shards = _list_shard_ids(spark, path)
+    if not disk_shards:
+        raise ValueError(
+            f"no shard export at {path}/shards — nothing to retract from"
+        )
+    if n_shards is None:
+        n_shards = max(disk_shards) + 1
+    tomb = (
+        ids.where("doc_id IS NOT NULL").select("doc_id").distinct()
+        .persist()
+    )
+    try:
+        n_ids = tomb.count()
+        affected = sorted(
+            r.s
+            for r in tomb.selectExpr(
+                f"pmod(xxhash64(doc_id), {int(n_shards)}) AS s"
+            ).distinct().collect()  # ≤ n_shards ints — bounded payload
+            if r.s in set(disk_shards)
+        )
+        rewritten = []
+        for s in affected:
+            src = f"{path}/shards/shard={s}"
+            raw = spark.read.parquet(src)
+            survivors = raw.join(tomb, "doc_id", "left_anti")
+            before = raw.count()
+            after = compact_relation_swap(
+                spark, survivors, src, None, sort_cols=list(raw.columns),
+                # stage OUTSIDE shards/: a crashed swap must not leave
+                # a non-partition directory inside the Hive layout
+                tmp=f"{path}/__retracting_shard_{s}",
+            )
+            rewritten.append(
+                {"shard": s, "rows_before": before, "rows_after": after}
+            )
+        # manifest last: recompute ONLY the affected shards (partition-
+        # pruned read), carry the untouched rows verbatim
+        if path_exists(spark, f"{path}/manifest") and affected:
+            # the manifest is ≤ n_shards rows — round-trip the kept
+            # rows through the driver (Spark refuses to overwrite a
+            # path its own plan reads from)
+            kept_rows = [
+                (r["shard"], r["n_docs"], r["n_tokens"], r["content_hash"])
+                for r in spark.read.parquet(f"{path}/manifest").collect()
+                if r["shard"] not in set(affected)
+            ]
+            schema = (
+                "shard bigint, n_docs long, n_tokens long,"
+                " content_hash decimal(38,0)"
+            )
+            keep = spark.createDataFrame(kept_rows, schema)
+            fresh = _shard_stats(
+                spark.read.parquet(f"{path}/shards").where(
+                    "shard IN (" + ",".join(map(str, affected)) + ")"
+                )
+            ).selectExpr(
+                "CAST(shard AS BIGINT) AS shard", "n_docs", "n_tokens",
+                "content_hash",
+            )
+            keep.unionByName(fresh).write.mode("overwrite").parquet(
+                f"{path}/manifest"
+            )
+    finally:
+        tomb.unpersist()
+    return {
+        "n_ids": n_ids,
+        "shards_rewritten": rewritten,
+        "n_shards": int(n_shards),
+    }
+
+
 def refresh_shard_manifest(spark: SparkSession, path: str) -> None:
     """Recompute the manifest from what is on disk (the maintenance
     step after streaming appends — validation is only meaningful

@@ -3978,3 +3978,107 @@ def test_retention_pass_all_indexes_forget_dedup_losers(spark, tmp_path):
     assert [
         tuple(r) for r in ann_knn_graph_from_index(spark, p16).collect()
     ] == [tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()]
+
+
+def test_training_shards_retract_partition_pruned(spark, tmp_path):
+    """retract_from_training_shards completes the S15 erasure arc:
+    shard membership is a pure function of doc_id, so a retraction
+    rewrites ONLY the shards holding retracted docs — untouched shards
+    keep byte-identical manifest rows — and the export validates green
+    immediately after (affected manifest rows recomputed from disk).
+    Idempotent: retracting already-absent ids rewrites identical
+    content. Composes through run_retention_pass."""
+    from pyspark.sql import functions as F
+
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_retention_pass,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        N_SHARDS,
+        retract_from_training_shards,
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "shards_ret")
+    write_training_shards(docs, path)
+    pre_manifest = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+        for r in spark.read.parquet(f"{path}/manifest").collect()
+    }
+
+    # retract 4 docs that land in a strict subset of shards
+    retracted = [0, 1, 2, 3]
+    ids = spark.createDataFrame([(i,) for i in retracted], "doc_id bigint")
+    expect_shards = sorted(
+        r.s for r in ids.selectExpr(
+            f"pmod(xxhash64(doc_id), {N_SHARDS}) AS s"
+        ).distinct().collect()
+    )
+    assert len(expect_shards) < N_SHARDS  # the pruning is observable
+    report = retract_from_training_shards(spark, path, ids)
+    assert report["n_ids"] == len(retracted)
+    assert sorted(s["shard"] for s in report["shards_rewritten"]) == (
+        expect_shards
+    )
+
+    # the retracted docs are gone; every surviving doc is intact
+    on_disk = spark.read.parquet(f"{path}/shards")
+    assert on_disk.where(
+        "doc_id IN (" + ",".join(map(str, retracted)) + ")"
+    ).count() == 0
+    assert on_disk.count() == docs.count() - len(retracted)
+
+    # untouched shards carry byte-identical manifest rows; affected
+    # rows recomputed; the validator is green with no refresh needed
+    post_manifest = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+        for r in spark.read.parquet(f"{path}/manifest").collect()
+    }
+    for s, row in pre_manifest.items():
+        if s not in expect_shards:
+            assert post_manifest[s] == row
+        else:
+            assert post_manifest[s] != row
+    assert validate_training_shards(spark, path).count() == 0
+
+    # idempotent: same ids again → same shards rewritten, zero change
+    again = retract_from_training_shards(spark, path, ids)
+    assert sorted(s["shard"] for s in again["shards_rewritten"]) == (
+        expect_shards
+    )
+    assert all(
+        s["rows_before"] == s["rows_after"] for s in again["shards_rewritten"]
+    )
+    assert validate_training_shards(spark, path).count() == 0
+    assert {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+        for r in spark.read.parquet(f"{path}/manifest").collect()
+    } == post_manifest
+
+    # composes through the retention pass (S15 attached alongside S13)
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        write_dedup_index,
+    )
+
+    p13 = str(tmp_path / "ret_s13b")
+    docs_live = docs.where(
+        "doc_id NOT IN (" + ",".join(map(str, retracted)) + ")"
+    )
+    write_dedup_index(docs_live, p13)
+    more = spark.createDataFrame([(10,), (11,)], "doc_id bigint")
+    rep = run_retention_pass(
+        spark, more, dedup_index_path=p13, training_shards_path=path
+    )
+    assert rep["n_losers"] == 2
+    assert rep["training_shards"]["n_ids"] == 2
+    assert spark.read.parquet(f"{path}/shards").where(
+        "doc_id IN (10, 11)"
+    ).count() == 0
+    assert validate_training_shards(spark, path).count() == 0
+
+    # an empty-ids retraction is a no-op that touches nothing
+    empty = spark.createDataFrame([], "doc_id bigint")
+    none_rep = retract_from_training_shards(spark, path, empty)
+    assert none_rep["n_ids"] == 0 and none_rep["shards_rewritten"] == []
