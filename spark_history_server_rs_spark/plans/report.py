@@ -35,6 +35,9 @@ SELECTED = [
      "sketch-prefiltered pair loop + bounded mutual join (the SQL spec"
      " form — serving rides the kernel-built cache / S16 index)"),
     ("dedup_keep_canonical", "cluster labels joined to quality, rank window"),
+    ("dedup_retention_ids",
+     "C7's rank chain with a rank>1 filter — the retention pass's"
+     " loser frame; bounded by the clustered fraction"),
     ("corpus_unigram_logprob", "broadcast vocab-sized LM scoring join"),
     ("funnel_conversion", "chained tiny-side step joins, windowed funnel"),
     ("retention_cohorts", "first-touch join + bounded cohort-cell agg"),
