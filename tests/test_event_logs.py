@@ -4082,3 +4082,16 @@ def test_training_shards_retract_partition_pruned(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id bigint")
     none_rep = retract_from_training_shards(spark, path, empty)
     assert none_rep["n_ids"] == 0 and none_rep["shards_rewritten"] == []
+
+    # collateral-free: the retracted export's manifest is IDENTICAL to
+    # a fresh export over the survivors (content hashes are
+    # order-independent, so this pins every surviving row byte-equal)
+    fresh = str(tmp_path / "shards_fresh")
+    write_training_shards(
+        docs.where("doc_id NOT IN (0, 1, 2, 3, 10, 11)"), fresh
+    )
+    as_rows = lambda p: {  # noqa: E731
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+        for r in spark.read.parquet(f"{p}/manifest").collect()
+    }
+    assert as_rows(path) == as_rows(fresh)
