@@ -12,6 +12,9 @@ Routes (reference ``api.rs:22-56``, ``analytics_api.rs:16-32``):
 - ``/api/v1/capacity/usage-trends`` ; ``.../cost-optimization``
 - deprecated ``/api/v1/analytics/*`` → 404
   (``analytics_api_test.rs:199-206``)
+- ``/api/v1/indexes/status`` (+ ``?validate=1``) — §8 extension: the
+  durable-artifact lifecycle ops view (meta-served counts, tombstones,
+  opt-in manifest validation)
 
 Design: the events DataFrame is normalized+cached once at server start
 (the warm serving state — the analog of the reference's open DuckDB file);
@@ -266,6 +269,109 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _indexes_status(self, validate: bool) -> dict:
+        """Per-attached-artifact lifecycle status. Cheap by default:
+        relations via FS listing, membership via the meta-served
+        one-row counts (None = invalidated mid-stream; readers fall
+        back to scans, this probe does NOT), tombstones counted from
+        their own small relation. ``validate=True`` adds the manifest
+        diff — one scan per relation, the maintenance-slot cost."""
+        from ..sources import dedup_index as DI
+        from ..sources.index_manifest import (
+            ANN_INDEX_RELATIONS,
+            DEDUP_INDEX_RELATIONS,
+            path_exists,
+        )
+
+        spark = self.server.events.sparkSession  # type: ignore[attr-defined]
+
+        def _present(path, relations):
+            return [r for r in relations if path_exists(spark, f"{path}/{r}")]
+
+        def _n(path, rel):
+            if not path_exists(spark, f"{path}/{rel}"):
+                return 0
+            return spark.read.parquet(f"{path}/{rel}").count()
+
+        out: dict = {}
+        p13 = getattr(self.server, "dedup_index_path", None)
+        if p13 is not None:
+            entry = {
+                "path": p13,
+                "relations": _present(p13, DEDUP_INDEX_RELATIONS + ("meta",)),
+                "n_docs": DI._meta_n_docs(spark, p13),
+                "n_tombstones": _n(p13, "deleted_ids"),
+            }
+            if validate:
+                entry["discrepancies"] = [
+                    r.asDict()
+                    for r in DI.validate_dedup_index(spark, p13).collect()
+                ]
+            out["dedup_index"] = entry
+        p14 = getattr(self.server, "ann_index_path", None)
+        if p14 is not None:
+            from ..sources.ann_index import validate_ann_index
+
+            entry = {
+                "path": p14,
+                "relations": _present(
+                    p14, ANN_INDEX_RELATIONS + ("counts", "tombstones")
+                ),
+                "n_codes": DI._read_count_row(spark, p14, "n_codes"),
+                "n_tombstones": _n(p14, "tombstones"),
+            }
+            if validate:
+                entry["discrepancies"] = [
+                    r.asDict()
+                    for r in validate_ann_index(spark, p14).collect()
+                ]
+            out["ann_index"] = entry
+        p16 = getattr(self.server, "knn_graph_path", None)
+        if p16 is not None:
+            from ..sources.knn_graph import (
+                KNN_GRAPH_RELATIONS,
+                validate_knn_graph,
+            )
+
+            entry = {
+                "path": p16,
+                "relations": _present(
+                    p16, KNN_GRAPH_RELATIONS + ("counts",)
+                ),
+                "n_nodes": DI._read_count_row(spark, p16, "n_nodes"),
+            }
+            if validate:
+                entry["discrepancies"] = [
+                    r.asDict()
+                    for r in validate_knn_graph(spark, p16).collect()
+                ]
+            out["knn_graph"] = entry
+        p15 = getattr(self.server, "training_shards_path", None)
+        if p15 is not None:
+            from ..sources.training_shards import (
+                _list_shard_ids,
+                validate_training_shards,
+            )
+
+            entry = {
+                "path": p15,
+                "shards": _list_shard_ids(spark, p15),
+                "manifest_rows": _n(p15, "manifest"),
+            }
+            if validate:
+                entry["discrepancies"] = [
+                    r.asDict()
+                    for r in validate_training_shards(spark, p15).collect()
+                ]
+            out["training_shards"] = entry
+        if not out:
+            raise ValueError(
+                "no durable index attached to this server — pass "
+                "dedup_index_path / ann_index_path / knn_graph_path / "
+                "training_shards_path to serve()"
+            )
+        return out
+
     def _filtered_events(self, qs: dict) -> DataFrame:
         ev = self.server.events  # type: ignore[attr-defined]
         start = qs.get("startDate", [None])[0] or qs.get("minDate", [None])[0]
@@ -395,6 +501,17 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         if path.startswith("/api/v1/analytics"):
             # deprecated endpoints must 404 (analytics_api_test.rs:199-206)
             return self._send(404, {"error": "deprecated endpoint"})
+
+        if path == "/api/v1/indexes/status":
+            # read-only ops surface for the durable artifacts: cheap by
+            # default (FS listings + the meta-served one-row counts —
+            # zero index scans on a warm unchanged index), full
+            # manifest validation behind ?validate=1 because that is
+            # one scan PER RELATION — a per-request cost no status
+            # probe should pay at 100 TB
+            return self._send(
+                200, self._indexes_status("validate" in qs)
+            )
 
         if path == "/api/v1/applications":
             # full reference param surface (api.rs:62-99): status list,
@@ -745,6 +862,7 @@ def serve(
     knn_graph_path: str | None = None,
     dedup_index_path: str | None = None,
     ann_index_path: str | None = None,
+    training_shards_path: str | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -782,7 +900,15 @@ def serve(
     ``/api/v1/ann/{int8-audit,anisotropy,abtt}`` routes at its
     persisted ``audits/`` relations (``write_ann_audits``); routes fall
     back to the live operators when the index doesn't carry the needed
-    artifact (or the sweep refuses a drifted/legacy index)."""
+    artifact (or the sweep refuses a drifted/legacy index).
+
+    ``training_shards_path`` (optional) attaches an S15 shard export.
+    Any attached durable artifact also surfaces on the read-only
+    ``/api/v1/indexes/status`` ops route — relations present,
+    meta-served membership counts, tombstone counts; add
+    ``?validate=1`` for the full manifest diff (one scan per relation,
+    the maintenance-slot cost — not a default any status probe should
+    pay)."""
     events = events.cache()
     events.count()  # materialize
     if documents is not None:
@@ -808,6 +934,7 @@ def serve(
     httpd.knn_graph_path = knn_graph_path  # type: ignore[attr-defined]
     httpd.dedup_index_path = dedup_index_path  # type: ignore[attr-defined]
     httpd.ann_index_path = ann_index_path  # type: ignore[attr-defined]
+    httpd.training_shards_path = training_shards_path  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

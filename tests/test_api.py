@@ -835,3 +835,82 @@ def test_ann_stats_routes_served_from_index(spark):
         assert code_rr == 200 and rows_rr == live_by_route["rerank"]
     finally:
         drift_httpd.shutdown()
+
+
+def test_indexes_status_route(spark):
+    """The /api/v1/indexes/status ops route reports every attached
+    durable artifact from meta-served state (no index scans by
+    default), reflects deletions (tombstone counts, live membership),
+    and surfaces manifest validation only behind ?validate=1 —
+    including a genuine discrepancy after tampering. An index-less
+    server 400s with the attach hint."""
+    import tempfile
+    import threading
+
+    from spark_history_server_rs_spark.api.server import serve
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        delete_from_dedup_index,
+        refresh_dedup_index_manifest,
+        write_dedup_index,
+    )
+    from spark_history_server_rs_spark.sources.generic import (
+        load_events,
+        load_table,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        write_training_shards,
+    )
+
+    ev = load_events(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    root = tempfile.mkdtemp()
+    p13, p15 = root + "/s13", root + "/s15"
+    write_dedup_index(docs, p13)
+    refresh_dedup_index_manifest(spark, p13)
+    write_training_shards(docs, p15)
+    n_docs = docs.count()
+    delete_from_dedup_index(
+        spark, p13, spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    )
+
+    httpd = serve(
+        ev, warmup=False,
+        dedup_index_path=p13, training_shards_path=p15,
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, st = _get(base, "/api/v1/indexes/status")
+        assert code == 200 and set(st) == {"dedup_index", "training_shards"}
+        d = st["dedup_index"]
+        assert d["n_docs"] == n_docs - 2  # live membership, meta-served
+        assert d["n_tombstones"] == 2
+        assert "deleted_ids" in d["relations"]
+        assert "discrepancies" not in d  # validation is opt-in
+        s = st["training_shards"]
+        assert len(s["shards"]) == s["manifest_rows"] > 0
+
+        # opt-in validation: the tombstone append left the S13 manifest
+        # stale by design (the maintenance-slot contract) — the diff
+        # must SAY so rather than this route silently attesting
+        code, stv = _get(base, "/api/v1/indexes/status?validate=1")
+        assert code == 200
+        assert any(
+            r["relation"] == "deleted_ids"
+            for r in stv["dedup_index"]["discrepancies"]
+        )
+        assert stv["training_shards"]["discrepancies"] == []
+    finally:
+        httpd.shutdown()
+
+    # no artifact attached → 400 with the attach hint
+    httpd2 = serve(ev, warmup=False)
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+    try:
+        code, err = _get(base2, "/api/v1/indexes/status")
+        assert code == 400 and "dedup_index_path" in err["error"]
+    finally:
+        httpd2.shutdown()
