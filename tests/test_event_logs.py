@@ -4095,3 +4095,79 @@ def test_training_shards_retract_partition_pruned(spark, tmp_path):
         for r in spark.read.parquet(f"{p}/manifest").collect()
     }
     assert as_rows(path) == as_rows(fresh)
+
+
+def test_knn_graph_delete_crash_between_swaps_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The S16 delete's crash contract, exercised: a crash between the
+    edges swap and the nodes swap leaves the post-delete graph serving
+    CORRECTLY (X6 reads edges only) while the coverage refusal fails
+    LOUD against the stale node count — never silently wrong — and
+    re-running the same delete (the documented repair; `dead`
+    recomputes from what is still stored) converges to exactly the
+    clean-delete state."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import similarity
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        ann_graph_expand_from_index,
+        ann_knn_graph_from_index,
+        delete_from_knn_graph,
+        write_knn_graph,
+    )
+    from spark_history_server_rs_spark.sources.index_manifest import (
+        CorpusDriftError,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "crash_knng")
+    write_knn_graph(emb, path)
+    pre_g = [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ]
+    deleted = sorted({r[1] for r in pre_g if r[1] >= 100})[:4]
+    ids = spark.createDataFrame([(i,) for i in deleted], "vec_id bigint")
+    emb_live = emb.where(
+        "vec_id NOT IN (" + ",".join(map(str, deleted)) + ")"
+    )
+
+    # crash the SECOND swap (nodes) — edges land, nodes don't
+    real_swap = DI.compact_relation_swap
+    calls = {"n": 0}
+
+    def failing_swap(spark_, df, src, part, sort_cols, tmp=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("simulated crash after the edges swap")
+        return real_swap(spark_, df, src, part, sort_cols, tmp=tmp)
+
+    monkeypatch.setattr(DI, "compact_relation_swap", failing_swap)
+    with _pytest.raises(IOError, match="simulated crash"):
+        delete_from_knn_graph(spark, path, ids)
+    monkeypatch.setattr(DI, "compact_relation_swap", real_swap)
+
+    # the half-applied state: X6 (edges-only) already serves the
+    # post-delete graph; the expansion twin REFUSES the live frame
+    # (stale node membership, counts invalidated → fallback counts
+    # the un-swapped nodes) — loud, not wrong
+    live_g = [tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()]
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ] == live_g
+    with _pytest.raises(CorpusDriftError):
+        ann_graph_expand_from_index(spark, path, emb_live)
+
+    # the documented repair: re-run the delete — dead recomputes from
+    # the still-stored nodes, converging to the clean-delete state
+    stats = delete_from_knn_graph(spark, path, ids)
+    assert stats["n_deleted"] == len(deleted)
+    assert [
+        tuple(r) for r in ann_knn_graph_from_index(spark, path).collect()
+    ] == live_g
+    assert [
+        tuple(r)
+        for r in ann_graph_expand_from_index(spark, path, emb_live).collect()
+    ] == [tuple(r) for r in similarity.ann_graph_expand(emb_live).collect()]
+    assert DI._read_count_row(spark, path, "n_nodes") == emb_live.count()
