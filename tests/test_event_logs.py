@@ -3713,9 +3713,14 @@ def test_dedup_index_delete_tombstone_lifecycle(spark, tmp_path):
     } == pre_pairs
     assert DI._meta_n_docs(spark, path) is None  # stream invalidated it
 
-    # delete again; double-delete is idempotent
+    # delete again; double-delete is idempotent AND append-free: the
+    # retry anti-joins the existing tombstones (ADVICE r11), so it
+    # reports 0 newly-tombstoned ids and the relation does not grow
     assert delete_from_dedup_index(spark, path, ids) == len(deleted)
-    assert delete_from_dedup_index(spark, path, ids) == len(deleted)
+    assert delete_from_dedup_index(spark, path, ids) == 0
+    assert (
+        spark.read.parquet(f"{path}/deleted_ids").count() == len(deleted)
+    )
     assert {
         tuple(r) for r in minhash_lsh_pairs_from_index(spark, path).collect()
     } == post_pairs
@@ -3980,6 +3985,73 @@ def test_retention_pass_all_indexes_forget_dedup_losers(spark, tmp_path):
     ] == [tuple(r) for r in similarity.ann_knn_graph(emb_live).collect()]
 
 
+def test_ttl_retention_predicate_rider_all_artifacts(spark, tmp_path):
+    """The age/TTL rider (VERDICT r11 #5): a retention decision stated
+    as a PREDICATE over the corpus ("older than the cutoff", "expired
+    source") derives the loser frame and rides the existing
+    run_retention_pass across all four durable artifacts — one pushed-
+    down filter, then the same exact deletion contract per family."""
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+    from spark_history_server_rs_spark.sources.ann_index import (
+        _live_vec_ids,
+        write_ann_index,
+    )
+    from spark_history_server_rs_spark.sources.knn_graph import (
+        write_knn_graph,
+    )
+    from spark_history_server_rs_spark.sources.maintenance import (
+        retention_losers,
+        run_ttl_retention,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p13 = str(tmp_path / "ttl_s13")
+    p14 = str(tmp_path / "ttl_s14")
+    p15 = str(tmp_path / "ttl_s15")
+    p16 = str(tmp_path / "ttl_s16")
+    DI.write_dedup_index(docs, p13)
+    write_ann_index(emb, p14)
+    write_training_shards(docs, p15)
+    write_knn_graph(emb, p16)
+
+    # the "aged out" population: a plain boolean over corpus columns
+    predicate = "n_chars < 200"
+    expired = sorted(
+        r.doc_id for r in retention_losers(docs, predicate).collect()
+    )
+    assert 0 < len(expired) < docs.count()  # the predicate splits
+
+    rep = run_ttl_retention(
+        spark, docs, predicate,
+        dedup_index_path=p13, ann_index_path=p14,
+        knn_graph_path=p16, training_shards_path=p15,
+    )
+    assert rep["n_losers"] == len(expired)
+    assert rep["dedup_index_deleted"] == len(expired)
+
+    # every family forgot exactly the expired population
+    dead = set(expired)
+    assert dead.isdisjoint(
+        r.doc_id for r in DI._live_doc_ids(spark, p13).collect()
+    )
+    assert dead.isdisjoint(
+        r.vec_id for r in _live_vec_ids(spark, p14).collect()
+    )
+    assert dead.isdisjoint(
+        r.vec_id
+        for r in spark.read.parquet(f"{p16}/nodes")
+        .select("vec_id").collect()
+    )
+    in_list = ",".join(map(str, expired))
+    assert spark.read.parquet(f"{p15}/shards").where(
+        f"doc_id IN ({in_list})"
+    ).count() == 0
+
+
 def test_training_shards_retract_partition_pruned(spark, tmp_path):
     """retract_from_training_shards completes the S15 erasure arc:
     shard membership is a pure function of doc_id, so a retraction
@@ -4095,6 +4167,156 @@ def test_training_shards_retract_partition_pruned(spark, tmp_path):
         for r in spark.read.parquet(f"{p}/manifest").collect()
     }
     assert as_rows(path) == as_rows(fresh)
+
+
+def test_training_shards_declared_modulus_survives_empty_top_shard(
+    spark, tmp_path
+):
+    """The ADVICE r11 medium: ``partitionBy`` writes no directory for
+    an empty shard, so an export whose TOP shard is empty used to
+    under-report the layout-inferred modulus — and a default retraction
+    then computed the affected set under the WRONG pmod, silently
+    missing its targets with the validator still green. The modulus is
+    now declared in ``meta/`` and the retraction reads it back; the
+    legacy (meta-less) path verifies after the rewrite and fails LOUD
+    instead of reporting a phantom erasure."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        _delete_path,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        _list_shard_ids,
+        _read_meta_n_shards,
+        retract_from_training_shards,
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    n_shards = 4
+    all_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # keep only docs OUTSIDE the top shard, so shard=3 writes no dir
+    docs = all_docs.where(
+        f"pmod(xxhash64(doc_id), {n_shards}) <> {n_shards - 1}"
+    ).persist()
+    assert docs.count() > 0
+    path = str(tmp_path / "shards_meta")
+    write_training_shards(docs, path, n_shards=n_shards)
+    assert _read_meta_n_shards(spark, path) == n_shards
+    disk = _list_shard_ids(spark, path)
+    assert max(disk) + 1 < n_shards  # the dangerous layout is real
+
+    # pick ONE target the WRONG modulus (max+1 = 3) mis-routes: its
+    # shard differs under pmod(·,3) vs pmod(·,4), so the inferred-
+    # modulus retraction rewrites a shard the doc is not in (a second
+    # target could incidentally cover the real shard and mask the miss)
+    targets = [
+        r["doc_id"]
+        for r in docs.selectExpr(
+            "doc_id",
+            f"pmod(xxhash64(doc_id), {n_shards}) AS s4",
+            f"pmod(xxhash64(doc_id), {max(disk) + 1}) AS s3",
+        ).where("s4 <> s3").limit(1).collect()
+    ]
+    assert targets  # sf0.001 has enough ids for the split to exist
+    ids = spark.createDataFrame([(i,) for i in targets], "doc_id bigint")
+
+    # default retraction rides the declared modulus: targets gone,
+    # export validates green
+    rep = retract_from_training_shards(spark, path, ids)
+    assert rep["n_shards"] == n_shards
+    in_list = ",".join(map(str, targets))
+    assert spark.read.parquet(f"{path}/shards").where(
+        f"doc_id IN ({in_list})"
+    ).count() == 0
+    assert validate_training_shards(spark, path).count() == 0
+
+    # legacy export (no meta/): the layout-inferred modulus is wrong
+    # for these targets, and the post-rewrite verification refuses to
+    # report success — the silent-miss failure mode is now loud
+    legacy = str(tmp_path / "shards_legacy")
+    write_training_shards(docs, legacy, n_shards=n_shards)
+    _delete_path(spark, f"{legacy}/meta")
+    with _pytest.raises(RuntimeError, match="true n_shards differs"):
+        retract_from_training_shards(spark, legacy, ids)
+    # the explicit escape hatch still completes the erasure
+    rep2 = retract_from_training_shards(
+        spark, legacy, ids, n_shards=n_shards
+    )
+    assert rep2["n_shards"] == n_shards
+    assert spark.read.parquet(f"{legacy}/shards").where(
+        f"doc_id IN ({in_list})"
+    ).count() == 0
+
+    # a stream started with a contradicting modulus is refused before
+    # any batch lands (membership would fork)
+    from spark_history_server_rs_spark.sources.training_shards import (
+        stream_append_training_shards,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(str(src))
+    with _pytest.raises(ValueError, match="declares n_shards=4"):
+        stream_append_training_shards(
+            stream, path, str(tmp_path / "ckpt_bad"), n_shards=8
+        )
+    docs.unpersist()
+
+
+def test_dedup_rebuild_crash_never_resurrects(spark, tmp_path, monkeypatch):
+    """The ADVICE r11 builder-ordering fix, exercised: a rebuild that
+    crashes BEFORE its final step (tombstone retirement) leaves every
+    relation overwritten but suppression still applied — a previously
+    deleted doc can never silently resurrect mid-rebuild; the meta
+    count died first so no stale denominator serves either. Re-running
+    the idempotent builder completes the arc and revives the
+    re-indexed docs."""
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.sources import dedup_index as DI
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "s13_crash")
+    DI.write_dedup_index(docs, path)
+    deleted = [0, 1]
+    ids = spark.createDataFrame([(i,) for i in deleted], "doc_id bigint")
+    DI.delete_from_dedup_index(spark, path, ids)
+    n_docs = docs.count()
+    assert DI._meta_n_docs(spark, path) == n_docs - len(deleted)
+
+    real_swap = DI.compact_relation_swap
+
+    def crash_on_retirement(spark_, df, target, part, **kw):
+        if target.endswith("deleted_ids"):
+            raise RuntimeError("injected crash before tombstone retirement")
+        return real_swap(spark_, df, target, part, **kw)
+
+    monkeypatch.setattr(DI, "compact_relation_swap", crash_on_retirement)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        DI.write_dedup_index(docs, path)
+    monkeypatch.setattr(DI, "compact_relation_swap", real_swap)
+
+    # the crash window: relations rebuilt, tombstones NOT retired,
+    # meta absent → deleted docs stay suppressed (the safe direction)
+    assert DI._meta_n_docs(spark, path) is None
+    live = {
+        r["doc_id"] for r in DI._live_doc_ids(spark, path).collect()
+    }
+    assert set(deleted).isdisjoint(live)
+    assert len(live) == n_docs - len(deleted)
+
+    # repair = re-run the idempotent builder: retirement completes,
+    # the re-indexed docs serve, meta is the full count again
+    DI.write_dedup_index(docs, path)
+    assert DI._meta_n_docs(spark, path) == n_docs
+    assert spark.read.parquet(f"{path}/deleted_ids").count() == 0
+    live2 = {
+        r["doc_id"] for r in DI._live_doc_ids(spark, path).collect()
+    }
+    assert set(deleted) <= live2 and len(live2) == n_docs
 
 
 def test_knn_graph_delete_crash_between_swaps_recovers(
