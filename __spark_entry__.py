@@ -51,20 +51,18 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 11: ann_crossencoder_rerank gained the executable `scorer`
-#: extension-point plumbing (its registered default path is the same
-#: SQL refine, but the operator's implementation changed shape) and
-#: multimodal_image_decode gained the executable `decode_fn` codec
-#: body (same reasoning) — both re-check. Everything else this round
-#: is serving-twin/maintenance surface (S14/S16 meta-served coverage
-#: counts, CorpusDriftError typing, S14 tombstone deletion, blockpair
-#: cross fan-out), all pytest-pinned, none registered.
+#: Round 12: multimodal_image_decode's codec path was refactored to
+#: route through the new binary-ingestion entry point
+#: (image_decode_payloads — the real-PNG plumbing); its registered
+#: default plan is unchanged but the operator's implementation changed
+#: shape, so it re-checks. Everything else this round is
+#: erasure-arc/serving/ops surface (S15 declared modulus + loud legacy
+#: verification, S13 retirement-last rebuild ordering + anti-joined
+#: tombstone appends, TTL retention rider, status-endpoint count
+#: semantics, the stdlib PNG codec body), all pytest-pinned, none
+#: registered.
 _CHANGED_THIS_ROUND = (
-    "ann_crossencoder_rerank",
     "multimodal_image_decode",
-    # late r11: NEW op — the C7 keep rule's drop side, the (doc_id)
-    # frame run_retention_pass feeds to the three index deletion APIs
-    "dedup_retention_ids",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -84,14 +82,81 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 11 window -----------------------------------------------
-    # changed THIS round (see _CHANGED_THIS_ROUND): both gained
-    # executable extension-point plumbing
-    "ann_crossencoder_rerank",
+    # --- round 12 window -----------------------------------------------
+    # changed THIS round (see _CHANGED_THIS_ROUND): the codec path now
+    # routes through the binary-ingestion entry point
     "multimodal_image_decode",
-    # the full r11 rotation queue the r10 verdict prescribed — ALL 19
-    # remaining r07 rows; after this window no registry row's latest
-    # driver check predates r08
+    # the full r12 rotation queue the r11 verdict prescribed — ALL 18
+    # remaining r08 rows; after this window no registry row's latest
+    # driver check predates r09
+    "embedding_power_iteration",
+    "executor_utilization",
+    "gc_time_trends",
+    "memory_usage",
+    "performance_trends",
+    "resource_usage_summary",
+    "resource_utilization_metrics",
+    "rollup_order_stats",
+    "task_distribution",
+    "text_gopher_rules",
+    "text_language_id",
+    "text_line_boilerplate",
+    "text_pii_scrub",
+    "text_quality",
+    "text_quality_prune",
+    "text_repetition",
+    "text_token_stats",
+    "top_resource_consumers",
+    # oldest remaining debt: 27 of the 45 r09 rows (alphabetical; the
+    # remaining 18 — the 17 TPC-H shapes + yoy_revenue_growth — are
+    # the r13 queue below)
+    "ann_cosine_topk",
+    "ann_hamming_rerank",
+    "ann_recall_eval",
+    "anti_join_no_urgent_customers",
+    "applications_app_window",
+    "applications_status_completed",
+    "applications_time_window",
+    "asof_join_task_executor_config",
+    "corpus_hash_split",
+    "corpus_profile",
+    "cube_order_stats",
+    "dedup_embedding_cosine_prefiltered",
+    "dedup_exact",
+    "event_transition_matrix",
+    "events_daily_gapfill",
+    "funnel_conversion",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    "multimodal_phash_groups",
+    "range_join_live_executors",
+    "retention_cohorts",
+    "rolling_active_users",
+    "semi_join_urgent_customers",
+    "set_ops_user_segments",
+    "task_percentile_standing",
+    "text_stem_normalize",
+    "topk_tasks_per_app",
+    # r13 rotation queue (the 18 r09 rows remaining after this window):
+    # tpch_q2_min_price_supplier, tpch_q3_shipping_priority,
+    # tpch_q4_priority_check, tpch_q5_regional_revenue,
+    # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+    # tpch_q8_market_share, tpch_q9_product_profit,
+    # tpch_q13_order_distribution, tpch_q14_promo_effect,
+    # tpch_q15_top_supplier, tpch_q16_supplier_count,
+    # tpch_q17_small_qty_revenue, tpch_q18_large_orders,
+    # tpch_q19_bracketed_revenue, tpch_q21_waiting_supplier,
+    # tpch_q22_idle_customers, yoy_revenue_growth — then the r10 rows
+)
+
+#: rounds 1-11 window history (kept for the audit trail; these names
+#: are all driver-green on their current code and rotate behind the
+#: r12 window above — every one of them is still pytest-oracle-checked
+#: per session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-11 window (all 50 driver-green in CORRECTNESS_r11.json;
+    # pytest-oracle-checked every session) -----------------------------
+    "ann_crossencoder_rerank",
     "dedup_passage_index",
     "dedup_survivorship",
     "embedding_abtt_audit",
@@ -111,13 +176,7 @@ _SENTINELS = (
     "text_quality_classifier",
     "tpch_q10_returned_items",
     "tpch_q1_pricing_summary",
-    # new this round → first driver row (C7c: the keep rule's drop
-    # side; its in-window rider dedup_survivorship re-validates the
-    # shared C7 ranking chain); embedding_power_iteration displaced to
-    # the r12 queue for the slot (pytest-green every session)
     "dedup_retention_ids",
-    # oldest remaining debt: 24 of the 42 r08 rows (alphabetical; the
-    # remaining 18 r08 rows are the head of the r12 queue below)
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_codes",
@@ -142,22 +201,6 @@ _SENTINELS = (
     "dedup_simhash",
     "embedding_dim_stats",
     "embedding_kmeans_train",
-    # r12 rotation queue (the 18 r08 rows remaining after this window):
-    # embedding_power_iteration, executor_utilization, gc_time_trends,
-    # memory_usage,
-    # performance_trends, resource_usage_summary,
-    # resource_utilization_metrics, rollup_order_stats,
-    # task_distribution, text_gopher_rules, text_language_id,
-    # text_line_boilerplate, text_pii_scrub, text_quality,
-    # text_quality_prune, text_repetition, text_token_stats,
-    # top_resource_consumers — then the r09 rows
-)
-
-#: rounds 1-10 window history (kept for the audit trail; these names
-#: are all driver-green on their current code and rotate behind the
-#: r11 window above — every one of them is still pytest-oracle-checked
-#: per session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # --- round-10 window (all 50 driver-green in CORRECTNESS_r10.json;
     # pytest-oracle-checked every session) -----------------------------
     "ann_knn_graph",

@@ -211,6 +211,9 @@ def main() -> None:
         ("corpus_pack_fragmentation", llmprep.pack_fragmentation, docs),
         ("rolling_active_users_approx",
          relational.rolling_active_users_approx, ev),
+        # round-12: the C7c drop side — the frame run_retention_pass
+        # fans to the index deletion APIs (timed below)
+        ("dedup_retention_ids", corpus.dedup_retention_ids, docs),
     ]:
         # canary sample every 20 extended ops: the late-registry rows
         # run after ~150 ops' worth of session cache/GC accumulation,
@@ -346,6 +349,51 @@ def main() -> None:
             warm.append(time.perf_counter() - t)
         extended[row] = round(min(warm), 4)
 
+    # X14's serving stage (VERDICT r11 #7): retrieve-then-rerank from
+    # the persisted S14 index — the row the meta-served coverage counts
+    # exist for, tracked next to its shortlist siblings above
+    from spark_history_server_rs_spark.sources.ann_index import (
+        ann_crossencoder_rerank_from_index,
+    )
+
+    rerank_idx = tempfile.mkdtemp() + "/ann_rerank_idx"
+    write_ann_index(emb, rerank_idx)
+    ann_crossencoder_rerank_from_index(spark, rerank_idx, emb).collect()
+    warm = []
+    for _ in range(3):
+        t = time.perf_counter()
+        ann_crossencoder_rerank_from_index(spark, rerank_idx, emb).collect()
+        warm.append(time.perf_counter() - t)
+    extended["ann_crossencoder_rerank_from_index"] = round(min(warm), 4)
+
+    # the erasure arc's per-round row (VERDICT r11 #1): ONE retention
+    # pass fanning a ~1% loser frame to all four durable families —
+    # S13 tombstone suppression, S14 sequenced tombstones, S16 eager
+    # adjacency repair, S15 partition-pruned shard rewrite. Single
+    # timed run (a deletion is not idempotent-rerunnable for timing:
+    # the second pass would measure the already-deleted no-op).
+    from spark_history_server_rs_spark.sources.maintenance import (
+        run_retention_pass,
+    )
+    from spark_history_server_rs_spark.sources.training_shards import (
+        write_training_shards,
+    )
+
+    shards_path = tempfile.mkdtemp() + "/shards"
+    write_training_shards(docs, shards_path)
+    losers = docs.where("pmod(doc_id, 100) = 1").select("doc_id")
+    t = time.perf_counter()
+    run_retention_pass(
+        spark, losers,
+        dedup_index_path=dedup_idx_path,
+        ann_index_path=rerank_idx,
+        knn_graph_path=gpath,
+        training_shards_path=shards_path,
+    )
+    extended["retention_pass_all_families"] = round(
+        time.perf_counter() - t, 4
+    )
+
     # k=64 Lloyd training (VERDICT r07 #2): the de-literalized trainer at
     # 8× the registered codebook size — centroids travel as a DataFrame,
     # driver sees per-step scalars only. Single timed run, same rationale
@@ -419,6 +467,34 @@ def main() -> None:
         calib_shuf.append(time.perf_counter() - t)
 
     calib_shuffle = min(calib_shuf)
+
+    # self-reported band status vs the CANONICAL floor bands
+    # (BASELINE_CANARY.json, re-measured standalone after the r11
+    # kernel/VM floor move — see canary_floor.py): an out-of-band
+    # canary marks THIS RUN's absolute numbers as load-contaminated,
+    # so cross-round comparison drops to the canary-normalized ratios
+    # without re-litigating machine drift each round
+    canary_bands = None
+    canary_in_band = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".",
+                         "BASELINE_CANARY.json")
+        ) as f:
+            floor = json.load(f)
+        canary_bands = {
+            "range_sum": floor["band_range_sum"],
+            "shuffle": floor["band_shuffle"],
+            "kernel": floor["kernel"],
+        }
+        canary_in_band = {
+            "range_sum": min(calib_cpu) <= floor["band_range_sum"][1],
+            "shuffle": calib_shuffle <= floor["band_shuffle"][1],
+            "kernel_match": os.uname().release == floor["kernel"],
+        }
+    except (OSError, KeyError, ValueError):
+        pass  # no floor recorded yet — raw numbers carry no band claim
+
     out = {
         "metric": "seven_query_suite_total",
         "value": round(total, 4),
@@ -431,6 +507,8 @@ def main() -> None:
         "suite_per_shuffle_canary": (
             round(total / calib_shuffle, 2) if calib_shuffle else None
         ),
+        "canary_bands": canary_bands,
+        "canary_in_band": canary_in_band,
         # in-sequence canaries per bench group (same tiny-shuffle
         # probe): attribute late-registry per-op creep to session/VM
         # drift vs plan regressions — compare an op's delta against its
@@ -457,7 +535,7 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "calib_range_sum_sec", "calib_shuffle_sec",
-            "suite_per_shuffle_canary", "group_canaries",
+            "suite_per_shuffle_canary", "canary_in_band", "group_canaries",
             "unit", "queries", "sf", "events", "cold_total_sec",
             "ingest_sec", "ingest_events_per_sec",
         )
@@ -469,6 +547,12 @@ def main() -> None:
     headline["graph_expand_live_sec"] = extended.get("ann_graph_expand")
     headline["graph_expand_from_index_sec"] = extended.get(
         "ann_graph_expand_from_index"
+    )
+    headline["rerank_from_index_sec"] = extended.get(
+        "ann_crossencoder_rerank_from_index"
+    )
+    headline["retention_pass_sec"] = extended.get(
+        "retention_pass_all_families"
     )
     print(json.dumps(headline), flush=True)
     spark.stop()

@@ -463,6 +463,109 @@ def main() -> None:
                 time.perf_counter() - t, 4
             )
 
+    # Erasure-arc tier at 10x (VERDICT r11 #1): the deletion APIs'
+    # design claims, measured where they bind — S16 eager repair wall
+    # ∝ |affected srcs| (vs the full rebuild wall on the same corpus),
+    # S15 retraction wall ∝ |affected shards| (vs the full export
+    # wall), S13/S14 deletes O(batch) with their serving twins flat
+    # before/after. Reuses the artifacts the earlier tiers built (and
+    # mutates them — this tier runs LAST among the index tiers).
+    retention10 = None
+    if (
+        dedup_index10 is not None
+        and ann10 is not None
+        and os.environ.get("SPARK_GRAFT_PROBE_RETENTION", "1") == "1"
+    ):
+        from spark_history_server_rs_spark.sources.ann_index import (
+            delete_from_ann_index as _del_ann,
+        )
+        from spark_history_server_rs_spark.sources.knn_graph import (
+            delete_from_knn_graph as _del_kg,
+        )
+        from spark_history_server_rs_spark.sources.training_shards import (
+            retract_from_training_shards as _retract,
+            write_training_shards as _write_shards,
+        )
+
+        # ---- S15: single-shard retraction vs full export ------------
+        spath = "/tmp/sparkgraft_shards10"
+        t = time.perf_counter()
+        _write_shards(d10, spath)
+        shards_build = round(time.perf_counter() - t, 4)
+        # losers confined to ONE of the 8 shards: the pruning claim is
+        # only visible when the affected set is a strict subset
+        one_shard_ids = d10.selectExpr("doc_id").where(
+            "pmod(xxhash64(doc_id), 8) = 3"
+        )
+        n_retract = one_shard_ids.count()
+        t = time.perf_counter()
+        rep15 = _retract(spark, spath, one_shard_ids)
+        retract_sec = round(time.perf_counter() - t, 4)
+
+        # ---- S13: O(batch) tombstone delete; sweep twin flat ---------
+        losers13 = stored.selectExpr("doc_id").where(
+            "pmod(doc_id, 100) = 1"
+        )
+        n13 = losers13.count()
+        t = time.perf_counter()
+        _di.delete_from_dedup_index(spark, ipath, losers13)
+        del13_sec = round(time.perf_counter() - t, 4)
+        sweep_after = _min3(
+            lambda: _di.dedup_threshold_sweep_from_index(spark, ipath)
+        )
+
+        # ---- S14: sequenced tombstones; residual serve twin flat -----
+        losers_vec = emb10.selectExpr("vec_id").where(
+            "pmod(vec_id, 100) = 1"
+        )
+        n14 = losers_vec.count()
+        t = time.perf_counter()
+        _del_ann(spark, a10, losers_vec)
+        del14_sec = round(time.perf_counter() - t, 4)
+        emb10_surv = emb10.where("pmod(vec_id, 100) <> 1")
+        res_after = _cold_warm(lambda: _res_serve(spark, a10, emb10_surv))
+
+        # ---- S16: eager adjacency repair vs rebuild ------------------
+        t = time.perf_counter()
+        rep16 = _del_kg(spark, g10, losers_vec)
+        del16_sec = round(time.perf_counter() - t, 4)
+        live16 = emb10_live.join(
+            losers_vec.selectExpr("vec_id"), "vec_id", "left_anti"
+        )
+        expand_after = _cold_warm(
+            lambda: _kg.ann_graph_expand_from_index(spark, g10, live16)
+        )
+
+        retention10 = {
+            "s15_export_build_sec": shards_build,
+            "s15_retract_sec": retract_sec,
+            "s15_n_retracted": n_retract,
+            "s15_shards_rewritten": len(rep15["shards_rewritten"]),
+            "s15_n_shards": rep15["n_shards"],
+            # the pruning claim: wall ratio vs the fraction of shards
+            # touched (1/8 here) — ~equal means cost ∝ affected shards
+            "s15_retract_over_build": round(retract_sec / shards_build, 3),
+            "s13_delete_sec": del13_sec,
+            "s13_n_deleted": n13,
+            "s13_sweep_warm_before": dedup_index10["sweep_from_index"][
+                "warm"
+            ],
+            "s13_sweep_after": sweep_after,
+            "s14_delete_sec": del14_sec,
+            "s14_n_deleted": n14,
+            "s14_residual_warm_before": res10["warm"],
+            "s14_residual_after": res_after,
+            "s16_delete_sec": del16_sec,
+            "s16_n_deleted": rep16["n_deleted"],
+            "s16_n_affected_srcs": rep16["n_affected_srcs"],
+            # the eager-repair claim: repair wall vs the from-scratch
+            # build wall on the same 10x corpus — repairing |affected|
+            # srcs must cost far less than re-pairing everyone
+            "s16_repair_over_rebuild": round(del16_sec / build10, 3),
+            "s16_expand_warm_before": expand10["warm"],
+            "s16_expand_after": expand_after,
+        }
+
     # canaries (same shapes as bench.py) so drift is attributable
     t = time.perf_counter()
     spark.range(0, 200_000_000, 1, cpus).selectExpr(
@@ -489,6 +592,7 @@ def main() -> None:
         "docs10": docs10,
         "dedup_index10": dedup_index10,
         "ann10": ann10,
+        "retention10": retention10,
         "ingest_100x": ingest_100x,
         "queries_100x": queries_100x,
         # drift-normalized 100x headline (VERDICT r08 #5): warm 100x
@@ -502,6 +606,18 @@ def main() -> None:
         "calib_range_sum_sec": calib_range,
         "calib_shuffle_sec": calib_shuffle,
     }
+    # band status vs the canonical floor (BASELINE_CANARY.json — the
+    # post-kernel-move re-baseline; see canary_floor.py). NOTE: the
+    # probe's canaries are SHAPED differently from bench.py's (bigger
+    # range/shuffle), so only the shuffle canary is loosely comparable;
+    # the honest cross-run signal stays the within-run ratios.
+    try:
+        with open("BASELINE_CANARY.json") as f:
+            floor = json.load(f)
+        out["canary_floor_kernel"] = floor["kernel"]
+        out["kernel"] = os.uname().release
+    except (OSError, KeyError, ValueError):
+        pass
     line = json.dumps(out)
     print(line)
     with open("BENCH_SCALE_PROBE.json", "w") as f:
