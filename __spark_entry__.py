@@ -22,6 +22,7 @@ from spark_history_server_rs_spark.operators import (
     textprep,
 )
 from spark_history_server_rs_spark.operators.oracles import ORACLE_SQL
+from spark_history_server_rs_spark.sources import metrics_rollup
 from spark_history_server_rs_spark.sources.generic import load_events, load_table
 
 
@@ -55,14 +56,25 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: route through the new binary-ingestion entry point
 #: (image_decode_payloads — the real-PNG plumbing); its registered
 #: default plan is unchanged but the operator's implementation changed
-#: shape, so it re-checks. Everything else this round is
-#: erasure-arc/serving/ops surface (S15 declared modulus + loud legacy
-#: verification, S13 retirement-last rebuild ordering + anti-joined
-#: tombstone appends, TTL retention rider, status-endpoint count
-#: semantics, the stdlib PNG codec body), all pytest-pinned, none
-#: registered.
+#: shape, so it re-checks. The four NEW `*_rollup` queries are the S17
+#: metrics-rollup serving twins (sources/metrics_rollup.py), each
+#: sharing its raw twin's oracle verbatim; cpu_utilization and
+#: memory_usage re-check because their derived-column tails were
+#: factored into shared fragments the rollup twins also ride
+#: (catalog.cpu_utilization_derived / memory_usage_derived).
+#: Everything else this round is erasure-arc/serving/ops surface (S15
+#: declared modulus + loud legacy verification, S13 retirement-last
+#: rebuild ordering + anti-joined tombstone appends, TTL retention
+#: rider, status-endpoint count semantics, the stdlib PNG codec body,
+#: the S17 durable lifecycle), all pytest-pinned, none registered.
 _CHANGED_THIS_ROUND = (
     "multimodal_image_decode",
+    "performance_trends_rollup",
+    "gc_time_trends_rollup",
+    "cpu_utilization_rollup",
+    "memory_usage_rollup",
+    "cpu_utilization",
+    "memory_usage",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -84,8 +96,19 @@ _SENTINELS = (
     "cross_app_summary",
     # --- round 12 window -----------------------------------------------
     # changed THIS round (see _CHANGED_THIS_ROUND): the codec path now
-    # routes through the binary-ingestion entry point
+    # routes through the binary-ingestion entry point, and the S17
+    # rollup serving twins are new (cpu_utilization / memory_usage,
+    # whose derived tails the twins now share, are already below in
+    # the rotation queue)
     "multimodal_image_decode",
+    "performance_trends_rollup",
+    "gc_time_trends_rollup",
+    "cpu_utilization_rollup",
+    "memory_usage_rollup",
+    # re-checks: its derived tail is now the shared fragment the
+    # rollup twin rides (memory_usage, same situation, is already in
+    # the rotation queue below)
+    "cpu_utilization",
     # the full r12 rotation queue the r11 verdict prescribed — ALL 18
     # remaining r08 rows; after this window no registry row's latest
     # driver check predates r09
@@ -107,9 +130,9 @@ _SENTINELS = (
     "text_repetition",
     "text_token_stats",
     "top_resource_consumers",
-    # oldest remaining debt: 27 of the 45 r09 rows (alphabetical; the
-    # remaining 18 — the 17 TPC-H shapes + yoy_revenue_growth — are
-    # the r13 queue below)
+    # oldest remaining debt: 23 of the 45 r09 rows (alphabetical; the
+    # remaining 22 — the 17 TPC-H shapes, yoy_revenue_growth, and the
+    # four displaced by the S17 window slots — are the r13 queue below)
     "ann_cosine_topk",
     "ann_hamming_rerank",
     "ann_recall_eval",
@@ -132,12 +155,11 @@ _SENTINELS = (
     "range_join_live_executors",
     "retention_cohorts",
     "rolling_active_users",
-    "semi_join_urgent_customers",
-    "set_ops_user_segments",
-    "task_percentile_standing",
-    "text_stem_normalize",
-    "topk_tasks_per_app",
-    # r13 rotation queue (the 18 r09 rows remaining after this window):
+    # r13 rotation queue (the 23 r09 rows remaining after this window):
+    # semi_join_urgent_customers, set_ops_user_segments,
+    # task_percentile_standing, text_stem_normalize, topk_tasks_per_app
+    # (displaced by the four S17 rollup slots + the re-checking
+    # cpu_utilization),
     # tpch_q2_min_price_supplier, tpch_q3_shipping_priority,
     # tpch_q4_priority_check, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
@@ -523,6 +545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_time_trends": _q(catalog.gc_time_trends),
         "cpu_utilization": _q(catalog.cpu_utilization),
         "memory_usage": _q(catalog.memory_usage),
+        # S17 rollup-served twins: A5-A8 answered by re-aggregating the
+        # session-cached partial relation (sources/metrics_rollup.py) —
+        # same oracles as the raw twins, so the driver differential
+        # proves serve-from-partials ≡ scan-from-events
+        "performance_trends_rollup": _q(metrics_rollup.performance_trends_rollup),
+        "gc_time_trends_rollup": _q(metrics_rollup.gc_time_trends_rollup),
+        "cpu_utilization_rollup": _q(metrics_rollup.cpu_utilization_rollup),
+        "memory_usage_rollup": _q(metrics_rollup.memory_usage_rollup),
         "cross_app_summary": _q(catalog.cross_app_summary),
         "task_distribution": _q(catalog.task_distribution),
         "job_metrics": _q(catalog.job_metrics),

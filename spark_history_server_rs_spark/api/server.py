@@ -369,6 +369,33 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     for r in validate_knn_graph(spark, p16).collect()
                 ]
             out["knn_graph"] = entry
+        p17 = getattr(self.server, "metrics_rollup_path", None)
+        if p17 is not None:
+            from ..sources.metrics_rollup import (
+                ROLLUP_RELATIONS,
+                _tombstoned_app_ids,
+                validate_metrics_rollup,
+            )
+
+            # live-cell count is meta-served (one row); tombstones are
+            # the live suppressed-app set (distinct, like S13's — the
+            # family's suppression key is the app, and retried deletes
+            # never append duplicates)
+            tomb17 = _tombstoned_app_ids(spark, p17)
+            entry = {
+                "path": p17,
+                "relations": _present(
+                    p17, ROLLUP_RELATIONS + ("counts",)
+                ),
+                "n_cells": DI._read_count_row(spark, p17, "n_cells"),
+                "n_tombstones": 0 if tomb17 is None else tomb17.count(),
+            }
+            if validate:
+                entry["discrepancies"] = [
+                    r.asDict()
+                    for r in validate_metrics_rollup(spark, p17).collect()
+                ]
+            out["metrics_rollup"] = entry
         p15 = getattr(self.server, "training_shards_path", None)
         if p15 is not None:
             from ..sources.training_shards import (
@@ -409,7 +436,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             raise ValueError(
                 "no durable index attached to this server — pass "
                 "dedup_index_path / ann_index_path / knn_graph_path / "
-                "training_shards_path to serve()"
+                "training_shards_path / metrics_rollup_path to serve()"
             )
         return out
 
@@ -628,6 +655,40 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         if m:
             # reference stubs these with [] (api.rs:153-159)
             return self._send(200, [])
+
+        m = re.fullmatch(
+            r"/api/v1/metrics/"
+            r"(performance-trends|gc-trends|cpu-utilization|memory-usage)",
+            path,
+        )
+        if m:
+            # beyond-reference: the A5-A8 analytics served from the
+            # durable S17 metrics rollup when one is attached — the
+            # dashboard refresh reads the pre-aggregated day-partitioned
+            # relation instead of rescanning the fact table (the whole
+            # point of the rollup at 100 TB); the live-op fallback keeps
+            # the routes available on rollup-less servers. The attached
+            # rollup is authoritative for these routes: it is the
+            # continuously-maintained artifact, while the server's warm
+            # frame may itself be a window of the corpus.
+            from ..operators import catalog as _cat
+            from ..sources import metrics_rollup as MR
+
+            name = {
+                "performance-trends": "performance_trends",
+                "gc-trends": "gc_time_trends",
+                "cpu-utilization": "cpu_utilization",
+                "memory-usage": "memory_usage",
+            }[m.group(1)]
+            limit = self._limit(qs, 500 if "trends" in name else 1000)
+            p17 = getattr(self.server, "metrics_rollup_path", None)
+            if p17 is not None:
+                df = getattr(MR, f"{name}_from_rollup")(
+                    ev.sparkSession, p17, limit=limit
+                )
+            else:
+                df = getattr(_cat, name)(ev, limit=limit)
+            return self._send(200, _rows(df))
 
         m = re.fullmatch(r"/api/v1/engagement/(funnel|retention|transitions|active-users|segments)", path)
         if m:
@@ -904,6 +965,7 @@ def serve(
     dedup_index_path: str | None = None,
     ann_index_path: str | None = None,
     training_shards_path: str | None = None,
+    metrics_rollup_path: str | None = None,
 ):
     """Start the API server over a normalized events DataFrame; returns the
     live ``ThreadingHTTPServer`` (caller controls lifecycle). The events
@@ -944,6 +1006,13 @@ def serve(
     artifact (or the sweep refuses a drifted/legacy index).
 
     ``training_shards_path`` (optional) attaches an S15 shard export.
+
+    ``metrics_rollup_path`` (optional) points the ``/api/v1/metrics/*``
+    routes at a durable S17 metrics rollup
+    (``sources.metrics_rollup.write_metrics_rollup``) so the A5-A8
+    dashboard analytics are answered from the pre-aggregated
+    day-partitioned partials instead of rescanning the warm fact frame;
+    without it the routes fall back to the live catalog operators.
     Any attached durable artifact also surfaces on the read-only
     ``/api/v1/indexes/status`` ops route — relations present,
     meta-served membership counts, tombstone counts; add
@@ -976,6 +1045,7 @@ def serve(
     httpd.dedup_index_path = dedup_index_path  # type: ignore[attr-defined]
     httpd.ann_index_path = ann_index_path  # type: ignore[attr-defined]
     httpd.training_shards_path = training_shards_path  # type: ignore[attr-defined]
+    httpd.metrics_rollup_path = metrics_rollup_path  # type: ignore[attr-defined]
     httpd.breaker = CircuitBreaker()  # type: ignore[attr-defined]
     return httpd
 

@@ -291,6 +291,16 @@ def cpu_utilization(ev: DataFrame, limit: int = 1000) -> DataFrame:
         )
         .filter(F.col("task_count") > 0)
     )
+    return cpu_utilization_derived(agg, limit)
+
+
+def cpu_utilization_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A7's derived-column tail (idle via saturating subtraction,
+    utilization%, rating ladder) over a pre-aggregated
+    (event_date, app_id, executor_id, task_count, theoretical_cpu_ms,
+    actual_cpu_ms) frame. Shared between the raw-scan query above and
+    the S17 rollup-served twin (``sources/metrics_rollup.py``) so the
+    two paths cannot drift on the host-side logic."""
     util = r4(safe_div(F.col("actual_cpu_ms") * 100.0, F.col("theoretical_cpu_ms")))
     return (
         agg.withColumn(
@@ -333,6 +343,14 @@ def memory_usage(ev: DataFrame, limit: int = 1000) -> DataFrame:
             r4(F.sum(F.coalesce(F.col("disk_spill_mb"), F.lit(0.0)))).alias("disk_spilled_mb"),
         )
     )
+    return memory_usage_derived(agg, limit)
+
+
+def memory_usage_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A8's derived-column tail (utilization%, spill ratio, the
+    Excellent/Good/Poor/Critical matrix) over a pre-aggregated frame —
+    shared with the S17 rollup-served twin, same contract as
+    :func:`cpu_utilization_derived`."""
     out = agg.withColumn(
         "memory_utilization_pct",
         r4(safe_div(F.col("peak_memory_max_mb") * 100.0, F.col("max_memory_mb"))),

@@ -562,3 +562,15 @@ WHERE (event_type LIKE '%ck%' OR event_type LIKE '%error%')
 ORDER BY id
 LIMIT 200
 """
+
+# --------------------------------------------------------------------------
+# S17 rollup-served twins (A5R-A8R, sources/metrics_rollup.py): each shares
+# its raw twin's oracle VERBATIM — the differential then proves the
+# two-level partial-aggregate plan reproduces the single-pass scan exactly
+# (the dedup_embedding_cosine_prefiltered precedent: same oracle, different
+# physical path — never a self-consistency check).
+# --------------------------------------------------------------------------
+for _raw_twin in (
+    "performance_trends", "gc_time_trends", "cpu_utilization", "memory_usage"
+):
+    ORACLE_SQL[f"{_raw_twin}_rollup"] = ORACLE_SQL[_raw_twin]

@@ -143,6 +143,15 @@ def load_events(
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if parallelism:
         raw = raw.repartition(parallelism)
+    return normalize_events(raw)
+
+
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Apply the generic→canonical binding to a raw events frame —
+    batch or STREAMING (the projection is stateless, so the rollup's
+    streaming maintenance normalizes each micro-batch with exactly the
+    code the batch path runs; dtypes are static metadata, available on
+    a streaming DataFrame)."""
     ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
     subs = _SPARK_SUBS if ts_is_long else _SPARK_SUBS_TSNATIVE
     exprs = [f"{expr} AS {name}" for name, expr in _render(subs)]

@@ -1,0 +1,540 @@
+"""S17 — durable metrics rollup: a continuously-maintained partial-aggregate
+relation serving the history-server's per-(day, app[, executor]) analytics
+WITHOUT rescanning raw events.
+
+The reference answers every analytics route by re-scanning its embedded
+fact table (``duckdb_store_backup.rs:488-798`` — A5 performance trends, A6
+GC trends, A7 CPU utilization, A8 memory usage all start from ``WHERE
+event_type = 'SparkListenerTaskEnd'``). That is fine when the fact table
+is one node's DuckDB file; at 100 TB it means every dashboard refresh is a
+full-corpus scan. The Spark-first answer is the continuous-aggregate
+pattern (TimescaleDB's continuous aggregates, Druid's rollup segments,
+Materialize's arrangements): persist ONE partial-aggregate relation at the
+finest grain any serving query needs, maintain it incrementally, and
+answer the whole query family by re-aggregating partials.
+
+Why this decomposes EXACTLY, not approximately: every aggregate the four
+catalog twins compute is algebraic in the Gray et al. Data-Cube sense
+(SUM/COUNT/MIN/MAX and ratios of those) — each has a bounded-size partial
+state that merges associatively. Percentile queries (§2.5) are explicitly
+NOT servable from this rollup (exact percentiles are holistic) and stay on
+the raw-scan path. Bit-exactness of the float sums across the two-level
+re-aggregation rests on the same invariant the catalog's A9 two-level
+rewrite documents: every metric column is an integer-valued double
+(``sources/generic.py`` snaps them at the row level), and integer-valued
+doubles sum exactly in IEEE arithmetic in any order. The rollup-served
+twins therefore share the RAW twins' DuckDB oracles verbatim — the driver
+differential proves serve-from-partials ≡ scan-from-events, not merely
+self-consistency.
+
+Layout (zstd parquet, same swap/meta/tombstone conventions as S13-S16)::
+
+    path/partials/      grain (event_date, app_id, executor_id) +
+                        partial columns + ingest_batch,
+                        PARTITIONED BY event_date  (day pruning)
+    path/deleted_apps/  (app_id) tombstones — per-app retention/erasure
+    path/counts/        one row (n_cells) — pre-counted live grain cells
+    path/manifest/      per-relation (n_rows, content_hash) attestation
+
+Scale shape at 100 TB: the partials relation is |days| × |apps| ×
+|executors| cells (× appended batches until compaction) — megabytes where
+the raw events are terabytes. Serving is a scan of THAT relation with
+partition pruning on ``event_date``; the only shuffle is the final
+re-aggregation whose input is already tiny. Streaming maintenance is a
+blind per-batch APPEND of map-side-combined partials — no read-modify-
+write, so no race with readers and no per-batch rewrite of history; the
+merge is deferred to serve-time re-aggregation (cheap on a tiny relation)
+and folded physically at compaction in the maintenance slot.
+
+Exactly-once story: ``foreachBatch`` + append is at-least-once — a retried
+batch re-appends its rows. Unlike S13's set-shaped relations, partial SUMS
+are not idempotent to duplicates, so every serving read de-duplicates on
+(grain, ingest_batch): structured streaming replays a batch id over the
+same source offsets, the partial aggregation is deterministic (exact
+integer sums), hence a retry's rows are bit-identical to the originals and
+the key-dedup restores exactly-once semantics at serve time. Compaction
+then makes it physical (one row per grain, ``ingest_batch = -1``). One
+writer per rollup, as for every durable family here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import count_if, date_str, r4, safe_div
+
+#: grain of the partial relation — the finest grouping any served twin needs
+GRAIN = ("event_date", "app_id", "executor_id")
+
+#: relations attested by the manifest
+ROLLUP_RELATIONS = ("partials", "deleted_apps")
+
+#: ingest_batch value for batch-built / compacted rows (stream batches ≥ 0)
+_BATCH_BUILD = -1
+
+
+# ==========================================================================
+# partial aggregation (the INDEX phase's single shuffle)
+# ==========================================================================
+def rollup_partials(ev: DataFrame) -> DataFrame:
+    """One map-side-combined aggregation of the TaskEnd rows to the
+    rollup grain. Each partial column is the bounded merge state of one
+    aggregate some serving twin finalizes:
+
+    - plain SUM/COUNT pairs for the AVGs (null-skipping counts kept
+      separately so re-aggregated averages keep SQL AVG's ignore-NULL
+      semantics);
+    - pre-coalesced sums where the twin coalesces at the ROW level
+      (A6's gc, A8's spills) — coalesce-then-sum commutes with merging;
+    - MAX partials merge by MAX.
+
+    Rounding (r4) deliberately does NOT happen here: the twins round
+    their FINAL aggregates, so partials must carry exact sums —
+    rounding a partial would make the two-level result diverge from the
+    single-pass twin."""
+    gc = F.coalesce(F.col("gc_ms"), F.lit(0.0))
+    return (
+        ev.filter(F.col("is_task"))
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.col("executor_id"),
+        )
+        .agg(
+            F.count("*").alias("n_tasks"),
+            count_if(~F.col("is_success")).alias("n_failed"),
+            F.count("duration_ms").alias("n_duration"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+            F.sum("cpu_ms").alias("sum_cpu_ms"),
+            F.sum(gc).alias("sum_gc_ms"),
+            F.count("input_mb").alias("n_input"),
+            F.sum("input_mb").alias("sum_input_mb"),
+            F.count("output_mb").alias("n_output"),
+            F.sum("output_mb").alias("sum_output_mb"),
+            F.max("jvm_heap_mb").alias("max_jvm_heap_mb"),
+            F.max("peak_memory_mb").alias("max_peak_memory_mb"),
+            F.count("peak_memory_mb").alias("n_peak"),
+            F.sum("peak_memory_mb").alias("sum_peak_memory_mb"),
+            F.sum(F.coalesce(F.col("mem_spill_mb"), F.lit(0.0))).alias(
+                "sum_mem_spill_mb"
+            ),
+            F.sum(F.coalesce(F.col("disk_spill_mb"), F.lit(0.0))).alias(
+                "sum_disk_spill_mb"
+            ),
+        )
+    )
+
+
+def merge_partials(p: DataFrame) -> DataFrame:
+    """Merge partial cells that share a grain key (stream batches of the
+    same day/app/executor, or duplicate-retry rows already key-deduped).
+    Associative by construction — used by compaction; the serving twins
+    skip it and re-aggregate straight to their own (coarser) grain."""
+    sums = [
+        "n_tasks", "n_failed",
+        "n_duration", "sum_duration_ms",
+        "sum_cpu_ms", "sum_gc_ms",
+        "n_input", "sum_input_mb",
+        "n_output", "sum_output_mb",
+        "n_peak", "sum_peak_memory_mb",
+        "sum_mem_spill_mb", "sum_disk_spill_mb",
+    ]
+    maxes = ["max_jvm_heap_mb", "max_peak_memory_mb"]
+    return p.groupBy(*GRAIN).agg(
+        *[F.sum(c).alias(c) for c in sums],
+        *[F.max(c).alias(c) for c in maxes],
+    )
+
+
+# ==========================================================================
+# serving twins — exact re-aggregations of the catalog queries
+# ==========================================================================
+def performance_trends_from_partials(p: DataFrame, limit: int = 500) -> DataFrame:
+    """A5 served from partials (twin of ``catalog.performance_trends``,
+    reference duckdb_store_backup.rs:488-546): AVG = merged SUM over
+    merged non-NULL COUNT (NULL when the count is 0, matching SQL AVG
+    over an empty/all-NULL group via the NULLIF guard)."""
+    return (
+        p.groupBy("event_date", "app_id")
+        .agg(
+            r4(safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))).alias(
+                "avg_duration_ms"
+            ),
+            F.sum("n_tasks").alias("task_count"),
+            F.sum("n_failed").alias("failed_tasks"),
+            r4(safe_div(F.sum("sum_input_mb"), F.sum("n_input"))).alias(
+                "avg_input_mb"
+            ),
+            r4(safe_div(F.sum("sum_output_mb"), F.sum("n_output"))).alias(
+                "avg_output_mb"
+            ),
+        )
+        .orderBy(F.desc("event_date"), "app_id")
+        .limit(limit)
+    )
+
+
+def gc_time_trends_from_partials(p: DataFrame, limit: int = 500) -> DataFrame:
+    """A6 served from partials (twin of ``catalog.gc_time_trends``,
+    reference duckdb_store_backup.rs:551-613). The twin's AVG runs over
+    the row-coalesced gc, whose non-NULL basis is every task row — so
+    the merged denominator is n_tasks, not a separate count."""
+    return (
+        p.groupBy("event_date", "app_id")
+        .agg(
+            r4(F.sum("sum_gc_ms")).alias("total_gc_ms"),
+            r4(F.sum("sum_gc_ms") / F.sum("n_tasks")).alias("avg_gc_ms"),
+            F.sum("n_tasks").alias("task_count"),
+            r4(F.sum("sum_gc_ms") / F.sum("n_tasks")).alias("gc_ms_per_task"),
+        )
+        .orderBy(F.desc("event_date"), "app_id")
+        .limit(limit)
+    )
+
+
+def cpu_utilization_from_partials(p: DataFrame, limit: int = 1000) -> DataFrame:
+    """A7 served from partials (twin of ``catalog.cpu_utilization``,
+    reference duckdb_store_backup.rs:617-696). The grain keeps the RAW
+    executor_id, so the twin's driver-coalesce happens here, at
+    re-aggregation time; the derived ladder is the SAME code the raw
+    twin runs (``catalog.cpu_utilization_derived``) — the two paths
+    cannot drift on host-side logic."""
+    from ..operators.catalog import cpu_utilization_derived
+
+    agg = (
+        p.groupBy(
+            "event_date",
+            "app_id",
+            F.coalesce(F.col("executor_id"), F.lit("driver")).alias("executor_id"),
+        )
+        .agg(
+            F.sum("n_tasks").alias("task_count"),
+            r4(F.sum("sum_duration_ms")).alias("theoretical_cpu_ms"),
+            r4(F.sum("sum_cpu_ms")).alias("actual_cpu_ms"),
+        )
+        .filter(F.col("task_count") > 0)
+    )
+    return cpu_utilization_derived(agg, limit)
+
+
+def memory_usage_from_partials(p: DataFrame, limit: int = 1000) -> DataFrame:
+    """A8 served from partials (twin of ``catalog.memory_usage``,
+    reference duckdb_store_backup.rs:699-798): MAXes merge by MAX with
+    the twin's default-coalesce applied to the FINAL merged value; the
+    peak average keeps AVG's NULL-on-empty via the count guard."""
+    from ..operators.catalog import memory_usage_derived
+
+    agg = p.groupBy("event_date", "app_id", "executor_id").agg(
+        r4(F.coalesce(F.max("max_jvm_heap_mb"), F.lit(1024.0))).alias(
+            "max_memory_mb"
+        ),
+        r4(F.coalesce(F.max("max_peak_memory_mb"), F.lit(0.0))).alias(
+            "peak_memory_max_mb"
+        ),
+        r4(safe_div(F.sum("sum_peak_memory_mb"), F.sum("n_peak"))).alias(
+            "peak_memory_avg_mb"
+        ),
+        r4(F.sum("sum_mem_spill_mb")).alias("mem_spilled_mb"),
+        r4(F.sum("sum_disk_spill_mb")).alias("disk_spilled_mb"),
+    )
+    return memory_usage_derived(agg, limit)
+
+
+#: registered-query serving twins keyed by their raw-twin oracle name —
+#: the rollup queries share the RAW queries' DuckDB oracles verbatim
+FROM_PARTIALS = {
+    "performance_trends": performance_trends_from_partials,
+    "gc_time_trends": gc_time_trends_from_partials,
+    "cpu_utilization": cpu_utilization_from_partials,
+    "memory_usage": memory_usage_from_partials,
+}
+
+
+# --------------------------------------------------------------------------
+# registered-query path: session-cached partials (no disk round-trip)
+# --------------------------------------------------------------------------
+def materialized_rollup_partials_df(ev: DataFrame) -> DataFrame:
+    """The partial relation behind the four registered ``*_rollup``
+    queries — built ONCE per events frame through the shared keyed
+    cache (the dedup shingle-cache pattern), so the query family's
+    fan-out reads one persisted tiny relation instead of four raw
+    scans. This is the in-session analog of the durable ``partials/``
+    relation; the disk lifecycle below serves cross-session."""
+    from ..operators.dedup import _materialized_df
+
+    spark = ev.sparkSession
+    return _materialized_df(
+        spark, "_metrics_rollup_partials", ev.semanticHash(),
+        lambda: rollup_partials(ev),
+    )
+
+
+def performance_trends_rollup(ev: DataFrame) -> DataFrame:
+    """A5R: performance trends served from the cached rollup partials —
+    same oracle as A5, proving the two-level plan exactly."""
+    return performance_trends_from_partials(materialized_rollup_partials_df(ev))
+
+
+def gc_time_trends_rollup(ev: DataFrame) -> DataFrame:
+    """A6R: GC trends from rollup partials (oracle = A6's)."""
+    return gc_time_trends_from_partials(materialized_rollup_partials_df(ev))
+
+
+def cpu_utilization_rollup(ev: DataFrame) -> DataFrame:
+    """A7R: CPU utilization from rollup partials (oracle = A7's)."""
+    return cpu_utilization_from_partials(materialized_rollup_partials_df(ev))
+
+
+def memory_usage_rollup(ev: DataFrame) -> DataFrame:
+    """A8R: memory usage from rollup partials (oracle = A8's)."""
+    return memory_usage_from_partials(materialized_rollup_partials_df(ev))
+
+
+# ==========================================================================
+# durable lifecycle — write / read / stream / delete / compact / validate
+# ==========================================================================
+def write_metrics_rollup(ev: DataFrame, path: str) -> None:
+    """INDEX phase: overwrite ``partials/`` from the events frame
+    (idempotent — re-running rebuilds identical content). Orderings
+    shared with the other families: the pre-counted cell count dies
+    BEFORE membership changes (stale-count-never-serves across any
+    crash window), and tombstones retire LAST (every crash window
+    mid-rebuild serves with suppression still applied — a deleted
+    app can never silently resurrect; the residual freshly-reindexed-
+    but-suppressed window is the safe direction and clears on re-run,
+    the ADVICE-r11 ordering ``write_dedup_index`` pins)."""
+    from .dedup_index import compact_relation_swap, invalidate_count_row
+    from .index_manifest import path_exists
+
+    spark = ev.sparkSession
+    invalidate_count_row(spark, path)
+    partials = rollup_partials(ev).withColumn(
+        "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
+    )
+    partials.write.mode("overwrite").partitionBy("event_date").parquet(
+        f"{path}/partials"
+    )
+    if path_exists(spark, f"{path}/deleted_apps"):
+        compact_relation_swap(
+            spark,
+            spark.read.parquet(f"{path}/deleted_apps").select("app_id").limit(0),
+            f"{path}/deleted_apps", None, sort_cols=["app_id"],
+        )
+    _write_cell_count(spark, path)
+
+
+def _write_cell_count(spark: SparkSession, path: str) -> None:
+    """Persist the one-row live-cell count (grain cells minus tombstoned
+    apps) the status endpoint serves without scanning."""
+    from .dedup_index import write_count_row
+
+    n = (
+        read_rollup_partials(spark, path)
+        .select(*GRAIN).distinct().count()
+    )
+    write_count_row(spark, path, "n_cells", n)
+
+
+def _tombstoned_app_ids(spark: SparkSession, path: str) -> DataFrame | None:
+    """The S17 tombstone set, or None when deletion never touched this
+    rollup. Empty-after-retirement reads as an empty set and stays
+    attestable (same contract as S13's ``deleted_ids``)."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/deleted_apps"):
+        return None
+    return spark.read.parquet(f"{path}/deleted_apps").select("app_id").distinct()
+
+
+def read_rollup_partials(spark: SparkSession, path: str) -> DataFrame:
+    """Every serving read of the durable relation: restore the partition
+    column's string type (partition inference reads 'yyyy-MM-dd' back
+    as DATE), de-duplicate batch retries on (grain, ingest_batch) —
+    see the module docstring's exactly-once story — and anti-join the
+    app tombstones. Per-app partial cells are independent, so
+    suppression is exact for this family (the S13 argument: a
+    suppressed app is indistinguishable from one never ingested)."""
+    p = spark.read.parquet(f"{path}/partials").withColumn(
+        "event_date", F.col("event_date").cast("string")
+    )
+    p = p.dropDuplicates([*GRAIN, "ingest_batch"])
+    tomb = _tombstoned_app_ids(spark, path)
+    if tomb is not None:
+        p = p.join(tomb, "app_id", "left_anti")
+    return p
+
+
+def performance_trends_from_rollup(
+    spark: SparkSession, path: str, limit: int = 500
+) -> DataFrame:
+    """A5 from the durable rollup — no raw-event scan in the plan."""
+    return performance_trends_from_partials(
+        read_rollup_partials(spark, path), limit
+    )
+
+
+def gc_time_trends_from_rollup(
+    spark: SparkSession, path: str, limit: int = 500
+) -> DataFrame:
+    """A6 from the durable rollup."""
+    return gc_time_trends_from_partials(read_rollup_partials(spark, path), limit)
+
+
+def cpu_utilization_from_rollup(
+    spark: SparkSession, path: str, limit: int = 1000
+) -> DataFrame:
+    """A7 from the durable rollup."""
+    return cpu_utilization_from_partials(read_rollup_partials(spark, path), limit)
+
+
+def memory_usage_from_rollup(
+    spark: SparkSession, path: str, limit: int = 1000
+) -> DataFrame:
+    """A8 from the durable rollup."""
+    return memory_usage_from_partials(read_rollup_partials(spark, path), limit)
+
+
+def stream_update_metrics_rollup(
+    ev_stream: DataFrame, path: str, checkpoint: str
+):
+    """Streaming MAINTENANCE: per micro-batch, aggregate the batch's
+    task rows to grain partials tagged with the batch id and APPEND —
+    no read-modify-write, so maintenance never races serving reads and
+    history is never rewritten on the hot path. Serving re-aggregation
+    merges cross-batch cells transparently; compaction folds them in
+    the maintenance slot.
+
+    Crash orderings: the pre-counted cell count is invalidated BEFORE
+    the batch's rows land (no stale count can serve); a tombstoned app
+    re-arriving REVIVES — its tombstone retires before the append
+    (latest wins, the S13 revive shape), probed first so the rewrite
+    only runs when the batch actually intersects the tombstone set.
+
+    Returns the started StreamingQuery (availableNow-compatible)."""
+
+    def _rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .dedup_index import compact_relation_swap, invalidate_count_row
+
+        spark = batch_df.sparkSession
+        part = (
+            rollup_partials(batch_df)
+            .withColumn("ingest_batch", F.lit(int(batch_id)).cast("long"))
+            .persist()
+        )
+        try:
+            if not part.take(1):
+                return
+            invalidate_count_row(spark, path)
+            tomb = _tombstoned_app_ids(spark, path)
+            if tomb is not None:
+                batch_apps = part.select("app_id").distinct()
+                if tomb.join(batch_apps, "app_id", "left_semi").take(1):
+                    compact_relation_swap(
+                        spark,
+                        spark.read.parquet(f"{path}/deleted_apps")
+                        .select("app_id").distinct()
+                        .join(batch_apps, "app_id", "left_anti"),
+                        f"{path}/deleted_apps", None, sort_cols=["app_id"],
+                    )
+            part.write.mode("append").partitionBy("event_date").parquet(
+                f"{path}/partials"
+            )
+        finally:
+            part.unpersist()
+
+    return (
+        ev_stream.writeStream.foreachBatch(_rollup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def delete_from_metrics_rollup(
+    spark: SparkSession, path: str, app_ids: DataFrame
+) -> int:
+    """DELETE phase — per-app retention/erasure (reference analog: the
+    metadata store pruning vanished applications,
+    ``metadata_store.rs:91-134``). O(|ids|): ids land in the tombstone
+    set, every serving read anti-joins it; compaction physically drops
+    the suppressed cells. Same bounded-retry contract as S13 (ADVICE
+    r11): incoming ids anti-join existing tombstones, so a retried
+    delete appends nothing — returns the count NEWLY tombstoned. The
+    cell count dies before the tombstones land and is rewritten (live)
+    after."""
+    from .dedup_index import invalidate_count_row
+
+    invalidate_count_row(spark, path)
+    tomb = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
+    existing = _tombstoned_app_ids(spark, path)
+    if existing is not None:
+        tomb = tomb.join(existing, "app_id", "left_anti")
+    tomb = tomb.persist()
+    try:
+        n_ids = tomb.count()
+        if n_ids:
+            tomb.write.mode("append").parquet(f"{path}/deleted_apps")
+    finally:
+        tomb.unpersist()
+    _write_cell_count(spark, path)
+    return n_ids
+
+
+def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
+    """MAINTENANCE slot: fold stream-appended batch partials to one row
+    per grain (``ingest_batch = -1``), physically drop tombstone-
+    suppressed cells, retire tombstones to an empty attestable set,
+    refresh the cell count and the manifest. Exactly-once becomes
+    physical here; serving results are unchanged by construction
+    (merge is associative and suppression was already applied at read).
+    Returns per-relation {relation, rows_after} like its S13 sibling."""
+    from .dedup_index import compact_relation_swap, invalidate_count_row
+    from .index_manifest import path_exists, refresh_index_manifest
+
+    invalidate_count_row(spark, path)
+    folded = merge_partials(read_rollup_partials(spark, path)).withColumn(
+        "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
+    )
+    out = [
+        {
+            "relation": "partials",
+            "rows_after": compact_relation_swap(
+                spark, folded, f"{path}/partials", "event_date",
+                sort_cols=["app_id", "executor_id"],
+            ),
+        }
+    ]
+    if path_exists(spark, f"{path}/deleted_apps"):
+        out.append(
+            {
+                "relation": "deleted_apps",
+                "rows_after": compact_relation_swap(
+                    spark,
+                    spark.read.parquet(f"{path}/deleted_apps")
+                    .select("app_id").limit(0),
+                    f"{path}/deleted_apps", None, sort_cols=["app_id"],
+                ),
+            }
+        )
+    _write_cell_count(spark, path)
+    refresh_index_manifest(spark, path, ROLLUP_RELATIONS)
+    return out
+
+
+def refresh_rollup_manifest(spark: SparkSession, path: str) -> None:
+    """Recompute the attestation manifest from disk (one scan per
+    relation; run after batch builds or in the maintenance slot —
+    streaming appends leave it stale by design, as for S13-S15)."""
+    from .index_manifest import refresh_index_manifest
+
+    refresh_index_manifest(spark, path, ROLLUP_RELATIONS)
+
+
+def validate_metrics_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Diff the manifest against what is on disk — DETECTION, as for
+    the other derived indexes (the rollup is re-derivable from the
+    event sink; rebuild is the repair)."""
+    from .index_manifest import validate_index
+
+    return validate_index(spark, path, ROLLUP_RELATIONS)

@@ -920,3 +920,78 @@ def test_indexes_status_route(spark):
         assert code == 400 and "dedup_index_path" in err["error"]
     finally:
         httpd2.shutdown()
+
+
+def test_metrics_routes_rollup_served_and_fallback(spark, api):
+    """The /api/v1/metrics/* family: on a rollup-less server every
+    route falls back to the live catalog operator; with an S17 rollup
+    attached the SAME routes serve from the durable partials — and the
+    two payloads are identical when the rollup was built from the
+    server's frame (the bit-exact twin claim, at the wire level). The
+    status route reports the attached rollup from meta-served state."""
+    import tempfile
+
+    from spark_history_server_rs_spark.api.server import serve
+    from spark_history_server_rs_spark.sources.metrics_rollup import (
+        delete_from_metrics_rollup,
+        refresh_rollup_manifest,
+        write_metrics_rollup,
+    )
+
+    routes = (
+        "/api/v1/metrics/performance-trends",
+        "/api/v1/metrics/gc-trends",
+        "/api/v1/metrics/cpu-utilization",
+        "/api/v1/metrics/memory-usage?limit=40",
+    )
+    live = {}
+    for r in routes:
+        code, rows = _get(api, r)
+        assert code == 200 and rows, r
+        live[r] = rows
+
+    ev = load_events(spark, SF_SMALL)
+    p17 = tempfile.mkdtemp() + "/s17"
+    write_metrics_rollup(ev, p17)
+    refresh_rollup_manifest(spark, p17)
+    httpd = serve(ev, warmup=False, metrics_rollup_path=p17)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        for r in routes:
+            code, rows = _get(base, r)
+            assert code == 200 and rows == live[r], r
+
+        # ops view: meta-served live cells, tombstones, manifest diff
+        code, status = _get(base, "/api/v1/indexes/status")
+        assert code == 200 and "metrics_rollup" in status
+        entry = status["metrics_rollup"]
+        assert entry["n_cells"] > 0 and entry["n_tombstones"] == 0
+        assert set(entry["relations"]) == {"partials", "counts"}
+
+        n_before = entry["n_cells"]
+        delete_from_metrics_rollup(
+            spark, p17, spark.createDataFrame([("3",)], "app_id string")
+        )
+        code, status = _get(base, "/api/v1/indexes/status?validate=1")
+        entry = status["metrics_rollup"]
+        assert entry["n_tombstones"] == 1
+        assert entry["n_cells"] < n_before
+        # manifest predates the delete's tombstone append — exactly the
+        # kind of drift ?validate=1 exists to surface
+        assert any(
+            d["relation"] == "deleted_apps" for d in entry["discrepancies"]
+        )
+        refresh_rollup_manifest(spark, p17)
+        code, status = _get(base, "/api/v1/indexes/status?validate=1")
+        assert all(
+            d.get("content_ok")
+            for d in status["metrics_rollup"]["discrepancies"]
+        ) or status["metrics_rollup"]["discrepancies"] == []
+
+        # the suppressed app is gone from the wire payload too
+        code, rows = _get(base, "/api/v1/metrics/performance-trends")
+        assert all(r["app_id"] != "3" for r in rows)
+    finally:
+        httpd.shutdown()
