@@ -73,8 +73,16 @@ _CHANGED_THIS_ROUND = (
     "gc_time_trends_rollup",
     "cpu_utilization_rollup",
     "memory_usage_rollup",
+    "top_resource_consumers_rollup",
+    "efficiency_analysis_rollup",
+    "capacity_trends_rollup",
+    "cost_optimization_rollup",
     "cpu_utilization",
     "memory_usage",
+    "top_resource_consumers",
+    "efficiency_analysis",
+    "capacity_trends",
+    "cost_optimization",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -105,10 +113,17 @@ _SENTINELS = (
     "gc_time_trends_rollup",
     "cpu_utilization_rollup",
     "memory_usage_rollup",
-    # re-checks: its derived tail is now the shared fragment the
-    # rollup twin rides (memory_usage, same situation, is already in
-    # the rotation queue below)
+    "top_resource_consumers_rollup",
+    "efficiency_analysis_rollup",
+    "capacity_trends_rollup",
+    "cost_optimization_rollup",
+    # re-checks: their derived tails are now the shared fragments the
+    # rollup twins ride (memory_usage / top_resource_consumers, same
+    # situation, are already in the rotation queue below;
+    # efficiency_analysis is a sentinel above)
     "cpu_utilization",
+    "capacity_trends",
+    "cost_optimization",
     # the full r12 rotation queue the r11 verdict prescribed — ALL 18
     # remaining r08 rows; after this window no registry row's latest
     # driver check predates r09
@@ -130,9 +145,10 @@ _SENTINELS = (
     "text_repetition",
     "text_token_stats",
     "top_resource_consumers",
-    # oldest remaining debt: 23 of the 45 r09 rows (alphabetical; the
-    # remaining 22 — the 17 TPC-H shapes, yoy_revenue_growth, and the
-    # four displaced by the S17 window slots — are the r13 queue below)
+    # oldest remaining debt: 16 of the 45 r09 rows (alphabetical; the
+    # remaining 29 — the 17 TPC-H shapes, yoy_revenue_growth, and the
+    # eleven displaced by the S17 window slots — are the r13 queue
+    # below)
     "ann_cosine_topk",
     "ann_hamming_rerank",
     "ann_recall_eval",
@@ -149,17 +165,14 @@ _SENTINELS = (
     "event_transition_matrix",
     "events_daily_gapfill",
     "funnel_conversion",
-    "multimodal_audio_windows",
-    "multimodal_frame_sample",
-    "multimodal_phash_groups",
-    "range_join_live_executors",
-    "retention_cohorts",
-    "rolling_active_users",
-    # r13 rotation queue (the 23 r09 rows remaining after this window):
+    # r13 rotation queue (the 29 r09 rows remaining after this window):
+    # multimodal_audio_windows, multimodal_frame_sample,
+    # multimodal_phash_groups, range_join_live_executors,
+    # retention_cohorts, rolling_active_users,
     # semi_join_urgent_customers, set_ops_user_segments,
     # task_percentile_standing, text_stem_normalize, topk_tasks_per_app
-    # (displaced by the four S17 rollup slots + the re-checking
-    # cpu_utilization),
+    # (displaced by the eight S17 rollup slots + the re-checking
+    # cpu_utilization / capacity_trends / cost_optimization),
     # tpch_q2_min_price_supplier, tpch_q3_shipping_priority,
     # tpch_q4_priority_check, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
@@ -553,6 +566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_time_trends_rollup": _q(metrics_rollup.gc_time_trends_rollup),
         "cpu_utilization_rollup": _q(metrics_rollup.cpu_utilization_rollup),
         "memory_usage_rollup": _q(metrics_rollup.memory_usage_rollup),
+        "top_resource_consumers_rollup": _q(
+            metrics_rollup.top_resource_consumers_rollup
+        ),
+        "efficiency_analysis_rollup": _q(
+            metrics_rollup.efficiency_analysis_rollup
+        ),
+        "capacity_trends_rollup": _q(metrics_rollup.capacity_trends_rollup),
+        "cost_optimization_rollup": _q(metrics_rollup.cost_optimization_rollup),
         "cross_app_summary": _q(catalog.cross_app_summary),
         "task_distribution": _q(catalog.task_distribution),
         "job_metrics": _q(catalog.job_metrics),

@@ -103,6 +103,41 @@ def main() -> None:
 
     group_canaries: dict[str, float] = {"after_suite": _shuffle_canary(spark)}
 
+    # S17 serving split (the continuous-aggregate story): the trend
+    # analytics answered from the durable day-partitioned partials —
+    # the fact-table scan moves to a once-per-corpus build (plus cheap
+    # streamed appends in production); the *_from_rollup rows are what
+    # every dashboard refresh pays afterwards. Compare against the raw
+    # `performance_trends` suite row above: the served plan's input is
+    # |days|×|apps|×|executors| cells, not n_events rows, so the gap
+    # WIDENS with corpus scale while the raw row grows linearly.
+    import tempfile as _tmpmod
+
+    from spark_history_server_rs_spark.sources.metrics_rollup import (
+        cpu_utilization_from_rollup,
+        performance_trends_from_rollup,
+        write_metrics_rollup,
+    )
+
+    rpath = _tmpmod.mkdtemp() + "/rollup"
+    t = time.perf_counter()
+    write_metrics_rollup(ev, rpath)
+    extended_rollup: dict[str, float] = {
+        "metrics_rollup_build": round(time.perf_counter() - t, 4)
+    }
+    for row, served in (
+        ("performance_trends_from_rollup", performance_trends_from_rollup),
+        ("cpu_utilization_from_rollup", cpu_utilization_from_rollup),
+    ):
+        served(spark, rpath).collect()
+        warm = []
+        for _ in range(3):
+            t = time.perf_counter()
+            served(spark, rpath).collect()
+            warm.append(time.perf_counter() - t)
+        extended_rollup[row] = round(min(warm), 4)
+    group_canaries["after_rollup"] = _shuffle_canary(spark)
+
     # extended (beyond-reference) operator timings over documents/embeddings
     from spark_history_server_rs_spark.operators import (
         corpus,
@@ -129,7 +164,7 @@ def main() -> None:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs.count(), emb.count()
-    extended: dict[str, float] = {}
+    extended: dict[str, float] = dict(extended_rollup)
     for name, fn, src in [
         ("dedup_exact", dedup.dedup_exact, docs),
         ("dedup_simhash", dedup.simhash_pairs, docs),
@@ -553,6 +588,9 @@ def main() -> None:
     )
     headline["retention_pass_sec"] = extended.get(
         "retention_pass_all_families"
+    )
+    headline["rollup_serve_sec"] = extended.get(
+        "performance_trends_from_rollup"
     )
     print(json.dumps(headline), flush=True)
     spark.stop()

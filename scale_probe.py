@@ -233,6 +233,46 @@ def main() -> None:
         warm_t[name] = round(min(warm), 4)
         total += warm_t[name]
 
+    # S17 rollup tier at 10x: build the durable partials once, then the
+    # trend analytics served from them. Serve input is
+    # |days|x|apps|x|executors| cells — decoupled from n_events — so
+    # the raw-suite:served ratio should WIDEN with each tier while the
+    # raw rows grow with the data (the continuous-aggregate claim,
+    # measured; compare the same rows in the 100x block below).
+    rollup10 = None
+    if os.environ.get("SPARK_GRAFT_PROBE_ROLLUP", "1") == "1":
+        from spark_history_server_rs_spark.sources import (
+            metrics_rollup as _mr,
+        )
+
+        rpath10 = "/tmp/sparkgraft_rollup10"
+        t = time.perf_counter()
+        _mr.write_metrics_rollup(ev, rpath10)
+        r_build = round(time.perf_counter() - t, 4)
+
+        def _r_min3(fn):
+            fn().collect()
+            w = []
+            for _ in range(3):
+                t = time.perf_counter()
+                fn().collect()
+                w.append(time.perf_counter() - t)
+            return round(min(w), 4)
+
+        rollup10 = {
+            "build_sec": r_build,
+            "n_cells": spark.read.parquet(f"{rpath10}/counts").collect()[0][
+                "n_cells"
+            ],
+            "performance_trends_from_rollup": _r_min3(
+                lambda: _mr.performance_trends_from_rollup(spark, rpath10)
+            ),
+            "capacity_trends_from_rollup": _r_min3(
+                lambda: _mr.capacity_trends_from_rollup(spark, rpath10)
+            ),
+            "raw_performance_trends_warm": warm_t["performance_trends"],
+        }
+
     # dedup/corpus ops over the 10x documents corpus (disjoint-content
     # replication): cold includes the shingle/band-key cache build, warm
     # rides it — the index-once/serve-many split measured at 10x
@@ -364,6 +404,32 @@ def main() -> None:
             "total_sec": round(total100, 4),
             "queries": q100,
         }
+        # the rollup point at 100x: raw performance_trends above scans
+        # 10 M events per refresh; the served twin reads the same
+        # O(cells) relation shape — the tier where the decoupling is
+        # unmistakable
+        if os.environ.get("SPARK_GRAFT_PROBE_ROLLUP", "1") == "1":
+            from spark_history_server_rs_spark.sources import (
+                metrics_rollup as _mr100,
+            )
+
+            rpath100 = "/tmp/sparkgraft_rollup100"
+            t = time.perf_counter()
+            _mr100.write_metrics_rollup(ev100, rpath100)
+            r100_build = round(time.perf_counter() - t, 4)
+            _mr100.performance_trends_from_rollup(spark, rpath100).collect()
+            w = []
+            for _ in range(3):
+                t = time.perf_counter()
+                _mr100.performance_trends_from_rollup(
+                    spark, rpath100
+                ).collect()
+                w.append(time.perf_counter() - t)
+            queries_100x["rollup"] = {
+                "build_sec": r100_build,
+                "performance_trends_from_rollup": round(min(w), 4),
+                "raw_performance_trends_warm": q100["performance_trends"],
+            }
         ev100.unpersist()
 
     # ANN/graph family at the 10x embeddings tier (VERDICT r08 #3):
@@ -590,6 +656,7 @@ def main() -> None:
         "ingest_sec": round(ingest_sec, 4),
         "events_per_sec": round(n_events / ingest_sec, 1),
         "docs10": docs10,
+        "rollup10": rollup10,
         "dedup_index10": dedup_index10,
         "ann10": ann10,
         "retention10": retention10,

@@ -471,21 +471,39 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         """The optimize view's data fold (dashboard.rs:55-159 pulls the
         same four analytics calls before rendering): host-side fold over
         the collected (≤ limit) rows — shared by the JSON summary
-        endpoint and the server-rendered HTML view."""
+        endpoint and the server-rendered HTML view. With an S17 rollup
+        attached, all four analytics read the pre-aggregated partials
+        (bit-identical twins), so a dashboard refresh never scans the
+        fact table — the reference's heaviest page becomes O(cells)."""
         ev = self.server.events  # type: ignore[attr-defined]
+        p17 = getattr(self.server, "metrics_rollup_path", None)
+        if p17 is not None:
+            from ..sources import metrics_rollup as MR
+
+            spark = ev.sparkSession
+
+            def _run(name, limit):
+                return getattr(MR, f"{name}_from_rollup")(
+                    spark, p17, limit=limit
+                )
+        else:
+
+            def _run(name, limit):
+                return getattr(catalog, name)(ev, limit=limit)
+
         hogs = [
             _wire_resource_hog(r)
-            for r in _rows(catalog.top_resource_consumers(ev, limit=20))
+            for r in _rows(_run("top_resource_consumers", 20))
         ]
         eff = [
             _wire_efficiency(r)
-            for r in _rows(catalog.efficiency_analysis(ev, limit=20))
+            for r in _rows(_run("efficiency_analysis", 20))
         ]
         trends = [
-            _wire_capacity(r) for r in _rows(catalog.capacity_trends(ev, limit=30))
+            _wire_capacity(r) for r in _rows(_run("capacity_trends", 30))
         ]
         cost = [
-            _wire_cost(r) for r in _rows(catalog.cost_optimization(ev, limit=20))
+            _wire_cost(r) for r in _rows(_run("cost_optimization", 20))
         ]
         total_savings = round(sum(r["potential_cost_savings"] for r in eff), 6)
         # the reference's SummaryStats fold (dashboard.rs:100-131),

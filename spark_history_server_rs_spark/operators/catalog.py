@@ -620,6 +620,16 @@ def top_resource_consumers(ev: DataFrame, limit: int = 10) -> DataFrame:
         )
         .filter(F.col("max_peak_memory_mb") > 0)
     )
+    return top_resource_consumers_derived(agg, limit)
+
+
+def top_resource_consumers_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A13's derived tail (efficiency score / cost / recommendation
+    ladders) over a pre-aggregated per-app frame — shared with the S17
+    rollup-served twin so the two paths cannot drift (the
+    :func:`cpu_utilization_derived` contract). The ``max_peak > 0``
+    guard stays in the callers: it filters the AGGREGATE, so both
+    sides apply it to their own agg output."""
     return (
         agg.withColumn(
             "efficiency_score",
@@ -666,6 +676,15 @@ def efficiency_analysis(ev: DataFrame, limit: int = 10) -> DataFrame:
         )
         .filter(F.col("task_count") > 5)
     )
+    return efficiency_analysis_derived(agg, limit)
+
+
+def efficiency_analysis_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A14's derived tail (efficiency categories, recommendations,
+    savings, risk ladder) over a pre-aggregated per-app frame — shared
+    with the S17 rollup-served twin (same contract as
+    :func:`cpu_utilization_derived`; the HAVING ``task_count > 5``
+    stays caller-side)."""
     cpu_eff = r4(safe_div(F.col("avg_cpu_s") * 100.0, F.col("avg_wall_s")))
     return (
         agg.withColumn("cpu_efficiency_pct", cpu_eff)
@@ -758,6 +777,14 @@ def capacity_trends(ev: DataFrame, limit: int = 30) -> DataFrame:
             r4(F.avg(F.coalesce(F.col("cpu_ms"), z)) / 1000.0).alias("avg_cpu_s"),
         )
     )
+    return capacity_trends_derived(agg, limit)
+
+
+def capacity_trends_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A15's derived tail (cores estimate, per-app memory, LEAST-capped
+    utilization%) over a pre-aggregated per-day frame — shared with the
+    S17 rollup-served twin (the :func:`cpu_utilization_derived`
+    contract)."""
     return (
         agg.withColumn(
             "estimated_cores_used", r4(F.col("avg_cpu_s") * F.col("active_apps"))
@@ -799,6 +826,14 @@ def cost_optimization(ev: DataFrame, limit: int = 10) -> DataFrame:
         )
         .filter(F.col("task_count") > 3)
     )
+    return cost_optimization_derived(agg, limit)
+
+
+def cost_optimization_derived(agg: DataFrame, limit: int) -> DataFrame:
+    """A16's derived tail (the any-of-three WHERE, optimization-type /
+    savings / confidence / difficulty ladders, details string) over a
+    pre-aggregated per-app frame — shared with the S17 rollup-served
+    twin (the HAVING ``task_count > 3`` stays caller-side)."""
     over_prov = F.col("avg_peak_memory_mb") < 0.5 * F.col("max_peak_memory_mb")
     spilly = F.col("total_disk_spill_mb") > 1000.0
     slow = F.col("avg_duration_s") > 20.0

@@ -571,6 +571,8 @@ LIMIT 200
 # physical path — never a self-consistency check).
 # --------------------------------------------------------------------------
 for _raw_twin in (
-    "performance_trends", "gc_time_trends", "cpu_utilization", "memory_usage"
+    "performance_trends", "gc_time_trends", "cpu_utilization", "memory_usage",
+    "top_resource_consumers", "efficiency_analysis", "capacity_trends",
+    "cost_optimization",
 ):
     ORACLE_SQL[f"{_raw_twin}_rollup"] = ORACLE_SQL[_raw_twin]

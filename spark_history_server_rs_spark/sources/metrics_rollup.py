@@ -122,6 +122,7 @@ def rollup_partials(ev: DataFrame) -> DataFrame:
             F.sum(F.coalesce(F.col("disk_spill_mb"), F.lit(0.0))).alias(
                 "sum_disk_spill_mb"
             ),
+            F.max("event_ts").alias("max_event_ts"),
         )
     )
 
@@ -140,7 +141,7 @@ def merge_partials(p: DataFrame) -> DataFrame:
         "n_peak", "sum_peak_memory_mb",
         "sum_mem_spill_mb", "sum_disk_spill_mb",
     ]
-    maxes = ["max_jvm_heap_mb", "max_peak_memory_mb"]
+    maxes = ["max_jvm_heap_mb", "max_peak_memory_mb", "max_event_ts"]
     return p.groupBy(*GRAIN).agg(
         *[F.sum(c).alias(c) for c in sums],
         *[F.max(c).alias(c) for c in maxes],
@@ -241,6 +242,131 @@ def memory_usage_from_partials(p: DataFrame, limit: int = 1000) -> DataFrame:
     return memory_usage_derived(agg, limit)
 
 
+def _sum_coalesced(col: str) -> F.Column:
+    """Merged ``SUM(COALESCE(x, 0))``: per-cell ``SUM(x)`` is
+    null-skipping, so coalescing each cell's sum to 0 before the outer
+    SUM adds exactly the zeros the row-level coalesce added."""
+    return F.sum(F.coalesce(F.col(col), F.lit(0.0)))
+
+
+def _max_coalesced0(col: str) -> F.Column:
+    """Merged ``MAX(COALESCE(x, 0))`` for a NON-NEGATIVE metric x:
+    every grain cell holds ≥1 task row, so a cell whose max is NULL
+    contributed only zeros to the row-level form, and any non-null max
+    dominates them (x ≥ 0 — true of every byte/ms metric here)."""
+    return F.coalesce(F.max(col), F.lit(0.0))
+
+
+def top_resource_consumers_from_partials(
+    p: DataFrame, limit: int = 10
+) -> DataFrame:
+    """A13 served from partials (twin of
+    ``catalog.top_resource_consumers``, reference
+    duckdb_store_backup.rs:1155-1239); the derived ladders are the
+    shared ``catalog.top_resource_consumers_derived`` fragment."""
+    from ..functions.expressions import epoch_ms
+    from ..operators.catalog import top_resource_consumers_derived
+
+    agg = (
+        p.groupBy("app_id")
+        .agg(
+            r4(
+                _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
+            ).alias("avg_peak_memory_mb"),
+            r4(_max_coalesced0("max_peak_memory_mb")).alias(
+                "max_peak_memory_mb"
+            ),
+            r4(_sum_coalesced("sum_cpu_ms") / 1000.0).alias("total_cpu_s"),
+            r4(F.sum("sum_disk_spill_mb")).alias("total_disk_spill_mb"),
+            F.sum("n_tasks").alias("task_count"),
+            epoch_ms(F.max("max_event_ts")).alias("last_seen_ms"),
+        )
+        .filter(F.col("max_peak_memory_mb") > 0)
+    )
+    return top_resource_consumers_derived(agg, limit)
+
+
+def efficiency_analysis_from_partials(
+    p: DataFrame, limit: int = 10
+) -> DataFrame:
+    """A14 served from partials (twin of ``catalog.efficiency_analysis``,
+    reference duckdb_store_backup.rs:1242-1360)."""
+    from ..functions.expressions import r6
+    from ..operators.catalog import efficiency_analysis_derived
+
+    agg = (
+        p.groupBy("app_id")
+        .agg(
+            r4(
+                _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
+            ).alias("avg_peak_memory_mb"),
+            r4(_max_coalesced0("max_peak_memory_mb")).alias(
+                "max_peak_memory_mb"
+            ),
+            r6(
+                _sum_coalesced("sum_cpu_ms") / F.sum("n_tasks") / 1000.0
+            ).alias("avg_cpu_s"),
+            r6(
+                safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))
+                / 1000.0
+            ).alias("avg_wall_s"),
+            F.sum("n_tasks").alias("task_count"),
+        )
+        .filter(F.col("task_count") > 5)
+    )
+    return efficiency_analysis_derived(agg, limit)
+
+
+def capacity_trends_from_partials(p: DataFrame, limit: int = 30) -> DataFrame:
+    """A15 served from partials (twin of ``catalog.capacity_trends``,
+    reference duckdb_store_backup.rs:1363-1426). ``active_apps`` keeps
+    the raw twin's Expand-free ``size(collect_set)`` form — over the
+    tiny cell relation the set aggregate is map-side-combined and
+    bounded by the deployment's app count, exactly as documented
+    there."""
+    from ..operators.catalog import capacity_trends_derived
+
+    agg = p.groupBy("event_date").agg(
+        r4(_sum_coalesced("sum_peak_memory_mb") / 1024.0).alias(
+            "total_memory_gb"
+        ),
+        F.size(F.collect_set("app_id")).cast("long").alias("active_apps"),
+        F.sum("n_tasks").alias("total_tasks"),
+        r4(_sum_coalesced("sum_cpu_ms") / F.sum("n_tasks") / 1000.0).alias(
+            "avg_cpu_s"
+        ),
+    )
+    return capacity_trends_derived(agg, limit)
+
+
+def cost_optimization_from_partials(
+    p: DataFrame, limit: int = 10
+) -> DataFrame:
+    """A16 served from partials (twin of ``catalog.cost_optimization``,
+    reference duckdb_store_backup.rs:1429-1547)."""
+    from ..operators.catalog import cost_optimization_derived
+
+    agg = (
+        p.groupBy("app_id")
+        .agg(
+            r4(
+                _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
+            ).alias("avg_peak_memory_mb"),
+            r4(_max_coalesced0("max_peak_memory_mb")).alias(
+                "max_peak_memory_mb"
+            ),
+            r4(
+                safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))
+                / 1000.0
+            ).alias("avg_duration_s"),
+            F.sum("n_tasks").alias("task_count"),
+            r4(F.sum("sum_disk_spill_mb")).alias("total_disk_spill_mb"),
+        )
+        .filter(F.col("task_count") > 3)
+    )
+    return cost_optimization_derived(agg, limit)
+
+
 #: registered-query serving twins keyed by their raw-twin oracle name —
 #: the rollup queries share the RAW queries' DuckDB oracles verbatim
 FROM_PARTIALS = {
@@ -248,6 +374,10 @@ FROM_PARTIALS = {
     "gc_time_trends": gc_time_trends_from_partials,
     "cpu_utilization": cpu_utilization_from_partials,
     "memory_usage": memory_usage_from_partials,
+    "top_resource_consumers": top_resource_consumers_from_partials,
+    "efficiency_analysis": efficiency_analysis_from_partials,
+    "capacity_trends": capacity_trends_from_partials,
+    "cost_optimization": cost_optimization_from_partials,
 }
 
 
@@ -289,6 +419,28 @@ def cpu_utilization_rollup(ev: DataFrame) -> DataFrame:
 def memory_usage_rollup(ev: DataFrame) -> DataFrame:
     """A8R: memory usage from rollup partials (oracle = A8's)."""
     return memory_usage_from_partials(materialized_rollup_partials_df(ev))
+
+
+def top_resource_consumers_rollup(ev: DataFrame) -> DataFrame:
+    """A13R: resource hogs from rollup partials (oracle = A13's)."""
+    return top_resource_consumers_from_partials(
+        materialized_rollup_partials_df(ev)
+    )
+
+
+def efficiency_analysis_rollup(ev: DataFrame) -> DataFrame:
+    """A14R: efficiency analysis from rollup partials (oracle = A14's)."""
+    return efficiency_analysis_from_partials(materialized_rollup_partials_df(ev))
+
+
+def capacity_trends_rollup(ev: DataFrame) -> DataFrame:
+    """A15R: capacity trends from rollup partials (oracle = A15's)."""
+    return capacity_trends_from_partials(materialized_rollup_partials_df(ev))
+
+
+def cost_optimization_rollup(ev: DataFrame) -> DataFrame:
+    """A16R: cost optimization from rollup partials (oracle = A16's)."""
+    return cost_optimization_from_partials(materialized_rollup_partials_df(ev))
 
 
 # ==========================================================================
@@ -393,6 +545,42 @@ def memory_usage_from_rollup(
 ) -> DataFrame:
     """A8 from the durable rollup."""
     return memory_usage_from_partials(read_rollup_partials(spark, path), limit)
+
+
+def top_resource_consumers_from_rollup(
+    spark: SparkSession, path: str, limit: int = 10
+) -> DataFrame:
+    """A13 from the durable rollup."""
+    return top_resource_consumers_from_partials(
+        read_rollup_partials(spark, path), limit
+    )
+
+
+def efficiency_analysis_from_rollup(
+    spark: SparkSession, path: str, limit: int = 10
+) -> DataFrame:
+    """A14 from the durable rollup."""
+    return efficiency_analysis_from_partials(
+        read_rollup_partials(spark, path), limit
+    )
+
+
+def capacity_trends_from_rollup(
+    spark: SparkSession, path: str, limit: int = 30
+) -> DataFrame:
+    """A15 from the durable rollup."""
+    return capacity_trends_from_partials(
+        read_rollup_partials(spark, path), limit
+    )
+
+
+def cost_optimization_from_rollup(
+    spark: SparkSession, path: str, limit: int = 10
+) -> DataFrame:
+    """A16 from the durable rollup."""
+    return cost_optimization_from_partials(
+        read_rollup_partials(spark, path), limit
+    )
 
 
 def stream_update_metrics_rollup(

@@ -963,6 +963,12 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
             code, rows = _get(base, r)
             assert code == 200 and rows == live[r], r
 
+        # the optimize dashboard reads all four of its analytics from
+        # the rollup when attached — wire-identical to the live fold
+        code, live_dash = _get(api, "/api/v1/dashboard/summary")
+        code2, rollup_dash = _get(base, "/api/v1/dashboard/summary")
+        assert (code, code2) == (200, 200) and live_dash == rollup_dash
+
         # ops view: meta-served live cells, tombstones, manifest diff
         code, status = _get(base, "/api/v1/indexes/status")
         assert code == 200 and "metrics_rollup" in status

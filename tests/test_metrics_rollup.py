@@ -34,6 +34,10 @@ RAW_TWINS = {
     "gc_time_trends": catalog.gc_time_trends,
     "cpu_utilization": catalog.cpu_utilization,
     "memory_usage": catalog.memory_usage,
+    "top_resource_consumers": catalog.top_resource_consumers,
+    "efficiency_analysis": catalog.efficiency_analysis,
+    "capacity_trends": catalog.capacity_trends,
+    "cost_optimization": catalog.cost_optimization,
 }
 
 
@@ -408,9 +412,5 @@ def test_percentiles_not_servable_documented():
     """Guard the scope line: the rollup serves only algebraic twins —
     holistic aggregates (exact percentiles) must not grow a silent
     partial-served variant without a design change."""
-    assert set(mr.FROM_PARTIALS) == {
-        "performance_trends",
-        "gc_time_trends",
-        "cpu_utilization",
-        "memory_usage",
-    }
+    assert set(mr.FROM_PARTIALS) == set(RAW_TWINS)
+    assert "task_duration_percentiles" not in mr.FROM_PARTIALS
