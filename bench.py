@@ -107,10 +107,19 @@ def main() -> None:
     # analytics answered from the durable day-partitioned partials —
     # the fact-table scan moves to a once-per-corpus build (plus cheap
     # streamed appends in production); the *_from_rollup rows are what
-    # every dashboard refresh pays afterwards. Compare against the raw
-    # `performance_trends` suite row above: the served plan's input is
-    # |days|×|apps|×|executors| cells, not n_events rows, so the gap
-    # WIDENS with corpus scale while the raw row grows linearly.
+    # every dashboard refresh pays afterwards (warm = the
+    # fingerprint-keyed materialized relation, the S13 serving shape).
+    # Two comparisons, stated honestly: vs the CACHED raw suite row
+    # above (raw's best case — the whole fact table pinned in memory)
+    # the synthetic grain is degenerate (executor_id is a pure function
+    # of app_id, so cells ≈ output groups ≈ rows/4) and the two paths
+    # are within ~1.2x of each other; vs the UNCACHED refresh
+    # (`performance_trends_raw_uncached` below — scan + JSON-normalize
+    # + aggregate per call, the only option when the fact table does
+    # not fit in memory) the rollup wins even on this grain, and the
+    # uncached row grows with n_events while the served row stays
+    # O(cells). At a realistic tasks-per-(app,day) the reduction ratio
+    # is the win; here the plan gates pin the shape.
     import tempfile as _tmpmod
 
     from spark_history_server_rs_spark.sources.metrics_rollup import (
@@ -136,6 +145,17 @@ def main() -> None:
             served(spark, rpath).collect()
             warm.append(time.perf_counter() - t)
         extended_rollup[row] = round(min(warm), 4)
+    SUITE["performance_trends"](
+        load_events(spark, sf_dir, parallelism=cpus)
+    ).collect()
+    warm = []
+    for _ in range(3):
+        t = time.perf_counter()
+        SUITE["performance_trends"](
+            load_events(spark, sf_dir, parallelism=cpus)
+        ).collect()
+        warm.append(time.perf_counter() - t)
+    extended_rollup["performance_trends_raw_uncached"] = round(min(warm), 4)
     group_canaries["after_rollup"] = _shuffle_canary(spark)
 
     # extended (beyond-reference) operator timings over documents/embeddings

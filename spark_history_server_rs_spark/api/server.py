@@ -676,7 +676,9 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
 
         m = re.fullmatch(
             r"/api/v1/metrics/"
-            r"(performance-trends|gc-trends|cpu-utilization|memory-usage)",
+            r"(performance-trends|gc-trends|cpu-utilization|memory-usage"
+            r"|top-resource-consumers|efficiency-analysis|capacity-trends"
+            r"|cost-optimization)",
             path,
         )
         if m:
@@ -697,8 +699,22 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "gc-trends": "gc_time_trends",
                 "cpu-utilization": "cpu_utilization",
                 "memory-usage": "memory_usage",
+                "top-resource-consumers": "top_resource_consumers",
+                "efficiency-analysis": "efficiency_analysis",
+                "capacity-trends": "capacity_trends",
+                "cost-optimization": "cost_optimization",
             }[m.group(1)]
-            limit = self._limit(qs, 500 if "trends" in name else 1000)
+            defaults = {
+                "performance_trends": 500,
+                "gc_time_trends": 500,
+                "cpu_utilization": 1000,
+                "memory_usage": 1000,
+                "top_resource_consumers": 10,
+                "efficiency_analysis": 10,
+                "capacity_trends": 30,
+                "cost_optimization": 10,
+            }
+            limit = self._limit(qs, defaults[name])
             p17 = getattr(self.server, "metrics_rollup_path", None)
             if p17 is not None:
                 df = getattr(MR, f"{name}_from_rollup")(

@@ -721,6 +721,167 @@ def compact_sink_inplace(
     return plan
 
 
+def _sink_partition_dirs(
+    spark: SparkSession, sink_dir: str
+) -> dict[tuple[str, str], str]:
+    """(event_date, ingest_src) → partition DIRECTORY path, from one
+    recursive listing. Values are Hive-unescaped like
+    :func:`_sink_partition_stats`; the path kept is the raw on-disk
+    directory (escaped form), so callers can delete it without
+    re-deriving Spark's escaping rules."""
+    from urllib.parse import unquote
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = fs_path.getFileSystem(conf)
+    dirs: dict[tuple[str, str], str] = {}
+    it = fs.listFiles(fs_path, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = posixpath.basename(p)
+        if name.startswith("_") or name.startswith("."):
+            continue
+        parts = p.split("/")
+        date = src = None
+        keep = []
+        for seg in parts:
+            keep.append(seg)
+            if seg.startswith("event_date="):
+                date = unquote(seg.split("=", 1)[1])
+            elif seg.startswith("ingest_src="):
+                src = unquote(seg.split("=", 1)[1])
+                break  # the partition dir ends here
+        if date is None or src is None:
+            continue
+        dirs[(date, src)] = "/".join(keep)
+    return dirs
+
+
+def erase_apps_from_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    app_ids: DataFrame,
+    verify: bool = True,
+) -> dict:
+    """S9d: per-application erasure from the date-partitioned event sink
+    — the fact-table half of a GDPR/retention request (the S17 rollup
+    tombstones are the derived half; :func:`maintenance.run_app_retention`
+    fans one app frame to both). Reference analog: the metadata store
+    pruning applications whose logs vanished (``metadata_store.rs:91-134``),
+    here driven by an explicit id frame instead of the filesystem.
+
+    Partition-pruned, like S15's shard retraction: one column-pruned
+    probe finds the (event_date, ingest_src) partitions that actually
+    hold victim rows (parquet app_id row-group stats skip most), only
+    those partitions rewrite (dynamic partition overwrite over a
+    broadcast key set), everything else is untouched on disk —
+    byte-for-byte, not just value-equal.
+
+    The silent-miss class this guards against explicitly: dynamic
+    partition overwrite only REPLACES partitions present in the output,
+    so a partition whose every row belongs to a victim app produces no
+    survivor rows, no output partition — and its old directory would
+    silently keep serving the erased app. Those all-victim partitions
+    are deleted directly (FS delete of the listed partition dirs), and
+    ``verify=True`` (default) closes the loop with one sink-wide
+    semi-join probe that RAISES if any victim row survived — the same
+    fail-loud contract the S15 retraction verification set. Disable it
+    only when the caller audits separately; the probe is a column-
+    pruned scan with row-group-stat skipping, not a full read.
+
+    Same durability window as :func:`compact_sink_inplace` (the
+    dynamic-overwrite commit is not atomic) — run in the quiesced
+    maintenance slot, on a sink that is re-derivable from raw logs.
+    Idempotent: a retry finds no victim rows and returns zeros.
+
+    Returns {n_rows_erased, partitions_rewritten, partitions_deleted}.
+    """
+    victims = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
+    df = spark.read.parquet(sink_dir)
+    affected = (
+        df.join(F.broadcast(victims), "app_id", "left_semi")
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "ingest_src",
+        )
+        .distinct()
+    )
+    # bounded driver payload: #affected partitions, the same bound the
+    # compaction planner carries
+    affected_keys = {(r.event_date, r.ingest_src) for r in affected.collect()}
+    if not affected_keys:
+        return {
+            "n_rows_erased": 0,
+            "partitions_rewritten": 0,
+            "partitions_deleted": 0,
+        }
+    keys = spark.createDataFrame(
+        sorted(affected_keys), "event_date string, ingest_src string"
+    )
+    picked = df.withColumn(
+        "event_date", F.col("event_date").cast("string")
+    ).join(F.broadcast(keys), ["event_date", "ingest_src"])
+    n_erased = picked.join(F.broadcast(victims), "app_id", "left_semi").count()
+    survivors = picked.join(F.broadcast(victims), "app_id", "left_anti")
+    survivor_keys = {
+        (r.event_date, r.ingest_src)
+        for r in survivors.select("event_date", "ingest_src")
+        .distinct()
+        .collect()
+    }
+    if survivor_keys:
+        # repartition barrier, same reasoning as compact_sink_inplace:
+        # both joins above are broadcast (narrow, pipelined), so without
+        # a shuffle the in-place rewrite's read safety would rest on
+        # commit staging alone; the barrier materializes the scan before
+        # any output commit can touch a source file — and leaves one
+        # file per rewritten partition as a side effect
+        out = survivors.repartition(
+            F.col("event_date"), F.col("ingest_src")
+        ).withColumn("event_date", F.col("event_date").cast("date"))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.partitionBy("event_date", "ingest_src").mode(
+                "overwrite"
+            ).parquet(sink_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # all-victim partitions: no survivor output replaced them — delete
+    # their directories outright or the erased app keeps serving
+    empty_keys = affected_keys - survivor_keys
+    if empty_keys:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        dirs = _sink_partition_dirs(spark, sink_dir)
+        for k in sorted(empty_keys):
+            path = dirs.get(k)
+            if path is None:
+                continue  # already gone (retry after a partial run)
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(conf).delete(p, True)
+    if verify:
+        remaining = (
+            spark.read.parquet(sink_dir)
+            .join(F.broadcast(victims), "app_id", "left_semi")
+            .count()
+        )
+        if remaining:
+            raise RuntimeError(
+                f"sink erasure verification failed: {remaining} rows of "
+                f"the victim apps remain under {sink_dir} — partial "
+                "commit (see the durability note); re-run the erasure"
+            )
+    return {
+        "n_rows_erased": int(n_erased),
+        "partitions_rewritten": len(survivor_keys),
+        "partitions_deleted": len(empty_keys),
+    }
+
+
 def application_details(events: DataFrame) -> DataFrame:
     """A17 full fold on real logs: first ApplicationStart supplies
     (name, user, attempt); ApplicationEnd closes the app; duration uses the

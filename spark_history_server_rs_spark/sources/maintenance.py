@@ -120,12 +120,50 @@ def run_ttl_retention(
     )
 
 
+def run_app_retention(
+    spark: SparkSession,
+    app_ids,
+    events_sink_dir: str | None = None,
+    metrics_rollup_path: str | None = None,
+) -> dict:
+    """The APPLICATION-keyed retention pass — the events-domain sibling
+    of the document-keyed :func:`run_retention_pass`. One ``(app_id)``
+    frame fans to both halves of the fact-table lineage: the S9 sink
+    (partition-pruned physical erasure,
+    ``event_logs.erase_apps_from_sink`` — fail-loud verified) and the
+    S17 metrics rollup (tombstone suppression,
+    ``metrics_rollup.delete_from_metrics_rollup`` — physically dropped
+    at the next maintenance slot's compaction). Run it in the quiesced
+    slot, before :func:`run_maintenance_slot`, exactly like the
+    document pass. Returns per-artifact stats."""
+    app_ids = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
+    app_ids = app_ids.persist()
+    try:
+        out: dict = {"n_apps": app_ids.count()}
+        if events_sink_dir is not None:
+            from .event_logs import erase_apps_from_sink
+
+            out["events_sink"] = erase_apps_from_sink(
+                spark, events_sink_dir, app_ids
+            )
+        if metrics_rollup_path is not None:
+            from .metrics_rollup import delete_from_metrics_rollup
+
+            out["metrics_rollup_deleted"] = delete_from_metrics_rollup(
+                spark, metrics_rollup_path, app_ids
+            )
+    finally:
+        app_ids.unpersist()
+    return out
+
+
 def run_maintenance_slot(
     spark: SparkSession,
     dedup_index_path: str | None = None,
     ann_index_path: str | None = None,
     training_shards_path: str | None = None,
     knn_graph_path: str | None = None,
+    metrics_rollup_path: str | None = None,
 ) -> list[dict]:
     """Service every attached durable artifact: compact, refresh its
     manifest, validate. Returns one report dict per artifact."""
@@ -195,5 +233,17 @@ def run_maintenance_slot(
             lambda: compact_knn_graph(spark, knn_graph_path),
             lambda: refresh_knn_graph_manifest(spark, knn_graph_path),
             lambda: validate_knn_graph(spark, knn_graph_path),
+        )
+    if metrics_rollup_path is not None:
+        from .metrics_rollup import (
+            compact_metrics_rollup,
+            validate_metrics_rollup,
+        )
+
+        _entry(
+            "metrics_rollup",
+            lambda: compact_metrics_rollup(spark, metrics_rollup_path),
+            None,  # its compactor refreshes the rollup manifest itself
+            lambda: validate_metrics_rollup(spark, metrics_rollup_path),
         )
     return report

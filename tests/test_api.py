@@ -943,12 +943,17 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         "/api/v1/metrics/gc-trends",
         "/api/v1/metrics/cpu-utilization",
         "/api/v1/metrics/memory-usage?limit=40",
+        "/api/v1/metrics/top-resource-consumers",
+        "/api/v1/metrics/efficiency-analysis",
+        "/api/v1/metrics/capacity-trends",
+        "/api/v1/metrics/cost-optimization",
     )
     live = {}
     for r in routes:
         code, rows = _get(api, r)
-        assert code == 200 and rows, r
+        assert code == 200 and isinstance(rows, list), r
         live[r] = rows
+    assert live["/api/v1/metrics/performance-trends"]  # non-vacuous
 
     ev = load_events(spark, SF_SMALL)
     p17 = tempfile.mkdtemp() + "/s17"
