@@ -77,12 +77,17 @@ _CHANGED_THIS_ROUND = (
     "efficiency_analysis_rollup",
     "capacity_trends_rollup",
     "cost_optimization_rollup",
+    "applications_rollup",
+    "executor_summary_rollup",
+    "executor_utilization_rollup",
+    "resource_utilization_metrics_rollup",
     "cpu_utilization",
     "memory_usage",
     "top_resource_consumers",
     "efficiency_analysis",
     "capacity_trends",
     "cost_optimization",
+    "resource_utilization_metrics",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -117,10 +122,15 @@ _SENTINELS = (
     "efficiency_analysis_rollup",
     "capacity_trends_rollup",
     "cost_optimization_rollup",
+    "applications_rollup",
+    "executor_summary_rollup",
+    "executor_utilization_rollup",
+    "resource_utilization_metrics_rollup",
     # re-checks: their derived tails are now the shared fragments the
-    # rollup twins ride (memory_usage / top_resource_consumers, same
-    # situation, are already in the rotation queue below;
-    # efficiency_analysis is a sentinel above)
+    # rollup twins ride (memory_usage / top_resource_consumers /
+    # resource_utilization_metrics, same situation, are already in the
+    # rotation queue below; applications / executor_summary /
+    # efficiency_analysis are sentinels above)
     "cpu_utilization",
     "capacity_trends",
     "cost_optimization",
@@ -145,9 +155,9 @@ _SENTINELS = (
     "text_repetition",
     "text_token_stats",
     "top_resource_consumers",
-    # oldest remaining debt: 16 of the 45 r09 rows (alphabetical; the
-    # remaining 29 — the 17 TPC-H shapes, yoy_revenue_growth, and the
-    # eleven displaced by the S17 window slots — are the r13 queue
+    # oldest remaining debt: 8 of the 45 r09 rows (alphabetical; the
+    # remaining 37 — the 17 TPC-H shapes, yoy_revenue_growth, and the
+    # nineteen displaced by the S17 window slots — are the r13 queue
     # below)
     "ann_cosine_topk",
     "ann_hamming_rerank",
@@ -157,22 +167,19 @@ _SENTINELS = (
     "applications_status_completed",
     "applications_time_window",
     "asof_join_task_executor_config",
-    "corpus_hash_split",
-    "corpus_profile",
-    "cube_order_stats",
-    "dedup_embedding_cosine_prefiltered",
-    "dedup_exact",
-    "event_transition_matrix",
-    "events_daily_gapfill",
-    "funnel_conversion",
-    # r13 rotation queue (the 29 r09 rows remaining after this window):
-    # multimodal_audio_windows, multimodal_frame_sample,
-    # multimodal_phash_groups, range_join_live_executors,
-    # retention_cohorts, rolling_active_users,
+    # r13 rotation queue (the 37 r09 rows remaining after this window):
+    # corpus_hash_split, corpus_profile, cube_order_stats,
+    # dedup_embedding_cosine_prefiltered,
+    # dedup_exact, event_transition_matrix, events_daily_gapfill,
+    # funnel_conversion, multimodal_audio_windows,
+    # multimodal_frame_sample, multimodal_phash_groups,
+    # range_join_live_executors, retention_cohorts, rolling_active_users,
     # semi_join_urgent_customers, set_ops_user_segments,
     # task_percentile_standing, text_stem_normalize, topk_tasks_per_app
-    # (displaced by the eight S17 rollup slots + the re-checking
-    # cpu_utilization / capacity_trends / cost_optimization),
+    # (displaced by the twelve S17 rollup slots + the re-checking
+    # cpu_utilization / capacity_trends / cost_optimization /
+    # resource_utilization_metrics — the S17 family now dominates the
+    # r12 window by design: every slot checks NEW code),
     # tpch_q2_min_price_supplier, tpch_q3_shipping_priority,
     # tpch_q4_priority_check, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
@@ -574,6 +581,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "capacity_trends_rollup": _q(metrics_rollup.capacity_trends_rollup),
         "cost_optimization_rollup": _q(metrics_rollup.cost_optimization_rollup),
+        "applications_rollup": _q(metrics_rollup.applications_rollup),
+        "executor_summary_rollup": _q(metrics_rollup.executor_summary_rollup),
+        "executor_utilization_rollup": _q(
+            metrics_rollup.executor_utilization_rollup
+        ),
+        "resource_utilization_metrics_rollup": _q(
+            metrics_rollup.resource_utilization_metrics_rollup
+        ),
         "cross_app_summary": _q(catalog.cross_app_summary),
         "task_distribution": _q(catalog.task_distribution),
         "job_metrics": _q(catalog.job_metrics),

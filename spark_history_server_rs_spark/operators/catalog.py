@@ -584,6 +584,18 @@ def resource_utilization_metrics(ev: DataFrame, limit: int = 1000) -> DataFrame:
             epoch_ms(F.max("event_ts")).alias("last_task_ms"),
         )
     )
+    return resource_utilization_derived(m, app_status, limit)
+
+
+def resource_utilization_derived(
+    m: DataFrame, app_status: DataFrame, limit: int
+) -> DataFrame:
+    """A12's derived tail (utilization%, the J2 LEFT join onto per-app
+    liveness with the J3 COALESCE-true default) over a pre-aggregated
+    metrics frame — shared with the S17 rollup-served twin (the
+    :func:`cpu_utilization_derived` contract). ``app_status`` is the
+    (s_app_id, s_is_active) liveness side, built by each caller from
+    its own source (raw events / app-event partials)."""
     return (
         m.withColumn(
             "memory_utilization_pct",

@@ -573,6 +573,7 @@ LIMIT 200
 for _raw_twin in (
     "performance_trends", "gc_time_trends", "cpu_utilization", "memory_usage",
     "top_resource_consumers", "efficiency_analysis", "capacity_trends",
-    "cost_optimization",
+    "cost_optimization", "applications", "executor_summary",
+    "executor_utilization", "resource_utilization_metrics",
 ):
     ORACLE_SQL[f"{_raw_twin}_rollup"] = ORACLE_SQL[_raw_twin]

@@ -64,11 +64,19 @@ from pyspark.sql import functions as F
 
 from ..functions.expressions import count_if, date_str, r4, safe_div
 
-#: grain of the partial relation — the finest grouping any served twin needs
-GRAIN = ("event_date", "app_id", "executor_id")
+#: grain of the task-partial relation — the finest grouping any served
+#: twin needs (host joined the grain for A11/A12; in real deployments an
+#: executor lives on one host, so the cell count barely moves)
+GRAIN = ("event_date", "app_id", "executor_id", "host")
+
+#: grain of the executor-lifecycle partial relation (A4's add/remove side)
+EXEC_GRAIN = ("event_date", "app_id", "executor_id")
+
+#: grain of the all-events per-app partial relation (A1 + A12 liveness)
+APP_GRAIN = ("event_date", "app_id")
 
 #: relations attested by the manifest
-ROLLUP_RELATIONS = ("partials", "deleted_apps")
+ROLLUP_RELATIONS = ("partials", "exec_events", "app_events", "deleted_apps")
 
 #: ingest_batch value for batch-built / compacted rows (stream batches ≥ 0)
 _BATCH_BUILD = -1
@@ -100,6 +108,7 @@ def rollup_partials(ev: DataFrame) -> DataFrame:
             date_str(F.col("event_date")).alias("event_date"),
             F.col("app_id"),
             F.col("executor_id"),
+            F.col("host"),
         )
         .agg(
             F.count("*").alias("n_tasks"),
@@ -123,7 +132,66 @@ def rollup_partials(ev: DataFrame) -> DataFrame:
                 "sum_disk_spill_mb"
             ),
             F.max("event_ts").alias("max_event_ts"),
+            F.min("event_ts").alias("min_event_ts"),
+            F.sum("shuffle_read_mb").alias("sum_shuffle_read_mb"),
+            F.sum("shuffle_write_mb").alias("sum_shuffle_write_mb"),
+            count_if(F.col("locality") == "PROCESS_LOCAL").alias(
+                "n_loc_process"
+            ),
+            count_if(F.col("locality") == "NODE_LOCAL").alias("n_loc_node"),
+            count_if(F.col("locality") == "RACK_LOCAL").alias("n_loc_rack"),
+            count_if(F.col("locality") == "ANY").alias("n_loc_any"),
+            # pre-coalesced MAX partials: MAX(COALESCE(x, d)) does NOT
+            # merge as COALESCE(MAX(x), d) when d can exceed real values
+            # (jvm default 1024) — computing the coalesced max per CELL
+            # makes the merge a plain MAX, exact with no assumptions
+            # about the metric's range
+            F.max(F.coalesce(F.col("peak_memory_mb"), F.lit(0.0))).alias(
+                "max_peak_c0"
+            ),
+            F.max(F.coalesce(F.col("jvm_heap_mb"), F.lit(1024.0))).alias(
+                "max_jvm_c1024"
+            ),
         )
+    )
+
+
+def exec_events_partials(ev: DataFrame) -> DataFrame:
+    """The executor-LIFECYCLE partials (A4's add/remove conditional
+    aggregates): one row per (day, app, executor) over the
+    add/remove event population — disjoint from the task rows the main
+    relation rolls up, so it is its own relation, not extra columns."""
+    add, rem = F.col("is_exec_add"), F.col("is_exec_remove")
+    return (
+        ev.filter(add | rem)
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.col("executor_id"),
+        )
+        .agg(
+            count_if(add).alias("n_add"),
+            count_if(rem).alias("n_rem"),
+            F.min(F.when(add, F.col("event_ts"))).alias("min_add_ts"),
+            F.max(F.when(rem, F.col("event_ts"))).alias("max_rem_ts"),
+            F.max(F.when(add, F.col("total_cores"))).alias("max_add_cores"),
+        )
+    )
+
+
+def app_events_partials(ev: DataFrame) -> DataFrame:
+    """The ALL-EVENTS per-app partials: A1's listing (min/max timestamp,
+    event count) and A12's J3 liveness (active = zero end events) are
+    aggregates over every event type, so they need their own relation
+    beside the TaskEnd rollup."""
+    return ev.groupBy(
+        date_str(F.col("event_date")).alias("event_date"),
+        F.col("app_id"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        count_if(F.col("is_app_end")).alias("n_app_end"),
+        F.min("event_ts").alias("min_ts"),
+        F.max("event_ts").alias("max_ts"),
     )
 
 
@@ -140,11 +208,38 @@ def merge_partials(p: DataFrame) -> DataFrame:
         "n_output", "sum_output_mb",
         "n_peak", "sum_peak_memory_mb",
         "sum_mem_spill_mb", "sum_disk_spill_mb",
+        "sum_shuffle_read_mb", "sum_shuffle_write_mb",
+        "n_loc_process", "n_loc_node", "n_loc_rack", "n_loc_any",
     ]
-    maxes = ["max_jvm_heap_mb", "max_peak_memory_mb", "max_event_ts"]
+    maxes = [
+        "max_jvm_heap_mb", "max_peak_memory_mb", "max_event_ts",
+        "max_peak_c0", "max_jvm_c1024",
+    ]
     return p.groupBy(*GRAIN).agg(
         *[F.sum(c).alias(c) for c in sums],
         *[F.max(c).alias(c) for c in maxes],
+        F.min("min_event_ts").alias("min_event_ts"),
+    )
+
+
+def merge_exec_events(p: DataFrame) -> DataFrame:
+    """Compaction merge for the executor-lifecycle partials."""
+    return p.groupBy(*EXEC_GRAIN).agg(
+        F.sum("n_add").alias("n_add"),
+        F.sum("n_rem").alias("n_rem"),
+        F.min("min_add_ts").alias("min_add_ts"),
+        F.max("max_rem_ts").alias("max_rem_ts"),
+        F.max("max_add_cores").alias("max_add_cores"),
+    )
+
+
+def merge_app_events(p: DataFrame) -> DataFrame:
+    """Compaction merge for the per-app all-events partials."""
+    return p.groupBy(*APP_GRAIN).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_app_end").alias("n_app_end"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
     )
 
 
@@ -249,14 +344,6 @@ def _sum_coalesced(col: str) -> F.Column:
     return F.sum(F.coalesce(F.col(col), F.lit(0.0)))
 
 
-def _max_coalesced0(col: str) -> F.Column:
-    """Merged ``MAX(COALESCE(x, 0))`` for a NON-NEGATIVE metric x:
-    every grain cell holds ≥1 task row, so a cell whose max is NULL
-    contributed only zeros to the row-level form, and any non-null max
-    dominates them (x ≥ 0 — true of every byte/ms metric here)."""
-    return F.coalesce(F.max(col), F.lit(0.0))
-
-
 def top_resource_consumers_from_partials(
     p: DataFrame, limit: int = 10
 ) -> DataFrame:
@@ -273,9 +360,7 @@ def top_resource_consumers_from_partials(
             r4(
                 _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
             ).alias("avg_peak_memory_mb"),
-            r4(_max_coalesced0("max_peak_memory_mb")).alias(
-                "max_peak_memory_mb"
-            ),
+            r4(F.max("max_peak_c0")).alias("max_peak_memory_mb"),
             r4(_sum_coalesced("sum_cpu_ms") / 1000.0).alias("total_cpu_s"),
             r4(F.sum("sum_disk_spill_mb")).alias("total_disk_spill_mb"),
             F.sum("n_tasks").alias("task_count"),
@@ -300,9 +385,7 @@ def efficiency_analysis_from_partials(
             r4(
                 _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
             ).alias("avg_peak_memory_mb"),
-            r4(_max_coalesced0("max_peak_memory_mb")).alias(
-                "max_peak_memory_mb"
-            ),
+            r4(F.max("max_peak_c0")).alias("max_peak_memory_mb"),
             r6(
                 _sum_coalesced("sum_cpu_ms") / F.sum("n_tasks") / 1000.0
             ).alias("avg_cpu_s"),
@@ -352,9 +435,7 @@ def cost_optimization_from_partials(
             r4(
                 _sum_coalesced("sum_peak_memory_mb") / F.sum("n_tasks")
             ).alias("avg_peak_memory_mb"),
-            r4(_max_coalesced0("max_peak_memory_mb")).alias(
-                "max_peak_memory_mb"
-            ),
+            r4(F.max("max_peak_c0")).alias("max_peak_memory_mb"),
             r4(
                 safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))
                 / 1000.0
@@ -369,6 +450,162 @@ def cost_optimization_from_partials(
 
 #: registered-query serving twins keyed by their raw-twin oracle name —
 #: the rollup queries share the RAW queries' DuckDB oracles verbatim
+def applications_from_partials(app_p: DataFrame, limit: int = 100) -> DataFrame:
+    """A1 served from the per-app all-events partials (twin of
+    ``catalog.applications``, reference duckdb_store_backup.rs:156-218)."""
+    from ..functions.expressions import epoch_ms
+
+    return (
+        app_p.groupBy("app_id")
+        .agg(
+            epoch_ms(F.min("min_ts")).alias("start_ms"),
+            epoch_ms(F.max("max_ts")).alias("end_ms"),
+            F.sum("n_events").alias("event_count"),
+        )
+        .orderBy(F.desc("end_ms"), "app_id")
+        .limit(limit)
+    )
+
+
+def executor_summary_from_partials(
+    p: DataFrame, exec_p: DataFrame
+) -> DataFrame:
+    """A4 served from partials (twin of ``catalog.executor_summary``,
+    reference duckdb_store_backup.rs:320-450). The raw twin collapses
+    the reference's three FULL OUTER joins into one conditional
+    aggregation; here the two event populations live in two partial
+    relations, so the serve is one FULL OUTER join of two tiny
+    per-executor aggregates — the same algebra, same COALESCE defaults,
+    same "survivors from any branch" key union."""
+    from ..functions.expressions import epoch_ms
+
+    task_agg = (
+        p.filter(F.col("executor_id").isNotNull())
+        .groupBy(F.col("executor_id"))
+        .agg(
+            F.sum("n_tasks").alias("t_total"),
+            (F.sum("n_tasks") - F.sum("n_failed")).alias("t_completed"),
+            r4(F.sum("sum_duration_ms")).alias("t_duration"),
+            r4(F.sum("sum_gc_ms")).alias("t_gc"),
+            r4(F.sum("sum_input_mb")).alias("t_input"),
+            r4(F.sum("sum_shuffle_read_mb")).alias("t_sread"),
+            r4(F.sum("sum_shuffle_write_mb")).alias("t_swrite"),
+        )
+    )
+    exec_agg = exec_p.groupBy(
+        F.coalesce(F.col("executor_id"), F.lit("driver")).alias("executor_id")
+    ).agg(
+        F.min("min_add_ts").alias("e_add_ts"),
+        F.max("max_rem_ts").alias("e_rem_ts"),
+        F.max("max_add_cores").alias("e_cores"),
+        F.sum("n_rem").alias("e_n_rem"),
+    )
+    joined = task_agg.alias("t").join(
+        exec_agg.alias("e"), "executor_id", "full_outer"
+    )
+    z = F.lit(0.0)
+    return (
+        joined.select(
+            F.col("executor_id"),
+            epoch_ms(F.col("e_add_ts")).alias("add_time_ms"),
+            epoch_ms(F.col("e_rem_ts")).alias("remove_time_ms"),
+            F.coalesce(F.col("e_cores"), F.lit(1.0)).cast("long").alias("cores"),
+            (F.coalesce(F.col("e_n_rem"), F.lit(0)) == 0).alias("is_active"),
+            F.coalesce(F.col("t_total"), F.lit(0)).alias("total_tasks"),
+            F.coalesce(F.col("t_completed"), F.lit(0)).alias("completed_tasks"),
+            F.coalesce(F.col("t_duration"), z).alias("total_duration_ms"),
+            F.coalesce(F.col("t_gc"), z).alias("total_gc_ms"),
+            F.coalesce(F.col("t_input"), z).alias("total_input_mb"),
+            F.coalesce(F.col("t_sread"), z).alias("total_shuffle_read_mb"),
+            F.coalesce(F.col("t_swrite"), z).alias("total_shuffle_write_mb"),
+        )
+        .orderBy("executor_id")
+    )
+
+
+def executor_utilization_from_partials(
+    p: DataFrame, limit: int = 20
+) -> DataFrame:
+    """A11 served from partials (twin of ``catalog.executor_utilization``,
+    reference duckdb_store_backup.rs:933-1007): host and app are grain
+    keys, so the distinct-app set and the locality conditional counts
+    re-aggregate exactly; ``apps_served`` keeps the raw twin's sorted
+    Expand-free ``collect_set`` form over the tiny cell relation."""
+    return (
+        p.filter(
+            F.col("executor_id").isNotNull()
+            & (F.col("executor_id") != "driver")
+        )
+        .groupBy("executor_id", "host")
+        .agg(
+            F.sum("n_tasks").alias("total_tasks"),
+            r4(F.sum("sum_duration_ms")).alias("total_duration_ms"),
+            F.size(F.collect_set("app_id")).cast("long").alias("distinct_apps"),
+            (F.sum("n_loc_process") + F.sum("n_loc_node")).alias(
+                "locality_hits"
+            ),
+            r4(F.max("max_peak_memory_mb")).alias("max_peak_memory_mb"),
+            F.to_json(F.sort_array(F.collect_set("app_id"))).alias(
+                "apps_served"
+            ),
+        )
+        .orderBy(F.desc("total_tasks"), "executor_id")
+        .limit(limit)
+    )
+
+
+def resource_utilization_metrics_from_partials(
+    p: DataFrame, app_p: DataFrame, limit: int = 1000
+) -> DataFrame:
+    """A12 served from partials (twin of
+    ``catalog.resource_utilization_metrics``, reference
+    duckdb_store_backup.rs:1010-1148): the 20-aggregate metrics side
+    re-aggregates from the task partials (pre-coalesced MAX cells make
+    the jvm-default merge exact), the J2/J3 liveness side from the
+    per-app all-events partials; the LEFT join + derived tail is the
+    shared ``catalog.resource_utilization_derived`` fragment."""
+    from ..functions.expressions import epoch_ms
+    from ..operators.catalog import resource_utilization_derived
+
+    m = (
+        p.filter(F.col("executor_id").isNotNull())
+        .groupBy("app_id", "executor_id", "host")
+        .agg(
+            F.sum("n_tasks").alias("total_tasks"),
+            (F.sum("n_tasks") - F.sum("n_failed")).alias("successful_tasks"),
+            F.sum("n_failed").alias("failed_tasks"),
+            r4(F.sum("sum_duration_ms")).alias("total_duration_ms"),
+            r4(safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))).alias(
+                "avg_duration_ms"
+            ),
+            r4(F.sum("sum_cpu_ms")).alias("total_cpu_ms"),
+            r4(F.sum("sum_gc_ms")).alias("total_gc_ms"),
+            r4(F.max("max_peak_c0")).alias("max_peak_memory_mb"),
+            r4(F.max("max_jvm_c1024")).alias("max_jvm_heap_mb"),
+            r4(_sum_coalesced("sum_input_mb")).alias("total_input_mb"),
+            r4(_sum_coalesced("sum_output_mb")).alias("total_output_mb"),
+            r4(_sum_coalesced("sum_shuffle_read_mb")).alias(
+                "total_shuffle_read_mb"
+            ),
+            r4(_sum_coalesced("sum_shuffle_write_mb")).alias(
+                "total_shuffle_write_mb"
+            ),
+            r4(F.sum("sum_disk_spill_mb")).alias("total_disk_spill_mb"),
+            r4(F.sum("sum_mem_spill_mb")).alias("total_mem_spill_mb"),
+            F.sum("n_loc_process").alias("process_local_tasks"),
+            F.sum("n_loc_node").alias("node_local_tasks"),
+            F.sum("n_loc_rack").alias("rack_local_tasks"),
+            F.sum("n_loc_any").alias("any_locality_tasks"),
+            epoch_ms(F.min("min_event_ts")).alias("first_task_ms"),
+            epoch_ms(F.max("max_event_ts")).alias("last_task_ms"),
+        )
+    )
+    app_status = app_p.groupBy(F.col("app_id").alias("s_app_id")).agg(
+        (F.coalesce(F.sum("n_app_end"), F.lit(0)) == 0).alias("s_is_active")
+    )
+    return resource_utilization_derived(m, app_status, limit)
+
+
 FROM_PARTIALS = {
     "performance_trends": performance_trends_from_partials,
     "gc_time_trends": gc_time_trends_from_partials,
@@ -443,6 +680,55 @@ def cost_optimization_rollup(ev: DataFrame) -> DataFrame:
     return cost_optimization_from_partials(materialized_rollup_partials_df(ev))
 
 
+def _materialized_aux_df(ev: DataFrame, slot: str, build) -> DataFrame:
+    from ..operators.dedup import _materialized_df
+
+    return _materialized_df(ev.sparkSession, slot, ev.semanticHash(), build)
+
+
+def materialized_exec_events_df(ev: DataFrame) -> DataFrame:
+    """Session-cached executor-lifecycle partials (A4's add/remove side)."""
+    return _materialized_aux_df(
+        ev, "_metrics_rollup_exec", lambda: exec_events_partials(ev)
+    )
+
+
+def materialized_app_events_df(ev: DataFrame) -> DataFrame:
+    """Session-cached per-app all-events partials (A1 + A12 liveness)."""
+    return _materialized_aux_df(
+        ev, "_metrics_rollup_app", lambda: app_events_partials(ev)
+    )
+
+
+def applications_rollup(ev: DataFrame) -> DataFrame:
+    """A1R: the application listing from the per-app partials (oracle =
+    A1's)."""
+    return applications_from_partials(materialized_app_events_df(ev))
+
+
+def executor_summary_rollup(ev: DataFrame) -> DataFrame:
+    """A4R: executor summary from the task + lifecycle partials (oracle
+    = A4's)."""
+    return executor_summary_from_partials(
+        materialized_rollup_partials_df(ev), materialized_exec_events_df(ev)
+    )
+
+
+def executor_utilization_rollup(ev: DataFrame) -> DataFrame:
+    """A11R: executor utilization from rollup partials (oracle = A11's)."""
+    return executor_utilization_from_partials(
+        materialized_rollup_partials_df(ev)
+    )
+
+
+def resource_utilization_metrics_rollup(ev: DataFrame) -> DataFrame:
+    """A12R: the 20-aggregate resource rollup from the task + per-app
+    partials (oracle = A12's)."""
+    return resource_utilization_metrics_from_partials(
+        materialized_rollup_partials_df(ev), materialized_app_events_df(ev)
+    )
+
+
 # ==========================================================================
 # durable lifecycle — write / read / stream / delete / compact / validate
 # ==========================================================================
@@ -475,6 +761,15 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
     partials.write.mode("overwrite").partitionBy("event_date").parquet(
         f"{path}/partials"
     )
+    for rel, build in (
+        ("exec_events", exec_events_partials),
+        ("app_events", app_events_partials),
+    ):
+        build(ev).withColumn(
+            "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
+        ).repartition(F.col("event_date")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(f"{path}/{rel}")
     if path_exists(spark, f"{path}/deleted_apps"):
         compact_relation_swap(
             spark,
@@ -521,17 +816,32 @@ def read_rollup_partials(spark: SparkSession, path: str) -> DataFrame:
     the serving twins go through :func:`materialized_rollup_relation`,
     which runs this ONCE per index state and keeps the result
     persisted."""
-    p = spark.read.parquet(f"{path}/partials").withColumn(
+    return _read_rollup_relation(spark, path, "partials", GRAIN)
+
+
+_REL_GRAINS = {
+    "partials": GRAIN,
+    "exec_events": EXEC_GRAIN,
+    "app_events": APP_GRAIN,
+}
+
+
+def _read_rollup_relation(
+    spark: SparkSession, path: str, rel: str, grain: tuple[str, ...]
+) -> DataFrame:
+    p = spark.read.parquet(f"{path}/{rel}").withColumn(
         "event_date", F.col("event_date").cast("string")
     )
-    p = p.dropDuplicates([*GRAIN, "ingest_batch"])
+    p = p.dropDuplicates([*grain, "ingest_batch"])
     tomb = _tombstoned_app_ids(spark, path)
     if tomb is not None:
         p = p.join(tomb, "app_id", "left_anti")
     return p
 
 
-def materialized_rollup_relation(spark: SparkSession, path: str) -> DataFrame:
+def materialized_rollup_relation(
+    spark: SparkSession, path: str, rel: str = "partials"
+) -> DataFrame:
     """The serving twins' warm state: the deduped + suppressed partial
     relation, persisted through the shared thread-safe keyed cache (the
     S13 ``_materialized_index_relation`` pattern). A warm dashboard
@@ -547,14 +857,15 @@ def materialized_rollup_relation(spark: SparkSession, path: str) -> DataFrame:
 
     key = hash((
         path,
-        _relation_fingerprint(spark, f"{path}/partials"),
+        rel,
+        _relation_fingerprint(spark, f"{path}/{rel}"),
         _relation_fingerprint(spark, f"{path}/deleted_apps"),
     ))
     return _materialized_df(
         spark,
-        "_rollup_partials_served",
+        f"_rollup_{rel}_served",
         key,
-        lambda: read_rollup_partials(spark, path),
+        lambda: _read_rollup_relation(spark, path, rel, _REL_GRAINS[rel]),
     )
 
 
@@ -624,6 +935,43 @@ def cost_optimization_from_rollup(
     )
 
 
+def applications_from_rollup(
+    spark: SparkSession, path: str, limit: int = 100
+) -> DataFrame:
+    """A1 from the durable rollup's per-app relation."""
+    return applications_from_partials(
+        materialized_rollup_relation(spark, path, "app_events"), limit
+    )
+
+
+def executor_summary_from_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """A4 from the durable rollup's task + lifecycle relations."""
+    return executor_summary_from_partials(
+        materialized_rollup_relation(spark, path),
+        materialized_rollup_relation(spark, path, "exec_events"),
+    )
+
+
+def executor_utilization_from_rollup(
+    spark: SparkSession, path: str, limit: int = 20
+) -> DataFrame:
+    """A11 from the durable rollup."""
+    return executor_utilization_from_partials(
+        materialized_rollup_relation(spark, path), limit
+    )
+
+
+def resource_utilization_metrics_from_rollup(
+    spark: SparkSession, path: str, limit: int = 1000
+) -> DataFrame:
+    """A12 from the durable rollup's task + per-app relations."""
+    return resource_utilization_metrics_from_partials(
+        materialized_rollup_relation(spark, path),
+        materialized_rollup_relation(spark, path, "app_events"),
+        limit,
+    )
+
+
 def stream_update_metrics_rollup(
     ev_stream: DataFrame, path: str, checkpoint: str
 ):
@@ -646,18 +994,20 @@ def stream_update_metrics_rollup(
         from .dedup_index import compact_relation_swap, invalidate_count_row
 
         spark = batch_df.sparkSession
-        part = (
-            rollup_partials(batch_df)
-            .withColumn("ingest_batch", F.lit(int(batch_id)).cast("long"))
-            .persist()
-        )
+        tag = F.lit(int(batch_id)).cast("long")
+        # app_events groups EVERY row, so it is both the emptiness probe
+        # and the revive probe's app set — a batch with only lifecycle
+        # or app start/end events (no tasks) still appends its relations
+        app_part = app_events_partials(batch_df).withColumn(
+            "ingest_batch", tag
+        ).persist()
         try:
-            if not part.take(1):
+            if not app_part.take(1):
                 return
             invalidate_count_row(spark, path)
             tomb = _tombstoned_app_ids(spark, path)
             if tomb is not None:
-                batch_apps = part.select("app_id").distinct()
+                batch_apps = app_part.select("app_id").distinct()
                 if tomb.join(batch_apps, "app_id", "left_semi").take(1):
                     compact_relation_swap(
                         spark,
@@ -666,11 +1016,35 @@ def stream_update_metrics_rollup(
                         .join(batch_apps, "app_id", "left_anti"),
                         f"{path}/deleted_apps", None, sort_cols=["app_id"],
                     )
-            part.repartition(F.col("event_date")).write.mode(
-                "append"
-            ).partitionBy("event_date").parquet(f"{path}/partials")
+            for rel, frame in (
+                ("partials", rollup_partials(batch_df).withColumn(
+                    "ingest_batch", tag
+                )),
+                ("exec_events", exec_events_partials(batch_df).withColumn(
+                    "ingest_batch", tag
+                )),
+                ("app_events", app_part),
+            ):
+                if rel != "app_events":
+                    # a batch can carry no rows of a sub-population
+                    # (task-only / lifecycle-only micro-batches);
+                    # appending an empty frame to a NOT-YET-EXISTING
+                    # relation would leave a file-less directory that
+                    # breaks every later read
+                    frame = frame.persist()
+                    has_rows = bool(frame.take(1))
+                else:
+                    has_rows = True
+                try:
+                    if has_rows:
+                        frame.repartition(F.col("event_date")).write.mode(
+                            "append"
+                        ).partitionBy("event_date").parquet(f"{path}/{rel}")
+                finally:
+                    if rel != "app_events":
+                        frame.unpersist()
         finally:
-            part.unpersist()
+            app_part.unpersist()
 
     return (
         ev_stream.writeStream.foreachBatch(_rollup_batch)
@@ -722,18 +1096,28 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
     from .index_manifest import path_exists, refresh_index_manifest
 
     invalidate_count_row(spark, path)
-    folded = merge_partials(read_rollup_partials(spark, path)).withColumn(
-        "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
-    ).repartition(F.col("event_date"))  # one file per day dir (see builder)
-    out = [
-        {
-            "relation": "partials",
-            "rows_after": compact_relation_swap(
-                spark, folded, f"{path}/partials", "event_date",
-                sort_cols=["app_id", "executor_id"],
-            ),
-        }
-    ]
+    out = []
+    for rel, merge in (
+        ("partials", merge_partials),
+        ("exec_events", merge_exec_events),
+        ("app_events", merge_app_events),
+    ):
+        if not path_exists(spark, f"{path}/{rel}"):
+            continue  # legacy layout / stream never carried this population
+        folded = merge(
+            _read_rollup_relation(spark, path, rel, _REL_GRAINS[rel])
+        ).withColumn(
+            "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
+        ).repartition(F.col("event_date"))  # one file per day dir
+        out.append(
+            {
+                "relation": rel,
+                "rows_after": compact_relation_swap(
+                    spark, folded, f"{path}/{rel}", "event_date",
+                    sort_cols=[c for c in _REL_GRAINS[rel][1:]],
+                ),
+            }
+        )
     if path_exists(spark, f"{path}/deleted_apps"):
         out.append(
             {

@@ -979,7 +979,9 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         assert code == 200 and "metrics_rollup" in status
         entry = status["metrics_rollup"]
         assert entry["n_cells"] > 0 and entry["n_tombstones"] == 0
-        assert set(entry["relations"]) == {"partials", "counts"}
+        assert set(entry["relations"]) == {
+            "partials", "exec_events", "app_events", "counts",
+        }
 
         n_before = entry["n_cells"]
         delete_from_metrics_rollup(

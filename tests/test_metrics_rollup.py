@@ -38,6 +38,10 @@ RAW_TWINS = {
     "efficiency_analysis": catalog.efficiency_analysis,
     "capacity_trends": catalog.capacity_trends,
     "cost_optimization": catalog.cost_optimization,
+    "applications": catalog.applications,
+    "executor_summary": catalog.executor_summary,
+    "executor_utilization": catalog.executor_utilization,
+    "resource_utilization_metrics": catalog.resource_utilization_metrics,
 }
 
 
@@ -52,7 +56,7 @@ def _rows(df):
 def test_from_partials_bit_identical(spark, name):
     ev = load_events(spark, SF_SMALL)
     raw = _rows(RAW_TWINS[name](ev))
-    served = _rows(mr.FROM_PARTIALS[name](mr.rollup_partials(ev)))
+    served = _rows(getattr(mr, f"{name}_rollup")(ev))
     assert raw == served
     assert raw  # non-vacuous
 
@@ -421,6 +425,16 @@ def test_rebuild_retires_tombstones_last(spark, tmp_path, monkeypatch):
 def test_percentiles_not_servable_documented():
     """Guard the scope line: the rollup serves only algebraic twins —
     holistic aggregates (exact percentiles) must not grow a silent
-    partial-served variant without a design change."""
-    assert set(mr.FROM_PARTIALS) == set(RAW_TWINS)
+    partial-served variant without a design change. FROM_PARTIALS maps
+    the single-relation task-partial twins; the multi-relation twins
+    (A1/A4/A12 need the app/exec relations) are covered by RAW_TWINS'
+    serving-name convention instead."""
+    assert set(mr.FROM_PARTIALS) == {
+        "performance_trends", "gc_time_trends", "cpu_utilization",
+        "memory_usage", "top_resource_consumers", "efficiency_analysis",
+        "capacity_trends", "cost_optimization",
+    }
     assert "task_duration_percentiles" not in mr.FROM_PARTIALS
+    for name in RAW_TWINS:
+        assert callable(getattr(mr, f"{name}_from_rollup"))
+        assert callable(getattr(mr, f"{name}_rollup"))
