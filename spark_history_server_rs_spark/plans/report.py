@@ -139,6 +139,13 @@ SELECTED = [
     ("knn_graph_build_edges",
      "S16 build: block-pair equi-join groups -> vectorized Arrow kernel;"
      " python worker expected HERE (the one sanctioned kernel)"),
+    # round-12: the S17 continuous-aggregate split
+    ("metrics_rollup_partials",
+     "S17 build: ONE map-side-combined aggregation of TaskEnd rows to"
+     " grain cells — every partial column a bounded merge state"),
+    ("performance_trends_from_rollup",
+     "S17 serving: day-partitioned partials scan -> one re-aggregation;"
+     " NO fact-table scan anywhere in the plan"),
 ]
 
 
@@ -227,6 +234,29 @@ def main() -> None:
             p = tempfile.mkdtemp() + "/knngb"
             write_knn_graph(emb, p)
             df = knn_graph_edges_df(spark.read.parquet(f"{p}/nodes"))
+        elif name == "metrics_rollup_partials":
+            from ..sources.generic import load_events as _le
+            from ..sources.metrics_rollup import rollup_partials
+
+            df = rollup_partials(_le(spark, "/root/testdata/sf0.01"))
+        elif name == "performance_trends_from_rollup":
+            import tempfile
+
+            from ..sources.generic import load_events as _le
+            from ..sources.metrics_rollup import (
+                performance_trends_from_partials,
+                read_rollup_partials,
+                write_metrics_rollup,
+            )
+
+            p = tempfile.mkdtemp() + "/rollup"
+            write_metrics_rollup(_le(spark, "/root/testdata/sf0.01"), p)
+            # report the UNCACHED serve plan (the cached path shows an
+            # InMemoryTableScan, which hides the partition layout this
+            # evidence exists to show)
+            df = performance_trends_from_partials(
+                read_rollup_partials(spark, p)
+            )
         else:
             df = queries[name](spark, "/root/testdata/sf0.01")
         simple = I.explain_str(df, "simple")
