@@ -167,6 +167,13 @@ _SENTINELS = (
     "applications_status_completed",
     "applications_time_window",
     "asof_join_task_executor_config",
+    # window filler — the r12 slots left over after the S17 batch:
+    # the four oldest r11-checked rows re-check a round early (all
+    # pytest-oracle-green every session regardless)
+    "ann_crossencoder_rerank",
+    "dedup_passage_index",
+    "dedup_survivorship",
+    "embedding_abtt_audit",
     # r13 rotation queue (the 37 r09 rows remaining after this window):
     # corpus_hash_split, corpus_profile, cube_order_stats,
     # dedup_embedding_cosine_prefiltered,
