@@ -715,13 +715,45 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "cost_optimization": 10,
             }
             limit = self._limit(qs, defaults[name])
+            # optional DAY-granular window (?startDate/?endDate, same
+            # parser as /applications): the rollup is partitioned by
+            # day, so the bound prunes partitions on a cold read and
+            # row-prunes the warm in-memory relation; the live fallback
+            # applies the identical day predicate so the two paths stay
+            # wire-identical. Day granularity is the rollup's native
+            # resolution — deliberately coarser than /applications'
+            # millisecond window.
+            from pyspark.sql import functions as F
+
+            def _day(param):
+                raw = qs.get(param, [None])[0]
+                if not raw:
+                    return None
+                ms = parse_date_param(raw)
+                return datetime.fromtimestamp(
+                    ms / 1000.0, tz=timezone.utc
+                ).strftime("%Y-%m-%d")
+
+            start_day, end_day = _day("startDate"), _day("endDate")
             p17 = getattr(self.server, "metrics_rollup_path", None)
             if p17 is not None:
-                df = getattr(MR, f"{name}_from_rollup")(
-                    ev.sparkSession, p17, limit=limit
-                )
+                p = MR.materialized_rollup_relation(ev.sparkSession, p17)
+                if start_day:
+                    p = p.filter(F.col("event_date") >= start_day)
+                if end_day:
+                    p = p.filter(F.col("event_date") <= end_day)
+                df = MR.FROM_PARTIALS[name](p, limit=limit)
             else:
-                df = getattr(_cat, name)(ev, limit=limit)
+                from ..functions.expressions import date_str
+
+                src = ev
+                if start_day:
+                    src = src.filter(
+                        date_str(F.col("event_date")) >= start_day
+                    )
+                if end_day:
+                    src = src.filter(date_str(F.col("event_date")) <= end_day)
+                df = getattr(_cat, name)(src, limit=limit)
             return self._send(200, _rows(df))
 
         m = re.fullmatch(r"/api/v1/engagement/(funnel|retention|transitions|active-users|segments)", path)

@@ -1008,3 +1008,47 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         assert all(r["app_id"] != "3" for r in rows)
     finally:
         httpd.shutdown()
+
+
+def test_metrics_routes_day_window(spark, api):
+    """?startDate/?endDate on /api/v1/metrics/*: day-granular bounds
+    (the rollup's native partition resolution). The rollup-served and
+    live-fallback paths must return identical windowed payloads, the
+    window must actually drop rows, and the two bounds compose."""
+    import tempfile
+
+    from spark_history_server_rs_spark.api.server import serve
+    from spark_history_server_rs_spark.sources.metrics_rollup import (
+        write_metrics_rollup,
+    )
+
+    ev = load_events(spark, SF_SMALL)
+    p17 = tempfile.mkdtemp() + "/s17w"
+    write_metrics_rollup(ev, p17)
+    httpd = serve(ev, warmup=False, metrics_rollup_path=p17)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        full_code, full = _get(api, "/api/v1/metrics/performance-trends")
+        q = "?startDate=2024-01-08&endDate=2024-01-14"
+        code_live, windowed_live = _get(
+            api, "/api/v1/metrics/performance-trends" + q
+        )
+        code_roll, windowed_roll = _get(
+            base, "/api/v1/metrics/performance-trends" + q
+        )
+        assert (full_code, code_live, code_roll) == (200, 200, 200)
+        assert windowed_live == windowed_roll  # identical paths
+        days = {r["event_date"] for r in windowed_roll}
+        assert days and days <= {
+            f"2024-01-{d:02d}" for d in range(8, 15)
+        }
+        assert 0 < len(windowed_roll) < len(full)  # the bound bites
+        # open-ended bound + a day-grain route with per-day output
+        code, tail = _get(base, "/api/v1/metrics/capacity-trends?startDate=2024-01-20")
+        assert code == 200 and all(
+            r["event_date"] >= "2024-01-20" for r in tail
+        )
+    finally:
+        httpd.shutdown()
