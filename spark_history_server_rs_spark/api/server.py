@@ -678,7 +678,8 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             r"/api/v1/metrics/"
             r"(performance-trends|gc-trends|cpu-utilization|memory-usage"
             r"|top-resource-consumers|efficiency-analysis|capacity-trends"
-            r"|cost-optimization)",
+            r"|cost-optimization|resource-usage-summary|cross-app-summary"
+            r"|task-distribution)",
             path,
         )
         if m:
@@ -703,6 +704,9 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "efficiency-analysis": "efficiency_analysis",
                 "capacity-trends": "capacity_trends",
                 "cost-optimization": "cost_optimization",
+                "resource-usage-summary": "resource_usage_summary",
+                "cross-app-summary": "cross_app_summary",
+                "task-distribution": "task_distribution",
             }[m.group(1)]
             defaults = {
                 "performance_trends": 500,
@@ -713,8 +717,15 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "efficiency_analysis": 10,
                 "capacity_trends": 30,
                 "cost_optimization": 10,
+                # A3/A9 take no limit in the catalog (reference returns
+                # the full grouping / one global row)
+                "task_distribution": 500,
             }
-            limit = self._limit(qs, defaults[name])
+            limit = (
+                self._limit(qs, defaults[name])
+                if name in defaults
+                else None
+            )
             # optional DAY-granular window (?startDate/?endDate, same
             # parser as /applications): the rollup is partitioned by
             # day, so the bound prunes partitions on a cold read and
@@ -737,12 +748,33 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             start_day, end_day = _day("startDate"), _day("endDate")
             p17 = getattr(self.server, "metrics_rollup_path", None)
             if p17 is not None:
-                p = MR.materialized_rollup_relation(ev.sparkSession, p17)
-                if start_day:
-                    p = p.filter(F.col("event_date") >= start_day)
-                if end_day:
-                    p = p.filter(F.col("event_date") <= end_day)
-                df = MR.FROM_PARTIALS[name](p, limit=limit)
+                sp = ev.sparkSession
+
+                def _rel(rel="partials"):
+                    p = MR.materialized_rollup_relation(sp, p17, rel)
+                    if start_day:
+                        p = p.filter(F.col("event_date") >= start_day)
+                    if end_day:
+                        p = p.filter(F.col("event_date") <= end_day)
+                    return p
+
+                # the r13 trio reads other relations of the rollup (A3/
+                # A9 the all-events grain, A10 the per-stage grain); the
+                # original eight stay on the single-relation dispatch
+                if name == "resource_usage_summary":
+                    df = MR.resource_usage_summary_from_partials(
+                        _rel("app_events")
+                    )
+                elif name == "cross_app_summary":
+                    df = MR.cross_app_summary_from_partials(
+                        _rel(), _rel("app_events")
+                    )
+                elif name == "task_distribution":
+                    df = MR.task_distribution_from_partials(
+                        _rel("stage_events"), limit=limit
+                    )
+                else:
+                    df = MR.FROM_PARTIALS[name](_rel(), limit=limit)
             else:
                 from ..functions.expressions import date_str
 
@@ -753,7 +785,10 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     )
                 if end_day:
                     src = src.filter(date_str(F.col("event_date")) <= end_day)
-                df = getattr(_cat, name)(src, limit=limit)
+                if name in ("resource_usage_summary", "cross_app_summary"):
+                    df = getattr(_cat, name)(src)
+                else:
+                    df = getattr(_cat, name)(src, limit=limit)
             return self._send(200, _rows(df))
 
         m = re.fullmatch(r"/api/v1/engagement/(funnel|retention|transitions|active-users|segments)", path)

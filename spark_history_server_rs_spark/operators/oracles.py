@@ -575,5 +575,9 @@ for _raw_twin in (
     "top_resource_consumers", "efficiency_analysis", "capacity_trends",
     "cost_optimization", "applications", "executor_summary",
     "executor_utilization", "resource_utilization_metrics",
+    # r13: the last three raw-scan analytics joined the rollup —
+    # A3 from the v2 all-events grain (+event_type), A9 from the
+    # task + all-events relations, A10 from the per-stage relation
+    "resource_usage_summary", "cross_app_summary", "task_distribution",
 ):
     ORACLE_SQL[f"{_raw_twin}_rollup"] = ORACLE_SQL[_raw_twin]

@@ -51,6 +51,29 @@ DEFAULT_NOW_MS = 1735689600000
 _MB = 1048576.0
 
 
+def _snap_ms(c: F.Column) -> F.Column:
+    """Row-level snap to an INTEGER-VALUED double (milliseconds).
+
+    Why snapping exists (ADVICE r12): the S17 rollup's bit-identity
+    between serve-from-partials and scan-from-raw rests on every metric
+    column summing EXACTLY in IEEE doubles regardless of association —
+    true for integer-valued doubles (up to 2^53), false for nanos/1e6
+    fractions like 0.123456. ``sources/generic.py`` snaps the synthetic
+    corpus the same way; this keeps the invariant for real event logs."""
+    return F.floor(c + F.lit(0.5)).cast("double")
+
+
+def _snap_mb(c: F.Column) -> F.Column:
+    """Row-level snap to the 2^-10 grid (KB resolution in MB units).
+
+    Multiples of 2^-10 sum exactly while the running total stays under
+    2^43 MB = 8 EB — far past any deployment — where raw bytes/2^20
+    values (2^-20 grid) lose exactness three decades earlier. Costs at
+    most half a KB of resolution per row; see :func:`_snap_ms` for why
+    the grid matters."""
+    return F.floor(c * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+
+
 def _get(path: str) -> F.Column:
     return F.get_json_object(F.col("raw_data"), path)
 
@@ -197,7 +220,10 @@ def _project_events(
         )
         .withColumn(
             "cpu_ms",
-            F.when(is_task_end, j["Task Metrics"]["Executor CPU Time"] / 1e6),
+            F.when(
+                is_task_end,
+                _snap_ms(j["Task Metrics"]["Executor CPU Time"] / 1e6),
+            ),
         )
         .withColumn(
             "gc_ms", F.when(is_task_end, j["Task Metrics"]["JVM GC Time"])
@@ -205,52 +231,56 @@ def _project_events(
         .withColumn(
             "peak_memory_mb",
             F.when(
-                is_task_end, j["Task Metrics"]["Peak Execution Memory"] / _MB
+                is_task_end, _snap_mb(j["Task Metrics"]["Peak Execution Memory"] / _MB)
             ),
         )
         .withColumn(
             "jvm_heap_mb",
             F.when(
                 is_task_end,
-                j["Task Executor Metrics"]["JVMHeapMemory"] / _MB,
+                _snap_mb(j["Task Executor Metrics"]["JVMHeapMemory"] / _MB),
             ),
         )
         .withColumn(
             "mem_spill_mb",
-            F.when(is_task_end, j["Task Metrics"]["Memory Bytes Spilled"] / _MB),
+            F.when(is_task_end, _snap_mb(j["Task Metrics"]["Memory Bytes Spilled"] / _MB)),
         )
         .withColumn(
             "disk_spill_mb",
-            F.when(is_task_end, j["Task Metrics"]["Disk Bytes Spilled"] / _MB),
+            F.when(is_task_end, _snap_mb(j["Task Metrics"]["Disk Bytes Spilled"] / _MB)),
         )
         .withColumn(
             "input_mb",
             F.when(
                 is_task_end,
-                j["Task Metrics"]["Input Metrics"]["Bytes Read"] / _MB,
+                _snap_mb(j["Task Metrics"]["Input Metrics"]["Bytes Read"] / _MB),
             ),
         )
         .withColumn(
             "output_mb",
             F.when(
                 is_task_end,
-                j["Task Metrics"]["Output Metrics"]["Bytes Written"] / _MB,
+                _snap_mb(j["Task Metrics"]["Output Metrics"]["Bytes Written"] / _MB),
             ),
         )
         .withColumn(
             "shuffle_read_mb",
             F.when(
                 is_task_end,
-                j["Task Metrics"]["Shuffle Read Metrics"]["Remote Bytes Read"]
-                / _MB,
+                _snap_mb(
+                    j["Task Metrics"]["Shuffle Read Metrics"]["Remote Bytes Read"]
+                    / _MB
+                ),
             ),
         )
         .withColumn(
             "shuffle_write_mb",
             F.when(
                 is_task_end,
-                j["Task Metrics"]["Shuffle Write Metrics"]["Shuffle Bytes Written"]
-                / _MB,
+                _snap_mb(
+                    j["Task Metrics"]["Shuffle Write Metrics"]["Shuffle Bytes Written"]
+                    / _MB
+                ),
             ),
         )
         .withColumn("total_cores", j["Executor Info"]["Total Cores"])
@@ -864,11 +894,17 @@ def erase_apps_from_sink(
             p = jvm.org.apache.hadoop.fs.Path(path)
             p.getFileSystem(conf).delete(p, True)
     if verify:
-        remaining = (
-            spark.read.parquet(sink_dir)
-            .join(F.broadcast(victims), "app_id", "left_semi")
-            .count()
-        )
+        # an erasure whose victims covered EVERY partition leaves an
+        # empty sink — a bare parquet read would fail schema inference
+        # there (ADVICE r12); an empty relation trivially verifies
+        if not _sink_partition_dirs(spark, sink_dir):
+            remaining = 0
+        else:
+            remaining = (
+                spark.read.parquet(sink_dir)
+                .join(F.broadcast(victims), "app_id", "left_semi")
+                .count()
+            )
         if remaining:
             raise RuntimeError(
                 f"sink erasure verification failed: {remaining} rows of "

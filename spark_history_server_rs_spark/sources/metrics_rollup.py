@@ -29,11 +29,18 @@ self-consistency.
 
 Layout (zstd parquet, same swap/meta/tombstone conventions as S13-S16)::
 
-    path/partials/      grain (event_date, app_id, executor_id) +
-                        partial columns + ingest_batch,
+    path/partials/      task grain (event_date, app_id, executor_id,
+                        host) + partial columns + ingest_batch,
                         PARTITIONED BY event_date  (day pruning)
+    path/exec_events/   executor-lifecycle grain (A4's add/remove side)
+    path/app_events/    all-events grain (event_date, app_id,
+                        event_type) — A1/A3/A9/A12-liveness partials
+    path/stage_events/  per-stage task grain (A10's distribution)
     path/deleted_apps/  (app_id) tombstones — per-app retention/erasure
     path/counts/        one row (n_cells) — pre-counted live grain cells
+    path/folded_hwm/    per-relation highest stream batch id ever
+                        folded (the replay/compaction exactly-once
+                        closure — see compact_metrics_rollup)
     path/manifest/      per-relation (n_rows, content_hash) attestation
 
 Scale shape at 100 TB: the partials relation is |days| × |apps| ×
@@ -53,8 +60,25 @@ are not idempotent to duplicates, so every serving read de-duplicates on
 same source offsets, the partial aggregation is deterministic (exact
 integer sums), hence a retry's rows are bit-identical to the originals and
 the key-dedup restores exactly-once semantics at serve time. Compaction
-then makes it physical (one row per grain, ``ingest_batch = -1``). One
-writer per rollup, as for every durable family here.
+then makes it physical (one row per grain, ``ingest_batch = -1``) — and,
+because the fold erases the batch tags the key-dedup relies on, it first
+persists a per-relation folded-batch high-watermark the stream updater
+consults: a batch replayed AFTER its rows were folded is skipped
+per-relation instead of re-appended (the ADVICE-r12 crash window —
+rows landed, checkpoint commit lost, compaction ran before the restart).
+One writer per rollup, as for every durable family here; compaction and
+the stream updater never run concurrently (the maintenance-slot contract).
+
+Bit-exactness scope: the rollup twins share the raw twins' oracles
+because two-level re-aggregation of the metric columns is order-
+independent — every metric is snapped AT THE ROW LEVEL to a grid whose
+sums stay exact in IEEE doubles (integer-valued ms/counts; 2^-10-grid
+MB). ``sources/generic.py`` snaps the synthetic corpus to integers and
+``sources/event_logs.py`` snaps real-log metrics (integer ms, KB-grid
+MB) for exactly this reason — a frame whose metric columns carry
+arbitrary doubles (non-dyadic fractions, >2^53 partial sums) voids the
+bit-identity claim, though results remain correct up to float
+re-association.
 """
 
 from __future__ import annotations
@@ -72,11 +96,22 @@ GRAIN = ("event_date", "app_id", "executor_id", "host")
 #: grain of the executor-lifecycle partial relation (A4's add/remove side)
 EXEC_GRAIN = ("event_date", "app_id", "executor_id")
 
-#: grain of the all-events per-app partial relation (A1 + A12 liveness)
-APP_GRAIN = ("event_date", "app_id")
+#: grain of the all-events partial relation (A1 + A12 liveness + A3's
+#: per-type breakdown + A9's all-event sums). ``event_type`` joined the
+#: grain in v2 so A3 (``resource_usage_summary``) serves from cells;
+#: every coarser consumer (A1's per-app listing, A12's liveness, A9's
+#: per-app sums) re-aggregates over it — cells grow only by the event-
+#: type cardinality (~10 in real logs), still megabytes at 100 TB
+APP_GRAIN = ("event_date", "app_id", "event_type")
+
+#: grain of the per-stage task partials (A10's task distribution) —
+#: stages are bounded per app, so cells ≪ task rows at any scale
+STAGE_GRAIN = ("event_date", "app_id", "stage_id")
 
 #: relations attested by the manifest
-ROLLUP_RELATIONS = ("partials", "exec_events", "app_events", "deleted_apps")
+ROLLUP_RELATIONS = (
+    "partials", "exec_events", "app_events", "stage_events", "deleted_apps"
+)
 
 #: ingest_batch value for batch-built / compacted rows (stream batches ≥ 0)
 _BATCH_BUILD = -1
@@ -180,18 +215,64 @@ def exec_events_partials(ev: DataFrame) -> DataFrame:
 
 
 def app_events_partials(ev: DataFrame) -> DataFrame:
-    """The ALL-EVENTS per-app partials: A1's listing (min/max timestamp,
-    event count) and A12's J3 liveness (active = zero end events) are
-    aggregates over every event type, so they need their own relation
-    beside the TaskEnd rollup."""
+    """The ALL-EVENTS partials (grain v2: + ``event_type``): A1's
+    listing (min/max timestamp, event count) and A12's J3 liveness
+    (active = zero end events) are aggregates over every event type, so
+    they need their own relation beside the TaskEnd rollup. v2 also
+    carries what A3 and A9 need from the all-event population:
+
+    - A3 (``resource_usage_summary``) groups by (app, type, day) — the
+      grain keys — with a null-skipping duration AVG (sum + count);
+    - A9 (``cross_app_summary``) sums ``COALESCE(input_mb, 0)`` and
+      maxes ``total_cores`` over ALL events, not just tasks
+      (total_cores rides executor-add AND task rows in the generic
+      mapping), so those partials must live here, not in the
+      task-only relation."""
     return ev.groupBy(
         date_str(F.col("event_date")).alias("event_date"),
         F.col("app_id"),
+        F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
         count_if(F.col("is_app_end")).alias("n_app_end"),
         F.min("event_ts").alias("min_ts"),
         F.max("event_ts").alias("max_ts"),
+        F.count("duration_ms").alias("n_duration"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+        F.sum(F.coalesce(F.col("input_mb"), F.lit(0.0))).alias(
+            "sum_input_c0"
+        ),
+        F.max("total_cores").alias("max_cores"),
+    )
+
+
+def stage_events_partials(ev: DataFrame) -> DataFrame:
+    """The per-STAGE task partials (A10's task distribution): one row
+    per (day, app, stage) over the stage-attributed task rows. All of
+    A10's aggregates are algebraic — the conditional outcome counts,
+    the duration AVG's sum/count pair, MIN/MAX duration, and the
+    four fixed-domain locality counters all merge exactly."""
+    return (
+        ev.filter(F.col("is_task") & F.col("stage_id").isNotNull())
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.col("stage_id"),
+        )
+        .agg(
+            F.count("*").alias("n_tasks"),
+            count_if(~F.col("is_success")).alias("n_failed"),
+            F.count("duration_ms").alias("n_duration"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+            F.min("duration_ms").alias("min_duration_ms"),
+            F.max("duration_ms").alias("max_duration_ms"),
+            count_if(F.col("locality") == "PROCESS_LOCAL").alias(
+                "n_loc_process"
+            ),
+            count_if(F.col("locality") == "NODE_LOCAL").alias("n_loc_node"),
+            count_if(F.col("locality") == "RACK_LOCAL").alias("n_loc_rack"),
+            count_if(F.col("locality") == "ANY").alias("n_loc_any"),
+        )
     )
 
 
@@ -234,12 +315,32 @@ def merge_exec_events(p: DataFrame) -> DataFrame:
 
 
 def merge_app_events(p: DataFrame) -> DataFrame:
-    """Compaction merge for the per-app all-events partials."""
+    """Compaction merge for the all-events partials."""
     return p.groupBy(*APP_GRAIN).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("n_app_end").alias("n_app_end"),
         F.min("min_ts").alias("min_ts"),
         F.max("max_ts").alias("max_ts"),
+        F.sum("n_duration").alias("n_duration"),
+        F.sum("sum_duration_ms").alias("sum_duration_ms"),
+        F.sum("sum_input_c0").alias("sum_input_c0"),
+        F.max("max_cores").alias("max_cores"),
+    )
+
+
+def merge_stage_events(p: DataFrame) -> DataFrame:
+    """Compaction merge for the per-stage task partials."""
+    return p.groupBy(*STAGE_GRAIN).agg(
+        F.sum("n_tasks").alias("n_tasks"),
+        F.sum("n_failed").alias("n_failed"),
+        F.sum("n_duration").alias("n_duration"),
+        F.sum("sum_duration_ms").alias("sum_duration_ms"),
+        F.min("min_duration_ms").alias("min_duration_ms"),
+        F.max("max_duration_ms").alias("max_duration_ms"),
+        F.sum("n_loc_process").alias("n_loc_process"),
+        F.sum("n_loc_node").alias("n_loc_node"),
+        F.sum("n_loc_rack").alias("n_loc_rack"),
+        F.sum("n_loc_any").alias("n_loc_any"),
     )
 
 
@@ -606,6 +707,112 @@ def resource_utilization_metrics_from_partials(
     return resource_utilization_derived(m, app_status, limit)
 
 
+def resource_usage_summary_from_partials(app_p: DataFrame) -> DataFrame:
+    """A3 served from the all-events partials (twin of
+    ``catalog.resource_usage_summary``, reference
+    duckdb_store_backup.rs:250-284): (app, type, day) are exactly the
+    v2 grain keys, so the serve is a re-aggregation of already-merged
+    cells — event_count by SUM, the null-skipping duration AVG from the
+    sum/count pair (NULL on zero count via the NULLIF guard, matching
+    SQL AVG)."""
+    return (
+        app_p.groupBy("app_id", "event_type", "event_date")
+        .agg(
+            F.sum("n_events").alias("event_count"),
+            r4(
+                safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))
+            ).alias("avg_duration_ms"),
+        )
+        .orderBy(F.desc("event_date"), "app_id", "event_type")
+    )
+
+
+def cross_app_summary_from_partials(
+    p: DataFrame, app_p: DataFrame
+) -> DataFrame:
+    """A9 served from partials (twin of ``catalog.cross_app_summary``,
+    reference duckdb_store_backup.rs:801-857, quirk preserved): the raw
+    twin is already a two-level aggregation (per-app, then global), so
+    serving re-creates the SAME per-app intermediate from cells — the
+    all-event sums (events, coalesced input, cores, first/last ts) from
+    the all-events relation, the task-outcome sums from the task
+    relation — and runs the identical global aggregate.
+
+    The join is app-side LEFT task-side on a null-safe key: the
+    all-events relation covers every row the raw per-app groupBy sees
+    (including the NULL-app group, which contributes to the global sums
+    but not to the app counts), and SUM's null-skipping makes the
+    missing task side of task-less apps contribute exactly the zeros
+    the raw twin's count_if produced."""
+    from ..functions.expressions import epoch_ms
+
+    a = app_p.groupBy("app_id").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("n_events") - F.sum("n_app_end")).alias("n_non_end"),
+        F.sum("sum_input_c0").alias("input_mb_sum"),
+        F.max("max_cores").alias("max_cores"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+    )
+    t = p.groupBy(F.col("app_id").alias("t_app_id")).agg(
+        (F.sum("n_tasks") - F.sum("n_failed")).alias("n_succ"),
+        F.sum("n_failed").alias("n_fail"),
+        F.sum("sum_duration_ms").alias("task_dur_sum"),
+        F.sum("n_duration").alias("task_dur_n"),
+    )
+    per_app = a.join(
+        t, a["app_id"].eqNullSafe(t["t_app_id"]), "left"
+    ).drop("t_app_id")
+    return per_app.agg(
+        count_if(F.col("app_id").isNotNull()).alias("total_applications"),
+        count_if(F.col("app_id").isNotNull() & (F.col("n_non_end") > 0)).alias(
+            "active_applications"
+        ),
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("total_events"),
+        F.coalesce(F.sum("n_succ"), F.lit(0)).alias("successful_tasks"),
+        F.coalesce(F.sum("n_fail"), F.lit(0)).alias("failed_tasks"),
+        r4(safe_div(F.sum("task_dur_sum"), F.sum("task_dur_n"))).alias(
+            "avg_task_duration_ms"
+        ),
+        r4(F.sum("input_mb_sum") / 1024.0).alias("total_input_gb"),
+        F.coalesce(F.max("max_cores"), F.lit(0.0)).cast("long").alias(
+            "max_total_cores"
+        ),
+        epoch_ms(F.min("min_ts")).alias("first_event_ms"),
+        epoch_ms(F.max("max_ts")).alias("last_event_ms"),
+    )
+
+
+def task_distribution_from_partials(
+    stage_p: DataFrame, limit: int = 500
+) -> DataFrame:
+    """A10 served from the per-stage partials (twin of
+    ``catalog.task_distribution``, reference
+    duckdb_store_backup.rs:860-930): outcome counts and the locality
+    pivot merge by SUM, the duration AVG from the sum/count pair,
+    MIN/MAX by MIN/MAX — rounding stays on the FINAL values, as
+    everywhere in this module."""
+    return (
+        stage_p.groupBy("app_id", "stage_id")
+        .agg(
+            F.sum("n_tasks").alias("total_tasks"),
+            (F.sum("n_tasks") - F.sum("n_failed")).alias("successful_tasks"),
+            F.sum("n_failed").alias("failed_tasks"),
+            r4(
+                safe_div(F.sum("sum_duration_ms"), F.sum("n_duration"))
+            ).alias("avg_duration_ms"),
+            r4(F.min("min_duration_ms")).alias("min_duration_ms"),
+            r4(F.max("max_duration_ms")).alias("max_duration_ms"),
+            F.sum("n_loc_process").alias("process_local_tasks"),
+            F.sum("n_loc_node").alias("node_local_tasks"),
+            F.sum("n_loc_rack").alias("rack_local_tasks"),
+            F.sum("n_loc_any").alias("any_locality_tasks"),
+        )
+        .orderBy("app_id", "stage_id")
+        .limit(limit)
+    )
+
+
 FROM_PARTIALS = {
     "performance_trends": performance_trends_from_partials,
     "gc_time_trends": gc_time_trends_from_partials,
@@ -694,9 +901,16 @@ def materialized_exec_events_df(ev: DataFrame) -> DataFrame:
 
 
 def materialized_app_events_df(ev: DataFrame) -> DataFrame:
-    """Session-cached per-app all-events partials (A1 + A12 liveness)."""
+    """Session-cached all-events partials (A1 + A3 + A9 + A12 liveness)."""
     return _materialized_aux_df(
         ev, "_metrics_rollup_app", lambda: app_events_partials(ev)
+    )
+
+
+def materialized_stage_events_df(ev: DataFrame) -> DataFrame:
+    """Session-cached per-stage task partials (A10)."""
+    return _materialized_aux_df(
+        ev, "_metrics_rollup_stage", lambda: stage_events_partials(ev)
     )
 
 
@@ -727,6 +941,26 @@ def resource_utilization_metrics_rollup(ev: DataFrame) -> DataFrame:
     return resource_utilization_metrics_from_partials(
         materialized_rollup_partials_df(ev), materialized_app_events_df(ev)
     )
+
+
+def resource_usage_summary_rollup(ev: DataFrame) -> DataFrame:
+    """A3R: per-(app, type, day) usage from the all-events partials
+    (oracle = A3's)."""
+    return resource_usage_summary_from_partials(materialized_app_events_df(ev))
+
+
+def cross_app_summary_rollup(ev: DataFrame) -> DataFrame:
+    """A9R: the global platform summary from the task + all-events
+    partials (oracle = A9's)."""
+    return cross_app_summary_from_partials(
+        materialized_rollup_partials_df(ev), materialized_app_events_df(ev)
+    )
+
+
+def task_distribution_rollup(ev: DataFrame) -> DataFrame:
+    """A10R: per-(app, stage) task distribution from the per-stage
+    partials (oracle = A10's)."""
+    return task_distribution_from_partials(materialized_stage_events_df(ev))
 
 
 # ==========================================================================
@@ -764,6 +998,7 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
     for rel, build in (
         ("exec_events", exec_events_partials),
         ("app_events", app_events_partials),
+        ("stage_events", stage_events_partials),
     ):
         build(ev).withColumn(
             "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
@@ -781,9 +1016,16 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
 
 def _write_cell_count(spark: SparkSession, path: str) -> None:
     """Persist the one-row live-cell count (grain cells minus tombstoned
-    apps) the status endpoint serves without scanning."""
+    apps) the status endpoint serves without scanning. A rollup whose
+    task relation was never built (deletion invoked against a fresh or
+    lifecycle-only path — the ADVICE-r12 edge) counts as zero cells
+    instead of crashing on the absent relation."""
     from .dedup_index import write_count_row
+    from .index_manifest import path_exists
 
+    if not path_exists(spark, f"{path}/partials"):
+        write_count_row(spark, path, "n_cells", 0)
+        return
     n = (
         read_rollup_partials(spark, path)
         .select(*GRAIN).distinct().count()
@@ -823,6 +1065,7 @@ _REL_GRAINS = {
     "partials": GRAIN,
     "exec_events": EXEC_GRAIN,
     "app_events": APP_GRAIN,
+    "stage_events": STAGE_GRAIN,
 }
 
 
@@ -972,6 +1215,62 @@ def resource_utilization_metrics_from_rollup(
     )
 
 
+def resource_usage_summary_from_rollup(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """A3 from the durable rollup's all-events relation."""
+    return resource_usage_summary_from_partials(
+        materialized_rollup_relation(spark, path, "app_events")
+    )
+
+
+def cross_app_summary_from_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """A9 from the durable rollup's task + all-events relations."""
+    return cross_app_summary_from_partials(
+        materialized_rollup_relation(spark, path),
+        materialized_rollup_relation(spark, path, "app_events"),
+    )
+
+
+def task_distribution_from_rollup(
+    spark: SparkSession, path: str, limit: int = 500
+) -> DataFrame:
+    """A10 from the durable rollup's per-stage relation."""
+    return task_distribution_from_partials(
+        materialized_rollup_relation(spark, path, "stage_events"), limit
+    )
+
+
+# --------------------------------------------------------------------------
+# folded-batch high-watermark (the compaction/replay exactly-once closure)
+# --------------------------------------------------------------------------
+def _read_folded_hwm(spark: SparkSession, path: str) -> dict[str, int]:
+    """Per-relation highest stream batch id ever folded by compaction.
+    Absent (never compacted / legacy layout) reads as empty — every
+    batch appends, the serve-time key-dedup covers replays."""
+    from .index_manifest import path_exists
+
+    if not path_exists(spark, f"{path}/folded_hwm"):
+        return {}
+    return {
+        r["relation"]: int(r["folded_batch"])
+        for r in spark.read.parquet(f"{path}/folded_hwm").collect()
+    }
+
+
+def _write_folded_hwm(
+    spark: SparkSession, path: str, hwm: dict[str, int]
+) -> None:
+    rows = [(rel, int(b)) for rel, b in sorted(hwm.items())]
+    from .dedup_index import compact_relation_swap
+
+    compact_relation_swap(
+        spark,
+        spark.createDataFrame(rows, "relation string, folded_batch bigint"),
+        f"{path}/folded_hwm", None, sort_cols=["relation"],
+    )
+
+
 def stream_update_metrics_rollup(
     ev_stream: DataFrame, path: str, checkpoint: str
 ):
@@ -988,6 +1287,20 @@ def stream_update_metrics_rollup(
     (latest wins, the S13 revive shape), probed first so the rewrite
     only runs when the batch actually intersects the tombstone set.
 
+    Replay-after-compaction (the ADVICE-r12 exactly-once hole): a batch
+    whose rows landed but whose checkpoint commit crashed is replayed
+    on restart; if compaction ran in between, the fold absorbed the
+    original rows into ``ingest_batch = -1`` and the serve-time
+    (grain, batch) dedup can no longer recognize the retry. Compaction
+    therefore persists a PER-RELATION folded-batch high-watermark
+    before it folds, and this updater skips appending to any relation
+    whose fold already absorbed this batch id. Per relation — not
+    per batch — because the original attempt may have crashed
+    mid-batch with only some relations appended: the folded ones skip,
+    the never-landed ones append on the retry. A replay that is fully
+    folded returns before the revive probe, so a tombstone laid AFTER
+    the original attempt cannot be un-done by its ghost.
+
     Returns the started StreamingQuery (availableNow-compatible)."""
 
     def _rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1001,8 +1314,40 @@ def stream_update_metrics_rollup(
         app_part = app_events_partials(batch_df).withColumn(
             "ingest_batch", tag
         ).persist()
+        pinned = [app_part]
         try:
             if not app_part.take(1):
+                return
+            hwm = _read_folded_hwm(spark, path)
+            to_append = []
+            for rel, frame in (
+                ("partials", rollup_partials(batch_df).withColumn(
+                    "ingest_batch", tag
+                )),
+                ("exec_events", exec_events_partials(batch_df).withColumn(
+                    "ingest_batch", tag
+                )),
+                ("stage_events", stage_events_partials(batch_df).withColumn(
+                    "ingest_batch", tag
+                )),
+                ("app_events", app_part),
+            ):
+                if int(batch_id) <= hwm.get(rel, -1):
+                    # compaction already folded this batch's rows into
+                    # this relation — re-appending would double-count
+                    continue
+                if rel != "app_events":
+                    # a batch can carry no rows of a sub-population
+                    # (task-only / lifecycle-only micro-batches);
+                    # appending an empty frame to a NOT-YET-EXISTING
+                    # relation would leave a file-less directory that
+                    # breaks every later read
+                    frame = frame.persist()
+                    pinned.append(frame)
+                    if not frame.take(1):
+                        continue
+                to_append.append((rel, frame))
+            if not to_append:
                 return
             invalidate_count_row(spark, path)
             tomb = _tombstoned_app_ids(spark, path)
@@ -1016,35 +1361,13 @@ def stream_update_metrics_rollup(
                         .join(batch_apps, "app_id", "left_anti"),
                         f"{path}/deleted_apps", None, sort_cols=["app_id"],
                     )
-            for rel, frame in (
-                ("partials", rollup_partials(batch_df).withColumn(
-                    "ingest_batch", tag
-                )),
-                ("exec_events", exec_events_partials(batch_df).withColumn(
-                    "ingest_batch", tag
-                )),
-                ("app_events", app_part),
-            ):
-                if rel != "app_events":
-                    # a batch can carry no rows of a sub-population
-                    # (task-only / lifecycle-only micro-batches);
-                    # appending an empty frame to a NOT-YET-EXISTING
-                    # relation would leave a file-less directory that
-                    # breaks every later read
-                    frame = frame.persist()
-                    has_rows = bool(frame.take(1))
-                else:
-                    has_rows = True
-                try:
-                    if has_rows:
-                        frame.repartition(F.col("event_date")).write.mode(
-                            "append"
-                        ).partitionBy("event_date").parquet(f"{path}/{rel}")
-                finally:
-                    if rel != "app_events":
-                        frame.unpersist()
+            for rel, frame in to_append:
+                frame.repartition(F.col("event_date")).write.mode(
+                    "append"
+                ).partitionBy("event_date").parquet(f"{path}/{rel}")
         finally:
-            app_part.unpersist()
+            for frame in pinned:
+                frame.unpersist()
 
     return (
         ev_stream.writeStream.foreachBatch(_rollup_batch)
@@ -1055,7 +1378,7 @@ def stream_update_metrics_rollup(
 
 
 def delete_from_metrics_rollup(
-    spark: SparkSession, path: str, app_ids: DataFrame
+    spark: SparkSession, path: str, app_ids: DataFrame, erase: bool = False
 ) -> int:
     """DELETE phase — per-app retention/erasure (reference analog: the
     metadata store pruning vanished applications,
@@ -1065,7 +1388,18 @@ def delete_from_metrics_rollup(
     r11): incoming ids anti-join existing tombstones, so a retried
     delete appends nothing — returns the count NEWLY tombstoned. The
     cell count dies before the tombstones land and is rewritten (live)
-    after."""
+    after.
+
+    ``erase=True`` (the GDPR intent, ADVICE r12): a bare tombstone is
+    only durable until the app RE-ARRIVES — the stream updater's revive
+    retires the tombstone before appending, resurrecting all
+    not-yet-compacted history. Erasure-intent deletes therefore run
+    compaction inline: the suppressed cells are physically dropped and
+    the tombstone retired in the same call, so a later re-arrival
+    revives an app whose history is already gone (only post-erasure
+    data can return — the correct erasure semantics). ``erase=False``
+    keeps the cheap tombstone-only path for ordinary retention, where
+    the next maintenance slot makes it physical."""
     from .dedup_index import invalidate_count_row
 
     invalidate_count_row(spark, path)
@@ -1080,6 +1414,9 @@ def delete_from_metrics_rollup(
             tomb.write.mode("append").parquet(f"{path}/deleted_apps")
     finally:
         tomb.unpersist()
+    if erase:
+        compact_metrics_rollup(spark, path)
+        return n_ids
     _write_cell_count(spark, path)
     return n_ids
 
@@ -1091,16 +1428,43 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
     refresh the cell count and the manifest. Exactly-once becomes
     physical here; serving results are unchanged by construction
     (merge is associative and suppression was already applied at read).
-    Returns per-relation {relation, rows_after} like its S13 sibling."""
+    Returns per-relation {relation, rows_after} like its S13 sibling.
+
+    Replay closure (ADVICE r12): before ANY relation folds, the highest
+    stream batch id currently on disk is persisted per relation to
+    ``folded_hwm/`` — the stream updater skips appends at-or-below it,
+    so a batch replayed after its rows were folded cannot double-count.
+    Ordering matters and is hwm-THEN-fold: a crash between the two
+    leaves batches marked folded whose rows still sit on disk with
+    their tags — the skip loses nothing (rows are present, serve-time
+    dedup owns them) — whereas fold-then-hwm would leave absorbed rows
+    a replay re-appends unrecognizably. The hwm is monotone (merged
+    with the existing file) so a later compaction that sees only
+    already-folded rows never regresses it."""
     from .dedup_index import compact_relation_swap, invalidate_count_row
     from .index_manifest import path_exists, refresh_index_manifest
 
     invalidate_count_row(spark, path)
+    hwm = _read_folded_hwm(spark, path)
+    for rel in _REL_GRAINS:
+        if not path_exists(spark, f"{path}/{rel}"):
+            continue
+        top = (
+            spark.read.parquet(f"{path}/{rel}")
+            .filter(F.col("ingest_batch") >= 0)
+            .agg(F.max("ingest_batch"))
+            .collect()[0][0]
+        )
+        if top is not None:
+            hwm[rel] = max(int(top), hwm.get(rel, -1))
+    if hwm:
+        _write_folded_hwm(spark, path, hwm)
     out = []
     for rel, merge in (
         ("partials", merge_partials),
         ("exec_events", merge_exec_events),
         ("app_events", merge_app_events),
+        ("stage_events", merge_stage_events),
     ):
         if not path_exists(spark, f"{path}/{rel}"):
             continue  # legacy layout / stream never carried this population

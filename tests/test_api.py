@@ -947,6 +947,11 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         "/api/v1/metrics/efficiency-analysis",
         "/api/v1/metrics/capacity-trends",
         "/api/v1/metrics/cost-optimization",
+        # the r13 trio: A3 (all-events grain), A9 (one global row),
+        # A10 (per-stage grain) — rollup-served like their siblings
+        "/api/v1/metrics/resource-usage-summary",
+        "/api/v1/metrics/cross-app-summary",
+        "/api/v1/metrics/task-distribution?limit=40",
     )
     live = {}
     for r in routes:
@@ -954,6 +959,8 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         assert code == 200 and isinstance(rows, list), r
         live[r] = rows
     assert live["/api/v1/metrics/performance-trends"]  # non-vacuous
+    assert len(live["/api/v1/metrics/cross-app-summary"]) == 1
+    assert len(live["/api/v1/metrics/task-distribution?limit=40"]) == 40
 
     ev = load_events(spark, SF_SMALL)
     p17 = tempfile.mkdtemp() + "/s17"
@@ -980,7 +987,7 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         entry = status["metrics_rollup"]
         assert entry["n_cells"] > 0 and entry["n_tombstones"] == 0
         assert set(entry["relations"]) == {
-            "partials", "exec_events", "app_events", "counts",
+            "partials", "exec_events", "app_events", "stage_events", "counts",
         }
 
         n_before = entry["n_cells"]

@@ -42,6 +42,12 @@ RAW_TWINS = {
     "executor_summary": catalog.executor_summary,
     "executor_utilization": catalog.executor_utilization,
     "resource_utilization_metrics": catalog.resource_utilization_metrics,
+    # r13: the last three raw-scan analytics (VERDICT r12 missing #2) —
+    # A3 from the v2 all-events grain, A9 from task + all-events,
+    # A10 from the per-stage relation
+    "resource_usage_summary": catalog.resource_usage_summary,
+    "cross_app_summary": catalog.cross_app_summary,
+    "task_distribution": catalog.task_distribution,
 }
 
 
@@ -438,3 +444,149 @@ def test_percentiles_not_servable_documented():
     for name in RAW_TWINS:
         assert callable(getattr(mr, f"{name}_from_rollup"))
         assert callable(getattr(mr, f"{name}_rollup"))
+
+
+# --------------------------------------------------------------------------
+# replay-after-compaction (the ADVICE-r12 exactly-once closure)
+# --------------------------------------------------------------------------
+def test_replay_after_compaction_skipped_by_watermark(spark, tmp_path):
+    """The hole the folded-batch high-watermark closes: a batch lands,
+    the checkpoint commit is lost, compaction folds the rows into
+    ingest_batch=-1, the restarted stream replays the batch — without
+    the watermark the replay re-appends rows the serve-time
+    (grain, batch) dedup can no longer recognize and every answer
+    double-counts. Simulated with a fresh checkpoint over the same
+    source (same batch ids, same offsets — the replay shape)."""
+    src = _stream_dir_from(spark, tmp_path)
+    path = str(tmp_path / "hwm_rollup")
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(120)
+    mr.compact_metrics_rollup(spark, path)
+    assert mr._read_folded_hwm(spark, path) == {
+        rel: 1 for rel in mr._REL_GRAINS
+    }
+
+    # replay: fresh checkpoint re-delivers the same files as batches 0/1
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_b")
+    )
+    q.awaitTermination(120)
+
+    p = spark.read.parquet(f"{path}/partials")
+    assert sorted(
+        r[0] for r in p.select("ingest_batch").distinct().collect()
+    ) == [-1]  # nothing re-appended
+    ev = load_events(spark, SF_SMALL)
+    for name in ("performance_trends", "cross_app_summary"):
+        assert _rows(RAW_TWINS[name](ev)) == _rows(
+            getattr(mr, f"{name}_from_rollup")(spark, path)
+        )
+
+
+def test_replay_partial_batch_appends_only_missing_relations(spark, tmp_path):
+    """The watermark is PER RELATION because a crashed attempt can land
+    only some relations: here batch 1's partials landed (the crash
+    came after that append), compaction folded them, and the replay
+    must skip partials while still appending the relations batch 1
+    never wrote — a batch-global skip would lose them forever."""
+    src = _stream_dir_from(spark, tmp_path)
+    extra = src / "batch_1.parquet"
+    held_back = tmp_path / "held_batch_1.parquet"
+    shutil.move(str(extra), str(held_back))
+
+    path = str(tmp_path / "partial_rollup")
+    ckpt = str(tmp_path / "ckpt_partial")
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
+    q.awaitTermination(120)
+
+    # the crashed attempt of batch 1: partials appended, everything
+    # else (exec/stage/app relations) never written, checkpoint lost
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    half1 = normalize_events(raw.filter(F.col("event_id") % 2 == 1))
+    mr.rollup_partials(half1).withColumn(
+        "ingest_batch", F.lit(1).cast("long")
+    ).repartition(F.col("event_date")).write.mode("append").partitionBy(
+        "event_date"
+    ).parquet(f"{path}/partials")
+
+    mr.compact_metrics_rollup(spark, path)
+    hwm = mr._read_folded_hwm(spark, path)
+    assert hwm["partials"] == 1 and hwm["app_events"] == 0
+
+    # restart delivers batch 1 (same checkpoint, file now visible)
+    shutil.move(str(held_back), str(extra))
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
+    q.awaitTermination(120)
+
+    p = spark.read.parquet(f"{path}/partials")
+    assert sorted(
+        r[0] for r in p.select("ingest_batch").distinct().collect()
+    ) == [-1]  # partials replay skipped — no double count
+    a = spark.read.parquet(f"{path}/app_events")
+    assert 1 in {
+        r[0] for r in a.select("ingest_batch").distinct().collect()
+    }  # the missing relation DID land on replay
+    ev = load_events(spark, SF_SMALL)
+    for name in RAW_TWINS:
+        assert _rows(RAW_TWINS[name](ev)) == _rows(
+            getattr(mr, f"{name}_from_rollup")(spark, path)
+        )
+
+
+def test_delete_erase_is_revive_proof(spark, tmp_path):
+    """erase=True (the GDPR intent): tombstone + inline compaction in
+    one call, so a later re-arrival revives an app whose history is
+    already physically gone — only the re-arrived data serves."""
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev = load_events(spark, SF_SMALL)
+    path = str(tmp_path / "erase_rollup")
+    mr.write_metrics_rollup(ev, path)
+    n = mr.delete_from_metrics_rollup(
+        spark, path, spark.createDataFrame([("3",)], "app_id string"),
+        erase=True,
+    )
+    assert n == 1
+    p = spark.read.parquet(f"{path}/partials")
+    assert p.filter(F.col("app_id") == "3").count() == 0  # physically gone
+    assert spark.read.parquet(f"{path}/deleted_apps").count() == 0  # retired
+
+    # app 3 re-arrives: the revive serves exactly ONE copy of the
+    # streamed data (the erased history stays erased — compare against
+    # the full corpus, whose app-3 rows the stream re-delivered once)
+    src = tmp_path / "erase_src"
+    src.mkdir()
+    part_dir = tmp_path / "_app3e"
+    raw.filter(F.col("user_id") == 3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(part_dir))
+    [f] = glob.glob(str(part_dir / "part-*.parquet"))
+    shutil.copy(f, src / "batch_0.parquet")
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_e")
+    )
+    q.awaitTermination(120)
+    assert _rows(catalog.performance_trends(ev)) == _rows(
+        mr.performance_trends_from_rollup(spark, path)
+    )
+
+
+def test_delete_on_never_built_rollup(spark, tmp_path):
+    """Deletion invoked against a path the builder never touched (the
+    ADVICE-r12 edge): tombstones land, the cell count writes 0, no
+    crash on the absent partials relation — for both intents."""
+    path = str(tmp_path / "fresh_rollup")
+    n = mr.delete_from_metrics_rollup(
+        spark, path, spark.createDataFrame([("9",)], "app_id string")
+    )
+    assert n == 1
+    assert spark.read.parquet(f"{path}/counts").collect()[0]["n_cells"] == 0
+
+    path2 = str(tmp_path / "fresh_rollup2")
+    n = mr.delete_from_metrics_rollup(
+        spark, path2, spark.createDataFrame([("9",)], "app_id string"),
+        erase=True,
+    )
+    assert n == 1
+    assert spark.read.parquet(f"{path2}/counts").collect()[0]["n_cells"] == 0
