@@ -52,42 +52,22 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 12: multimodal_image_decode's codec path was refactored to
-#: route through the new binary-ingestion entry point
-#: (image_decode_payloads — the real-PNG plumbing); its registered
-#: default plan is unchanged but the operator's implementation changed
-#: shape, so it re-checks. The four NEW `*_rollup` queries are the S17
-#: metrics-rollup serving twins (sources/metrics_rollup.py), each
-#: sharing its raw twin's oracle verbatim; cpu_utilization and
-#: memory_usage re-check because their derived-column tails were
-#: factored into shared fragments the rollup twins also ride
-#: (catalog.cpu_utilization_derived / memory_usage_derived).
-#: Everything else this round is erasure-arc/serving/ops surface (S15
-#: declared modulus + loud legacy verification, S13 retirement-last
-#: rebuild ordering + anti-joined tombstone appends, TTL retention
-#: rider, status-endpoint count semantics, the stdlib PNG codec body,
-#: the S17 durable lifecycle), all pytest-pinned, none registered.
+#: Round 13: the three NEW `*_rollup` twins close the S17 gap the r12
+#: verdict named (A3/A9/A10 were the last analytics still paying a raw
+#: scan); applications_rollup and resource_utilization_metrics_rollup
+#: re-check because they ride the all-events partial relation, whose
+#: grain changed shape this round (v2: +event_type, +duration/input/
+#: cores partials — sources/metrics_rollup.py app_events_partials).
+#: Everything else this round (the folded-batch high-watermark, erase-
+#: intent deletion, empty-path guards, real-log metric snapping, the
+#: API trio routes) is lifecycle/ingest/serving surface with no
+#: registered-query plan change, all pytest-pinned.
 _CHANGED_THIS_ROUND = (
-    "multimodal_image_decode",
-    "performance_trends_rollup",
-    "gc_time_trends_rollup",
-    "cpu_utilization_rollup",
-    "memory_usage_rollup",
-    "top_resource_consumers_rollup",
-    "efficiency_analysis_rollup",
-    "capacity_trends_rollup",
-    "cost_optimization_rollup",
+    "resource_usage_summary_rollup",
+    "cross_app_summary_rollup",
+    "task_distribution_rollup",
     "applications_rollup",
-    "executor_summary_rollup",
-    "executor_utilization_rollup",
     "resource_utilization_metrics_rollup",
-    "cpu_utilization",
-    "memory_usage",
-    "top_resource_consumers",
-    "efficiency_analysis",
-    "capacity_trends",
-    "cost_optimization",
-    "resource_utilization_metrics",
 )
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -107,12 +87,79 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 12 window -----------------------------------------------
-    # changed THIS round (see _CHANGED_THIS_ROUND): the codec path now
-    # routes through the binary-ingestion entry point, and the S17
-    # rollup serving twins are new (cpu_utilization / memory_usage,
-    # whose derived tails the twins now share, are already below in
-    # the rotation queue)
+    # --- round 13 window -----------------------------------------------
+    # changed THIS round (see _CHANGED_THIS_ROUND): the three new S17
+    # serving twins plus the two existing twins riding the reshaped
+    # all-events relation
+    "resource_usage_summary_rollup",
+    "cross_app_summary_rollup",
+    "task_distribution_rollup",
+    "applications_rollup",
+    "resource_utilization_metrics_rollup",
+    # the full r13 rotation queue the r12 verdict prescribed — ALL 37
+    # remaining r09 rows (the 17 TPC-H shapes, yoy_revenue_growth, and
+    # the nineteen the S17 batch displaced); after this window no
+    # registry row's latest driver check predates r10
+    "corpus_hash_split",
+    "corpus_profile",
+    "cube_order_stats",
+    "dedup_embedding_cosine_prefiltered",
+    "dedup_exact",
+    "event_transition_matrix",
+    "events_daily_gapfill",
+    "funnel_conversion",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    "multimodal_phash_groups",
+    "range_join_live_executors",
+    "retention_cohorts",
+    "rolling_active_users",
+    "semi_join_urgent_customers",
+    "set_ops_user_segments",
+    "task_percentile_standing",
+    "text_stem_normalize",
+    "topk_tasks_per_app",
+    "tpch_q2_min_price_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_check",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "yoy_revenue_growth",
+    # window filler — the 4 slots left over: the alphabetically-first
+    # r10-checked rows re-check a round early (all pytest-oracle-green
+    # every session regardless); the remaining 41 r10 rows are the r14
+    # queue, then the r11 rows
+    "ann_graph_expand",
+    "ann_graph_expand2",
+    "ann_ivf_pq",
+    "ann_ivf_pq_residual",
+)
+
+
+
+#: rounds 1-12 window history (kept for the audit trail; these names
+#: are all driver-green on their current code and rotate behind the
+#: r13 window above — every one of them is still pytest-oracle-checked
+#: per session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-12 window (all 50 driver-green in CORRECTNESS_r12.json;
+    # pytest-oracle-checked every session) -----------------------------
+    "applications",
+    "executor_summary",
+    "efficiency_analysis",
+    "cross_app_summary",
     "multimodal_image_decode",
     "performance_trends_rollup",
     "gc_time_trends_rollup",
@@ -126,17 +173,9 @@ _SENTINELS = (
     "executor_summary_rollup",
     "executor_utilization_rollup",
     "resource_utilization_metrics_rollup",
-    # re-checks: their derived tails are now the shared fragments the
-    # rollup twins ride (memory_usage / top_resource_consumers /
-    # resource_utilization_metrics, same situation, are already in the
-    # rotation queue below; applications / executor_summary /
-    # efficiency_analysis are sentinels above)
     "cpu_utilization",
     "capacity_trends",
     "cost_optimization",
-    # the full r12 rotation queue the r11 verdict prescribed — ALL 18
-    # remaining r08 rows; after this window no registry row's latest
-    # driver check predates r09
     "embedding_power_iteration",
     "executor_utilization",
     "gc_time_trends",
@@ -155,10 +194,6 @@ _SENTINELS = (
     "text_repetition",
     "text_token_stats",
     "top_resource_consumers",
-    # oldest remaining debt: 8 of the 45 r09 rows (alphabetical; the
-    # remaining 37 — the 17 TPC-H shapes, yoy_revenue_growth, and the
-    # nineteen displaced by the S17 window slots — are the r13 queue
-    # below)
     "ann_cosine_topk",
     "ann_hamming_rerank",
     "ann_recall_eval",
@@ -167,42 +202,10 @@ _SENTINELS = (
     "applications_status_completed",
     "applications_time_window",
     "asof_join_task_executor_config",
-    # window filler — the r12 slots left over after the S17 batch:
-    # the four oldest r11-checked rows re-check a round early (all
-    # pytest-oracle-green every session regardless)
     "ann_crossencoder_rerank",
     "dedup_passage_index",
     "dedup_survivorship",
     "embedding_abtt_audit",
-    # r13 rotation queue (the 37 r09 rows remaining after this window):
-    # corpus_hash_split, corpus_profile, cube_order_stats,
-    # dedup_embedding_cosine_prefiltered,
-    # dedup_exact, event_transition_matrix, events_daily_gapfill,
-    # funnel_conversion, multimodal_audio_windows,
-    # multimodal_frame_sample, multimodal_phash_groups,
-    # range_join_live_executors, retention_cohorts, rolling_active_users,
-    # semi_join_urgent_customers, set_ops_user_segments,
-    # task_percentile_standing, text_stem_normalize, topk_tasks_per_app
-    # (displaced by the twelve S17 rollup slots + the re-checking
-    # cpu_utilization / capacity_trends / cost_optimization /
-    # resource_utilization_metrics — the S17 family now dominates the
-    # r12 window by design: every slot checks NEW code),
-    # tpch_q2_min_price_supplier, tpch_q3_shipping_priority,
-    # tpch_q4_priority_check, tpch_q5_regional_revenue,
-    # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
-    # tpch_q8_market_share, tpch_q9_product_profit,
-    # tpch_q13_order_distribution, tpch_q14_promo_effect,
-    # tpch_q15_top_supplier, tpch_q16_supplier_count,
-    # tpch_q17_small_qty_revenue, tpch_q18_large_orders,
-    # tpch_q19_bracketed_revenue, tpch_q21_waiting_supplier,
-    # tpch_q22_idle_customers, yoy_revenue_growth — then the r10 rows
-)
-
-#: rounds 1-11 window history (kept for the audit trail; these names
-#: are all driver-green on their current code and rotate behind the
-#: r12 window above — every one of them is still pytest-oracle-checked
-#: per session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # --- round-11 window (all 50 driver-green in CORRECTNESS_r11.json;
     # pytest-oracle-checked every session) -----------------------------
     "ann_crossencoder_rerank",

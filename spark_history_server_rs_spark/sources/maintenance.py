@@ -125,17 +125,30 @@ def run_app_retention(
     app_ids,
     events_sink_dir: str | None = None,
     metrics_rollup_path: str | None = None,
+    erase: bool = False,
 ) -> dict:
     """The APPLICATION-keyed retention pass — the events-domain sibling
     of the document-keyed :func:`run_retention_pass`. One ``(app_id)``
     frame fans to both halves of the fact-table lineage: the S9 sink
     (partition-pruned physical erasure,
     ``event_logs.erase_apps_from_sink`` — fail-loud verified) and the
-    S17 metrics rollup (tombstone suppression,
-    ``metrics_rollup.delete_from_metrics_rollup`` — physically dropped
-    at the next maintenance slot's compaction). Run it in the quiesced
-    slot, before :func:`run_maintenance_slot`, exactly like the
-    document pass. Returns per-artifact stats."""
+    S17 metrics rollup. Run it in the quiesced slot, before
+    :func:`run_maintenance_slot`, exactly like the document pass.
+    Returns per-artifact stats.
+
+    The ``erase`` intent (ADVICE r12): with the default False, the
+    rollup half is a TOMBSTONE — durable only until the app re-arrives
+    through the stream, whose revive retires the tombstone and
+    resurrects all not-yet-compacted history. That window closes at the
+    next :func:`run_maintenance_slot` (its compaction drops the cells);
+    run the slot in the same quiesced window, as documented above, and
+    the pending erasure never meets a re-arrival. For GDPR-grade calls
+    that cannot rely on the slot following, pass ``erase=True``: the
+    rollup delete runs S17 compaction inline, matching the sink half's
+    physical erasure in the same call (note a retried erase=True pass
+    re-tombstones the now-cell-less app — data-idempotent, but
+    ``metrics_rollup_deleted`` reports the re-append, unlike the
+    tombstone path's strict retry-zeros)."""
     app_ids = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
     app_ids = app_ids.persist()
     try:
@@ -150,11 +163,63 @@ def run_app_retention(
             from .metrics_rollup import delete_from_metrics_rollup
 
             out["metrics_rollup_deleted"] = delete_from_metrics_rollup(
-                spark, metrics_rollup_path, app_ids
+                spark, metrics_rollup_path, app_ids, erase=erase
             )
     finally:
         app_ids.unpersist()
     return out
+
+
+def aged_app_ids(
+    spark: SparkSession, metrics_rollup_path: str, cutoff_date: str
+):
+    """Derive the app-grain TTL loser frame FROM THE ROLLUP: apps whose
+    entire history predates ``cutoff_date`` ('yyyy-MM-dd') — that is,
+    ``max(event_date) < cutoff`` over the all-events cells. The
+    events-domain analog of :func:`retention_losers`, and the Spark
+    shape of the reference pruning applications whose logs vanished or
+    aged out (``metadata_store.rs:91-134``).
+
+    Reading the ROLLUP rather than the sink is the point at 100 TB:
+    the candidate set comes from a cells-sized relation (one bounded
+    groupBy), not a fact-table scan; the sink is then touched only for
+    the partition-pruned erasure of the apps that actually aged out.
+    Tombstone suppression is already applied by the serving read, so
+    previously-erased apps never re-derive."""
+    from pyspark.sql import functions as F
+
+    from .metrics_rollup import materialized_rollup_relation
+
+    app_p = materialized_rollup_relation(
+        spark, metrics_rollup_path, "app_events"
+    )
+    return (
+        app_p.groupBy("app_id")
+        .agg(F.max("event_date").alias("last_day"))
+        .filter(F.col("last_day") < cutoff_date)
+        .select("app_id")
+    )
+
+
+def run_app_ttl_retention(
+    spark: SparkSession,
+    metrics_rollup_path: str,
+    cutoff_date: str,
+    events_sink_dir: str | None = None,
+    erase: bool = True,
+) -> dict:
+    """Age-driven application retention in one call: derive the aged
+    app set from the rollup (:func:`aged_app_ids`), then fan it to the
+    sink + rollup erasure (:func:`run_app_retention`). Idempotent by
+    construction — after the pass the aged apps are gone from the
+    rollup, so a retry derives an empty set and returns ``n_apps=0``."""
+    return run_app_retention(
+        spark,
+        aged_app_ids(spark, metrics_rollup_path, cutoff_date),
+        events_sink_dir=events_sink_dir,
+        metrics_rollup_path=metrics_rollup_path,
+        erase=erase,
+    )
 
 
 def run_maintenance_slot(

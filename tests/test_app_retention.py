@@ -209,3 +209,72 @@ def test_sink_partition_stats_matches_dirs(spark, tmp_path):
     stats = _sink_partition_stats(spark, sink)
     dirs = _sink_partition_dirs(spark, sink)
     assert set(stats) == set(dirs)
+
+
+def test_run_app_ttl_retention_composition(spark, tmp_path):
+    """The predicate-driven arc (VERDICT r12 #4): derive the aged app
+    set from the ROLLUP (max event_date < cutoff — a cells-sized
+    groupBy, no fact scan), fan it to sink + rollup erasure in one
+    call, and re-derive nothing on retry (idempotent zeros)."""
+    from spark_history_server_rs_spark.sources.maintenance import (
+        aged_app_ids,
+        run_app_ttl_retention,
+    )
+
+    ev, sink, _ = _build_sink(spark, tmp_path)
+    rpath = str(tmp_path / "ttl_rollup")
+    full = load_events(spark, SF_SMALL)
+    mr.write_metrics_rollup(full, rpath)
+
+    # pick a cutoff that ages out SOME apps but not all: the median
+    # app's last event day
+    last_days = (
+        full.groupBy("app_id")
+        .agg(F.date_format(F.max("event_date"), "yyyy-MM-dd").alias("d"))
+        .collect()
+    )
+    days = sorted(r["d"] for r in last_days)
+    cutoff = days[len(days) // 2]
+    expected = sorted(r["app_id"] for r in last_days if r["d"] < cutoff)
+    assert 0 < len(expected) < len(days)
+
+    derived = sorted(
+        r["app_id"] for r in aged_app_ids(spark, rpath, cutoff).collect()
+    )
+    assert derived == expected
+
+    out = run_app_ttl_retention(
+        spark, rpath, cutoff, events_sink_dir=sink
+    )
+    assert out["n_apps"] == len(expected)
+    assert out["events_sink"]["n_rows_erased"] > 0
+
+    # both halves forgot exactly the aged apps
+    remaining_sink = {
+        r["app_id"]
+        for r in spark.read.parquet(sink).select("app_id").distinct().collect()
+    }
+    assert remaining_sink == set(days_keep := [
+        r["app_id"] for r in last_days if r["d"] >= cutoff
+    ])
+    survivors = full.filter(~F.col("app_id").isin(expected))
+    assert [
+        tuple(r) for r in catalog.performance_trends(survivors).collect()
+    ] == [
+        tuple(r)
+        for r in mr.performance_trends_from_rollup(spark, rpath).collect()
+    ]
+    # erase intent is the default here: cells physically gone,
+    # tombstones retired in the same call
+    p = spark.read.parquet(f"{rpath}/partials")
+    assert p.filter(F.col("app_id").isin(expected)).count() == 0
+    assert spark.read.parquet(f"{rpath}/deleted_apps").count() == 0
+
+    # idempotent retry: the aged set re-derives EMPTY from the erased
+    # rollup — zeros everywhere, nothing touched
+    again = run_app_ttl_retention(
+        spark, rpath, cutoff, events_sink_dir=sink
+    )
+    assert again["n_apps"] == 0
+    assert again["events_sink"]["n_rows_erased"] == 0
+    assert again["metrics_rollup_deleted"] == 0
