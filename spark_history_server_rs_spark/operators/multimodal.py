@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -405,12 +406,19 @@ AUDIO_WINDOW = 32
 AUDIO_HOP = 16
 
 
-def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
+def audio_windows(
+    docs: DataFrame, use_codec: bool = False, decode_fn=None
+) -> DataFrame:
     """M3: overlapped audio-style framing over an opaque payload — one row
     per (doc, window) with integer energy (Σ sample²), peak amplitude, and
     the r4-snapped RMS. The synthetic payload's byte values stand in for
-    PCM samples; a real decoder drops into the same mapInPandas extension
-    point as M1/M2 (``use_codec=True``).
+    PCM samples; ``use_codec=True`` switches to the Arrow-batched
+    real-codec path, where ``decode_fn`` is a self-contained
+    ``(payload: bytes) -> list[int]`` sample decoder (see
+    :func:`wav_decode`, the real RIFF/PCM parser, and
+    :func:`synthetic_bytes_decode`, the stand-in pinned
+    result-identical to this default plan); ``None`` keeps the
+    raise-through-plumbing contract.
 
     Plan shape: generator (explode of the window index sequence) + pure
     per-window arithmetic over ``substring`` slices — no shuffle before
@@ -419,10 +427,7 @@ def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
     the expansion factor is len/hop, bounded and predictable at 100 TB.
     """
     if use_codec:
-        raise NotImplementedError(
-            "audio codecs are not available in this environment; "
-            "use audio_windows(use_codec=False)"
-        )
+        return _audio_windows_codec(docs, decode_fn)
     w, h = AUDIO_WINDOW, AUDIO_HOP
     return (
         _binary_payload(docs)
@@ -470,6 +475,192 @@ def audio_windows(docs: DataFrame, use_codec: bool = False) -> DataFrame:
         )
         .orderBy("doc_id", "window_idx")
     )
+
+
+#: output schema of the M3 family — shared by the column-expression
+#: default and the Arrow codec path (same contract as DECODE_SCHEMA)
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("win_offset", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("rms", DoubleType(), False),
+    ]
+)
+
+
+def synthetic_bytes_decode():
+    """Deterministic stand-in sample decoder: the payload's raw bytes
+    ARE the samples (exactly what the column-expression default's
+    ``ascii(substring(...))`` reads) — exists so the audio codec
+    extension point's entire path executes and is pinned
+    result-identical to the default plan. Factory-built closure so
+    cloudpickle ships it by value (the :func:`fake_geometry_decode`
+    contract)."""
+
+    def decode_fn(payload: bytes):
+        return list(payload)
+
+    return decode_fn
+
+
+def wav_decode():
+    """REAL stdlib-only WAV (RIFF/PCM) codec body for the M3 extension
+    point — the PNG pattern verbatim (VERDICT r12 #5): chunk walk with
+    size validation, ``fmt `` sanity (PCM only, coherent
+    block_align/byte_rate), ``data`` alignment — so a truncated or
+    corrupt stream FAILS instead of yielding plausible windows.
+    Supports 8/16/24/32-bit integer PCM, any channel count (the FIRST
+    channel is decoded); compressed/float/extensible formats raise
+    with a clear message.
+
+    Samples are mapped to the unsigned 8-bit domain (0-255: top byte
+    of the signed sample + 128; 8-bit WAV is already unsigned) so the
+    SAME windowing arithmetic the synthetic default runs — integer
+    energy/peak over byte-range samples — applies to real audio.
+
+    Factory-built closure (locals + in-function imports only) so
+    cloudpickle ships it by value to executors. The returned callable
+    satisfies the ``(payload: bytes) -> list[int]`` sample contract;
+    its ``.info(payload)`` attribute exposes
+    ``(channels, sample_rate, bits_per_sample, n_frames)``."""
+
+    def _decode(payload: bytes, want_info: bool = False):
+        import struct as _struct
+
+        if payload[:4] != b"RIFF":
+            raise ValueError("not a WAV: bad RIFF signature")
+        if len(payload) < 12:
+            raise ValueError("truncated WAV header")
+        (riff_size,) = _struct.unpack("<I", payload[4:8])
+        if riff_size + 8 != len(payload):
+            raise ValueError(
+                f"WAV RIFF size mismatch: header says {riff_size + 8}, "
+                f"payload is {len(payload)} bytes"
+            )
+        if payload[8:12] != b"WAVE":
+            raise ValueError("not a WAV: missing WAVE form type")
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (csize,) = _struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + csize]
+            if len(body) != csize:
+                raise ValueError(f"truncated WAV chunk {cid!r}")
+            if cid == b"fmt ":
+                if csize < 16:
+                    raise ValueError("WAV fmt chunk too short")
+                fmt = _struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data chunk before fmt")
+                data = body
+                break
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        audio_format, channels, rate, byte_rate, block_align, bits = fmt
+        if audio_format != 1:
+            raise ValueError(
+                f"unsupported WAV format {audio_format} (integer PCM only)"
+            )
+        if channels < 1 or rate < 1 or bits not in (8, 16, 24, 32):
+            raise ValueError(
+                f"invalid WAV fmt: channels={channels} rate={rate} bits={bits}"
+            )
+        if block_align != channels * bits // 8:
+            raise ValueError(
+                f"WAV block_align {block_align} contradicts "
+                f"{channels}ch x {bits}-bit"
+            )
+        if byte_rate != rate * block_align:
+            raise ValueError("WAV byte_rate contradicts rate * block_align")
+        if len(data) % block_align:
+            raise ValueError("WAV data not a whole number of frames")
+        n_frames = len(data) // block_align
+        if want_info:
+            return channels, rate, bits, n_frames
+        bps = bits // 8
+        out = []
+        for i in range(0, len(data), block_align):
+            b = data[i:i + bps]  # first channel only
+            if bits == 8:
+                out.append(b[0])  # 8-bit WAV is unsigned already
+            else:
+                s = int.from_bytes(b, "little", signed=True)
+                out.append((s >> (bits - 8)) + 128)
+        return out
+
+    def decode_fn(payload: bytes):
+        return _decode(payload)
+
+    decode_fn.info = lambda payload: _decode(payload, want_info=True)
+    return decode_fn
+
+
+def audio_windows_payloads(frame: DataFrame, decode_fn=None) -> DataFrame:
+    """The audio-codec plan over an ALREADY-BINARY ingestion frame
+    ``(doc_id, payload binary, format string)`` — the real multimodal
+    shape, mirroring :func:`image_decode_payloads`: Arrow-batched
+    ``mapInPandas``, the windowing arithmetic (32-sample windows,
+    16-sample hop, integer energy/peak, r4-snapped RMS) applied to the
+    DECODED samples instead of raw bytes. Same output schema and
+    presentation sort as the column-expression default."""
+    cols = [f.name for f in AUDIO_SCHEMA.fields]
+    w, h = AUDIO_WINDOW, AUDIO_HOP
+
+    # self-contained closure: locals + in-function imports only (the
+    # image_decode_payloads cloudpickle note applies verbatim)
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if decode_fn is None:
+                raise NotImplementedError(
+                    "audio codecs are not available in this environment; "
+                    "use audio_windows(use_codec=False), or pass "
+                    "decode_fn=wav_decode() for RIFF/PCM payloads"
+                )
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = decode_fn(bytes(payload))
+                n = len(samples)
+                if n < w:
+                    continue  # audio convention: incomplete tail dropped
+                for idx in range((n - w) // h + 1):
+                    chunk = samples[idx * h:idx * h + w]
+                    energy = sum(s * s for s in chunk)
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(idx)
+                    out["win_offset"].append(idx * h)
+                    out["energy"].append(energy)
+                    out["peak"].append(max(chunk))
+                    out["rms"].append(
+                        _math.floor(
+                            _math.sqrt(energy / float(w)) * 10000.0 + 0.5
+                        )
+                        / 10000.0
+                    )
+            yield _pd.DataFrame(out) if out["doc_id"] else _pd.DataFrame(
+                {c: _pd.Series(dtype="object") for c in cols}
+            )
+
+    return frame.mapInPandas(windows, AUDIO_SCHEMA).orderBy(
+        "doc_id", "window_idx"
+    )
+
+
+def _audio_windows_codec(docs: DataFrame, decode_fn=None) -> DataFrame:
+    """Real-codec extension point for M3 — the docs-shaped wrapper over
+    :func:`audio_windows_payloads` (the :func:`_image_decode_codec`
+    contract)."""
+    return audio_windows_payloads(_binary_payload(docs), decode_fn)
 
 
 _DUCK_CODES = (

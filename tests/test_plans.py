@@ -1494,3 +1494,88 @@ FROM {src}
     )
     assert bcast == expected_m
     nodes.unpersist()
+
+
+def test_multimodal_codec_real_wav_decode_golden(spark):
+    """A REAL decoder through the M3 extension point (VERDICT r12 #5,
+    the PNG pattern verbatim): the stdlib-only RIFF/PCM parser (chunk
+    walk + fmt/data validation + first-channel extraction + top-byte
+    8-bit mapping) decodes the checked-in 16-bit stereo fixture to its
+    golden samples, runs end-to-end through the same Arrow mapInPandas
+    plumbing as the stand-in — window values matching a hand-computed
+    expectation — and fails LOUD on corrupted or truncated payloads.
+    The synthetic-bytes stand-in is separately pinned result-identical
+    to the registered column-expression default."""
+    import hashlib
+    import math
+    import os
+    import struct
+
+    import pytest as _pytest
+
+    from spark_history_server_rs_spark.operators import multimodal
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "tiny_pcm.wav"
+    )
+    wav = open(fixture, "rb").read()
+    assert hashlib.md5(wav).hexdigest() == (
+        "5612cf43d121bbbeacbe56730564e7db"
+    )  # the fixture itself is pinned
+
+    codec = multimodal.wav_decode()
+    golden = [(i * 5) % 256 for i in range(48)]  # channel 0 of the fixture
+    assert codec(wav) == golden
+    assert codec.info(wav) == (2, 8000, 16, 48)
+
+    # end-to-end through the Arrow plumbing with a hand-computed pin
+    from pyspark.sql import functions as F
+
+    pdf = spark.createDataFrame(
+        [(1, wav)], "doc_id long, payload binary"
+    ).select("doc_id", "payload", F.lit("audio/wav").alias("format"))
+    plan = multimodal.audio_windows_payloads(pdf, codec)
+    assert I.has_python_worker(plan)
+    got = [tuple(r) for r in plan.collect()]
+    w, h = multimodal.AUDIO_WINDOW, multimodal.AUDIO_HOP
+    expected = []
+    for idx in range((48 - w) // h + 1):
+        chunk = golden[idx * h:idx * h + w]
+        energy = sum(s * s for s in chunk)
+        rms = math.floor(math.sqrt(energy / w) * 10000.0 + 0.5) / 10000.0
+        expected.append((1, idx, idx * h, energy, max(chunk), rms))
+    assert got == expected and len(got) == 2
+
+    # corruption fails loud: a lying fmt chunk (block_align that
+    # contradicts channels x bits), a truncated data chunk, a non-PCM
+    # format tag, and a bad signature
+    bad_align = bytearray(wav)
+    # fmt chunk body starts at byte 20; block_align is bytes 12-13 of it
+    assert bad_align[12:16] == b"fmt "
+    bad_align[32] ^= 0xFF
+    with _pytest.raises(ValueError, match="block_align"):
+        codec(bytes(bad_align))
+    with _pytest.raises(ValueError, match="RIFF size mismatch"):
+        codec(wav[:-10])
+    non_pcm = bytearray(wav)
+    non_pcm[20] = 3  # IEEE-float format tag
+    with _pytest.raises(ValueError, match="integer PCM only"):
+        codec(bytes(non_pcm))
+    with _pytest.raises(ValueError, match="bad RIFF signature"):
+        codec(b"JUNK" + wav[4:])
+
+    # the stand-in decoder through the SAME plumbing reproduces the
+    # registered default plan exactly (the fake_geometry_decode pin,
+    # M3 edition)
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    default = [tuple(r) for r in multimodal.audio_windows(docs).collect()]
+    codec_path = [
+        tuple(r)
+        for r in multimodal.audio_windows(
+            docs, use_codec=True,
+            decode_fn=multimodal.synthetic_bytes_decode(),
+        ).collect()
+    ]
+    assert default == codec_path and default
