@@ -281,6 +281,61 @@ def main() -> None:
             ),
         }
 
+    # S17 streaming-maintenance serve shape (VERDICT r12 #7): the
+    # production state is many appended micro-batches between
+    # compactions. Each append invalidates the fingerprint-keyed
+    # serving cache, so the next dashboard refresh pays ONE rebuild —
+    # retry-dedup + tombstone anti-join over cells × (1 + batches)
+    # rows — before going warm; compaction folds the relation back to
+    # one row per cell and the rebuild cost with it. The appends here
+    # are batch-tagged partial writes, byte-identical on disk to what
+    # stream_update_metrics_rollup's foreachBatch lands.
+    rollup_stream = None
+    if rollup10 is not None:
+        from pyspark.sql import functions as _F
+
+        from spark_history_server_rs_spark.operators import dedup as _dd
+
+        n_batches = 8
+        for b in range(n_batches):
+            _mr.rollup_partials(
+                ev.where(_F.pmod(_F.col("id"), _F.lit(n_batches)) == b)
+            ).withColumn(
+                "ingest_batch", _F.lit(b).cast("long")
+            ).repartition(_F.col("event_date")).write.mode(
+                "append"
+            ).partitionBy("event_date").parquet(f"{rpath10}/partials")
+        rows_before = spark.read.parquet(f"{rpath10}/partials").count()
+        _dd.clear_materialized_caches()
+        t = time.perf_counter()
+        _mr.performance_trends_from_rollup(spark, rpath10).collect()
+        cold_after_appends = round(time.perf_counter() - t, 4)
+        warm_after_appends = _r_min3(
+            lambda: _mr.performance_trends_from_rollup(spark, rpath10)
+        )
+        t = time.perf_counter()
+        _mr.compact_metrics_rollup(spark, rpath10)
+        compact_sec = round(time.perf_counter() - t, 4)
+        rows_after = spark.read.parquet(f"{rpath10}/partials").count()
+        _dd.clear_materialized_caches()
+        t = time.perf_counter()
+        _mr.performance_trends_from_rollup(spark, rpath10).collect()
+        cold_after_compact = round(time.perf_counter() - t, 4)
+        rollup_stream = {
+            "n_appended_batches": n_batches,
+            "rows_before_compact": rows_before,
+            "rows_after_compact": rows_after,
+            "serve_cold_after_appends_sec": cold_after_appends,
+            "serve_warm_after_appends_sec": warm_after_appends,
+            "compact_sec": compact_sec,
+            "serve_cold_after_compact_sec": cold_after_compact,
+            # the payoff claim: post-compaction cold serve back at the
+            # batch-built tier's shape (rollup10's serve numbers)
+            "serve_batch_built_sec": rollup10[
+                "performance_trends_from_rollup"
+            ],
+        }
+
     # dedup/corpus ops over the 10x documents corpus (disjoint-content
     # replication): cold includes the shingle/band-key cache build, warm
     # rides it — the index-once/serve-many split measured at 10x
@@ -573,14 +628,22 @@ def main() -> None:
         )
 
         # ---- S15: single-shard retraction vs full export ------------
+        # n_shards=64, not the default 8 (VERDICT r12 "What's wrong
+        # #1"): at 8 shards the 10x build and a 1-shard retraction are
+        # BOTH fixed-cost-dominated (~1 s job floor each), so the
+        # measured ratio read 1.25 — a counter-signal on a genuinely
+        # pruned plan. At 64 the retraction rewrites 1/64 of the data
+        # against the same ~fixed job count, so the pruning shows in
+        # wall time instead of hiding under the floor.
         spath = "/tmp/sparkgraft_shards10"
+        n_shards_probe = 64
         t = time.perf_counter()
-        _write_shards(d10, spath)
+        _write_shards(d10, spath, n_shards=n_shards_probe)
         shards_build = round(time.perf_counter() - t, 4)
-        # losers confined to ONE of the 8 shards: the pruning claim is
-        # only visible when the affected set is a strict subset
+        # losers confined to ONE shard: the pruning claim is only
+        # visible when the affected set is a strict subset
         one_shard_ids = d10.selectExpr("doc_id").where(
-            "pmod(xxhash64(doc_id), 8) = 3"
+            f"pmod(xxhash64(doc_id), {n_shards_probe}) = 3"
         )
         n_retract = one_shard_ids.count()
         t = time.perf_counter()
@@ -621,6 +684,46 @@ def main() -> None:
             lambda: _kg.ann_graph_expand_from_index(spark, g10, live16)
         )
 
+        # ---- S9d: partition-pruned sink erasure vs full rewrite ------
+        # (VERDICT r12 "What's missing #4": the erasure had byte-
+        # identity pins but no probe-tier timing.) The comparator is
+        # the full-sink write itself — what a prune-less erasure
+        # (read-everything, rewrite-everything) would cost at minimum.
+        from pyspark.sql import functions as _F
+
+        from spark_history_server_rs_spark.sources.event_logs import (
+            erase_apps_from_sink as _erase_sink,
+            write_events_sink as _write_sink,
+        )
+
+        sink10 = "/tmp/sparkgraft_sink10"
+        # source files keyed by app (16 groups) — the realistic layout:
+        # event logs arrive one file per application, so an app's rows
+        # cluster in a fraction of the (date, src) partitions and the
+        # erasure's partition pruning has something to prune
+        ev_src = ev.withColumn(
+            "src_file",
+            _F.concat(
+                _F.lit("f"),
+                _F.pmod(_F.xxhash64("app_id"), _F.lit(16)).cast("string"),
+            ),
+        )
+        t = time.perf_counter()
+        _write_sink(ev_src, sink10)
+        sink_build = round(time.perf_counter() - t, 4)
+        n_parts_total = (
+            spark.read.parquet(sink10)
+            .select("event_date", "ingest_src").distinct().count()
+        )
+        victim_app = ev.where("app_id IS NOT NULL").groupBy("app_id").count(
+        ).orderBy("count").first()["app_id"]
+        t = time.perf_counter()
+        rep9d = _erase_sink(
+            spark, sink10,
+            spark.createDataFrame([(victim_app,)], "app_id string"),
+        )
+        erase_sec = round(time.perf_counter() - t, 4)
+
         retention10 = {
             "s15_export_build_sec": shards_build,
             "s15_retract_sec": retract_sec,
@@ -649,6 +752,15 @@ def main() -> None:
             "s16_repair_over_rebuild": round(del16_sec / build10, 3),
             "s16_expand_warm_before": expand10["warm"],
             "s16_expand_after": expand_after,
+            "s9d_sink_build_sec": sink_build,
+            "s9d_erase_sec": erase_sec,
+            "s9d_n_rows_erased": rep9d["n_rows_erased"],
+            "s9d_partitions_rewritten": rep9d["partitions_rewritten"],
+            "s9d_partitions_deleted": rep9d["partitions_deleted"],
+            "s9d_partitions_total": n_parts_total,
+            # the pruning claim: erase wall vs what a full-sink rewrite
+            # costs, alongside the fraction of partitions touched
+            "s9d_erase_over_full_rewrite": round(erase_sec / sink_build, 3),
         }
 
     # canaries (same shapes as bench.py) so drift is attributable
@@ -676,6 +788,7 @@ def main() -> None:
         "events_per_sec": round(n_events / ingest_sec, 1),
         "docs10": docs10,
         "rollup10": rollup10,
+        "rollup_stream": rollup_stream,
         "dedup_index10": dedup_index10,
         "ann10": ann10,
         "retention10": retention10,

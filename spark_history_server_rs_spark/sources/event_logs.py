@@ -829,37 +829,55 @@ def erase_apps_from_sink(
     """
     victims = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
     df = spark.read.parquet(sink_dir)
-    affected = (
-        df.join(F.broadcast(victims), "app_id", "left_semi")
-        .select(
-            F.col("event_date").cast("string").alias("event_date"),
-            "ingest_src",
+    # ONE column-pruned planning scan (r13, measured: the previous
+    # shape paid three sink-wide jobs — affected-set collect, victim
+    # count, survivor-key collect — before any rewrite; per-partition
+    # victim/survivor counts from a single pass carry all three
+    # answers in a #partitions-bounded driver payload)
+    stats = (
+        df.withColumn("event_date", F.col("event_date").cast("string"))
+        .join(
+            F.broadcast(victims.withColumn("_victim", F.lit(1))),
+            "app_id",
+            "left",
         )
-        .distinct()
+        .groupBy("event_date", "ingest_src")
+        .agg(
+            F.count("_victim").alias("n_victims"),
+            F.count(F.when(F.col("_victim").isNull(), 1)).alias(
+                "n_survivors"
+            ),
+        )
+        .filter(F.col("n_victims") > 0)
+        .collect()
     )
-    # bounded driver payload: #affected partitions, the same bound the
-    # compaction planner carries
-    affected_keys = {(r.event_date, r.ingest_src) for r in affected.collect()}
+    affected_keys = {(r.event_date, r.ingest_src) for r in stats}
     if not affected_keys:
         return {
             "n_rows_erased": 0,
             "partitions_rewritten": 0,
             "partitions_deleted": 0,
         }
-    keys = spark.createDataFrame(
-        sorted(affected_keys), "event_date string, ingest_src string"
-    )
-    picked = df.withColumn(
-        "event_date", F.col("event_date").cast("string")
-    ).join(F.broadcast(keys), ["event_date", "ingest_src"])
-    n_erased = picked.join(F.broadcast(victims), "app_id", "left_semi").count()
-    survivors = picked.join(F.broadcast(victims), "app_id", "left_anti")
+    n_erased = sum(r.n_victims for r in stats)
     survivor_keys = {
-        (r.event_date, r.ingest_src)
-        for r in survivors.select("event_date", "ingest_src")
-        .distinct()
-        .collect()
+        (r.event_date, r.ingest_src) for r in stats if r.n_survivors > 0
     }
+    # literal disjunction over the affected keys: partition PRUNING at
+    # the scan (a broadcast key-frame join reads every partition; a
+    # literal predicate reads only the affected directories). Applied
+    # to the NATIVE partition columns (date-typed) before any cast, so
+    # Catalyst prunes. Bounded: #affected pairs, the same driver
+    # payload the stats carry.
+    pred = None
+    for d, s in sorted(affected_keys):
+        clause = (
+            F.col("event_date") == F.to_date(F.lit(d))
+        ) & (F.col("ingest_src") == s)
+        pred = clause if pred is None else (pred | clause)
+    picked = df.filter(pred).withColumn(
+        "event_date", F.col("event_date").cast("string")
+    )
+    survivors = picked.join(F.broadcast(victims), "app_id", "left_anti")
     if survivor_keys:
         # repartition barrier, same reasoning as compact_sink_inplace:
         # both joins above are broadcast (narrow, pipelined), so without
