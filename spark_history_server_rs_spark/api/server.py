@@ -373,6 +373,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
         if p17 is not None:
             from ..sources.metrics_rollup import (
                 ROLLUP_RELATIONS,
+                _read_folded_hwm,
                 _tombstoned_app_ids,
                 validate_metrics_rollup,
             )
@@ -389,6 +390,11 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 ),
                 "n_cells": DI._read_count_row(spark, p17, "n_cells"),
                 "n_tombstones": 0 if tomb17 is None else tomb17.count(),
+                # ops visibility for the replay-closure watermark: the
+                # highest stream batch each relation's compaction has
+                # folded ({} until the first compaction) — a stream
+                # restart replaying at-or-below these appends nothing
+                "folded_batch_hwm": _read_folded_hwm(spark, p17),
             }
             if validate:
                 entry["discrepancies"] = [

@@ -347,9 +347,19 @@ def write_events_sink(events: DataFrame, sink_dir: str, mode: str = "append") ->
     sink. Partitioning on ``event_date`` + parquet min/max stats replace
     the reference's three DuckDB indexes (SURVEY §4): the catalog's
     date-range filters prune partitions, app/event-type filters use
-    row-group statistics."""
+    row-group statistics.
+
+    Clustered by the partition keys before the write (the
+    write_metrics_rollup move): WITHOUT it, ``partitionBy`` fans every
+    input task across every partition directory — #input_partitions ×
+    #partitions files (measured 32 K tiny files at the 10x probe tier,
+    where every later sink scan paid the footer walk; the S9d erasure
+    read 10x slower from that layout alone). One shuffle buys one file
+    per (day, source) per write call; a partition that outgrows one
+    healthy file is ``compact_sink_inplace``'s target_file_mb split."""
+    out = events.withColumn("ingest_src", F.md5("src_file"))
     (
-        events.withColumn("ingest_src", F.md5("src_file"))
+        out.repartition(F.col("event_date"), F.col("ingest_src"))
         .write.partitionBy("event_date", "ingest_src")
         .mode(mode)
         .parquet(sink_dir)
@@ -801,12 +811,15 @@ def erase_apps_from_sink(
     pruning applications whose logs vanished (``metadata_store.rs:91-134``),
     here driven by an explicit id frame instead of the filesystem.
 
-    Partition-pruned, like S15's shard retraction: one column-pruned
-    probe finds the (event_date, ingest_src) partitions that actually
-    hold victim rows (parquet app_id row-group stats skip most), only
-    those partitions rewrite (dynamic partition overwrite over a
-    broadcast key set), everything else is untouched on disk —
-    byte-for-byte, not just value-equal.
+    Partition-pruned, like S15's shard retraction: ONE column-pruned
+    planning scan (r13 — previously three sink-wide jobs) computes
+    per-partition victim/survivor counts, which carry the affected
+    set, the erased-row count, and the survivor/all-victim split in a
+    #partitions-bounded driver payload; the rewrite then reads ONLY
+    the affected directories (a literal disjunction over the native
+    partition columns, so Catalyst partition-prunes the scan) and
+    replaces them via dynamic partition overwrite — everything else is
+    untouched on disk, byte-for-byte, not just value-equal.
 
     The silent-miss class this guards against explicitly: dynamic
     partition overwrite only REPLACES partitions present in the output,
