@@ -717,7 +717,7 @@ def main() -> None:
         spath = "/tmp/sparkgraft_shards10"
         n_shards_probe = 64
         d50 = d10
-        for c in range(1, 5):
+        for c in range(1, 20):
             d50 = d50.unionByName(
                 d10.selectExpr(
                     f"doc_id + {c}000000000 AS doc_id",

@@ -271,13 +271,21 @@ def retract_from_training_shards(
         .persist()
     )
     try:
-        n_ids = tomb.count()
+        # ONE planning job (r13 — was a count + a distinct-collect):
+        # per-shard id counts carry both the id total and the affected
+        # set, ≤ n_shards rows of driver payload
+        shard_counts = (
+            tomb.groupBy(
+                F.expr(
+                    f"pmod(xxhash64(doc_id), {int(n_shards)})"
+                ).alias("s")
+            )
+            .count()
+            .collect()
+        )
+        n_ids = sum(r["count"] for r in shard_counts)
         affected = sorted(
-            r.s
-            for r in tomb.selectExpr(
-                f"pmod(xxhash64(doc_id), {int(n_shards)}) AS s"
-            ).distinct().collect()  # ≤ n_shards ints — bounded payload
-            if r.s in set(disk_shards)
+            int(r["s"]) for r in shard_counts if r["s"] in set(disk_shards)
         )
         rewritten = []
         for s in affected:
