@@ -391,10 +391,16 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "n_cells": DI._read_count_row(spark, p17, "n_cells"),
                 "n_tombstones": 0 if tomb17 is None else tomb17.count(),
                 # ops visibility for the replay-closure watermark: the
-                # highest stream batch each relation's compaction has
-                # folded ({} until the first compaction) — a stream
-                # restart replaying at-or-below these appends nothing
-                "folded_batch_hwm": _read_folded_hwm(spark, p17),
+                # highest stream batch compaction has folded per
+                # (relation, checkpoint lineage) — ([] until the first
+                # compaction); a stream restart of the SAME lineage
+                # replaying at-or-below these appends nothing
+                "folded_batch_hwm": [
+                    {"relation": rel, "lineage": lin, "folded_batch": b}
+                    for (rel, lin), b in sorted(
+                        _read_folded_hwm(spark, p17).items()
+                    )
+                ],
             }
             if validate:
                 entry["discrepancies"] = [

@@ -30,16 +30,20 @@ self-consistency.
 Layout (zstd parquet, same swap/meta/tombstone conventions as S13-S16)::
 
     path/partials/      task grain (event_date, app_id, executor_id,
-                        host) + partial columns + ingest_batch,
-                        PARTITIONED BY event_date  (day pruning)
+                        host) + partial columns + ingest_batch +
+                        ingest_lineage, PARTITIONED BY event_date
     path/exec_events/   executor-lifecycle grain (A4's add/remove side)
     path/app_events/    all-events grain (event_date, app_id,
                         event_type) — A1/A3/A9/A12-liveness partials
     path/stage_events/  per-stage task grain (A10's distribution)
+    path/dur_hist/      DDSketch-style log-bucket task-duration counts
+                        (event_date, app_id, event_type, bucket, n) —
+                        the mergeable percentile partial (§2.5's scale
+                        path; see task_duration_percentiles_from_rollup)
     path/deleted_apps/  (app_id) tombstones — per-app retention/erasure
     path/counts/        one row (n_cells) — pre-counted live grain cells
-    path/folded_hwm/    per-relation highest stream batch id ever
-                        folded (the replay/compaction exactly-once
+    path/folded_hwm/    per-(relation, lineage) highest stream batch id
+                        ever folded (the replay/compaction exactly-once
                         closure — see compact_metrics_rollup)
     path/manifest/      per-relation (n_rows, content_hash) attestation
 
@@ -56,16 +60,33 @@ and folded physically at compaction in the maintenance slot.
 Exactly-once story: ``foreachBatch`` + append is at-least-once — a retried
 batch re-appends its rows. Unlike S13's set-shaped relations, partial SUMS
 are not idempotent to duplicates, so every serving read de-duplicates on
-(grain, ingest_batch): structured streaming replays a batch id over the
-same source offsets, the partial aggregation is deterministic (exact
-integer sums), hence a retry's rows are bit-identical to the originals and
-the key-dedup restores exactly-once semantics at serve time. Compaction
-then makes it physical (one row per grain, ``ingest_batch = -1``) — and,
-because the fold erases the batch tags the key-dedup relies on, it first
-persists a per-relation folded-batch high-watermark the stream updater
-consults: a batch replayed AFTER its rows were folded is skipped
-per-relation instead of re-appended (the ADVICE-r12 crash window —
-rows landed, checkpoint commit lost, compaction ran before the restart).
+(grain, ingest_lineage, ingest_batch): structured streaming replays a
+batch id over the same source offsets, the partial aggregation is
+deterministic (exact integer sums), hence a retry's rows are bit-identical
+to the originals and the key-dedup restores exactly-once semantics at
+serve time. Compaction then makes it physical (one row per grain,
+``ingest_batch = -1``) — and, because the fold erases the batch tags the
+key-dedup relies on, it first persists a per-(relation, lineage)
+folded-batch high-watermark the stream updater consults: a batch replayed
+AFTER its rows were folded is skipped per-relation instead of re-appended
+(the ADVICE-r12 crash window — rows landed, checkpoint commit lost,
+compaction ran before the restart).
+
+Why the watermark is LINEAGE-scoped (ADVICE r13): batch ids are only
+stable WITHIN one checkpoint — a fresh checkpoint over the same source
+repacks files into new batch ids starting at 0, so a lineage-blind
+``batch_id <= hwm`` skip would silently drop never-ingested files a fresh
+run packed into low batch ids (permanent loss, no error). Every row is
+therefore tagged with its ``ingest_lineage`` (the Structured Streaming
+query id from the checkpoint's metadata file; ``batch`` for batch builds
+and compacted folds), the skip applies only to the updater's OWN lineage,
+and the serve-time key-dedup keys on (lineage, batch) so two lineages
+re-using a batch id never collapse. A stream whose lineage is NEW against
+a rollup that already holds another stream's appends is refused loudly by
+default (``accept_new_lineage=False``) — across lineages neither skipping
+nor appending can be proven exactly-once without content fingerprints, so
+the safe defaults are: resume the original checkpoint, rebuild, or opt in
+explicitly when the new source is disjoint (the incremental pattern).
 One writer per rollup, as for every durable family here; compaction and
 the stream updater never run concurrently (the maintenance-slot contract).
 
@@ -108,13 +129,44 @@ APP_GRAIN = ("event_date", "app_id", "event_type")
 #: stages are bounded per app, so cells ≪ task rows at any scale
 STAGE_GRAIN = ("event_date", "app_id", "stage_id")
 
+#: grain of the task-duration histogram partials (§2.5's scale path) —
+#: DDSketch-style log buckets (Masson et al., VLDB 2019): counts per
+#: (day, app, type, bucket) merge by SUM, so percentile serving never
+#: scans the fact table. ``app_id`` is in the grain solely so the
+#: tombstone suppression (per-app retention/erasure) stays exact.
+DUR_HIST_GRAIN = ("event_date", "app_id", "event_type", "bucket")
+
+#: every analytics twin served BOTH raw-scan (catalog.<name>) and from
+#: the rollup (<name>_from_rollup / <name>_rollup) — the serve≡scan
+#: differential surface (tests iterate this, incl. the real-log pin)
+ROLLUP_TWINS = (
+    "performance_trends", "gc_time_trends", "cpu_utilization",
+    "memory_usage", "top_resource_consumers", "efficiency_analysis",
+    "capacity_trends", "cost_optimization", "applications",
+    "executor_summary", "executor_utilization",
+    "resource_utilization_metrics", "resource_usage_summary",
+    "cross_app_summary", "task_distribution",
+)
+
 #: relations attested by the manifest
 ROLLUP_RELATIONS = (
-    "partials", "exec_events", "app_events", "stage_events", "deleted_apps"
+    "partials", "exec_events", "app_events", "stage_events", "dur_hist",
+    "deleted_apps",
 )
 
 #: ingest_batch value for batch-built / compacted rows (stream batches ≥ 0)
 _BATCH_BUILD = -1
+
+#: ingest_lineage value for batch-built / compacted rows (streamed rows
+#: carry their checkpoint's streaming-query id — see the module
+#: docstring's lineage-scoped exactly-once story)
+_BATCH_LINEAGE = "batch"
+
+#: DDSketch bucket base: relative error ≤ (γ-1)/(γ+1) ≈ 0.99% — well
+#: inside the 5% tolerance the sketch contract pins against the exact
+#: percentile op. ~930 buckets span 1 ms .. 10^8 ms; only buckets with
+#: data materialize rows.
+_DD_GAMMA = 1.02
 
 
 # ==========================================================================
@@ -274,6 +326,42 @@ def stage_events_partials(ev: DataFrame) -> DataFrame:
             count_if(F.col("locality") == "ANY").alias("n_loc_any"),
         )
     )
+
+
+def dur_hist_partials(ev: DataFrame) -> DataFrame:
+    """The task-duration DDSketch partials: one count per (day, app,
+    event type, log bucket) over the TaskEnd rows. The bucket index is
+    ``ceil(log_γ(duration))`` (DDSketch's mapping — any value in bucket
+    i lies in (γ^(i-1), γ^i], so the midpoint estimate carries a
+    bounded RELATIVE error of (γ-1)/(γ+1)); non-positive durations get
+    the sentinel bucket -2^31 whose estimate is exactly 0. Counts merge
+    by SUM — the whole sketch is algebraic, unlike the exact holistic
+    percentile (``catalog.task_duration_percentiles``), which is why
+    this relation exists: at 100 TB the percentile dashboard re-
+    aggregates day-pruned cells instead of sorting the fact table.
+    Reference analog: the declared-but-unimplemented
+    ``task_duration_percentiles`` surface (analytics_api.rs:308)."""
+    bucket = F.when(
+        F.col("duration_ms") <= 0, F.lit(-(2**31))
+    ).otherwise(
+        F.ceil(F.log(F.col("duration_ms")) / F.log(F.lit(_DD_GAMMA)))
+    ).cast("int")
+    return (
+        ev.filter(F.col("is_task") & F.col("duration_ms").isNotNull())
+        .groupBy(
+            date_str(F.col("event_date")).alias("event_date"),
+            F.col("app_id"),
+            F.col("event_type"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_dur_hist(p: DataFrame) -> DataFrame:
+    """Compaction merge for the duration-histogram partials — pure
+    count SUM (the sketch's whole merge state is the counter)."""
+    return p.groupBy(*DUR_HIST_GRAIN).agg(F.sum("n").alias("n"))
 
 
 def merge_partials(p: DataFrame) -> DataFrame:
@@ -966,6 +1054,15 @@ def task_distribution_rollup(ev: DataFrame) -> DataFrame:
 # ==========================================================================
 # durable lifecycle — write / read / stream / delete / compact / validate
 # ==========================================================================
+def _stamp(df: DataFrame, batch: int, lineage: str) -> DataFrame:
+    """Tag partial rows with their provenance: the stream batch id and
+    the checkpoint lineage the serve-time key-dedup and the folded-batch
+    watermark are scoped by (module docstring, lineage story)."""
+    return df.withColumn(
+        "ingest_batch", F.lit(int(batch)).cast("long")
+    ).withColumn("ingest_lineage", F.lit(lineage))
+
+
 def write_metrics_rollup(ev: DataFrame, path: str) -> None:
     """INDEX phase: overwrite ``partials/`` from the events frame
     (idempotent — re-running rebuilds identical content). Orderings
@@ -981,9 +1078,7 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
 
     spark = ev.sparkSession
     invalidate_count_row(spark, path)
-    partials = rollup_partials(ev).withColumn(
-        "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
-    )
+    partials = _stamp(rollup_partials(ev), _BATCH_BUILD, _BATCH_LINEAGE)
     # cluster by the partition key: ONE file per day directory instead
     # of shuffle-partition-count files — the relation is cells-sized, so
     # per-file open/seek and the serving cache's per-call fingerprint
@@ -999,12 +1094,13 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
         ("exec_events", exec_events_partials),
         ("app_events", app_events_partials),
         ("stage_events", stage_events_partials),
+        ("dur_hist", dur_hist_partials),
     ):
-        build(ev).withColumn(
-            "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
-        ).repartition(F.col("event_date")).write.mode(
-            "overwrite"
-        ).partitionBy("event_date").parquet(f"{path}/{rel}")
+        _stamp(build(ev), _BATCH_BUILD, _BATCH_LINEAGE).repartition(
+            F.col("event_date")
+        ).write.mode("overwrite").partitionBy("event_date").parquet(
+            f"{path}/{rel}"
+        )
     if path_exists(spark, f"{path}/deleted_apps"):
         compact_relation_swap(
             spark,
@@ -1047,7 +1143,7 @@ def _tombstoned_app_ids(spark: SparkSession, path: str) -> DataFrame | None:
 def read_rollup_partials(spark: SparkSession, path: str) -> DataFrame:
     """Every serving read of the durable relation: restore the partition
     column's string type (partition inference reads 'yyyy-MM-dd' back
-    as DATE), de-duplicate batch retries on (grain, ingest_batch) —
+    as DATE), de-duplicate batch retries on (grain, lineage, batch) —
     see the module docstring's exactly-once story — and anti-join the
     app tombstones. Per-app partial cells are independent, so
     suppression is exact for this family (the S13 argument: a
@@ -1066,7 +1162,24 @@ _REL_GRAINS = {
     "exec_events": EXEC_GRAIN,
     "app_events": APP_GRAIN,
     "stage_events": STAGE_GRAIN,
+    "dur_hist": DUR_HIST_GRAIN,
 }
+
+
+def _check_rollup_layout(df: DataFrame, where: str) -> None:
+    """Fail CLEARLY on a stale on-disk layout instead of letting a later
+    ``dropDuplicates``/merge raise an opaque missing-column
+    AnalysisException (ADVICE r13): v1 lacked ``event_type`` in
+    app_events, v2 (r13) lacked ``ingest_lineage`` — one probe catches
+    both, since every v3 relation carries the lineage column."""
+    if "ingest_lineage" not in df.columns:
+        raise ValueError(
+            f"pre-r14 metrics-rollup layout at {where}: no "
+            "'ingest_lineage' column (v1/v2 on-disk schema). The "
+            "lineage-scoped exactly-once serving cannot attribute these "
+            "rows — rebuild the rollup with write_metrics_rollup(...) "
+            "from the event sink (the rollup is re-derivable by design)."
+        )
 
 
 def _read_rollup_relation(
@@ -1075,7 +1188,8 @@ def _read_rollup_relation(
     p = spark.read.parquet(f"{path}/{rel}").withColumn(
         "event_date", F.col("event_date").cast("string")
     )
-    p = p.dropDuplicates([*grain, "ingest_batch"])
+    _check_rollup_layout(p, f"{path}/{rel}")
+    p = p.dropDuplicates([*grain, "ingest_lineage", "ingest_batch"])
     tomb = _tombstoned_app_ids(spark, path)
     if tomb is not None:
         p = p.join(tomb, "app_id", "left_anti")
@@ -1241,45 +1355,145 @@ def task_distribution_from_rollup(
     )
 
 
+def task_duration_percentiles_from_rollup(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """§2.5's scale path: P50/P90/P95/P99 task durations per event type
+    served from the durable DDSketch histogram — the raw-scan-free twin
+    of ``catalog.task_duration_percentiles`` (which is exact but
+    holistic, hence deliberately NOT servable from algebraic cells).
+    Bucket counts re-aggregate by SUM; each quantile interpolates
+    between the midpoint estimates 2γ^i/(γ+1) of the buckets holding
+    the ``floor``/``ceil`` of the fractional rank ``q·(n-1)`` — the
+    bucket-level mirror of SQL's ``quantile_cont``, so the estimate
+    tracks the exact op even on sparse heavy tails where the two
+    neighboring order statistics sit buckets apart (a pure DDSketch
+    single-bucket pick is then a whole neighbor off, far beyond the
+    (γ-1)/(γ+1) ≈ 0.99% per-value bound that otherwise applies).
+    Pinned within 5% of the exact op in the test suite (the
+    HLL-sibling contract: sketch estimates are algorithm-specific, so
+    no shared DuckDB oracle). Plan shape: a day-prunable cells scan,
+    one bounded groupBy, one per-type window — no fact-table access."""
+    from pyspark.sql.window import Window
+
+    h = (
+        materialized_rollup_relation(spark, path, "dur_hist")
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    h = h.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_total", F.sum("n").over(Window.partitionBy("event_type"))
+    ).withColumn(
+        "est",
+        F.when(F.col("bucket") == -(2**31), F.lit(0.0)).otherwise(
+            F.lit(2.0)
+            * F.exp(F.col("bucket") * F.log(F.lit(_DD_GAMMA)))
+            / F.lit(_DD_GAMMA + 1.0)
+        ),
+    )
+    qs = (
+        (0.5, "p50_ms"), (0.9, "p90_ms"), (0.95, "p95_ms"), (0.99, "p99_ms")
+    )
+    rank = {name: F.lit(q) * (F.col("n_total") - 1) for q, name in qs}
+    aggs = [F.max("n_total").alias("n_total")]
+    for q, name in qs:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") > F.floor(rank[name]), F.col("est"))
+            ).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") > F.ceil(rank[name]), F.col("est"))
+            ).alias(f"_hi_{name}")
+        )
+    out = h.groupBy("event_type").agg(*aggs)
+    frac = {
+        name: F.lit(q) * (F.col("n_total") - 1)
+        - F.floor(F.lit(q) * (F.col("n_total") - 1))
+        for q, name in qs
+    }
+    return out.select(
+        "event_type",
+        *[
+            r4(
+                F.col(f"_lo_{name}")
+                + frac[name] * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
+            ).alias(name)
+            for _, name in qs
+        ],
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # folded-batch high-watermark (the compaction/replay exactly-once closure)
 # --------------------------------------------------------------------------
-def _read_folded_hwm(spark: SparkSession, path: str) -> dict[str, int]:
-    """Per-relation highest stream batch id ever folded by compaction.
-    Absent (never compacted / legacy layout) reads as empty — every
-    batch appends, the serve-time key-dedup covers replays."""
+def _read_folded_hwm(
+    spark: SparkSession, path: str
+) -> dict[tuple[str, str], int]:
+    """Per-(relation, lineage) highest stream batch id ever folded by
+    compaction. Absent (never compacted) reads as empty — every batch
+    appends, the serve-time key-dedup covers replays. A pre-r14 file
+    (no lineage column) fails loud: its batch ids cannot be attributed
+    to a checkpoint lineage, so skipping on them risks the ADVICE-r13
+    silent-drop — rebuild is the remediation."""
     from .index_manifest import path_exists
 
     if not path_exists(spark, f"{path}/folded_hwm"):
         return {}
+    df = spark.read.parquet(f"{path}/folded_hwm")
+    if "lineage" not in df.columns:
+        raise ValueError(
+            f"pre-r14 folded_hwm layout at {path}/folded_hwm: batch "
+            "watermarks without a checkpoint lineage cannot scope the "
+            "replay skip — rebuild the rollup with "
+            "write_metrics_rollup(...)."
+        )
     return {
-        r["relation"]: int(r["folded_batch"])
-        for r in spark.read.parquet(f"{path}/folded_hwm").collect()
+        (r["relation"], r["lineage"]): int(r["folded_batch"])
+        for r in df.collect()
     }
 
 
 def _write_folded_hwm(
-    spark: SparkSession, path: str, hwm: dict[str, int]
+    spark: SparkSession, path: str, hwm: dict[tuple[str, str], int]
 ) -> None:
-    rows = [(rel, int(b)) for rel, b in sorted(hwm.items())]
+    rows = [(rel, lin, int(b)) for (rel, lin), b in sorted(hwm.items())]
     from .dedup_index import compact_relation_swap
 
     compact_relation_swap(
         spark,
-        spark.createDataFrame(rows, "relation string, folded_batch bigint"),
-        f"{path}/folded_hwm", None, sort_cols=["relation"],
+        spark.createDataFrame(
+            rows, "relation string, lineage string, folded_batch bigint"
+        ),
+        f"{path}/folded_hwm", None, sort_cols=["relation", "lineage"],
     )
 
 
+def _checkpoint_lineage(spark: SparkSession, checkpoint: str) -> str:
+    """The stream's lineage identity: the Structured Streaming query id
+    persisted in ``{checkpoint}/metadata`` at stream start (before batch
+    0 executes). Stable across restarts of the SAME checkpoint — which
+    is exactly the scope within which batch ids map to stable content —
+    and fresh for a new checkpoint, which is what makes the folded-hwm
+    skip safe to scope by it. Read through the Spark reader so any
+    Hadoop-compatible FS scheme works."""
+    return spark.read.json(f"{checkpoint}/metadata").collect()[0]["id"]
+
+
 def stream_update_metrics_rollup(
-    ev_stream: DataFrame, path: str, checkpoint: str
+    ev_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    accept_new_lineage: bool = False,
 ):
     """Streaming MAINTENANCE: per micro-batch, aggregate the batch's
-    task rows to grain partials tagged with the batch id and APPEND —
-    no read-modify-write, so maintenance never races serving reads and
-    history is never rewritten on the hot path. Serving re-aggregation
-    merges cross-batch cells transparently; compaction folds them in
-    the maintenance slot.
+    task rows to grain partials tagged with (checkpoint lineage, batch
+    id) and APPEND — no read-modify-write, so maintenance never races
+    serving reads and history is never rewritten on the hot path.
+    Serving re-aggregation merges cross-batch cells transparently;
+    compaction folds them in the maintenance slot.
 
     Crash orderings: the pre-counted cell count is invalidated BEFORE
     the batch's rows land (no stale count can serve); a tombstoned app
@@ -1291,50 +1505,108 @@ def stream_update_metrics_rollup(
     whose rows landed but whose checkpoint commit crashed is replayed
     on restart; if compaction ran in between, the fold absorbed the
     original rows into ``ingest_batch = -1`` and the serve-time
-    (grain, batch) dedup can no longer recognize the retry. Compaction
-    therefore persists a PER-RELATION folded-batch high-watermark
-    before it folds, and this updater skips appending to any relation
-    whose fold already absorbed this batch id. Per relation — not
-    per batch — because the original attempt may have crashed
-    mid-batch with only some relations appended: the folded ones skip,
-    the never-landed ones append on the retry. A replay that is fully
-    folded returns before the revive probe, so a tombstone laid AFTER
-    the original attempt cannot be un-done by its ghost.
+    (grain, lineage, batch) dedup can no longer recognize the retry.
+    Compaction therefore persists a folded-batch high-watermark before
+    it folds, and this updater skips appending to any relation whose
+    fold already absorbed this batch id. Per relation — not per batch —
+    because the original attempt may have crashed mid-batch with only
+    some relations appended: the folded ones skip, the never-landed
+    ones append on the retry.
+
+    The skip is scoped to THIS stream's checkpoint lineage (ADVICE
+    r13): batch ids are meaningless across checkpoints — a fresh
+    checkpoint repacks the source into new batch ids, so a
+    lineage-blind skip would silently drop never-ingested files the
+    fresh run packed at-or-below the watermark. A lineage this rollup
+    has never seen is refused LOUDLY by default when foreign stream
+    appends already exist (neither skipping nor appending is provably
+    exactly-once across lineages); pass ``accept_new_lineage=True``
+    only when the new stream's source is disjoint from everything
+    already ingested (the incremental pattern — batch-built history
+    plus a new feed needs no opt-in, since ``batch`` rows are not
+    stream traffic).
+
+    Tombstone interaction with replays (ADVICE r13 #2): a batch any of
+    whose relations was hwm-skipped is (at least partially) REPLAY
+    traffic — late re-delivery of pre-crash rows, not new data — so it
+    must not retire tombstones laid after the original attempt: the
+    revive probe runs only for genuinely-new batches. The skipped-but-
+    appending relations still land; if their app is tombstoned the
+    serve-time suppression hides those rows, which is the correct
+    erasure semantics (the rows predate the delete).
 
     Returns the started StreamingQuery (availableNow-compatible)."""
+    state: dict = {}
 
     def _rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
         from .dedup_index import compact_relation_swap, invalidate_count_row
+        from .index_manifest import path_exists
 
         spark = batch_df.sparkSession
-        tag = F.lit(int(batch_id)).cast("long")
+        if "lineage" not in state:
+            state["lineage"] = _checkpoint_lineage(spark, checkpoint)
+            # once per stream: refuse (or warn past) foreign STREAM
+            # lineages already on disk — one bounded distinct over the
+            # cells-sized app_events relation plus the hwm rows
+            foreign = set()
+            if path_exists(spark, f"{path}/app_events"):
+                appended = spark.read.parquet(f"{path}/app_events")
+                _check_rollup_layout(appended, f"{path}/app_events")
+                foreign = {
+                    r[0]
+                    for r in appended.select("ingest_lineage")
+                    .distinct().collect()
+                }
+            foreign |= {lin for _, lin in _read_folded_hwm(spark, path)}
+            foreign -= {state["lineage"], _BATCH_LINEAGE}
+            if foreign:
+                if not accept_new_lineage:
+                    raise ValueError(
+                        f"metrics rollup at {path} already holds stream "
+                        f"appends from other checkpoint lineage(s) "
+                        f"{sorted(foreign)}; this stream's lineage is "
+                        f"{state['lineage']!r}. Batch ids are not "
+                        "comparable across checkpoints, so exactly-once "
+                        "cannot be guaranteed: resume the ORIGINAL "
+                        "checkpoint, rebuild with "
+                        "write_metrics_rollup(...), or pass "
+                        "accept_new_lineage=True if (and only if) this "
+                        "stream's source is disjoint from everything "
+                        "already ingested."
+                    )
+                import warnings
+
+                warnings.warn(
+                    f"metrics rollup at {path}: appending lineage "
+                    f"{state['lineage']!r} over existing stream "
+                    f"lineage(s) {sorted(foreign)} — caller asserts the "
+                    "sources are disjoint; overlapping sources WILL "
+                    "double-count (no cross-lineage dedup exists)."
+                )
+        lineage = state["lineage"]
         # app_events groups EVERY row, so it is both the emptiness probe
         # and the revive probe's app set — a batch with only lifecycle
         # or app start/end events (no tasks) still appends its relations
-        app_part = app_events_partials(batch_df).withColumn(
-            "ingest_batch", tag
+        app_part = _stamp(
+            app_events_partials(batch_df), batch_id, lineage
         ).persist()
         pinned = [app_part]
         try:
             if not app_part.take(1):
                 return
             hwm = _read_folded_hwm(spark, path)
-            to_append = []
+            to_append, replayed = [], False
             for rel, frame in (
-                ("partials", rollup_partials(batch_df).withColumn(
-                    "ingest_batch", tag
-                )),
-                ("exec_events", exec_events_partials(batch_df).withColumn(
-                    "ingest_batch", tag
-                )),
-                ("stage_events", stage_events_partials(batch_df).withColumn(
-                    "ingest_batch", tag
-                )),
+                ("partials", rollup_partials(batch_df)),
+                ("exec_events", exec_events_partials(batch_df)),
+                ("stage_events", stage_events_partials(batch_df)),
+                ("dur_hist", dur_hist_partials(batch_df)),
                 ("app_events", app_part),
             ):
-                if int(batch_id) <= hwm.get(rel, -1):
+                if int(batch_id) <= hwm.get((rel, lineage), -1):
                     # compaction already folded this batch's rows into
                     # this relation — re-appending would double-count
+                    replayed = True
                     continue
                 if rel != "app_events":
                     # a batch can carry no rows of a sub-population
@@ -1342,7 +1614,7 @@ def stream_update_metrics_rollup(
                     # appending an empty frame to a NOT-YET-EXISTING
                     # relation would leave a file-less directory that
                     # breaks every later read
-                    frame = frame.persist()
+                    frame = _stamp(frame, batch_id, lineage).persist()
                     pinned.append(frame)
                     if not frame.take(1):
                         continue
@@ -1350,7 +1622,7 @@ def stream_update_metrics_rollup(
             if not to_append:
                 return
             invalidate_count_row(spark, path)
-            tomb = _tombstoned_app_ids(spark, path)
+            tomb = None if replayed else _tombstoned_app_ids(spark, path)
             if tomb is not None:
                 batch_apps = app_part.select("app_id").distinct()
                 if tomb.join(batch_apps, "app_id", "left_semi").take(1):
@@ -1431,9 +1703,11 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
     Returns per-relation {relation, rows_after} like its S13 sibling.
 
     Replay closure (ADVICE r12): before ANY relation folds, the highest
-    stream batch id currently on disk is persisted per relation to
-    ``folded_hwm/`` — the stream updater skips appends at-or-below it,
-    so a batch replayed after its rows were folded cannot double-count.
+    stream batch id currently on disk is persisted per (relation,
+    checkpoint lineage) to ``folded_hwm/`` — the stream updater skips
+    its OWN lineage's appends at-or-below it, so a batch replayed after
+    its rows were folded cannot double-count (and a DIFFERENT lineage's
+    unrelated batch ids are never suppressed — the ADVICE-r13 fix).
     Ordering matters and is hwm-THEN-fold: a crash between the two
     leaves batches marked folded whose rows still sit on disk with
     their tags — the skip loses nothing (rows are present, serve-time
@@ -1449,14 +1723,18 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
     for rel in _REL_GRAINS:
         if not path_exists(spark, f"{path}/{rel}"):
             continue
-        top = (
-            spark.read.parquet(f"{path}/{rel}")
-            .filter(F.col("ingest_batch") >= 0)
-            .agg(F.max("ingest_batch"))
-            .collect()[0][0]
-        )
-        if top is not None:
-            hwm[rel] = max(int(top), hwm.get(rel, -1))
+        on_disk = spark.read.parquet(f"{path}/{rel}")
+        _check_rollup_layout(on_disk, f"{path}/{rel}")
+        # per (relation, LINEAGE): batch ids from different checkpoints
+        # are incommensurable, so each lineage carries its own watermark
+        for r in (
+            on_disk.filter(F.col("ingest_batch") >= 0)
+            .groupBy("ingest_lineage")
+            .agg(F.max("ingest_batch").alias("top"))
+            .collect()
+        ):
+            key = (rel, r["ingest_lineage"])
+            hwm[key] = max(int(r["top"]), hwm.get(key, -1))
     if hwm:
         _write_folded_hwm(spark, path, hwm)
     out = []
@@ -1465,13 +1743,13 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
         ("exec_events", merge_exec_events),
         ("app_events", merge_app_events),
         ("stage_events", merge_stage_events),
+        ("dur_hist", merge_dur_hist),
     ):
         if not path_exists(spark, f"{path}/{rel}"):
             continue  # legacy layout / stream never carried this population
-        folded = merge(
-            _read_rollup_relation(spark, path, rel, _REL_GRAINS[rel])
-        ).withColumn(
-            "ingest_batch", F.lit(_BATCH_BUILD).cast("long")
+        folded = _stamp(
+            merge(_read_rollup_relation(spark, path, rel, _REL_GRAINS[rel])),
+            _BATCH_BUILD, _BATCH_LINEAGE,
         ).repartition(F.col("event_date"))  # one file per day dir
         out.append(
             {

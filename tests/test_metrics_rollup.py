@@ -29,26 +29,10 @@ from spark_history_server_rs_spark.sources.generic import (
 
 SF_SMALL = "/root/testdata/sf0.001"
 
-RAW_TWINS = {
-    "performance_trends": catalog.performance_trends,
-    "gc_time_trends": catalog.gc_time_trends,
-    "cpu_utilization": catalog.cpu_utilization,
-    "memory_usage": catalog.memory_usage,
-    "top_resource_consumers": catalog.top_resource_consumers,
-    "efficiency_analysis": catalog.efficiency_analysis,
-    "capacity_trends": catalog.capacity_trends,
-    "cost_optimization": catalog.cost_optimization,
-    "applications": catalog.applications,
-    "executor_summary": catalog.executor_summary,
-    "executor_utilization": catalog.executor_utilization,
-    "resource_utilization_metrics": catalog.resource_utilization_metrics,
-    # r13: the last three raw-scan analytics (VERDICT r12 missing #2) —
-    # A3 from the v2 all-events grain, A9 from task + all-events,
-    # A10 from the per-stage relation
-    "resource_usage_summary": catalog.resource_usage_summary,
-    "cross_app_summary": catalog.cross_app_summary,
-    "task_distribution": catalog.task_distribution,
-}
+# the 15 serve≡scan twins, single-sourced from the module (r14): each
+# name resolves to catalog.<name> (raw) and mr.<name>_from_rollup /
+# mr.<name>_rollup (served)
+RAW_TWINS = {name: getattr(catalog, name) for name in mr.ROLLUP_TWINS}
 
 
 def _rows(df):
@@ -429,18 +413,20 @@ def test_rebuild_retires_tombstones_last(spark, tmp_path, monkeypatch):
 
 
 def test_percentiles_not_servable_documented():
-    """Guard the scope line: the rollup serves only algebraic twins —
-    holistic aggregates (exact percentiles) must not grow a silent
-    partial-served variant without a design change. FROM_PARTIALS maps
-    the single-relation task-partial twins; the multi-relation twins
-    (A1/A4/A12 need the app/exec relations) are covered by RAW_TWINS'
-    serving-name convention instead."""
+    """Guard the scope line: FROM_PARTIALS maps only the oracle-shared
+    algebraic twins — the EXACT percentile op is holistic and must not
+    grow a silent partial-served variant. Its scale path is the r14
+    DDSketch relation (``task_duration_percentiles_from_rollup``),
+    which is deliberately OUTSIDE FROM_PARTIALS: sketch estimates are
+    algorithm-specific, so it is tolerance-pinned against the exact op
+    instead of sharing a DuckDB oracle (the HLL-sibling contract)."""
     assert set(mr.FROM_PARTIALS) == {
         "performance_trends", "gc_time_trends", "cpu_utilization",
         "memory_usage", "top_resource_consumers", "efficiency_analysis",
         "capacity_trends", "cost_optimization",
     }
     assert "task_duration_percentiles" not in mr.FROM_PARTIALS
+    assert callable(mr.task_duration_percentiles_from_rollup)
     for name in RAW_TWINS:
         assert callable(getattr(mr, f"{name}_from_rollup"))
         assert callable(getattr(mr, f"{name}_rollup"))
@@ -454,24 +440,30 @@ def test_replay_after_compaction_skipped_by_watermark(spark, tmp_path):
     the checkpoint commit is lost, compaction folds the rows into
     ingest_batch=-1, the restarted stream replays the batch — without
     the watermark the replay re-appends rows the serve-time
-    (grain, batch) dedup can no longer recognize and every answer
-    double-counts. Simulated with a fresh checkpoint over the same
-    source (same batch ids, same offsets — the replay shape)."""
+    (grain, lineage, batch) dedup can no longer recognize and every
+    answer double-counts. Simulated the honest way (ADVICE r13): the
+    SAME checkpoint with its last commit file deleted — offsets intact,
+    commit lost — which is exactly what a crash between the batch's
+    writes and the commit leaves behind; the restart replays batch 1
+    with the same id in the same lineage."""
     src = _stream_dir_from(spark, tmp_path)
     path = str(tmp_path / "hwm_rollup")
-    q = mr.stream_update_metrics_rollup(
-        _events_stream(spark, src), path, str(tmp_path / "ckpt_a")
-    )
+    ckpt = str(tmp_path / "ckpt_a")
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
     q.awaitTermination(120)
+    lin = mr._checkpoint_lineage(spark, ckpt)
     mr.compact_metrics_rollup(spark, path)
     assert mr._read_folded_hwm(spark, path) == {
-        rel: 1 for rel in mr._REL_GRAINS
+        (rel, lin): 1 for rel in mr._REL_GRAINS
     }
 
-    # replay: fresh checkpoint re-delivers the same files as batches 0/1
-    q = mr.stream_update_metrics_rollup(
-        _events_stream(spark, src), path, str(tmp_path / "ckpt_b")
-    )
+    # the crash shape: batch 1's commit never landed (drop the local
+    # FS's checksum sidecar too, or the re-commit's rename collides)
+    (tmp_path / "ckpt_a" / "commits" / "1").unlink()
+    crc = tmp_path / "ckpt_a" / "commits" / ".1.crc"
+    if crc.exists():
+        crc.unlink()
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
     q.awaitTermination(120)
 
     p = spark.read.parquet(f"{path}/partials")
@@ -483,6 +475,129 @@ def test_replay_after_compaction_skipped_by_watermark(spark, tmp_path):
         assert _rows(RAW_TWINS[name](ev)) == _rows(
             getattr(mr, f"{name}_from_rollup")(spark, path)
         )
+
+
+def test_fresh_lineage_over_streamed_rollup_refused(spark, tmp_path):
+    """The ADVICE-r13 medium finding, pinned: batch ids are only stable
+    within one checkpoint, so a FRESH checkpoint over a rollup that
+    already holds another stream's folded batches must fail LOUDLY —
+    under the r13 lineage-blind skip, files the fresh run packed into
+    batch ids at-or-below the watermark were silently dropped
+    (permanent loss, no error)."""
+    src = _stream_dir_from(spark, tmp_path)
+    path = str(tmp_path / "lineage_rollup")
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_l1")
+    )
+    q.awaitTermination(120)
+    mr.compact_metrics_rollup(spark, path)
+
+    # the source gains a file the original run never saw; a fresh
+    # checkpoint packs ALL THREE files into new batch ids starting at 0
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    extra_dir = tmp_path / "_third"
+    raw.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(extra_dir))
+    [f] = glob.glob(str(extra_dir / "part-*.parquet"))
+    shutil.copy(f, src / "batch_2.parquet")
+
+    from pyspark.errors import StreamingQueryException
+
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_l2")
+    )
+    with pytest.raises(StreamingQueryException, match="lineage"):
+        q.awaitTermination(120)
+
+    # the correct recovery the error message names: resume the ORIGINAL
+    # checkpoint — batch 2 delivers exactly the new file, nothing is
+    # dropped and nothing double-counts
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), path, str(tmp_path / "ckpt_l1")
+    )
+    q.awaitTermination(120)
+    ev_expected = normalize_events(
+        raw.unionByName(raw.filter(F.col("event_id") % 7 == 0))
+    )
+    assert _rows(catalog.performance_trends(ev_expected)) == _rows(
+        mr.performance_trends_from_rollup(spark, path)
+    )
+
+
+def test_accept_new_lineage_disjoint_sources_no_collapse(spark, tmp_path):
+    """The opt-in path (disjoint incremental sources) — and the
+    cross-lineage dedup fix it rides on: lineage A's batch 0 and
+    lineage B's batch 0 share grain cells, so the r13 lineage-blind
+    (grain, batch) key would collapse one of them at serve time; the
+    (grain, lineage, batch) key keeps both."""
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src_a = _stream_dir_from(spark, tmp_path, halves=2)
+    # lineage A ingests only the even half (remove the odd file)
+    (src_a / "batch_1.parquet").unlink()
+    path = str(tmp_path / "disjoint_rollup")
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src_a), path, str(tmp_path / "ckpt_da")
+    )
+    q.awaitTermination(120)
+
+    # lineage B: a DISJOINT source (the odd half) from a fresh
+    # checkpoint — its batch 0 collides with A's batch 0 on grain cells
+    src_b = tmp_path / "src_b"
+    src_b.mkdir()
+    part_dir = tmp_path / "_oddhalf"
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(part_dir))
+    [f] = glob.glob(str(part_dir / "part-*.parquet"))
+    shutil.copy(f, src_b / "batch_0.parquet")
+
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        q = mr.stream_update_metrics_rollup(
+            _events_stream(spark, src_b), path, str(tmp_path / "ckpt_db"),
+            accept_new_lineage=True,
+        )
+        q.awaitTermination(120)
+    assert any("double-count" in str(w.message) for w in caught)
+
+    # both lineages' batch-0 rows serve — the union corpus, exactly
+    ev = load_events(spark, SF_SMALL)
+    for name in ("performance_trends", "cross_app_summary"):
+        assert _rows(RAW_TWINS[name](ev)) == _rows(
+            getattr(mr, f"{name}_from_rollup")(spark, path)
+        )
+    p = spark.read.parquet(f"{path}/partials")
+    assert p.select("ingest_lineage").distinct().count() == 2
+
+
+def test_pre_r14_layout_fails_loud(spark, tmp_path):
+    """ADVICE r13 #3: a stale on-disk layout must raise a CLEAR error
+    naming the remediation, not an opaque missing-column
+    AnalysisException deep inside dropDuplicates/merge."""
+    ev = load_events(spark, SF_SMALL)
+    path = str(tmp_path / "legacy_rollup")
+    mr.write_metrics_rollup(ev, path)
+    # simulate a pre-r14 relation: strip the lineage column on disk
+    legacy = spark.read.parquet(f"{path}/partials").drop("ingest_lineage")
+    legacy.write.mode("overwrite").partitionBy("event_date").parquet(
+        f"{path}/partials_v2"
+    )
+    shutil.rmtree(tmp_path / "legacy_rollup" / "partials")
+    shutil.move(
+        str(tmp_path / "legacy_rollup" / "partials_v2"),
+        str(tmp_path / "legacy_rollup" / "partials"),
+    )
+    with pytest.raises(ValueError, match="pre-r14"):
+        mr.read_rollup_partials(spark, path).collect()
+    # the legacy folded_hwm layout fails the same way
+    spark.createDataFrame(
+        [("partials", 1)], "relation string, folded_batch bigint"
+    ).write.mode("overwrite").parquet(f"{path}/folded_hwm")
+    with pytest.raises(ValueError, match="pre-r14"):
+        mr._read_folded_hwm(spark, path)
 
 
 def test_replay_partial_batch_appends_only_missing_relations(spark, tmp_path):
@@ -505,15 +620,16 @@ def test_replay_partial_batch_appends_only_missing_relations(spark, tmp_path):
     # else (exec/stage/app relations) never written, checkpoint lost
     raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     half1 = normalize_events(raw.filter(F.col("event_id") % 2 == 1))
-    mr.rollup_partials(half1).withColumn(
-        "ingest_batch", F.lit(1).cast("long")
-    ).repartition(F.col("event_date")).write.mode("append").partitionBy(
-        "event_date"
-    ).parquet(f"{path}/partials")
+    lin = mr._checkpoint_lineage(spark, ckpt)
+    mr._stamp(mr.rollup_partials(half1), 1, lin).repartition(
+        F.col("event_date")
+    ).write.mode("append").partitionBy("event_date").parquet(
+        f"{path}/partials"
+    )
 
     mr.compact_metrics_rollup(spark, path)
     hwm = mr._read_folded_hwm(spark, path)
-    assert hwm["partials"] == 1 and hwm["app_events"] == 0
+    assert hwm[("partials", lin)] == 1 and hwm[("app_events", lin)] == 0
 
     # restart delivers batch 1 (same checkpoint, file now visible)
     shutil.move(str(held_back), str(extra))
@@ -533,6 +649,145 @@ def test_replay_partial_batch_appends_only_missing_relations(spark, tmp_path):
         assert _rows(RAW_TWINS[name](ev)) == _rows(
             getattr(mr, f"{name}_from_rollup")(spark, path)
         )
+
+
+def test_partial_replay_does_not_retire_tombstones(spark, tmp_path):
+    """ADVICE r13 #2: a PARTIALLY-folded replay (some relations
+    hwm-skipped, others appending the relations the crashed attempt
+    never wrote) is late re-delivery of pre-crash rows, NOT new data —
+    it must not retire a tombstone laid after the original attempt.
+    Under r13, the revive probe ran for this traffic and resurrected
+    the suppressed app's not-yet-compacted history."""
+    src = _stream_dir_from(spark, tmp_path)
+    extra = src / "batch_1.parquet"
+    held_back = tmp_path / "held_b1.parquet"
+    shutil.move(str(extra), str(held_back))
+
+    path = str(tmp_path / "ghost_rollup")
+    ckpt = str(tmp_path / "ckpt_ghost")
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
+    q.awaitTermination(120)
+
+    # crashed attempt of batch 1: only partials landed, commit lost
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    half1 = normalize_events(raw.filter(F.col("event_id") % 2 == 1))
+    lin = mr._checkpoint_lineage(spark, ckpt)
+    mr._stamp(mr.rollup_partials(half1), 1, lin).repartition(
+        F.col("event_date")
+    ).write.mode("append").partitionBy("event_date").parquet(
+        f"{path}/partials"
+    )
+    mr.compact_metrics_rollup(spark, path)
+
+    # the delete lands AFTER the crashed attempt
+    assert mr.delete_from_metrics_rollup(
+        spark, path, spark.createDataFrame([("3",)], "app_id string")
+    ) == 1
+
+    # restart replays batch 1: partials skip (folded), the other
+    # relations append — and the tombstone must survive
+    shutil.move(str(held_back), str(extra))
+    q = mr.stream_update_metrics_rollup(_events_stream(spark, src), path, ckpt)
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(f"{path}/deleted_apps").count() == 1
+    ev_minus = load_events(spark, SF_SMALL).filter(F.col("app_id") != "3")
+    for name in ("performance_trends", "applications"):
+        assert _rows(RAW_TWINS[name](ev_minus)) == _rows(
+            getattr(mr, f"{name}_from_rollup")(spark, path)
+        )
+
+
+# --------------------------------------------------------------------------
+# §2.5 scale path — task-duration percentiles from the DDSketch relation
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"]
+)
+def test_duration_percentiles_sketch_within_tolerance(spark, tmp_path, sf_dir):
+    """The HLL-sibling contract (VERDICT r13 #5): the DDSketch-served
+    percentiles stay within 5% RELATIVE error of the exact holistic op
+    — per event type, per quantile — at every test scale including
+    sf0.1. (The sketch's design bound is (γ-1)/(γ+1) ≈ 0.99% against
+    the underlying values; the extra headroom absorbs the exact op's
+    interpolation between neighbors.)"""
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "pct_rollup")
+    mr.write_metrics_rollup(ev, path)
+    exact = {
+        r["event_type"]: r.asDict()
+        for r in catalog.task_duration_percentiles(ev).collect()
+    }
+    served = {
+        r["event_type"]: r.asDict()
+        for r in mr.task_duration_percentiles_from_rollup(
+            spark, path
+        ).collect()
+    }
+    assert set(exact) == set(served) and exact
+    for et, row in exact.items():
+        for col in ("p50_ms", "p90_ms", "p95_ms", "p99_ms"):
+            e, s = row[col], served[et][col]
+            assert s == pytest.approx(e, rel=0.05), (et, col, e, s)
+
+
+def test_duration_percentiles_sketch_lifecycle(spark, tmp_path):
+    """The sketch relation rides the full S17 lifecycle: stream-built
+    equals batch-built BIT-IDENTICALLY (counts merge exactly, unlike
+    float partials there is no re-association concern at all),
+    compaction folds without changing answers, and a deleted app's
+    durations leave the percentiles (tombstone suppression is exact
+    because app_id is in the sketch grain)."""
+    ev = load_events(spark, SF_SMALL)
+    batch_path = str(tmp_path / "pct_batch")
+    mr.write_metrics_rollup(ev, batch_path)
+    expected = _rows(mr.task_duration_percentiles_from_rollup(spark, batch_path))
+
+    src = _stream_dir_from(spark, tmp_path)
+    stream_path = str(tmp_path / "pct_stream")
+    q = mr.stream_update_metrics_rollup(
+        _events_stream(spark, src), stream_path, str(tmp_path / "ckpt_pct")
+    )
+    q.awaitTermination(120)
+    assert _rows(
+        mr.task_duration_percentiles_from_rollup(spark, stream_path)
+    ) == expected
+    mr.compact_metrics_rollup(spark, stream_path)
+    assert _rows(
+        mr.task_duration_percentiles_from_rollup(spark, stream_path)
+    ) == expected
+    h = spark.read.parquet(f"{stream_path}/dur_hist")
+    assert h.count() == h.select(*mr.DUR_HIST_GRAIN).distinct().count()
+
+    # suppression: percentiles after a delete equal a rebuild without
+    # the app (grain-exact, the S13 suppression argument)
+    mr.delete_from_metrics_rollup(
+        spark, stream_path, spark.createDataFrame([("3",)], "app_id string")
+    )
+    minus_path = str(tmp_path / "pct_minus")
+    mr.write_metrics_rollup(ev.filter(F.col("app_id") != "3"), minus_path)
+    assert _rows(
+        mr.task_duration_percentiles_from_rollup(spark, stream_path)
+    ) == _rows(mr.task_duration_percentiles_from_rollup(spark, minus_path))
+
+
+def test_duration_percentiles_sketch_plan_raw_scan_free(spark, tmp_path):
+    """The point of the relation: the serving plan reads cells, never
+    the fact table (same gate as the other rollup twins)."""
+    ev = load_events(spark, SF_SMALL)
+    path = str(tmp_path / "pct_plan")
+    mr.write_metrics_rollup(ev, path)
+    from spark_history_server_rs_spark.operators.dedup import (
+        clear_materialized_caches,
+    )
+
+    clear_materialized_caches()
+    plan = I.explain_str(
+        mr.task_duration_percentiles_from_rollup(spark, path), "formatted"
+    )
+    assert "events.parquet" not in plan
+    assert "dur_hist" in plan or "InMemoryTableScan" in plan
 
 
 def test_delete_erase_is_revive_proof(spark, tmp_path):
