@@ -798,6 +798,13 @@ def _sink_partition_dirs(
     return dirs
 
 
+#: widest OR-disjunction the erasure rewrite hands Catalyst in one plan —
+#: analysis cost is linear in clauses, so very wide erasures are batched
+#: into chunks of this many affected-partition clauses (each chunk an
+#: independent pruned scan + dynamic overwrite of only its partitions)
+_ERASE_CLAUSE_CAP = 256
+
+
 def erase_apps_from_sink(
     spark: SparkSession,
     sink_dir: str,
@@ -817,9 +824,11 @@ def erase_apps_from_sink(
     set, the erased-row count, and the survivor/all-victim split in a
     #partitions-bounded driver payload; the rewrite then reads ONLY
     the affected directories (a literal disjunction over the native
-    partition columns, so Catalyst partition-prunes the scan) and
-    replaces them via dynamic partition overwrite — everything else is
-    untouched on disk, byte-for-byte, not just value-equal.
+    partition columns, so Catalyst partition-prunes the scan — batched
+    in chunks of ``_ERASE_CLAUSE_CAP`` clauses so planner analysis
+    stays bounded at ANY erasure width, VERDICT r13) and replaces them
+    via dynamic partition overwrite — everything else is untouched on
+    disk, byte-for-byte, not just value-equal.
 
     The silent-miss class this guards against explicitly: dynamic
     partition overwrite only REPLACES partitions present in the output,
@@ -875,40 +884,53 @@ def erase_apps_from_sink(
     survivor_keys = {
         (r.event_date, r.ingest_src) for r in stats if r.n_survivors > 0
     }
-    # literal disjunction over the affected keys: partition PRUNING at
-    # the scan (a broadcast key-frame join reads every partition; a
-    # literal predicate reads only the affected directories). Applied
-    # to the NATIVE partition columns (date-typed) before any cast, so
-    # Catalyst prunes. Bounded: #affected pairs, the same driver
-    # payload the stats carry.
-    pred = None
-    for d, s in sorted(affected_keys):
-        clause = (
-            F.col("event_date") == F.to_date(F.lit(d))
-        ) & (F.col("ingest_src") == s)
-        pred = clause if pred is None else (pred | clause)
-    picked = df.filter(pred).withColumn(
-        "event_date", F.col("event_date").cast("string")
-    )
-    survivors = picked.join(F.broadcast(victims), "app_id", "left_anti")
     if survivor_keys:
-        # repartition barrier, same reasoning as compact_sink_inplace:
-        # both joins above are broadcast (narrow, pipelined), so without
-        # a shuffle the in-place rewrite's read safety would rest on
-        # commit staging alone; the barrier materializes the scan before
-        # any output commit can touch a source file — and leaves one
-        # file per rewritten partition as a side effect
-        out = survivors.repartition(
-            F.col("event_date"), F.col("ingest_src")
-        ).withColumn("event_date", F.col("event_date").cast("date"))
+        # literal disjunction over the affected keys: partition PRUNING
+        # at the scan (a broadcast key-frame join reads every partition;
+        # a literal predicate reads only the affected directories).
+        # Applied to the NATIVE partition columns (date-typed) before
+        # any cast, so Catalyst prunes. Catalyst's analysis cost grows
+        # linearly in OR clauses and turns pathological for very wide
+        # erasures (thousands of affected partitions — VERDICT r13), so
+        # the rewrite proceeds in chunks of at most _ERASE_CLAUSE_CAP
+        # clauses: each chunk is an independent pruned scan + dynamic
+        # partition overwrite of only ITS partitions, so correctness is
+        # unchanged (partitions are rewritten exactly once, a crash
+        # between chunks leaves untouched-or-fully-rewritten partitions
+        # — the same non-atomic commit window the docstring documents,
+        # and the verify probe still closes the loop).
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            out.write.partitionBy("event_date", "ingest_src").mode(
-                "overwrite"
-            ).parquet(sink_dir)
+            ordered = sorted(survivor_keys)
+            for i in range(0, len(ordered), _ERASE_CLAUSE_CAP):
+                pred = None
+                for d, s in ordered[i:i + _ERASE_CLAUSE_CAP]:
+                    clause = (
+                        F.col("event_date") == F.to_date(F.lit(d))
+                    ) & (F.col("ingest_src") == s)
+                    pred = clause if pred is None else (pred | clause)
+                picked = df.filter(pred).withColumn(
+                    "event_date", F.col("event_date").cast("string")
+                )
+                survivors = picked.join(
+                    F.broadcast(victims), "app_id", "left_anti"
+                )
+                # repartition barrier, same reasoning as
+                # compact_sink_inplace: both joins above are broadcast
+                # (narrow, pipelined), so without a shuffle the in-place
+                # rewrite's read safety would rest on commit staging
+                # alone; the barrier materializes the scan before any
+                # output commit can touch a source file — and leaves one
+                # file per rewritten partition as a side effect
+                out = survivors.repartition(
+                    F.col("event_date"), F.col("ingest_src")
+                ).withColumn("event_date", F.col("event_date").cast("date"))
+                out.write.partitionBy("event_date", "ingest_src").mode(
+                    "overwrite"
+                ).parquet(sink_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # all-victim partitions: no survivor output replaced them — delete

@@ -144,6 +144,63 @@ def test_erase_apps_survivor_rows_intact(spark, tmp_path):
     assert after == before
 
 
+def test_erase_apps_chunked_beyond_clause_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #4: a wide erasure (more affected partitions than
+    the OR-disjunction cap) proceeds in clause-capped chunks with the
+    SAME contract — victims fully gone, survivors row-identical,
+    untouched partitions byte-identical, retry a no-op. Cap patched to
+    3 so the standard corpus spans many chunks."""
+    from spark_history_server_rs_spark.sources import event_logs as el
+
+    assert el._ERASE_CLAUSE_CAP == 256  # the production cap
+    monkeypatch.setattr(el, "_ERASE_CLAUSE_CAP", 3)
+
+    ev, sink, _ = _build_sink(spark, tmp_path)
+    df = spark.read.parquet(sink)
+    n_total = df.count()
+    n_victim = df.filter(F.col("app_id") == VICTIM).count()
+    affected = {
+        (r.event_date, r.ingest_src)
+        for r in df.filter(F.col("app_id") == VICTIM)
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "ingest_src",
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(affected) > 3  # the cap genuinely chunks this erasure
+    dirs_before = _sink_partition_dirs(spark, sink)
+    untouched_listing = {
+        k: _fs_listing(spark, d)
+        for k, d in dirs_before.items()
+        if k not in affected
+    }
+    survivors_before = {
+        r["id"]: r
+        for r in df.filter(F.col("app_id") != VICTIM).collect()
+    }
+
+    victims = spark.createDataFrame([(VICTIM,)], "app_id string")
+    stats = erase_apps_from_sink(spark, sink, victims)
+    assert stats["n_rows_erased"] == n_victim
+    assert (
+        stats["partitions_rewritten"] + stats["partitions_deleted"]
+        == len(affected)
+    )
+    after = spark.read.parquet(sink)
+    assert after.filter(F.col("app_id") == VICTIM).count() == 0
+    assert after.count() == n_total - n_victim
+    assert {r["id"]: r for r in after.collect()} == survivors_before
+    for k, listing in untouched_listing.items():
+        assert _fs_listing(spark, dirs_before[k]) == listing, k
+    assert erase_apps_from_sink(spark, sink, victims) == {
+        "n_rows_erased": 0,
+        "partitions_rewritten": 0,
+        "partitions_deleted": 0,
+    }
+
+
 def test_run_app_retention_fans_sink_and_rollup(spark, tmp_path):
     """One app frame forgets the app in BOTH fact-table artifacts; the
     maintenance slot then materializes the rollup's tombstones and
