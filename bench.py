@@ -66,6 +66,68 @@ def main() -> None:
     spark = get_spark("bench")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # SAME-HOUR canary floor (VERDICT r13 #1): the recorded
+    # BASELINE_CANARY.json bands go stale faster than once-per-round
+    # re-calibration (r13's idle-session canary already exceeded the
+    # r12 band top). Measure a fresh floor in THIS session's prologue —
+    # fresh JVM, before any bench load, canary_floor.py's methodology
+    # at 4 trials — and report the in-band verdict against BOTH the
+    # stored bands (cross-round continuity) and the fresh ones (what
+    # the machine is doing the hour the numbers are judged).
+    def _range_sum():
+        spark.range(200_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000)"
+        ).collect()
+
+    def _tiny_shuffle():
+        spark.range(0, 10_000).repartition(32).selectExpr(
+            "id % 13 AS k"
+        ).groupBy("k").count().collect()
+
+    def _min3(fn) -> float:
+        vals = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn()
+            vals.append(time.perf_counter() - t)
+        return round(min(vals), 4)
+
+    _range_sum(), _tiny_shuffle()  # untimed JIT warmup, as canary_floor.py
+    floor_range = [_min3(_range_sum) for _ in range(4)]
+    floor_shuffle = [_min3(_tiny_shuffle) for _ in range(4)]
+    canary_floor_prologue = {
+        "range_sum_trials": floor_range,
+        "shuffle_trials": floor_shuffle,
+        "band_range_sum": [0.0, round(max(floor_range) * 1.25, 4)],
+        "band_shuffle": [0.0, round(max(floor_shuffle) * 1.25, 4)],
+    }
+
+    # rolling last-canary + per-heavy-op brackets (VERDICT r13 #1):
+    # between-group canaries cannot see a load spike INSIDE a group
+    # (three same-round measurements of knn_graph_index_build disagreed
+    # 4.7x in r13). Every op slower than _HEAVY_BRACKET_SEC gets its
+    # own canary sampled immediately AFTER it; paired with the nearest
+    # preceding sample it yields a per-op sec_per_canary that survives
+    # floor drift.
+    _HEAVY_BRACKET_SEC = 2.0
+    last_canary = {"v": min(floor_shuffle)}
+    op_brackets: dict[str, list] = {}
+
+    def _note_canary(v: float) -> None:
+        last_canary["v"] = v
+
+    def _bracket(name: str, secs: float) -> None:
+        if secs < _HEAVY_BRACKET_SEC:
+            return
+        before = last_canary["v"]
+        after = _shuffle_canary(spark)
+        last_canary["v"] = after
+        mid = (before + after) / 2
+        op_brackets[name] = [
+            before, after, round(secs / mid, 2) if mid else None
+        ]
+
     t0 = time.perf_counter()
     # parallelism: the sf tables are single parquet files; repartition the raw
     # scan so the JSON-normalizing projection runs on all cores (a real corpus
@@ -102,6 +164,7 @@ def main() -> None:
         total += dt
 
     group_canaries: dict[str, float] = {"after_suite": _shuffle_canary(spark)}
+    _note_canary(group_canaries["after_suite"])
 
     # S17 serving split (the continuous-aggregate story): the trend
     # analytics answered from the durable day-partitioned partials —
@@ -157,6 +220,7 @@ def main() -> None:
         warm.append(time.perf_counter() - t)
     extended_rollup["performance_trends_raw_uncached"] = round(min(warm), 4)
     group_canaries["after_rollup"] = _shuffle_canary(spark)
+    _note_canary(group_canaries["after_rollup"])
 
     # extended (beyond-reference) operator timings over documents/embeddings
     from spark_history_server_rs_spark.operators import (
@@ -278,6 +342,7 @@ def main() -> None:
             group_canaries[f"extended_after_{len(extended)}"] = (
                 _shuffle_canary(spark)
             )
+            _note_canary(group_canaries[f"extended_after_{len(extended)}"])
         # same methodology as the 7-query suite: one cold run, then
         # min-of-3 warm. A single timed run samples the JVM's JIT ramp
         # (measured on dedup_minhash_lsh: identical plan executes in
@@ -301,8 +366,10 @@ def main() -> None:
             fn(src).collect()
             warm.append(time.perf_counter() - t)
         extended[name] = round(min(warm), 4)
+        _bracket(name, extended[name])
 
     group_canaries["after_extended"] = _shuffle_canary(spark)
+    _note_canary(group_canaries["after_extended"])
 
     # k=64 training demonstration (VERDICT r06 #1): the bounded-lineage
     # loop at 8× the registered merge count. Single timed run — the loop
@@ -312,6 +379,7 @@ def main() -> None:
     t = time.perf_counter()
     llmprep.bpe_train_k(docs, 64).collect()
     extended["corpus_bpe_train_k64"] = round(time.perf_counter() - t, 4)
+    _bracket("corpus_bpe_train_k64", extended["corpus_bpe_train_k64"])
 
     # S16 serving split (VERDICT r07 #1): graph-expansion ANN answered
     # from the durable adjacency — the pair loop (the priciest extended
@@ -328,6 +396,7 @@ def main() -> None:
     t = time.perf_counter()
     write_knn_graph(emb, gpath)
     extended["knn_graph_index_build"] = round(time.perf_counter() - t, 4)
+    _bracket("knn_graph_index_build", extended["knn_graph_index_build"])
     from spark_history_server_rs_spark.sources.knn_graph import (
         ann_graph_expand2_from_index,
     )
@@ -343,6 +412,7 @@ def main() -> None:
             served(spark, gpath, emb).collect()
             warm.append(time.perf_counter() - t)
         extended[row] = round(min(warm), 4)
+        _bracket(row, extended[row])
 
     # the full durable-serving family at one glance: S14 raw + residual
     # IVFADC and the S13-backed dedup sweep — what a warm query pays
@@ -403,6 +473,7 @@ def main() -> None:
             server(p).collect()
             warm.append(time.perf_counter() - t)
         extended[row] = round(min(warm), 4)
+        _bracket(row, extended[row])
 
     # X14's serving stage (VERDICT r11 #7): retrieve-then-rerank from
     # the persisted S14 index — the row the meta-served coverage counts
@@ -420,6 +491,10 @@ def main() -> None:
         ann_crossencoder_rerank_from_index(spark, rerank_idx, emb).collect()
         warm.append(time.perf_counter() - t)
     extended["ann_crossencoder_rerank_from_index"] = round(min(warm), 4)
+    _bracket(
+        "ann_crossencoder_rerank_from_index",
+        extended["ann_crossencoder_rerank_from_index"],
+    )
 
     # the erasure arc's per-round row (VERDICT r11 #1): ONE retention
     # pass fanning a ~1% loser frame to all four durable families —
@@ -448,6 +523,10 @@ def main() -> None:
     extended["retention_pass_all_families"] = round(
         time.perf_counter() - t, 4
     )
+    _bracket(
+        "retention_pass_all_families",
+        extended["retention_pass_all_families"],
+    )
 
     # k=64 Lloyd training (VERDICT r07 #2): the de-literalized trainer at
     # 8× the registered codebook size — centroids travel as a DataFrame,
@@ -456,8 +535,12 @@ def main() -> None:
     t = time.perf_counter()
     llmprep.kmeans_train_k(emb, 4, 64).collect()
     extended["embedding_kmeans_train_k64"] = round(time.perf_counter() - t, 4)
+    _bracket(
+        "embedding_kmeans_train_k64", extended["embedding_kmeans_train_k64"]
+    )
 
     group_canaries["after_index_family"] = _shuffle_canary(spark)
+    _note_canary(group_canaries["after_index_family"])
 
     # round-6 events-SQL ops take (spark, sf_dir) — they scan the raw
     # events parquet per run (the realistic serving shape for these)
@@ -559,6 +642,18 @@ def main() -> None:
             "shuffle_opening": calib_shuffle <= floor["band_shuffle"][1],
             "shuffle_median_sec": round(shuffle_median, 4),
             "kernel_match": os.uname().release == floor["kernel"],
+            # the SAME-HOUR verdict (VERDICT r13 #1): this run's
+            # epilogue samples vs the prologue-measured bands — drift
+            # WITHIN the session reads out-of-band here even when the
+            # stale stored bands would have absorbed it
+            "range_sum_fresh": (
+                min(calib_cpu)
+                <= canary_floor_prologue["band_range_sum"][1]
+            ),
+            "shuffle_fresh": (
+                shuffle_median
+                <= canary_floor_prologue["band_shuffle"][1]
+            ),
         }
     except (OSError, KeyError, ValueError):
         pass  # no floor recorded yet — raw numbers carry no band claim
@@ -577,6 +672,12 @@ def main() -> None:
         ),
         "canary_bands": canary_bands,
         "canary_in_band": canary_in_band,
+        # same-hour floor measured in this session's prologue (fresh
+        # JVM, pre-load) — the bands the _fresh verdicts key on
+        "canary_floor_prologue": canary_floor_prologue,
+        # [canary_before, canary_after, sec_per_canary] for every op
+        # slower than 2 s — the in-group load-spike witness
+        "op_brackets": op_brackets,
         # in-sequence canaries per bench group (same tiny-shuffle
         # probe): attribute late-registry per-op creep to session/VM
         # drift vs plan regressions — compare an op's delta against its
@@ -604,10 +705,14 @@ def main() -> None:
         for k in (
             "metric", "value", "calib_range_sum_sec", "calib_shuffle_sec",
             "suite_per_shuffle_canary", "canary_in_band", "group_canaries",
+            "op_brackets",
             "unit", "queries", "sf", "events", "cold_total_sec",
             "ingest_sec", "ingest_events_per_sec",
         )
     }
+    headline["prologue_shuffle_band_top"] = canary_floor_prologue[
+        "band_shuffle"
+    ][1]
     headline["bpe_train_k64_sec"] = extended.get("corpus_bpe_train_k64")
     headline["kmeans_train_k64_sec"] = extended.get(
         "embedding_kmeans_train_k64"

@@ -20,6 +20,7 @@ calibration canaries separate VM drift from real deltas.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -280,6 +281,31 @@ def main() -> None:
                 )
             ),
         }
+        # §2.5's sketch percentiles at the 10x tier (VERDICT r13 #5):
+        # the DDSketch serve vs the exact holistic op — tolerance AND
+        # the cost asymmetry (cells re-aggregation vs fact-table sort)
+        t = time.perf_counter()
+        exact_pct = {
+            r["event_type"]: r.asDict()
+            for r in catalog.task_duration_percentiles(ev).collect()
+        }
+        exact_pct_sec = round(time.perf_counter() - t, 4)
+        sketch_pct_sec = _r_min3(
+            lambda: _mr.task_duration_percentiles_from_rollup(
+                spark, rpath10
+            )
+        )
+        max_rel_err = 0.0
+        for r in _mr.task_duration_percentiles_from_rollup(
+            spark, rpath10
+        ).collect():
+            for c in ("p50_ms", "p90_ms", "p95_ms", "p99_ms"):
+                e, s = exact_pct[r["event_type"]][c], r[c]
+                if e:
+                    max_rel_err = max(max_rel_err, abs(s - e) / abs(e))
+        rollup10["pct_exact_sec"] = exact_pct_sec
+        rollup10["pct_sketch_warm_sec"] = sketch_pct_sec
+        rollup10["pct_sketch_max_rel_err"] = round(max_rel_err, 5)
 
     # S17 streaming-maintenance serve shape (VERDICT r12 #7): the
     # production state is many appended micro-batches between
@@ -298,10 +324,11 @@ def main() -> None:
 
         n_batches = 8
         for b in range(n_batches):
-            _mr.rollup_partials(
-                ev.where(_F.pmod(_F.col("id"), _F.lit(n_batches)) == b)
-            ).withColumn(
-                "ingest_batch", _F.lit(b).cast("long")
+            _mr._stamp(
+                _mr.rollup_partials(
+                    ev.where(_F.pmod(_F.col("id"), _F.lit(n_batches)) == b)
+                ),
+                b, "probe-stream",
             ).repartition(_F.col("event_date")).write.mode(
                 "append"
             ).partitionBy("event_date").parquet(f"{rpath10}/partials")
@@ -388,6 +415,27 @@ def main() -> None:
         t = time.perf_counter()
         _write_sink(ev_src, sink10)
         sink_build = round(time.perf_counter() - t, 4)
+        n_files_clustered = len(
+            glob.glob(f"{sink10}/*/*/part-*.parquet")
+        )
+        # VERDICT r13 #6 — the write-side half of the small-file fix's
+        # trade: the cluster-by-keys shuffle the r13 fix added vs the
+        # shuffle-free pre-r13 write (every input task fanning across
+        # every partition directory). Same frame, scratch dir, then
+        # removed — only the numbers are kept.
+        unclustered = "/tmp/sparkgraft_sink10_unclustered"
+        _shutil.rmtree(unclustered, ignore_errors=True)
+        t = time.perf_counter()
+        (
+            ev_src.withColumn("ingest_src", _F.md5("src_file"))
+            .write.partitionBy("event_date", "ingest_src")
+            .mode("append").parquet(unclustered)
+        )
+        sink_build_unclustered = round(time.perf_counter() - t, 4)
+        n_files_unclustered = len(
+            glob.glob(f"{unclustered}/*/*/part-*.parquet")
+        )
+        _shutil.rmtree(unclustered, ignore_errors=True)
         n_parts_total = (
             spark.read.parquet(sink10)
             .select("event_date", "ingest_src").distinct().count()
@@ -403,6 +451,15 @@ def main() -> None:
         sink_erase10 = {
             "canary_shuffle_sec": canary9d,
             "sink_build_sec": sink_build,
+            # write-side trade of the r13 cluster-by-keys fix
+            # (VERDICT r13 #6): one extra shuffle per ingest write vs
+            # the small-file fan-out it prevents
+            "sink_build_unclustered_sec": sink_build_unclustered,
+            "n_files_clustered": n_files_clustered,
+            "n_files_unclustered": n_files_unclustered,
+            "clustered_over_unclustered_write": round(
+                sink_build / max(sink_build_unclustered, 1e-9), 3
+            ),
             "erase_sec": erase_sec,
             "n_rows_erased": rep9d["n_rows_erased"],
             "partitions_rewritten": rep9d["partitions_rewritten"],
@@ -705,31 +762,32 @@ def main() -> None:
         )
 
         # ---- S15: single-shard retraction vs full export ------------
-        # n_shards=64 over a 5-fold widened corpus (VERDICT r12 "What's
-        # wrong #1"): at 8 shards over 10x docs the build and a 1-shard
+        # n_shards=64 over a 20-fold widened corpus (VERDICT r12
+        # "What's wrong #1"; ADVICE r13 #4 fixed this comment to match
+        # the code): at 8 shards over 10x docs the build and a 1-shard
         # retraction were BOTH fixed-cost-dominated (~2 s job floor
         # each) and the ratio read ~1 on a genuinely pruned plan. The
         # pruning is only visible in wall time where the export build
         # is multi-second and the retraction touches 1/64 of it — so
-        # this tier widens the corpus in-plan (shifted doc_id copies,
-        # content reused: shard membership hashes doc_id alone, so
-        # copies land in different shards exactly like distinct docs).
+        # this tier widens the corpus 20x in-plan (19 shifted doc_id
+        # copies, content reused: shard membership hashes doc_id alone,
+        # so copies land in different shards like distinct docs).
         spath = "/tmp/sparkgraft_shards10"
         n_shards_probe = 64
-        d50 = d10
+        d20x = d10
         for c in range(1, 20):
-            d50 = d50.unionByName(
+            d20x = d20x.unionByName(
                 d10.selectExpr(
                     f"doc_id + {c}000000000 AS doc_id",
                     *[col for col in d10.columns if col != "doc_id"],
                 )
             )
         t = time.perf_counter()
-        _write_shards(d50, spath, n_shards=n_shards_probe)
+        _write_shards(d20x, spath, n_shards=n_shards_probe)
         shards_build = round(time.perf_counter() - t, 4)
         # losers confined to ONE shard: the pruning claim is only
         # visible when the affected set is a strict subset
-        one_shard_ids = d50.selectExpr("doc_id").where(
+        one_shard_ids = d20x.selectExpr("doc_id").where(
             f"pmod(xxhash64(doc_id), {n_shards_probe}) = 3"
         )
         n_retract = one_shard_ids.count()
@@ -778,7 +836,7 @@ def main() -> None:
             "s15_shards_rewritten": len(rep15["shards_rewritten"]),
             "s15_n_shards": rep15["n_shards"],
             # the pruning claim: wall ratio vs the fraction of shards
-            # touched (1/8 here) — ~equal means cost ∝ affected shards
+            # touched (1/64 here) — ~equal means cost ∝ affected shards
             "s15_retract_over_build": round(retract_sec / shards_build, 3),
             "s13_delete_sec": del13_sec,
             "s13_n_deleted": n13,
