@@ -124,8 +124,11 @@ def main() -> None:
         after = _shuffle_canary(spark)
         last_canary["v"] = after
         mid = (before + after) / 2
+        # 3dp keeps the headline JSON line (driver keeps ~2 KB of tail)
+        # inside the window even with ~22 bracketed rows at sf0.1
         op_brackets[name] = [
-            before, after, round(secs / mid, 2) if mid else None
+            round(before, 3), round(after, 3),
+            round(secs / mid, 2) if mid else None,
         ]
 
     t0 = time.perf_counter()
@@ -694,6 +697,19 @@ def main() -> None:
         "extended": extended,
     }
     print(json.dumps(out))
+    # The full payload also lands in a repo file: the headline line
+    # below must stay inside the driver's ~2 KB tail window, which
+    # cannot hold every per-op bracket at sf0.1 — the file carries the
+    # complete record (op_brackets for ALL >2 s rows, cold timings,
+    # canary trials) for the judge/audit trail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".",
+                         "BENCH_FULL_LAST.json"), "w"
+        ) as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout lines still carry it
     # The driver records only the trailing ~2 KB of output and parses
     # the last complete JSON it finds there. The full line above now
     # exceeds that window (BENCH_r05/r06 lost the canaries and every
@@ -713,6 +729,14 @@ def main() -> None:
     headline["prologue_shuffle_band_top"] = canary_floor_prologue[
         "band_shuffle"
     ][1]
+    # headline carries brackets only for the ≥8 s rows (the class whose
+    # r13 measurements disagreed 4.7x) so the final line stays inside
+    # the driver's tail window; BENCH_FULL_LAST.json has every >2 s row
+    headline["op_brackets"] = {
+        k: v for k, v in op_brackets.items()
+        if extended.get(k, 0.0) >= 8.0
+    }
+    headline["op_brackets_full"] = "BENCH_FULL_LAST.json"
     headline["bpe_train_k64_sec"] = extended.get("corpus_bpe_train_k64")
     headline["kmeans_train_k64_sec"] = extended.get(
         "embedding_kmeans_train_k64"

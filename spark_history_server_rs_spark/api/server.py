@@ -691,7 +691,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
             r"(performance-trends|gc-trends|cpu-utilization|memory-usage"
             r"|top-resource-consumers|efficiency-analysis|capacity-trends"
             r"|cost-optimization|resource-usage-summary|cross-app-summary"
-            r"|task-distribution)",
+            r"|task-distribution|task-duration-percentiles)",
             path,
         )
         if m:
@@ -719,6 +719,7 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                 "resource-usage-summary": "resource_usage_summary",
                 "cross-app-summary": "cross_app_summary",
                 "task-distribution": "task_distribution",
+                "task-duration-percentiles": "task_duration_percentiles",
             }[m.group(1)]
             defaults = {
                 "performance_trends": 500,
@@ -785,6 +786,18 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     df = MR.task_distribution_from_partials(
                         _rel("stage_events"), limit=limit
                     )
+                elif name == "task_duration_percentiles":
+                    # DECLARED divergence from the fallback (the r14
+                    # sketch contract, reference analytics_api.rs:308's
+                    # declared-but-unimplemented surface): a rollup-
+                    # attached server answers from the DDSketch
+                    # relation (raw-scan-free, ≤1% relative error); the
+                    # rollup-less fallback below runs the exact
+                    # holistic op — values agree within tolerance, not
+                    # bit-identically, unlike every other metrics route
+                    df = MR.task_duration_percentiles_from_hist(
+                        _rel("dur_hist")
+                    )
                 else:
                     df = MR.FROM_PARTIALS[name](_rel(), limit=limit)
             else:
@@ -797,7 +810,10 @@ class AnalyticsHandler(BaseHTTPRequestHandler):
                     )
                 if end_day:
                     src = src.filter(date_str(F.col("event_date")) <= end_day)
-                if name in ("resource_usage_summary", "cross_app_summary"):
+                if name in (
+                    "resource_usage_summary", "cross_app_summary",
+                    "task_duration_percentiles",
+                ):
                     df = getattr(_cat, name)(src)
                 else:
                     df = getattr(_cat, name)(src, limit=limit)

@@ -1374,13 +1374,18 @@ def task_duration_percentiles_from_rollup(
     HLL-sibling contract: sketch estimates are algorithm-specific, so
     no shared DuckDB oracle). Plan shape: a day-prunable cells scan,
     one bounded groupBy, one per-type window — no fact-table access."""
+    return task_duration_percentiles_from_hist(
+        materialized_rollup_relation(spark, path, "dur_hist")
+    )
+
+
+def task_duration_percentiles_from_hist(hist: DataFrame) -> DataFrame:
+    """The sketch finalizer over an (already deduped/suppressed, maybe
+    day-windowed) ``dur_hist`` relation — split out so the REST route
+    can apply its day predicate before finalizing."""
     from pyspark.sql.window import Window
 
-    h = (
-        materialized_rollup_relation(spark, path, "dur_hist")
-        .groupBy("event_type", "bucket")
-        .agg(F.sum("n").alias("n"))
-    )
+    h = hist.groupBy("event_type", "bucket").agg(F.sum("n").alias("n"))
     w = Window.partitionBy("event_type").orderBy("bucket")
     h = h.withColumn("cum", F.sum("n").over(w)).withColumn(
         "n_total", F.sum("n").over(Window.partitionBy("event_type"))

@@ -987,7 +987,8 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         entry = status["metrics_rollup"]
         assert entry["n_cells"] > 0 and entry["n_tombstones"] == 0
         assert set(entry["relations"]) == {
-            "partials", "exec_events", "app_events", "stage_events", "counts",
+            "partials", "exec_events", "app_events", "stage_events",
+            "dur_hist", "counts",
         }
 
         n_before = entry["n_cells"]
@@ -1013,6 +1014,54 @@ def test_metrics_routes_rollup_served_and_fallback(spark, api):
         # the suppressed app is gone from the wire payload too
         code, rows = _get(base, "/api/v1/metrics/performance-trends")
         assert all(r["app_id"] != "3" for r in rows)
+    finally:
+        httpd.shutdown()
+
+
+def test_metrics_task_duration_percentiles_route(spark, api):
+    """/api/v1/metrics/task-duration-percentiles (r14): a rollup-less
+    server runs the exact holistic op; a rollup-attached server answers
+    from the DDSketch relation — a DECLARED divergence (within the 5%
+    sketch tolerance, not wire-identical, unlike every other metrics
+    route). Day windows apply to both paths."""
+    import tempfile
+
+    from spark_history_server_rs_spark.api.server import serve
+    from spark_history_server_rs_spark.sources.metrics_rollup import (
+        write_metrics_rollup,
+    )
+
+    route = "/api/v1/metrics/task-duration-percentiles"
+    code, exact = _get(api, route)
+    assert code == 200 and exact and {r["event_type"] for r in exact}
+
+    ev = load_events(spark, SF_SMALL)
+    p17 = tempfile.mkdtemp() + "/s17pct"
+    write_metrics_rollup(ev, p17)
+    httpd = serve(ev, warmup=False, metrics_rollup_path=p17)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, sketch = _get(base, route)
+        assert code == 200
+        by_type = {r["event_type"]: r for r in sketch}
+        assert set(by_type) == {r["event_type"] for r in exact}
+        for r in exact:
+            for col in ("p50_ms", "p90_ms", "p95_ms", "p99_ms"):
+                e, s = r[col], by_type[r["event_type"]][col]
+                assert abs(s - e) <= 0.05 * abs(e), (r["event_type"], col)
+        # day window narrows both paths consistently (row sets shrink
+        # or stay; still within tolerance of each other)
+        win = route + "?startDate=2024-01-03&endDate=2024-01-05"
+        code, exact_w = _get(api, win)
+        code2, sketch_w = _get(base, win)
+        assert (code, code2) == (200, 200)
+        by_type_w = {r["event_type"]: r for r in sketch_w}
+        assert set(by_type_w) == {r["event_type"] for r in exact_w}
+        for r in exact_w:
+            s = by_type_w[r["event_type"]]["p50_ms"]
+            assert abs(s - r["p50_ms"]) <= 0.05 * abs(r["p50_ms"])
     finally:
         httpd.shutdown()
 
