@@ -536,6 +536,12 @@ _BPE_KEY_LOCKS: dict[int, _threading.Lock] = {}
 #: plan string by merge 14).
 BPE_CHECKPOINT_EVERY = 16
 
+#: words per partition of the training chain's anchors — sized so one
+#: partition holds a few MB of symbol strings (~50 B/row); the chain
+#: width is derived from the measured vocabulary size, never from the
+#: session's shuffle-partition constant (see ``_train_merges``)
+_BPE_WORDS_PER_PART = 1_000_000
+
 
 def _retire_anchor(df: DataFrame) -> None:
     """Free a retired anchor's storage NOW. ``Dataset.unpersist()`` is a
@@ -567,8 +573,33 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     records its top pair without building the never-read k-th rewrite.
     ``localCheckpoint`` blocks are executor-local; on a cluster where
     executor loss during training matters, swap for ``checkpoint()``
-    against reliable storage — the cadence logic is unchanged."""
-    wt = _bpe_word_table(docs).persist()
+    against reliable storage — the cadence logic is unchanged.
+
+    Chain width (r14, guide §2.2/§6): the vocabulary relation is tiny
+    relative to the corpus (tens of rows on the synthetic corpora, low
+    millions of distinct words at web scale) but its aggregate
+    materializes at the session shuffle width, and AQE cannot coalesce
+    a persisted plan (``canChangeCachedPlanOutputPartitioning`` is off)
+    — so every one of the k sequential ranking jobs scheduled a
+    full-width stage of near-empty tasks (measured: 31 words across 32
+    partitions at sf0.1; per-iteration cost was pure task-scheduling
+    floor). The chain is re-anchored on a localCheckpoint coalesced to
+    ``_BPE_WORDS_PER_PART`` words per partition (a few MB of symbol
+    strings), so steady-state iterations schedule size-derived task
+    counts at ANY corpus scale — 1 task on a laptop-sized vocabulary,
+    hundreds on a 100 TB corpus's — instead of the session constant."""
+    spark = docs.sparkSession
+    wt0 = _bpe_word_table(docs).persist()
+    n_words = wt0.count()
+    width = max(
+        1,
+        min(
+            int(spark.sparkContext.defaultParallelism),
+            (n_words + _BPE_WORDS_PER_PART - 1) // _BPE_WORDS_PER_PART,
+        ),
+    )
+    wt = wt0.coalesce(width).localCheckpoint(eager=True)
+    wt0.unpersist(blocking=True)
     anchor = wt  # the one persisted/checkpointed base the chain hangs off
     try:
         merges: list[tuple[int, str, str, int]] = []
@@ -2272,6 +2303,14 @@ _KM_ELEMS_SPARK = (
     " CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS sv"
     " FROM {src} LATERAL VIEW posexplode(embedding) t AS pos, v"
 )
+#: the array form of the same snap — element i is dim i, value-identical
+#: to the exploded relation's (dim, sv) rows (NULL elements snap to NULL)
+_KM_VECS_SPARK = (
+    "SELECT vec_id,"
+    " transform(embedding, x ->"
+    " CAST(FLOOR(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS sv_arr"
+    " FROM {src}"
+)
 _KM_ELEMS_DUCK = (
     "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,"
     " CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)"
@@ -2280,20 +2319,13 @@ _KM_ELEMS_DUCK = (
 )
 
 
-def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
-    """One Lloyd step over snapped-integer elements: exact squared-L2
-    assignment (BIGINT per pair), per-cluster mean distance (DECIMAL
-    accumulator before the snap), and the per-(cid, dim) centroid
-    update. Shared verbatim between the Spark per-step query and the
-    oracle's unrolled chain — only the centroid relation name, a CTE
-    prefix, and DuckDB's MATERIALIZED keyword vary."""
+def _km_step_tail(p: str, mat: str = "") -> str:
+    """Everything downstream of the ``d2`` relation — the winner pick,
+    the per-cluster stats, and the per-(cid, dim) centroid update.
+    Shared VERBATIM between the oracle's unrolled chain and both Spark
+    formulations (join-``d2`` and array-``d2``), so the step's exact
+    integer/DECIMAL arithmetic has exactly one definition."""
     return f"""
-{p}d2 AS {mat}(
-  SELECT e.vec_id, c.cid,
-         CAST(SUM((e.sv - c.cv) * (e.sv - c.cv)) AS BIGINT) AS d2
-  FROM elems e JOIN {cents} c ON e.dim = c.dim
-  GROUP BY e.vec_id, c.cid
-),
 {p}w AS {mat}(
   SELECT vec_id, cid, d2 FROM (
     SELECT vec_id, cid, d2,
@@ -2314,6 +2346,71 @@ def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
   FROM {p}w w JOIN elems e ON w.vec_id = e.vec_id
   GROUP BY w.cid, e.dim
 )"""
+
+
+def _km_step_sql(cents: str, p: str, mat: str = "") -> str:
+    """One Lloyd step over snapped-integer elements: exact squared-L2
+    assignment (BIGINT per pair), per-cluster mean distance (DECIMAL
+    accumulator before the snap), and the per-(cid, dim) centroid
+    update. The oracle's unrolled chain uses this join-``d2`` form;
+    the Spark loop uses :func:`_km_step_sql_spark` (array-``d2``) with
+    the identical :func:`_km_step_tail` — the driver's hash compare of
+    ``embedding_kmeans_train`` against the oracle is the differential
+    proof the two ``d2`` formulations agree."""
+    return f"""
+{p}d2 AS {mat}(
+  SELECT e.vec_id, c.cid,
+         CAST(SUM((e.sv - c.cv) * (e.sv - c.cv)) AS BIGINT) AS d2
+  FROM elems e JOIN {cents} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),""" + _km_step_tail(p, mat)
+
+
+def _km_step_sql_spark(cents: str, vecs: str, p: str) -> str:
+    """The Spark-side step head (r14, guide §1.2 step 1 + §2.3): ``d2``
+    as an array fold over snapped vectors × the k broadcast centroid
+    arrays, replacing the join that materialized and re-aggregated an
+    (n_vec × k × dims)-row intermediate per step — the step's dominant
+    stage (8.2 M rows at sf0.1's n=2000, k=64, d=64; a production
+    codebook at n=10⁹ × k=4096 would generate 10¹⁴ rows where the fold
+    form streams n × k array rows through codegen with no per-dim
+    re-aggregation). Exact-arithmetic equivalence with the join form,
+    term by term:
+
+    - a (vec, cid) pair EXISTS in join-``d2`` iff both sides have ≥1
+      dim row → ``least(size(sv_arr), size(cv_arr)) >= 1``;
+    - ``SUM`` skips NULL addends (NULL embedding elements snap to NULL
+      sv; a ragged pair's unmatched dims never join) → the zipped
+      term list is ``filter``-ed to non-NULL ((x−y)·(x−y) is NULL iff
+      either side is, and ``zip_with`` pads the shorter array with
+      NULL — exactly the unmatched-dim case);
+    - an all-NULL ``SUM`` is NULL → empty filtered list yields NULL;
+    - the fold is BIGINT addition, associative and exact.
+
+    Downstream (``w``/``st``/``u``) is :func:`_km_step_tail`, verbatim
+    — including NULL-``d2`` ordering, which never reaches a divergent
+    NULLS-placement branch because pair rows exist exactly as before."""
+    return f"""
+{p}carr AS (
+  SELECT cid,
+         transform(array_sort(collect_list(struct(dim, cv))),
+                   s -> s.cv) AS cv_arr
+  FROM {cents} GROUP BY cid
+),
+{p}d2 AS (
+  SELECT vec_id, cid,
+         CASE WHEN size(terms) = 0 THEN CAST(NULL AS BIGINT)
+              ELSE aggregate(terms, CAST(0 AS BIGINT),
+                             (acc, t) -> acc + t) END AS d2
+  FROM (
+    SELECT /*+ BROADCAST(c) */ v.vec_id, c.cid,
+           filter(zip_with(v.sv_arr, c.cv_arr,
+                           (x, y) -> (x - y) * (x - y)),
+                  t -> t IS NOT NULL) AS terms
+    FROM {vecs} v CROSS JOIN {p}carr c
+    WHERE least(size(v.sv_arr), size(c.cv_arr)) >= 1
+  ) pairs
+),""" + _km_step_tail(p)
 
 
 def _km_train(
@@ -2348,9 +2445,17 @@ def _km_train(
     with scoped_temp_view(
         emb.where("embedding IS NOT NULL"), "_llm_emb"
     ) as ev:
-        elems_df = spark.sql(
-            _KM_ELEMS_SPARK.format(scale=EMBED_SCALE, src=ev)
+        # ONE persisted corpus-sized relation: the snapped vectors in
+        # array form (the d2 fold reads it directly); the exploded
+        # (vec_id, dim, sv) relation the update step joins is a cheap
+        # per-step projection of the same cached arrays — identical
+        # values, half the cached footprint of persisting both
+        vecs_df = spark.sql(
+            _KM_VECS_SPARK.format(scale=EMBED_SCALE, src=ev)
         ).persist()
+        elems_df = vecs_df.selectExpr(
+            "vec_id", "posexplode(sv_arr) AS (dim, sv)"
+        )
         try:
             anchor = (
                 elems_df.where(f"vec_id < {k}")
@@ -2361,6 +2466,8 @@ def _km_train(
                 return rows, anchor
             for step in range(1, steps + 1):
                 with scoped_temp_view(
+                    vecs_df, "_km_vecs"
+                ) as vv, scoped_temp_view(
                     elems_df, "_km_elems"
                 ) as elv, scoped_temp_view(anchor, "_km_cents") as ctv:
                     # one job per step: assignment stats, the
@@ -2369,8 +2476,9 @@ def _km_train(
                     # dim) for the exact integer shift — all checkpointed
                     # as the next step's anchor
                     combined = spark.sql(
-                        f"WITH elems AS (SELECT vec_id, dim, sv FROM {elv}),"
-                        + _km_step_sql(ctv, "")
+                        f"WITH vecs AS (SELECT vec_id, sv_arr FROM {vv}),\n"
+                        f"elems AS (SELECT vec_id, dim, sv FROM {elv}),"
+                        + _km_step_sql_spark(ctv, "vecs", "")
                         + f"""
 SELECT c.cid, c.dim, COALESCE(u.cv, c.cv) AS cv, c.cv AS old_cv,
        s.cluster_size, s.avg_d2
@@ -2405,7 +2513,7 @@ LEFT JOIN st s ON s.cid = c.cid
             # anchors also carry the step's stat columns
             return rows, anchor
         finally:
-            elems_df.unpersist()
+            vecs_df.unpersist()
 
 
 def embedding_kmeans_train(emb: DataFrame) -> DataFrame:

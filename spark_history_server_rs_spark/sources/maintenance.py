@@ -57,34 +57,70 @@ def run_retention_pass(
     this BEFORE :func:`run_maintenance_slot` in the same quiesced
     slot, so the compactors materialize the deletions and retire the
     tombstones in one pass. Returns per-index deletion stats."""
+    from concurrent.futures import ThreadPoolExecutor
+
     losers = losers.select("doc_id").distinct().persist()
     try:
         out: dict = {"n_losers": losers.count()}
+        vec_ids = losers.selectExpr("doc_id AS vec_id")
+        # The four families touch four DISJOINT durable paths and share
+        # only the persisted loser frame (read-only), so their deletes
+        # are independent jobs — run them overlapped (guide §2.6) so one
+        # family's straggler tail back-fills with another family's
+        # tasks instead of idling the cluster between sequential passes
+        # (measured: the sequential pass left most cores idle during
+        # each family's planning/verify scans). Each family keeps its
+        # own crash contract unchanged; a crash mid-pass now leaves an
+        # arbitrary subset (not a prefix) of families deleted, which the
+        # same idempotent re-run repairs — ``dead`` recomputes from what
+        # is still stored in every family.
+        tasks: list[tuple[str, object]] = []
         if dedup_index_path is not None:
             from .dedup_index import delete_from_dedup_index
 
-            out["dedup_index_deleted"] = delete_from_dedup_index(
-                spark, dedup_index_path, losers
-            )
-        vec_ids = losers.selectExpr("doc_id AS vec_id")
+            tasks.append((
+                "dedup_index_deleted",
+                lambda: delete_from_dedup_index(
+                    spark, dedup_index_path, losers
+                ),
+            ))
         if ann_index_path is not None:
             from .ann_index import delete_from_ann_index
 
-            out["ann_index_deleted"] = delete_from_ann_index(
-                spark, ann_index_path, vec_ids
-            )
+            tasks.append((
+                "ann_index_deleted",
+                lambda: delete_from_ann_index(spark, ann_index_path, vec_ids),
+            ))
         if knn_graph_path is not None:
             from .knn_graph import delete_from_knn_graph
 
-            out["knn_graph"] = delete_from_knn_graph(
-                spark, knn_graph_path, vec_ids
-            )
+            tasks.append((
+                "knn_graph",
+                lambda: delete_from_knn_graph(spark, knn_graph_path, vec_ids),
+            ))
         if training_shards_path is not None:
             from .training_shards import retract_from_training_shards
 
-            out["training_shards"] = retract_from_training_shards(
-                spark, training_shards_path, losers
-            )
+            tasks.append((
+                "training_shards",
+                lambda: retract_from_training_shards(
+                    spark, training_shards_path, losers
+                ),
+            ))
+        if tasks:
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                futures = [(key, pool.submit(fn)) for key, fn in tasks]
+                errs = []
+                for key, fut in futures:
+                    try:
+                        out[key] = fut.result()
+                    except Exception as exc:  # noqa: BLE001 — re-raised below
+                        errs.append(exc)
+                if errs:
+                    # fail like the sequential pass did: the first
+                    # family's error propagates (others completed or
+                    # failed independently; the retry is idempotent)
+                    raise errs[0]
     finally:
         losers.unpersist()
     return out
@@ -252,9 +288,20 @@ def run_maintenance_slot(
         validate_training_shards,
     )
 
-    report: list[dict] = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    # each family's compact→refresh→validate chain stays strictly
+    # ordered WITHIN the family, but the five families touch five
+    # disjoint artifact paths — overlap them across families (guide
+    # §2.6, the run_retention_pass pattern) so the slot's wall clock
+    # approaches the slowest family instead of the sum of all five
+    slots: list[tuple] = []
 
     def _entry(artifact, compaction, refresh, validate):
+        slots.append((artifact, compaction, refresh, validate))
+
+    def _run(entry) -> dict:
+        artifact, compaction, refresh, validate = entry
         stats = compaction()
         if refresh is not None:
             # unconditional: the slot's contract is to LEAVE attested
@@ -262,14 +309,12 @@ def run_maintenance_slot(
             # compactors alone only refresh an existing one)
             refresh()
         disc = [r.asDict() for r in validate().collect()]
-        report.append(
-            {
-                "artifact": artifact,
-                "compaction": stats,
-                "valid": not disc,
-                "discrepancies": disc,
-            }
-        )
+        return {
+            "artifact": artifact,
+            "compaction": stats,
+            "valid": not disc,
+            "discrepancies": disc,
+        }
 
     if dedup_index_path is not None:
         _entry(
@@ -311,4 +356,10 @@ def run_maintenance_slot(
             None,  # its compactor refreshes the rollup manifest itself
             lambda: validate_metrics_rollup(spark, metrics_rollup_path),
         )
-    return report
+    if not slots:
+        return []
+    with ThreadPoolExecutor(max_workers=len(slots)) as pool:
+        futures = [pool.submit(_run, entry) for entry in slots]
+        # report order stays the declared family order regardless of
+        # completion order; the first family error propagates as before
+        return [f.result() for f in futures]

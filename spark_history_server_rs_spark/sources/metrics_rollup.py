@@ -1087,20 +1087,40 @@ def write_metrics_rollup(ev: DataFrame, path: str) -> None:
     # whose cells outgrow one healthy file is what compaction's
     # maxRecordsPerFile-free rewrite is for at this relation's scale.
     partials = partials.repartition(F.col("event_date"))
-    partials.write.mode("overwrite").partitionBy("event_date").parquet(
-        f"{path}/partials"
-    )
+    # The five partial relations are independent aggregations of the
+    # same events frame writing to five disjoint directories — run the
+    # writes overlapped (guide §2.6) so each relation's reduce/write
+    # tail back-fills with the next relation's scan instead of leaving
+    # the cluster idle between five sequential jobs (the build was wall
+    # = Σ(relations); overlapped it approaches max(relations)). Crash
+    # semantics are unchanged in kind: a crash mid-build leaves a mix
+    # of old/new relations exactly as the sequential build could (a
+    # different subset, not a prefix) and the rebuild is the repair;
+    # the count row still dies first and is rewritten live last.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_rel(rel: str, frame: DataFrame) -> None:
+        frame.write.mode("overwrite").partitionBy("event_date").parquet(
+            f"{path}/{rel}"
+        )
+
+    rels: list[tuple[str, DataFrame]] = [("partials", partials)]
     for rel, build in (
         ("exec_events", exec_events_partials),
         ("app_events", app_events_partials),
         ("stage_events", stage_events_partials),
         ("dur_hist", dur_hist_partials),
     ):
-        _stamp(build(ev), _BATCH_BUILD, _BATCH_LINEAGE).repartition(
-            F.col("event_date")
-        ).write.mode("overwrite").partitionBy("event_date").parquet(
-            f"{path}/{rel}"
-        )
+        rels.append((
+            rel,
+            _stamp(build(ev), _BATCH_BUILD, _BATCH_LINEAGE).repartition(
+                F.col("event_date")
+            ),
+        ))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(_write_rel, rel, frame) for rel, frame in rels]
+        for fut in futures:
+            fut.result()
     if path_exists(spark, f"{path}/deleted_apps"):
         compact_relation_swap(
             spark,
@@ -1742,29 +1762,40 @@ def compact_metrics_rollup(spark: SparkSession, path: str) -> list[dict]:
             hwm[key] = max(int(r["top"]), hwm.get(key, -1))
     if hwm:
         _write_folded_hwm(spark, path, hwm)
-    out = []
-    for rel, merge in (
-        ("partials", merge_partials),
-        ("exec_events", merge_exec_events),
-        ("app_events", merge_app_events),
-        ("stage_events", merge_stage_events),
-        ("dur_hist", merge_dur_hist),
-    ):
+    # the five relation folds touch five disjoint directories and all
+    # read-then-swap independently — overlap them (guide §2.6) exactly
+    # like the build's relation writes; the contracts that ORDER
+    # matters for stay sequential around the pool (hwm before any
+    # fold, tombstones retire after every fold, count rewritten last)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fold(rel: str, merge) -> dict | None:
         if not path_exists(spark, f"{path}/{rel}"):
-            continue  # legacy layout / stream never carried this population
+            return None  # legacy layout / stream never carried this one
         folded = _stamp(
             merge(_read_rollup_relation(spark, path, rel, _REL_GRAINS[rel])),
             _BATCH_BUILD, _BATCH_LINEAGE,
         ).repartition(F.col("event_date"))  # one file per day dir
-        out.append(
-            {
-                "relation": rel,
-                "rows_after": compact_relation_swap(
-                    spark, folded, f"{path}/{rel}", "event_date",
-                    sort_cols=[c for c in _REL_GRAINS[rel][1:]],
-                ),
-            }
-        )
+        return {
+            "relation": rel,
+            "rows_after": compact_relation_swap(
+                spark, folded, f"{path}/{rel}", "event_date",
+                sort_cols=[c for c in _REL_GRAINS[rel][1:]],
+            ),
+        }
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(_fold, rel, merge)
+            for rel, merge in (
+                ("partials", merge_partials),
+                ("exec_events", merge_exec_events),
+                ("app_events", merge_app_events),
+                ("stage_events", merge_stage_events),
+                ("dur_hist", merge_dur_hist),
+            )
+        ]
+        out = [r for r in (f.result() for f in futures) if r is not None]
     if path_exists(spark, f"{path}/deleted_apps"):
         out.append(
             {

@@ -1579,3 +1579,94 @@ def test_multimodal_codec_real_wav_decode_golden(spark):
         ).collect()
     ]
     assert default == codec_path and default
+
+
+def test_scoped_temp_view_drop_keeps_backing_cache(spark):
+    """r14 views fix: dropping a scoped temp view must NOT uncache the
+    frame it wrapped. Spark 4's ``spark.catalog.dropTempView`` cascades
+    an uncache through every cached plan the view definition matches —
+    and a scoped view's definition IS the wrapped DataFrame's plan, so
+    the old drop silently unpersisted every ``_materialized_df`` derived
+    relation (and caller-persisted corpus frames) the first time an
+    operator viewed them; every warm run then recomputed fingerprint
+    folds/shingles from the source scan. The helper now drops the NAME
+    only (SessionCatalog), so the cache must survive the with-block."""
+    from spark_history_server_rs_spark.functions.views import (
+        scoped_temp_view,
+    )
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "id * 7 AS payload"
+    ).persist()
+    try:
+        df.count()
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert jcm.lookupCachedData(df._jdf).isDefined()
+        with scoped_temp_view(df, "_plans_cache_pin") as v:
+            assert spark.sql(f"SELECT SUM(payload) FROM {v}").collect()
+        # the name is gone ...
+        assert [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("_plans_cache_pin")
+        ] == []
+        # ... but the storage is not
+        assert jcm.lookupCachedData(df._jdf).isDefined(), (
+            "scoped_temp_view drop uncached the backing frame — the "
+            "derived-relation caches never serve (r14 regression)"
+        )
+    finally:
+        df.unpersist()
+
+
+def test_simhash_warm_plan_rides_fingerprint_cache(spark):
+    """r14: with the views fix in place, the pair query's physical plan
+    must read the materialized fingerprint relation
+    (InMemoryTableScan), not recompute the 32-bit fold from the source
+    scan on both join sides (the shape the r14 optimization round found
+    serving every warm call)."""
+    from spark_history_server_rs_spark.operators import dedup
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    dedup.clear_materialized_caches()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    try:
+        dedup.simhash_pairs(docs).collect()  # builds + caches fps
+        plan = (
+            dedup.simhash_pairs(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in plan, (
+            "warm simhash_pairs recomputes fingerprints — the fps "
+            "materialization is not reaching the plan"
+        )
+    finally:
+        dedup.clear_materialized_caches()
+
+
+def test_bpe_chain_width_scales_with_vocabulary(spark):
+    """r14: the BPE training chain's anchors are coalesced to a
+    size-derived width (1 partition at test vocabularies), so each of
+    the k sequential ranking jobs schedules O(width) tasks instead of a
+    full shuffle-width stage of near-empty tasks."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    wt0 = llmprep._bpe_word_table(docs).persist()
+    try:
+        n_words = wt0.count()
+        width = max(
+            1,
+            min(
+                int(spark.sparkContext.defaultParallelism),
+                (n_words + llmprep._BPE_WORDS_PER_PART - 1)
+                // llmprep._BPE_WORDS_PER_PART,
+            ),
+        )
+        anchor = wt0.coalesce(width).localCheckpoint(eager=True)
+        try:
+            assert anchor.rdd.getNumPartitions() == width == 1
+        finally:
+            llmprep._retire_anchor(anchor)
+    finally:
+        wt0.unpersist()
