@@ -582,6 +582,7 @@ def delete_from_knn_graph(
     from ..functions.blockpair import pair_edges_blocked
     from .dedup_index import (
         compact_relation_swap,
+        indexed_distinct_count,
         invalidate_count_row,
         write_count_row,
     )
@@ -601,6 +602,17 @@ def delete_from_knn_graph(
         if n_dead == 0:
             return {"n_deleted": 0, "n_affected_srcs": 0,
                     "edges_after": None, "nodes_after": None}
+        # the post-delete membership is pure arithmetic — dead ⊆ stored
+        # distinct ids by construction (the semi-join above), so the
+        # rewritten count is n_before − n_dead. Resolve n_before NOW
+        # (meta-served when the counts row is live; one bounded scan
+        # otherwise) instead of distinct-scanning the rewritten nodes
+        # after the swap (r14, guide §1.2: don't re-derive what a
+        # subtraction already knows — one fewer post-swap job in the
+        # retention pass's dominant family).
+        n_before = indexed_distinct_count(
+            spark, path, "nodes", "vec_id", "n_nodes"
+        )
         # the delete batch is the bounded side of every join below
         bdead = F.broadcast(dead_ids)
         edges = spark.read.parquet(f"{path}/edges").select(
@@ -663,12 +675,7 @@ def delete_from_knn_graph(
             affected_ids.unpersist()
     finally:
         dead_ids.unpersist()
-    write_count_row(
-        spark, path, "n_nodes",
-        spark.read.parquet(f"{path}/nodes")
-        .where("vec_id IS NOT NULL")
-        .select("vec_id").distinct().count(),
-    )
+    write_count_row(spark, path, "n_nodes", n_before - n_dead)
     if path_exists(spark, f"{path}/manifest"):
         refresh_knn_graph_manifest(spark, path)
     return {"n_deleted": n_dead, "n_affected_srcs": n_affected,
