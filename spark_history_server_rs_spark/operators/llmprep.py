@@ -478,14 +478,27 @@ def _merge_apply_expr(col, pair: str):
     )
 
 
-def _bpe_pair_ranking(wt: DataFrame) -> DataFrame:
+def _bpe_pair_ranking(wt: DataFrame, width: int | None = None) -> DataFrame:
     """One training iteration's pair ranking: distributed weighted
     pair-count aggregate + global top-1 (plans as
     TakeOrderedAndProject, plan-gated — never a single-partition
-    window)."""
+    window).
+
+    ``width`` (r14, guide §2.2): when given, the aggregation's exchange
+    is pinned to that many partitions via an explicit
+    ``repartition(width, pair)`` the groupBy reuses (hashpartitioning on
+    the same key → one exchange, same as before, just size-derived
+    instead of the session shuffle constant). The training loop passes
+    its vocabulary-derived chain width so each of the k sequential
+    ranking jobs schedules tasks proportional to the data, not
+    ``spark.sql.shuffle.partitions`` near-empty ones."""
+    exploded = wt.select(
+        "cnt", F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair")
+    )
+    if width is not None:
+        exploded = exploded.repartition(width, "pair")
     return (
-        wt.select("cnt", F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"))
-        .groupBy("pair")
+        exploded.groupBy("pair")
         .agg(F.sum("cnt").cast("long").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(1)
@@ -601,10 +614,25 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     wt = wt0.coalesce(width).localCheckpoint(eager=True)
     wt0.unpersist(blocking=True)
     anchor = wt  # the one persisted/checkpointed base the chain hangs off
+    # AQE off for the k tiny sequential jobs (r14, guide §1.2 step 3
+    # after steps 1-2 are done; measured): each ranking is a
+    # vocabulary-sized two-stage job whose reduce side is pinned to the
+    # data-derived ``width`` above — there is nothing for AQE to adapt,
+    # but its per-stage materialize→re-optimize round trips dominate a
+    # sub-second job (measured ~2× per-iteration overhead at sf0.1,
+    # ×k=64 sequential iterations). Planning-only: results are
+    # bit-identical (pinned by the oracle twins), and the corpus-scale
+    # word-table aggregate above this line still runs WITH AQE. The
+    # session conf is restored in ``finally``; the trainer holds the
+    # per-corpus build lock, and a concurrent query that analyzes in
+    # the window merely plans without AQE (performance, never results).
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
     try:
         merges: list[tuple[int, str, str, int]] = []
         for rank in range(1, k + 1):
-            top = _bpe_pair_ranking(wt).collect()
+            top = _bpe_pair_ranking(wt, width).collect()
             if not top:
                 break
             pair, n = top[0]["pair"], top[0]["n"]
@@ -621,6 +649,7 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
             wt = merged
         return merges
     finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
         _retire_anchor(anchor)
 
 

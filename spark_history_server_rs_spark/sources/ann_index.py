@@ -80,10 +80,13 @@ def _index_meta(spark: SparkSession, path: str) -> dict:
     — ``raw`` (PQ over x) or ``residual`` (PQ over r = x − q1(x), the
     Jégou et al. 2011 §IV.A codec). Pre-meta indexes are label/raw by
     construction."""
-    try:
-        row = spark.read.parquet(f"{path}/meta").first().asDict()
-    except Exception:
-        row = {}
+    from .dedup_index import read_meta_rows_cached
+
+    # fingerprint-cached (r14): the encoding/cell-rule gate runs on
+    # every serving call — a warm call on an unchanged index must not
+    # pay a Spark job for this one-row read
+    rows = read_meta_rows_cached(spark, path)
+    row = rows[0] if rows else {}
     return {
         "cell_rule": row.get("cell_rule", "label"),
         "train_steps": row.get("train_steps", 0),

@@ -278,6 +278,47 @@ def _count_cache_lock():
     return _COUNT_CACHE_LOCK
 
 
+#: driver-side cache for one-row ``meta/`` relations (build parameters,
+#: pre-counted denominators): (path) -> (file-listing fingerprint, rows).
+#: Serving-path refusals (τ/k drift, encoding checks) read meta on EVERY
+#: call; a warm call on an unchanged index must not pay a Spark job for
+#: a one-row parquet read (r14, guide §1 — measured ~0.15 s/call at the
+#: local job floor). The fingerprint key means a meta rewrite or
+#: invalidation is seen immediately — the same staleness contract as
+#: ``_COUNT_CACHE``.
+_META_CACHE: dict = {}
+
+
+def read_meta_rows_cached(
+    spark: SparkSession, path: str
+) -> tuple | None:
+    """``{path}/meta``'s rows as a tuple of dicts, served from the
+    fingerprint-keyed driver cache when the relation is unchanged.
+    Returns ``None`` when no meta relation exists (absent or empty
+    directory), ``()`` for an existing-but-row-less one — callers keep
+    their own defaulting semantics."""
+    fp = _relation_fingerprint(spark, f"{path}/meta")
+    with _count_cache_lock():
+        hit = _META_CACHE.get(path)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+    if not fp:
+        rows = None
+    else:
+        try:
+            rows = tuple(
+                r.asDict()
+                for r in spark.read.parquet(f"{path}/meta").collect()
+            )
+        except Exception:
+            # unreadable meta (half-written, wrong format) — the same
+            # "treat as absent" contract every caller already had
+            rows = None
+    with _count_cache_lock():
+        _META_CACHE[path] = (fp, rows)
+    return rows
+
+
 def write_count_row(
     spark: SparkSession, path: str, col: str, n: int
 ) -> None:
@@ -467,13 +508,10 @@ def _scored_pairs_composed(sh: DataFrame, candidates: DataFrame) -> DataFrame:
 
 def _meta_n_docs(spark: SparkSession, path: str) -> int | None:
     """The pre-counted distinct membership, or None when no (valid)
-    meta relation exists."""
-    from .index_manifest import path_exists
-
-    if not path_exists(spark, f"{path}/meta"):
-        return None
-    rows = spark.read.parquet(f"{path}/meta").collect()
-    if not rows or "n_docs" not in rows[0].asDict():
+    meta relation exists. Fingerprint-cached: a warm serving call on an
+    unchanged index reads no parquet (see ``read_meta_rows_cached``)."""
+    rows = read_meta_rows_cached(spark, path)
+    if not rows or "n_docs" not in rows[0]:
         return None
     return int(rows[0]["n_docs"])
 
@@ -826,20 +864,19 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
 
     Returns per-relation stats: (relation, rows_before, rows_after).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .index_manifest import path_exists
 
-    stats = []
-    for rel, keys, part in _INDEX_RELATIONS:
+    def _compact_rel(args) -> dict:
+        rel, keys, part = args
         src = f"{path}/{rel}"
         if not path_exists(spark, src):
             # vanished relation (wiped path, bit rot): nothing to
             # compact — leave the stale manifest in place so the
             # maintenance slot's validator FLAGS the loss instead of
             # this read crashing the whole slot
-            stats.append(
-                {"relation": rel, "rows_before": None, "rows_after": None}
-            )
-            continue
+            return {"relation": rel, "rows_before": None, "rows_after": None}
         raw = spark.read.parquet(src).select(*keys)
         rows_before = raw.count()
         # tombstoned docs physically leave every relation here — the
@@ -850,9 +887,22 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
             _suppress_deleted(spark, path, raw).distinct(),
             src, part, sort_cols=keys,
         )
-        stats.append(
-            {"relation": rel, "rows_before": rows_before, "rows_after": rows_after}
-        )
+        return {
+            "relation": rel,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
+
+    # the four relations are disjoint directories sharing only the
+    # (read-only) tombstone set — rewrite them overlapped (r14, guide
+    # §2.6; the sequential loop idled the cluster between four chains
+    # of small count/write/swap jobs). Report order is preserved by
+    # pool.map; the tombstones still retire strictly AFTER every
+    # relation rewrote without them (below), so the crash ordering is
+    # unchanged in kind — an arbitrary subset (not a prefix) of
+    # relations rewritten, repaired by the same idempotent re-run.
+    with ThreadPoolExecutor(max_workers=len(_INDEX_RELATIONS)) as pool:
+        stats = list(pool.map(_compact_rel, _INDEX_RELATIONS))
     # retire the tombstones the rewrites just materialized: swap in an
     # EMPTY set rather than deleting the relation (stays attestable by
     # the manifest — a vanished relation reads as a wipe). Ordering is

@@ -4428,3 +4428,33 @@ def test_knn_graph_delete_crash_between_swaps_recovers(
         for r in ann_graph_expand_from_index(spark, path, emb_live).collect()
     ] == [tuple(r) for r in similarity.ann_graph_expand(emb_live).collect()]
     assert DI._read_count_row(spark, path, "n_nodes") == emb_live.count()
+
+
+def test_meta_rows_cache_sees_rewrites_and_deletes(spark, tmp_path):
+    """The fingerprint-keyed one-row meta cache (r14: serving-path
+    refusals must not pay a Spark job per warm call) must never serve
+    stale parameters: a rewrite of ``meta/`` is visible on the next
+    read, and a deleted ``meta/`` reads as absent — the same staleness
+    contract as the pre-counted membership cache."""
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        _delete_path,
+        read_meta_rows_cached,
+    )
+
+    path = str(tmp_path / "meta_cache_idx")
+    # absent → None (and the miss itself is cached under the () print)
+    assert read_meta_rows_cached(spark, path) is None
+    spark.createDataFrame([(7,)], "n_docs bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    assert read_meta_rows_cached(spark, path)[0]["n_docs"] == 7
+    # warm repeat serves from the cache (same fingerprint, same rows)
+    assert read_meta_rows_cached(spark, path)[0]["n_docs"] == 7
+    # rewrite must be seen immediately
+    spark.createDataFrame([(9,)], "n_docs bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    assert read_meta_rows_cached(spark, path)[0]["n_docs"] == 9
+    # deletion must read as absent again
+    _delete_path(spark, f"{path}/meta")
+    assert read_meta_rows_cached(spark, path) is None

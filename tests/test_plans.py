@@ -1052,11 +1052,11 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     sizes: list[int] = []
     orig = llmprep._bpe_pair_ranking
 
-    def spy(wt):
+    def spy(wt, *args, **kwargs):
         sizes.append(
             len(wt._jdf.queryExecution().optimizedPlan().toString())
         )
-        return orig(wt)
+        return orig(wt, *args, **kwargs)
 
     monkeypatch.setattr(llmprep, "_bpe_pair_ranking", spy)
     k, cad = 64, llmprep.BPE_CHECKPOINT_EVERY
