@@ -623,7 +623,11 @@ def delete_from_ann_index(
     follows the same crash-safe ordering as every membership change:
     invalidated BEFORE the tombstones land, rewritten (live count)
     after. Returns the number of ids tombstoned."""
-    from .dedup_index import invalidate_count_row, write_count_row
+    from .dedup_index import (
+        invalidate_count_row,
+        release_local_checkpoint,
+        write_count_row,
+    )
 
     codes = spark.read.parquet(f"{path}/codes")
     if "ingest_seq" in codes.columns:
@@ -642,13 +646,15 @@ def delete_from_ann_index(
         ids.where("vec_id IS NOT NULL")
         .select("vec_id").distinct()
         .selectExpr("vec_id", f"CAST({seq} AS BIGINT) AS tombstone_seq")
-        .persist()
+        # localCheckpoint, not persist: overlapped retention deletes must
+        # not share/mutate CacheManager entries (see compact_relation_swap)
+        .localCheckpoint(eager=True)
     )
     try:
         n_ids = tomb.count()
         tomb.write.mode("append").parquet(f"{path}/tombstones")
     finally:
-        tomb.unpersist()
+        release_local_checkpoint(tomb)
     write_count_row(
         spark, path, "n_codes", _live_vec_ids(spark, path).count()
     )

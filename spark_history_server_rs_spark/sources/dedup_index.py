@@ -208,13 +208,18 @@ def delete_from_dedup_index(
         # endpoint's raw count until compaction. One bounded join —
         # the same shape as the stream updater's revive probe.
         tomb = tomb.join(existing, "doc_id", "left_anti")
-    tomb = tomb.persist()
+    # localCheckpoint, not persist: retention runs the four family
+    # deletes overlapped, and several families derive SEMANTICALLY
+    # EQUAL tombstone plans from the same loser frame — persist would
+    # share one CacheManager entry whose concurrent unpersist cascades
+    # can corrupt unrelated cached relations (see compact_relation_swap)
+    tomb = tomb.localCheckpoint(eager=True)
     try:
         n_ids = tomb.count()
         if n_ids:
             tomb.write.mode("append").parquet(f"{path}/deleted_ids")
     finally:
-        tomb.unpersist()
+        release_local_checkpoint(tomb)
     _write_meta_n_docs(spark, path)
     return n_ids
 
@@ -941,6 +946,24 @@ def compact_dedup_index(spark: SparkSession, path: str) -> list[dict]:
     return stats
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed frame's blocks NOW (the
+    ``llmprep._retire_anchor`` pattern, shared): ``Dataset.unpersist``
+    is a no-op for checkpointed datasets — their blocks belong to the
+    checkpointed RDD, not the CacheManager — so without the explicit
+    RDD release, every maintenance swap would leave a dead
+    relation-sized block set around until JVM GC + ContextCleaner reap
+    it. Internal-API reach; failures fall back to the (lazy but
+    correct) ContextCleaner path."""
+    df.unpersist(blocking=True)  # the plain-persist case, for safety
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(True)
+    except Exception:
+        pass  # ContextCleaner fallback
+
+
 def compact_relation_swap(
     spark: SparkSession,
     compacted: DataFrame,
@@ -961,10 +984,24 @@ def compact_relation_swap(
     must not be polluted: a partition directory inside a Hive-layout
     relation (``shards/shard=3``) cannot stage at
     ``shards/shard=3__compacting`` — a crash would leave a directory
-    that breaks partition discovery for every subsequent reader."""
+    that breaks partition discovery for every subsequent reader.
+
+    Materialization is a ``localCheckpoint``, NOT ``persist`` (r14):
+    maintenance runs swaps OVERLAPPED (retention families, per-shard
+    retraction, compactor relations), and every ``Dataset.unpersist``
+    walks the session-global CacheManager to rebuild dependent entries
+    — concurrent walks can corrupt an unrelated cached relation's
+    attribute remap (observed once in the full suite as
+    ``InMemoryRelation.withOutput: key not found`` on a later,
+    single-threaded query). Checkpoint blocks live in the BlockManager
+    under a unique RDD id — no shared cache entry, no rebuild cascade,
+    so concurrent swaps cannot interact; the count and write read the
+    same materialized blocks exactly as before."""
     if tmp is None:
         tmp = f"{src}__compacting"
-    compacted = compacted.sortWithinPartitions(*sort_cols).persist()
+    compacted = compacted.sortWithinPartitions(*sort_cols).localCheckpoint(
+        eager=True
+    )
     try:
         rows_after = compacted.count()
         writer = compacted.write.mode("overwrite")
@@ -972,7 +1009,7 @@ def compact_relation_swap(
             writer = writer.partitionBy(part_col)
         writer.parquet(tmp)
     finally:
-        compacted.unpersist()
+        release_local_checkpoint(compacted)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p_src = jvm.org.apache.hadoop.fs.Path(src)

@@ -613,6 +613,7 @@ def delete_from_knn_graph(
         compact_relation_swap,
         indexed_distinct_count,
         invalidate_count_row,
+        release_local_checkpoint,
         write_count_row,
     )
     from .index_manifest import path_exists
@@ -621,10 +622,12 @@ def delete_from_knn_graph(
     nodes = spark.read.parquet(f"{path}/nodes").select(
         "vec_id", "nv", "sketch"
     ).distinct()
+    # localCheckpoint, not persist: overlapped retention deletes must
+    # not share/mutate CacheManager entries (see compact_relation_swap)
     dead_ids = (
         ids.where("vec_id IS NOT NULL").select("vec_id").distinct()
         .join(nodes.select("vec_id"), "vec_id", "left_semi")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         n_dead = dead_ids.count()
@@ -653,7 +656,7 @@ def delete_from_knn_graph(
             )
             .join(bdead.selectExpr("vec_id AS src_id"), "src_id", "left_anti")
             .select("src_id").distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         try:
             n_affected = affected_ids.count()
@@ -701,9 +704,9 @@ def delete_from_knn_graph(
                 spark, live, f"{path}/nodes", None, sort_cols=["vec_id"]
             )
         finally:
-            affected_ids.unpersist()
+            release_local_checkpoint(affected_ids)
     finally:
-        dead_ids.unpersist()
+        release_local_checkpoint(dead_ids)
     write_count_row(spark, path, "n_nodes", n_before - n_dead)
     if path_exists(spark, f"{path}/manifest"):
         refresh_knn_graph_manifest(spark, path)

@@ -1701,20 +1701,22 @@ def delete_from_metrics_rollup(
     data can return — the correct erasure semantics). ``erase=False``
     keeps the cheap tombstone-only path for ordinary retention, where
     the next maintenance slot makes it physical."""
-    from .dedup_index import invalidate_count_row
+    from .dedup_index import invalidate_count_row, release_local_checkpoint
 
     invalidate_count_row(spark, path)
     tomb = app_ids.where("app_id IS NOT NULL").select("app_id").distinct()
     existing = _tombstoned_app_ids(spark, path)
     if existing is not None:
         tomb = tomb.join(existing, "app_id", "left_anti")
-    tomb = tomb.persist()
+    # localCheckpoint, not persist (see compact_relation_swap's note on
+    # overlapped maintenance vs the session-global CacheManager)
+    tomb = tomb.localCheckpoint(eager=True)
     try:
         n_ids = tomb.count()
         if n_ids:
             tomb.write.mode("append").parquet(f"{path}/deleted_apps")
     finally:
-        tomb.unpersist()
+        release_local_checkpoint(tomb)
     if erase:
         compact_metrics_rollup(spark, path)
         return n_ids

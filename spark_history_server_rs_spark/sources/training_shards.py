@@ -253,7 +253,7 @@ def retract_from_training_shards(
     in the export — one semi-join scan, legacy exports only — and
     fails loud instead of returning a silent erasure miss (ADVICE
     r11). Returns per-step stats."""
-    from .dedup_index import compact_relation_swap
+    from .dedup_index import compact_relation_swap, release_local_checkpoint
     from .index_manifest import path_exists
 
     disk_shards = _list_shard_ids(spark, path)
@@ -267,9 +267,13 @@ def retract_from_training_shards(
     if n_shards is None:
         n_shards = max(disk_shards) + 1
         inferred_modulus = True
+    # localCheckpoint, not persist: the retention pass runs family
+    # deletes overlapped and several derive semantically equal tombstone
+    # plans — a shared CacheManager entry's concurrent unpersist cascade
+    # can corrupt unrelated cached relations (see compact_relation_swap)
     tomb = (
         ids.where("doc_id IS NOT NULL").select("doc_id").distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         # ONE planning job (r13 — was a count + a distinct-collect):
@@ -370,7 +374,7 @@ def retract_from_training_shards(
                     "export's real n_shards"
                 )
     finally:
-        tomb.unpersist()
+        release_local_checkpoint(tomb)
     return {
         "n_ids": n_ids,
         "shards_rewritten": rewritten,

@@ -1670,3 +1670,36 @@ def test_bpe_chain_width_scales_with_vocabulary(spark):
             llmprep._retire_anchor(anchor)
     finally:
         wt0.unpersist()
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """r14: maintenance materializations moved from ``persist()`` to
+    ``localCheckpoint()`` so overlapped swaps never share (or cascade-
+    rebuild) session-global CacheManager entries — but
+    ``Dataset.unpersist`` is a no-op for checkpointed frames, so the
+    explicit RDD release in ``release_local_checkpoint`` is what keeps
+    a relation-sized block set from leaking per swap until the
+    ContextCleaner gets around to it. Pin that the helper frees the
+    blocks NOW."""
+    from spark_history_server_rs_spark.sources.dedup_index import (
+        release_local_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    base = stored_ids()
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id"
+    ).localCheckpoint(eager=True)
+    added = stored_ids() - base
+    assert added, "eager localCheckpoint stored no blocks — premise broken"
+    assert df.count() == 1000
+    release_local_checkpoint(df)
+    assert not (stored_ids() & added), (
+        "release_local_checkpoint left checkpointed blocks stored — "
+        "every overlapped maintenance swap would leak its "
+        "materialized relation until JVM GC"
+    )
