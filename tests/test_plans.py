@@ -1666,6 +1666,21 @@ def test_bpe_chain_width_scales_with_vocabulary(spark):
         anchor = wt0.coalesce(width).localCheckpoint(eager=True)
         try:
             assert anchor.rdd.getNumPartitions() == width == 1
+            # r14 second pass: at width 1 the per-iteration ranking is a
+            # SINGLE stage — coalesce(1) reports SinglePartition, the
+            # groupBy's clustered distribution is satisfied, and no
+            # Exchange is planned; the exact top-1 stays a
+            # TakeOrderedAndProject. At width > 1 the explicit
+            # repartition keeps exactly one exchange.
+            one = I.explain_str(
+                llmprep._bpe_pair_ranking(anchor, 1), "simple"
+            )
+            assert "Exchange" not in one
+            assert "TakeOrderedAndProject" in one
+            wide = I.explain_str(
+                llmprep._bpe_pair_ranking(anchor, 2), "simple"
+            )
+            assert wide.count("Exchange") == 1
         finally:
             llmprep._retire_anchor(anchor)
     finally:
