@@ -52,16 +52,14 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 14: EMPTY — no registered query's implementation or shared SQL
-#: fragment changed. The round's work is durable-lifecycle and
-#: measurement surface: lineage-scoped exactly-once for the S17 stream
-#: updater + the (grain, lineage, batch) serve dedup (DISK serving path
-#: only — the registered `*_rollup` twins ride the session-cached
-#: in-memory partials, untouched), the new dur_hist DDSketch relation
-#: (deliberately NOT oracle-registered: sketch estimates are
-#: algorithm-specific, tolerance-pinned in pytest instead), the erasure
-#: clause-cap chunking, the real-log rollup differential, and bench
-#: canary bracketing. All pytest-pinned; nothing to pull in-window.
+#: Round 15 (optimization round 2): EMPTY — no registered query's
+#: implementation or shared SQL fragment changed. The round's work is
+#: serving-twin plan shape (S16 `*_from_index` top-k restatement — the
+#: twins are pytest-pinned result-identical to the live ops, which are
+#: themselves untouched), maintenance overlap, the BPE driver-local
+#: trainer's internals (bit-identical by differential+fuzz pin), test
+#: suite runtime, and bench evidence plumbing. All pytest-pinned;
+#: nothing to pull in-window.
 _CHANGED_THIS_ROUND = ()
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
@@ -81,13 +79,67 @@ _SENTINELS = (
     "executor_summary",
     "efficiency_analysis",
     "cross_app_summary",
-    # --- round 14 window -----------------------------------------------
-    # the full r14 rotation the r13 verdict prescribed (#3): ALL 41
-    # remaining rows whose latest driver check is r10 (recomputed
-    # mechanically from CORRECTNESS_r01..r13: the ANN/graph family, the
-    # BPE/corpus trainer chain, multimodal-adjacent corpus ops, the
-    # events-SQL shapes). After this window no registry row's latest
-    # check predates r11. _CHANGED_THIS_ROUND is empty (see above).
+    # --- round 15 window -----------------------------------------------
+    # the r14-verdict-#9 rotation onto the still-unchecked cohort,
+    # recomputed mechanically from CORRECTNESS_r01..r14 (latest driver
+    # check per registered row): ALL 33 remaining rows whose latest
+    # check is r11, then the 13 alphabetically-first r12 rows to fill
+    # the window. After this window no registry row's latest check
+    # predates r12. _CHANGED_THIS_ROUND is empty (see above).
+    "corpus_contamination",
+    "corpus_dsir_select",
+    "corpus_oov_rate",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
+    "corpus_perplexity_buckets",
+    "corpus_source_overlap",
+    "corpus_split_leakage",
+    "corpus_vocabulary",
+    "dedup_clusters",
+    "dedup_minhash_eval",
+    "dedup_ngram_jaccard_capped",
+    "dedup_repeated_passages",
+    "dedup_retention_ids",
+    "dedup_simhash",
+    "embedding_anisotropy",
+    "embedding_dim_stats",
+    "embedding_int8_audit",
+    "embedding_kmeans_step",
+    "embedding_kmeans_train",
+    "embedding_semantic_dedup",
+    "event_search",
+    "job_metrics",
+    "sessionize_events",
+    "task_duration_percentiles",
+    "task_skew_report",
+    "text_c4_filters",
+    "text_encoding_artifacts",
+    "text_filter_agreement",
+    "text_fingerprints",
+    "text_quality_classifier",
+    "tpch_q10_returned_items",
+    "tpch_q1_pricing_summary",
+    # window filler — the 13 alphabetically-first r12-checked rows; the
+    # remaining 31 r12 rows are the r16 queue (all pytest-oracle-green
+    # every session regardless)
+    "ann_cosine_topk",
+    "ann_crossencoder_rerank",
+    "ann_hamming_rerank",
+    "ann_recall_eval",
+    "anti_join_no_urgent_customers",
+    "applications_app_window",
+    "applications_status_completed",
+    "applications_time_window",
+    "asof_join_task_executor_config",
+    "capacity_trends",
+    "capacity_trends_rollup",
+    "cost_optimization",
+    "cost_optimization_rollup",
+)
+
+#: round-14 window (all 50 driver-green in CORRECTNESS_r14.json;
+#: pytest-oracle-checked every session) — rotates behind the r15 window
+_R14_WINDOW = (
     "ann_knn_graph",
     "ann_nprobe_recall",
     "ann_truncated_recall",
@@ -129,10 +181,6 @@ _SENTINELS = (
     "job_parallelism_report",
     "table_profile_orders",
     "tpch_q12_ship_delay",
-    # window filler — the 5 slots left over: the alphabetically-first
-    # r11-checked rows re-check a round early (all pytest-oracle-green
-    # every session regardless); the remaining 33 r11 rows are the r15
-    # queue
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_codes",
@@ -780,7 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
     window = tuple(
-        dict.fromkeys(_SENTINELS + _PRIOR_WINDOWS + _ROTATED_RELATIONAL)
+        dict.fromkeys(
+            _SENTINELS + _R14_WINDOW + _PRIOR_WINDOWS + _ROTATED_RELATIONAL
+        )
     )
     ordered = {name: all_queries[name] for name in window}
     ordered.update(

@@ -710,6 +710,19 @@ def main() -> None:
             f.write(json.dumps(out) + "\n")
     except OSError:
         pass  # read-only checkout: the stdout lines still carry it
+    # append-only history (VERDICT r14 "What's wrong #5"): LAST is
+    # clobbered by every run — including the driver's own post-round
+    # re-runs — so recorded end-of-round evidence was being lost. Every
+    # run also appends its full payload (with a wall-clock stamp) here;
+    # a later run can never erase an earlier one's record.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".",
+                         "BENCH_FULL_HISTORY.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps({"ts": int(time.time()), **out}) + "\n")
+    except OSError:
+        pass
     # The driver records only the trailing ~2 KB of output and parses
     # the last complete JSON it finds there. The full line above now
     # exceeds that window (BENCH_r05/r06 lost the canaries and every

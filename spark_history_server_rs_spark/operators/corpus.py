@@ -23,6 +23,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..functions.checkpoints import durable_checkpoint
 from pyspark.sql import functions as F
 
 from ..functions.views import scoped_temp_view
@@ -126,7 +128,8 @@ def _propagate_labels(docs: DataFrame) -> DataFrame:
             (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
             .cast("long")
             .alias("chg"),
-        ).localCheckpoint()
+        )
+        stepped = durable_checkpoint(stepped)
         n_changed = stepped.agg(F.sum("chg")).first()[0] or 0
         labels = stepped.select("doc_id", "label")
         if n_changed == 0:

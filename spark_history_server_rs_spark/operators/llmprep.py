@@ -39,6 +39,8 @@ from __future__ import annotations
 import threading as _threading
 
 from pyspark.sql import DataFrame
+
+from ..functions.checkpoints import durable_checkpoint
 from pyspark.sql import functions as F
 
 from .corpus import TRAIN_PCT, VAL_PCT, _BUCKET
@@ -708,9 +710,8 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
             (n_words + _BPE_WORDS_PER_PART - 1) // _BPE_WORDS_PER_PART,
         ),
     )
-    wt = wt0.coalesce(width).localCheckpoint(eager=True)
+    wt = durable_checkpoint(wt0.coalesce(width))
     wt0.unpersist(blocking=True)
-    anchor = wt  # the one persisted/checkpointed base the chain hangs off
     # AQE off for the k tiny sequential jobs (r14, guide §1.2 step 3
     # after steps 1-2 are done; measured): each ranking is a
     # vocabulary-sized two-stage job whose reduce side is pinned to the
@@ -719,13 +720,28 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     # sub-second job (measured ~2× per-iteration overhead at sf0.1,
     # ×k=64 sequential iterations). Planning-only: results are
     # bit-identical (pinned by the oracle twins), and the corpus-scale
-    # word-table aggregate above this line still runs WITH AQE. The
-    # session conf is restored in ``finally``; the trainer holds the
-    # per-corpus build lock, and a concurrent query that analyzes in
-    # the window merely plans without AQE (performance, never results).
-    conf = spark.conf
-    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    # word-table aggregate above this line still runs WITH AQE.
+    #
+    # SCOPED (r15, VERDICT r14 #7): the chain is re-bound to a cloned
+    # session whose conf carries the override — the anchor is a
+    # LogicalRDD, so the re-analysis is exact — and the SHARED session
+    # conf is never touched; a concurrent query planning mid-training
+    # keeps its AQE. Only when the private-API rebind is unavailable
+    # does the loop fall back to the r14 shared-conf toggle (restored
+    # in ``finally``; the trainer holds the per-corpus build lock).
+    from ..functions.confscope import rebind_with_conf
+
+    scoped = rebind_with_conf(
+        wt, {"spark.sql.adaptive.enabled": "false"}
+    )
+    conf, prev_aqe = None, None
+    if scoped is not None:
+        wt = scoped
+    else:
+        conf = spark.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+    anchor = wt  # the one persisted/checkpointed base the chain hangs off
     try:
         merges: list[tuple[int, str, str, int]] = []
         for rank in range(1, k + 1):
@@ -740,13 +756,14 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
                 _merge_apply_expr(F.col("sym"), pair).alias("sym"), "cnt"
             )
             if rank % BPE_CHECKPOINT_EVERY == 0:
-                merged = merged.localCheckpoint(eager=True)
+                merged = durable_checkpoint(merged)
                 _retire_anchor(anchor)
                 anchor = merged
             wt = merged
         return merges
     finally:
-        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if conf is not None:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
         _retire_anchor(anchor)
 
 
@@ -2583,10 +2600,9 @@ def _km_train(
             "vec_id", "posexplode(sv_arr) AS (dim, sv)"
         )
         try:
-            anchor = (
+            anchor = durable_checkpoint(
                 elems_df.where(f"vec_id < {k}")
                 .selectExpr("vec_id AS cid", "dim", "sv AS cv")
-                .localCheckpoint(eager=True)
             )
             if not anchor.take(1):  # empty corpus: no centroids, no steps
                 return rows, anchor
@@ -2601,7 +2617,7 @@ def _km_train(
                     # keep their centroid), and the old value per (cid,
                     # dim) for the exact integer shift — all checkpointed
                     # as the next step's anchor
-                    combined = spark.sql(
+                    combined = durable_checkpoint(spark.sql(
                         f"WITH vecs AS (SELECT vec_id, sv_arr FROM {vv}),\n"
                         f"elems AS (SELECT vec_id, dim, sv FROM {elv}),"
                         + _km_step_sql_spark(ctv, "vecs", "")
@@ -2612,7 +2628,7 @@ FROM {ctv} c
 LEFT JOIN u ON u.cid = c.cid AND u.dim = c.dim
 LEFT JOIN st s ON s.cid = c.cid
 """
-                    ).localCheckpoint(eager=True)
+                    ))
                 _retire_anchor(anchor)
                 anchor = combined
                 # per-step driver payload: k scalar rows (empty clusters
@@ -2685,7 +2701,7 @@ def km_trained_centroids_df(
     integers; the descale is one exact double division per component,
     identical to the former driver-side ``/ EMBED_SCALE``."""
     _, cents_df = _km_train(emb, steps, k)
-    out = (
+    out = durable_checkpoint(
         cents_df.selectExpr("cid", "dim", "cv")
         .groupBy("cid")
         .agg(
@@ -2698,7 +2714,6 @@ def km_trained_centroids_df(
         # k rows: checkpoint the folded form so the (k × dims)-row
         # training anchor can be released NOW instead of riding along
         # under every downstream consumer
-        .localCheckpoint(eager=True)
     )
     _retire_anchor(cents_df)
     return out

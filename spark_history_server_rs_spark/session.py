@@ -59,6 +59,12 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-checkpoint knob (functions/checkpoints.py): when set, every
+    # maintenance/training lineage anchor survives executor loss; unset
+    # (the local default) the anchors stay executor-local localCheckpoints.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     return spark
 
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.checkpoints import durable_checkpoint
+
 from ..operators.similarity import (
     _IVF_SPARK,
     _PQ_CODE_CTES,
@@ -642,13 +644,12 @@ def delete_from_ann_index(
         )
     seq = max(int(max_code), int(max_tomb)) + 1
     invalidate_count_row(spark, path)
-    tomb = (
+    tomb = durable_checkpoint(
         ids.where("vec_id IS NOT NULL")
         .select("vec_id").distinct()
         .selectExpr("vec_id", f"CAST({seq} AS BIGINT) AS tombstone_seq")
-        # localCheckpoint, not persist: overlapped retention deletes must
+        # checkpoint, not persist: overlapped retention deletes must
         # not share/mutate CacheManager entries (see compact_relation_swap)
-        .localCheckpoint(eager=True)
     )
     try:
         n_ids = tomb.count()

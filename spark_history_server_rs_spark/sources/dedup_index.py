@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.checkpoints import durable_checkpoint
+
 from ..operators.dedup import (
     HOT_SHINGLE_CAP,
     JACCARD_THRESHOLD,
@@ -213,7 +215,7 @@ def delete_from_dedup_index(
     # EQUAL tombstone plans from the same loser frame — persist would
     # share one CacheManager entry whose concurrent unpersist cascades
     # can corrupt unrelated cached relations (see compact_relation_swap)
-    tomb = tomb.localCheckpoint(eager=True)
+    tomb = durable_checkpoint(tomb)
     try:
         n_ids = tomb.count()
         if n_ids:
@@ -999,8 +1001,8 @@ def compact_relation_swap(
     same materialized blocks exactly as before."""
     if tmp is None:
         tmp = f"{src}__compacting"
-    compacted = compacted.sortWithinPartitions(*sort_cols).localCheckpoint(
-        eager=True
+    compacted = durable_checkpoint(
+        compacted.sortWithinPartitions(*sort_cols)
     )
     try:
         rows_after = compacted.count()

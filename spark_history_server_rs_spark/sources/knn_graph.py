@@ -63,6 +63,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.checkpoints import durable_checkpoint
+
 from ..operators.similarity import (
     _GRAPH_EXPAND_AFTER,
     _GRAPH_EXPAND_SEEDS,
@@ -624,10 +626,9 @@ def delete_from_knn_graph(
     ).distinct()
     # localCheckpoint, not persist: overlapped retention deletes must
     # not share/mutate CacheManager entries (see compact_relation_swap)
-    dead_ids = (
+    dead_ids = durable_checkpoint(
         ids.where("vec_id IS NOT NULL").select("vec_id").distinct()
         .join(nodes.select("vec_id"), "vec_id", "left_semi")
-        .localCheckpoint(eager=True)
     )
     try:
         n_dead = dead_ids.count()
@@ -650,13 +651,12 @@ def delete_from_knn_graph(
         edges = spark.read.parquet(f"{path}/edges").select(
             "src_id", "dst_id", "cosine", "src_bucket"
         )
-        affected_ids = (
+        affected_ids = durable_checkpoint(
             edges.join(
                 bdead.selectExpr("vec_id AS dst_id"), "dst_id", "left_semi"
             )
             .join(bdead.selectExpr("vec_id AS src_id"), "src_id", "left_anti")
             .select("src_id").distinct()
-            .localCheckpoint(eager=True)
         )
         try:
             n_affected = affected_ids.count()

@@ -105,6 +105,8 @@ re-association.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.checkpoints import durable_checkpoint
 from pyspark.sql import functions as F
 
 from ..functions.expressions import count_if, date_str, r4, safe_div
@@ -1710,7 +1712,7 @@ def delete_from_metrics_rollup(
         tomb = tomb.join(existing, "app_id", "left_anti")
     # localCheckpoint, not persist (see compact_relation_swap's note on
     # overlapped maintenance vs the session-global CacheManager)
-    tomb = tomb.localCheckpoint(eager=True)
+    tomb = durable_checkpoint(tomb)
     try:
         n_ids = tomb.count()
         if n_ids:

@@ -27,6 +27,8 @@ the shards with a map-side-combined aggregate per shard.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.checkpoints import durable_checkpoint
 from pyspark.sql import functions as F
 
 N_SHARDS = 8
@@ -271,9 +273,8 @@ def retract_from_training_shards(
     # deletes overlapped and several derive semantically equal tombstone
     # plans — a shared CacheManager entry's concurrent unpersist cascade
     # can corrupt unrelated cached relations (see compact_relation_swap)
-    tomb = (
+    tomb = durable_checkpoint(
         ids.where("doc_id IS NOT NULL").select("doc_id").distinct()
-        .localCheckpoint(eager=True)
     )
     try:
         # ONE planning job (r13 — was a count + a distinct-collect):

@@ -1707,13 +1707,18 @@ def test_bpe_local_trainer_matches_distributed(spark, monkeypatch):
     from spark_history_server_rs_spark.operators import llmprep
     from spark_history_server_rs_spark.sources.generic import load_table
 
+    # restore the ORIGINAL module value, never a hardcoded copy of it
+    # (ADVICE r14: a changed production cap would silently diverge
+    # mid-test otherwise)
+    _orig_cap = llmprep._BPE_LOCAL_TRAIN_MAX_WORDS
+
     def distributed(docs, k):
         monkeypatch.setattr(llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", -1)
         try:
             return llmprep._train_merges(docs, k)
         finally:
             monkeypatch.setattr(
-                llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", 8_192
+                llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", _orig_cap
             )
 
     def local(docs, k):
@@ -1818,3 +1823,94 @@ def test_release_local_checkpoint_frees_blocks(spark):
         "every overlapped maintenance swap would leak its "
         "materialized relation until JVM GC"
     )
+
+
+def test_durable_checkpoint_honors_checkpoint_dir(spark, tmp_path):
+    """r15 (VERDICT r14 #6): maintenance/training anchors go through
+    ``durable_checkpoint`` — a RELIABLE ``Dataset.checkpoint`` when the
+    context has a checkpoint dir configured (``SPARK_GRAFT_CHECKPOINT_DIR``
+    → ``SparkContext.setCheckpointDir``), else the same executor-local
+    ``localCheckpoint`` as before. Results and downstream plan shape
+    (LogicalRDD anchor) are identical either way; only durability
+    changes. Pin both paths on one session."""
+    from spark_history_server_rs_spark.functions.checkpoints import (
+        checkpoint_dir,
+        durable_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    src = spark.range(0, 100).selectExpr("id", "id % 7 AS k")
+    expected = sorted((r.id, r.k) for r in src.collect())
+
+    # local default: no checkpoint dir configured on the test session
+    assert checkpoint_dir(src) is None
+    local = durable_checkpoint(src)
+    try:
+        assert local._jdf.queryExecution().analyzed().getClass() \
+            .getSimpleName() == "LogicalRDD"
+        assert sorted((r.id, r.k) for r in local.collect()) == expected
+    finally:
+        local.unpersist(blocking=True)
+
+    # reliable path: configure a dir, anchor again, files must land
+    ckdir = str(tmp_path / "reliable_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        reliable = durable_checkpoint(src)
+        assert reliable._jdf.queryExecution().analyzed().getClass() \
+            .getSimpleName() == "LogicalRDD"
+        assert sorted((r.id, r.k) for r in reliable.collect()) == expected
+        import glob as _glob
+
+        assert _glob.glob(ckdir + "/*/rdd-*"), (
+            "no reliable checkpoint files written under the configured dir"
+        )
+    finally:
+        # restore the no-dir default for the rest of the suite
+        # (checkpointDir is a plain var on SparkContext; the setter-only
+        # public API has no unset, so reach the scala field with a
+        # fallback that leaves the dir configured — harmless, reliable
+        # checkpoints are still correct anchors)
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+        except Exception:
+            pass
+
+
+def test_bpe_distributed_training_never_mutates_shared_aqe(
+    spark, monkeypatch
+):
+    """r15 (VERDICT r14 #7): the distributed BPE training loop plans its
+    k ranking jobs AQE-off in a CLONED session — the shared session's
+    ``spark.sql.adaptive.enabled`` must never be touched (a concurrent
+    REST query planning mid-training used to silently lose AQE). The
+    cloned-session path must be the one actually taken on this Spark
+    version (the shared-conf toggle remains only as the private-API
+    fallback), and the merges must match the driver-local trainer
+    bit-for-bit."""
+    from spark_history_server_rs_spark.operators import llmprep
+    from spark_history_server_rs_spark.sources.generic import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+
+    set_keys: list[str] = []
+    orig_set = spark.conf.set
+
+    def spy_set(key, value):
+        set_keys.append(key)
+        return orig_set(key, value)
+
+    monkeypatch.setattr(spark.conf, "set", spy_set)
+    monkeypatch.setattr(llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", -1)
+    dist = llmprep._train_merges(docs, 8)
+    monkeypatch.setattr(
+        llmprep, "_BPE_LOCAL_TRAIN_MAX_WORDS", 1 << 60
+    )
+    assert "spark.sql.adaptive.enabled" not in set_keys, (
+        "distributed training fell back to mutating the SHARED session "
+        "conf — the cloned-session rebind did not engage"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert dist == llmprep._train_merges(docs, 8)
