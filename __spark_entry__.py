@@ -52,15 +52,23 @@ def _e(fn) -> Callable[[SparkSession, str], DataFrame]:
 #: tests/test_plans.py::test_driver_window_invariant, so the class of
 #: miss VERDICT r08 "What's wrong #2" flagged (a rewrite shipping
 #: outside the window) fails the suite instead of relying on review.
-#: Round 15 (optimization round 2): EMPTY — no registered query's
-#: implementation or shared SQL fragment changed. The round's work is
+#: Round 15 (optimization round 2): two registered queries restructured
+#: around the WithCTE cache-blindness (the cache manager refuses
+#: InMemoryRelation substitution in any plan holding a WithCTE node, so
+#: their single-WITH spellings re-ran cached chains per CTE reference):
+#: `corpus_perplexity_buckets` (per-doc surprisal relation materialized
+#: once per corpus, rank fold DataFrame-composed; 4.5 → 1.4-2.2 s warm
+#: at sf0.1) and `corpus_dsir_select` (scored/coarse relation
+#: materialized, weights/rank fold composed; 2.8 → 0.7-0.9 s warm).
+#: Both oracle-compared True at sf0.001/sf0.01 (the oracles keep the
+#: one-WITH spelling — differential by construction), and both sit in
+#: the r15 window below (r11 cohort). Everything else this round is
 #: serving-twin plan shape (S16 `*_from_index` top-k restatement — the
 #: twins are pytest-pinned result-identical to the live ops, which are
 #: themselves untouched), maintenance overlap, the BPE driver-local
 #: trainer's internals (bit-identical by differential+fuzz pin), test
-#: suite runtime, and bench evidence plumbing. All pytest-pinned;
-#: nothing to pull in-window.
-_CHANGED_THIS_ROUND = ()
+#: suite runtime, and bench evidence plumbing.
+_CHANGED_THIS_ROUND = ("corpus_perplexity_buckets", "corpus_dsir_select")
 
 # The driver's correctness harness checks the FIRST 50 registrations only.
 # Registration order is therefore a coverage schedule, not cosmetics:
